@@ -1,0 +1,70 @@
+"""Benchmark runner - prints ONE JSON line with per-query seconds.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query executes
+with a count-style action (foreach noop) so results are fully computed
+but never collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEADLINE = [
+    "agg_basic",
+    "join_broadcast",
+    "join_asof",
+    "win_running",
+    "topk_per_group",
+    "stream_session",
+    "agg_distinct",
+    "subq_exists",
+    "udf_scalar",
+    "scan_parquet",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from etl_marketdata_downloader_archived_spark.plans import registry
+    from etl_marketdata_downloader_archived_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = registry.all_queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        # one warm-up plan build (not timed) would hide JVM startup for
+        # the first query only; keep it simple and time execution alone
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

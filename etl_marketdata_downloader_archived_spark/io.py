@@ -1,0 +1,96 @@
+"""Table loaders and lake writers.
+
+Readers take explicit paths (the driver passes an sf_dir); writers encode
+the partitioned-lake layout the reference lands into by source-type
+prefix (reference: data-downloader/data_downloader.py:104,107,132,170,195)
+- re-expressed as `partitionBy` so Spark partition pruning works for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import DRIVER_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table. Parquet carries its own schema;
+    vectorized scan + pushdown apply automatically.
+
+    Files written with TIMESTAMP(NANOS) surface as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.get_spark);
+    convert those back to microsecond timestamps - floor division, the
+    same truncation DuckDB applies when reading nanos.
+    """
+    # Runtime-set (not only in session.get_spark): the driver calls the
+    # query battery with its own SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    expected = DRIVER_TABLES.get(name)
+    if expected is not None:
+        for field in df.schema.fields:
+            want = next((f.dataType for f in expected.fields if f.name == field.name), None)
+            if isinstance(field.dataType, T.LongType) and isinstance(want, T.TimestampType):
+                # integer `div`, not `/`: float division loses ulps on
+                # epoch-nanos magnitudes (~1.7e18 > 2^53)
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+                )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register driver tables as temp views for spark.sql plans."""
+    if not names:
+        names = (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_lake(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("source_type",),
+    mode: str = "append",
+) -> None:
+    """Partitioned parquet landing - the lake layout.
+
+    The reference routes landed files under per-type S3 prefixes
+    (POC2/{LINK,LINKS_OVER,...}); partitionBy gives the same physical
+    layout plus automatic partition pruning on read.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_small_table(df: DataFrame, path: str) -> None:
+    """Full-rewrite update for small control tables.
+
+    Plain parquet has no point update; the reference's catalog error
+    flagging re-writes the whole CSV (reference:
+    data-downloader/data_downloader.py:40-48). For a catalog-sized table
+    a coalesced single-file overwrite is the right call; at lake scale
+    use a transactional table format (Delta/Iceberg - not in this
+    environment) and MERGE INTO instead.
+    """
+    # Write-to-temp-then-swap is handled by Spark's overwrite mode; the
+    # catalog is tiny so coalesce(1) keeps it a single file.
+    df.coalesce(1).write.mode("overwrite").parquet(path)

@@ -1,0 +1,64 @@
+"""Registry of driver-checked queries.
+
+Every operator from SURVEY.md section 2 registers here:
+- a Spark callable ``(spark, sf_dir) -> DataFrame``
+- (when SQL-expressible) an equivalent ANSI/DuckDB oracle SQL string.
+
+Rules that keep the differential oracle honest (SURVEY.md section 5.2):
+- alias every computed column identically on both sides;
+- make every row-set deterministic (unique-key tie-breaks under LIMIT /
+  window ordering);
+- keep float math either exact (integral-valued doubles, single IEEE
+  ops) or explicitly rounded the same way on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle=None`` -> rows-only driver check
+    (for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_batteries()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_batteries()
+    return dict(_ORACLE)
+
+
+_loaded = False
+
+
+def _load_batteries() -> None:
+    global _loaded
+    if _loaded:
+        return
+    # Import for registration side effects.
+    from . import dataflow_queries  # noqa: F401
+    from . import llm_ops  # noqa: F401
+    from . import relational  # noqa: F401
+
+    _loaded = True

@@ -1,0 +1,942 @@
+"""Relational operator battery (SURVEY.md section 2B).
+
+The reference delegates its whole relational surface to Athena over the
+landed lake (reference: wiki.md:139-141; Athena/Glue IAM grants at
+cloudformation/clean-test-files-lambda.cfn.yaml:43-44). This module owns
+that surface as Spark DataFrame/SQL plans - every query is a Catalyst
+built-in composition (zero custom rules) and is paired with a DuckDB
+oracle in the registry.
+
+Scale notes are inline per query: what shuffles, what broadcasts, what
+prunes. All plans are declarative so Catalyst applies pushdown/pruning/
+join-selection automatically.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..io import load_table
+from ..operators.joins import asof_join
+from .registry import q
+
+# ---------------------------------------------------------------- scans
+
+
+@q(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter reaching the parquet scan (column pruning +
+    predicate pushdown; verify with explain(): PushedFilters/ReadSchema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# -------------------------------------------------------------- filters
+
+
+@q(
+    "filter_conj",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 250000
+    """,
+)
+def filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive equality filter - the harvester's active/interval
+    predicate shape (reference: data-harvester/data_harvester.py:31)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 250000)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@q(
+    "filter_in_between",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 50000 AND 100000
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1999-12-31'
+    """,
+)
+def filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 100000)
+        & F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1999-12-31").cast("timestamp")
+        )
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@q(
+    "filter_null",
+    oracle="""
+    SELECT event_id, value
+    FROM events
+    WHERE NULLIF(event_type, 'error') IS NULL AND value IS NOT NULL
+    """,
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL semantics (nulls synthesized via NULLIF -
+    driver tables carry none)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("_et", F.expr("nullif(event_type, 'error')"))
+        .filter(F.col("_et").isNull() & F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+
+@q(
+    "join_inner",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "inner").select("c_custkey", "c_name", "n_name")
+
+
+@q(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@q(
+    "join_full",
+    oracle="""
+    SELECT n_nationkey, n_name, s.s_suppkey, s.s_name
+    FROM (SELECT * FROM supplier WHERE s_suppkey < 10) s
+    FULL JOIN nation ON s.s_nationkey = n_nationkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 10)
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@q(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name, count(*) AS n_cust
+    FROM region
+    JOIN nation ON r_regionkey = n_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: explicit broadcast of the dimension tables so the fact
+    side never shuffles for the join (at 100 TB the fact scan streams
+    through map-side hash joins)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@q(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join - the dedup-vs-manifest primitive that fills the
+    reference's repeat-file TODO (data-downloader/data_downloader.py:106)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "join_range",
+    oracle="""
+    SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber, l.l_shipdate
+    FROM (SELECT * FROM orders WHERE o_orderkey % 500 = 0) o
+    JOIN (SELECT * FROM lineitem WHERE l_orderkey % 97 = 0) l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (interval containment) join; Catalyst executes as
+    broadcast nested-loop - acceptable because both inputs are
+    pre-filtered slivers. At scale, bucketize the time axis to inject an
+    equi-key (see operators.joins.range_join notes)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    cond = (li.l_shipdate >= o.o_orderdate) & (
+        li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    return o.join(li, cond, "inner").select("o_orderkey", "l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@q(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id,
+           o.o_orderdate AS asof_o_orderdate,
+           o.o_orderkey  AS asof_o_orderkey
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o_orderdate, o_orderkey
+        FROM orders
+        WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 1
+    ) o ON true
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event, per user.
+    Composed union+window (single shuffle) - see operators.joins.asof_join."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .withColumn("_key", F.col("user_id"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("_key"), "o_orderdate", "o_orderkey")
+    )
+    out = asof_join(
+        e,
+        o,
+        on="_key",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderdate", "o_orderkey"],
+        tie_break="o_orderkey",
+    )
+    return out.select("event_id", "ts", "user_id", "asof_o_orderdate", "asof_o_orderkey")
+
+
+# ---------------------------------------------------------- aggregation
+
+
+@q(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                         AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc,
+           avg(l_quantity)                                        AS avg_qty,
+           count(*)                                               AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape - partial (map-side) + final hash aggregation is
+    automatic; only the tiny group keys shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc"
+            ),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@q(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_suppkey)  AS n_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@q("agg_approx_distinct")  # HLL sketch != DuckDB's sketch -> rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) - the 100 TB substitute for
+    exact COUNT(DISTINCT): no per-key exact state, bounded memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders")
+    )
+
+
+@q(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@q(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# -------------------------------------------------------------- windows
+
+
+@q(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           rank()       OVER (PARTITION BY c_mktsegment
+                              ORDER BY floor(c_acctbal / 1000) DESC) AS rk,
+           dense_rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY floor(c_acctbal / 1000) DESC) AS drk,
+           ntile(4)     OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w_unique = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    w_banded = W.partitionBy("c_mktsegment").orderBy(F.floor(F.col("c_acctbal") / 1000).desc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_banded).alias("rk"),
+        F.dense_rank().over(w_banded).alias("drk"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+    )
+
+
+@q(
+    "win_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           lead(o_totalprice) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS next_price,
+           first_value(o_totalprice) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS first_price
+    FROM orders
+    """,
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+@q(
+    "win_running",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_qty,
+           count(*) OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_n
+    FROM lineitem
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@q(
+    "win_moving",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           avg(l_quantity) OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS moving_avg_qty
+    FROM lineitem
+    """,
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.avg("l_quantity").over(w).alias("moving_avg_qty"),
+    )
+
+
+# --------------------------------------------------------- sort / top-k
+
+
+@q(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark executes as TakeOrderedAndProject (per-
+    partition heaps + merge) - no full global sort materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@q(
+    "topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+# -------------------------------------------------------------- set ops
+
+
+@q(
+    "set_union",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 480000
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("key"))
+    b = o.filter(F.col("o_totalprice") > 480000).select(F.col("o_custkey").alias("key"))
+    return a.unionByName(b).distinct()
+
+
+@q(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("key"))
+    b = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("key"))
+    return a.intersect(b)
+
+
+@q(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("key"))
+    b = o.filter(F.col("o_totalprice") > 450000).select(F.col("o_custkey").alias("key"))
+    return a.subtract(b)
+
+
+# ------------------------------------------------------ scalar families
+
+
+@q(
+    "str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                       AS name_lower,
+           upper(p_brand)                      AS brand_upper,
+           length(p_name)                      AS name_len,
+           substring(p_name, 1, 5)             AS name_head,
+           concat(p_brand, ':', p_type)        AS brand_type,
+           replace(p_name, ' ', '_')           AS name_snake,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           (p_name LIKE '%gear%')              AS is_gear
+    FROM part
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (covers reference ops A2/A14/A15/A21 shapes)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.col("p_name").like("%gear%").alias("is_gear"),
+    )
+
+
+@q(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                         AS yr,
+           month(o_orderdate)                        AS mo,
+           day(o_orderdate)                          AS dy,
+           date_trunc('month', o_orderdate)          AS month_start,
+           strftime(o_orderdate, '%Y-%m')            AS ym,
+           CAST(epoch(o_orderdate) AS BIGINT)        AS epoch_s,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)
+               AS days_to_2002
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (reference ops A4-A6: tz-shifted clock +
+    strftime-style date parts, data-harvester/data_harvester.py:32-35)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+    )
+
+
+@q(
+    "math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 1)                    AS price_r1,
+           abs(o_totalprice - 250000)                AS dist_mid,
+           CAST(floor(o_totalprice) AS BIGINT)       AS price_floor,
+           CAST(ceil(o_totalprice)  AS BIGINT)       AS price_ceil,
+           o_orderkey % 7                            AS key_mod,
+           sqrt(o_totalprice)                        AS price_sqrt
+    FROM orders
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.abs(F.col("o_totalprice") - 250000).alias("dist_mid"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+    )
+
+
+@q(
+    "cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 400000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END                        AS tier,
+           coalesce(NULLIF(o_orderstatus, 'P'), 'NA') AS status_or_na,
+           greatest(o_totalprice, 250000.0)           AS at_least_mid,
+           least(o_totalprice, 250000.0)              AS at_most_mid
+    FROM orders
+    """,
+)
+def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family - the downloader's 5-way TYPE dispatch shape
+    (reference: data-downloader/data_downloader.py:217-228)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 400000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("NA")).alias(
+            "status_or_na"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(250000.0)).alias("at_least_mid"),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("at_most_mid"),
+    )
+
+
+@q(
+    "array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                            AS n_words,
+           list_contains(string_split(text, ' '), 'spark')         AS has_spark,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), '-')
+               AS first3,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        x -> length(x))) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order lambdas (reference explodes link
+    lists / listing lines: data-downloader/data_downloader.py:91,153)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_join(F.slice(words, 1, 3), "-").alias("first3"),
+        F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("bigint")
+        .alias("total_chars"),
+    )
+
+
+@q(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (reference task encode/decode A8/A11:
+    data-harvester/data_harvester.py:37, data-downloader/data_downloader.py:216)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+    )
+
+
+@q(
+    "subq_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    )
+    """,
+)
+def subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery - decorrelated by Catalyst
+    into joins; same SQL text runs on both engines."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        )
+        """
+    )
+
+
+# ---------------------------------------------------- streaming (batch-checkable)
+
+
+@q(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts)                        AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation - identical code runs under
+    readStream (see streaming.pipeline); checked here in batch mode."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)  AS n_events,
+           min(ts)   AS session_start,
+           max(ts)   AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) via lag + running sum - the batch
+    formulation; streaming uses session_window (streaming.pipeline)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ------------------------------------------------------------- UDF surface
+
+
+@q(
+    "udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS discounted
+    FROM lineitem
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF - the sanctioned Python escape
+    hatch; elementwise IEEE ops so results match the SQL oracle exactly."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def discount_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discount_price("l_extendedprice", "l_discount").alias("discounted"),
+    )
+
+
+@q(
+    "udaf_grouped",
+    oracle="""
+    SELECT l_suppkey,
+           count(*)            AS n_rows,
+           sum(l_quantity)     AS sum_qty,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas (one pandas frame per group;
+    quantity sums are integral-valued doubles -> exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_suppkey": [pdf["l_suppkey"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "sum_qty": [pdf["l_quantity"].sum()],
+                "max_price": [pdf["l_extendedprice"].max()],
+            }
+        )
+
+    return li.groupBy("l_suppkey").applyInPandas(
+        agg_group, schema="l_suppkey bigint, n_rows bigint, sum_qty double, max_price double"
+    )
