@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each formulation):
+
+- Exact: hash -> groupBy(hash) -> keep one representative. One shuffle
+  on the 64-char hash; group state is tiny. At 100 TB the hash is
+  computed in the scan projection, so only (hash, id) shuffles - never
+  the document bytes.
+- MinHash+LSH: shingle -> k minhashes -> band -> bucket-join. Candidate
+  generation is groupBy(band_id, band_hash) - documents only meet if
+  they collide in a band, so the join is output-bound, not O(n^2).
+- SimHash: 64-bit signature via weighted bit voting; near-dup = small
+  Hamming distance. Signature is 8 bytes/doc -> the compare stage can
+  self-join on a prefix bucket.
+- n-gram Jaccard: exact verification for candidate pairs (used after
+  LSH in the two-stage pipeline; standalone it needs a bucket column
+  to avoid n^2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism.
+
+    Small control/document tables often arrive as a single file split;
+    the operators below do real per-row work (Python UDFs, explodes,
+    pair joins), so a one-time round-robin shuffle of the (narrow)
+    input rows buys full-core parallelism. At lake scale inputs are
+    already multi-split and this is a no-op cost-wise.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, normalized: bool = False
+) -> DataFrame:
+    """One representative row (min id) per distinct content hash,
+    with the duplicate count. ``normalized=True`` fingerprints
+    (case/punct/ws-insensitive) instead of raw sha256."""
+    h = fingerprint(content_col) if normalized else F.sha2(F.col(content_col), 256)
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (pure Catalyst:
+    split + sequence + transform; no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(c, r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(id, signature array<bigint>) - k independent minhashes.
+
+    Hash family: xxhash64(seed, shingle) - Spark's built-in 64-bit
+    hash with the seed as a column, JVM-side. Plan: explode shingles
+    (M rows), one groupBy(id) computing all k mins as aggregations -
+    a single shuffle on id, no per-seed pass.
+    """
+    shingled = _spread(df).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("_shingle"))).alias(f"_h{seed}")
+        for seed in range(num_hashes)
+    ]
+    per_doc = shingled.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{seed}") for seed in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 8
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` bands, hash each
+    band, meet documents per (band_idx, band_hash) bucket.
+
+    Returns distinct candidate (id_a < id_b) pairs. The self-join is
+    per-bucket, so cost tracks true collisions. Buckets with a single
+    doc produce nothing.
+    """
+    sig_len_expr = signatures.select(F.size("signature").alias("n")).limit(1)
+    # rows per band derived lazily per-row (signature length is fixed)
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("signature"),
+                        b * (F.size("signature") / bands).cast("int") + 1,
+                        (F.size("signature") / bands).cast("int"),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full two-stage near-dup pipeline: MinHash+LSH candidates, then
+    exact n-gram Jaccard verification on the candidates only."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    )
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_col: str,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a bucket,
+    via an inverted-index join - the 100 TB formulation.
+
+    Instead of materializing all O(n^2) bucket pairs and intersecting
+    arrays per pair (quadratic in bucket size AND per-pair array work),
+    explode (doc, shingle) postings and equi-join on (bucket, shingle):
+    only pairs that actually share a shingle are ever produced, and
+    |intersection| falls out of a groupBy count. Then
+    |union| = |A| + |B| - |common|. A hyper-common shingle is a skew
+    key - AQE skew-join splitting handles it (enabled in session.py);
+    production corpora also drop top-frequency shingles first.
+    """
+    s = _spread(df).select(
+        F.col(id_col), F.col(bucket_col).alias("_bucket"),
+        word_shingles(text_col, n).alias("_sh"),
+    )
+    postings = s.select(
+        "_bucket", F.col(id_col), F.explode("_sh").alias("_g")
+    )
+    a = postings.select("_bucket", F.col(id_col).alias("id_a"), "_g")
+    b = postings.select("_bucket", F.col(id_col).alias("id_b"), "_g")
+    common = (
+        a.join(b, ["_bucket", "_g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("_bucket", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sizes = s.select(F.col(id_col), F.size("_sh").alias("_sz"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common").cast("double")
+            / F.greatest(
+                F.col("_sz_a") + F.col("_sz_b") - F.col("_common"), F.lit(1)
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") > threshold)
+        .select(F.col("_bucket").alias(bucket_col), "id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Bit voting is genuinely bit-twiddly, so this is the sanctioned
+    Python escape hatch: an Arrow-batched pandas UDF (hashlib blake2b
+    per token, numpy bit matrix) - not a row-at-a-time UDF.
+    """
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in (t or "").split():
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                    )
+                )
+                bits = (h >> shifts) & np.uint64(1)
+                votes += np.where(bits == 1, 1, -1)
+            sig = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= 1 << b
+            out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out)
+
+    return _spread(df).select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 8, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming, bucketed on
+    the top ``prefix_bits`` bits so the self-join has an equi-key."""
+    bucketed = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.shiftrightunsigned("simhash", 64 - prefix_bits).alias("_bucket"),
+    )
+    a = bucketed.select("_bucket", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
+    b = bucketed.select("_bucket", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB engine needs both:
+
+- Brute-force cosine top-k: correct baseline. The dot product is a
+  Catalyst higher-order function (zip_with + aggregate) computed in
+  double - JVM-side, codegen'd, no Python. With the query vector as a
+  literal the scan is a narrow map + TakeOrdered: no shuffle of the
+  embedding column at all.
+- IVF (inverted-file) search: k-means-style coarse quantization ->
+  search only the closest nprobe partitions. Centroid assignment is a
+  broadcast of (tiny) centroids against the vectors; at scale the
+  assignment is precomputed and the table is PARTITIONED BY cluster so
+  probing prunes partitions on read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum of elementwise products, accumulated in double, in array
+    order (deterministic left-to-right fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by cosine vs a literal query vector.
+    Deterministic tie-break on id. Executes as scan -> narrow map ->
+    TakeOrderedAndProject (per-partition heaps; nothing wide)."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), qlit).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    bucket_col: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs above a cosine threshold within a bucket (label, LSH
+    bucket, IVF cluster). The bucket is the equi-join key - global
+    O(n^2) never happens."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    s = df.repartition(par).select(F.col(bucket_col).alias("_b"), F.col(id_col), F.col(vec_col))
+    a = s.select("_b", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = s.select("_b", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("_b").alias(bucket_col), "id_a", "id_b", "cos_sim")
+    )
+
+
+def ivf_centroids(
+    df: DataFrame, cluster_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Elementwise-mean centroid per cluster (posexplode -> avg per
+    (cluster, dim) -> reassemble). One shuffle keyed on (cluster, dim);
+    centroid count is tiny so the result broadcasts."""
+    dims = (
+        df.select(F.col(cluster_col).alias("_c"), F.posexplode(vec_col).alias("_d", "_v"))
+        .groupBy("_c", "_d")
+        .agg(F.avg("_v").alias("_m"))
+    )
+    return (
+        dims.groupBy("_c")
+        .agg(F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_dm"))
+        .select(
+            F.col("_c").alias(cluster_col),
+            F.transform("_dm", lambda s: s.getField("_m")).alias("centroid"),
+        )
+    )
+
+
+def ivf_search(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: rank clusters by centroid cosine vs the query, search
+    only the top ``nprobe`` clusters, return top-k.
+
+    Cluster assignments here reuse an existing partition column (the
+    general case runs k-means once offline); with the table partitioned
+    by cluster the probe is a partition-pruned read of nprobe/N of the
+    data.
+    """
+    cents = ivf_centroids(df, cluster_col, vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = [
+        r[0]
+        for r in cents.select(
+            cluster_col, cosine(F.col("centroid"), qlit).alias("c")
+        )
+        .orderBy(F.col("c").desc(), F.col(cluster_col))
+        .limit(nprobe)
+        .select(cluster_col)
+        .collect()
+    ]
+    # collect() here is centroid-count rows (tiny, bounded by nlist) -
+    # it parameterizes partition pruning for the probe scan.
+    return topk_cosine(
+        df.filter(F.col(cluster_col).isin(probe)), query_vec, k, vec_col, id_col
+    )

@@ -1,2 +1,322 @@
-"""North-star LLM-pipeline operator battery (SURVEY.md section 2C) -
-placeholder, filled after the relational battery lands."""
+"""North-star LLM-data-pipeline operator battery (SURVEY.md section 2C).
+
+Deduplication (exact / fingerprint / n-gram Jaccard / MinHash LSH /
+SimHash), similarity search (brute-force cosine top-k, bucketed
+near-dup pairs, IVF probe), text analysis (lang-id, quality, token
+counts, fingerprinting), and binary/multimodal metadata - over the
+driver ``documents`` and ``embeddings`` tables.
+
+Oracle notes: DuckDB's list_cosine_similarity computes in float32, so
+vector oracles spell out the double-cast comprehension; cosine outputs
+round to 6 decimals on both sides. Hash-seeded ops (MinHash, SimHash)
+have no cross-engine twin -> rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from ..operators.multimodal import text_to_assets
+from .registry import q
+
+# --------------------------------------------------------------- dedup
+
+
+@q(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text)     AS content_hash,
+           min(doc_id)      AS keep_id,
+           count(*)         AS n_dupes
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "text", "doc_id")
+
+
+@q(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint (case/punct/whitespace-stable
+    rolling dedup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in generate_series(1, greatest(len(w) - 2, 0))
+               ]) AS shingles
+        FROM (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS w
+              FROM documents)
+    )
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) > 0.01
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs within a source bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", "source", n=3, threshold=0.01)
+    return pairs.select("source", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("dedup_minhash")  # seeded xxhash64 family has no DuckDB twin -> rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard (two-stage
+    near-dup pipeline; see operators.dedup.minhash_dedup_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.2
+    )
+
+
+@q("dedup_simhash")  # blake2b bit-voting signature -> rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 12 of 64 bits), prefix-bucketed."""
+    d = load_table(spark, sf_dir, "documents")
+    sim = D.simhash64(d, "doc_id", "text")
+    return D.simhash_near_pairs(sim, "doc_id", max_hamming=12, prefix_bits=4)
+
+
+# ---------------------------------------------------------- similarity
+
+_DOT = """list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+                    for i in generate_series(1, len({a}))])"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+@q(
+    "sim_topk",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round({_cos_sql('embedding', 'q')}, 6) AS cos_sim
+    FROM embeddings, qv
+    WHERE vec_id <> 0
+    ORDER BY round({_cos_sql('embedding', 'q')}, 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    scored = S.topk_cosine(e.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return scored.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+@q(
+    "sim_pairs_bucketed",
+    oracle=f"""
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.3) within a label bucket -
+    the LSH/IVF-bucketed scale path for embedding dedup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_bucketed(e, "label", 0.3)
+    return pairs.select("label", "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@q(
+    "vec_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                                for i in generate_series(1, len(embedding))])), 6) AS l2
+    FROM embeddings
+    """,
+)
+def vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(S.l2_norm(F.col("embedding")), 6).alias("l2"))
+
+
+@q("sim_ann_ivf")  # float-mean centroids + mid-plan collect -> rows-only
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate search: probe the 3 closest label-clusters only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.ivf_search(e.filter(F.col("vec_id") != 0), list(qvec), k=10, nprobe=3)
+
+
+# -------------------------------------------------------- text analysis
+
+
+@q(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           CAST(list_sum([length(t) for t in regexp_split_to_array(text, '\\s+')]) AS DOUBLE)
+               / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS mean_tok_len,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count_ws("text").alias("n_tokens"),
+        X.mean_token_len("text").alias("mean_tok_len"),
+        X.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+@q(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+'))                          AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_ish
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count_ws("text").alias("n_ws_tokens"),
+        X.token_count_bpe_ish("text").alias("n_bpe_ish"),
+    )
+
+
+@q(
+    "lang_id",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN contains(concat(' ', lower(text), ' '), ' the ') THEN 'en'
+                WHEN contains(concat(' ', lower(text), ' '), ' der ') THEN 'de'
+                WHEN contains(concat(' ', lower(text), ' '), ' le ')  THEN 'fr'
+                WHEN contains(concat(' ', lower(text), ' '), ' el ')  THEN 'es'
+                WHEN contains(concat(' ', lower(text), ' '), '的')    THEN 'zh'
+                ELSE 'unknown' END AS lang_guess
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id("text").alias("lang_guess"))
+
+
+@q(
+    "quality_score",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tok,
+               CAST(list_sum([length(t) for t in regexp_split_to_array(text, '\\s+')]) AS DOUBLE)
+                   / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS mtl,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS pr
+        FROM documents
+    )
+    SELECT doc_id,
+           round((least(n_tok / 64.0, 1.0)
+                  + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                  + (1.0 - least(pr * 4.0, 1.0))) / 3.0, 6) AS quality
+    FROM m
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(X.quality_score("text"), 6).alias("quality"))
+
+
+@q(
+    "word_topk",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-k (vocabulary head)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------- multimodal
+
+
+@q(
+    "multimodal_meta",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR)       AS asset_id,
+           'blob'                        AS modality,
+           octet_length(encode(text))    AS size_bytes,
+           sha256(text)                  AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary asset wrapping: payload bytes + typed metadata (the
+    multimodal column pattern; decode stage stubbed in
+    operators.multimodal.decode_assets)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_to_assets(d, "doc_id", "text").select(
+        "asset_id", "modality", "size_bytes", "content_hash"
+    )
+
+
+@q("multimodal_decode")  # stub decode (mapInPandas plumbing) -> rows-only
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stage over binary assets (deterministic
+    fake codec; real codec libs absent in this environment)."""
+    from ..operators.multimodal import decode_assets
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_assets(text_to_assets(d, "doc_id", "text"), fake=True)
