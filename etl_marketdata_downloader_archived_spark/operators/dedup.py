@@ -60,7 +60,11 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     split + sequence + transform; no UDF)."""
     c = F.col(text) if isinstance(text, str) else text
     words = F.split(c, r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    # guard: sequence(1, 0) is DESCENDING in Spark, so a doc shorter
+    # than n words must map to an empty shingle set explicitly
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(words, i + j) for j in range(n)]
     )

@@ -1,0 +1,201 @@
+"""Semantic tests for dedup / similarity / text / multimodal operators
+on tiny controlled inputs (parity.py covers the driver-table scale)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_marketdata_downloader_archived_spark.operators import dedup as D
+from etl_marketdata_downloader_archived_spark.operators import similarity as S
+from etl_marketdata_downloader_archived_spark.operators import text as X
+from etl_marketdata_downloader_archived_spark.operators.multimodal import (
+    decode_assets,
+    frame_sample_plan,
+    text_to_assets,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about stock market prices and rates"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+# ------------------------------------------------------------ dedup
+
+
+def test_exact_dedup(spark) -> None:
+    out = D.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_keep = {r.keep_id: r.n_dupes for r in out}
+    assert by_keep[1] == 2  # docs 1 and 4 collapse
+    assert by_keep[2] == 1 and by_keep[3] == 1
+    assert len(out) == 3
+
+
+def test_exact_dedup_normalized(spark) -> None:
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    out = D.exact_dedup(df, "text", "doc_id", normalized=True).collect()
+    assert len(out) == 2  # 1 and 2 normalize to the same fingerprint
+
+
+def test_word_shingles(spark) -> None:
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    row = df.select(D.word_shingles("t", 3).alias("s")).collect()[0]
+    assert sorted(row.s) == ["a b c", "b c d"]
+    # shorter than n -> empty
+    df2 = spark.createDataFrame([("a b",)], ["t"])
+    assert df2.select(D.word_shingles("t", 3).alias("s")).collect()[0].s == []
+
+
+def test_minhash_finds_near_dup(spark) -> None:
+    pairs = D.minhash_dedup_pairs(
+        _docs(spark), "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got  # near-dup pair survives verification
+    assert (1, 4) in got  # exact dup: jaccard 1.0
+    assert all(3 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_exact_value(spark) -> None:
+    df = spark.createDataFrame(
+        [(1, "a", "w x y z"), (2, "a", "w x y q")], ["doc_id", "bucket", "text"]
+    )
+    out = D.ngram_jaccard_pairs(df, "doc_id", "text", "bucket", n=2).collect()
+    assert len(out) == 1
+    # bigrams: {w x, x y, y z} vs {w x, x y, y q} -> |I|=2 |U|=4
+    assert abs(out[0].jaccard - 0.5) < 1e-12
+
+
+def test_simhash_identical_and_bucketed_pairs(spark) -> None:
+    sim = D.simhash64(_docs(spark), "doc_id", "text")
+    rows = {r.doc_id: r.simhash for r in sim.collect()}
+    assert rows[1] == rows[4]  # identical text -> identical signature
+    pairs = D.simhash_near_pairs(sim, "doc_id", max_hamming=12, prefix_bits=2)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 4)) == 0
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_cosine_matches_numpy(spark) -> None:
+    a, b = [1.0, 2.0, 3.0], [4.0, -5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    dot = sum(x * y for x, y in zip(a, b))
+    expected = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+    assert abs(got - expected) < 1e-12
+
+
+def test_topk_cosine_order_and_ties(spark) -> None:
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = S.topk_cosine(df, [1.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [1, 4, 3]  # ties broken by id
+    assert out[0].cos_sim == 1.0
+
+
+def test_ivf_search_probes_clusters(spark) -> None:
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [0.9, 0.1]),
+            (3, "b", [0.0, 1.0]),
+            (4, "b", [0.1, 0.9]),
+        ],
+        ["vec_id", "label", "embedding"],
+    )
+    out = S.ivf_search(df, [1.0, 0.05], k=2, nprobe=1).collect()
+    assert [r.vec_id for r in out] == [1, 2]  # only cluster 'a' probed
+
+
+# ------------------------------------------------------------ text
+
+
+def test_token_counts(spark) -> None:
+    df = spark.createDataFrame([("hello world foo",)], ["text"])
+    row = df.select(
+        X.token_count_ws("text").alias("ws"),
+        X.token_count_bpe_ish("text").alias("bpe"),
+    ).collect()[0]
+    assert row.ws == 3
+    # hell,o | worl,d | foo -> 5 pieces of <=4 alpha chars
+    assert row.bpe == 5
+
+
+def test_lang_id_markers(spark) -> None:
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "der hund lief"),
+            (3, "le chat noir"),
+            (4, "xyzzy qwerty"),
+        ],
+        ["i", "text"],
+    )
+    got = {r.i: r.lang for r in df.select("i", X.lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_quality_score_bounds(spark, sf_dir) -> None:
+    from etl_marketdata_downloader_archived_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    mm = d.select(
+        F.min(X.quality_score("text")).alias("lo"),
+        F.max(X.quality_score("text")).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= mm.lo <= mm.hi <= 1.0
+
+
+def test_stopword_ratio(spark) -> None:
+    df = spark.createDataFrame([("the cat and dog",)], ["text"])
+    got = df.select(X.stopword_ratio("text").alias("r")).collect()[0].r
+    assert abs(got - 0.5) < 1e-12  # 'the', 'and' of 4 tokens
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_asset_wrap_and_fake_decode(spark) -> None:
+    df = spark.createDataFrame([(1, "hello"), (2, "world!")], ["doc_id", "text"])
+    assets = text_to_assets(df, "doc_id", "text")
+    arow = {r.asset_id: r for r in assets.collect()}
+    assert arow["1"].size_bytes == 5
+    assert bytes(arow["2"].content) == b"world!"
+
+    decoded = decode_assets(assets, fake=True)
+    drows = {r.asset_id: r for r in decoded.collect()}
+    assert set(drows) == {"1", "2"}
+    assert drows["1"].n_bytes == 5
+    assert 0 <= drows["1"].width < 4096 and 0 <= drows["1"].height < 4096
+    # deterministic: same payload -> same pseudo-dims
+    again = {r.asset_id: r for r in decode_assets(assets, fake=True).collect()}
+    assert again["1"].width == drows["1"].width
+
+
+def test_real_decode_is_stubbed(spark) -> None:
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_assets(text_to_assets(df, "doc_id", "text"), fake=False).collect()
+
+
+def test_frame_sample_plan(spark) -> None:
+    df = spark.createDataFrame([(1, "x" * 500)], ["doc_id", "text"])
+    out = frame_sample_plan(text_to_assets(df, "doc_id", "text"), every_n=2).collect()
+    idxs = [r.frame_idx for r in out]
+    assert idxs == list(range(0, 6, 2))  # size 500 -> cap 500/100=5
