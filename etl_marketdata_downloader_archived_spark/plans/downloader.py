@@ -1,0 +1,343 @@
+"""Download pipeline: tasks -> expanded file set -> dedup -> fetch ->
+partitioned lake + manifest + quarantine (reference entry point 2).
+
+Re-expresses ``data_downloader.handler`` (reference:
+data-downloader/data_downloader.py:204-228 and the per-type handlers
+:62-202) as a DataFrame pipeline:
+
+    from_json(task) -> 5-way TYPE route -> per-branch expansion
+      LINKS / LINKS_OVERWRITE : fetch page -> extract hrefs -> explode
+                                -> urljoin -> last segment -> nonempty
+                                (:83-107)
+      DIRECT / DIRECT_FTP     : single file, name = PATTERN (:115-139,
+                                :178-202; the reference's
+                                download-the-ID bug at :132 is NOT
+                                replicated - we fetch URL)
+      FTP_FILES               : fetch listing -> split CRLF -> last
+                                token -> glob match (:152-155)
+    -> anti-join vs manifest (the four "check repeat file" TODOs at
+       :106,131,169,194, actually implemented)
+    -> fetch stage (mapInPandas; Arrow-batched, connection per
+       partition) -> content + sha256
+    -> lake write partitioned by route + manifest append; failures ->
+       quarantine rows (replaces SNS at :52-56) + catalog flag=2
+
+Scale notes: every network call lives in exactly two mapInPandas
+stages (page/listing fetch, file fetch); everything else is Catalyst.
+Fetch stages key their outputs by (route, file_name) so at-least-once
+re-runs are idempotent after the manifest anti-join - the Structured
+Streaming twin of this plan reuses the same stages per micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.urls import last_segment, last_ws_token, url_join
+from ..schemas import MANIFEST, TASK
+from ..sources.transport import TransportError, fetch_bytes, fetch_listing, fetch_text
+
+# lake route prefixes, one per reference sink
+# (data-downloader/data_downloader.py:104,107,132,170,195)
+ROUTE_LINK = "LINK"
+ROUTE_LINKS_OVER = "LINKS_OVER"
+ROUTE_LINKS_DIRECT = "LINKS_DIRECT"
+ROUTE_FTP_FILE = "FTP_FILE"
+ROUTE_FTP_FILES = "FTP_FILES"
+
+def decode_tasks(messages: DataFrame, body_col: str = "task_json") -> DataFrame:
+    """JSON task decode (reference: data-downloader/data_downloader.py:216)."""
+    parsed = F.from_json(F.col(body_col), TASK)
+    return messages.select(parsed.alias("t")).select("t.*")
+
+
+def route_tasks(tasks: DataFrame) -> DataFrame:
+    """5-way TYPE dispatch + unknown-type error branch
+    (reference: data-downloader/data_downloader.py:217-228)."""
+    return tasks.withColumn(
+        "handler",
+        F.when(F.col("TYPE") == "LINKS", "link_files")
+        .when(F.col("TYPE") == "LINKS_OVERWRITE", "link_files_overwrite")
+        .when(F.col("TYPE") == "DIRECT", "dlinks_files")
+        .when(F.col("TYPE") == "DIRECT_FTP", "dftp_files")
+        .when(F.col("TYPE") == "FTP_FILES", "ftp_files")
+        .otherwise("error_unknown_type"),
+    )
+
+
+_HREF_SQL_RE = r"""<[aA]\s[^>]*?[hH][rR][eE][fF]\s*=\s*["']([^"']*)["']"""
+
+
+_PAGE_SCHEMA = "ID string, URL string, TYPE string, PATTERN string, body string, error string"
+
+
+def _fetch_body_stage(tasks: DataFrame, listing: bool, allow_network: bool) -> DataFrame:
+    """Shared page/listing fetch: one Python I/O stage, Arrow-batched.
+    Errors become rows (never exceptions) so the quarantine split is a
+    plain filter."""
+
+    def fetch_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    body = (
+                        fetch_listing(r.URL, allow_network)
+                        if listing
+                        else fetch_text(r.URL, allow_network)
+                    )
+                    err = None
+                except TransportError as exc:
+                    body, err = None, str(exc)
+                out.append(
+                    {
+                        "ID": r.ID,
+                        "URL": r.URL,
+                        "TYPE": r.TYPE,
+                        "PATTERN": r.PATTERN,
+                        "body": body,
+                        "error": err,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["ID", "URL", "TYPE", "PATTERN", "body", "error"])
+
+    return tasks.select("ID", "URL", "TYPE", "PATTERN").mapInPandas(
+        fetch_part, schema=_PAGE_SCHEMA
+    )
+
+
+def expand_link_tasks(tasks: DataFrame, allow_network: bool = False) -> DataFrame:
+    """LINKS / LINKS_OVERWRITE branch: page -> hrefs -> one row per
+    candidate file (reference: data-downloader/data_downloader.py:83-107)."""
+    pages = _fetch_body_stage(
+        tasks.filter(F.col("TYPE").isin("LINKS", "LINKS_OVERWRITE")),
+        listing=False,
+        allow_network=allow_network,
+    )
+    ok = pages.filter(F.col("error").isNull())
+
+    # href extraction stays JVM-side: regexp_extract_all + explode
+    # (the reference soups the page, data_downloader.py:84-91; for the
+    # anchor-list case a regex is equivalent and codegen-friendly)
+    links = ok.select(
+        "ID",
+        "TYPE",
+        F.col("URL").alias("page_url"),
+        F.explode(F.regexp_extract_all("body", F.lit(_HREF_SQL_RE), 1)).alias("href"),
+    )
+    resolved = links.select(
+        "ID",
+        "TYPE",
+        url_join(F.col("page_url"), F.col("href")).alias("file_url"),
+    )
+    named = resolved.withColumn("file_name", last_segment("file_url")).filter(
+        F.length("file_name") > 0
+    )
+    return named.withColumn(
+        "route",
+        F.when(F.col("TYPE") == "LINKS_OVERWRITE", ROUTE_LINKS_OVER).otherwise(ROUTE_LINK),
+    ).select("ID", "route", "file_url", "file_name"), pages.filter(
+        F.col("error").isNotNull()
+    )
+
+
+def expand_listing_tasks(tasks: DataFrame, allow_network: bool = False) -> DataFrame:
+    """FTP_FILES branch: listing -> file names -> glob match
+    (reference: data-downloader/data_downloader.py:152-170).
+
+    The glob pattern varies per task row, so the translation runs as a
+    vectorized pandas UDF and the match is ``regexp_like`` with a
+    per-row regex column."""
+    listings = _fetch_body_stage(
+        tasks.filter(F.col("TYPE") == "FTP_FILES"), listing=True, allow_network=allow_network
+    )
+    ok = listings.filter(F.col("error").isNull())
+
+    from ..functions.globs import glob_to_regex  # noqa: PLC0415
+
+    @F.pandas_udf("string")
+    def glob_regex(pats: pd.Series) -> pd.Series:
+        return pats.map(glob_to_regex)
+
+    lines = ok.select(
+        "ID",
+        F.col("URL").alias("base_url"),
+        "PATTERN",
+        # split('\r\n')[0:-1] - the reference drops the trailing empty
+        F.explode(
+            F.slice(
+                F.split("body", "\r\n"),
+                F.lit(1),
+                F.greatest(F.size(F.split("body", "\r\n")) - 1, F.lit(0)),
+            )
+        ).alias("line"),
+    )
+    named = lines.withColumn("file_name", last_ws_token("line"))
+    matched = named.withColumn("_re", glob_regex("PATTERN")).filter(
+        F.expr("regexp_like(file_name, _re)")
+    )
+    return matched.select(
+        "ID",
+        F.lit(ROUTE_FTP_FILES).alias("route"),
+        F.concat("base_url", "file_name").alias("file_url"),
+        "file_name",
+    ), listings.filter(F.col("error").isNotNull())
+
+
+def expand_direct_tasks(tasks: DataFrame) -> DataFrame:
+    """DIRECT / DIRECT_FTP branch: one file per task, output name =
+    PATTERN (reference: data-downloader/data_downloader.py:115-139,
+    :178-202). No fetch here - pure projection."""
+    d = tasks.filter(F.col("TYPE").isin("DIRECT", "DIRECT_FTP"))
+    return d.select(
+        "ID",
+        F.when(F.col("TYPE") == "DIRECT", ROUTE_LINKS_DIRECT)
+        .otherwise(ROUTE_FTP_FILE)
+        .alias("route"),
+        F.col("URL").alias("file_url"),
+        F.col("PATTERN").alias("file_name"),
+    )
+
+
+def dedup_against_manifest(candidates: DataFrame, manifest: DataFrame | None) -> DataFrame:
+    """Cross-run dedup: drop candidates already landed, except on the
+    overwrite route (reference semantics: LINKS_OVERWRITE always
+    rewrites, data-downloader/data_downloader.py:102-104; the other
+    four sinks carry the unimplemented dedup TODO)."""
+    within = candidates.dropDuplicates(["route", "file_name"])
+    if manifest is None:
+        return within
+    seen = manifest.select("route", "file_name").dropDuplicates()
+    keep_over = within.filter(F.col("route") == ROUTE_LINKS_OVER)
+    rest = within.filter(F.col("route") != ROUTE_LINKS_OVER)
+    fresh = rest.join(seen, ["route", "file_name"], "left_anti")
+    return fresh.unionByName(keep_over)
+
+
+# manifest as persisted by run_downloader: MANIFEST + the lake route
+_MANIFEST_ON_DISK = T.StructType(
+    list(MANIFEST.fields) + [T.StructField("route", T.StringType())]
+)
+
+_FETCH_SCHEMA = (
+    "ID string, route string, file_url string, file_name string, "
+    "content binary, size_bytes long, error string"
+)
+
+
+def fetch_files(candidates: DataFrame, allow_network: bool = False) -> DataFrame:
+    """The download_upload stage (reference:
+    data-downloader/data_downloader.py:62-70) as mapInPandas: bytes in
+    a BinaryType column instead of a blind S3 put, so hashing/metadata
+    are one projection away."""
+
+    def fetch_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    content = fetch_bytes(r.file_url, allow_network)
+                    err = None
+                except TransportError as exc:
+                    content, err = None, str(exc)
+                rows.append(
+                    {
+                        "ID": r.ID,
+                        "route": r.route,
+                        "file_url": r.file_url,
+                        "file_name": r.file_name,
+                        "content": content,
+                        "size_bytes": len(content) if content is not None else None,
+                        "error": err,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "ID", "route", "file_url", "file_name",
+                    "content", "size_bytes", "error",
+                ],
+            )
+
+    return candidates.mapInPandas(fetch_part, schema=_FETCH_SCHEMA)
+
+
+def run_downloader(
+    spark: SparkSession,
+    messages: DataFrame,
+    lake_dir: str,
+    manifest_dir: str | None = None,
+    allow_network: bool = False,
+    body_col: str = "task_json",
+) -> dict[str, DataFrame]:
+    """One micro-batch of the download pipeline, end to end.
+
+    Returns {'landed', 'manifest', 'quarantine'} DataFrames; lake and
+    manifest are also written out (parquet, lake partitioned by route).
+    The caller owns scheduling; the streaming twin wraps this in
+    foreachBatch with checkpointing as the ack (SURVEY.md section 3.2).
+    """
+    tasks = route_tasks(decode_tasks(messages, body_col)).cache()
+
+    link_files, link_errs = expand_link_tasks(tasks, allow_network)
+    ftp_files, ftp_errs = expand_listing_tasks(tasks, allow_network)
+    direct_files = expand_direct_tasks(tasks)
+    unknown = tasks.filter(F.col("handler") == "error_unknown_type")
+
+    candidates = link_files.unionByName(ftp_files).unionByName(direct_files)
+
+    manifest_prev = None
+    if manifest_dir is not None:
+        try:
+            manifest_prev = spark.read.schema(_MANIFEST_ON_DISK).parquet(manifest_dir)
+            manifest_prev.head(1)  # force existence check now
+        except Exception:  # noqa: BLE001 - first run: no manifest yet
+            manifest_prev = None
+
+    fresh = dedup_against_manifest(candidates, manifest_prev)
+    fetched = fetch_files(fresh, allow_network).cache()
+    landed = fetched.filter(F.col("error").isNull())
+    failed = fetched.filter(F.col("error").isNotNull())
+
+    # quarantine = page/listing errors + file errors + unknown types
+    def _q(df: DataFrame, url_col: str, reason_col) -> DataFrame:
+        return df.select(
+            F.col("ID"),
+            F.col(url_col).alias("URL"),
+            reason_col.alias("REASON"),
+            F.lit(1).alias("attempts"),
+            F.current_timestamp().alias("failed_at"),
+        )
+
+    quarantine = (
+        _q(link_errs, "URL", F.col("error"))
+        .unionByName(_q(ftp_errs, "URL", F.col("error")))
+        .unionByName(_q(failed, "file_url", F.col("error")))
+        .unionByName(_q(unknown, "URL", F.concat(F.lit("unknown TYPE: "), F.col("TYPE"))))
+    )
+
+    lake = landed.select(
+        "route",
+        "file_name",
+        "content",
+        F.sha2("content", 256).alias("content_hash"),
+        "size_bytes",
+        F.col("ID").alias("source_id"),
+        F.col("file_url").alias("url"),
+        F.current_timestamp().alias("fetched_at"),
+    )
+    lake.write.mode("append").partitionBy("route").parquet(lake_dir)
+
+    manifest_new = lake.select(
+        "file_name", F.col("route").alias("source_type"), "source_id", "url",
+        "content_hash", "fetched_at", "size_bytes", "route",
+    )
+    if manifest_dir is not None:
+        manifest_new.write.mode("append").parquet(manifest_dir)
+
+    return {"landed": lake, "manifest": manifest_new, "quarantine": quarantine}

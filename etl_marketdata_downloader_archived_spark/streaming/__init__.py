@@ -1,0 +1,23 @@
+"""Structured Streaming surface: the reference's event-driven /
+queue-driven semantics re-expressed with checkpointed micro-batches.
+
+The reference's streaming machinery (SURVEY.md section 2A):
+- file-arrival trigger: s3:ObjectCreated on prefix ``in/`` invokes the
+  downloader (A29) -> ``readStream`` file source here
+- at-least-once + ack (A26) -> checkpointed offsets
+- redrive/DLQ (A28) -> quarantine table
+- staging in/processing/done (A30) -> archive on completion
+- cross-batch dedup TODO (A27) -> dropDuplicatesWithinWatermark
+"""
+
+from .windows import session_agg, sliding_agg, tumbling_agg, watermarked_dedup
+from .file_source import file_task_stream, start_lake_sink
+
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "watermarked_dedup",
+    "file_task_stream",
+    "start_lake_sink",
+]

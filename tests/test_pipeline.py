@@ -1,0 +1,157 @@
+"""End-to-end harvest -> download pipeline test (SURVEY.md section 5.2
+item 4): synthetic catalog + local file:// "remote" fixtures -> run the
+pipeline -> assert lake/manifest contents; error injection -> assert
+quarantine row + catalog flag=2. Automates the reference's manual
+upload-and-watch verification."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_marketdata_downloader_archived_spark.plans.downloader import (
+    run_downloader,
+)
+from etl_marketdata_downloader_archived_spark.plans.harvester import harvest_tasks
+from etl_marketdata_downloader_archived_spark.sources.catalog import (
+    flag_broken,
+    read_catalog,
+    valid_rows,
+    write_catalog,
+)
+
+NOW = datetime(2024, 6, 15, 12, 30)
+
+
+@pytest.fixture()
+def remote(tmp_path):
+    """A local 'remote': an HTML page with links, a listing dir with
+    files, and a direct file - all reachable via file:// URLs."""
+    root = tmp_path / "remote"
+    (root / "files").mkdir(parents=True)
+    (root / "files" / "prices_202406.csv").write_text("a,b\n1,2\n")
+    (root / "files" / "rates_202406.csv").write_text("c,d\n3,4\n")
+    (root / "files" / "readme.txt").write_text("ignore me")
+    (root / "page.html").write_text(
+        '<html><body>'
+        '<a href="files/prices_202406.csv">prices</a>'
+        '<a href="files/rates_202406.csv">rates</a>'
+        '<a href="files/readme.txt">readme</a>'
+        '<a href="">empty</a>'
+        "</body></html>"
+    )
+    (root / "direct_2024.bin").write_bytes(b"\x00\x01payload")
+    return root
+
+
+@pytest.fixture()
+def catalog_csv(tmp_path, remote):
+    p = tmp_path / "catalog.csv"
+    rows = [
+        # id,url,interval,col3,active,col5,col6,type,pattern,utc_offset
+        f"1,file://{remote}/page.html,hourly,x,1,y,z,LINKS,unused,0",
+        f"2,file://{remote}/files/,hourly,x,1,y,z,FTP_FILES,*_{{year}}{{month}}.csv,0",
+        f"3,file://{remote}/direct_{{year}}.bin,hourly,x,1,y,z,DIRECT,direct_{{year}}.bin,2",
+        f"4,file://{remote}/missing.html,hourly,x,1,y,z,LINKS,unused,0",  # error path
+        f"5,file://{remote}/page.html,daily,x,1,y,z,LINKS,unused,0",      # wrong interval
+        f"6,file://{remote}/page.html,hourly,x,0,y,z,LINKS,unused,0",     # inactive
+        "7,badrow-with-too-few-columns",                                   # corrupt
+    ]
+    p.write_text("\r\n".join(rows) + "\r\n")
+    return str(p)
+
+
+def test_catalog_read_permissive(spark, catalog_csv) -> None:
+    cat = read_catalog(spark, catalog_csv)
+    ok = valid_rows(cat)
+    assert ok.count() == 6
+    assert cat.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+
+
+def test_harvest_filters_and_templates(spark, catalog_csv) -> None:
+    tasks = harvest_tasks(read_catalog(spark, catalog_csv), "hourly", NOW)
+    got = {r.ID: r for r in tasks.collect()}
+    # active=1 AND interval=hourly only: ids 1,2,3,4
+    assert set(got) == {"1", "2", "3", "4"}
+    assert got["2"].PATTERN == "*_202406.csv"
+    # utc_offset=2 shifts the clock but not the date here
+    assert got["3"].URL.endswith("direct_2024.bin")
+    assert '"TYPE":"LINKS"' in got["1"].task_json
+
+
+def test_downloader_end_to_end(spark, tmp_path, catalog_csv, remote) -> None:
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    tasks = harvest_tasks(read_catalog(spark, catalog_csv), "hourly", NOW)
+
+    out = run_downloader(spark, tasks, lake, manifest)
+
+    landed = spark.read.parquet(lake)
+    by_name = {r.file_name: r for r in landed.collect()}
+    # LINKS page: 3 non-empty hrefs; FTP_FILES: 2 glob matches of 3
+    # files; DIRECT: 1
+    assert set(by_name) == {
+        "prices_202406.csv",
+        "rates_202406.csv",
+        "readme.txt",
+        "direct_2024.bin",
+    }
+    # FTP_FILES matched the glob, readme.txt excluded on that route
+    routes = {(r.file_name, r.route) for r in landed.collect()}
+    assert ("prices_202406.csv", "FTP_FILES") in routes
+    assert ("readme.txt", "FTP_FILES") not in routes
+    assert bytes(by_name["direct_2024.bin"].content) == b"\x00\x01payload"
+    assert by_name["prices_202406.csv"].content_hash is not None
+
+    # partition layout: one directory per route (pruning works)
+    import os
+
+    assert sorted(d for d in os.listdir(lake) if d.startswith("route=")) == [
+        "route=FTP_FILES",
+        "route=LINK",
+        "route=LINKS_DIRECT",
+    ]
+
+    # error path: id 4's missing page -> quarantine row
+    qrows = out["quarantine"].collect()
+    assert any(r.ID == "4" and "missing.html" in r.URL for r in qrows)
+
+    # catalog flag update: broken id -> active=2, persisted + re-readable
+    broken = [r.ID for r in qrows]
+    cat2 = flag_broken(valid_rows(read_catalog(spark, catalog_csv)), broken)
+    cat_dir = str(tmp_path / "catalog_v2")
+    write_catalog(cat2, cat_dir)
+    re_read = read_catalog(spark, cat_dir, fmt="parquet")
+    flags = {r.id: r.active for r in re_read.collect()}
+    assert flags["4"] == 2 and flags["1"] == 1
+
+
+def test_downloader_rerun_dedups_against_manifest(
+    spark, tmp_path, catalog_csv
+) -> None:
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    tasks = harvest_tasks(read_catalog(spark, catalog_csv), "hourly", NOW)
+
+    first = run_downloader(spark, tasks, lake, manifest)
+    n_first = spark.read.parquet(lake).count()
+    assert first["manifest"].count() == n_first
+
+    # at-least-once redelivery: the same batch arrives again
+    second = run_downloader(spark, tasks, lake, manifest)
+    landed_again = second["landed"].count()
+    assert landed_again == 0  # everything already in the manifest
+    assert spark.read.parquet(lake).count() == n_first  # lake unchanged
+
+
+def test_unknown_type_quarantined(spark, tmp_path) -> None:
+    lake = str(tmp_path / "lake")
+    msgs = spark.createDataFrame(
+        [('{"ID":"9","URL":"file:///nope","TYPE":"WAT","PATTERN":"p","UTC":"0"}',)],
+        ["task_json"],
+    )
+    out = run_downloader(spark, msgs, lake)
+    q = out["quarantine"].collect()
+    assert len(q) == 1 and q[0].REASON == "unknown TYPE: WAT"

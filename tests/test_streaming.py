@@ -1,0 +1,214 @@
+"""Streaming tests (SURVEY.md section 5.2 item 5): file-arrival source
+driving the downloader via foreachBatch, windowed aggregations through
+a real memory-sink stream, watermark late-data drop, and
+cross-batch stateful dedup."""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from etl_marketdata_downloader_archived_spark.streaming import (
+    file_task_stream,
+    session_agg,
+    start_lake_sink,
+    tumbling_agg,
+    watermarked_dedup,
+)
+
+TS = datetime(2024, 6, 1, 12, 0)
+
+
+def _wait(q, timeout=60) -> None:
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(timeout)
+
+
+# ------------------------------------------------- file-arrival source
+
+
+def test_file_arrival_drives_downloader(spark, tmp_path) -> None:
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    (remote / "data_1.csv").write_text("x\n1\n")
+    (remote / "data_2.csv").write_text("y\n2\n")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    task = {
+        "ID": "1",
+        "URL": f"file://{remote}/data_1.csv",
+        "TYPE": "DIRECT",
+        "PATTERN": "data_1.csv",
+        "UTC": "0",
+    }
+    (in_dir / "task1.json").write_text(json.dumps(task))
+
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    stream = file_task_stream(spark, str(in_dir), max_files_per_trigger=5)
+    q = start_lake_sink(stream, lake, manifest, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(lake)
+    assert [r.file_name for r in landed.collect()] == ["data_1.csv"]
+
+    # second arrival: only the new task lands; checkpoint skips task1
+    task2 = dict(task, ID="2", URL=f"file://{remote}/data_2.csv", PATTERN="data_2.csv")
+    (in_dir / "task2.json").write_text(json.dumps(task2))
+    q2 = start_lake_sink(
+        file_task_stream(spark, str(in_dir)), lake, manifest, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    names = sorted(r.file_name for r in spark.read.parquet(lake).collect())
+    assert names == ["data_1.csv", "data_2.csv"]
+
+
+# ------------------------------------------------- windows on a stream
+
+
+def _event_stream(spark, tmp_path, rows):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    (src / "batch1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+    raw = (
+        spark.readStream.format("text").load(str(src))
+    )
+    parsed = raw.select(
+        F.from_json("value", "user_id LONG, ts TIMESTAMP, v DOUBLE").alias("j")
+    ).select("j.*")
+    return parsed
+
+
+def test_tumbling_window_stream(spark, tmp_path) -> None:
+    rows = [
+        {"user_id": 1, "ts": "2024-06-01 12:00:30", "v": 1.0},
+        {"user_id": 1, "ts": "2024-06-01 12:05:10", "v": 2.0},
+        {"user_id": 2, "ts": "2024-06-01 12:14:59", "v": 3.0},
+    ]
+    agg = tumbling_agg(
+        _event_stream(spark, tmp_path, rows),
+        "ts",
+        "10 minutes",
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("total"),
+        watermark="1 hour",
+    )
+    # complete mode: every trigger emits the full window table (append
+    # would wait for the watermark to close each window in a LATER
+    # batch - exercised in test_watermark_drops_late_rows)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w.start.minute, r.n, float(r.total))
+        for r in spark.sql("select * from tumbling_out").collect()
+    }
+    assert got == {(0, 2, 3.0), (10, 1, 3.0)}
+
+
+def test_session_window_batch_semantics(spark) -> None:
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 6, 1, 12, 0, 0)),
+            (1, datetime(2024, 6, 1, 12, 3, 0)),   # same session (gap 5m)
+            (1, datetime(2024, 6, 1, 12, 30, 0)),  # new session
+            (2, datetime(2024, 6, 1, 12, 1, 0)),
+        ],
+        ["user_id", "ts"],
+    )
+    out = session_agg(df, "ts", "5 minutes", ["user_id"], F.count(F.lit(1)).alias("n"))
+    per_user = sorted((r.user_id, r.n) for r in out.collect())
+    assert per_user == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_watermark_drops_late_rows(spark, tmp_path) -> None:
+    """Two checkpointed runs: run 1 advances the watermark to 13:50;
+    run 2's input is entirely behind it and must be dropped (update
+    mode filters rows older than the restored watermark)."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+
+    def run() -> None:
+        raw = spark.readStream.format("text").load(str(src))
+        parsed = raw.select(
+            F.from_json("value", "user_id LONG, ts TIMESTAMP, v DOUBLE").alias("j")
+        ).select("j.*")
+        agg = tumbling_agg(
+            parsed, "ts", "10 minutes", F.count(F.lit(1)).alias("n"),
+            watermark="10 minutes",
+        )
+
+        def sink(batch, batch_id: int) -> None:
+            batch.select(F.col("w.start").alias("w_start"), "n").write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    on_time = [
+        {"user_id": 1, "ts": "2024-06-01 12:00:00", "v": 1.0},
+        {"user_id": 1, "ts": "2024-06-01 14:00:00", "v": 1.0},  # watermark -> 13:50
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in on_time))
+    run()
+    first = spark.read.parquet(out_dir).collect()
+    noon1 = [r.n for r in first if r.w_start.hour == 12 and r.w_start.minute == 0]
+    assert noon1 == [1]
+
+    # behind the checkpointed watermark -> dropped, no update emitted
+    (src / "b2.json").write_text(
+        json.dumps({"user_id": 9, "ts": "2024-06-01 12:00:01", "v": 99.0})
+    )
+    run()
+    assert spark.read.parquet(out_dir).count() == len(first)
+
+
+def test_watermarked_dedup_cross_batch(spark, tmp_path) -> None:
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"file_name": "a.csv", "ts": "2024-06-01 12:00:00"})
+        + "\n"
+        + json.dumps({"file_name": "a.csv", "ts": "2024-06-01 12:00:05"})
+    )
+    (src / "b2.json").write_text(
+        json.dumps({"file_name": "a.csv", "ts": "2024-06-01 12:01:00"})
+        + "\n"
+        + json.dumps({"file_name": "b.csv", "ts": "2024-06-01 12:01:00"})
+    )
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(str(src))
+    parsed = raw.select(
+        F.from_json("value", "file_name STRING, ts TIMESTAMP").alias("j")
+    ).select("j.*")
+    deduped = watermarked_dedup(parsed, "ts", ["file_name"], "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    names = sorted(r.file_name for r in spark.sql("select * from dedup_out").collect())
+    assert names == ["a.csv", "b.csv"]  # duplicate suppressed across batches
