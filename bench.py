@@ -42,11 +42,21 @@ def main() -> None:
         n for n in sorted(qs) if n not in HEADLINE
     ]
 
+    # untimed warm-up: JVM/codegen spin-up and the first parquet
+    # footer reads otherwise land entirely on the first timed query
+    from etl_marketdata_downloader_archived_spark.io import load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        load_table(spark, sf_dir, t).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        # one warm-up plan build (not timed) would hide JVM startup for
-        # the first query only; keep it simple and time execution alone
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

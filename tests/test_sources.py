@@ -1,0 +1,73 @@
+"""Datasource-level scan/sink tests: CSV/JSON/text/binaryFile reads
+with explicit schemas, partitioned lake writes with pruning
+(SURVEY.md section 2B scans/sinks rows)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_marketdata_downloader_archived_spark.io import load_table, write_lake
+
+
+def test_csv_scan_crlf_explicit_schema(spark, tmp_path) -> None:
+    """The reference's catalog wire format: CRLF rows, no header
+    (data-harvester/data_harvester.py:27)."""
+    p = tmp_path / "data.csv"
+    p.write_text("1,alpha\r\n2,beta\r\n")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    df = spark.read.schema(schema).csv(str(p))
+    assert sorted((r.k, r.v) for r in df.collect()) == [(1, "alpha"), (2, "beta")]
+
+
+def test_json_lines_scan(spark, tmp_path) -> None:
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"k":1,"v":"a"}\n{"k":2,"v":"b"}\n')
+    df = spark.read.schema("k INT, v STRING").json(str(p))
+    assert df.count() == 2
+
+
+def test_text_and_binary_scan(spark, tmp_path) -> None:
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"\x00\x01\x02")
+    txt = tmp_path / "lines.txt"
+    txt.write_text("l1\nl2\n")
+
+    tdf = spark.read.text(str(txt))
+    assert tdf.count() == 2
+
+    bdf = spark.read.format("binaryFile").load(str(p))
+    row = bdf.select("length", "content").collect()[0]
+    assert row.length == 3 and bytes(row.content) == b"\x00\x01\x02"
+
+
+def test_partitioned_lake_write_prunes(spark, tmp_path) -> None:
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("LINK", "a.csv", 1), ("FTP_FILES", "b.csv", 2), ("LINK", "c.csv", 3)],
+        ["source_type", "file_name", "n"],
+    )
+    write_lake(df, lake)
+    # physical layout: one dir per type -> partition pruning on read
+    assert sorted(d for d in os.listdir(lake) if d.startswith("source_type=")) == [
+        "source_type=FTP_FILES",
+        "source_type=LINK",
+    ]
+    pruned = spark.read.parquet(lake).filter(F.col("source_type") == "LINK")
+    assert pruned.count() == 2
+    # the partition filter must reach the scan, not run as a row filter
+    assert "PartitionFilters: [isnotnull(source_type" in (
+        pruned._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_driver_table_timestamps_are_micros(spark, sf_dir) -> None:
+    """events.parquet carries TIMESTAMP(NANOS); load_table must give
+    micro timestamps under any session (driver uses a vanilla one)."""
+    e = load_table(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert e.select("ts").head()[0].year >= 2020
