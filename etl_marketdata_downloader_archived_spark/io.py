@@ -29,6 +29,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Runtime-set (not only in session.get_spark): the driver calls the
     # query battery with its own SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC is an engine semantic (lake timestamps are wall-clock-free);
+    # also keeps date_format output identical to the DuckDB oracle when
+    # the host session runs in another zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     expected = DRIVER_TABLES.get(name)
     if expected is not None:

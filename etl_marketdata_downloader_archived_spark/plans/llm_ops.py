@@ -266,6 +266,23 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stopword_ratio",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(len([t for t in regexp_split_to_array(lower(text), '\\s+')
+                           if list_contains(['the','a','an','and','or','of','to','in','is','it'], t)])
+                      AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6) AS sw_ratio
+    FROM documents
+    """,
+)
+def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English stopword density - the classic quality pre-filter signal."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(X.stopword_ratio("text"), 6).alias("sw_ratio"))
+
+
+@q(
     "word_topk",
     oracle="""
     SELECT word, count(*) AS n

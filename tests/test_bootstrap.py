@@ -1,0 +1,58 @@
+"""Bootstrap / provisioning tests (reference entry point 3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from etl_marketdata_downloader_archived_spark.bootstrap import (
+    bootstrap,
+    clean_staging,
+    provision_warehouse,
+    warehouse_exists,
+)
+
+
+def test_provision_is_idempotent(tmp_path) -> None:
+    root = str(tmp_path / "wh")
+    assert not warehouse_exists(root)
+    p1 = provision_warehouse(root)
+    p2 = provision_warehouse(root)
+    assert p1 == p2 and warehouse_exists(root)
+    for name in ("in", "processing", "done", "lake", "manifest"):
+        assert os.path.isdir(p1[name])
+
+
+def test_clean_staging(tmp_path) -> None:
+    root = str(tmp_path / "wh")
+    paths = provision_warehouse(root)
+    (tmp_path / "wh" / "in" / "x.json").write_text("{}")
+    (tmp_path / "wh" / "done" / "y.json").write_text("{}")
+    assert clean_staging(root) == 2
+    assert os.listdir(paths["in"]) == []
+
+
+def test_bootstrap_with_stream(spark, tmp_path) -> None:
+    """Full loop: provision -> drop a task file into in/ -> the stream
+    lands it in the lake."""
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    (remote / "f.bin").write_bytes(b"abc")
+
+    root = str(tmp_path / "wh")
+    out = bootstrap(spark, root, start_stream=False)
+    task = {
+        "ID": "1",
+        "URL": f"file://{remote}/f.bin",
+        "TYPE": "DIRECT",
+        "PATTERN": "f.bin",
+        "UTC": "0",
+    }
+    in_dir = out["paths"]["in"]
+    with open(os.path.join(in_dir, "t1.json"), "w") as f:
+        json.dump(task, f)
+
+    out2 = bootstrap(spark, root, start_stream=True)
+    out2["query"].awaitTermination(120)
+    landed = spark.read.parquet(out["paths"]["lake"])
+    assert [r.file_name for r in landed.collect()] == ["f.bin"]
