@@ -84,6 +84,67 @@ def cosine_pairs_bucketed(
     )
 
 
+def rp_lsh_bucket(
+    vec: Column, num_planes: int = 8, dim: int | None = None, seed: int = 7
+) -> Column:
+    """Random-hyperplane LSH bucket id (signed random projection):
+    bucket = bits of sign(v . h_p) over ``num_planes`` pseudo-random
+    hyperplanes. Cosine-similar vectors collide with probability
+    1 - theta/pi per bit, so near-duplicates concentrate in buckets and
+    the pair join needs no O(n^2) compare.
+
+    Hyperplane components are deterministic pseudo-randoms derived from
+    xxhash64(seed, plane, dim_index) - stable across executors/retries
+    (no rand()), no model state to ship. All Catalyst: one narrow
+    projection per row.
+    """
+    # h_{p,i} in [-1, 1): hash -> [0, 1) -> shift
+    def component(p: int, i: Column) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(p), i)
+        return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+    idx = F.sequence(F.lit(0), F.size(vec) - 1) if dim is None else F.sequence(
+        F.lit(0), F.lit(dim - 1)
+    )
+    bits = []
+    for p in range(num_planes):
+        dot_p = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(idx, lambda i, p=p: component(p, i)),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs via RP-LSH bucketing + exact cosine
+    verification inside each bucket - the scale path when no natural
+    bucket column (label/cluster) exists. Recall can be raised with
+    multiple tables (vary ``seed``) and unioned pair sets."""
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        rp_lsh_bucket(F.col(vec_col), num_planes).alias("_b"),
+    )
+    return cosine_pairs_bucketed(bucketed, "_b", threshold, vec_col, id_col).withColumnRenamed(
+        "_b", "bucket"
+    )
+
+
 def ivf_centroids(
     df: DataFrame, cluster_col: str, vec_col: str = "embedding"
 ) -> DataFrame:

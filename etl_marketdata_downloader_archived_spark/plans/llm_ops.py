@@ -171,6 +171,14 @@ def vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.round(S.l2_norm(F.col("embedding")), 6).alias("l2"))
 
 
+@q("sim_lsh_pairs")  # xxhash-derived hyperplanes have no DuckDB twin -> rows-only
+def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing + exact cosine verification -
+    the no-natural-bucket scale path for embedding near-dup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_pairs(e, threshold=0.3, num_planes=6)
+
+
 @q("sim_ann_ivf")  # float-mean centroids + mid-plan collect -> rows-only
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate search: probe the 3 closest label-clusters only."""
