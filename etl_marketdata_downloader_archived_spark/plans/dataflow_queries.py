@@ -501,6 +501,74 @@ def dlq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "attempts")
 
 
+# A1-A9 composed: the whole harvest pipeline as ONE oracle-checked
+# query - synthesize a catalog from customer rows, filter active+due,
+# shift the clock per-source, template-expand the URL, project the
+# task schema, and JSON-encode it. This is plans.harvester.harvest_tasks
+# exercised relationally (the driver tables carry no catalog, so the
+# catalog is derived deterministically, with events supplying a
+# per-source clock instead of utcnow()).
+
+
+@q(
+    "harvest_pipeline",
+    oracle="""
+    WITH catalog AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS id,
+               'http://feeds.example.com/{year}/{month}/f_{day}.csv' AS url,
+               CASE WHEN c_custkey % 3 = 0 THEN 'hourly' ELSE 'daily' END AS interval,
+               CAST(CASE WHEN c_custkey % 4 = 0 THEN 0 ELSE 1 END AS INTEGER) AS active,
+               CASE WHEN c_custkey % 2 = 0 THEN 'LINKS' ELSE 'DIRECT' END AS type,
+               'f_{day}.csv' AS pattern,
+               CAST(c_nationkey % 24 AS INTEGER) AS utc_offset,
+               TIMESTAMP '2024-06-15 22:30:00' AS now
+        FROM customer
+    ), due AS (
+        SELECT *, now + to_hours(utc_offset) AS clock
+        FROM catalog WHERE active = 1 AND interval = 'hourly'
+    )
+    SELECT id AS ID,
+           replace(replace(replace(url,
+               '{year}',  strftime(clock, '%Y')),
+               '{month}', strftime(clock, '%m')),
+               '{day}',   strftime(clock, '%d'))   AS URL,
+           type AS TYPE,
+           replace(pattern, '{day}', strftime(clock, '%d')) AS PATTERN,
+           CAST(utc_offset AS VARCHAR) AS UTC,
+           to_json(struct_pack(
+               ID  := id,
+               URL := replace(replace(replace(url,
+                   '{year}',  strftime(clock, '%Y')),
+                   '{month}', strftime(clock, '%m')),
+                   '{day}',   strftime(clock, '%d')),
+               TYPE := type,
+               PATTERN := replace(pattern, '{day}', strftime(clock, '%d')),
+               UTC := CAST(utc_offset AS VARCHAR)
+           )) AS task_json
+    FROM due
+    """,
+)
+def harvest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
+
+    from .harvester import harvest_tasks
+
+    c = load_table(spark, sf_dir, "customer")
+    catalog = c.select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.lit("http://feeds.example.com/{year}/{month}/f_{day}.csv").alias("url"),
+        F.when(F.col("c_custkey") % 3 == 0, "hourly").otherwise("daily").alias("interval"),
+        F.lit(None).cast("string").alias("col3"),
+        F.when(F.col("c_custkey") % 4 == 0, 0).otherwise(1).cast("int").alias("active"),
+        F.lit(None).cast("string").alias("col5"),
+        F.lit(None).cast("string").alias("col6"),
+        F.when(F.col("c_custkey") % 2 == 0, "LINKS").otherwise("DIRECT").alias("type"),
+        F.lit("f_{day}.csv").alias("pattern"),
+        (F.col("c_nationkey") % 24).cast("int").alias("utc_offset"),
+    )
+    return harvest_tasks(catalog, "hourly", datetime(2024, 6, 15, 22, 30))
+
+
 # A31 - prefix scan + bulk delete (clean-test-files lambda):
 # relationally, "delete WHERE prefix" = keep the complement.
 
