@@ -1,0 +1,70 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's retry bookkeeping lives in SQS: each receive increments
+a counter and ``maxReceiveCount: 5`` redrives the message to the DLQ
+(cloudformation/lambda.cfn.yaml:28-36). Here the counter is explicit
+per-key state with a TTL: attempts accumulate across micro-batches,
+and a key crossing the bound is emitted as a dead-letter row exactly
+once. State is bounded by the processing-time timeout (the streaming
+analog of the queue's message retention).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ATTEMPTS_SCHEMA = "ID string, attempts long, dead boolean"
+_STATE_SCHEMA = "attempts long, dead boolean"
+
+
+def track_attempts(
+    failures: DataFrame,
+    max_attempts: int = 5,
+    state_ttl_ms: int = 3_600_000,
+    id_col: str = "ID",
+) -> DataFrame:
+    """Per-task failure counter with redrive-to-DLQ semantics.
+
+    Input: a stream of failure events keyed by ``id_col``. Output: one
+    row per (key, batch-with-failures) carrying the cumulative attempt
+    count; ``dead=True`` exactly on the batch where the count crosses
+    ``max_attempts`` (the redrive moment). State for quiet keys expires
+    after ``state_ttl_ms`` of processing time, so the operator's
+    footprint tracks the live failure set, not history.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_new = sum(len(pdf) for pdf in pdfs)
+        attempts, was_dead = state.get if state.exists else (0, False)
+        attempts += n_new
+        dead = attempts >= max_attempts
+        state.update((attempts, dead))
+        state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "ID": [key[0]],
+                "attempts": [attempts],
+                # emit the death notice once, on the crossing batch
+                "dead": [dead and not was_dead],
+            }
+        )
+
+    return failures.groupBy(id_col).applyInPandasWithState(
+        update,
+        outputStructType=ATTEMPTS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
