@@ -940,3 +940,139 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_suppkey").applyInPandas(
         agg_group, schema="l_suppkey bigint, n_rows bigint, sum_qty double, max_price double"
     )
+
+
+# --- surface completions: maps, scalar subquery, grouping sets,
+# pivot, decimal money math ------------------------------------------
+
+
+@q(
+    "map_funcs",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               MAP(['type', 'user'],
+                   [event_type, CAST(user_id AS VARCHAR)]) AS props_map
+        FROM events
+    )
+    SELECT event_id,
+           array_to_string(map_keys(props_map), ',')   AS keys_csv,
+           map_extract(props_map, 'type')[1]           AS type_val,
+           cardinality(props_map)                      AS n_entries
+    FROM m
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType family: construction, key listing, lookup, cardinality
+    (SURVEY.md section 2B array/map row; open-properties pattern for
+    task metadata)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        m.getItem("type").alias("type_val"),
+        F.size(m).cast("bigint").alias("n_entries"),
+    )
+
+
+@q(
+    "subq_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2) AS vs_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in both projection and predicate -
+    Catalyst evaluates it once and folds it in."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2) AS vs_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@q(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (rollup/cube's general form)."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@q(
+    "pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) - explicit value list so the plan needs
+    no extra distinct-values pass."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@q(
+    "decimal_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS gross,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(12,2))) AS net
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math in DecimalType (SURVEY.md section 1.3): exact sums,
+    no float drift - both engines aggregate in decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("gross"),
+        F.sum(price * F.lit(1).cast("decimal(12,2)") - disc * price).alias("net"),
+    )
