@@ -25,7 +25,7 @@ _STATE_SCHEMA = "attempts long, dead boolean"
 def track_attempts(
     failures: DataFrame,
     max_attempts: int = 5,
-    state_ttl_ms: int = 3_600_000,
+    state_ttl_ms: int | None = None,
     id_col: str = "ID",
 ) -> DataFrame:
     """Per-task failure counter with redrive-to-DLQ semantics.
@@ -33,10 +33,16 @@ def track_attempts(
     Input: a stream of failure events keyed by ``id_col``. Output: one
     row per (key, batch-with-failures) carrying the cumulative attempt
     count; ``dead=True`` exactly on the batch where the count crosses
-    ``max_attempts`` (the redrive moment). State for quiet keys expires
-    after ``state_ttl_ms`` of processing time, so the operator's
-    footprint tracks the live failure set, not history.
+    ``max_attempts`` (the redrive moment).
+
+    ``state_ttl_ms`` expires quiet keys so state tracks the live
+    failure set, not history - use it on continuous streams. Leave it
+    None for run-to-completion triggers (availableNow): with a
+    processing-time timeout configured, the scheduler must keep running
+    empty batches to fire expirations, so the query never reaches a
+    final batch.
     """
+    use_ttl = state_ttl_ms is not None
 
     def update(
         key: tuple[Any, ...],
@@ -51,7 +57,8 @@ def track_attempts(
         attempts += n_new
         dead = attempts >= max_attempts
         state.update((attempts, dead))
-        state.setTimeoutDuration(state_ttl_ms)
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
                 "ID": [key[0]],
@@ -66,5 +73,9 @@ def track_attempts(
         outputStructType=ATTEMPTS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
