@@ -97,6 +97,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("dedup_clusters")  # iterative fixpoint (non-SQL-expressible) -> rows-only
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline ending: MinHash+LSH pairs -> connected
+    components -> (id, component) cluster assignment."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.2
+    )
+    return D.connected_components(pairs)
+
+
 @q("dedup_simhash")  # blake2b bit-voting signature -> rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 12 of 64 bits), prefix-bucketed."""

@@ -199,3 +199,20 @@ def test_frame_sample_plan(spark) -> None:
     out = frame_sample_plan(text_to_assets(df, "doc_id", "text"), every_n=2).collect()
     idxs = [r.frame_idx for r in out]
     assert idxs == list(range(0, 6, 2))  # size 500 -> cap 500/100=5
+
+
+def test_connected_components_chain_and_clusters(spark) -> None:
+    # two components: {1,2,3,4} via a chain, {7,8} - plus 9 isolated
+    # (isolated ids never appear in pairs, so no row)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_dedup_keep_representatives(spark) -> None:
+    df = spark.createDataFrame([(i, f"doc {i}") for i in (1, 2, 3, 7, 8, 9)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    kept = sorted(r.doc_id for r in D.dedup_keep_representatives(df, pairs, "doc_id").collect())
+    assert kept == [1, 7, 9]  # component minima + untouched doc
