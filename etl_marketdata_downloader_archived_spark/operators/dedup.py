@@ -261,11 +261,15 @@ def connected_components(
     trap). At extreme scale swap in large-star/small-star (same join
     primitives, fewer rounds).
     """
+    # materialize the edge set ONCE: `pairs` is usually the whole
+    # candidate-generation pipeline (shingle -> minhash -> LSH ->
+    # verify), and every iteration below joins edges twice - without
+    # this checkpoint each round would recompute that pipeline
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .dropDuplicates()
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .dropDuplicates()
@@ -278,6 +282,8 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # lazy checkpoint: the convergence count below materializes it,
+        # so each round costs one job, not two
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -286,7 +292,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")

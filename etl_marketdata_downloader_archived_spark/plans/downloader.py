@@ -272,6 +272,7 @@ def run_downloader(
     messages: DataFrame,
     lake_dir: str,
     manifest_dir: str | None = None,
+    quarantine_dir: str | None = None,
     allow_network: bool = False,
     body_col: str = "task_json",
 ) -> dict[str, DataFrame]:
@@ -339,5 +340,7 @@ def run_downloader(
     )
     if manifest_dir is not None:
         manifest_new.write.mode("append").parquet(manifest_dir)
+    if quarantine_dir is not None:
+        quarantine.write.mode("append").parquet(quarantine_dir)
 
     return {"landed": lake, "manifest": manifest_new, "quarantine": quarantine}

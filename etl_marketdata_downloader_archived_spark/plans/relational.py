@@ -1076,3 +1076,23 @@ def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price).alias("gross"),
         F.sum(price * F.lit(1).cast("decimal(12,2)") - disc * price).alias("net"),
     )
+
+
+@q(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 2)                 AS med,
+           round(quantile_cont(o_totalprice, 0.9), 2)     AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous percentile (both engines interpolate;
+    rounding absorbs the one-ulp summation differences)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 2).alias("med"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+    )
