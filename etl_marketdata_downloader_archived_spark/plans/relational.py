@@ -1096,3 +1096,40 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("o_totalprice"), 2).alias("med"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
     )
+
+
+@q(
+    "stream_sliding",
+    oracle="""
+    WITH starts AS (
+        SELECT e.event_id, e.value, s.win_start
+        FROM events e,
+             LATERAL (SELECT unnest([
+                 time_bucket(INTERVAL 5 MINUTE, e.ts),
+                 time_bucket(INTERVAL 5 MINUTE, e.ts) - INTERVAL 5 MINUTE
+             ]) AS win_start) s
+        WHERE e.ts >= s.win_start AND e.ts < s.win_start + INTERVAL 10 MINUTE
+    )
+    SELECT win_start AS window_start,
+           win_start + INTERVAL 10 MINUTE AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM starts
+    GROUP BY win_start
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (width 10m, slide 5m: every event
+    lands in two windows). Identical code runs under readStream via
+    streaming.windows.sliding_agg; checked here in batch mode."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
