@@ -86,43 +86,35 @@ def cosine_pairs_bucketed(
 
 
 def rp_lsh_bucket(
-    vec: Column, num_planes: int = 8, dim: int | None = None, seed: int = 7
+    vec: Column, num_planes: int = 8, seed: int = 7
 ) -> Column:
     """Random-hyperplane LSH bucket id (signed random projection):
-    bucket = bits of sign(v . h_p) over ``num_planes`` pseudo-random
-    hyperplanes. Cosine-similar vectors collide with probability
-    1 - theta/pi per bit, so near-duplicates concentrate in buckets and
-    the pair join needs no O(n^2) compare.
+    bucket = bits of sign(v . h_p) over ``num_planes`` hyperplanes.
+    Cosine-similar vectors collide with probability 1 - theta/pi per
+    bit, so near-duplicates concentrate in buckets and the pair join
+    needs no O(n^2) compare.
 
-    Hyperplane components are deterministic pseudo-randoms derived from
-    xxhash64(seed, plane, dim_index) - stable across executors/retries
-    (no rand()), no model state to ship. All Catalyst: one narrow
-    projection per row.
+    Vectorized pandas UDF: each Arrow batch is one (rows x dim) @
+    (dim x planes) matmul against a hyperplane matrix drawn from a
+    seeded RNG - deterministic across executors/retries/batches, no
+    model state to ship. (A Catalyst higher-order-function version was
+    measured ~100x slower: per-element interpreted hashing loses badly
+    to BLAS on dense vectors - same lesson as cosine_pairs_matmul.)
     """
-    # h_{p,i} in [-1, 1): hash -> [0, 1) -> shift
-    def component(p: int, i: Column) -> Column:
-        h = F.xxhash64(F.lit(seed), F.lit(p), i)
-        return (h.cast("double") / F.lit(float(2**63))).cast("double")
 
-    idx = F.sequence(F.lit(0), F.size(vec) - 1) if dim is None else F.sequence(
-        F.lit(0), F.lit(dim - 1)
-    )
-    bits = []
-    for p in range(num_planes):
-        dot_p = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(idx, lambda i, p=p: component(p, i)),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+    @F.pandas_udf("int")
+    def bucket(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.stack(vs.to_numpy()).astype(np.float64)
+        h = np.random.default_rng(seed).standard_normal((v.shape[1], num_planes))
+        bits = (v @ h) >= 0
+        powers = (1 << np.arange(num_planes)).astype(np.int64)
+        return pd.Series((bits @ powers).astype(np.int32))
+
+    return bucket(vec)
 
 
 def lsh_cosine_pairs(

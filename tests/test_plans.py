@@ -79,3 +79,32 @@ def test_minhash_signature_stage_is_shuffle_free(spark, sf_dir) -> None:
         "doc_id", D.minhash_expr(D.word_shingles("text", 3), 8).alias("sig")
     )
     assert "Exchange" not in _plan(sigs)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path) -> None:
+    """Two tables bucketed on the join key: the sort-merge join reads
+    bucket-aligned files - no Exchange on either side."""
+    import uuid
+
+    from etl_marketdata_downloader_archived_spark.io import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        suffix = uuid.uuid4().hex[:8]
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, f"li_b_{suffix}", ["l_orderkey"], 8)
+        write_bucketed(o, f"o_b_{suffix}", ["o_orderkey"], 8)
+
+        j = spark.table(f"li_b_{suffix}").join(
+            spark.table(f"o_b_{suffix}"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucketing replaced the shuffle
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
