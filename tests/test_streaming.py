@@ -212,3 +212,55 @@ def test_watermarked_dedup_cross_batch(spark, tmp_path) -> None:
     q.awaitTermination(120)
     names = sorted(r.file_name for r in spark.sql("select * from dedup_out").collect())
     assert names == ["a.csv", "b.csv"]  # duplicate suppressed across batches
+
+
+def test_file_source_archives_consumed_inputs(spark, tmp_path) -> None:
+    """A30 staging lifecycle: consumed task files move out of in/ to
+    the archive dir (in -> done), so re-listing in/ stays cheap."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.streaming import file_task_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    archive = tmp_path / "done"
+    (in_dir / "t1.json").write_text('{"ID":"1"}')
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run() -> None:
+        stream = file_task_stream(spark, str(in_dir), archive_dir=str(archive))
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out_dir).count() == 1
+
+    # the source archives batch N's files when planning batch N+1, so a
+    # second (checkpointed) run with new input triggers the move of t1
+    (in_dir / "t2.json").write_text('{"ID":"2"}')
+    run()
+
+    import time as _t
+
+    archived: list[str] = []
+    for _ in range(30):
+        archived = [
+            f
+            for _, _, fs in os.walk(str(archive))
+            for f in fs
+            if f.endswith(".json")
+        ]
+        if archived and not os.path.exists(in_dir / "t1.json"):
+            break
+        _t.sleep(1)  # the cleaner moves files asynchronously
+    assert "t1.json" in archived
+    assert not os.path.exists(in_dir / "t1.json")
