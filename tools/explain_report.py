@@ -27,7 +27,9 @@ HEADLINE = [
     "scan_parquet",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "sim_topk",
+    "sim_lsh_pairs",
     "harvest_pipeline",
 ]
 
