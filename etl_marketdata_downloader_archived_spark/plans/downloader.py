@@ -111,9 +111,12 @@ def _fetch_body_stage(tasks: DataFrame, listing: bool, allow_network: bool) -> D
     )
 
 
-def expand_link_tasks(tasks: DataFrame, allow_network: bool = False) -> DataFrame:
+def expand_link_tasks(
+    tasks: DataFrame, allow_network: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """LINKS / LINKS_OVERWRITE branch: page -> hrefs -> one row per
-    candidate file (reference: data-downloader/data_downloader.py:83-107)."""
+    candidate file (reference: data-downloader/data_downloader.py:83-107).
+    Returns (candidate files, failed page fetches)."""
     pages = _fetch_body_stage(
         tasks.filter(F.col("TYPE").isin("LINKS", "LINKS_OVERWRITE")),
         listing=False,
@@ -146,9 +149,12 @@ def expand_link_tasks(tasks: DataFrame, allow_network: bool = False) -> DataFram
     )
 
 
-def expand_listing_tasks(tasks: DataFrame, allow_network: bool = False) -> DataFrame:
+def expand_listing_tasks(
+    tasks: DataFrame, allow_network: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """FTP_FILES branch: listing -> file names -> glob match
     (reference: data-downloader/data_downloader.py:152-170).
+    Returns (candidate files, failed listing fetches).
 
     The glob pattern varies per task row, so the translation runs as a
     vectorized pandas UDF and the match is ``regexp_like`` with a

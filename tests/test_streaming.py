@@ -6,7 +6,6 @@ cross-batch stateful dedup."""
 from __future__ import annotations
 
 import json
-import time
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -18,14 +17,6 @@ from etl_marketdata_downloader_archived_spark.streaming import (
     tumbling_agg,
     watermarked_dedup,
 )
-
-TS = datetime(2024, 6, 1, 12, 0)
-
-
-def _wait(q, timeout=60) -> None:
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(timeout)
 
 
 # ------------------------------------------------- file-arrival source
