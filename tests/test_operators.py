@@ -216,3 +216,22 @@ def test_dedup_keep_representatives(spark) -> None:
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
     kept = sorted(r.doc_id for r in D.dedup_keep_representatives(df, pairs, "doc_id").collect())
     assert kept == [1, 7, 9]  # component minima + untouched doc
+
+
+def test_minhash_signature_estimates_jaccard(spark) -> None:
+    """MinHash property: fraction of agreeing signature positions
+    estimates true Jaccard (deterministic here - fixed texts, fixed
+    hash family)."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = " ".join(f"tok{i}" for i in range(40)) + " " + " ".join(
+        f"alt{i}" for i in range(20)
+    )
+    df = spark.createDataFrame([(1, base), (2, variant)], ["doc_id", "text"])
+    sh = df.select("doc_id", D.word_shingles("text", 3).alias("s"))
+    rows = {r.doc_id: set(r.s) for r in sh.collect()}
+    true_j = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
+
+    sigs = {r.doc_id: r.signature for r in
+            D.minhash_signatures(df, "doc_id", "text", num_hashes=64).collect()}
+    est = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 64
+    assert abs(est - true_j) < 0.15, f"true={true_j:.3f} est={est:.3f}"

@@ -255,3 +255,38 @@ def test_file_source_archives_consumed_inputs(spark, tmp_path) -> None:
         _t.sleep(1)  # the cleaner moves files asynchronously
     assert "t1.json" in archived
     assert not os.path.exists(in_dir / "t1.json")
+
+
+def test_session_window_stream(spark, tmp_path) -> None:
+    """Session windows through a real stream: two files -> two
+    micro-batches; complete mode shows merged sessions per key."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"user_id": 1, "ts": "2024-06-01 12:00:00"})
+        + "\n"
+        + json.dumps({"user_id": 1, "ts": "2024-06-01 12:03:00"})
+    )
+    (src / "b2.json").write_text(
+        json.dumps({"user_id": 1, "ts": "2024-06-01 12:30:00"})
+    )
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(str(src))
+    parsed = raw.select(
+        F.from_json("value", "user_id LONG, ts TIMESTAMP").alias("j")
+    ).select("j.*")
+    agg = session_agg(
+        parsed, "ts", "5 minutes", ["user_id"], F.count(F.lit(1)).alias("n"),
+        watermark="1 hour",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sessions = sorted(
+        (r.user_id, r.n) for r in spark.sql("select * from sess_out").collect()
+    )
+    assert sessions == [(1, 1), (1, 2)]  # 12:00-12:03 merged; 12:30 separate
