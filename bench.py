@@ -19,14 +19,20 @@ HEADLINE = [
     "agg_basic",
     "join_broadcast",
     "join_asof",
-    "win_running",
-    "topk_per_group",
+    "win_frames",
+    "topk",
     "stream_session",
     "agg_distinct",
-    "subq_exists",
+    "subq_family",
     "udf_scalar",
     "scan_parquet",
 ]
+
+# Per-query detail in the ONE output line is capped so the driver's
+# line capture always parses (round-1 BENCH recorded parsed: null - the
+# full 86-query map overflowed the capture window). Full timings still
+# go to stderr for local profiling.
+TOP_N_IN_JSON = 15
 
 
 def main() -> None:
@@ -68,16 +74,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps({n: round(t, 3) for n, t in sorted(timings.items())}),
+        file=sys.stderr,
+    )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:TOP_N_IN_JSON]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "queries": {n: round(t, 3) for n, t in slowest.items()},
+            },
+            separators=(",", ":"),
         )
     )
 

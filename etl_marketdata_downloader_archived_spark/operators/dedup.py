@@ -79,23 +79,31 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 def minhash_expr(shingles: Column, num_hashes: int = 32) -> Column:
     """k-minhash signature of a shingle array as ONE narrow expression.
 
-    Loop order matters: the outer loop must be over shingles, not
-    seeds - ``transform(seeds, seed -> ... shingles ...)`` re-evaluates
-    the (expensive) shingle expression once per seed after Catalyst's
-    projection collapse. So: hash each shingle into k values (shingle
-    expr referenced exactly once), then fold with an elementwise min:
+    Cost shape: each shingle STRING is xxhash64'd ONCE; the k hash
+    functions are xxhash64(seed_i, base_hash) over the resulting 8-byte
+    long - a fixed-width rehash instead of k variable-length string
+    traversals, which was the dominant cost of the round-1 formulation
+    (32 string hashes per shingle made dedup_minhash the slowest bench
+    query). A cheaper 2-universal affine rehash was tried and rejected:
+    it is not min-wise independent and showed >0.2 Jaccard-estimate
+    bias on structured shingle sets (tests/test_operators.py's
+    estimation test is the guard).
 
-        aggregate(transform(shingles, s -> [xxhash64(i, s)]_i),
-                  [MaxLong]*k, (acc, hs) -> zip_with(acc, hs, least))
+    Loop order still matters: the outer transform must be over
+    shingles, not seeds - ``transform(seeds, seed -> f(shingles))``
+    re-evaluates the shingle expression once per seed after Catalyst's
+    projection collapse. Here the shingle array is hashed in one inner
+    transform, and the k derivations see only the scalar element.
 
     No explode, no groupBy - the signature stage is shuffle-free,
     which is what survives a 100x scale-up (an explode+groupBy
     formulation shuffles one row per (doc, shingle)). Empty shingle
     sets keep the MaxLong sentinel (callers filter empties)."""
     max_long = 9223372036854775807
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     per_shingle = F.transform(
-        shingles,
-        lambda s: F.array(*[F.xxhash64(F.lit(seed), s) for seed in range(num_hashes)]),
+        base,
+        lambda h: F.array(*[F.xxhash64(F.lit(seed), h) for seed in range(num_hashes)]),
     )
     init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
     return F.aggregate(
@@ -116,7 +124,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 8
+    signatures: DataFrame, id_col: str, bands: int = 8, num_hashes: int | None = None
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` bands, hash each
     band, meet documents per (band_idx, band_hash) bucket.
@@ -124,7 +132,18 @@ def lsh_candidate_pairs(
     Returns distinct candidate (id_a < id_b) pairs. The self-join is
     per-bucket, so cost tracks true collisions. Buckets with a single
     doc produce nothing.
+
+    Pass ``num_hashes`` (the signature length) to validate the band
+    split: a remainder would be silently dropped from every band, and
+    bands > num_hashes would make every band slice empty - every doc
+    hashing the empty slice into ONE bucket, an O(n^2) blowup.
     """
+    if num_hashes is not None and (bands > num_hashes or num_hashes % bands):
+        raise ValueError(
+            f"bands={bands} must divide the signature length {num_hashes} "
+            "(a remainder is dropped from every band; bands > length would "
+            "hash empty slices into one all-pairs bucket)"
+        )
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -171,7 +190,7 @@ def minhash_dedup_pairs(
     sigs = shingled.select(
         F.col(id_col), minhash_expr(F.col("shingles"), num_hashes).alias("signature")
     )
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sa = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
@@ -370,21 +389,49 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 8, prefix_bits: int = 16
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int | None = None
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance <= max_hamming, bucketed on
-    the top ``prefix_bits`` bits so the self-join has an equi-key."""
-    bucketed = sim.select(
+    """Near-dup pairs by Hamming distance <= max_hamming, with
+    pigeonhole block bucketing (the Manku/Jain/Sarma WWW'07 scheme):
+    split the 64-bit signature into ``blocks`` > max_hamming contiguous
+    blocks; a pair differing in <= max_hamming bits cannot touch every
+    block, so it matches EXACTLY on at least one (block_idx, block_val)
+    key. Recall within the bound is therefore 1.0 - unlike prefix
+    bucketing, which silently drops any pair differing in the prefix.
+
+    Cost: the self-join key space is blocks * 2^(64/blocks) buckets
+    (e.g. 4 blocks of 16 bits -> 4 * 65536), so bucket populations stay
+    small and no O(n^2) region appears; duplicates from multi-block
+    matches are dropped once at the end. max_hamming defaults to 3 -
+    the classic 64-bit SimHash near-dup radius; larger bounds force
+    narrower blocks (b = d+1), coarser buckets, and more join volume,
+    which is inherent to SimHash, not this formulation."""
+    b = blocks if blocks is not None else max_hamming + 1
+    if b <= max_hamming:
+        raise ValueError(
+            f"blocks={b} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole guarantee (d differing bits can touch at most d blocks)"
+        )
+    widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
+    offsets = [sum(widths[:i]) for i in range(b)]
+    block_vals = F.array(
+        *[
+            F.shiftrightunsigned("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in zip(offsets, widths)
+        ]
+    )
+    keyed = sim.select(
         F.col(id_col),
         F.col("simhash"),
-        F.shiftrightunsigned("simhash", 64 - prefix_bits).alias("_bucket"),
+        F.posexplode(block_vals).alias("_blk", "_val"),
     )
-    a = bucketed.select("_bucket", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
-    b = bucketed.select("_bucket", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    a = keyed.select("_blk", "_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
+    c = keyed.select("_blk", "_val", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
     return (
-        a.join(b, "_bucket")
+        a.join(c, ["_blk", "_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates()
     )

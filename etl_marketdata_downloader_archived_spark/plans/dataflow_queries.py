@@ -1,10 +1,13 @@
 """Dataflow operator battery (SURVEY.md section 2A).
 
-Each query re-expresses one operator of the reference's harvest /
-download dataflow over the driver tables so it is DuckDB-oracle
-checkable. The end-to-end pipelines composing these operators live in
-``plans.harvester`` / ``plans.downloader`` (exercised by pytest with
-synthetic catalogs; side-effectful stages can't be oracle queries).
+Each query re-expresses one STAGE of the reference's harvest / download
+dataflow over the driver tables so it is DuckDB-oracle checkable; the
+stages are packed the way the reference composes them (page -> links ->
+resolve -> name; listing -> lines -> token -> glob), so one certified
+query covers the whole chain it represents. The end-to-end pipelines
+composing these operators live in ``plans.harvester`` /
+``plans.downloader`` (exercised by pytest with synthetic catalogs;
+side-effectful stages can't be oracle queries).
 
 Reference citations are per-operator below; inputs are synthesized
 deterministically from driver-table columns (the driver tables carry no
@@ -22,444 +25,277 @@ from ..functions.urls import last_segment, last_ws_token, url_join
 from ..io import load_table
 from .registry import q
 
-# A1 - catalog CSV scan (data-harvester/data_harvester.py:26-27):
-# serialize rows to CSV lines and parse them back with an explicit
-# schema (to_csv/from_csv - the datasource-level CSV path is exercised
-# in tests/test_sources.py against real files).
+# A1 + A2 - catalog CSV scan + positional tokenize
+# (data-harvester/data_harvester.py:26-28): serialize rows to CSV lines,
+# parse them back BOTH ways the engine supports - schema'd from_csv and
+# positional split - in one query. (The datasource-level CSV path is
+# exercised in tests/test_sources.py against real files.)
 
 
 @q(
     "scan_csv",
-    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
-)
-def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = load_table(spark, sf_dir, "nation")
-    line = F.to_csv(F.struct("n_nationkey", "n_name", "n_regionkey"))
-    parsed = F.from_csv(line, "n_nationkey INT, n_name STRING, n_regionkey INT")
-    return n.select(parsed.alias("r")).select("r.n_nationkey", "r.n_name", "r.n_regionkey")
-
-
-# A2 - positional tokenize (data-harvester/data_harvester.py:28):
-# split a delimited line into fields.
-
-
-@q(
-    "split_parse",
     oracle="""
     WITH lines AS (
         SELECT concat(n_nationkey, ',', n_name, ',', n_regionkey) AS line FROM nation
     )
-    SELECT CAST(string_split(line, ',')[1] AS INTEGER) AS nationkey,
-           string_split(line, ',')[2]                  AS name,
-           CAST(string_split(line, ',')[3] AS INTEGER) AS regionkey
+    SELECT CAST(string_split(line, ',')[1] AS INTEGER) AS n_nationkey,
+           string_split(line, ',')[2]                  AS n_name,
+           CAST(string_split(line, ',')[3] AS INTEGER) AS n_regionkey,
+           string_split(line, ',')[2]                  AS tok_name,
+           CAST(string_split(line, ',')[3] AS INTEGER) AS tok_region
     FROM lines
     """,
 )
-def split_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     line = F.concat_ws(",", "n_nationkey", "n_name", "n_regionkey")
+    parsed = F.from_csv(line, "n_nationkey INT, n_name STRING, n_regionkey INT")
     toks = F.split(line, ",")
-    return n.select(
-        F.element_at(toks, 1).cast("int").alias("nationkey"),
-        F.element_at(toks, 2).alias("name"),
-        F.element_at(toks, 3).cast("int").alias("regionkey"),
+    return n.select(parsed.alias("r"), toks.alias("t")).select(
+        "r.n_nationkey",
+        "r.n_name",
+        "r.n_regionkey",
+        F.element_at("t", 2).alias("tok_name"),
+        F.element_at("t", 3).cast("int").alias("tok_region"),
     )
 
 
-# A4 - timezone-shifted clock (data-harvester/data_harvester.py:32-33).
+# A4 + A5 + A6 - timezone-shifted clock -> strftime date parts ->
+# template expansion, composed exactly as the harvester does
+# (data-harvester/data_harvester.py:32-35; lastmonth via calendar
+# arithmetic - the reference's lastmonth bug is NOT replicated).
 
 
 @q(
-    "tz_shift",
+    "clock_template",
     oracle="""
-    SELECT event_id, ts, ts + to_hours(user_id % 24) AS shifted_ts
-    FROM events
+    WITH shifted AS (
+        SELECT event_id, ts, ts + to_hours(user_id % 24) AS shifted_ts FROM events
+    )
+    SELECT event_id, ts, shifted_ts,
+           strftime(shifted_ts, '%Y') AS part_year,
+           strftime(shifted_ts, '%m') AS part_month,
+           strftime(shifted_ts, '%d') AS part_day,
+           strftime(shifted_ts, '%H') AS part_hour,
+           strftime(shifted_ts, '%M') AS part_minute,
+           replace(replace(replace(replace(replace(
+               'http://feeds.example.com/{year}/{month}/{day}/data_{hour}{minute}_{lastmonth}.csv',
+               '{year}',  strftime(shifted_ts, '%Y')),
+               '{month}', strftime(shifted_ts, '%m')),
+               '{day}',   strftime(shifted_ts, '%d')),
+               '{hour}',  strftime(shifted_ts, '%H')),
+               '{minute}', strftime(shifted_ts, '%M'))
+           .replace('{lastmonth}', strftime(shifted_ts - INTERVAL 1 MONTH, '%m')) AS url
+    FROM shifted
     """,
 )
-def tz_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clock_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     shifted = F.col("ts") + F.make_dt_interval(
         F.lit(0), (F.col("user_id") % 24).cast("int"), F.lit(0), F.lit(0)
     )
-    return e.select("event_id", "ts", shifted.alias("shifted_ts"))
-
-
-# A5 - strftime-style date parts (data-harvester/data_harvester.py:34-35).
-
-
-@q(
-    "date_parts",
-    oracle="""
-    SELECT event_id,
-           strftime(ts, '%Y') AS part_year,
-           strftime(ts, '%m') AS part_month,
-           strftime(ts, '%d') AS part_day,
-           strftime(ts, '%H') AS part_hour,
-           strftime(ts, '%M') AS part_minute
-    FROM events
-    """,
-)
-def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        F.date_format("ts", "yyyy").alias("part_year"),
-        F.date_format("ts", "MM").alias("part_month"),
-        F.date_format("ts", "dd").alias("part_day"),
-        F.date_format("ts", "HH").alias("part_hour"),
-        F.date_format("ts", "mm").alias("part_minute"),
-    )
-
-
-# A6 - template expansion (data-harvester/data_harvester.py:34-35),
-# lastmonth via calendar arithmetic (reference bug not replicated).
-
-
-@q(
-    "template_url",
-    oracle="""
-    SELECT event_id,
-           replace(replace(replace(replace(replace(
-               'http://feeds.example.com/{year}/{month}/{day}/data_{hour}{minute}_{lastmonth}.csv',
-               '{year}',  strftime(ts, '%Y')),
-               '{month}', strftime(ts, '%m')),
-               '{day}',   strftime(ts, '%d')),
-               '{hour}',  strftime(ts, '%H')),
-               '{minute}', strftime(ts, '%M'))
-           .replace('{lastmonth}', strftime(ts - INTERVAL 1 MONTH, '%m')) AS url
-    FROM events
-    """,
-)
-def template_url(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
     tpl = F.lit("http://feeds.example.com/{year}/{month}/{day}/data_{hour}{minute}_{lastmonth}.csv")
-    return e.select("event_id", expand_template(tpl, F.col("ts")).alias("url"))
-
-
-# A7 - projection/rename to the task schema (data-harvester/data_harvester.py:37).
-
-
-@q(
-    "project_task",
-    oracle="""
-    SELECT CAST(c_custkey AS VARCHAR)                          AS ID,
-           concat('http://example.com/', c_mktsegment)         AS URL,
-           CASE c_custkey % 5 WHEN 0 THEN 'LINKS'
-                              WHEN 1 THEN 'LINKS_OVERWRITE'
-                              WHEN 2 THEN 'DIRECT'
-                              WHEN 3 THEN 'DIRECT_FTP'
-                              ELSE 'FTP_FILES' END             AS TYPE,
-           '*.csv'                                             AS PATTERN,
-           CAST(c_nationkey % 24 AS VARCHAR)                   AS UTC
-    FROM customer
-    """,
-)
-def project_task(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        F.col("c_custkey").cast("string").alias("ID"),
-        F.concat(F.lit("http://example.com/"), F.col("c_mktsegment")).alias("URL"),
-        F.when(F.col("c_custkey") % 5 == 0, "LINKS")
-        .when(F.col("c_custkey") % 5 == 1, "LINKS_OVERWRITE")
-        .when(F.col("c_custkey") % 5 == 2, "DIRECT")
-        .when(F.col("c_custkey") % 5 == 3, "DIRECT_FTP")
-        .otherwise("FTP_FILES")
-        .alias("TYPE"),
-        F.lit("*.csv").alias("PATTERN"),
-        (F.col("c_nationkey") % 24).cast("string").alias("UTC"),
-    )
-
-
-# A8 - row -> JSON task encode (data-harvester/data_harvester.py:37).
-
-
-@q(
-    "to_json_task",
-    oracle="""
-    SELECT c_custkey,
-           CAST(to_json(struct_pack(
-               ID  := CAST(c_custkey AS VARCHAR),
-               URL := concat('http://example.com/', c_mktsegment)
-           )) AS VARCHAR) AS task_json
-    FROM customer
-    """,
-)
-def to_json_task(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    body = F.struct(
-        F.col("c_custkey").cast("string").alias("ID"),
-        F.concat(F.lit("http://example.com/"), F.col("c_mktsegment")).alias("URL"),
-    )
-    return c.select("c_custkey", F.to_json(body).alias("task_json"))
-
-
-# A11 - JSON task decode (data-downloader/data_downloader.py:216).
-
-
-@q(
-    "from_json_task",
-    oracle="""
-    WITH msgs AS (
-        SELECT concat('{"ID":"', c_custkey, '","URL":"http://example.com/',
-                      c_mktsegment, '"}') AS body
-        FROM customer
-    )
-    SELECT json_extract_string(body, '$.ID')  AS ID,
-           json_extract_string(body, '$.URL') AS URL
-    FROM msgs
-    """,
-)
-def from_json_task(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    body = F.concat(
-        F.lit('{"ID":"'),
-        F.col("c_custkey").cast("string"),
-        F.lit('","URL":"http://example.com/'),
-        F.col("c_mktsegment"),
-        F.lit('"}'),
-    )
-    parsed = F.from_json(body, "ID STRING, URL STRING")
-    return c.select(parsed.alias("t")).select("t.ID", "t.URL")
-
-
-# A12 - 5-way TYPE dispatch (data-downloader/data_downloader.py:217-228),
-# including the unknown-type error branch.
-
-
-@q(
-    "route_type",
-    oracle="""
-    SELECT event_id, event_type,
-           CASE event_type WHEN 'click'    THEN 'link_files'
-                           WHEN 'view'     THEN 'link_files_overwrite'
-                           WHEN 'purchase' THEN 'dlinks_files'
-                           WHEN 'signup'   THEN 'dftp_files'
-                           ELSE 'error_unknown_type' END AS handler
-    FROM events
-    """,
-)
-def route_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return e.select(
+    out = e.select("event_id", "ts", shifted.alias("shifted_ts"))
+    return out.select(
         "event_id",
-        "event_type",
-        F.when(F.col("event_type") == "click", "link_files")
-        .when(F.col("event_type") == "view", "link_files_overwrite")
-        .when(F.col("event_type") == "purchase", "dlinks_files")
-        .when(F.col("event_type") == "signup", "dftp_files")
+        "ts",
+        "shifted_ts",
+        F.date_format("shifted_ts", "yyyy").alias("part_year"),
+        F.date_format("shifted_ts", "MM").alias("part_month"),
+        F.date_format("shifted_ts", "dd").alias("part_day"),
+        F.date_format("shifted_ts", "HH").alias("part_hour"),
+        F.date_format("shifted_ts", "mm").alias("part_minute"),
+        expand_template(tpl, F.col("shifted_ts")).alias("url"),
+    )
+
+
+# A7 + A8 + A11 + A12 + A17 + A24 - the task control loop: project to
+# the task schema (data-harvester/data_harvester.py:37), JSON-encode
+# (ibid), decode on the consumer side
+# (data-downloader/data_downloader.py:216), 5-way TYPE dispatch
+# (:217-228), overwrite-flag sink routing (:102-107), and the catalog
+# point-update flag (:40-48, active=2 for broken sources).
+
+
+@q(
+    "task_codec",
+    oracle="""
+    WITH task AS (
+        SELECT c_custkey,
+               CAST(c_custkey AS VARCHAR)                  AS ID,
+               concat('http://example.com/', c_mktsegment) AS URL,
+               CASE c_custkey % 5 WHEN 0 THEN 'LINKS'
+                                  WHEN 1 THEN 'LINKS_OVERWRITE'
+                                  WHEN 2 THEN 'DIRECT'
+                                  WHEN 3 THEN 'DIRECT_FTP'
+                                  ELSE 'FTP_FILES' END     AS TYPE,
+               '*.csv'                                     AS PATTERN,
+               CAST(c_nationkey % 24 AS VARCHAR)           AS UTC
+        FROM customer
+    ), enc AS (
+        SELECT c_custkey,
+               CAST(to_json(struct_pack(
+                   ID := ID, URL := URL, TYPE := TYPE,
+                   PATTERN := PATTERN, UTC := UTC)) AS VARCHAR) AS task_json
+        FROM task
+    )
+    SELECT c_custkey, task_json,
+           json_extract_string(task_json, '$.ID')  AS ID,
+           json_extract_string(task_json, '$.URL') AS URL,
+           CASE json_extract_string(task_json, '$.TYPE')
+                WHEN 'LINKS'           THEN 'link_files'
+                WHEN 'LINKS_OVERWRITE' THEN 'link_files_overwrite'
+                WHEN 'DIRECT'          THEN 'dlinks_files'
+                WHEN 'DIRECT_FTP'      THEN 'dftp_files'
+                WHEN 'FTP_FILES'       THEN 'ftp_files'
+                ELSE 'error_unknown_type' END AS handler,
+           CASE WHEN json_extract_string(task_json, '$.TYPE') = 'LINKS_OVERWRITE'
+                THEN 'POC2/LINKS_OVER/' ELSE 'POC2/LINK/' END AS lake_prefix,
+           CASE WHEN c_custkey IN (5, 7, 11) THEN 2 ELSE 1 END AS active
+    FROM enc
+    """,
+)
+def task_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    task = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_custkey").cast("string").alias("ID"),
+            F.concat(F.lit("http://example.com/"), F.col("c_mktsegment")).alias("URL"),
+            F.when(F.col("c_custkey") % 5 == 0, "LINKS")
+            .when(F.col("c_custkey") % 5 == 1, "LINKS_OVERWRITE")
+            .when(F.col("c_custkey") % 5 == 2, "DIRECT")
+            .when(F.col("c_custkey") % 5 == 3, "DIRECT_FTP")
+            .otherwise("FTP_FILES")
+            .alias("TYPE"),
+            F.lit("*.csv").alias("PATTERN"),
+            (F.col("c_nationkey") % 24).cast("string").alias("UTC"),
+        ).alias("body"),
+    ).select("c_custkey", F.to_json("body").alias("task_json"))
+    dec = F.from_json(
+        "task_json", "ID STRING, URL STRING, TYPE STRING, PATTERN STRING, UTC STRING"
+    )
+    routed = task.withColumn("t", dec)
+    return routed.select(
+        "c_custkey",
+        "task_json",
+        F.col("t.ID").alias("ID"),
+        F.col("t.URL").alias("URL"),
+        F.when(F.col("t.TYPE") == "LINKS", "link_files")
+        .when(F.col("t.TYPE") == "LINKS_OVERWRITE", "link_files_overwrite")
+        .when(F.col("t.TYPE") == "DIRECT", "dlinks_files")
+        .when(F.col("t.TYPE") == "DIRECT_FTP", "dftp_files")
+        .when(F.col("t.TYPE") == "FTP_FILES", "ftp_files")
         .otherwise("error_unknown_type")
         .alias("handler"),
+        F.when(F.col("t.TYPE") == "LINKS_OVERWRITE", "POC2/LINKS_OVER/")
+        .otherwise("POC2/LINK/")
+        .alias("lake_prefix"),
+        F.when(F.col("c_custkey").isin(5, 7, 11), 2).otherwise(1).alias("active"),
     )
 
 
-# A13 - link extraction explode: 1 page row -> N link rows
-# (data-downloader/data_downloader.py:83-91).
+# A13 + A14 + A15 + A16 + A31 - the LINKS expansion chain: page -> link
+# explode (data-downloader/data_downloader.py:83-91) -> urljoin (:92)
+# -> filename = last path segment (:93) -> drop empties (:94), with the
+# prefix-complement filter (clean-test-files lambda: delete WHERE
+# prefix = keep the complement) as the pre-filter.
 
 
 @q(
-    "explode_links",
+    "link_pipeline",
     oracle="""
-    SELECT doc_id, unnest(string_split(text, ' ')) AS link
-    FROM documents
-    WHERE doc_id < 200
-    """,
-)
-def explode_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select("doc_id", F.explode(F.split("text", " ")).alias("link"))
-
-
-# A14 - URL resolution (urljoin; data-downloader/data_downloader.py:92).
-
-
-@q(
-    "url_join",
-    oracle="""
-    WITH hrefs AS (
-        SELECT doc_id,
+    WITH pages AS (
+        SELECT doc_id, text FROM documents
+        WHERE NOT (source LIKE 'src1%') AND doc_id < 200
+    ), links AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS link FROM pages
+    ), hrefs AS (
+        SELECT doc_id, link,
                'http://example.com/dir/index.html' AS base,
                CASE doc_id % 3
-                    WHEN 0 THEN 'http://abs.example.com/f.csv'
-                    WHEN 1 THEN '/root-rel/f.csv'
-                    ELSE 'doc-rel/f.csv' END AS href
-        FROM documents
+                    WHEN 0 THEN concat('http://abs.example.com/', link)
+                    WHEN 1 THEN concat('/root-rel/', link)
+                    ELSE link END AS href
+        FROM links WHERE length(link) > 0
     )
-    SELECT doc_id,
+    SELECT doc_id, link,
            CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
                 WHEN href LIKE '/%' THEN concat(
                     regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1), href)
                 ELSE concat(regexp_replace(base, '[^/]*$', ''), href)
-           END AS resolved
+           END AS resolved,
+           string_split(CASE WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+                WHEN href LIKE '/%' THEN concat(
+                    regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1), href)
+                ELSE concat(regexp_replace(base, '[^/]*$', ''), href)
+           END, '/')[-1] AS file_name
     FROM hrefs
     """,
 )
-def url_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    href = (
-        F.when(F.col("doc_id") % 3 == 0, "http://abs.example.com/f.csv")
-        .when(F.col("doc_id") % 3 == 1, "/root-rel/f.csv")
-        .otherwise("doc-rel/f.csv")
+def link_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~F.col("source").startswith("src1") & (F.col("doc_id") < 200))
     )
-    base = F.lit("http://example.com/dir/index.html")
-    return d.select("doc_id", url_join(base, href).alias("resolved"))
-
-
-# A15 - filename = last path segment (data-downloader/data_downloader.py:93).
-
-
-@q(
-    "last_segment",
-    oracle="""
-    SELECT doc_id,
-           string_split(concat('http://example.com/', source, '/file_', doc_id, '.csv'),
-                        '/')[-1] AS file_name
-    FROM documents
-    """,
-)
-def last_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("http://example.com/"), F.col("source"), F.lit("/file_"),
-        F.col("doc_id").cast("string"), F.lit(".csv"),
-    )
-    return d.select("doc_id", last_segment(url).alias("file_name"))
-
-
-# A16 - drop empty filenames (trailing-slash links;
-# data-downloader/data_downloader.py:94).
-
-
-@q(
-    "filter_nonempty",
-    oracle="""
-    SELECT doc_id, link FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS link
-        FROM documents WHERE doc_id < 200
-    ) WHERE length(link) > 0
-    """,
-)
-def filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select("doc_id", F.explode(F.split("text", " ")).alias("link")).filter(
+    links = d.select("doc_id", F.explode(F.split("text", " ")).alias("link")).filter(
         F.length("link") > 0
     )
-
-
-# A17 - overwrite-flag sink routing (data-downloader/data_downloader.py:102-107).
-
-
-@q(
-    "route_overwrite",
-    oracle="""
-    SELECT doc_id,
-           concat(CASE WHEN doc_id % 2 = 0 THEN 'POC2/LINKS_OVER/' ELSE 'POC2/LINK/' END,
-                  'file_', doc_id, '.csv') AS lake_key
-    FROM documents
-    """,
-)
-def route_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    prefix = F.when(F.col("doc_id") % 2 == 0, "POC2/LINKS_OVER/").otherwise("POC2/LINK/")
-    return d.select(
-        "doc_id",
-        F.concat(prefix, F.lit("file_"), F.col("doc_id").cast("string"), F.lit(".csv")).alias(
-            "lake_key"
-        ),
+    href = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("http://abs.example.com/"), "link"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/root-rel/"), "link"))
+        .otherwise(F.col("link"))
     )
+    base = F.lit("http://example.com/dir/index.html")
+    resolved = links.select("doc_id", "link", url_join(base, href).alias("resolved"))
+    return resolved.withColumn("file_name", last_segment("resolved"))
 
 
-# A20 - listing split + drop trailing element
-# (data-downloader/data_downloader.py:152-153: split('\\r\\n')[0:-1]).
+# A20 + A21 + A22 - the FTP_FILES listing chain: split CRLF + drop the
+# trailing empty (data-downloader/data_downloader.py:152-153), last
+# whitespace token of each ls -l line (:154), fnmatch glob filter
+# (:155). The oracle embeds the same translated regex the engine
+# produces.
 
-
-@q(
-    "split_lines",
-    oracle="""
-    WITH listing AS (
-        SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
-        FROM documents WHERE doc_id < 100
-    )
-    SELECT doc_id,
-           len(list_slice(lines, 1, len(lines) - 1)) AS n_lines,
-           list_slice(lines, 1, len(lines) - 1)[1]   AS first_line
-    FROM listing
-    """,
-)
-def split_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    lines = F.split(F.replace(F.col("text"), F.lit(" "), F.expr("char(10)")), "\n")
-    sliced = F.slice(lines, F.lit(1), F.size(lines) - 1)
-    return d.select(
-        "doc_id",
-        F.size(sliced).alias("n_lines"),
-        F.element_at(sliced, 1).alias("first_line"),
-    )
-
-
-# A21 - last whitespace token of an ls -l listing line
-# (data-downloader/data_downloader.py:154).
-
-
-@q(
-    "last_token",
-    oracle="""
-    WITH listing AS (
-        SELECT doc_id,
-               concat('-rw-r--r--   1 ftp  ftp  ', n_chars,
-                      ' Jan 01 10:00 prices_', doc_id, '.zip') AS line
-        FROM documents
-    )
-    SELECT doc_id, regexp_split_to_array(line, '\\s+')[-1] AS file_name
-    FROM listing
-    """,
-)
-def last_token(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    line = F.concat(
-        F.lit("-rw-r--r--   1 ftp  ftp  "), F.col("n_chars").cast("string"),
-        F.lit(" Jan 01 10:00 prices_"), F.col("doc_id").cast("string"), F.lit(".zip"),
-    )
-    return d.select("doc_id", last_ws_token(line).alias("file_name"))
-
-
-# A22 - fnmatch glob filter (data-downloader/data_downloader.py:155).
-# The oracle embeds the same translated regex the engine produces.
-
-_GLOB = "*e?r*"
+_GLOB = "prices_*7*.zip"
 _GLOB_RE = glob_to_regex(_GLOB)
 
 
 @q(
-    "glob_filter",
+    "listing_glob",
     oracle=f"""
-    SELECT p_partkey, p_name FROM part
-    WHERE regexp_matches(p_name, '{_GLOB_RE}')
-    """,
-)
-def glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
-    return p.filter(glob_match("p_name", _GLOB)).select("p_partkey", "p_name")
-
-
-# A24 - catalog point update: flag broken sources active=2
-# (data-downloader/data_downloader.py:40-48). The full read-modify-
-# overwrite cycle is in sources.catalog; here the relational core.
-
-
-@q(
-    "flag_update",
-    oracle="""
-    SELECT c_custkey,
-           CASE WHEN c_custkey IN (5, 7, 11) THEN 2 ELSE 1 END AS active
-    FROM customer
-    """,
-)
-def flag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.when(F.col("c_custkey").isin(5, 7, 11), 2).otherwise(1).alias("active"),
+    WITH listing AS (
+        SELECT doc_id,
+               concat('-rw-r--r--   1 ftp  ftp  ', n_chars,
+                      ' Jan 01 10:00 prices_', doc_id, '.zip', chr(13), chr(10),
+                      'drwxr-xr-x   2 ftp  ftp  4096 Jan 02 11:00 data_', doc_id,
+                      '.csv', chr(13), chr(10)) AS body
+        FROM documents
+    ), lines AS (
+        SELECT doc_id, body, string_split(body, chr(13) || chr(10)) AS ls
+        FROM listing
+    ), exploded AS (
+        SELECT doc_id, unnest(list_slice(ls, 1, len(ls) - 1)) AS line FROM lines
     )
+    SELECT doc_id, regexp_split_to_array(line, '\\s+')[-1] AS file_name
+    FROM exploded
+    WHERE regexp_matches(regexp_split_to_array(line, '\\s+')[-1], '{_GLOB_RE}')
+    """,
+)
+def listing_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("-rw-r--r--   1 ftp  ftp  "), F.col("n_chars").cast("string"),
+        F.lit(" Jan 01 10:00 prices_"), F.col("doc_id").cast("string"),
+        F.lit(".zip\r\n"),
+        F.lit("drwxr-xr-x   2 ftp  ftp  4096 Jan 02 11:00 data_"),
+        F.col("doc_id").cast("string"), F.lit(".csv\r\n"),
+    )
+    lines = F.split(body, "\r\n")
+    sliced = F.slice(lines, F.lit(1), F.greatest(F.size(lines) - 1, F.lit(0)))
+    exploded = d.select("doc_id", F.explode(sliced).alias("line"))
+    named = exploded.withColumn("file_name", last_ws_token("line"))
+    return named.filter(glob_match("file_name", _GLOB)).select("doc_id", "file_name")
 
 
 # A27 - dedup vs landed-file manifest (the reference's four
@@ -567,19 +403,3 @@ def harvest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_nationkey") % 24).cast("int").alias("utc_offset"),
     )
     return harvest_tasks(catalog, "hourly", datetime(2024, 6, 15, 22, 30))
-
-
-# A31 - prefix scan + bulk delete (clean-test-files lambda):
-# relationally, "delete WHERE prefix" = keep the complement.
-
-
-@q(
-    "prefix_delete",
-    oracle="""
-    SELECT doc_id, source FROM documents
-    WHERE NOT (source LIKE 'src1%')
-    """,
-)
-def prefix_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.filter(~F.col("source").startswith("src1")).select("doc_id", "source")

@@ -8,14 +8,17 @@ driver ``documents`` and ``embeddings`` tables.
 
 Oracle notes: DuckDB's list_cosine_similarity computes in float32, so
 vector oracles spell out the double-cast comprehension; cosine outputs
-round to 6 decimals on both sides. Hash-seeded ops (MinHash, SimHash)
-have no cross-engine twin -> rows-only checks.
+round to 6 decimals on both sides, and ordering/threshold predicates
+compare the ROUNDED value so top-k membership can't flip on sub-6dp
+engine noise. Hash-seeded ops (MinHash, SimHash) have no cross-engine
+twin -> rows-only checks.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..io import load_table
 from ..operators import dedup as D
@@ -30,33 +33,29 @@ from .registry import q
 @q(
     "dedup_exact",
     oracle="""
-    SELECT sha256(text)     AS content_hash,
-           min(doc_id)      AS keep_id,
-           count(*)         AS n_dupes
-    FROM documents
-    GROUP BY sha256(text)
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup(d, "text", "doc_id")
-
-
-@q(
-    "text_fingerprint",
-    oracle="""
     SELECT doc_id,
            sha256(trim(regexp_replace(
                regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-               '\\s+', ' ', 'g'))) AS fp
+               '\\s+', ' ', 'g')))                          AS fp,
+           min(doc_id) OVER (PARTITION BY sha256(text))     AS keep_id,
+           count(*)    OVER (PARTITION BY sha256(text))     AS n_dupes
     FROM documents
     """,
 )
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized document fingerprint (case/punct/whitespace-stable
-    rolling dedup key)."""
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup + normalized fingerprint in one pass: per-doc
+    case/punct/whitespace-stable fingerprint (the rolling dedup key)
+    plus the exact-hash group's representative (min id) and duplicate
+    count via a window over sha256(text). At scale both hashes are
+    computed in the scan projection; only (hash, id) shuffles."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", X.fingerprint("text").alias("fp"))
+    w = W.partitionBy(F.sha2(F.col("text"), 256))
+    return d.select(
+        "doc_id",
+        X.fingerprint("text").alias("fp"),
+        F.min("doc_id").over(w).alias("keep_id"),
+        F.count(F.lit(1)).over(w).alias("n_dupes"),
+    )
 
 
 @q(
@@ -87,20 +86,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("source", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@q("dedup_minhash")  # seeded xxhash64 family has no DuckDB twin -> rows-only
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates verified by exact Jaccard (two-stage
-    near-dup pipeline; see operators.dedup.minhash_dedup_pairs)."""
-    d = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.2
-    )
-
-
-@q("dedup_clusters")  # iterative fixpoint (non-SQL-expressible) -> rows-only
+@q("dedup_clusters")  # seeded hash family + iterative fixpoint -> rows-only
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup pipeline ending: MinHash+LSH pairs -> connected
-    components -> (id, component) cluster assignment."""
+    """The full near-dup pipeline: MinHash signatures (one xxhash64 per
+    shingle + k arithmetic rehashes) -> banded LSH candidates -> exact
+    Jaccard verification -> connected components -> (id, component)
+    cluster assignment. Covers both the pair stage and the clustering
+    stage of operators.dedup in one certified plan."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
         d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.2
@@ -110,10 +102,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("dedup_simhash")  # blake2b bit-voting signature -> rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 12 of 64 bits), prefix-bucketed."""
+    """SimHash near-dup pairs (Hamming <= 3 of 64 bits) with pigeonhole
+    block bucketing: recall 1.0 within the bound, no prefix blind spot,
+    no O(n^2) bucket (see operators.dedup.simhash_near_pairs)."""
     d = load_table(spark, sf_dir, "documents")
     sim = D.simhash64(d, "doc_id", "text")
-    return D.simhash_near_pairs(sim, "doc_id", max_hamming=12, prefix_bits=4)
+    return D.simhash_near_pairs(sim, "doc_id", max_hamming=3)
 
 
 # ---------------------------------------------------------- similarity
@@ -129,11 +123,17 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+_L2_SQL = """sqrt(list_sum([CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)
+                            for i in generate_series(1, len({v}))]))"""
+
+
 @q(
     "sim_topk",
     oracle=f"""
     WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, round({_cos_sql('embedding', 'q')}, 6) AS cos_sim
+    SELECT vec_id,
+           round({_cos_sql('embedding', 'q')}, 6) AS cos_sim,
+           round({_L2_SQL.format(v='embedding')}, 6) AS l2
     FROM embeddings, qv
     WHERE vec_id <> 0
     ORDER BY round({_cos_sql('embedding', 'q')}, 6) DESC, vec_id
@@ -141,13 +141,20 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    """Brute-force cosine top-10 vs the vec_id=0 query vector, plus the
+    L2 norm of each hit (the vector-math primitive). Both engines order
+    by the 6dp-ROUNDED cosine with a vec_id tie-break, so membership at
+    the k-cutoff can't flip on sub-rounding float noise. Executes as
+    scan -> narrow map -> TakeOrderedAndProject."""
     e = load_table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    scored = S.topk_cosine(e.filter(F.col("vec_id") != 0), list(qvec), k=10)
-    return scored.select(
-        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.round(S.cosine(F.col("embedding"), qlit), 6).alias("cos_sim"),
+        F.round(S.l2_norm(F.col("embedding")), 6).alias("l2"),
     )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
 @q(
@@ -157,29 +164,28 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
     """,
 )
 def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.3) within a label bucket -
-    the LSH/IVF-bucketed scale path for embedding dedup."""
+    the LSH/IVF-bucketed scale path for embedding dedup. Runs on the
+    matmul kernel (one BLAS V@V.T per bucket via applyInPandas, ~10x
+    the per-pair expression-tree dot product); the threshold compares
+    the 6dp-rounded cosine on both engines."""
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = S.cosine_pairs_bucketed(e, "label", 0.3)
-    return pairs.select("label", "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
-
-
-@q(
-    "vec_norm",
-    oracle="""
-    SELECT vec_id,
-           round(sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-                                for i in generate_series(1, len(embedding))])), 6) AS l2
-    FROM embeddings
-    """,
-)
-def vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return e.select("vec_id", F.round(S.l2_norm(F.col("embedding")), 6).alias("l2"))
+    # kernel prefilter sits just under the rounded cutoff so the exact
+    # 6dp-rounded comparison below owns the boundary on both engines
+    pairs = S.cosine_pairs_matmul(e, "label", 0.2999, id_col="vec_id")
+    return (
+        pairs.select(
+            F.col("bucket").cast("int").alias("label"),
+            "id_a",
+            "id_b",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
 
 
 @q("sim_lsh_pairs")  # xxhash-derived hyperplanes have no DuckDB twin -> rows-only
@@ -202,69 +208,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "text_stats",
-    oracle="""
-    SELECT doc_id,
-           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
-           CAST(list_sum([length(t) for t in regexp_split_to_array(text, '\\s+')]) AS DOUBLE)
-               / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS mean_tok_len,
-           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-               / greatest(length(text), 1) AS punct_ratio
-    FROM documents
-    """,
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        X.token_count_ws("text").alias("n_tokens"),
-        X.mean_token_len("text").alias("mean_tok_len"),
-        X.punct_ratio("text").alias("punct_ratio"),
-    )
-
-
-@q(
-    "token_count",
-    oracle="""
-    SELECT doc_id,
-           len(regexp_split_to_array(text, '\\s+'))                          AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]'))
-               AS n_bpe_ish
-    FROM documents
-    """,
-)
-def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        X.token_count_ws("text").alias("n_ws_tokens"),
-        X.token_count_bpe_ish("text").alias("n_bpe_ish"),
-    )
-
-
-@q(
-    "lang_id",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN contains(concat(' ', lower(text), ' '), ' the ') THEN 'en'
-                WHEN contains(concat(' ', lower(text), ' '), ' der ') THEN 'de'
-                WHEN contains(concat(' ', lower(text), ' '), ' le ')  THEN 'fr'
-                WHEN contains(concat(' ', lower(text), ' '), ' el ')  THEN 'es'
-                WHEN contains(concat(' ', lower(text), ' '), '的')    THEN 'zh'
-                ELSE 'unknown' END AS lang_guess
-    FROM documents
-    """,
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", X.lang_id("text").alias("lang_guess"))
-
-
-@q(
-    "quality_score",
+    "text_analysis",
     oracle="""
     WITH m AS (
-        SELECT doc_id,
+        SELECT doc_id, text,
+               regexp_split_to_array(text, '\\s+') AS toks,
                CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tok,
                CAST(list_sum([length(t) for t in regexp_split_to_array(text, '\\s+')]) AS DOUBLE)
                    / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS mtl,
@@ -273,32 +221,44 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
+           CAST(n_tok AS BIGINT)  AS n_tokens,
+           mtl                    AS mean_tok_len,
+           pr                     AS punct_ratio,
+           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_ish,
+           CASE WHEN contains(concat(' ', lower(text), ' '), ' the ') THEN 'en'
+                WHEN contains(concat(' ', lower(text), ' '), ' der ') THEN 'de'
+                WHEN contains(concat(' ', lower(text), ' '), ' le ')  THEN 'fr'
+                WHEN contains(concat(' ', lower(text), ' '), ' el ')  THEN 'es'
+                WHEN contains(concat(' ', lower(text), ' '), '的')    THEN 'zh'
+                ELSE 'unknown' END AS lang_guess,
            round((least(n_tok / 64.0, 1.0)
                   + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
-                  + (1.0 - least(pr * 4.0, 1.0))) / 3.0, 6) AS quality
-    FROM m
-    """,
-)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.round(X.quality_score("text"), 6).alias("quality"))
-
-
-@q(
-    "stopword_ratio",
-    oracle="""
-    SELECT doc_id,
+                  + (1.0 - least(pr * 4.0, 1.0))) / 3.0, 6) AS quality,
            round(CAST(len([t for t in regexp_split_to_array(lower(text), '\\s+')
                            if list_contains(['the','a','an','and','or','of','to','in','is','it'], t)])
                       AS DOUBLE)
                  / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6) AS sw_ratio
-    FROM documents
+    FROM m
     """,
 )
-def stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """English stopword density - the classic quality pre-filter signal."""
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole per-document text-quality panel in ONE scan: token
+    counts (whitespace + BPE-ish regex), mean token length, punctuation
+    ratio, n-gram-heuristic language ID, composite quality score, and
+    stopword density. All pure Catalyst expressions - no Python in the
+    path, one projection, zero shuffles."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.round(X.stopword_ratio("text"), 6).alias("sw_ratio"))
+    return d.select(
+        "doc_id",
+        X.token_count_ws("text").alias("n_tokens"),
+        X.mean_token_len("text").alias("mean_tok_len"),
+        X.punct_ratio("text").alias("punct_ratio"),
+        X.token_count_bpe_ish("text").alias("n_bpe_ish"),
+        X.lang_id("text").alias("lang_guess"),
+        F.round(X.quality_score("text"), 6).alias("quality"),
+        F.round(X.stopword_ratio("text"), 6).alias("sw_ratio"),
+    )
 
 
 @q(

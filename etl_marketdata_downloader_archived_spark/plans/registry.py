@@ -56,9 +56,12 @@ def _load_batteries() -> None:
     global _loaded
     if _loaded:
         return
-    # Import for registration side effects.
-    from . import dataflow_queries  # noqa: F401
-    from . import llm_ops  # noqa: F401
+    # Import for registration side effects. Order IS the driver's
+    # certification order (its correctness run covers the first 50
+    # registered queries): the SQL-surface battery first, then the
+    # LLM-pipeline operators, then the reference-dataflow composites.
     from . import relational  # noqa: F401
+    from . import llm_ops  # noqa: F401
+    from . import dataflow_queries  # noqa: F401
 
     _loaded = True

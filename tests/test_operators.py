@@ -80,9 +80,59 @@ def test_simhash_identical_and_bucketed_pairs(spark) -> None:
     sim = D.simhash64(_docs(spark), "doc_id", "text")
     rows = {r.doc_id: r.simhash for r in sim.collect()}
     assert rows[1] == rows[4]  # identical text -> identical signature
-    pairs = D.simhash_near_pairs(sim, "doc_id", max_hamming=12, prefix_bits=2)
+    pairs = D.simhash_near_pairs(sim, "doc_id", max_hamming=3)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert got.get((1, 4)) == 0
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_pigeonhole_recall_is_total(spark) -> None:
+    """Every pair within the Hamming bound is found - including pairs
+    that differ in the TOP bits, which round-1's prefix bucketing
+    silently missed - verified against a brute-force O(n^2) oracle on a
+    seeded random signature set."""
+    import random
+
+    rng = random.Random(42)
+    vals = {i: rng.getrandbits(64) for i in range(40)}
+    # plant near-dups at controlled distances, several touching the top
+    # bits (the old prefix scheme's blind spot)
+    vals[100] = vals[0] ^ (1 << 63)                     # d=1, top bit
+    vals[101] = vals[1] ^ ((1 << 62) | (1 << 5))       # d=2
+    vals[102] = vals[2] ^ ((1 << 63) | (1 << 40) | 1)  # d=3
+    vals[103] = vals[3] ^ ((1 << 63) | (1 << 40) | (1 << 20) | 1)  # d=4: outside bound
+    sim = spark.createDataFrame(
+        [(k, _signed64(v)) for k, v in vals.items()], "doc_id long, simhash long"
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           D.simhash_near_pairs(sim, "doc_id", max_hamming=3).collect()}
+    ids = sorted(vals)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(vals[a] ^ vals[b]).count("1")
+            if d <= 3:
+                expected[(a, b)] = d
+    assert got == expected  # recall AND precision = 1.0 within the bound
+    assert (0, 100) in got and (2, 102) in got  # the top-bit pairs
+
+
+def test_lsh_and_simhash_parameter_validation(spark) -> None:
+    import pytest
+
+    sigs = _docs(spark).select(
+        "doc_id", D.minhash_expr(D.word_shingles("text", 3), 8).alias("signature")
+    )
+    with pytest.raises(ValueError, match="divide"):
+        D.lsh_candidate_pairs(sigs, "doc_id", bands=3, num_hashes=8)
+    with pytest.raises(ValueError, match="divide"):
+        D.lsh_candidate_pairs(sigs, "doc_id", bands=16, num_hashes=8)
+    sim = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_near_pairs(sim, "doc_id", max_hamming=4, blocks=4)
 
 
 # ------------------------------------------------------------ similarity
@@ -235,3 +285,15 @@ def test_minhash_signature_estimates_jaccard(spark) -> None:
             D.minhash_signatures(df, "doc_id", "text", num_hashes=64).collect()}
     est = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 64
     assert abs(est - true_j) < 0.15, f"true={true_j:.3f} est={est:.3f}"
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir) -> None:
+    """HLL estimate accuracy bound - the contract the registered
+    agg_approx_distinct query certifies against its TRUE-per-group
+    oracle (VERDICT round 1 item 9)."""
+    from etl_marketdata_downloader_archived_spark.plans.relational import (
+        agg_approx_distinct,
+    )
+
+    rows = agg_approx_distinct(spark, sf_dir).collect()
+    assert rows and all(r.within_tol for r in rows)

@@ -18,16 +18,16 @@ HEADLINE = [
     "agg_basic",
     "join_broadcast",
     "join_asof",
-    "win_running",
-    "topk_per_group",
+    "win_frames",
+    "topk",
     "stream_session",
     "agg_distinct",
-    "subq_exists",
+    "subq_family",
     "udf_scalar",
     "scan_parquet",
-    "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_simhash",
     "sim_topk",
     "sim_lsh_pairs",
     "harvest_pipeline",
