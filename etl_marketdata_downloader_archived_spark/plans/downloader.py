@@ -32,11 +32,14 @@ Streaming twin of this plan reuses the same stages per micro-batch.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from datetime import datetime, timezone
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window as W
 
 from ..functions.urls import last_segment, last_ws_token, url_join
 from ..schemas import MANIFEST, TASK
@@ -70,7 +73,17 @@ def route_tasks(tasks: DataFrame) -> DataFrame:
     )
 
 
-_HREF_SQL_RE = r"""<[aA]\s[^>]*?[hH][rR][eE][fF]\s*=\s*["']([^"']*)["']"""
+# Anchor-href extraction at BeautifulSoup fidelity for well-formed-ish
+# markup (reference soups the page, data_downloader.py:84-91): any
+# attribute casing, whitespace around '=', double-quoted, single-quoted
+# OR unquoted values (real pages carry href=x without quotes; round-1's
+# quoted-only regex missed those). The quote strip happens in a second
+# projection.
+_HREF_SQL_RE = r"""(?i)<a\s[^>]*?href\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)"""
+
+
+def _strip_quotes(col: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(col, "^[\"']", ""), "[\"']$", "")
 
 
 _PAGE_SCHEMA = "ID string, URL string, TYPE string, PATTERN string, body string, error string"
@@ -121,7 +134,11 @@ def expand_link_tasks(
         tasks.filter(F.col("TYPE").isin("LINKS", "LINKS_OVERWRITE")),
         listing=False,
         allow_network=allow_network,
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    # persisted because BOTH branches (ok links, failed fetches) derive
+    # from it: without it the quarantine write re-runs the page fetch -
+    # every URL fetched twice per batch, timeouts paid twice. DISK_ONLY:
+    # page bodies are raw payload, not worth executor memory.
     ok = pages.filter(F.col("error").isNull())
 
     # href extraction stays JVM-side: regexp_extract_all + explode
@@ -131,8 +148,8 @@ def expand_link_tasks(
         "ID",
         "TYPE",
         F.col("URL").alias("page_url"),
-        F.explode(F.regexp_extract_all("body", F.lit(_HREF_SQL_RE), 1)).alias("href"),
-    )
+        F.explode(F.regexp_extract_all("body", F.lit(_HREF_SQL_RE), 1)).alias("raw_href"),
+    ).withColumn("href", _strip_quotes(F.col("raw_href")))
     resolved = links.select(
         "ID",
         "TYPE",
@@ -161,7 +178,9 @@ def expand_listing_tasks(
     per-row regex column."""
     listings = _fetch_body_stage(
         tasks.filter(F.col("TYPE") == "FTP_FILES"), listing=True, allow_network=allow_network
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    # persisted for the same ok/error double-consumption reason as the
+    # page fetch in expand_link_tasks
     ok = listings.filter(F.col("error").isNull())
 
     from ..functions.globs import glob_to_regex  # noqa: PLC0415
@@ -273,23 +292,116 @@ def fetch_files(candidates: DataFrame, allow_network: bool = False) -> DataFrame
     return candidates.mapInPandas(fetch_part, schema=_FETCH_SCHEMA)
 
 
+def latest_per_key(df: DataFrame, keys: list[str], ts_col: str = "fetched_at") -> DataFrame:
+    """Current-state view over an append-only log: the newest row per
+    key (ts desc, with the file hash as a deterministic tie-break when
+    two appends share a batch timestamp). This is how the overwrite
+    route gets the reference's replace-the-object semantics on an
+    immutable lake: appends accumulate, readers see only the latest."""
+    order = [F.col(ts_col).desc()]
+    if "content_hash" in df.columns:
+        order.append(F.col("content_hash").desc())
+    w = W.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def read_manifest_current(spark: SparkSession, manifest_dir: str) -> DataFrame | None:
+    """The manifest as a current-state table (latest row per
+    route/file_name), or None before the first write."""
+    try:
+        log = spark.read.schema(_MANIFEST_ON_DISK).parquet(manifest_dir)
+        log.head(1)  # force existence check now
+    except Exception:  # noqa: BLE001 - first run: no manifest yet
+        return None
+    return latest_per_key(log, ["route", "file_name"])
+
+
+def read_lake_current(spark: SparkSession, lake_dir: str) -> DataFrame:
+    """The lake as a current-state table: latest payload per
+    (route, file_name) - re-fetches on the overwrite route logically
+    REPLACE rather than duplicate (reference: each S3 put overwrites
+    the object, data-downloader/data_downloader.py:102-104)."""
+    return latest_per_key(spark.read.parquet(lake_dir), ["route", "file_name"])
+
+
+_QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("ID", T.StringType()),
+        T.StructField("URL", T.StringType()),
+        T.StructField("REASON", T.StringType()),
+        T.StructField("attempts", T.IntegerType()),
+        T.StructField("failed_at", T.TimestampType()),
+    ]
+)
+
+
 def run_downloader(
     spark: SparkSession,
     messages: DataFrame,
     lake_dir: str,
     manifest_dir: str | None = None,
     quarantine_dir: str | None = None,
+    catalog_path: str | None = None,
     allow_network: bool = False,
     body_col: str = "task_json",
+    max_attempts: int = 5,
 ) -> dict[str, DataFrame]:
-    """One micro-batch of the download pipeline, end to end.
+    """One micro-batch of the download pipeline, end to end - INCLUDING
+    the reference's composed error path (handle_error,
+    data-downloader/data_downloader.py:26-58): failures land in
+    quarantine with an attempt count ACCUMULATED across runs, units
+    that exhausted ``max_attempts`` (lambda.cfn.yaml:34-36:
+    maxReceiveCount 5) are dead-lettered instead of retried, and when
+    ``catalog_path`` is given the failing sources are flagged active=2
+    in the catalog - no caller composition required.
 
-    Returns {'landed', 'manifest', 'quarantine'} DataFrames; lake and
-    manifest are also written out (parquet, lake partitioned by route).
-    The caller owns scheduling; the streaming twin wraps this in
-    foreachBatch with checkpointing as the ack (SURVEY.md section 3.2).
+    Returns {'landed', 'manifest', 'quarantine', 'dead_letter',
+    'catalog'} DataFrames; lake and manifest are also written out
+    (parquet, lake partitioned by route). The caller owns scheduling;
+    the streaming twin wraps this in foreachBatch with checkpointing as
+    the ack (SURVEY.md section 3.2).
     """
-    tasks = route_tasks(decode_tasks(messages, body_col)).cache()
+    # one wall-clock per batch: lake rows and manifest rows of the same
+    # batch must carry the SAME timestamp (two actions would evaluate
+    # current_timestamp() twice), and latest_per_key orders by it
+    batch_ts = F.lit(datetime.now(timezone.utc).replace(tzinfo=None))
+
+    tasks = route_tasks(decode_tasks(messages, body_col))
+
+    # attempts so far per failing unit (task URL or file URL), from the
+    # quarantine log - the cross-run retry memory
+    attempts_prev = None
+    if quarantine_dir is not None:
+        try:
+            prior = spark.read.schema(_QUARANTINE_SCHEMA).parquet(quarantine_dir)
+            prior.head(1)
+            # localCheckpoint SNAPSHOTS the log before this run appends
+            # to it: the returned DataFrames re-evaluate lazily after
+            # the write, and a plain parquet read would then see this
+            # run's own rows (attempts double-counting, self-gating)
+            attempts_prev = prior.groupBy("ID", "URL").agg(
+                F.max("attempts").alias("prev_attempts")
+            ).localCheckpoint()
+        except Exception:  # noqa: BLE001 - first run: no quarantine yet
+            attempts_prev = None
+
+    # DLQ gate: a unit that failed max_attempts times stops being
+    # retried (the SQS maxReceiveCount -> DLQ bound). Tasks are gated
+    # on their task URL here; failing FILES are gated per file_url at
+    # the candidate stage below.
+    dead_letter = spark.createDataFrame([], _QUARANTINE_SCHEMA)
+    if attempts_prev is not None:
+        exhausted = attempts_prev.filter(F.col("prev_attempts") >= max_attempts)
+        dead_letter = (
+            spark.read.schema(_QUARANTINE_SCHEMA).parquet(quarantine_dir)
+            .join(
+                exhausted.select("ID", "URL"), ["ID", "URL"], "left_semi"
+            )
+        ).localCheckpoint()
+        tasks = tasks.join(
+            exhausted.select("ID", F.col("URL")), ["ID", "URL"], "left_anti"
+        )
+    tasks = tasks.cache()
 
     link_files, link_errs = expand_link_tasks(tasks, allow_network)
     ftp_files, ftp_errs = expand_listing_tasks(tasks, allow_network)
@@ -297,28 +409,42 @@ def run_downloader(
     unknown = tasks.filter(F.col("handler") == "error_unknown_type")
 
     candidates = link_files.unionByName(ftp_files).unionByName(direct_files)
+    if attempts_prev is not None:
+        candidates = candidates.join(
+            attempts_prev.filter(F.col("prev_attempts") >= max_attempts)
+            .select("ID", F.col("URL").alias("file_url")),
+            ["ID", "file_url"],
+            "left_anti",
+        )
 
-    manifest_prev = None
-    if manifest_dir is not None:
-        try:
-            manifest_prev = spark.read.schema(_MANIFEST_ON_DISK).parquet(manifest_dir)
-            manifest_prev.head(1)  # force existence check now
-        except Exception:  # noqa: BLE001 - first run: no manifest yet
-            manifest_prev = None
+    manifest_prev = read_manifest_current(spark, manifest_dir) if manifest_dir else None
 
     fresh = dedup_against_manifest(candidates, manifest_prev)
-    fetched = fetch_files(fresh, allow_network).cache()
+    # DISK_ONLY, not memory: `content` is raw fetched payload (BinaryType);
+    # pinning it in executor memory is an OOM at lake scale - spill it,
+    # both consumers (landed split, failed split) stream it back once
+    fetched = fetch_files(fresh, allow_network).persist(StorageLevel.DISK_ONLY)
     landed = fetched.filter(F.col("error").isNull())
     failed = fetched.filter(F.col("error").isNotNull())
 
-    # quarantine = page/listing errors + file errors + unknown types
+    # quarantine = page/listing errors + file errors + unknown types,
+    # each carrying prior_attempts + 1
     def _q(df: DataFrame, url_col: str, reason_col) -> DataFrame:
-        return df.select(
+        rows = df.select(
             F.col("ID"),
             F.col(url_col).alias("URL"),
             reason_col.alias("REASON"),
-            F.lit(1).alias("attempts"),
-            F.current_timestamp().alias("failed_at"),
+        )
+        if attempts_prev is not None:
+            rows = rows.join(attempts_prev, ["ID", "URL"], "left")
+        else:
+            rows = rows.withColumn("prev_attempts", F.lit(None).cast("int"))
+        return rows.select(
+            "ID",
+            "URL",
+            "REASON",
+            (F.coalesce(F.col("prev_attempts"), F.lit(0)) + 1).cast("int").alias("attempts"),
+            batch_ts.alias("failed_at"),
         )
 
     quarantine = (
@@ -336,7 +462,7 @@ def run_downloader(
         "size_bytes",
         F.col("ID").alias("source_id"),
         F.col("file_url").alias("url"),
-        F.current_timestamp().alias("fetched_at"),
+        batch_ts.alias("fetched_at"),
     )
     lake.write.mode("append").partitionBy("route").parquet(lake_dir)
 
@@ -349,4 +475,27 @@ def run_downloader(
     if quarantine_dir is not None:
         quarantine.write.mode("append").parquet(quarantine_dir)
 
-    return {"landed": lake, "manifest": manifest_new, "quarantine": quarantine}
+    # composed catalog error path: flag every failing source active=2
+    # (reference handle_error writes the whole catalog back;
+    # localCheckpoint breaks lineage so the overwrite of the path we
+    # just read from is safe)
+    catalog_out = None
+    if catalog_path is not None:
+        from ..sources.catalog import flag_broken, read_catalog, valid_rows, write_catalog
+
+        broken = [r.ID for r in quarantine.select("ID").distinct().collect()]
+        if broken:
+            cat = valid_rows(read_catalog(spark, catalog_path, fmt="parquet"))
+            catalog_out = flag_broken(cat, broken).localCheckpoint()
+            write_catalog(catalog_out, catalog_path)
+
+    # fetched stays persisted (DISK_ONLY): the returned DataFrames are
+    # views over it and an unpersist here would re-run the network
+    # fetch on the caller's next action
+    return {
+        "landed": lake,
+        "manifest": manifest_new,
+        "quarantine": quarantine,
+        "dead_letter": dead_letter,
+        "catalog": catalog_out,
+    }

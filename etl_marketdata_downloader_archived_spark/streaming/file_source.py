@@ -44,13 +44,15 @@ def start_lake_sink(
     lake_dir: str,
     manifest_dir: str,
     checkpoint_dir: str,
+    quarantine_dir: str | None = None,
+    catalog_path: str | None = None,
     allow_network: bool = False,
 ) -> StreamingQuery:
     """Run the batch downloader per micro-batch; checkpoint = ack.
 
     foreachBatch is the sanctioned place for multi-sink, side-effectful
     batch logic in a stream - exactly the downloader's shape (lake +
-    manifest + quarantine from one batch)."""
+    manifest + quarantine + catalog flagging from one batch)."""
     from ..plans.downloader import run_downloader
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -61,6 +63,8 @@ def start_lake_sink(
             batch,
             lake_dir,
             manifest_dir,
+            quarantine_dir=quarantine_dir,
+            catalog_path=catalog_path,
             allow_network=allow_network,
         )
 

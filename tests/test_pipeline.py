@@ -155,3 +155,150 @@ def test_unknown_type_quarantined(spark, tmp_path) -> None:
     out = run_downloader(spark, msgs, lake)
     q = out["quarantine"].collect()
     assert len(q) == 1 and q[0].REASON == "unknown TYPE: WAT"
+
+
+def test_attempts_accumulate_then_dead_letter(spark, tmp_path) -> None:
+    """The composed error path (reference handle_error +
+    maxReceiveCount: failures retry with an accumulated attempt count,
+    and stop retrying - dead-letter - at the bound)."""
+    lake = str(tmp_path / "lake")
+    qdir = str(tmp_path / "quarantine")
+    msgs = spark.createDataFrame(
+        [(f'{{"ID":"4","URL":"file://{tmp_path}/missing.html","TYPE":"LINKS",'
+          '"PATTERN":"p","UTC":"0"}',)],
+        ["task_json"],
+    )
+
+    out1 = run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=2)
+    assert [r.attempts for r in out1["quarantine"].collect()] == [1]
+
+    out2 = run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=2)
+    assert [r.attempts for r in out2["quarantine"].collect()] == [2]
+
+    # attempts exhausted: the task is gated, not retried - no new
+    # quarantine row, and the unit surfaces on the dead-letter view
+    out3 = run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=2)
+    assert out3["quarantine"].count() == 0
+    dlq = out3["dead_letter"].collect()
+    assert dlq and all(r.ID == "4" for r in dlq)
+    assert max(r.attempts for r in dlq) == 2
+
+
+def test_catalog_flagging_is_composed(spark, tmp_path, catalog_csv) -> None:
+    """run_downloader flags failing sources active=2 in the catalog
+    itself (reference: data-downloader/data_downloader.py:26-58) - no
+    caller composition."""
+    cat_dir = str(tmp_path / "catalog_parquet")
+    write_catalog(valid_rows(read_catalog(spark, catalog_csv)), cat_dir)
+    tasks = harvest_tasks(read_catalog(spark, cat_dir, fmt="parquet"), "hourly", NOW)
+
+    out = run_downloader(
+        spark, tasks, str(tmp_path / "lake"), catalog_path=cat_dir
+    )
+    assert out["catalog"] is not None
+    flags = {r.id: r.active for r in read_catalog(spark, cat_dir, fmt="parquet").collect()}
+    assert flags["4"] == 2  # missing.html source flagged broken
+    assert flags["1"] == 1  # healthy source untouched
+
+
+def test_overwrite_route_replaces_not_duplicates(spark, tmp_path, remote) -> None:
+    """LINKS_OVERWRITE re-fetches REPLACE the logical file (reference:
+    each S3 put overwrites the object): the append log grows, but the
+    current-state readers return exactly one row per (route, file)."""
+    from etl_marketdata_downloader_archived_spark.plans.downloader import (
+        read_lake_current,
+        read_manifest_current,
+    )
+
+    lake = str(tmp_path / "lake")
+    manifest = str(tmp_path / "manifest")
+    msgs = spark.createDataFrame(
+        [(f'{{"ID":"8","URL":"file://{remote}/page.html","TYPE":"LINKS_OVERWRITE",'
+          '"PATTERN":"p","UTC":"0"}',)],
+        ["task_json"],
+    )
+    run_downloader(spark, msgs, lake, manifest)
+    run_downloader(spark, msgs, lake, manifest)
+
+    n_files = 3  # page.html carries 3 non-empty hrefs
+    assert spark.read.parquet(lake).count() == 2 * n_files  # append log
+    cur = read_lake_current(spark, lake)
+    assert cur.count() == n_files  # logical view: one row per file
+    assert read_manifest_current(spark, manifest).count() == n_files
+    # the surviving row is the newest fetch
+    ts = [r.fetched_at for r in spark.read.parquet(lake).collect()]
+    assert {r.fetched_at for r in cur.collect()} == {max(ts)}
+
+
+def test_href_extraction_bs4_fidelity(spark, tmp_path) -> None:
+    """Unquoted values, single quotes, odd casing and whitespace around
+    '=' all extract - what BeautifulSoup's find_all('a') returns for
+    the same markup (reference: data-downloader/data_downloader.py:84-91)."""
+    from etl_marketdata_downloader_archived_spark.plans.downloader import (
+        expand_link_tasks,
+        route_tasks,
+    )
+
+    page = tmp_path / "messy.html"
+    page.write_text(
+        "<html><body>"
+        '<a href="files/a.csv">double</a>'
+        "<a href='files/b.csv'>single</a>"
+        "<a href=files/c.csv>unquoted</a>"
+        '<A HREF = "files/d.csv">case+space</A>'
+        '<a class="x" href=files/e.csv rel=nofollow>attrs</a>'
+        '<a href="">empty</a>'
+        "</body></html>"
+    )
+    tasks = route_tasks(
+        spark.createDataFrame(
+            [("1", f"file://{page}", "LINKS", "p", "0")],
+            ["ID", "URL", "TYPE", "PATTERN", "UTC"],
+        )
+    )
+    files, errs = expand_link_tasks(tasks)
+    assert errs.count() == 0
+    assert sorted(r.file_name for r in files.collect()) == [
+        "a.csv", "b.csv", "c.csv", "d.csv", "e.csv"
+    ]
+
+
+def test_staging_lifecycle_in_processing_done(spark, tmp_path) -> None:
+    """Poll-mode staging hop in/ -> processing/ -> done/ (reference:
+    market_data_downloader_create_folders.py:20-22): claim moves the
+    batch, success lands it in done/, a crash leaves it in processing/."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.streaming.staging import (
+        process_staged,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "t1.json").write_text("{}")
+    (in_dir / "t2.json").write_text("{}")
+
+    seen = []
+    claimed = process_staged(
+        spark, str(in_dir), str(tmp_path / "processing"), str(tmp_path / "done"),
+        lambda names: seen.extend(sorted(names)),
+    )
+    assert sorted(claimed) == seen == ["t1.json", "t2.json"]
+    assert os.listdir(in_dir) == []
+    assert os.listdir(tmp_path / "processing") == []
+    assert sorted(os.listdir(tmp_path / "done")) == ["t1.json", "t2.json"]
+
+    # crash mid-process: claimed files stay in processing/
+    (in_dir / "t3.json").write_text("{}")
+
+    def boom(names):
+        raise RuntimeError("crash")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        process_staged(
+            spark, str(in_dir), str(tmp_path / "processing"), str(tmp_path / "done"),
+            boom,
+        )
+    assert os.listdir(tmp_path / "processing") == ["t3.json"]
