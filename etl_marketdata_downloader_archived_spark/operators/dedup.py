@@ -214,6 +214,7 @@ def ngram_jaccard_pairs(
     bucket_col: str,
     n: int = 3,
     threshold: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a bucket,
     via an inverted-index join - the 100 TB formulation.
@@ -224,8 +225,8 @@ def ngram_jaccard_pairs(
     only pairs that actually share a shingle are ever produced, and
     |intersection| falls out of a groupBy count. Then
     |union| = |A| + |B| - |common|. A hyper-common shingle is a skew
-    key - AQE skew-join splitting handles it (enabled in session.py);
-    production corpora also drop top-frequency shingles first.
+    key - AQE skew-join splitting (enabled in session.py) spreads it;
+    ``max_doc_freq`` removes it at the source (see inline note).
     """
     s = _spread(df).select(
         F.col(id_col), F.col(bucket_col).alias("_bucket"),
@@ -234,6 +235,21 @@ def ngram_jaccard_pairs(
     postings = s.select(
         "_bucket", F.col(id_col), F.explode("_sh").alias("_g")
     )
+    if max_doc_freq is not None:
+        # drop hyper-common shingles from the INDEX (not from the
+        # |A|/|B| set sizes): a shingle in f docs contributes f^2 join
+        # rows, so boilerplate n-grams dominate cost while carrying no
+        # similarity signal. This trades a bounded Jaccard underestimate
+        # (intersection loses at most the dropped shingles) for killing
+        # the skew keys outright - the standard stop-shingle move on
+        # web-scale corpora.
+        rare = (
+            postings.groupBy("_bucket", "_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("_bucket", "_g")
+        )
+        postings = postings.join(rare, ["_bucket", "_g"], "left_semi")
     a = postings.select("_bucket", F.col(id_col).alias("id_a"), "_g")
     b = postings.select("_bucket", F.col(id_col).alias("id_b"), "_g")
     common = (

@@ -90,7 +90,48 @@ def range_join(
     Catalyst executes pure non-equi conditions as broadcast
     nested-loop; ALWAYS carry an equi-key in ``condition`` when one
     exists (Catalyst splits conjuncts: equi parts hash-partition, range
-    parts become post-join filters), otherwise pre-bucket the range key
-    so the join has an equality component.
+    parts become post-join filters), otherwise use
+    ``banded_interval_join`` below to manufacture the equality
+    component.
     """
     return left.join(right, condition, how)
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    band_seconds: int = 30 * 86400,
+    extra_on: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join (left.t in [right.start, right.end)) with
+    a manufactured equi-key - the formulation that survives 100 TB.
+
+    A pure non-equi condition forces Catalyst into broadcast
+    nested-loop (O(|L|x|R|) compares; impossible when neither side
+    broadcasts). Bucketizing the time axis into fixed bands gives the
+    join an equality component: each right interval explodes to every
+    band it overlaps, each left point carries its single band, and the
+    join hash-partitions on (band [, extra_on]) with the exact interval
+    predicate as a post-join filter. A matching pair meets in exactly
+    one band (the left point's), so no dedup pass is needed. Cost is
+    |R| * ceil(interval/band) exploded rows - pick ``band_seconds`` on
+    the order of the typical interval length.
+    """
+    def to_band(col: Column) -> Column:
+        return F.floor(F.unix_timestamp(col) / F.lit(band_seconds))
+
+    lb = left.withColumn("_band", to_band(F.col(left_time)))
+    rb = right.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(to_band(F.col(right_start)), to_band(F.col(right_end)))
+        ),
+    )
+    on = ["_band"] + ([extra_on] if extra_on else [])
+    exact = (F.col(left_time) >= F.col(right_start)) & (
+        F.col(left_time) < F.col(right_end)
+    )
+    return lb.join(rb, on, "inner").filter(exact).drop("_band")

@@ -58,21 +58,21 @@ def decode_assets(assets: DataFrame, fake: bool = False) -> DataFrame:
                     "binary codec libraries are not available in this environment; "
                     "pass fake=True for the deterministic stub decode"
                 )
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["content"])
-                digest = hashlib.sha256(payload).hexdigest()
-                rows.append(
-                    {
-                        "asset_id": r["asset_id"],
-                        "modality": r["modality"],
-                        "width": int(digest[:4], 16) % 4096,
-                        "height": int(digest[4:8], 16) % 4096,
-                        "n_bytes": len(payload),
-                        "checksum": digest,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            # column-at-a-time over the Arrow batch (the shape a real
+            # codec binding should keep: hand the whole batch to the
+            # vectorized decoder, never per-row Python)
+            payloads = pdf["content"].map(bytes)
+            digests = payloads.map(lambda b: hashlib.sha256(b).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "width": digests.map(lambda d: int(d[:4], 16) % 4096).astype("int32"),
+                    "height": digests.map(lambda d: int(d[4:8], 16) % 4096).astype("int32"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": digests,
+                }
+            )
 
     return assets.mapInPandas(_decode, schema=DECODED_SCHEMA)
 

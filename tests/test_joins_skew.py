@@ -133,3 +133,78 @@ def test_lsh_cosine_pairs_finds_identical(spark) -> None:
     pairs = {(r.id_a, r.id_b) for r in S.lsh_cosine_pairs(df, 0.95, 6).collect()}
     assert (1, 2) in pairs
     assert all(4 not in p for p in pairs)
+
+
+def test_banded_interval_join_matches_naive(spark) -> None:
+    """The banded (equi-keyed) interval join returns exactly the naive
+    non-equi join's rows - including intervals spanning band
+    boundaries - with no duplicates."""
+    from etl_marketdata_downloader_archived_spark.operators.joins import (
+        banded_interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, datetime(2024, 6, 1 + i % 25, i % 24)) for i in range(60)], ["pid", "t"]
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, datetime(2024, 6, 2), datetime(2024, 6, 5)),
+            (2, datetime(2024, 6, 4, 12), datetime(2024, 6, 12)),   # spans bands
+            (3, datetime(2024, 6, 20), datetime(2024, 6, 20, 1)),   # narrow
+            (4, datetime(2024, 7, 1), datetime(2024, 7, 2)),        # no points
+        ],
+        ["iid", "s", "e"],
+    )
+    banded = banded_interval_join(
+        points, intervals, "t", "s", "e", band_seconds=3 * 86400
+    )
+    got = {(r.pid, r.iid) for r in banded.collect()}
+    naive = points.join(
+        intervals, (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e"))
+    )
+    expected = {(r.pid, r.iid) for r in naive.collect()}
+    assert got == expected and len(got) == len(banded.collect())
+
+
+def test_kmeans_assign_separates_clusters(spark) -> None:
+    """kmeans_assign (the IVF index build) puts well-separated vector
+    groups in distinct clusters, deterministically under a fixed seed."""
+    rows = [(i, [10.0 + (i % 5) / 10, 0.0]) for i in range(20)] + [
+        (100 + i, [0.0, 10.0 + (i % 5) / 10]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.kmeans_assign(df, k=2, seed=7)
+    by_cluster = {}
+    for r in out.collect():
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id < 100)
+    assert len(by_cluster) == 2
+    assert all(len(sides) == 1 for sides in by_cluster.values())
+    again = {r.vec_id: r.cluster for r in S.kmeans_assign(df, k=2, seed=7).collect()}
+    first = {r.vec_id: r.cluster for r in out.collect()}
+    assert again == first
+
+
+def test_ivf_index_prunes_partitions_and_matches_brute_force(spark, tmp_path) -> None:
+    """The materialized IVF index answers a probe from only the probed
+    clusters' partitions (PartitionFilters in the scan) and agrees with
+    brute force when the query's true neighbors share its cluster."""
+    import random
+
+    rng = random.Random(3)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    S.ivf_build_index(df, idx, k=3, seed=7)
+
+    q = [10.0, 0.2, -0.1]
+    got = S.ivf_search_indexed(spark, idx, q, k=5, nprobe=1)
+    brute = S.topk_cosine(df, q, k=5)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in brute.collect()]
+
+    # the probe scan must be partition-pruned to the probed cluster
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan

@@ -297,3 +297,25 @@ def test_approx_distinct_within_rsd(spark, sf_dir) -> None:
 
     rows = agg_approx_distinct(spark, sf_dir).collect()
     assert rows and all(r.within_tol for r in rows)
+
+
+def test_ngram_jaccard_max_doc_freq_drops_skew_keys(spark) -> None:
+    """max_doc_freq removes hyper-common shingles from the inverted
+    index: pairs joined ONLY by boilerplate disappear, genuinely
+    similar pairs survive."""
+    boiler = "all rights reserved"
+    rows = [
+        (1, "b", f"alpha beta gamma {boiler}"),
+        (2, "b", f"alpha beta gamma {boiler} extra"),   # real near-dup of 1
+        (3, "b", f"unrelated words entirely {boiler}"),
+        (4, "b", f"different text altogether {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "bucket", "text"])
+    loose = D.ngram_jaccard_pairs(df, "doc_id", "text", "bucket", n=3)
+    assert {(r.id_a, r.id_b) for r in loose.collect()} >= {(1, 2), (3, 4)}
+    strict = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", "bucket", n=3, max_doc_freq=2
+    )
+    got = {(r.id_a, r.id_b) for r in strict.collect()}
+    assert (1, 2) in got          # real overlap survives
+    assert (3, 4) not in got      # boilerplate-only pair is gone
