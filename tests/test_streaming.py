@@ -290,3 +290,49 @@ def test_session_window_stream(spark, tmp_path) -> None:
         (r.user_id, r.n) for r in spark.sql("select * from sess_out").collect()
     )
     assert sessions == [(1, 1), (1, 2)]  # 12:00-12:03 merged; 12:30 separate
+
+
+def test_streaming_error_path_composes_quarantine_and_catalog(spark, tmp_path) -> None:
+    """The streaming twin wires the composed error path end to end: a
+    failing task in a micro-batch lands in quarantine WITH an attempt
+    count and flags its source active=2 in the catalog - no caller
+    composition (reference handle_error semantics under foreachBatch)."""
+    from etl_marketdata_downloader_archived_spark.sources.catalog import (
+        read_catalog,
+        write_catalog,
+    )
+
+    cat_dir = str(tmp_path / "catalog")
+    cat_rows = spark.createDataFrame(
+        [("9", "file:///nope.html", "hourly", None, 1, None, None, "LINKS", "p", 0)],
+        "id string, url string, interval string, col3 string, active int, "
+        "col5 string, col6 string, type string, pattern string, utc_offset int",
+    )
+    write_catalog(cat_rows, cat_dir)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    task = {
+        "ID": "9",
+        "URL": "file:///definitely/missing.html",
+        "TYPE": "LINKS",
+        "PATTERN": "p",
+        "UTC": "0",
+    }
+    (in_dir / "task9.json").write_text(json.dumps(task))
+
+    qdir = str(tmp_path / "quarantine")
+    q = start_lake_sink(
+        file_task_stream(spark, str(in_dir)),
+        str(tmp_path / "lake"),
+        str(tmp_path / "manifest"),
+        str(tmp_path / "ckpt"),
+        quarantine_dir=qdir,
+        catalog_path=cat_dir,
+    )
+    q.awaitTermination(120)
+
+    qrows = spark.read.parquet(qdir).collect()
+    assert len(qrows) == 1 and qrows[0].ID == "9" and qrows[0].attempts == 1
+    flags = {r.id: r.active for r in read_catalog(spark, cat_dir, fmt="parquet").collect()}
+    assert flags["9"] == 2
