@@ -85,6 +85,44 @@ def write_lake(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def latest_per_key(df: DataFrame, keys: list[str], ts_col: str = "fetched_at") -> DataFrame:
+    """Current-state view over an append-only log: the newest row per
+    key (ts desc, with the file hash as a deterministic tie-break when
+    two appends share a batch timestamp). This is how the overwrite
+    route gets the reference's replace-the-object semantics on an
+    immutable lake: appends accumulate, readers see only the latest."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col).desc()]
+    if "content_hash" in df.columns:
+        order.append(F.col("content_hash").desc())
+    w = W.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def compact_lake(
+    spark: SparkSession,
+    lake_dir: str,
+    keys: tuple[str, ...] = ("route", "file_name"),
+    ts_col: str = "fetched_at",
+    partition_cols: tuple[str, ...] = ("route",),
+) -> None:
+    """Physically rewrite the append-log lake down to its current state
+    (latest row per key) - the periodic maintenance pass that keeps the
+    replace-semantics log from growing unboundedly. Writes the compact
+    copy to a sibling directory first, then swaps via FS rename, so a
+    reader never sees a half-written lake and the job is re-runnable
+    after a crash (the half-built __compact dir is simply overwritten)."""
+    cur = latest_per_key(spark.read.parquet(lake_dir), list(keys), ts_col)
+    tmp = lake_dir.rstrip("/") + "__compact"
+    cur.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(lake_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jvm_path(lake_dir), True)
+    fs.rename(jvm_path(tmp), jvm_path(lake_dir))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -184,9 +184,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full two-stage near-dup pipeline: MinHash+LSH candidates, then
     exact n-gram Jaccard verification on the candidates only."""
+    # persisted: three consumers (signature stage, verify join a-side,
+    # verify join b-side) would each recompute the tokenize+shingle
+    # projection - the most expensive narrow stage of the pipeline
     shingled = _spread(df).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)  # all-empty docs would form one giant LSH bucket
+    ).filter(F.size("shingles") > 0).persist()  # empty docs: one giant LSH bucket
     sigs = shingled.select(
         F.col(id_col), minhash_expr(F.col("shingles"), num_hashes).alias("signature")
     )
@@ -281,20 +284,29 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (id, component) where
     component = min id reachable. The standard last stage of a dedup
     pipeline - pairs say "these two match", components decide which
     single representative survives.
 
-    Algorithm: iterative min-label propagation over the undirected
-    edge set. Each round joins current labels to neighbors and takes
-    the min; converges in O(diameter) rounds - near-dup graphs are
-    star-shaped clumps, so diameter is small. Each round is one
-    shuffle on id; ``localCheckpoint`` truncates the growing lineage so
-    round N doesn't replay rounds 1..N-1 (the classic iterative-join
-    trap). At extreme scale swap in large-star/small-star (same join
-    primitives, fewer rounds).
+    Two tiers (the GraphFrames-style split):
+
+    - edge sets up to ``local_threshold`` solve driver-side with
+      union-find after one bounded collect (1M edges ~ 16 MB): an
+      iterative join loop on a small graph is pure scheduler overhead
+      (~0.5 s/round for hundreds of edges), while union-find is
+      microseconds. Near-dup pair sets are usually tiny relative to the
+      corpus, so this is the common case even at large corpus scale.
+    - above the threshold: iterative min-label propagation over the
+      undirected edge set. Each round joins current labels to neighbors
+      and takes the min; converges in O(diameter) rounds - near-dup
+      graphs are star-shaped clumps, so diameter is small. Each round
+      is one shuffle on id; ``localCheckpoint`` truncates the growing
+      lineage so round N doesn't replay rounds 1..N-1 (the classic
+      iterative-join trap). At extreme scale swap in
+      large-star/small-star (same join primitives, fewer rounds).
     """
     # materialize the edge set ONCE: `pairs` is usually the whole
     # candidate-generation pipeline (shingle -> minhash -> LSH ->
@@ -305,6 +317,28 @@ def connected_components(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .dropDuplicates()
     ).localCheckpoint()
+
+    if local_threshold and edges.limit(local_threshold + 1).count() <= local_threshold:
+        edge_rows = edges.collect()  # bounded by local_threshold
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edge_rows:
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                # union by min so the representative is the min id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        ids = {r.src for r in edge_rows}
+        out = [(i, find(i)) for i in sorted(ids)]
+        return edges.sparkSession.createDataFrame(out, "id long, component long")
     labels = (
         edges.select(F.col("src").alias("id"))
         .dropDuplicates()

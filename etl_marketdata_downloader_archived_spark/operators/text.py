@@ -103,3 +103,63 @@ def fingerprint(text: Column | str) -> Column:
     c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return F.sha2(c, 256)
+
+
+def hash_split(
+    id_col: Column | str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> Column:
+    """Deterministic train/val/test split label from the document id -
+    the training-data staple. xxhash64(seed, id) buckets into 10_000
+    slots; cumulative fraction boundaries assign the label. Stable
+    across runs/partitionings/engines-restarts (unlike randomSplit,
+    which reshuffles with the partitioning), so a document NEVER
+    migrates between splits as the corpus grows."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    slot = F.pmod(F.xxhash64(F.lit(seed), _col(id_col)), F.lit(10_000))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        bound = int(round(acc * 10_000))
+        expr = F.when(slot < bound, name) if expr is None else expr.when(slot < bound, name)
+    return (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])).alias("split")
+
+
+def clean_corpus(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en",),
+    max_stopword_ratio: float = 0.9,
+):
+    """The composed training-data pre-filter: language gate + quality
+    gate + stopword sanity + exact-dedup to one representative per
+    normalized fingerprint. All narrow maps except the final
+    per-fingerprint min (one shuffle on the 64-char hash). Returns the
+    surviving rows of ``df`` unchanged plus the computed signals."""
+    from pyspark.sql import Window as W
+
+    scored = df.withColumn("_lang", lang_id(text_col)).withColumn(
+        "_quality", quality_score(text_col)
+    ).withColumn("_sw", stopword_ratio(text_col)).withColumn("_fp", fingerprint(text_col))
+    gated = scored.filter(
+        F.col("_lang").isin(*languages)
+        & (F.col("_quality") >= min_quality)
+        & (F.col("_sw") <= max_stopword_ratio)
+    )
+    w = W.partitionBy("_fp")
+    return (
+        gated.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+        .withColumnRenamed("_lang", "lang_guess")
+        .withColumnRenamed("_quality", "quality")
+        .withColumnRenamed("_sw", "sw_ratio")
+        .withColumnRenamed("_fp", "fp")
+    )

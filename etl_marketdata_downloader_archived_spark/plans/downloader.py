@@ -39,9 +39,9 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql import Window as W
 
 from ..functions.urls import last_segment, last_ws_token, url_join
+from ..io import latest_per_key
 from ..schemas import MANIFEST, TASK
 from ..sources.transport import TransportError, fetch_bytes, fetch_listing, fetch_text
 
@@ -290,19 +290,6 @@ def fetch_files(candidates: DataFrame, allow_network: bool = False) -> DataFrame
             )
 
     return candidates.mapInPandas(fetch_part, schema=_FETCH_SCHEMA)
-
-
-def latest_per_key(df: DataFrame, keys: list[str], ts_col: str = "fetched_at") -> DataFrame:
-    """Current-state view over an append-only log: the newest row per
-    key (ts desc, with the file hash as a deterministic tie-break when
-    two appends share a batch timestamp). This is how the overwrite
-    route gets the reference's replace-the-object semantics on an
-    immutable lake: appends accumulate, readers see only the latest."""
-    order = [F.col(ts_col).desc()]
-    if "content_hash" in df.columns:
-        order.append(F.col("content_hash").desc())
-    w = W.partitionBy(*keys).orderBy(*order)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def read_manifest_current(spark: SparkSession, manifest_dir: str) -> DataFrame | None:

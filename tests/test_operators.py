@@ -319,3 +319,65 @@ def test_ngram_jaccard_max_doc_freq_drops_skew_keys(spark) -> None:
     got = {(r.id_a, r.id_b) for r in strict.collect()}
     assert (1, 2) in got          # real overlap survives
     assert (3, 4) not in got      # boilerplate-only pair is gone
+
+
+def test_hash_split_deterministic_and_proportional(spark) -> None:
+    """hash_split: stable label per id across runs/partitionings, and
+    split sizes near the requested fractions."""
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = df.select("doc_id", X.hash_split("doc_id", fr))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # stable under repartitioning
+    again = {
+        r.doc_id: r.split
+        for r in df.repartition(7).select("doc_id", X.hash_split("doc_id", fr)).collect()
+    }
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert again == first
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        X.hash_split("doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_clean_corpus_gates_and_dedups(spark) -> None:
+    good = ("the quick brown fox jumps over the lazy dog near the bank "
+            "with many more useful english words to pass the quality gate "
+            "and keep the mean token length inside the accepted band")
+    rows = [
+        (1, good),
+        (2, good + "!"),                      # same fingerprint as 1 -> deduped
+        (3, "der hund lief schnell durch den park und der wald"),  # german
+        (4, "x! y? z!!!! ??? !!!"),           # junk punctuation
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = X.clean_corpus(df, min_quality=0.5, languages=("en",))
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1]
+    row = kept.collect()[0]
+    assert row.lang_guess == "en" and row.quality >= 0.5 and row.fp is not None
+
+
+def test_compact_lake_rewrites_to_current_state(spark, tmp_path) -> None:
+    from datetime import datetime
+
+    from etl_marketdata_downloader_archived_spark.io import compact_lake, latest_per_key
+
+    lake = str(tmp_path / "lake")
+    for day in (1, 2):
+        spark.createDataFrame(
+            [("LINK", "a.csv", f"v{day}", datetime(2024, 6, day)),
+             ("LINK", "b.csv", f"v{day}", datetime(2024, 6, day))],
+            ["route", "file_name", "payload", "fetched_at"],
+        ).write.mode("append").partitionBy("route").parquet(lake)
+    assert spark.read.parquet(lake).count() == 4
+    compact_lake(spark, lake)
+    rows = spark.read.parquet(lake).collect()
+    assert len(rows) == 2 and {r.payload for r in rows} == {"v2"}
+    # idempotent: compacting a compact lake is a no-op
+    compact_lake(spark, lake)
+    assert spark.read.parquet(lake).count() == 2
