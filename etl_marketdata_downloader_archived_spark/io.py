@@ -33,6 +33,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # also keeps date_format output identical to the DuckDB oracle when
     # the host session runs in another zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Arrow is a TIMEZONE defense, not just a speedup: the non-Arrow
+    # collect path converts TimestampType through the Python PROCESS
+    # timezone (datetime.fromtimestamp), ignoring the session TZ - on a
+    # non-UTC host every derived timestamp would render shifted. Arrow
+    # conversion honors spark.sql.session.timeZone.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     expected = DRIVER_TABLES.get(name)
     if expected is not None:
@@ -40,9 +46,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             want = next((f.dataType for f in expected.fields if f.name == field.name), None)
             if isinstance(field.dataType, T.LongType) and isinstance(want, T.TimestampType):
                 # integer `div`, not `/`: float division loses ulps on
-                # epoch-nanos magnitudes (~1.7e18 > 2^53)
+                # epoch-nanos magnitudes (~1.7e18 > 2^53).
+                # The final cast to TIMESTAMP_NTZ (under the UTC session
+                # TZ set above) matters: parquet TIMESTAMP(NTZ) columns
+                # in the other tables already read as timestamp_ntz,
+                # whose collect() is timezone-free on any host - while a
+                # TZ-aware timestamp renders through the PYTHON PROCESS
+                # timezone on the non-Arrow collect path, shifting every
+                # value on a non-UTC driver host.
                 df = df.withColumn(
-                    field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+                    field.name,
+                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
                 )
     return df
 

@@ -350,8 +350,13 @@ def run_downloader(
     """
     # one wall-clock per batch: lake rows and manifest rows of the same
     # batch must carry the SAME timestamp (two actions would evaluate
-    # current_timestamp() twice), and latest_per_key orders by it
-    batch_ts = F.lit(datetime.now(timezone.utc).replace(tzinfo=None))
+    # current_timestamp() twice), and latest_per_key orders by it.
+    # Travels as a string parsed under the session TZ - F.lit(datetime)
+    # converts through the Python PROCESS timezone and would shift the
+    # instant on a non-UTC host.
+    batch_ts = F.to_timestamp(
+        F.lit(datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f"))
+    )
 
     tasks = route_tasks(decode_tasks(messages, body_col))
 

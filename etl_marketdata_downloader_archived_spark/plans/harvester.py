@@ -34,7 +34,15 @@ def harvest_tasks(
     The reference's equivalents: filter at data_harvester.py:29-31,
     clock shift :32-33, template expansion :34-35, projection+encode :37.
     """
-    clock = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    # the wall-clock literal travels as a STRING parsed under the
+    # session timezone: F.lit(datetime) would convert through the
+    # PYTHON PROCESS timezone (TimestampType.toInternal uses mktime),
+    # silently shifting the instant on any non-UTC host
+    clock = (
+        F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+        if now is not None
+        else F.current_timestamp()
+    )
     due = valid_rows(catalog).filter(
         (F.col("active") == 1) & (F.col("interval") == F.lit(interval))
     )

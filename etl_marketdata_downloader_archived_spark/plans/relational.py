@@ -726,7 +726,9 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dy"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # date_trunc returns a TZ-aware timestamp even for NTZ input;
+        # cast back (under the UTC session) so collect stays TZ-free
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
@@ -981,10 +983,14 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # NTZ-safe gap: timestamp subtraction yields a day-time interval
+    # (unix_micros rejects TIMESTAMP_NTZ input)
+    gap = F.col("ts") - F.lag("ts").over(w)
     flagged = e.withColumn(
         "new_session",
-        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+        ).otherwise(0),
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
     return sessions.groupBy("user_id", "session_id").agg(

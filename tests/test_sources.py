@@ -67,7 +67,9 @@ def test_partitioned_lake_write_prunes(spark, tmp_path) -> None:
 
 def test_driver_table_timestamps_are_micros(spark, sf_dir) -> None:
     """events.parquet carries TIMESTAMP(NANOS); load_table must give
-    micro timestamps under any session (driver uses a vanilla one)."""
+    micro TIMESTAMP_NTZ under any session (driver uses a vanilla one;
+    NTZ because TZ-aware values collect through the process timezone
+    on the non-Arrow path and would shift on a non-UTC host)."""
     e = load_table(spark, sf_dir, "events")
-    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert dict(e.dtypes)["ts"] == "timestamp_ntz"
     assert e.select("ts").head()[0].year >= 2020

@@ -7,6 +7,12 @@ order-insensitive canonicalized value multiset. Strict by default
 here before the driver sees it.
 
 Usage: python tools/parity.py [sf_dir] [query ...]
+
+Env: SPARK_GRAFT_VANILLA=1 runs the Spark side on a bare
+``SparkSession.builder.master('local[4]')`` session - the driver's
+environment (ANSI on, default shuffle partitions, host timezone, no
+engine conf) - to catch anything that silently depends on
+session.get_spark's settings.
 """
 
 from __future__ import annotations
@@ -55,13 +61,21 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    import os
+
     from etl_marketdata_downloader_archived_spark.plans import registry
     from etl_marketdata_downloader_archived_spark.session import get_spark
 
     queries = registry.all_queries()
     oracles = registry.all_oracles()
 
-    spark = get_spark("parity")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[4]").getOrCreate()
+        print("(vanilla driver-style session)")
+    else:
+        spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
