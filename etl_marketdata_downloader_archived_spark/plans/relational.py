@@ -104,6 +104,10 @@ def filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
       ON c_custkey = o.o_custkey
     UNION ALL
+    SELECT 'right' AS op, c_custkey AS k, c_name AS a, CAST(o.o_orderkey AS VARCHAR) AS b
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer ON c_custkey = o.o_custkey
+    UNION ALL
     SELECT 'full' AS op, n_nationkey AS k, n_name AS a, s.s_name AS b
     FROM (SELECT * FROM supplier WHERE s_suppkey < 10) s
     FULL JOIN nation ON s.s_nationkey = n_nationkey
@@ -136,6 +140,15 @@ def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("string").alias("b"),
         )
     )
+    right = (
+        o.join(c, c.c_custkey == o.o_custkey, "right")
+        .select(
+            F.lit("right").alias("op"),
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("a"),
+            F.col("o_orderkey").cast("string").alias("b"),
+        )
+    )
     full = (
         s.join(n, s.s_nationkey == n.n_nationkey, "full")
         .select(
@@ -145,7 +158,7 @@ def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("b"),
         )
     )
-    return inner.unionByName(left).unionByName(full)
+    return inner.unionByName(left).unionByName(right).unionByName(full)
 
 
 @q(
@@ -346,17 +359,30 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(DISTINCT l_orderkey) AS n_orders,
-           count(DISTINCT l_suppkey)  AS n_supp
+           count(DISTINCT l_suppkey)  AS n_supp,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) on two columns plus a collect_set (sorted then
+    joined: set aggregation has no inherent order, and a scalar output
+    keeps the differential hash array-free).
+
+    The collect_set runs as a separate aggregation joined on the group
+    key: a third aggregate path alongside two DISTINCTs widens the
+    Expand fan-out (every input row duplicated per path) - measured 2x
+    on this query; same lesson as agg_approx_distinct."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    counts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_suppkey").alias("n_supp"),
     )
+    sets = li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses")
+    )
+    return counts.join(sets, "l_returnflag")
 
 
 @q(
