@@ -302,3 +302,28 @@ def test_staging_lifecycle_in_processing_done(spark, tmp_path) -> None:
             boom,
         )
     assert os.listdir(tmp_path / "processing") == ["t3.json"]
+
+
+def test_compact_quarantine_preserves_attempt_accumulation(spark, tmp_path) -> None:
+    """The generic log compactor works on the quarantine log too: after
+    compaction the latest (= max-attempts) row survives, and the next
+    failing run still increments from it."""
+    from etl_marketdata_downloader_archived_spark.io import compact_lake
+
+    lake = str(tmp_path / "lake")
+    qdir = str(tmp_path / "quarantine")
+    msgs = spark.createDataFrame(
+        [(f'{{"ID":"4","URL":"file://{tmp_path}/missing.html","TYPE":"LINKS",'
+          '"PATTERN":"p","UTC":"0"}',)],
+        ["task_json"],
+    )
+    run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=9)
+    run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=9)
+    assert spark.read.parquet(qdir).count() == 2
+
+    compact_lake(spark, qdir, keys=("ID", "URL"), ts_col="failed_at", partition_cols=())
+    rows = spark.read.parquet(qdir).collect()
+    assert len(rows) == 1 and rows[0].attempts == 2
+
+    out3 = run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=9)
+    assert [r.attempts for r in out3["quarantine"].collect()] == [3]
