@@ -148,10 +148,13 @@ def clean_corpus(
     scored = df.withColumn("_lang", lang_id(text_col)).withColumn(
         "_quality", quality_score(text_col)
     ).withColumn("_sw", stopword_ratio(text_col)).withColumn("_fp", fingerprint(text_col))
+    # thresholds compare the 6dp-ROUNDED scores: the gates stay stable
+    # across engines/BLAS summation order when a document sits exactly
+    # on a boundary (the differential-oracle lesson from the cosine ops)
     gated = scored.filter(
         F.col("_lang").isin(*languages)
-        & (F.col("_quality") >= min_quality)
-        & (F.col("_sw") <= max_stopword_ratio)
+        & (F.round("_quality", 6) >= min_quality)
+        & (F.round("_sw", 6) <= max_stopword_ratio)
     )
     w = W.partitionBy("_fp")
     return (

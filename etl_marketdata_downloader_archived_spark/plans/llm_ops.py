@@ -262,6 +262,60 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "corpus_clean",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN contains(concat(' ', lower(text), ' '), ' the ') THEN 'en'
+                    WHEN contains(concat(' ', lower(text), ' '), ' der ') THEN 'de'
+                    WHEN contains(concat(' ', lower(text), ' '), ' le ')  THEN 'fr'
+                    WHEN contains(concat(' ', lower(text), ' '), ' el ')  THEN 'es'
+                    WHEN contains(concat(' ', lower(text), ' '), '的')    THEN 'zh'
+                    ELSE 'unknown' END AS lang_guess,
+               round((least(CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) / 64.0, 1.0)
+                      + (CASE WHEN CAST(list_sum([length(t) for t in regexp_split_to_array(text, '\\s+')]) AS DOUBLE)
+                                   / greatest(len(regexp_split_to_array(text, '\\s+')), 1) >= 3.0
+                               AND CAST(list_sum([length(t) for t in regexp_split_to_array(text, '\\s+')]) AS DOUBLE)
+                                   / greatest(len(regexp_split_to_array(text, '\\s+')), 1) <= 10.0
+                              THEN 1.0 ELSE 0.5 END)
+                      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                                     / greatest(length(text), 1) * 4.0, 1.0))) / 3.0, 6) AS quality,
+               round(CAST(len([t for t in regexp_split_to_array(lower(text), '\\s+')
+                               if list_contains(['the','a','an','and','or','of','to','in','is','it'], t)])
+                          AS DOUBLE)
+                     / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6) AS sw_ratio,
+               sha256(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                   '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), gated AS (
+        SELECT * FROM m
+        WHERE lang_guess = 'en' AND quality >= 0.5 AND sw_ratio <= 0.9
+    )
+    SELECT doc_id, lang_guess, quality, sw_ratio, fp
+    FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep FROM gated)
+    WHERE doc_id = keep
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pre-filter (operators.text.clean_corpus):
+    language gate + quality gate + stopword sanity + one representative
+    per normalized fingerprint - all narrow maps plus ONE shuffle (the
+    per-fingerprint min). This is the pipeline a 100 TB corpus actually
+    runs before tokenization; thresholds compare 6dp-rounded scores so
+    the gates are engine-stable at boundaries."""
+    d = load_table(spark, sf_dir, "documents")
+    out = X.clean_corpus(d, min_quality=0.5, languages=("en",), max_stopword_ratio=0.9)
+    return out.select(
+        "doc_id",
+        "lang_guess",
+        F.round("quality", 6).alias("quality"),
+        F.round("sw_ratio", 6).alias("sw_ratio"),
+        "fp",
+    )
+
+
+@q(
     "word_topk",
     oracle="""
     SELECT word, count(*) AS n
