@@ -126,17 +126,29 @@ def compact_lake(
     """Physically rewrite the append-log lake down to its current state
     (latest row per key) - the periodic maintenance pass that keeps the
     replace-semantics log from growing unboundedly. Writes the compact
-    copy to a sibling directory first, then swaps via FS rename, so a
-    reader never sees a half-written lake and the job is re-runnable
-    after a crash (the half-built __compact dir is simply overwritten)."""
+    copy to a sibling directory first, then RENAME-swaps: the live lake
+    is renamed aside (never deleted while it is the only copy), the
+    compact copy renamed in, and only then is the old data removed. A
+    crash at any point leaves at least one full copy on disk: before
+    the first rename the original is untouched; between the renames the
+    data lives in __old and __compact (recover by renaming either back);
+    after the swap the old copy is garbage. A half-built __compact from
+    a previous crash is simply overwritten."""
     cur = latest_per_key(spark.read.parquet(lake_dir), list(keys), ts_col)
     tmp = lake_dir.rstrip("/") + "__compact"
+    old = lake_dir.rstrip("/") + "__old"
     cur.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(lake_dir).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jvm_path(lake_dir), True)
-    fs.rename(jvm_path(tmp), jvm_path(lake_dir))
+    fs.delete(jvm_path(old), True)  # leftover from a prior crashed swap
+    if not fs.rename(jvm_path(lake_dir), jvm_path(old)):
+        raise IOError(f"compact_lake: could not rename {lake_dir} aside")
+    if not fs.rename(jvm_path(tmp), jvm_path(lake_dir)):
+        # roll back so the lake path stays valid
+        fs.rename(jvm_path(old), jvm_path(lake_dir))
+        raise IOError(f"compact_lake: could not swap {tmp} into {lake_dir}")
+    fs.delete(jvm_path(old), True)
 
 
 def write_bucketed(

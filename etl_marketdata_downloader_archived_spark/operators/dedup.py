@@ -184,12 +184,18 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full two-stage near-dup pipeline: MinHash+LSH candidates, then
     exact n-gram Jaccard verification on the candidates only."""
-    # persisted: three consumers (signature stage, verify join a-side,
-    # verify join b-side) would each recompute the tokenize+shingle
-    # projection - the most expensive narrow stage of the pipeline
+    # persisted DISK_ONLY: three consumers (signature stage, verify
+    # join a-side, verify join b-side) would each recompute the
+    # tokenize+shingle projection - the most expensive narrow stage of
+    # the pipeline. Disk, not memory: the function returns a lazy plan
+    # so there is no release point, and LRU-evicted disk blocks are the
+    # cheap thing to leak. (The empties filter: all-empty docs would
+    # form one giant LSH bucket.)
+    from pyspark import StorageLevel
+
     shingled = _spread(df).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0).persist()  # empty docs: one giant LSH bucket
+    ).filter(F.size("shingles") > 0).persist(StorageLevel.DISK_ONLY)
     sigs = shingled.select(
         F.col(id_col), minhash_expr(F.col("shingles"), num_hashes).alias("signature")
     )
@@ -338,7 +344,10 @@ def connected_components(
                 parent[hi] = lo
         ids = {r.src for r in edge_rows}
         out = [(i, find(i)) for i in sorted(ids)]
-        return edges.sparkSession.createDataFrame(out, "id long, component long")
+        id_type = edges.schema["src"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            out, f"id {id_type}, component {id_type}"
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .dropDuplicates()

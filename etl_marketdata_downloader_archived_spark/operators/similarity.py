@@ -256,7 +256,11 @@ def ivf_build_index(
         .partitionBy("cluster")
         .parquet(path)
     )
-    ivf_centroids(assigned, "cluster", vec_col).write.mode("overwrite").parquet(
+    # centroids derive from the JUST-WRITTEN parquet, not `assigned`:
+    # a second action on the uncached assignment would re-run the whole
+    # k-means transform (and input scan) over the corpus
+    written = assigned.sparkSession.read.parquet(path)
+    ivf_centroids(written, "cluster", vec_col).write.mode("overwrite").parquet(
         path.rstrip("/") + "__centroids"
     )
 

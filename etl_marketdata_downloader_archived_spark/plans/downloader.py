@@ -77,9 +77,12 @@ def route_tasks(tasks: DataFrame) -> DataFrame:
 # markup (reference soups the page, data_downloader.py:84-91): any
 # attribute casing, whitespace around '=', double-quoted, single-quoted
 # OR unquoted values (real pages carry href=x without quotes; round-1's
-# quoted-only regex missed those). The quote strip happens in a second
-# projection.
-_HREF_SQL_RE = r"""(?i)<a\s[^>]*?href\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)"""
+# quoted-only regex missed those). The attribute name must start at a
+# token boundary - `(?:[^>]*?\s)?` requires either nothing or a chunk
+# ENDING in whitespace before `href`, so `data-href=...` can never
+# satisfy the match (the real href later in the tag still can). The
+# quote strip happens in a second projection.
+_HREF_SQL_RE = r"""(?i)<a\s(?:[^>]*?\s)?href\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)"""
 
 
 def _strip_quotes(col: Column) -> Column:
@@ -125,16 +128,23 @@ def _fetch_body_stage(tasks: DataFrame, listing: bool, allow_network: bool) -> D
 
 
 def expand_link_tasks(
-    tasks: DataFrame, allow_network: bool = False
+    tasks: DataFrame,
+    allow_network: bool = False,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """LINKS / LINKS_OVERWRITE branch: page -> hrefs -> one row per
     candidate file (reference: data-downloader/data_downloader.py:83-107).
-    Returns (candidate files, failed page fetches)."""
+    Returns (candidate files, failed page fetches). The persisted fetch
+    stage is appended to ``cache_registry`` so the caller can release
+    it (a streaming twin would otherwise accumulate one cache entry per
+    micro-batch, unbounded)."""
     pages = _fetch_body_stage(
         tasks.filter(F.col("TYPE").isin("LINKS", "LINKS_OVERWRITE")),
         listing=False,
         allow_network=allow_network,
     ).persist(StorageLevel.DISK_ONLY)
+    if cache_registry is not None:
+        cache_registry.append(pages)
     # persisted because BOTH branches (ok links, failed fetches) derive
     # from it: without it the quarantine write re-runs the page fetch -
     # every URL fetched twice per batch, timeouts paid twice. DISK_ONLY:
@@ -167,7 +177,9 @@ def expand_link_tasks(
 
 
 def expand_listing_tasks(
-    tasks: DataFrame, allow_network: bool = False
+    tasks: DataFrame,
+    allow_network: bool = False,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """FTP_FILES branch: listing -> file names -> glob match
     (reference: data-downloader/data_downloader.py:152-170).
@@ -181,6 +193,8 @@ def expand_listing_tasks(
     ).persist(StorageLevel.DISK_ONLY)
     # persisted for the same ok/error double-consumption reason as the
     # page fetch in expand_link_tasks
+    if cache_registry is not None:
+        cache_registry.append(listings)
     ok = listings.filter(F.col("error").isNull())
 
     from ..functions.globs import glob_to_regex  # noqa: PLC0415
@@ -351,11 +365,13 @@ def run_downloader(
     # one wall-clock per batch: lake rows and manifest rows of the same
     # batch must carry the SAME timestamp (two actions would evaluate
     # current_timestamp() twice), and latest_per_key orders by it.
-    # Travels as a string parsed under the session TZ - F.lit(datetime)
-    # converts through the Python PROCESS timezone and would shift the
-    # instant on a non-UTC host.
-    batch_ts = F.to_timestamp(
-        F.lit(datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f"))
+    # Shipped as explicit epoch micros: F.lit(datetime) converts through
+    # the Python PROCESS timezone, and a wall-clock STRING would parse
+    # under the session timezone (host-dependent on a vanilla session,
+    # and non-monotonic across a DST fold, which would make
+    # latest_per_key prefer stale rows). An instant has neither problem.
+    batch_ts = F.timestamp_micros(
+        F.lit(int(datetime.now(timezone.utc).timestamp() * 1_000_000))
     )
 
     tasks = route_tasks(decode_tasks(messages, body_col))
@@ -394,9 +410,10 @@ def run_downloader(
             exhausted.select("ID", F.col("URL")), ["ID", "URL"], "left_anti"
         )
     tasks = tasks.cache()
+    cached: list[DataFrame] = [tasks]
 
-    link_files, link_errs = expand_link_tasks(tasks, allow_network)
-    ftp_files, ftp_errs = expand_listing_tasks(tasks, allow_network)
+    link_files, link_errs = expand_link_tasks(tasks, allow_network, cache_registry=cached)
+    ftp_files, ftp_errs = expand_listing_tasks(tasks, allow_network, cache_registry=cached)
     direct_files = expand_direct_tasks(tasks)
     unknown = tasks.filter(F.col("handler") == "error_unknown_type")
 
@@ -416,6 +433,7 @@ def run_downloader(
     # pinning it in executor memory is an OOM at lake scale - spill it,
     # both consumers (landed split, failed split) stream it back once
     fetched = fetch_files(fresh, allow_network).persist(StorageLevel.DISK_ONLY)
+    cached.append(fetched)
     landed = fetched.filter(F.col("error").isNull())
     failed = fetched.filter(F.col("error").isNotNull())
 
@@ -481,13 +499,21 @@ def run_downloader(
             catalog_out = flag_broken(cat, broken).localCheckpoint()
             write_catalog(catalog_out, catalog_path)
 
-    # fetched stays persisted (DISK_ONLY): the returned DataFrames are
-    # views over it and an unpersist here would re-run the network
-    # fetch on the caller's next action
+    # the persisted stages stay cached: the returned DataFrames are
+    # views over them and an unpersist here would re-run the network
+    # fetches on the caller's next action. The caller releases them via
+    # the returned callable once done with the views - the streaming
+    # twin calls it per micro-batch (an unreleased cache entry per
+    # batch grows without bound on a long-running stream).
+    def release() -> None:
+        for df in cached:
+            df.unpersist()
+
     return {
         "landed": lake,
         "manifest": manifest_new,
         "quarantine": quarantine,
         "dead_letter": dead_letter,
         "catalog": catalog_out,
+        "release": release,
     }

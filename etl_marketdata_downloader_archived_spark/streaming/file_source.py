@@ -58,7 +58,7 @@ def start_lake_sink(
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        run_downloader(
+        out = run_downloader(
             batch.sparkSession,
             batch,
             lake_dir,
@@ -67,6 +67,10 @@ def start_lake_sink(
             catalog_path=catalog_path,
             allow_network=allow_network,
         )
+        # all sinks are written inside run_downloader; release the
+        # batch's persisted fetch stages so a long-running stream does
+        # not accumulate one cache entry set per micro-batch
+        out["release"]()
 
     return (
         tasks.writeStream.foreachBatch(process)

@@ -32,9 +32,16 @@ def ensure_dirs(spark: SparkSession, *dirs: str) -> None:
         fs.mkdirs(p)
 
 
-def move_files(spark: SparkSession, src_dir: str, dst_dir: str) -> list[str]:
-    """Move every file in ``src_dir`` to ``dst_dir``; returns the moved
-    file names. Rename-based (atomic per file on HDFS/posix)."""
+def move_files(
+    spark: SparkSession, src_dir: str, dst_dir: str, only: list[str] | None = None
+) -> list[str]:
+    """Move files in ``src_dir`` to ``dst_dir``; returns the names
+    ACTUALLY moved. Rename-based (atomic per file on HDFS/posix), and
+    the rename's boolean result is honored: a file another runner
+    claimed first (or a name collision at the destination) is simply
+    not reported as moved - this is what makes the claim step safe
+    under concurrent pollers. ``only`` restricts the sweep to specific
+    names (the claimed batch)."""
     fs, src = _fs_and_path(spark, src_dir)
     _, dst = _fs_and_path(spark, dst_dir)
     fs.mkdirs(dst)
@@ -45,8 +52,10 @@ def move_files(spark: SparkSession, src_dir: str, dst_dir: str) -> list[str]:
     for status in fs.listStatus(src):
         if status.isFile():
             name = status.getPath().getName()
-            fs.rename(status.getPath(), Path(dst, name))
-            moved.append(name)
+            if only is not None and name not in only:
+                continue
+            if fs.rename(status.getPath(), Path(dst, name)):
+                moved.append(name)
     return moved
 
 
@@ -67,5 +76,8 @@ def process_staged(
     if not claimed:
         return []
     process(claimed)
-    move_files(spark, processing_dir, done_dir)
+    # move ONLY this round's claim: files a previous crashed run left in
+    # processing/ must stay there for inspection/requeue, never get
+    # swept into done/ unprocessed
+    move_files(spark, processing_dir, done_dir, only=claimed)
     return claimed

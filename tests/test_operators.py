@@ -261,6 +261,20 @@ def test_connected_components_chain_and_clusters(spark) -> None:
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
 
 
+def test_connected_components_string_ids(spark) -> None:
+    """The driver-side fast path must carry the INPUT id type (content
+    hashes / URLs are normal near-dup keys), like the distributed path."""
+    pairs = spark.createDataFrame(
+        [("hash_a", "hash_b"), ("hash_b", "hash_c"), ("url_x", "url_y")],
+        ["id_a", "id_b"],
+    )
+    comp = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {
+        "hash_a": "hash_a", "hash_b": "hash_a", "hash_c": "hash_a",
+        "url_x": "url_x", "url_y": "url_x",
+    }
+
+
 def test_dedup_keep_representatives(spark) -> None:
     df = spark.createDataFrame([(i, f"doc {i}") for i in (1, 2, 3, 7, 8, 9)], ["doc_id", "text"])
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])

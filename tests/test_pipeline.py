@@ -247,6 +247,7 @@ def test_href_extraction_bs4_fidelity(spark, tmp_path) -> None:
         "<a href=files/c.csv>unquoted</a>"
         '<A HREF = "files/d.csv">case+space</A>'
         '<a class="x" href=files/e.csv rel=nofollow>attrs</a>'
+        '<a data-href="/tracking" href="files/f.csv">decoy-attr</a>'
         '<a href="">empty</a>'
         "</body></html>"
     )
@@ -258,8 +259,10 @@ def test_href_extraction_bs4_fidelity(spark, tmp_path) -> None:
     )
     files, errs = expand_link_tasks(tasks)
     assert errs.count() == 0
+    # f.csv, not /tracking: a data-href attribute must not satisfy the
+    # href match (bs4 returns the real href for the same markup)
     assert sorted(r.file_name for r in files.collect()) == [
-        "a.csv", "b.csv", "c.csv", "d.csv", "e.csv"
+        "a.csv", "b.csv", "c.csv", "d.csv", "e.csv", "f.csv"
     ]
 
 
@@ -302,6 +305,18 @@ def test_staging_lifecycle_in_processing_done(spark, tmp_path) -> None:
             boom,
         )
     assert os.listdir(tmp_path / "processing") == ["t3.json"]
+
+    # a later successful round must NOT sweep the crashed leftover into
+    # done/ unprocessed - only its own claim moves
+    (in_dir / "t4.json").write_text("{}")
+    round2 = []
+    process_staged(
+        spark, str(in_dir), str(tmp_path / "processing"), str(tmp_path / "done"),
+        lambda names: round2.extend(names),
+    )
+    assert round2 == ["t4.json"]
+    assert os.listdir(tmp_path / "processing") == ["t3.json"]  # still held
+    assert sorted(os.listdir(tmp_path / "done")) == ["t1.json", "t2.json", "t4.json"]
 
 
 def test_compact_quarantine_preserves_attempt_accumulation(spark, tmp_path) -> None:

@@ -78,10 +78,10 @@ def main() -> int:
         out.append("```")
         out.append("")
     out.insert(
-        6,
+        8,  # after the header sentences and their trailing blank line
         f"All-query scan result: {len(qs)} queries, "
         + (f"red-flagged: {', '.join(n for n, _ in flagged)}" if flagged else "zero red flags.")
-        + "",
+        + "\n",
     )
 
     with open("/root/repo/EXPLAIN.md", "w") as f:
