@@ -208,3 +208,49 @@ def test_ivf_index_prunes_partitions_and_matches_brute_force(spark, tmp_path) ->
     # the probe scan must be partition-pruned to the probed cluster
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_asof_join_randomized_vs_pandas_merge_asof(spark) -> None:
+    """Seeded randomized differential: the union+window as-of join must
+    agree with pandas.merge_asof (direction='backward', inclusive) on
+    every (key, time) draw - including duplicate left times, right-time
+    ties (resolved to the greatest tie_break), and empty keys."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    left_rows = [
+        (f"k{rng.randrange(5)}", datetime(2024, 6, 1 + rng.randrange(20), rng.randrange(24)), i)
+        for i in range(120)
+    ]
+    right_rows = [
+        (f"k{rng.randrange(6)}", datetime(2024, 6, 1 + rng.randrange(20), rng.randrange(24)), i)
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, ["k", "ts", "lid"])
+    right = spark.createDataFrame(right_rows, ["k", "rts", "rid"])
+
+    got = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left, right, on="k", left_time="ts", right_time="rts",
+            right_cols=["rid"], tie_break="rid",
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts", kind="stable")
+    # sort right by (rts, rid): merge_asof backward takes the LAST row
+    # <= ts, which then equals our greatest-tie_break semantics
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "rid"]).sort_values(
+        ["rts", "rid"], kind="stable"
+    )
+    merged = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="k", direction="backward",
+        allow_exact_matches=True,
+    )
+    expected = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == expected
