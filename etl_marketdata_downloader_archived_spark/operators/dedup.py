@@ -479,6 +479,15 @@ def simhash_near_pairs(
             for off, w in zip(offsets, widths)
         ]
     )
+    # persisted DISK_ONLY for the same reason as minhash_dedup_pairs:
+    # both sides of the self-join would otherwise recompute the
+    # signature stage (typically a pandas-UDF bit-voting pass over the
+    # full corpus - measured 5x the whole operator's cost at sf0.1).
+    # Disk, not memory: the return value is a lazy plan, so there is no
+    # release point; signatures are 16 bytes/doc either way.
+    from pyspark import StorageLevel
+
+    sim = sim.persist(StorageLevel.DISK_ONLY)
     keyed = sim.select(
         F.col(id_col),
         F.col("simhash"),
