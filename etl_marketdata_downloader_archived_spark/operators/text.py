@@ -95,6 +95,62 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
+def _ngrams(text: Column | str, n: int) -> Column:
+    """ALL word n-grams (non-distinct, order-preserving) via the
+    slice/zip_with chain - same formulation as dedup.word_shingles but
+    without the final array_distinct, because repetition signals need
+    the multiplicity that dedup deliberately throws away."""
+    words = tokens(_col(text))
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    acc = F.slice(words, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(words, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return acc
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Distinct-token / total-token ratio - the cheapest lexical
+    diversity signal; word-soup and boilerplate score low."""
+    toks = tokens(_col(text))
+    return F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+
+
+def dup_ngram_frac(text: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier
+    occurrence in the same document (the Gopher-style repetition
+    filter signal). 0 = no repeated n-grams, ->1 = the document is one
+    phrase stuttered over and over."""
+    grams = _ngrams(text, n)
+    return (F.size(grams) - F.size(F.array_distinct(grams))).cast(
+        "double"
+    ) / F.greatest(F.size(grams), F.lit(1)).cast("double")
+
+
+def top_token_frac(text: Column | str) -> Column:
+    """Fraction of the document taken by its single most frequent
+    token (Gopher's most-common-word filter). One narrow pass: sort
+    the token array, then a single aggregate fold tracks the longest
+    equal-run - no explode, no shuffle, no per-doc subquery."""
+    toks = tokens(_col(text))
+    sorted_toks = F.array_sort(toks)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(sorted_toks, zero, step, lambda acc: acc["best"])
+    return best.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalized content fingerprint: lowercase, strip non-alnum,
     collapse whitespace, sha256. Stable under formatting noise - the

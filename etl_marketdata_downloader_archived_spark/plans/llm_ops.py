@@ -238,16 +238,32 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(len([t for t in regexp_split_to_array(lower(text), '\\s+')
                            if list_contains(['the','a','an','and','or','of','to','in','is','it'], t)])
                       AS DOUBLE)
-                 / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6) AS sw_ratio
+                 / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6) AS sw_ratio,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS ttr,
+           round(CAST(len([toks[i] || ' ' || toks[i+1]
+                           for i in generate_series(1, len(toks) - 1)])
+                      - len(list_distinct([toks[i] || ' ' || toks[i+1]
+                                           for i in generate_series(1, len(toks) - 1)]))
+                      AS DOUBLE)
+                 / greatest(len(toks) - 1, 1), 6) AS dup_bigram_frac,
+           round(CAST((SELECT max(c) FROM (SELECT count(*) AS c
+                                           FROM unnest(m.toks) AS u(t) GROUP BY t))
+                      AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS top_token_frac
     FROM m
     """,
 )
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole per-document text-quality panel in ONE scan: token
     counts (whitespace + BPE-ish regex), mean token length, punctuation
-    ratio, n-gram-heuristic language ID, composite quality score, and
-    stopword density. All pure Catalyst expressions - no Python in the
-    path, one projection, zero shuffles."""
+    ratio, n-gram-heuristic language ID, composite quality score,
+    stopword density, and the Gopher-style repetition/diversity trio
+    (type-token ratio, duplicate-bigram fraction, most-common-token
+    fraction). All pure Catalyst expressions - no Python in the path,
+    one projection, zero shuffles; the repetition stats fold over the
+    in-row token array instead of explode+groupBy, so they stay narrow
+    at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -258,6 +274,9 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.lang_id("text").alias("lang_guess"),
         F.round(X.quality_score("text"), 6).alias("quality"),
         F.round(X.stopword_ratio("text"), 6).alias("sw_ratio"),
+        F.round(X.type_token_ratio("text"), 6).alias("ttr"),
+        F.round(X.dup_ngram_frac("text", 2), 6).alias("dup_bigram_frac"),
+        F.round(X.top_token_frac("text"), 6).alias("top_token_frac"),
     )
 
 

@@ -216,6 +216,35 @@ def test_stopword_ratio(spark) -> None:
     assert abs(got - 0.5) < 1e-12  # 'the', 'and' of 4 tokens
 
 
+def test_repetition_signals_known_answers(spark) -> None:
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # bigrams: ab ba ab ba -> 2 dup of 4
+            (2, "one two three"),  # all distinct
+            (3, "x x x x"),        # one token repeated
+            (4, "solo",),
+        ],
+        ["i", "text"],
+    )
+    got = {
+        r.i: r
+        for r in df.select(
+            "i",
+            X.type_token_ratio("text").alias("ttr"),
+            X.dup_ngram_frac("text", 2).alias("dup2"),
+            X.top_token_frac("text").alias("top"),
+        ).collect()
+    }
+    assert abs(got[1].ttr - 2 / 5) < 1e-12
+    assert abs(got[1].dup2 - 2 / 4) < 1e-12
+    assert abs(got[1].top - 3 / 5) < 1e-12
+    assert got[2].ttr == 1.0 and got[2].dup2 == 0.0
+    assert abs(got[2].top - 1 / 3) < 1e-12
+    assert abs(got[3].ttr - 1 / 4) < 1e-12
+    assert got[3].dup2 == 2 / 3 and got[3].top == 1.0
+    assert got[4].ttr == 1.0 and got[4].dup2 == 0.0 and got[4].top == 1.0
+
+
 # ------------------------------------------------------------ multimodal
 
 
