@@ -186,6 +186,47 @@ def hash_split(
     return (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])).alias("split")
 
 
+def benchmark_ngram_overlap(
+    df,
+    benchmark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+):
+    """Benchmark-contamination screen: for every document, the fraction
+    of its distinct word ``n``-grams that appear anywhere in the
+    ``benchmark`` corpus (the eval-set decontamination check every
+    training-data pipeline runs before tokenization).
+
+    Scale shape: the benchmark index (distinct n-grams of the EVAL
+    sets) is small by construction - eval suites are MBs against a
+    100 TB train corpus - so it is broadcast and the per-doc explode
+    joins map-side; the only shuffle is the per-doc hit-count groupBy.
+    Returns (id_col, bench_overlap) with overlap in [0, 1]."""
+    from .dedup import word_shingles
+
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.size(word_shingles(text_col, n)).alias("_n"),
+        F.explode_outer(word_shingles(text_col, n)).alias("_g"),
+    )
+    return (
+        ex.join(F.broadcast(bench_grams), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.count("_hit").cast("double")
+                / F.greatest(F.max("_n"), F.lit(1)).cast("double")
+            ).alias("bench_overlap")
+        )
+    )
+
+
 def clean_corpus(
     df,
     id_col: str = "doc_id",
@@ -193,12 +234,21 @@ def clean_corpus(
     min_quality: float = 0.5,
     languages: tuple[str, ...] = ("en",),
     max_stopword_ratio: float = 0.9,
+    benchmark=None,
+    max_benchmark_overlap: float = 0.5,
+    decontam_ngram: int = 5,
 ):
     """The composed training-data pre-filter: language gate + quality
-    gate + stopword sanity + exact-dedup to one representative per
-    normalized fingerprint. All narrow maps except the final
-    per-fingerprint min (one shuffle on the 64-char hash). Returns the
-    surviving rows of ``df`` unchanged plus the computed signals."""
+    gate + stopword sanity + (optional) benchmark decontamination +
+    exact-dedup to one representative per normalized fingerprint. All
+    narrow maps except the decontamination hit-count and the final
+    per-fingerprint min. Returns the surviving rows of ``df`` unchanged
+    plus the computed signals.
+
+    Stage order is cost-ordered for the 100 TB case: the narrow gates
+    cut volume first, the broadcast-join decontamination runs on the
+    survivors only, and the fingerprint shuffle sees the smallest
+    possible row set last."""
     from pyspark.sql import Window as W
 
     scored = df.withColumn("_lang", lang_id(text_col)).withColumn(
@@ -212,6 +262,14 @@ def clean_corpus(
         & (F.round("_quality", 6) >= min_quality)
         & (F.round("_sw", 6) <= max_stopword_ratio)
     )
+    if benchmark is not None:
+        overlap = benchmark_ngram_overlap(
+            gated, benchmark, id_col=id_col, text_col=text_col, n=decontam_ngram
+        )
+        gated = gated.join(overlap, id_col, "left").filter(
+            F.round(F.coalesce("bench_overlap", F.lit(0.0)), 6)
+            < max_benchmark_overlap
+        )
     w = W.partitionBy("_fp")
     return (
         gated.withColumn("_keep", F.min(id_col).over(w))

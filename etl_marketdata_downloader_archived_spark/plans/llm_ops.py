@@ -305,32 +305,64 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / greatest(len(regexp_split_to_array(text, '\\s+')), 1), 6) AS sw_ratio,
                sha256(trim(regexp_replace(
                    regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                   '\\s+', ' ', 'g'))) AS fp
-        FROM documents
+                   '\\s+', ' ', 'g'))) AS fp,
+               list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]
+                              for i in generate_series(1, len(toks) - 4)]) AS grams
+        FROM (SELECT *, regexp_split_to_array(text, '\\s+') AS toks
+              FROM documents WHERE source <> 'src0')
+    ), bench AS (
+        SELECT DISTINCT unnest(list_distinct(
+            [toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]
+             for i in generate_series(1, len(toks) - 4)])) AS bg
+        FROM (SELECT regexp_split_to_array(text, '\\s+') AS toks
+              FROM documents WHERE source = 'src0')
     ), gated AS (
         SELECT * FROM m
         WHERE lang_guess = 'en' AND quality >= 0.5 AND sw_ratio <= 0.9
+    ), hits AS (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS g FROM gated)
+        WHERE g IN (SELECT bg FROM bench)
+        GROUP BY doc_id
+    ), dec AS (
+        SELECT gated.*,
+               round(CAST(coalesce(c, 0) AS DOUBLE)
+                     / greatest(len(grams), 1), 6) AS bench_overlap
+        FROM gated LEFT JOIN hits USING (doc_id)
     )
-    SELECT doc_id, lang_guess, quality, sw_ratio, fp
-    FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep FROM gated)
+    SELECT doc_id, lang_guess, quality, sw_ratio, fp, bench_overlap
+    FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep
+          FROM dec WHERE bench_overlap < 0.5)
     WHERE doc_id = keep
     """,
 )
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pre-filter (operators.text.clean_corpus):
-    language gate + quality gate + stopword sanity + one representative
-    per normalized fingerprint - all narrow maps plus ONE shuffle (the
-    per-fingerprint min). This is the pipeline a 100 TB corpus actually
-    runs before tokenization; thresholds compare 6dp-rounded scores so
-    the gates are engine-stable at boundaries."""
+    language gate + quality gate + stopword sanity + benchmark
+    decontamination (5-gram overlap vs the held-out 'src0' eval source,
+    broadcast-joined) + one representative per normalized fingerprint.
+    Narrow maps plus two shuffles (decontam hit-count, per-fingerprint
+    min). This is the pipeline a 100 TB corpus actually runs before
+    tokenization; thresholds compare 6dp-rounded scores so the gates
+    are engine-stable at boundaries."""
     d = load_table(spark, sf_dir, "documents")
-    out = X.clean_corpus(d, min_quality=0.5, languages=("en",), max_stopword_ratio=0.9)
+    train = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    out = X.clean_corpus(
+        train,
+        min_quality=0.5,
+        languages=("en",),
+        max_stopword_ratio=0.9,
+        benchmark=bench,
+        max_benchmark_overlap=0.5,
+    )
     return out.select(
         "doc_id",
         "lang_guess",
         F.round("quality", 6).alias("quality"),
         F.round("sw_ratio", 6).alias("sw_ratio"),
         "fp",
+        F.round("bench_overlap", 6).alias("bench_overlap"),
     )
 
 

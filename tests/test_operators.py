@@ -405,6 +405,36 @@ def test_clean_corpus_gates_and_dedups(spark) -> None:
     assert row.lang_guess == "en" and row.quality >= 0.5 and row.fp is not None
 
 
+def test_benchmark_overlap_and_decontamination(spark) -> None:
+    """benchmark_ngram_overlap: exact overlap fractions, and
+    clean_corpus drops only the contaminated doc when a benchmark is
+    supplied."""
+    eval_text = ("the quick brown fox jumps over the lazy dog near the "
+                 "river bank every single day")
+    clean_text = ("many other useful english words fill the page with "
+                  "plenty of variety and nothing shared with the tests")
+    rows = [
+        (1, eval_text + " plus a tail"),  # near-total 5-gram overlap
+        (2, clean_text),                  # no overlap
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(0, eval_text)], ["doc_id", "text"])
+    ov = {
+        r.doc_id: r.bench_overlap
+        for r in X.benchmark_ngram_overlap(df, bench, "doc_id", "text", n=5).collect()
+    }
+    # doc 1: 19 tokens -> 15 distinct 5-grams, of which the first 12
+    # are inside eval_text (the last 3 cross into the appended tail)
+    assert abs(ov[1] - 12 / 15) < 1e-12
+    assert ov[2] == 0.0
+    kept = X.clean_corpus(
+        df, min_quality=0.0, languages=("en",), benchmark=bench,
+        max_benchmark_overlap=0.5,
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [2]
+    assert kept.collect()[0].bench_overlap == 0.0
+
+
 def test_compact_lake_rewrites_to_current_state(spark, tmp_path) -> None:
     from datetime import datetime
 
