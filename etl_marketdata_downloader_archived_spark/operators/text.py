@@ -186,6 +186,41 @@ def hash_split(
     return (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])).alias("split")
 
 
+# PII patterns, ordered most-specific first so e.g. an email is
+# redacted as EMAIL before its digit runs could match anything else.
+# Java regex (Catalyst regexp_replace is JVM-side); kept to portable
+# constructs (classes, quantifiers, alternation - no lookbehind).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("CARD", r"\b(?:\d[ -]?){13,16}\d\b"),
+    ("PHONE", r"(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3,4}[ .-]\d{3,4}\b"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub contact/identifier PII from a text column: emails, IPv4
+    addresses, card-length digit runs, and phone-shaped numbers each
+    become a typed placeholder (``<EMAIL>`` etc). One narrow
+    regexp_replace chain, JVM-side - the corpus-prep scrub that runs
+    before any text leaves the lake."""
+    c = _col(text)
+    for tag, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"<{tag}>")
+    return c
+
+
+def pii_count(text: Column | str) -> Column:
+    """Number of PII matches that redact_pii would replace - the audit
+    metric logged per batch so scrub regressions are visible."""
+    c = _col(text)
+    total = F.lit(0)
+    for tag, pat in PII_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, f"<{tag}>")
+    return total
+
+
 def benchmark_ngram_overlap(
     df,
     benchmark,

@@ -405,6 +405,26 @@ def test_clean_corpus_gates_and_dedups(spark) -> None:
     assert row.lang_guess == "en" and row.quality >= 0.5 and row.fp is not None
 
 
+def test_pii_redaction(spark) -> None:
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or call 555-867-5309 now"),
+        (2, "server at 192.168.0.1 charged card 4111 1111 1111 1111 ok"),
+        (3, "no pii here at all just words"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r.i: (r.red, r.n)
+        for r in df.select(
+            "i",
+            X.redact_pii("text").alias("red"),
+            X.pii_count("text").alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("contact <EMAIL> or call <PHONE> now", 2)
+    assert got[2] == ("server at <IP> charged card <CARD> ok", 2)
+    assert got[3] == ("no pii here at all just words", 0)
+
+
 def test_benchmark_overlap_and_decontamination(spark) -> None:
     """benchmark_ngram_overlap: exact overlap fractions, and
     clean_corpus drops only the contaminated doc when a benchmark is
