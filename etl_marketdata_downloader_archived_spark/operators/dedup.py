@@ -55,6 +55,54 @@ def exact_dedup(
     )
 
 
+def line_dedup(
+    df: DataFrame, id_col: str, text_col: str, keep_empty: bool = False
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup (the C4-style boilerplate
+    scrub): every distinct normalized line keeps only its FIRST
+    occurrence - (min doc, min position) across the whole corpus - and
+    each document is reassembled from its surviving lines in original
+    order. Documents whose lines are all boilerplate disappear.
+
+    Scale shape: winners come from groupBy(line_hash).min(struct) -
+    partial aggregation collapses hyper-common boilerplate lines
+    MAP-SIDE, so a line occurring a billion times ships one row per
+    input partition instead of a billion rows to one reducer (the skew
+    trap a window over the hash would hit, since windows get no AQE
+    skew splitting). One shuffle for the winners, one equi-join back
+    on the hash, one groupBy to reassemble.
+
+    Returns (id_col, text_col) with the deduped text.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(text_col, "\n")).alias("_pos", "_line")
+    )
+    if not keep_empty:
+        lines = lines.filter(F.trim("_line") != "")
+    keyed = lines.withColumn("_k", F.sha2(F.lower(F.trim("_line")), 256))
+    winners = keyed.groupBy("_k").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))).alias("_w")
+    )
+    survivors = (
+        keyed.join(winners, "_k")
+        .filter((F.col(id_col) == F.col("_w.d")) & (F.col("_pos") == F.col("_w.p")))
+    )
+    return (
+        survivors.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos").alias("p"), F.col("_line").alias("l")))
+            ).alias("_ordered")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n", F.transform("_ordered", lambda s: s["l"])
+            ).alias(text_col),
+        )
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (pure Catalyst,
     no UDF): zip_with over n shifted slices of the token array, folded

@@ -405,6 +405,23 @@ def test_clean_corpus_gates_and_dedups(spark) -> None:
     assert row.lang_guess == "en" and row.quality >= 0.5 and row.fp is not None
 
 
+def test_line_dedup_keeps_first_occurrence(spark) -> None:
+    """Corpus-wide line dedup: boilerplate lines survive only in the
+    (min doc, min position) slot; docs reassemble in original order;
+    all-boilerplate docs vanish."""
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha unique one\n{footer}\nbeta unique two"),
+        (2, f"{footer}\ngamma unique three\n{footer.upper()}"),  # case-normalized dup
+        (3, footer),                                             # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.text for r in D.line_dedup(df, "doc_id", "text").collect()}
+    assert got[1] == f"alpha unique one\n{footer}\nbeta unique two"
+    assert got[2] == "gamma unique three"
+    assert 3 not in got
+
+
 def test_pii_redaction(spark) -> None:
     rows = [
         (1, "contact bob.smith+x@example.co.uk or call 555-867-5309 now"),
