@@ -10,13 +10,20 @@ The reference's streaming machinery (SURVEY.md section 2A):
 - cross-batch dedup TODO (A27) -> dropDuplicatesWithinWatermark
 """
 
-from .windows import session_agg, sliding_agg, tumbling_agg, watermarked_dedup
+from .windows import (
+    interval_join,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+    watermarked_dedup,
+)
 from .file_source import file_task_stream, start_lake_sink
 
 __all__ = [
     "tumbling_agg",
     "sliding_agg",
     "session_agg",
+    "interval_join",
     "watermarked_dedup",
     "file_task_stream",
     "start_lake_sink",

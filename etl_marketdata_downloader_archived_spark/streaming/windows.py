@@ -59,6 +59,43 @@ def session_agg(
     ).agg(*aggs)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi+interval join: rows pair when their keys
+    match AND ``right_ts`` falls in ``[left_ts - lower, left_ts +
+    upper]``. Both sides carry the same watermark, which combined with
+    the two-sided time bound lets Spark expire buffered state - the
+    requirement for an unbounded stream-stream join to run with finite
+    memory. Works identically on batch frames (unified semantics),
+    which is how the differential oracle can check it.
+
+    At scale: state per key is bounded by (watermark + interval) worth
+    of rows on each side; the join hash-partitions both streams on the
+    equi keys, so throughput scales with executors unless one key is
+    hyper-hot (same salting remedy as any keyed join)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = eq if cond is None else cond & eq
+    band = F.col(f"r.{right_ts}").between(
+        F.expr(f"l.{left_ts} - INTERVAL {lower}"),
+        F.expr(f"l.{left_ts} + INTERVAL {upper}"),
+    )
+    cond = band if cond is None else cond & band
+    return l.join(r, cond, how)
+
+
 def watermarked_dedup(
     df: DataFrame, ts_col: str, key_cols: list[str], watermark: str
 ) -> DataFrame:

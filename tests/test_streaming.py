@@ -124,6 +124,76 @@ def test_session_window_batch_semantics(spark) -> None:
     assert per_user == [(1, 1), (1, 2), (2, 1)]
 
 
+def test_stream_stream_interval_join(spark, tmp_path) -> None:
+    """Two live file streams, equi+interval joined: each click pairs
+    with views of the same user within [-1m, +5m]; the streamed result
+    matches the identical batch-mode join (unified semantics)."""
+    from etl_marketdata_downloader_archived_spark.streaming import interval_join
+
+    views = [
+        {"user_id": 1, "ts": "2024-06-01 12:00:00", "v": 1.0},
+        {"user_id": 1, "ts": "2024-06-01 12:04:00", "v": 2.0},
+        {"user_id": 1, "ts": "2024-06-01 12:30:00", "v": 3.0},  # outside band
+        {"user_id": 2, "ts": "2024-06-01 12:00:30", "v": 4.0},  # other user
+    ]
+    clicks = [
+        {"user_id": 1, "ts": "2024-06-01 12:01:00", "v": 10.0},
+    ]
+
+    def mk_stream(name, rows):
+        src = tmp_path / name
+        src.mkdir()
+        (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+        return (
+            spark.readStream.format("text").load(str(src))
+            .select(F.from_json("value", "user_id LONG, ts TIMESTAMP, v DOUBLE").alias("j"))
+            .select("j.*")
+        )
+
+    joined = interval_join(
+        mk_stream("clicks", clicks),
+        mk_stream("views", views),
+        ["user_id"],
+        "ts",
+        "ts",
+        "1 minute",
+        "5 minutes",
+        watermark="1 hour",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.ts").alias("view_ts"),
+        F.col("r.v").alias("view_v"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, float(r.view_v)) for r in spark.sql("select * from ssj_out").collect()}
+    assert got == {(1, 1.0), (1, 2.0)}
+
+    # identical call on batch frames gives the same pairs
+    bv = spark.createDataFrame(
+        [(r["user_id"], datetime.fromisoformat(r["ts"]), r["v"]) for r in views],
+        ["user_id", "ts", "v"],
+    )
+    bc = spark.createDataFrame(
+        [(r["user_id"], datetime.fromisoformat(r["ts"]), r["v"]) for r in clicks],
+        ["user_id", "ts", "v"],
+    )
+    batch = interval_join(bc, bv, ["user_id"], "ts", "ts", "1 minute", "5 minutes", "1 hour")
+    bgot = {
+        (r.user_id, float(r.view_v))
+        for r in batch.select(
+            F.col("l.user_id").alias("user_id"), F.col("r.v").alias("view_v")
+        ).collect()
+    }
+    assert bgot == got
+
+
 def test_watermark_drops_late_rows(spark, tmp_path) -> None:
     """Two checkpointed runs: run 1 advances the watermark to 13:50;
     run 2's input is entirely behind it and must be dropped (update
