@@ -262,6 +262,62 @@ def benchmark_ngram_overlap(
     )
 
 
+def weighted_stratum_sample(
+    df,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    seed: int = 42,
+    default_rate: float = 0.0,
+):
+    """Deterministic per-stratum downsampling - the data-mixing step
+    that reweights sources toward a target corpus composition. A row
+    survives iff ``xxhash64(seed, id) mod 1e6 < rate(stratum) * 1e6``,
+    so membership is a pure function of (seed, id): stable across
+    runs, partitionings, and corpus growth (``df.sample`` is none of
+    those). Strata absent from ``rates`` get ``default_rate``.
+
+    The rates table is stratum-cardinality (tiny), shipped as a
+    broadcast join; the filter itself is a narrow map, so the operator
+    costs one scan at any corpus size."""
+    for name, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    spark = df.sparkSession
+    rate_rows = [(k, float(v)) for k, v in rates.items()]
+    rtab = spark.createDataFrame(rate_rows, [stratum_col, "_rate"])
+    slot = F.pmod(F.xxhash64(F.lit(seed), _col(id_col)), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(rtab), stratum_col, "left")
+        .filter(slot < (F.coalesce("_rate", F.lit(default_rate)) * 1_000_000))
+        .drop("_rate")
+    )
+
+
+def mix_rates(
+    counts: dict[str, int], target_mix: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep-rates that move an observed composition toward
+    ``target_mix`` (fractions summing to 1) WITHOUT upsampling: the
+    largest feasible corpus honoring the mix is found by scaling until
+    the tightest stratum caps out, then rates = wanted / have. Driver-
+    side arithmetic over stratum-cardinality dicts (the counts come
+    from one groupBy.count collect)."""
+    total_target = sum(target_mix.values())
+    if abs(total_target - 1.0) > 1e-9:
+        raise ValueError(f"target_mix must sum to 1.0, got {total_target}")
+    missing = [s for s in target_mix if counts.get(s, 0) == 0 and target_mix[s] > 0]
+    if missing:
+        raise ValueError(f"target_mix wants strata with zero rows: {missing}")
+    # max corpus size N with wanted_s = mix_s * N <= have_s for all s
+    n = min(counts[s] / m for s, m in target_mix.items() if m > 0)
+    return {
+        s: (m * n) / counts[s] if m > 0 else 0.0 for s, m in target_mix.items()
+    }
+
+
 def clean_corpus(
     df,
     id_col: str = "doc_id",

@@ -405,6 +405,34 @@ def test_clean_corpus_gates_and_dedups(spark) -> None:
     assert row.lang_guess == "en" and row.quality >= 0.5 and row.fp is not None
 
 
+def test_weighted_stratum_sample_and_mix_rates(spark) -> None:
+    """Data-mixing: mix_rates finds the largest no-upsampling corpus
+    honoring the target mix; weighted_stratum_sample lands near the
+    requested rates and is deterministic under repartitioning."""
+    rates = X.mix_rates({"web": 8000, "code": 1000}, {"web": 0.5, "code": 0.5})
+    # code is the tight stratum: N = 1000/0.5 = 2000 -> web keeps 1/8
+    assert abs(rates["web"] - 0.125) < 1e-12 and rates["code"] == 1.0
+
+    df = spark.range(0, 9000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 8000, "web").otherwise("code").alias("source"),
+    )
+    kept = X.weighted_stratum_sample(df, "doc_id", "source", rates)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["code"] == 1000
+    assert abs(counts["web"] / 8000 - 0.125) < 0.02
+    # deterministic membership regardless of partitioning
+    ids = sorted(r.doc_id for r in kept.collect())
+    again = sorted(
+        r.doc_id
+        for r in X.weighted_stratum_sample(df.repartition(13), "doc_id", "source", rates).collect()
+    )
+    assert ids == again
+    # unknown strata drop by default
+    extra = spark.createDataFrame([(99_999, "mystery")], ["doc_id", "source"])
+    assert X.weighted_stratum_sample(extra, "doc_id", "source", rates).count() == 0
+
+
 def test_line_dedup_keeps_first_occurrence(spark) -> None:
     """Corpus-wide line dedup: boilerplate lines survive only in the
     (min doc, min position) slot; docs reassemble in original order;
