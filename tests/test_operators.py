@@ -405,6 +405,32 @@ def test_clean_corpus_gates_and_dedups(spark) -> None:
     assert row.lang_guess == "en" and row.quality >= 0.5 and row.fp is not None
 
 
+def test_pack_sequences_invariants(spark) -> None:
+    """Greedy packing: every doc in exactly one pack, no pack over
+    budget except flagged oversize singletons, token mass conserved."""
+    from etl_marketdata_downloader_archived_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([30, 80, 25, 40, 150, 10, 64, 5])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(2)
+    packs = pack_sequences(df, "doc_id", max_tokens=100, text_col="text").collect()
+
+    all_ids = [d for p in packs for d in p.doc_ids]
+    assert sorted(all_ids) == list(range(8))          # exactly once
+    assert len(set(p.pack_id for p in packs)) == len(packs)
+    for p in packs:
+        assert p.n_docs == len(p.doc_ids)
+        if p.overflow:
+            assert p.n_docs == 1 and p.total_tokens > 100
+        else:
+            assert p.total_tokens <= 100
+    assert sum(p.total_tokens for p in packs) == 30 + 80 + 25 + 40 + 150 + 10 + 64 + 5
+
+    # precomputed-count path agrees
+    pre = df.select("doc_id", X.token_count_ws("text").alias("n_tok"))
+    packs2 = pack_sequences(pre, "doc_id", max_tokens=100, tokens_col="n_tok").collect()
+    assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
+
+
 def test_weighted_stratum_sample_and_mix_rates(spark) -> None:
     """Data-mixing: mix_rates finds the largest no-upsampling corpus
     honoring the target mix; weighted_stratum_sample lands near the
