@@ -405,6 +405,43 @@ def test_clean_corpus_gates_and_dedups(spark) -> None:
     assert row.lang_guess == "en" and row.quality >= 0.5 and row.fp is not None
 
 
+def test_mix_rates_properties() -> None:
+    """Property test (driver-side math, no Spark): rates stay in
+    [0,1], no stratum upsamples, and the sampled composition hits the
+    target mix exactly in expectation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        counts=st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=1, max_value=10**9),
+            min_size=2,
+            max_size=4,
+        ),
+        weights=st.lists(
+            st.floats(min_value=0.01, max_value=1.0), min_size=2, max_size=4
+        ),
+    )
+    def check(counts, weights) -> None:
+        strata = sorted(counts)[: len(weights)]
+        if len(strata) < 2:
+            return
+        total = sum(weights[: len(strata)])
+        mix = {s: w / total for s, w in zip(strata, weights)}
+        rates = X.mix_rates(counts, mix)
+        assert all(0.0 <= r <= 1.0 + 1e-12 for r in rates.values())
+        expected = {s: counts[s] * min(r, 1.0) for s, r in rates.items()}
+        n = sum(expected.values())
+        for s, m in mix.items():
+            assert abs(expected[s] / n - m) < 1e-9
+        # maximality: at least one stratum is kept whole
+        assert any(abs(r - 1.0) < 1e-9 for r in rates.values())
+
+    check()
+
+
 def test_pack_sequences_invariants(spark) -> None:
     """Greedy packing: every doc in exactly one pack, no pack over
     budget except flagged oversize singletons, token mass conserved."""
