@@ -193,6 +193,36 @@ def cosine_pairs_matmul(
     )
 
 
+def embedding_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Semantic near-dup removal: documents whose embeddings sit above
+    ``threshold`` cosine collapse to one representative (min id) per
+    connected component - the embedding-space sibling of MinHash dedup
+    for paraphrase-level duplicates that share no n-grams.
+
+    Composition of the scale paths that already exist: RP-LSH
+    bucketing + per-bucket BLAS verification (never all-pairs) ->
+    connected components over the surviving pairs -> anti-join the
+    non-representatives out of ``docs``. At 100 TB the pair set is
+    output-bound and the anti-join ships only ids."""
+    from .dedup import dedup_keep_representatives
+
+    pairs = lsh_cosine_pairs(
+        embeddings, threshold, num_planes=num_planes,
+        vec_col=vec_col, id_col=vec_id_col,
+    )
+    return dedup_keep_representatives(
+        docs, pairs.select("id_a", "id_b"), doc_id_col
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 16,

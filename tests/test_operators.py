@@ -405,6 +405,27 @@ def test_clean_corpus_gates_and_dedups(spark) -> None:
     assert row.lang_guess == "en" and row.quality >= 0.5 and row.fp is not None
 
 
+def test_embedding_dedup_collapses_paraphrases(spark) -> None:
+    """Semantic dedup: embeddings above the cosine threshold collapse
+    to the min-id representative; distinct embeddings survive."""
+    from etl_marketdata_downloader_archived_spark.operators.similarity import embedding_dedup
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # distinct
+        (4, [0.0, 0.999, 0.001, 0.0]),   # near-dup of 3
+        (5, [0.0, 0.0, 0.0, 1.0]),       # unique
+    ]
+    docs = spark.createDataFrame([(i, f"doc {i}") for i, _ in vecs], ["doc_id", "text"])
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    kept = sorted(
+        r.doc_id
+        for r in embedding_dedup(docs, emb, threshold=0.95).collect()
+    )
+    assert kept == [1, 3, 5]
+
+
 def test_mix_rates_properties() -> None:
     """Property test (driver-side math, no Spark): rates stay in
     [0,1], no stratum upsamples, and the sampled composition hits the
