@@ -245,10 +245,16 @@ def benchmark_ngram_overlap(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    ex = df.select(
-        F.col(id_col),
-        F.size(word_shingles(text_col, n)).alias("_n"),
-        F.explode_outer(word_shingles(text_col, n)).alias("_g"),
+    # _grams/_n are materialized BELOW the explode: putting
+    # size(word_shingles(...)) in the same select as the explode lands
+    # it in the Project ABOVE the Generate, where it re-evaluates the
+    # whole shingle chain once PER EXPLODED GRAM (~n_grams x per doc -
+    # measured 20x on this operator; the round-1 HOF-recompute pitfall
+    # in generator clothing).
+    ex = (
+        df.select(F.col(id_col), word_shingles(text_col, n).alias("_grams"))
+        .withColumn("_n", F.size("_grams"))
+        .select(F.col(id_col), "_n", F.explode_outer("_grams").alias("_g"))
     )
     return (
         ex.join(F.broadcast(bench_grams), "_g", "left")
@@ -342,6 +348,12 @@ def clean_corpus(
     possible row set last."""
     from pyspark.sql import Window as W
 
+    # same parallelism guard as the dedup family (dedup._spread): a
+    # small control run often reads documents as ONE file split, and
+    # the scoring + shingle stages do real per-row work - measured
+    # ~30x at sf0.1 (single split -> one core -> ~50 s; spread -> <2 s).
+    # At lake scale inputs are already multi-split and AQE coalesces.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     scored = df.withColumn("_lang", lang_id(text_col)).withColumn(
         "_quality", quality_score(text_col)
     ).withColumn("_sw", stopword_ratio(text_col)).withColumn("_fp", fingerprint(text_col))
@@ -354,6 +366,15 @@ def clean_corpus(
         & (F.round("_sw", 6) <= max_stopword_ratio)
     )
     if benchmark is not None:
+        # persisted DISK_ONLY (the established two-consumer pattern,
+        # see dedup.minhash_dedup_pairs): the decontam explode and the
+        # overlap join-back would each re-run the gate scoring - four
+        # HOF passes over every document's text - and the gate output
+        # is the SMALLEST row set in the pipeline, so staging it is
+        # strictly cheaper than recomputing it at any corpus size.
+        from pyspark import StorageLevel
+
+        gated = gated.persist(StorageLevel.DISK_ONLY)
         overlap = benchmark_ngram_overlap(
             gated, benchmark, id_col=id_col, text_col=text_col, n=decontam_ngram
         )
