@@ -116,3 +116,52 @@ def pack_sequences(
             )
 
     return counted.mapInPandas(_pack, schema=PACK_SCHEMA)
+
+
+def write_packed_shards(
+    df: DataFrame,
+    packs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Materialize packs as sharded training examples: explode pack
+    membership, join the text payloads back by id (this is the ONLY
+    point where text meets the packing pipeline - one shuffle keyed on
+    doc id), reassemble each pack's texts in pack order, and write
+    parquet partitioned by ``shard = pack_id % num_shards`` so a
+    trainer can open one shard directory per data-loader worker.
+
+    Returns the packed-example DataFrame as written (pack_id, shard,
+    texts, n_docs, total_tokens)."""
+    membership = packs.select(
+        "pack_id",
+        "total_tokens",
+        F.posexplode("doc_ids").alias("_ord", "_doc"),
+    )
+    payloads = df.select(
+        F.col(id_col).cast("long").alias("_doc"), F.col(text_col).alias("_text")
+    )
+    assembled = (
+        membership.join(payloads, "_doc")
+        .groupBy("pack_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_ord"), F.col("_text")))
+                ),
+                lambda s: s["_text"],
+            ).alias("texts"),
+            F.max("total_tokens").alias("total_tokens"),
+        )
+        .select(
+            "pack_id",
+            F.pmod("pack_id", F.lit(num_shards)).cast("int").alias("shard"),
+            "texts",
+            F.size("texts").alias("n_docs"),
+            "total_tokens",
+        )
+    )
+    assembled.write.mode("overwrite").partitionBy("shard").parquet(path)
+    return assembled

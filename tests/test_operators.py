@@ -489,6 +489,35 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_write_packed_shards_roundtrip(spark, tmp_path) -> None:
+    """Packs materialize as sharded parquet with texts in pack order
+    and every document present exactly once."""
+    from etl_marketdata_downloader_archived_spark.operators.packing import (
+        pack_sequences,
+        write_packed_shards,
+    )
+
+    rows = [(i, f"doc{i} " + " ".join(["w"] * (10 + i)))    for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(3)
+    packs = pack_sequences(df, "doc_id", max_tokens=40, text_col="text")
+    out = str(tmp_path / "shards")
+    written = write_packed_shards(df, packs, out, "doc_id", "text", num_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == written.count()
+    docs_seen = sorted(
+        int(t.split(" ", 1)[0][3:])
+        for r in back.collect()
+        for t in r.texts
+    )
+    assert docs_seen == list(range(12))
+    # texts are in pack order: doc ids inside a pack follow doc_ids
+    packs_map = {p.pack_id: list(p.doc_ids) for p in packs.collect()}
+    for r in back.collect():
+        got_ids = [int(t.split(" ", 1)[0][3:]) for t in r.texts]
+        assert got_ids == packs_map[r.pack_id]
+    assert set(r.shard for r in back.collect()) <= set(range(4))
+
+
 def test_weighted_stratum_sample_and_mix_rates(spark) -> None:
     """Data-mixing: mix_rates finds the largest no-upsampling corpus
     honoring the target mix; weighted_stratum_sample lands near the
