@@ -489,6 +489,49 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_prepare_training_corpus_end_to_end(spark, sf_dir) -> None:
+    """The composed pipeline on real test data: every stage narrows
+    the corpus, the split column is complete, packing invariants hold,
+    and the mix moves toward the target."""
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.plans.corpus_pipeline import (
+        prepare_training_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train_docs = d.filter(F.col("source") != "src0")
+    srcs = [r.source for r in train_docs.select("source").distinct().collect()]
+    mix = {s: 1.0 / len(srcs) for s in srcs}
+    out = prepare_training_corpus(
+        train_docs,
+        benchmark=bench,
+        target_mix=mix,
+        max_tokens=256,
+        jaccard_threshold=0.3,
+    )
+    corpus = out["corpus"].cache()
+    n_in = train_docs.count()
+    n_out = corpus.count()
+    assert 0 < n_out < n_in
+    assert set(r.split for r in corpus.select("split").distinct().collect()) <= {
+        "train", "val", "test",
+    }
+    # equal target mix -> per-source counts near the common mean
+    # (hash-Bernoulli sampling leaves binomial jitter: allow ~3 sigma
+    # around the mean at these tiny per-stratum counts)
+    per_src = [r.n for r in corpus.groupBy("source").agg(F.count("*").alias("n")).collect()]
+    mean = sum(per_src) / len(per_src)
+    tol = max(4.0, 3.0 * mean**0.5)
+    assert all(abs(n - mean) <= tol for n in per_src)
+    packs = out["packs"].cache()
+    pk = packs.collect()
+    n_train = corpus.filter(F.col("split") == "train").count()
+    assert sum(p.n_docs for p in pk) == n_train
+    assert all(p.total_tokens <= 256 or p.overflow for p in pk)
+    corpus.unpersist(); packs.unpersist()
+
+
 def test_write_packed_shards_roundtrip(spark, tmp_path) -> None:
     """Packs materialize as sharded parquet with texts in pack order
     and every document present exactly once."""
