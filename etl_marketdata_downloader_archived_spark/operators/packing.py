@@ -67,43 +67,15 @@ def pack_sequences(
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        base = pid << 40
-        # open bins: first-fit over arrival order, bounded bin count
-        # (bins close as soon as no remaining doc could fit - here we
-        # keep it simpler: first-fit over at most 64 open bins, then
-        # the fullest closes; waste stays bounded and behavior is
-        # deterministic for a fixed row order)
-        open_bins: list[tuple[int, list[int], int]] = []  # (pack_local, ids, used)
-        done: list[tuple[int, list[int], int, bool]] = []
-        next_local = 0
-
-        def close(i: int) -> None:
-            lb, ids, used = open_bins.pop(i)
-            done.append((lb, ids, used, False))
-
-        for pdf in batches:
-            for doc, n in zip(pdf["_id"].to_numpy(), pdf["_n"].to_numpy()):
-                n = int(n)
-                if n > max_tokens:
-                    done.append((next_local, [int(doc)], n, True))
-                    next_local += 1
-                    continue
-                for i, (lb, ids, used) in enumerate(open_bins):
-                    if used + n <= max_tokens:
-                        ids.append(int(doc))
-                        open_bins[i] = (lb, ids, used + n)
-                        break
-                else:
-                    open_bins.append((next_local, [int(doc)], n))
-                    next_local += 1
-                    if len(open_bins) > 64:
-                        fullest = max(
-                            range(len(open_bins)), key=lambda j: open_bins[j][2]
-                        )
-                        close(fullest)
-        while open_bins:
-            close(0)
+        base = TaskContext.get().partitionId() << 40
+        done = first_fit_pack(
+            (
+                (int(doc), int(n))
+                for pdf in batches
+                for doc, n in zip(pdf["_id"].to_numpy(), pdf["_n"].to_numpy())
+            ),
+            max_tokens,
+        )
         if done:
             yield pd.DataFrame(
                 {
@@ -116,6 +88,46 @@ def pack_sequences(
             )
 
     return counted.mapInPandas(_pack, schema=PACK_SCHEMA)
+
+
+def first_fit_pack(
+    items, max_tokens: int, max_open_bins: int = 64
+) -> list[tuple[int, list[int], int, bool]]:
+    """The driver-free packing core (property-tested without Spark):
+    first-fit over arrival order with a bounded open-bin set - when
+    more than ``max_open_bins`` bins are open the fullest closes, so
+    memory stays O(max_open_bins) however long the partition is and
+    behavior is deterministic for a fixed item order.
+
+    Returns (local_pack_id, doc_ids, total_tokens, overflow) tuples;
+    oversize docs become flagged singleton packs."""
+    open_bins: list[tuple[int, list[int], int]] = []  # (pack_local, ids, used)
+    done: list[tuple[int, list[int], int, bool]] = []
+    next_local = 0
+
+    def close(i: int) -> None:
+        lb, ids, used = open_bins.pop(i)
+        done.append((lb, ids, used, False))
+
+    for doc, n in items:
+        if n > max_tokens:
+            done.append((next_local, [doc], n, True))
+            next_local += 1
+            continue
+        for i, (lb, ids, used) in enumerate(open_bins):
+            if used + n <= max_tokens:
+                ids.append(doc)
+                open_bins[i] = (lb, ids, used + n)
+                break
+        else:
+            open_bins.append((next_local, [doc], n))
+            next_local += 1
+            if len(open_bins) > max_open_bins:
+                fullest = max(range(len(open_bins)), key=lambda j: open_bins[j][2])
+                close(fullest)
+    while open_bins:
+        close(0)
+    return done
 
 
 def write_packed_shards(

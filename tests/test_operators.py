@@ -489,6 +489,37 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_first_fit_pack_properties() -> None:
+    """Property test of the packing core (no Spark): exactly-once
+    membership, budget respected except flagged singletons, token
+    mass conserved, bounded open-bin memory honored."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_marketdata_downloader_archived_spark.operators.packing import first_fit_pack
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=300), max_size=400),
+        budget=st.integers(min_value=1, max_value=200),
+        max_open=st.integers(min_value=1, max_value=8),
+    )
+    def check(sizes, budget, max_open) -> None:
+        items = list(enumerate(sizes))
+        done = first_fit_pack(items, budget, max_open_bins=max_open)
+        packed = sorted(d for _, ids, _, _ in done for d in ids)
+        assert packed == list(range(len(sizes)))
+        assert sum(used for _, _, used, _ in done) == sum(sizes)
+        for _, ids, used, overflow in done:
+            assert used == sum(sizes[d] for d in ids)
+            if overflow:
+                assert len(ids) == 1 and used > budget
+            else:
+                assert used <= budget
+
+    check()
+
+
 def test_prepare_training_corpus_end_to_end(spark, sf_dir) -> None:
     """The composed pipeline on real test data: every stage narrows
     the corpus, the split column is complete, packing invariants hold,
