@@ -74,7 +74,7 @@ def line_dedup(
 
     Returns (id_col, text_col) with the deduped text.
     """
-    lines = df.select(
+    lines = _spread(df).select(
         F.col(id_col), F.posexplode(F.split(text_col, "\n")).alias("_pos", "_line")
     )
     if not keep_empty:
