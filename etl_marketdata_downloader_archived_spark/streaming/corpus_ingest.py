@@ -1,0 +1,106 @@
+"""Streaming corpus ingest: the training-corpus pre-filter running
+incrementally over a document stream.
+
+Every stage of the batch pipeline that is narrow stays IDENTICAL on
+the stream (unified semantics): language/quality/stopword gates,
+benchmark decontamination, fingerprint derivation. The two stages
+that need adapting are exactly the stateful ones:
+
+- exact dedup: the batch per-fingerprint window becomes
+  ``dropDuplicatesWithinWatermark(["fp"])`` - cross-micro-batch
+  suppression with state that ages out past the watermark (the same
+  swap A27 makes for the manifest anti-join).
+- decontamination: the per-doc hit-count groupBy would be a streaming
+  aggregation; instead the (small, static) benchmark gram index is
+  embedded as an array literal and the overlap becomes
+  ``array_intersect`` - a narrow map, streamable in append mode. Eval
+  suites are MBs, so the index rides the task closure the same way a
+  broadcast variable would; for a rare giant index, run the batch
+  pipeline under foreachBatch instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+)
+
+
+def benchmark_gram_index(benchmark: DataFrame, text_col: str = "text", n: int = 5) -> list[str]:
+    """Collect the distinct n-grams of the eval corpus (driver-side,
+    eval-suite sized)."""
+    from ..operators.dedup import word_shingles
+
+    return [
+        r["_g"]
+        for r in benchmark.select(
+            F.explode(word_shingles(text_col, n)).alias("_g")
+        ).distinct().collect()
+    ]
+
+
+def gated_doc_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "arrival_ts",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en",),
+    max_stopword_ratio: float = 0.9,
+    bench_grams: list[str] | None = None,
+    max_benchmark_overlap: float = 0.5,
+    decontam_ngram: int = 5,
+    dedup_watermark: str = "1 hour",
+) -> DataFrame:
+    """Apply the corpus gates + decontamination + cross-batch exact
+    dedup to a streaming (or batch) document frame carrying an event
+    timestamp column ``ts_col``."""
+    from ..operators.dedup import word_shingles
+
+    scored = (
+        docs.withColumn("lang_guess", lang_id(text_col))
+        .withColumn("quality", F.round(quality_score(text_col), 6))
+        .withColumn("sw_ratio", F.round(stopword_ratio(text_col), 6))
+        .withColumn("fp", fingerprint(text_col))
+    )
+    gated = scored.filter(
+        F.col("lang_guess").isin(*languages)
+        & (F.col("quality") >= min_quality)
+        & (F.col("sw_ratio") <= max_stopword_ratio)
+    )
+    if bench_grams is not None:
+        grams = word_shingles(text_col, decontam_ngram)
+        overlap = F.size(F.array_intersect(grams, F.lit(bench_grams))).cast(
+            "double"
+        ) / F.greatest(F.size(grams), F.lit(1)).cast("double")
+        gated = gated.withColumn("bench_overlap", F.round(overlap, 6)).filter(
+            F.col("bench_overlap") < max_benchmark_overlap
+        )
+    return gated.withWatermark(ts_col, dedup_watermark).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )
+
+
+def start_corpus_ingest(
+    docs: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    **gate_kwargs,
+) -> StreamingQuery:
+    """Land the gated stream in the corpus lake, checkpoint-as-ack;
+    available-now friendly (run-to-completion in tests/backfills)."""
+    gated = gated_doc_stream(docs, **gate_kwargs)
+    return (
+        gated.writeStream.format("parquet")
+        .option("path", corpus_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -275,6 +275,57 @@ def test_watermarked_dedup_cross_batch(spark, tmp_path) -> None:
     assert names == ["a.csv", "b.csv"]  # duplicate suppressed across batches
 
 
+def test_streaming_corpus_ingest(spark, tmp_path) -> None:
+    """The corpus pre-filter on a live stream: quality/language gates
+    and decontamination drop bad docs in-batch; the fingerprint dedup
+    suppresses a reformatted duplicate arriving in a LATER micro-batch;
+    survivors land in the corpus lake exactly once."""
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        benchmark_gram_index,
+        start_corpus_ingest,
+    )
+
+    eval_text = ("the quick brown fox jumps over the lazy dog near the "
+                 "river bank every single day")
+    good = ("the pipeline keeps many useful english words with plenty of "
+            "variety so the quality gate and the language gate both pass "
+            "without any trouble at all today")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": good, "arrival_ts": "2024-06-01 12:00:00"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "x!! y?? !!!", "arrival_ts": "2024-06-01 12:00:01"})
+        + "\n"
+        + json.dumps({"doc_id": 3, "text": eval_text + " the end", "arrival_ts": "2024-06-01 12:00:02"})
+    )
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 4, "text": good.upper() + "!", "arrival_ts": "2024-06-01 12:05:00"})
+        + "\n"
+        + json.dumps({"doc_id": 5, "text": good + " fresh tail of new words", "arrival_ts": "2024-06-01 12:05:01"})
+    )
+    bench = spark.createDataFrame([(0, eval_text)], ["doc_id", "text"])
+    grams = benchmark_gram_index(bench)
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(str(src))
+    docs = raw.select(
+        F.from_json("value", "doc_id LONG, text STRING, arrival_ts TIMESTAMP").alias("j")
+    ).select("j.*")
+    q = start_corpus_ingest(
+        docs,
+        corpus_dir=str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bench_grams=grams,
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(str(tmp_path / "corpus"))
+    ids = sorted(r.doc_id for r in landed.collect())
+    # 1 survives; 2 junk; 3 contaminated; 4 is 1 reformatted (same
+    # fingerprint, later batch) -> suppressed; 5 genuinely new
+    assert ids == [1, 5]
+    assert all(r.bench_overlap < 0.5 for r in landed.collect())
+
+
 def test_file_source_archives_consumed_inputs(spark, tmp_path) -> None:
     """A30 staging lifecycle: consumed task files move out of in/ to
     the archive dir (in -> done), so re-listing in/ stays cheap."""
