@@ -18,6 +18,11 @@ from .windows import (
     watermarked_dedup,
 )
 from .file_source import file_task_stream, start_lake_sink
+from .corpus_ingest import (
+    benchmark_gram_index,
+    gated_doc_stream,
+    start_corpus_ingest,
+)
 
 __all__ = [
     "tumbling_agg",
@@ -27,4 +32,7 @@ __all__ = [
     "watermarked_dedup",
     "file_task_stream",
     "start_lake_sink",
+    "benchmark_gram_index",
+    "gated_doc_stream",
+    "start_corpus_ingest",
 ]
