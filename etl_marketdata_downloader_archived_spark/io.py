@@ -101,6 +101,34 @@ def write_lake(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_lake_audited(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("source_type",),
+    mode: str = "append",
+    metrics: dict[str, "Column"] | None = None,
+) -> dict:
+    """write_lake plus an audit panel captured IN THE SAME JOB via the
+    Observation API: row count and any caller metrics (null counts,
+    PII hits, quality means) are accumulated task-side while rows
+    stream to parquet - zero extra scans, exactly the rows written.
+    Returns the observed metrics dict.
+
+    The observability counterpart of the reference's per-put logging
+    (data-downloader/data_downloader.py prints per file); at lake
+    scale a second validation pass over what was just written is a
+    full re-read, so the write is the place to measure."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("write_audit")
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, col in (metrics or {}).items():
+        exprs.append(col.alias(name))
+    df.observe(obs, *exprs).write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return obs.get
+
+
 def latest_per_key(df: DataFrame, keys: list[str], ts_col: str = "fetched_at") -> DataFrame:
     """Current-state view over an append-only log: the newest row per
     key (ts desc, with the file hash as a deterministic tie-break when

@@ -65,6 +65,31 @@ def test_partitioned_lake_write_prunes(spark, tmp_path) -> None:
     )
 
 
+def test_audited_lake_write_observes_in_one_pass(spark, tmp_path) -> None:
+    """write_lake_audited: the audit metrics are exactly the written
+    rows, captured by the write job itself (Observation API)."""
+    from etl_marketdata_downloader_archived_spark.io import write_lake_audited
+
+    df = spark.createDataFrame(
+        [("LINK", "a.csv", 10.0), ("LINK", None, 2.0), ("FTP_FILES", "b.csv", None)],
+        ["source_type", "file_name", "score"],
+    )
+    lake = str(tmp_path / "audited")
+    audit = write_lake_audited(
+        df,
+        lake,
+        metrics={
+            "null_names": F.count_if(F.col("file_name").isNull()),
+            "null_scores": F.count_if(F.col("score").isNull()),
+            "sum_score": F.sum("score"),
+        },
+    )
+    assert audit["n_rows"] == 3
+    assert audit["null_names"] == 1 and audit["null_scores"] == 1
+    assert audit["sum_score"] == 12.0
+    assert spark.read.parquet(lake).count() == 3
+
+
 def test_driver_table_timestamps_are_micros(spark, sf_dir) -> None:
     """events.parquet carries TIMESTAMP(NANOS); load_table must give
     micro TIMESTAMP_NTZ under any session (driver uses a vanilla one;
