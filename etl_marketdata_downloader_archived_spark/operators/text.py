@@ -268,6 +268,42 @@ def benchmark_ngram_overlap(
     )
 
 
+def chunk_text(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+):
+    """Split documents into overlapping fixed-token chunks (the
+    context-window prep for RAG indexing / long-doc training): chunk i
+    covers tokens [i*step, i*step + chunk_tokens) with
+    step = chunk_tokens - overlap. Pure Catalyst - token array,
+    sequence of starts, slice+concat per start, one posexplode; no
+    Python, no shuffle. Returns (id_col, chunk_idx, chunk, n_chunk_tokens).
+
+    The ascending-sequence guard matters: sequence(1, 0) is DESCENDING
+    in Spark, so the stop is clamped to >= 1 (short docs -> exactly one
+    chunk covering the whole text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be smaller than chunk_tokens={chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = tokens(_col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens))
+    )
+    return (
+        df.select(F.col(id_col), chunks.alias("_chunks"))
+        .select(F.col(id_col), F.posexplode("_chunks").alias("chunk_idx", "chunk"))
+        .withColumn("n_chunk_tokens", token_count_ws("chunk"))
+    )
+
+
 def weighted_stratum_sample(
     df,
     id_col: str,

@@ -489,6 +489,30 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_chunk_text_overlap_and_coverage(spark) -> None:
+    """Chunking: full token coverage, correct overlap between
+    neighbors, single chunk for short docs."""
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "tiny doc")], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in X.chunk_text(df, "doc_id", "text", chunk_tokens=4, overlap=2).collect()
+    }
+    # doc 1: starts at tokens 0,2,4,6 (clamped stop), 4 tokens each
+    assert got[(1, 0)] == "w0 w1 w2 w3"
+    assert got[(1, 1)] == "w2 w3 w4 w5"
+    assert got[(1, 2)] == "w4 w5 w6 w7"
+    assert got[(1, 3)] == "w6 w7 w8 w9"
+    assert (1, 4) not in got
+    # every token appears in some chunk
+    covered = {w for c in [v for (d, _), v in got.items() if d == 1] for w in c.split()}
+    assert covered == set(words)
+    # short doc -> one whole-text chunk
+    assert got[(2, 0)] == "tiny doc" and (2, 1) not in got
+
+
 def test_first_fit_pack_properties() -> None:
     """Property test of the packing core (no Spark): exactly-once
     membership, budget respected except flagged singletons, token
