@@ -193,6 +193,53 @@ def cosine_pairs_matmul(
     )
 
 
+def hash_embed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Model-free document embeddings via the feature-hashing trick:
+    each token hashes to a bucket with a sign bit (blake2b, so the
+    embedding is deterministic across runs/engines), the doc vector is
+    the signed bucket histogram, L2-normalized. Token-overlap cosine
+    at a fixed dimension - good enough to drive embedding_dedup /
+    ANN plumbing when no model embedding exists yet.
+
+    Arrow-batched pandas UDF (numpy bincount per batch) - the same
+    'dense vector math stays in numpy' rule as the other kernels."""
+
+    @F.pandas_udf(f"array<double>")
+    def _embed(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        cache: dict[str, tuple[int, float]] = {}
+
+        def slot(tok: str) -> tuple[int, float]:
+            v = cache.get(tok)
+            if v is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                v = (h % dim, 1.0 if (h >> 63) & 1 else -1.0)
+                cache[tok] = v
+            return v
+
+        out = []
+        for t in texts:
+            vec = np.zeros(dim)
+            for tok in (t or "").split():
+                b, s = slot(tok)
+                vec[b] += s
+            n = np.linalg.norm(vec)
+            out.append(vec / n if n > 0 else vec)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _embed(F.col(text_col)).alias("embedding"))
+
+
 def embedding_dedup(
     docs: DataFrame,
     embeddings: DataFrame,

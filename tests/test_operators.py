@@ -405,6 +405,45 @@ def test_clean_corpus_gates_and_dedups(spark) -> None:
     assert row.lang_guess == "en" and row.quality >= 0.5 and row.fp is not None
 
 
+def test_hash_embed_drives_semantic_dedup(spark) -> None:
+    """Feature-hash embeddings: deterministic, near-dup texts score
+    high cosine, disjoint texts low - and they plug straight into
+    embedding_dedup."""
+    from etl_marketdata_downloader_archived_spark.operators.similarity import (
+        cosine,
+        embedding_dedup,
+        hash_embed,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " lambda"),                       # near-dup of 1
+        (3, "one two three four five six seven"),    # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = hash_embed(df, "doc_id", "text").cache()
+    again = {r.doc_id: r.embedding for r in hash_embed(df, "doc_id", "text").collect()}
+    first = {r.doc_id: r.embedding for r in emb.collect()}
+    assert first == again  # deterministic
+
+    a = emb.alias("a").crossJoin(emb.alias("b")).select(
+        F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+    )
+    cos = {(r.ia, r.ib): r.cos for r in a.collect()}
+    assert cos[(1, 2)] > 0.9 > cos[(1, 3)]
+
+    kept = sorted(
+        r.doc_id
+        for r in embedding_dedup(
+            df, emb, threshold=0.9, vec_id_col="doc_id"
+        ).collect()
+    )
+    assert kept == [1, 3]
+    emb.unpersist()
+
+
 def test_embedding_dedup_collapses_paraphrases(spark) -> None:
     """Semantic dedup: embeddings above the cosine threshold collapse
     to the min-id representative; distinct embeddings survive."""
