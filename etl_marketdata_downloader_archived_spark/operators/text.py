@@ -268,6 +268,36 @@ def benchmark_ngram_overlap(
     )
 
 
+def corpus_report(
+    df,
+    stratum_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-source corpus health panel: doc/token volumes and the
+    quality/diversity signal means that drive mixing and gating
+    decisions. One scan + one stratum-cardinality groupBy (map-side
+    partials collapse everything before the shuffle)."""
+    sigs = df.select(
+        F.col(stratum_col).alias("stratum"),
+        token_count_ws(text_col).alias("_nt"),
+        quality_score(text_col).alias("_q"),
+        lang_id(text_col).alias("_lang"),
+        type_token_ratio(text_col).alias("_ttr"),
+        dup_ngram_frac(text_col, 2).alias("_dup2"),
+        stopword_ratio(text_col).alias("_sw"),
+    )
+    return sigs.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.avg("_nt"), 2).alias("avg_tokens"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+        F.round(F.avg((F.col("_lang") == "en").cast("double")), 6).alias("en_share"),
+        F.round(F.avg("_ttr"), 6).alias("avg_ttr"),
+        F.round(F.avg("_dup2"), 6).alias("avg_dup_bigram"),
+        F.round(F.avg("_sw"), 6).alias("avg_stopword"),
+    )
+
+
 def chunk_text(
     df,
     id_col: str,

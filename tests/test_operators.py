@@ -528,6 +528,26 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_corpus_report_per_source(spark, sf_dir) -> None:
+    """Health panel on the real documents table: one row per source,
+    volumes add up, signal means in range."""
+    from etl_marketdata_downloader_archived_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = X.corpus_report(d).cache()
+    rows = rep.collect()
+    assert len(rows) == d.select("source").distinct().count()
+    assert sum(r.n_docs for r in rows) == d.count()
+    total_tokens = d.select(F.sum(X.token_count_ws("text"))).collect()[0][0]
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    for r in rows:
+        assert 0.0 <= r.avg_quality <= 1.0
+        assert 0.0 <= r.en_share <= 1.0
+        assert 0.0 < r.avg_ttr <= 1.0
+        assert 0.0 <= r.avg_dup_bigram <= 1.0
+    rep.unpersist()
+
+
 def test_chunk_text_overlap_and_coverage(spark) -> None:
     """Chunking: full token coverage, correct overlap between
     neighbors, single chunk for short docs."""
