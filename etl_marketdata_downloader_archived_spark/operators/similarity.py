@@ -209,7 +209,7 @@ def hash_embed(
     Arrow-batched pandas UDF (numpy bincount per batch) - the same
     'dense vector math stays in numpy' rule as the other kernels."""
 
-    @F.pandas_udf(f"array<double>")
+    @F.pandas_udf("array<double>")
     def _embed(texts: pd.Series) -> pd.Series:
         import hashlib
 

@@ -357,10 +357,13 @@ def weighted_stratum_sample(
             raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
     if not (0.0 <= default_rate <= 1.0):
         raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    slot = F.pmod(F.xxhash64(F.lit(seed), _col(id_col)), F.lit(1_000_000))
+    if not rates:
+        # no explicit strata: everything samples at default_rate
+        return df.filter(slot < F.lit(default_rate) * 1_000_000)
     spark = df.sparkSession
     rate_rows = [(k, float(v)) for k, v in rates.items()]
     rtab = spark.createDataFrame(rate_rows, [stratum_col, "_rate"])
-    slot = F.pmod(F.xxhash64(F.lit(seed), _col(id_col)), F.lit(1_000_000))
     return (
         df.join(F.broadcast(rtab), stratum_col, "left")
         .filter(slot < (F.coalesce("_rate", F.lit(default_rate)) * 1_000_000))
