@@ -528,6 +528,26 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_corpus_operators_on_empty_input(spark) -> None:
+    """Every corpus operator degrades to an empty (not crashing)
+    result on an empty frame - the shape a filtered-out partition or
+    a cold-start stream hands them."""
+    from etl_marketdata_downloader_archived_spark.operators.packing import pack_sequences
+    from etl_marketdata_downloader_archived_spark.operators.similarity import hash_embed
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert X.clean_corpus(empty).count() == 0
+    bench = spark.createDataFrame([(0, "the benchmark text")], ["doc_id", "text"])
+    assert X.clean_corpus(empty, benchmark=bench).count() == 0
+    assert X.benchmark_ngram_overlap(empty, bench).count() == 0
+    assert X.chunk_text(empty, "doc_id", "text").count() == 0
+    assert X.corpus_report(empty).count() == 0
+    assert X.weighted_stratum_sample(empty, "doc_id", "source", {"a": 0.5}).count() == 0
+    assert pack_sequences(empty, "doc_id", max_tokens=10, text_col="text").count() == 0
+    assert hash_embed(empty, "doc_id", "text").count() == 0
+    assert D.line_dedup(empty, "doc_id", "text").count() == 0
+
+
 def test_corpus_report_per_source(spark, sf_dir) -> None:
     """Health panel on the real documents table: one row per source,
     volumes add up, signal means in range."""

@@ -326,6 +326,40 @@ def test_streaming_corpus_ingest(spark, tmp_path) -> None:
     assert all(r.bench_overlap < 0.5 for r in landed.collect())
 
 
+def test_corpus_ingest_restart_is_idempotent(spark, tmp_path) -> None:
+    """Restarting the ingest against the same checkpoint reprocesses
+    nothing: the consumed source offsets are the ack (A26 semantics on
+    the corpus path)."""
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest,
+    )
+
+    good = ("the pipeline keeps many useful english words with plenty of "
+            "variety so the quality gate and the language gate both pass")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": good, "arrival_ts": "2024-06-01 12:00:00"})
+    )
+
+    def run() -> None:
+        raw = spark.readStream.format("text").load(str(src))
+        docs = raw.select(
+            F.from_json("value", "doc_id LONG, text STRING, arrival_ts TIMESTAMP").alias("j")
+        ).select("j.*")
+        q = start_corpus_ingest(
+            docs,
+            corpus_dir=str(tmp_path / "corpus"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    run()  # same checkpoint, no new files -> no new rows
+    landed = spark.read.parquet(str(tmp_path / "corpus"))
+    assert [r.doc_id for r in landed.collect()] == [1]
+
+
 def test_file_source_archives_consumed_inputs(spark, tmp_path) -> None:
     """A30 staging lifecycle: consumed task files move out of in/ to
     the archive dir (in -> done), so re-listing in/ stays cheap."""
