@@ -171,6 +171,36 @@ def minhash_signatures(
     )
 
 
+def lsh_bands(
+    signatures: DataFrame, id_col: str, bands: int = 8, num_hashes: int | None = None
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows - each signature split into
+    ``bands`` bands, each band xxhash64'd. The shared kernel of
+    in-corpus candidate generation (`lsh_candidate_pairs`) and the
+    persistable incremental store (`band_postings`)."""
+    if num_hashes is not None and (bands > num_hashes or num_hashes % bands):
+        raise ValueError(
+            f"bands={bands} must divide the signature length {num_hashes} "
+            "(a remainder is dropped from every band; bands > length would "
+            "hash empty slices into one all-pairs bucket)"
+        )
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("signature"),
+                        b * (F.size("signature") / bands).cast("int") + 1,
+                        (F.size("signature") / bands).cast("int"),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, bands: int = 8, num_hashes: int | None = None
 ) -> DataFrame:
@@ -186,27 +216,7 @@ def lsh_candidate_pairs(
     bands > num_hashes would make every band slice empty - every doc
     hashing the empty slice into ONE bucket, an O(n^2) blowup.
     """
-    if num_hashes is not None and (bands > num_hashes or num_hashes % bands):
-        raise ValueError(
-            f"bands={bands} must divide the signature length {num_hashes} "
-            "(a remainder is dropped from every band; bands > length would "
-            "hash empty slices into one all-pairs bucket)"
-        )
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        F.col("signature"),
-                        b * (F.size("signature") / bands).cast("int") + 1,
-                        (F.size("signature") / bands).cast("int"),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = lsh_bands(signatures, id_col, bands, num_hashes)
     a = banded.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
@@ -219,6 +229,90 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
+
+
+def band_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(band_idx, band_hash, id) LSH postings for a document set - the
+    persistable SIGNATURE STORE for incremental dedup. Written once
+    per corpus and appended per ingest batch, it replaces recomputing
+    every signature on every batch (the near-dup generalization of the
+    manifest anti-join's role for exact dedup)."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    return lsh_bands(sigs, id_col, bands, num_hashes)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    postings: DataFrame,
+    corpus_texts: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-batch near-dup admission: which of ``new_docs`` are NOT
+    near-duplicates of the existing corpus?
+
+    The batch computes signatures for the NEW documents only and
+    band-joins them against the stored ``postings`` - the corpus-side
+    signatures are never recomputed. Candidates verify with exact
+    n-gram Jaccard against ``corpus_texts`` (only the candidate ids
+    are fetched). Returns (admitted_new_docs, their_postings); the
+    caller appends the postings to the store and the docs to the
+    corpus, completing the loop.
+
+    Scale shape: per batch this costs O(batch) signature work plus a
+    join keyed on (band_idx, band_hash) whose corpus side is the
+    postings table - hash-partitioned, prunable, and far smaller than
+    the corpus text. Intra-batch duplicates are handled by the batch
+    pipeline (minhash_dedup_pairs) before admission."""
+    new_post = band_postings(
+        new_docs, id_col, text_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n,
+    )
+    cands = (
+        new_post.withColumnRenamed(id_col, "_new_id")
+        .join(
+            postings.withColumnRenamed(id_col, "_old_id"),
+            ["band_idx", "band_hash"],
+        )
+        .select("_new_id", "_old_id")
+        .dropDuplicates()
+    )
+    new_sh = new_docs.select(
+        F.col(id_col).alias("_new_id"),
+        word_shingles(text_col, shingle_n).alias("_sh_new"),
+    )
+    old_sh = corpus_texts.select(
+        F.col(id_col).alias("_old_id"),
+        word_shingles(text_col, shingle_n).alias("_sh_old"),
+    )
+    dup_new_ids = (
+        cands.join(new_sh, "_new_id")
+        .join(old_sh, "_old_id")
+        .withColumn(
+            "_j",
+            F.size(F.array_intersect("_sh_new", "_sh_old")).cast("double")
+            / F.greatest(F.size(F.array_union("_sh_new", "_sh_old")), F.lit(1)).cast("double"),
+        )
+        .filter(F.col("_j") >= jaccard_threshold)
+        .select(F.col("_new_id").alias(id_col))
+        .dropDuplicates()
+    )
+    admitted = new_docs.join(dup_new_ids, id_col, "left_anti")
+    admitted_postings = new_post.join(dup_new_ids, id_col, "left_anti")
+    return admitted, admitted_postings
 
 
 def minhash_dedup_pairs(

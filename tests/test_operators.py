@@ -528,6 +528,46 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_incremental_minhash_dedup_admission(spark) -> None:
+    """Incremental near-dup admission: batch 2 is checked against the
+    batch-1 signature store (no corpus-wide recompute); near-dups of
+    existing docs are rejected, novel docs admitted, and appending the
+    returned postings keeps the loop going for batch 3."""
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single day without fail")
+    other = ("completely different words fill this page about spark "
+             "plans shuffles joins and columnar batches")
+    corpus = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "text"])
+    store = D.band_postings(corpus, "doc_id", "text")
+
+    batch2 = spark.createDataFrame(
+        [
+            (10, base + " indeed"),   # near-dup of 1 -> rejected
+            (11, "entirely novel content about training data pipelines "
+                 "and the operators that clean them"),
+        ],
+        ["doc_id", "text"],
+    )
+    admitted, new_post = D.incremental_minhash_dedup(
+        batch2, store, corpus, "doc_id", "text", jaccard_threshold=0.5
+    )
+    assert sorted(r.doc_id for r in admitted.collect()) == [11]
+    assert set(r.doc_id for r in new_post.collect()) == {11}
+
+    # loop: append and screen a batch-3 near-dup of the batch-2 doc
+    store2 = store.unionByName(new_post)
+    corpus2 = corpus.unionByName(admitted)
+    batch3 = spark.createDataFrame(
+        [(20, "entirely novel content about training data pipelines "
+              "and the operators that clean them too")],
+        ["doc_id", "text"],
+    )
+    admitted3, _ = D.incremental_minhash_dedup(
+        batch3, store2, corpus2, "doc_id", "text", jaccard_threshold=0.5
+    )
+    assert admitted3.count() == 0
+
+
 def test_corpus_operators_on_empty_input(spark) -> None:
     """Every corpus operator degrades to an empty (not crashing)
     result on an empty frame - the shape a filtered-out partition or
