@@ -87,6 +87,84 @@ def gated_doc_stream(
     )
 
 
+def start_corpus_ingest_neardup(
+    docs: DataFrame,
+    corpus_dir: str,
+    postings_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en",),
+    max_stopword_ratio: float = 0.9,
+) -> StreamingQuery:
+    """Streaming ingest with NEAR-dup admission against the persistent
+    corpus: per micro-batch, gate the new docs, drop intra-batch
+    near-dups (min-id representative), screen survivors against the
+    LSH posting store (operators.dedup.incremental_minhash_dedup - the
+    corpus is never re-signatured), then append admitted docs to the
+    corpus lake and their postings to the store. foreachBatch because
+    the batch both READS and APPENDS two tables - the sanctioned
+    multi-sink shape, checkpoint-as-ack making replays idempotent at
+    the source level."""
+    from ..operators.dedup import (
+        band_postings,
+        dedup_keep_representatives,
+        incremental_minhash_dedup,
+        minhash_dedup_pairs,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        scored = (
+            batch.withColumn("lang_guess", lang_id(text_col))
+            .withColumn("quality", F.round(quality_score(text_col), 6))
+            .withColumn("sw_ratio", F.round(stopword_ratio(text_col), 6))
+            .withColumn("fp", fingerprint(text_col))
+        )
+        gated = scored.filter(
+            F.col("lang_guess").isin(*languages)
+            & (F.col("quality") >= min_quality)
+            & (F.col("sw_ratio") <= max_stopword_ratio)
+        ).localCheckpoint()
+        if gated.isEmpty():
+            return
+        pairs = minhash_dedup_pairs(
+            gated, id_col, text_col, jaccard_threshold=jaccard_threshold
+        )
+        batch_unique = dedup_keep_representatives(gated, pairs, id_col)
+        try:
+            store = spark.read.parquet(postings_dir)
+            corpus = spark.read.parquet(corpus_dir).select(id_col, text_col)
+        except Exception:
+            store = corpus = None
+        if store is not None:
+            admitted, _ = incremental_minhash_dedup(
+                batch_unique, store, corpus, id_col, text_col,
+                jaccard_threshold=jaccard_threshold,
+            )
+        else:
+            admitted = batch_unique
+        # one deterministic snapshot: admitted feeds both appends (and
+        # the postings re-derivation), and the corpus append must not
+        # be re-evaluated lazily AFTER the store has grown
+        admitted = admitted.localCheckpoint()
+        admitted.write.mode("append").parquet(corpus_dir)
+        band_postings(admitted, id_col, text_col).write.mode("append").parquet(
+            postings_dir
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_corpus_ingest(
     docs: DataFrame,
     corpus_dir: str,

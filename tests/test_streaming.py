@@ -326,6 +326,53 @@ def test_streaming_corpus_ingest(spark, tmp_path) -> None:
     assert all(r.bench_overlap < 0.5 for r in landed.collect())
 
 
+def test_streaming_neardup_ingest(spark, tmp_path) -> None:
+    """Near-dup admission on a live stream: batch 1 seeds corpus and
+    posting store; batch 2's near-dup of a batch-1 doc is rejected via
+    the store (no corpus re-signature), its novel doc admitted, and
+    the store grows so batch 3 rejects a near-dup of batch 2."""
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single day without fail in all weather")
+    novel = ("entirely new english words the gate accepts with plenty of "
+             "variety about the spark operators that clean the corpus")
+    src = tmp_path / "nd_src"
+    src.mkdir()
+
+    def run() -> None:
+        raw = spark.readStream.format("text").load(str(src))
+        docs = raw.select(
+            F.from_json("value", "doc_id LONG, text STRING").alias("j")
+        ).select("j.*")
+        q = start_corpus_ingest_neardup(
+            docs,
+            corpus_dir=str(tmp_path / "nd_corpus"),
+            postings_dir=str(tmp_path / "nd_postings"),
+            checkpoint_dir=str(tmp_path / "nd_ckpt"),
+        )
+        q.awaitTermination(180)
+
+    (src / "b1.json").write_text(json.dumps({"doc_id": 1, "text": base}))
+    run()
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 10, "text": base + " indeed"})
+        + "\n"
+        + json.dumps({"doc_id": 11, "text": novel})
+    )
+    run()
+    (src / "b3.json").write_text(
+        json.dumps({"doc_id": 20, "text": novel + " again"})
+    )
+    run()
+    ids = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "nd_corpus")).collect())
+    assert ids == [1, 11]
+    post_ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "nd_postings")).collect()}
+    assert post_ids == {1, 11}
+
+
 def test_corpus_ingest_restart_is_idempotent(spark, tmp_path) -> None:
     """Restarting the ingest against the same checkpoint reprocesses
     nothing: the consumed source offsets are the ack (A26 semantics on
