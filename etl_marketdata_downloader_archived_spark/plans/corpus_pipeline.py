@@ -93,3 +93,35 @@ def prepare_training_corpus(
     train = corpus.filter(F.col("split") == "train")
     packs = pack_sequences(train, id_col, max_tokens=max_tokens, text_col=text_col)
     return {"corpus": corpus, "packs": packs}
+
+
+def build_retrieval_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    embed_dim: int = 64,
+    ivf_k: int = 16,
+    seed: int = 7,
+) -> None:
+    """The retrieval side of the corpus: overlapping context-window
+    chunks -> feature-hash embeddings -> IVF index partitioned by
+    cluster. A query then probes nprobe/k of the files
+    (operators.similarity.ivf_search_indexed; PartitionFilters do the
+    data skipping). Chunk ids pack (doc_id, chunk_idx) reversibly so a
+    hit maps back to its source span: chunk_id = doc_id * 2^20 +
+    chunk_idx (2^20 chunks/doc is ~270M tokens - beyond any document).
+    """
+    from ..operators.similarity import hash_embed, ivf_build_index
+    from ..operators.text import chunk_text
+
+    chunks = chunk_text(
+        docs, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
+    ).select(
+        (F.col(id_col) * (1 << 20) + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk",
+    )
+    emb = hash_embed(chunks, "chunk_id", "chunk", dim=embed_dim)
+    ivf_build_index(emb, index_path, k=ivf_k, id_col="chunk_id", seed=seed)

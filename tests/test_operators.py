@@ -528,6 +528,38 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_build_retrieval_index_probe_finds_source_chunk(spark, sf_dir, tmp_path) -> None:
+    """Chunk -> hash-embed -> IVF: probing the index with a chunk's own
+    embedding returns that chunk as the top hit, and the hit id maps
+    back to (doc_id, chunk_idx)."""
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.operators.similarity import (
+        hash_embed,
+        ivf_search_indexed,
+    )
+    from etl_marketdata_downloader_archived_spark.operators.text import chunk_text
+    from etl_marketdata_downloader_archived_spark.plans.corpus_pipeline import (
+        build_retrieval_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    idx = str(tmp_path / "rag_idx")
+    build_retrieval_index(docs, idx, chunk_tokens=24, overlap=8, ivf_k=4)
+
+    probe_chunk = (
+        chunk_text(docs, "doc_id", "text", chunk_tokens=24, overlap=8)
+        .filter((F.col("doc_id") == 7) & (F.col("chunk_idx") == 0))
+        .select(F.lit(0).alias("qid"), F.col("chunk"))
+    )
+    qvec = hash_embed(probe_chunk, "qid", "chunk").collect()[0].embedding
+    hits = ivf_search_indexed(
+        spark, idx, list(qvec), k=3, nprobe=4, id_col="chunk_id"
+    ).collect()
+    top = hits[0]
+    assert top.chunk_id == 7 * (1 << 20) + 0
+    assert top.cos_sim > 0.999
+
+
 def test_incremental_minhash_dedup_admission(spark) -> None:
     """Incremental near-dup admission: batch 2 is checked against the
     batch-1 signature store (no corpus-wide recompute); near-dups of
