@@ -285,16 +285,23 @@ def corpus_report(
         type_token_ratio(text_col).alias("_ttr"),
         dup_ngram_frac(text_col, 2).alias("_dup2"),
         stopword_ratio(text_col).alias("_sw"),
+        pii_count(text_col).alias("_pii"),
     )
     return sigs.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").alias("n_tokens"),
         F.round(F.avg("_nt"), 2).alias("avg_tokens"),
+        # approx_percentile: bounded sketch state per group (exact
+        # percentiles sort within groups - the wrong trade at scale)
+        F.percentile_approx("_nt", F.array(F.lit(0.5), F.lit(0.95))).alias(
+            "tokens_p50_p95"
+        ),
         F.round(F.avg("_q"), 6).alias("avg_quality"),
         F.round(F.avg((F.col("_lang") == "en").cast("double")), 6).alias("en_share"),
         F.round(F.avg("_ttr"), 6).alias("avg_ttr"),
         F.round(F.avg("_dup2"), 6).alias("avg_dup_bigram"),
         F.round(F.avg("_sw"), 6).alias("avg_stopword"),
+        F.sum("_pii").alias("n_pii_hits"),
     )
 
 

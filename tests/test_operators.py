@@ -637,6 +637,9 @@ def test_corpus_report_per_source(spark, sf_dir) -> None:
         assert 0.0 <= r.en_share <= 1.0
         assert 0.0 < r.avg_ttr <= 1.0
         assert 0.0 <= r.avg_dup_bigram <= 1.0
+        p50, p95 = r.tokens_p50_p95
+        assert 0 < p50 <= p95
+        assert r.n_pii_hits == 0  # synthetic word-soup has no PII
     rep.unpersist()
 
 
