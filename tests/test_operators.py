@@ -815,6 +815,40 @@ def test_line_dedup_keeps_first_occurrence(spark) -> None:
     assert 3 not in got
 
 
+def test_line_dedup_randomized_differential(spark) -> None:
+    """line_dedup vs a direct Python reference on a seeded random
+    corpus built from a tiny line vocabulary (high collision rate)."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"line {c}" for c in "abcdefgh"] + ["Line A", "  line a  "]
+    docs = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 6))))
+        for i in range(40)
+    ]
+
+    def norm(line: str) -> str:
+        return line.strip().lower()
+
+    seen: set = set()
+    expect: dict[int, str] = {}
+    for i, text in docs:  # ids ascending = first-occurrence order
+        kept = []
+        for line in text.split("\n"):
+            if not line.strip():
+                continue
+            k = norm(line)
+            if k not in seen:
+                seen.add(k)
+                kept.append(line)
+        if kept:
+            expect[i] = "\n".join(kept)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(5)
+    got = {r.doc_id: r.text for r in D.line_dedup(df, "doc_id", "text").collect()}
+    assert got == expect
+
+
 def test_pii_redaction(spark) -> None:
     rows = [
         (1, "contact bob.smith+x@example.co.uk or call 555-867-5309 now"),
