@@ -620,6 +620,57 @@ def test_corpus_operators_on_empty_input(spark) -> None:
     assert D.line_dedup(empty, "doc_id", "text").count() == 0
 
 
+def test_chunk_and_overlap_randomized_differential(spark) -> None:
+    """chunk_text and benchmark_ngram_overlap vs direct Python
+    references on a seeded random word-soup corpus."""
+    import random
+
+    rng = random.Random(99)
+    words = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 40))))
+        for i in range(30)
+    ]
+    bench_texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(5, 30)))
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(4)
+    bench = spark.createDataFrame(list(enumerate(bench_texts)), ["doc_id", "text"])
+
+    # chunking reference
+    C, O = 7, 3
+    step = C - O
+    expect_chunks = {}
+    for i, text in docs:
+        toks = text.split(" ")
+        starts = list(range(0, max(len(toks) - O, 1), step))
+        for idx, s in enumerate(starts):
+            expect_chunks[(i, idx)] = " ".join(toks[s : s + C])
+    got_chunks = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in X.chunk_text(df, "doc_id", "text", chunk_tokens=C, overlap=O).collect()
+    }
+    assert got_chunks == expect_chunks
+
+    # overlap reference (distinct 3-grams)
+    def grams(text, n=3):
+        t = text.split(" ")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bench_idx = set().union(*(grams(t) for t in bench_texts))
+    expect_ov = {}
+    for i, text in docs:
+        g = grams(text)
+        expect_ov[i] = len(g & bench_idx) / max(len(g), 1)
+    got_ov = {
+        r.doc_id: r.bench_overlap
+        for r in X.benchmark_ngram_overlap(df, bench, "doc_id", "text", n=3).collect()
+    }
+    assert set(got_ov) == set(expect_ov)
+    assert all(abs(got_ov[i] - expect_ov[i]) < 1e-9 for i in got_ov)
+
+
 def test_corpus_report_per_source(spark, sf_dir) -> None:
     """Health panel on the real documents table: one row per source,
     volumes add up, signal means in range."""
