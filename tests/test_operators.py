@@ -528,6 +528,45 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_zorder_write_tightens_file_extents(spark, tmp_path) -> None:
+    """Z-ordered layout: every output file covers a small slice of
+    EACH clustered column's range (the property min-max skipping
+    needs), where a single-column sort leaves the other column's
+    extent at ~full width per file."""
+    from etl_marketdata_downloader_archived_spark.operators.layout import write_zordered
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 1000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], bits=6, num_files=16)
+
+    def avg_extent(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("ex"),
+                (F.max("y") - F.min("y")).alias("ey"),
+            )
+            .agg(F.avg("ex").alias("ax"), F.avg("ey").alias("ay"))
+            .collect()[0]
+        )
+        return per_file.ax / 2000.0, per_file.ay / 2000.0  # fraction of range
+
+    spath = str(tmp_path / "xsort")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+    zx, zy = avg_extent(zpath)
+    sx, sy = avg_extent(spath)
+    assert spark.read.parquet(zpath).count() == n
+    # x-sort: tight on x, full-width on y
+    assert sx < 0.2 and sy > 0.8
+    # z-order: meaningfully tight on BOTH
+    assert zx < 0.5 and zy < 0.5
+
+
 def test_build_retrieval_index_probe_finds_source_chunk(spark, sf_dir, tmp_path) -> None:
     """Chunk -> hash-embed -> IVF: probing the index with a chunk's own
     embedding returns that chunk as the top hit, and the hit id maps
