@@ -379,10 +379,17 @@ def ngram_jaccard_pairs(
     key - AQE skew-join splitting (enabled in session.py) spreads it;
     ``max_doc_freq`` removes it at the source (see inline note).
     """
+    # persisted DISK_ONLY (the standard multi-consumer stage pattern
+    # here): the shingle projection feeds the postings self-join's two
+    # sides, the set-size lookup, and (with max_doc_freq) the document-
+    # frequency aggregate - each would re-run the shingle chain over
+    # the whole corpus otherwise.
+    from pyspark import StorageLevel
+
     s = _spread(df).select(
         F.col(id_col), F.col(bucket_col).alias("_bucket"),
         word_shingles(text_col, n).alias("_sh"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     postings = s.select(
         "_bucket", F.col(id_col), F.explode("_sh").alias("_g")
     )
