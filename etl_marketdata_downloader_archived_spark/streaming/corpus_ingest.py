@@ -146,6 +146,15 @@ def start_corpus_ingest_neardup(
                 batch_unique, store, corpus, id_col, text_col,
                 jaccard_threshold=jaccard_threshold,
             )
+            # crash-replay idempotence: foreachBatch is at-least-once,
+            # and a crash BETWEEN the two appends leaves this batch's
+            # docs in the corpus but not the store - the near-dup
+            # screen alone would re-admit them on replay. The id-level
+            # anti-join (ids only, never text) makes the corpus append
+            # idempotent, same role as the downloader's manifest check.
+            admitted = admitted.join(
+                corpus.select(id_col), id_col, "left_anti"
+            )
         else:
             admitted = batch_unique
         # one deterministic snapshot: admitted feeds both appends (and
