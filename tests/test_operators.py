@@ -528,6 +528,26 @@ def test_pack_sequences_invariants(spark) -> None:
     assert sum(p.total_tokens for p in packs2) == sum(p.total_tokens for p in packs)
 
 
+def test_zorder_value_matches_python_interleave(spark) -> None:
+    """Exact Morton values vs a Python bit-interleave reference."""
+    from etl_marketdata_downloader_archived_spark.operators.layout import zorder_value
+
+    def ref(vals, bits):
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * len(vals) + j)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 5, 63) for b in (0, 2, 7, 63)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select(
+        "a", "b", zorder_value([F.col("a"), F.col("b")], bits=6).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == ref([r.a, r.b], 6), (r.a, r.b)
+
+
 def test_zorder_write_tightens_file_extents(spark, tmp_path) -> None:
     """Z-ordered layout: every output file covers a small slice of
     EACH clustered column's range (the property min-max skipping
