@@ -108,3 +108,25 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path) -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
+
+
+def test_variant_json_and_parameterized_sql(spark, sf_dir) -> None:
+    """Spark 4 surface: semi-structured props handled as VARIANT
+    (parse once, path-extract without a fixed schema - agrees with the
+    from_json reading), and parameterized spark.sql (no string
+    interpolation in query plumbing)."""
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    both = ev.select(
+        "event_id",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k_variant"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k_struct"),
+    )
+    assert both.filter(F.col("k_variant") != F.col("k_struct")).count() == 0
+    assert both.filter(F.col("k_variant").isNull()).count() == 0
+
+    ev.createOrReplaceTempView("ev_params")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM ev_params WHERE event_id < :cutoff",
+        args={"cutoff": 100},
+    ).collect()[0].n
+    assert n == ev.filter(F.col("event_id") < 100).count()
