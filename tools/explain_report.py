@@ -31,6 +31,8 @@ HEADLINE = [
     "sim_topk",
     "sim_lsh_pairs",
     "harvest_pipeline",
+    "corpus_clean",
+    "text_analysis",
 ]
 
 RED_FLAGS = ["CartesianProduct", "BatchEvalPython"]  # row-at-a-time Python
