@@ -130,3 +130,47 @@ def test_variant_json_and_parameterized_sql(spark, sf_dir) -> None:
         args={"cutoff": 100},
     ).collect()[0].n
     assert n == ev.filter(F.col("event_id") < 100).count()
+
+
+def test_decontam_plan_shape(spark, sf_dir) -> None:
+    """Two load-bearing properties of the decontamination plan:
+    (1) the benchmark gram index builds under a BroadcastExchange (the
+    explode-side join stays map-side); (2) the expensive shingle chain
+    is NOT re-evaluated in the Project above the Generate - the
+    regression that made the operator ~20x slower (sibling expressions
+    of an explode re-run once per emitted row)."""
+    from etl_marketdata_downloader_archived_spark.operators.text import (
+        benchmark_ngram_overlap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ov = benchmark_ngram_overlap(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+    )
+    plan = _plan(ov)
+    assert "BroadcastExchange" in plan
+    # walk the plan tree: no Project that sits directly on a Generate
+    # may contain a higher-order function call (the array it projects
+    # from must be materialized BELOW the explode)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Project" in ln and "zip_with" in ln:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "Generate" not in below, (
+                "shingle chain re-evaluated above a Generate:\n" + ln[:200]
+            )
+
+
+def test_line_dedup_winners_aggregate_is_partial(spark) -> None:
+    """line_dedup's winner selection must be a groupBy min (map-side
+    partial aggregation collapses hyper-common lines), never a window
+    over the hash (no partial agg, no AQE skew handling)."""
+    from etl_marketdata_downloader_archived_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], ["doc_id", "text"]
+    )
+    plan = _plan(line_dedup(df, "doc_id", "text"))
+    assert "partial_min" in plan or "partial(min" in plan.replace(" ", "")
+    assert "Window" not in plan.split("Generate")[0]
