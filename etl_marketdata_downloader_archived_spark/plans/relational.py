@@ -453,23 +453,32 @@ def agg_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_agg",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS gross,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))
-               * CAST(l_extendedprice AS DECIMAL(12,2))) AS net
+               * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS net
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Money math in DecimalType (SURVEY.md section 1.3): exact sums,
-    no float drift - both engines aggregate in decimal."""
+    no float drift - both engines aggregate in decimal.
+
+    The aggregation runs entirely in decimal; only the FINAL value is
+    cast to double, because the engines' result decimals differ in
+    precision (Spark sum -> DECIMAL(22,2), DuckDB -> DECIMAL(38,2))
+    and decimal-typed results canonicalize differently through Arrow.
+    The exact decimal sum converts to the identical nearest double on
+    both sides, so the cast is drift-free."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(12,2)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).alias("gross"),
-        F.sum(price * F.lit(1).cast("decimal(12,2)") - disc * price).alias("net"),
+        F.sum(price).cast("double").alias("gross"),
+        F.sum(price * F.lit(1).cast("decimal(12,2)") - disc * price)
+        .cast("double")
+        .alias("net"),
     )
 
 
@@ -735,7 +744,7 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            year(o_orderdate)                         AS yr,
            month(o_orderdate)                        AS mo,
            day(o_orderdate)                          AS dy,
-           date_trunc('month', o_orderdate)          AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
            strftime(o_orderdate, '%Y-%m')            AS ym,
            CAST(epoch(o_orderdate) AS BIGINT)        AS epoch_s,
            CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)
@@ -752,9 +761,9 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dy"),
-        # date_trunc returns a TZ-aware timestamp even for NTZ input;
-        # cast back (under the UTC session) so collect stays TZ-free
-        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        # date_trunc returns a timestamp; a month start is a calendar day,
+        # so surface it as DATE (matches the oracle's physical type too)
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
@@ -989,10 +998,10 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, event_id,
-               sum(new_session) OVER (PARTITION BY user_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+                    AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,

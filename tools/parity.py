@@ -57,6 +57,73 @@ def row_multiset(cols: list[str], rows) -> Counter:
     return Counter("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+# Physical result-type parity. The driver compares results through an
+# Arrow/pandas path, where cross-engine type drift that Python-level
+# value comparison hides becomes a hash mismatch: DuckDB window/agg
+# sum(int) yields HUGEINT (int128), sum(DECIMAL(12,2)) yields
+# DECIMAL(38,2) while Spark yields BIGINT / DECIMAL(22,2). Compare the
+# engines' schemas by coarse type class and flag any column where the
+# classes differ or where both are decimal but precision/scale differ.
+_TYPE_CLASS = {
+    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+    "uint8": "int", "uint16": "int", "uint32": "int", "uint64": "int",
+    "halffloat": "float", "float": "float", "double": "float",
+    "string": "str", "large_string": "str", "bool": "bool",
+    "date32[day]": "date",
+    "binary": "binary", "large_binary": "binary",
+}
+
+
+def _arrow_class(t) -> str:
+    s = str(t)
+    if s in _TYPE_CLASS:
+        return _TYPE_CLASS[s]
+    if s.startswith("decimal128(") or s.startswith("decimal256("):
+        return s.replace("decimal256", "decimal128")  # same logical decimal
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith(("list", "large_list")):
+        return "list"
+    if s == "int128":  # duckdb HUGEINT surfaced directly
+        return "hugeint"
+    return s
+
+
+def _spark_class(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal("):
+        p, sc = s[8:-1].split(",")
+        return f"decimal128({p}, {sc})"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("array"):
+        return "list"
+    if s == "string":
+        return "str"
+    if s in ("boolean",):
+        return "bool"
+    if s == "date":
+        return "date"
+    return s
+
+
+def type_drift(spark_schema, arrow_schema) -> list[str]:
+    d_types = {f.name: _arrow_class(f.type) for f in arrow_schema}
+    drifts = []
+    for f in spark_schema.fields:
+        sc = _spark_class(f.dataType)
+        dc = d_types.get(f.name)
+        if dc is None:
+            continue
+        if sc != dc:
+            drifts.append(f"{f.name}: spark={sc} duckdb={dc}")
+    return drifts
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -99,6 +166,7 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            arrow_schema = con.execute(oracles[name]).fetch_arrow_table().schema
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
@@ -108,6 +176,9 @@ def main() -> int:
             continue
 
         problems = []
+        drifts = type_drift(sdf.schema, arrow_schema)
+        if drifts:
+            problems.append("type-drift " + "; ".join(drifts))
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
