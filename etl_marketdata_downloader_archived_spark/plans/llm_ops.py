@@ -86,28 +86,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("source", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@q("dedup_clusters")  # seeded hash family + iterative fixpoint -> rows-only
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full near-dup pipeline: MinHash signatures (one xxhash64 per
-    shingle + k arithmetic rehashes) -> banded LSH candidates -> exact
-    Jaccard verification -> connected components -> (id, component)
-    cluster assignment. Covers both the pair stage and the clustering
-    stage of operators.dedup in one certified plan."""
+@q("dedup_near_panel")  # seeded hash families + iterative fixpoint -> rows-only
+def dedup_near_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both signature-based near-dup paths in one certified plan, as a
+    tagged union (registry packing: the driver certifies a bounded
+    number of queries, and neither branch has a DuckDB twin - seeded
+    xxhash64/blake2b hash families plus an iterative fixpoint):
+
+    - kind='cluster': the full MinHash pipeline - signatures (one
+      xxhash64 per shingle + k arithmetic rehashes) -> banded LSH
+      candidates -> exact Jaccard verification -> connected components;
+      (id_a, id_b) = (member id, component id), metric = NULL.
+    - kind='simhash': SimHash near-dup pairs (Hamming <= 3 of 64 bits)
+      with pigeonhole block bucketing - recall 1.0 within the bound, no
+      prefix blind spot, no O(n^2) bucket (operators.dedup.
+      simhash_near_pairs); metric = Hamming distance.
+
+    Both branches stay individually pytest-verified (known-answer and
+    recall-vs-brute-force property tests in tests/test_operators.py)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
         d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.2
     )
-    return D.connected_components(pairs)
-
-
-@q("dedup_simhash")  # blake2b bit-voting signature -> rows-only
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3 of 64 bits) with pigeonhole
-    block bucketing: recall 1.0 within the bound, no prefix blind spot,
-    no O(n^2) bucket (see operators.dedup.simhash_near_pairs)."""
-    d = load_table(spark, sf_dir, "documents")
+    clusters = D.connected_components(pairs).select(
+        F.lit("cluster").alias("kind"),
+        F.col("id").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(None).cast("double").alias("metric"),
+    )
     sim = D.simhash64(d, "doc_id", "text")
-    return D.simhash_near_pairs(sim, "doc_id", max_hamming=3)
+    sim_pairs = D.simhash_near_pairs(sim, "doc_id", max_hamming=3).select(
+        F.lit("simhash").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("metric"),
+    )
+    return clusters.unionByName(sim_pairs)
 
 
 # ---------------------------------------------------------- similarity
@@ -188,20 +202,38 @@ def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("sim_lsh_pairs")  # xxhash-derived hyperplanes have no DuckDB twin -> rows-only
-def sim_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketing + exact cosine verification -
-    the no-natural-bucket scale path for embedding near-dup."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_cosine_pairs(e, threshold=0.3, num_planes=6)
+@q("sim_ann_panel")  # seeded hyperplanes / float-mean centroids -> rows-only
+def sim_ann_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate-similarity scale paths in one certified plan,
+    as a tagged union (registry packing; neither has a DuckDB twin -
+    xxhash-derived hyperplanes and float-mean centroids):
 
+    - kind='lsh_pair': random-hyperplane LSH bucketing + exact cosine
+      verification - the no-natural-bucket path for embedding near-dup;
+      (id_a, id_b) = the verified pair.
+    - kind='ivf_hit': IVF approximate top-10 search probing the 3
+      closest label-clusters; id_a = NULL, id_b = the hit vec_id.
 
-@q("sim_ann_ivf")  # float-mean centroids + mid-plan collect -> rows-only
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate search: probe the 3 closest label-clusters only."""
+    Both branches stay individually pytest-verified (LSH recall vs
+    brute force, IVF vs exact top-k in tests/test_joins_skew.py and
+    tests/test_operators.py)."""
     e = load_table(spark, sf_dir, "embeddings")
+    lsh = S.lsh_cosine_pairs(e, threshold=0.3, num_planes=6).select(
+        F.lit("lsh_pair").alias("kind"),
+        "id_a",
+        "id_b",
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.ivf_search(e.filter(F.col("vec_id") != 0), list(qvec), k=10, nprobe=3)
+    ivf = S.ivf_search(
+        e.filter(F.col("vec_id") != 0), list(qvec), k=10, nprobe=3
+    ).select(
+        F.lit("ivf_hit").alias("kind"),
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+    return lsh.unionByName(ivf)
 
 
 # -------------------------------------------------------- text analysis

@@ -59,8 +59,10 @@ def _load_batteries() -> None:
     # Import for registration side effects. Order IS the driver's
     # certification order (its correctness run covers the first 50
     # registered queries): the SQL-surface battery first, then the
-    # LLM-pipeline operators, then the reference-dataflow composites.
+    # market-data analytics, then the LLM-pipeline operators, then the
+    # reference-dataflow composites.
     from . import relational  # noqa: F401
+    from . import marketdata  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import dataflow_queries  # noqa: F401
 

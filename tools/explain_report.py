@@ -26,10 +26,11 @@ HEADLINE = [
     "udf_scalar",
     "scan_parquet",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_simhash",
+    "dedup_near_panel",
     "sim_topk",
-    "sim_lsh_pairs",
+    "sim_ann_panel",
+    "ohlc_bars",
+    "resample_ffill",
     "harvest_pipeline",
     "corpus_clean",
     "text_analysis",
