@@ -5,16 +5,20 @@ run time-bucketed analytics over it (SURVEY.md section 2B delegates the
 relational surface to Athena; OHLC bars / VWAP / regular-grid
 resampling are the market-data queries that surface exists for). Spark
 has no bar-aggregation primitive, so these compose it from
-``date_trunc`` + window ranking + hash aggregation.
+``date_trunc`` buckets + ``min_by``/``max_by`` hash aggregation.
 
-Scale shape (100 TB): both operators shuffle ONCE on the (series key,
-bar) pair. ``ohlc_bars`` ranks rows inside each bar with a window whose
-partitioning equals the final groupBy key, so Catalyst reuses the
-exchange - rank and aggregate ride the same shuffle. ``resample_ffill``
-builds the time grid from dimension-sized inputs (distinct keys x bar
-range), broadcast-joins the observed bars onto it, and forward-fills
-with a running ``last(ignorenulls)`` window per key - linear state, no
-per-gap self-joins.
+Scale shape (100 TB): bar aggregation is ONE hash aggregate on the
+(series key, bar) pair whose every term - including open/close via
+min_by/max_by over a (ts, tie) struct - has a partial (map-side
+combine) form, so each input partition reduces to one row per touched
+bar BEFORE the shuffle; what crosses the wire is bar-count-bounded, not
+row-count-bounded. A window-rank formulation would instead shuffle
+every trade. The same shape runs unchanged under Structured Streaming
+(see streaming_ohlc_bars). ``resample_ffill`` builds its time grid from
+dimension-sized inputs (distinct keys x bar range), broadcast-joins the
+observed bars onto it, and forward-fills with a running
+``last(ignorenulls)`` window per key - linear state, no per-gap
+self-joins.
 """
 
 from __future__ import annotations
@@ -28,6 +32,61 @@ def _bar(ts: str, width: str) -> Column:
     # date_trunc returns a TZ-aware timestamp; cast back so bar keys
     # stay NTZ like the lake's event timestamps (UTC session)
     return F.date_trunc(width, F.col(ts)).cast("timestamp_ntz")
+
+
+def _ohlc_aggs(
+    ts: str, tie_break: str | None, price_scale: int | None
+) -> list[Column]:
+    """The OHLCV aggregate list over prepared columns _ts/_px/_qty.
+
+    Every term is a declarative aggregate with a partial form -
+    min_by/max_by carry one (ord-key, price) pair of state per group -
+    so the whole bar reduces map-side and works identically in batch
+    hash aggregation and streaming state stores.
+    """
+    ord_key = F.struct(
+        F.col("_ts"), *([F.col(tie_break)] if tie_break else [])
+    )
+    return [
+        F.min_by("_px", ord_key).alias("open"),
+        F.max("_px").alias("high"),
+        F.min("_px").alias("low"),
+        F.max_by("_px", ord_key).alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("_qty").cast("bigint").alias("volume"),
+        # nullif guard: an all-zero-quantity bar has no VWAP (ANSI mode
+        # would raise on the bare division)
+        (
+            (
+                F.sum(
+                    F.round(F.col("_px") * price_scale).cast("bigint")
+                    * F.col("_qty")
+                ).cast("double")
+                / price_scale
+                if price_scale
+                else F.sum(F.col("_px") * F.col("_qty"))
+            )
+            / F.nullif(F.sum("_qty"), F.lit(0))
+        ).alias("vwap"),
+    ]
+
+
+def _prepare(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    price: str,
+    qty: str | Column,
+    tie_break: str | None,
+) -> DataFrame:
+    qty_col = F.col(qty) if isinstance(qty, str) else qty
+    return df.select(
+        F.col(key),
+        F.col(ts).alias("_ts"),
+        F.col(price).alias("_px"),
+        qty_col.alias("_qty"),
+        *([F.col(tie_break)] if tie_break else []),
+    )
 
 
 def ohlc_bars(
@@ -46,10 +105,10 @@ def ohlc_bars(
 
     Open/close are the price at the first/last row of the bar ordered
     by (ts, tie_break) - the tie-break keeps bars deterministic when
-    two trades share a timestamp. Implemented as two row_number ranks
-    inside a window partitioned by the same (key, bar) the final
-    aggregation groups on: one shuffle total, rank + agg pipelined in
-    the same stage (exchange reuse), no join back.
+    two trades share a timestamp - computed as ``min_by``/``max_by``
+    over the (ts, tie) struct, so the whole query is one partially-
+    aggregatable hash aggregate: each scan partition combines to one
+    row per touched bar before the single shuffle.
 
     ``price_scale``: when prices are fixed-point (e.g. 100 for 2dp
     money), the VWAP numerator accumulates EXACT integer price-units
@@ -58,47 +117,46 @@ def ohlc_bars(
     engine / partitioning - float-sum order can never drift the result
     across a rounding boundary. Default (None) keeps plain float math.
     """
-    qty_col = F.col(qty) if isinstance(qty, str) else qty
-    order = [F.col("_ts")] + ([F.col(tie_break)] if tie_break else [])
-    order_desc = [c.desc() for c in order]
-    barred = df.select(
-        F.col(key),
-        _bar(ts, width).alias("bar_ts"),
-        F.col(ts).alias("_ts"),
-        F.col(price).alias("_px"),
-        qty_col.alias("_qty"),
-        *([F.col(tie_break)] if tie_break else []),
+    prepared = _prepare(df, key, ts, price, qty, tie_break).withColumn(
+        "bar_ts", _bar("_ts", width)
     )
-    w = W.partitionBy(key, "bar_ts")
-    ranked = barred.select(
+    return prepared.groupBy(key, "bar_ts").agg(
+        *_ohlc_aggs(ts, tie_break, price_scale)
+    )
+
+
+def streaming_ohlc_bars(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    price: str,
+    qty: str | Column,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    tie_break: str | None = None,
+    price_scale: int | None = None,
+) -> DataFrame:
+    """The streaming twin of ohlc_bars: identical aggregate terms over
+    ``F.window(ts, window)`` with a watermark bounding bar state - a
+    bar finalizes (and its state drops) once the watermark passes its
+    close. Works on batch DataFrames too (unified semantics), which is
+    how tests cross-check it against ohlc_bars. Emits bar_ts = window
+    start to match the batch operator's date_trunc bucket keys."""
+    prepared = _prepare(df, key, ts, price, qty, tie_break)
+    windowed = prepared.withWatermark("_ts", watermark).groupBy(
+        F.col(key), F.window("_ts", window).alias("_w")
+    )
+    out = windowed.agg(*_ohlc_aggs(ts, tie_break, price_scale))
+    return out.select(
         key,
-        "bar_ts",
-        "_px",
-        "_qty",
-        F.row_number().over(w.orderBy(*order)).alias("_rn_a"),
-        F.row_number().over(w.orderBy(*order_desc)).alias("_rn_d"),
-    )
-    return ranked.groupBy(key, "bar_ts").agg(
-        F.max(F.when(F.col("_rn_a") == 1, F.col("_px"))).alias("open"),
-        F.max("_px").alias("high"),
-        F.min("_px").alias("low"),
-        F.max(F.when(F.col("_rn_d") == 1, F.col("_px"))).alias("close"),
-        F.count(F.lit(1)).alias("n_trades"),
-        F.sum("_qty").cast("bigint").alias("volume"),
-        # nullif guard: an all-zero-quantity bar has no VWAP (ANSI mode
-        # would raise on the bare division)
-        (
-            (
-                F.sum(
-                    F.round(F.col("_px") * price_scale).cast("bigint")
-                    * F.col("_qty")
-                ).cast("double")
-                / price_scale
-                if price_scale
-                else F.sum(F.col("_px") * F.col("_qty"))
-            )
-            / F.nullif(F.sum("_qty"), F.lit(0))
-        ).alias("vwap"),
+        F.col("_w.start").cast("timestamp_ntz").alias("bar_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_trades",
+        "volume",
+        "vwap",
     )
 
 
@@ -136,23 +194,23 @@ def resample_ffill(
     """Resample to a regular ``width`` grid per key and forward-fill.
 
     Each grid cell carries the LAST observed ``value`` in its bucket
-    (ordered by ts + tie-break); empty cells inherit the most recent
-    prior cell's value via a running ``last(ignorenulls)`` window.
-    Cells before a key's first observation stay NULL. ``is_gap`` marks
-    filled-in cells. One shuffle for the per-bar last, one for the
-    per-key ffill window; grid construction is dimension-sized
-    (see time_grid)."""
-    order = [F.col(ts)] + ([F.col(tie_break)] if tie_break else [])
+    (ordered by ts + tie-break, via a map-side-combinable ``max_by``);
+    empty cells inherit the most recent prior cell's value through a
+    running ``last(ignorenulls)`` window. Cells before a key's first
+    observation stay NULL. ``is_gap`` marks filled-in cells. One
+    shuffle for the per-bar last, one for the per-key ffill window;
+    grid construction is dimension-sized (see time_grid)."""
+    ord_key = F.struct(
+        F.col("_ts"), *([F.col(tie_break)] if tie_break else [])
+    )
     barred = df.select(
         F.col(key),
-        _bar(ts, width).alias("bar_ts"),
-        *[F.col(c) for c in dict.fromkeys([ts, value] + ([tie_break] if tie_break else []))],
-    )
-    w_bar = W.partitionBy(key, "bar_ts").orderBy(*[c.desc() for c in order])
-    last_in_bar = (
-        barred.withColumn("_rn", F.row_number().over(w_bar))
-        .filter(F.col("_rn") == 1)
-        .select(key, "bar_ts", F.col(value).alias("_obs"))
+        F.col(ts).alias("_ts"),
+        F.col(value).alias("_v"),
+        *([F.col(tie_break)] if tie_break else []),
+    ).withColumn("bar_ts", _bar("_ts", width))
+    last_in_bar = barred.groupBy(key, "bar_ts").agg(
+        F.max_by("_v", ord_key).alias("_obs")
     )
     grid = time_grid(df, key, ts, width)
     joined = grid.join(last_in_bar, [key, "bar_ts"], "left")

@@ -83,6 +83,65 @@ def test_resample_ffill_gaps_and_leading_nulls(spark) -> None:
     assert (rows[("B", 11)].price, rows[("B", 11)].is_gap) == (100.25, 1)
 
 
+def test_streaming_ohlc_matches_batch(spark, tmp_path) -> None:
+    """The streaming twin emits the same bars as the batch operator -
+    driven through a real readStream + memory sink (unified semantics
+    make the aggregate terms identical; this pins the window-start ==
+    date_trunc bucket alignment and the watermark plumbing)."""
+    import json as _json
+
+    src = tmp_path / "trades_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(
+                {
+                    "sym": s,
+                    "ts": t.strftime("%Y-%m-%d %H:%M:%S"),
+                    "event_id": e,
+                    "price": p,
+                    "qty": q,
+                }
+            )
+            for s, t, e, p, q in TRADES
+        )
+    )
+    schema = "sym STRING, ts TIMESTAMP, event_id LONG, price DOUBLE, qty LONG"
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(F.from_json("value", schema).alias("j"))
+        .select("j.*")
+    )
+    bars = TS.streaming_ohlc_bars(
+        stream, "sym", "ts", "price", "qty",
+        window="1 hour", watermark="1 hour",
+        tie_break="event_id", price_scale=100,
+    )
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("ohlc_stream_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.sym, r.bar_ts, r.open, r.high, r.low, r.close,
+         r.n_trades, r.volume, r.vwap)
+        for r in spark.sql("select * from ohlc_stream_out").collect()
+    }
+    batch = {
+        (r.sym, r.bar_ts, r.open, r.high, r.low, r.close,
+         r.n_trades, r.volume, r.vwap)
+        for r in TS.ohlc_bars(
+            _trades(spark), "sym", "ts", "price", "qty",
+            width="hour", tie_break="event_id", price_scale=100,
+        ).collect()
+    }
+    assert streamed == batch
+
+
 def test_time_grid_is_dense_and_dimension_sized(spark) -> None:
     grid = TS.time_grid(_trades(spark), "sym", "ts", width="hour")
     assert grid.count() == 2 * 3  # 2 keys x (09,10,11)
