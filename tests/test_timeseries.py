@@ -142,6 +142,97 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path) -> None:
     assert streamed == batch
 
 
+def test_ohlc_randomized_differential_vs_pandas(spark) -> None:
+    """Seeded randomized differential: OHLCV bars vs an independent
+    pure-pandas oracle on 400 random trades (duplicate timestamps,
+    zero quantities, many series/bars). Exact equality - the
+    price_scale path makes VWAP reproducible, open/close are
+    pass-through values."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20240813)
+    trades = [
+        (
+            rng.choice(["A", "B", "C"]),
+            dt.datetime(2024, 3, 1, rng.randrange(4), rng.randrange(60), rng.randrange(60)),
+            i,
+            round(rng.uniform(1, 500), 2),
+            rng.randrange(0, 6),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(trades, ["sym", "ts", "event_id", "price", "qty"])
+    got = {
+        (r.sym, r.bar_ts): r
+        for r in TS.ohlc_bars(
+            df, "sym", "ts", "price", "qty",
+            width="hour", tie_break="event_id", price_scale=100,
+        ).collect()
+    }
+
+    pdf = pd.DataFrame(trades, columns=["sym", "ts", "event_id", "price", "qty"])
+    pdf["bar_ts"] = pdf["ts"].dt.floor("h")
+    pdf = pdf.sort_values(["ts", "event_id"])  # open/close ordering
+    expected_groups = pdf.groupby(["sym", "bar_ts"])
+    assert len(got) == expected_groups.ngroups
+    for (sym, bar), g in expected_groups:
+        r = got[(sym, bar)]
+        assert r.open == g["price"].iloc[0] and r.close == g["price"].iloc[-1]
+        assert r.high == g["price"].max() and r.low == g["price"].min()
+        assert r.n_trades == len(g) and r.volume == int(g["qty"].sum())
+        if g["qty"].sum() == 0:
+            assert r.vwap is None
+        else:
+            cents = (g["price"] * 100).round().astype(int)
+            expect_vwap = float(int((cents * g["qty"]).sum())) / 100 / float(
+                int(g["qty"].sum())
+            )
+            assert r.vwap == expect_vwap
+
+
+def test_resample_randomized_differential_vs_pandas(spark) -> None:
+    """Seeded randomized differential for the grid + forward-fill:
+    per-key hourly last-observation series must equal pandas
+    resample('h').last().ffill() over the global hour range."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(77)
+    trades = [
+        (
+            rng.choice(["A", "B"]),
+            dt.datetime(2024, 3, 1, rng.randrange(12), rng.randrange(60), rng.randrange(60)),
+            i,
+            round(rng.uniform(1, 100), 2),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(trades, ["sym", "ts", "event_id", "price"])
+    got = {
+        (r.sym, r.bar_ts): (r.price, r.is_gap)
+        for r in TS.resample_ffill(
+            df, "sym", "ts", "price", width="hour", tie_break="event_id"
+        ).collect()
+    }
+
+    pdf = pd.DataFrame(trades, columns=["sym", "ts", "event_id", "price"])
+    pdf = pdf.sort_values(["ts", "event_id"])
+    t0, t1 = pdf["ts"].min().floor("h"), pdf["ts"].max().floor("h")
+    grid = pd.date_range(t0, t1, freq="h")
+    for sym, g in pdf.groupby("sym"):
+        last = g.set_index("ts")["price"].resample("h").last().reindex(grid)
+        filled = last.ffill()
+        for bar in grid:
+            want = filled[bar]
+            want = None if pd.isna(want) else float(want)
+            price, is_gap = got[(sym, bar)]
+            assert price == want
+            assert is_gap == int(pd.isna(last[bar]))
+
+
 def test_time_grid_is_dense_and_dimension_sized(spark) -> None:
     grid = TS.time_grid(_trades(spark), "sym", "ts", width="hour")
     assert grid.count() == 2 * 3  # 2 keys x (09,10,11)
