@@ -233,6 +233,24 @@ def test_resample_randomized_differential_vs_pandas(spark) -> None:
             assert is_gap == int(pd.isna(last[bar]))
 
 
+def test_ohlc_plan_combines_before_shuffle(spark) -> None:
+    """Scale-shape regression guard: the bar aggregation must run its
+    partial (map-side combine) phase BEFORE the exchange, so only
+    bar-count-bounded state crosses the wire - the property the min_by
+    formulation was chosen for. A window-rank regression would drop
+    the partial_min_by and shuffle every trade."""
+    bars = TS.ohlc_bars(
+        _trades(spark), "sym", "ts", "price", "qty",
+        tie_break="event_id", price_scale=100,
+    )
+    plan = bars._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("Exchange", 1)[1]  # text below the first Exchange
+    # Spark prints children under the exchange; the partial aggregate
+    # must appear in the subtree feeding it
+    assert "partial_min_by" in head and "partial_max_by" in head
+    assert "Window" not in plan
+
+
 def test_time_grid_is_dense_and_dimension_sized(spark) -> None:
     grid = TS.time_grid(_trades(spark), "sym", "ts", width="hour")
     assert grid.count() == 2 * 3  # 2 keys x (09,10,11)
