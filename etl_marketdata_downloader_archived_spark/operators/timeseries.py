@@ -160,6 +160,84 @@ def streaming_ohlc_bars(
     )
 
 
+def indicator_panel(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    zscore_rows: int = 20,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Per-series indicator features in ONE window pass: log return vs
+    the previous observation, rolling ``zscore_rows``-row z-score, and
+    drawdown from the running maximum.
+
+    All three frames share the same partitionBy(key).orderBy(ts, tie)
+    spec, so Catalyst collapses them into a single Window operator -
+    one shuffle + one sort produces the whole panel (asserted in
+    tests). State per window is bounded (zscore_rows rows for the
+    z-score, one running max/lag cell otherwise); skew is bounded by a
+    single series' row count, the floor for any sequential feature.
+    Division/log guards keep ANSI mode happy on constant or
+    non-positive series."""
+    order = [F.col(ts)] + ([F.col(tie_break)] if tie_break else [])
+    w = W.partitionBy(key).orderBy(*order)
+    wz = w.rowsBetween(-(zscore_rows - 1), 0)
+    wmax = w.rowsBetween(W.unboundedPreceding, 0)
+    v = F.col(value)
+    prev = F.lag(v).over(w)
+    mu = F.avg(v).over(wz)
+    sd = F.stddev_samp(v).over(wz)
+    runmax = F.max(v).over(wmax)
+    return df.select(
+        key,
+        *[c for c in ([ts] + ([tie_break] if tie_break else []))],
+        value,
+        F.when(
+            (v > 0) & (prev > 0), F.log(v / prev)
+        ).alias("log_return"),
+        ((v - mu) / F.nullif(sd, F.lit(0.0))).alias("zscore"),
+        (v / F.nullif(runmax, F.lit(0.0)) - 1).alias("drawdown"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float,
+    tie_break: str | None = None,
+    adjust: bool = False,
+) -> DataFrame:
+    """Exponentially weighted moving average of ``value`` per key in
+    (ts, tie_break) order, appended as an ``ewma`` column.
+
+    The recursion y_i = a*x_i + (1-a)*y_{i-1} is inherently sequential
+    per series, so this is an Arrow-batched ``applyInPandas`` over
+    groupBy(key) - pandas ``ewm`` vectorizes the scan within each
+    series; Spark distributes across series. A group holds ONE series'
+    history (the floor any sequential recursion needs); keys are the
+    parallelism unit, the same bound the indicator windows have. The
+    numerically-stable alternative for monster single series -
+    segmented scan with (1-a)^len carry composition - is documented
+    here as the swap, not needed below ~1e8 rows per series."""
+    from pyspark.sql import types as T
+
+    sort_cols = [ts] + ([tie_break] if tie_break else [])
+    # fresh StructType: .add() would mutate the input frame's schema
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("ewma", T.DoubleType())]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(sort_cols)
+        pdf["ewma"] = pdf[value].ewm(alpha=alpha, adjust=adjust).mean()
+        return pdf
+
+    return df.groupBy(key).applyInPandas(fn, schema=out_schema)
+
+
 def time_grid(
     df: DataFrame, key: str, ts: str, width: str = "hour"
 ) -> DataFrame:

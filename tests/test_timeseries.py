@@ -251,6 +251,92 @@ def test_ohlc_plan_combines_before_shuffle(spark) -> None:
     assert "Window" not in plan
 
 
+def test_indicator_panel_vs_pandas(spark) -> None:
+    """Randomized differential for the one-pass indicator panel:
+    log return, rolling z-score, drawdown vs pandas shift/rolling/
+    cummax on the same per-key ordered series."""
+    import math
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(5)
+    rows = [
+        ("A" if i % 3 else "B", dt.datetime(2024, 3, 1) + dt.timedelta(minutes=i), i,
+         round(rng.uniform(10, 20), 2))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["sym", "ts", "event_id", "price"])
+    out = TS.indicator_panel(
+        df, "sym", "ts", "price", zscore_rows=5, tie_break="event_id"
+    )
+    got = {(r.sym, r.event_id): r for r in out.collect()}
+
+    pdf = pd.DataFrame(rows, columns=["sym", "ts", "event_id", "price"])
+    for sym, g in pdf.sort_values(["ts", "event_id"]).groupby("sym"):
+        lr = (g["price"] / g["price"].shift()).apply(
+            lambda x: math.log(x) if pd.notna(x) else None
+        )
+        mu = g["price"].rolling(5, min_periods=1).mean()
+        sd = g["price"].rolling(5, min_periods=1).std()
+        dd = g["price"] / g["price"].cummax() - 1
+        for i, idx in enumerate(g.index):
+            r = got[(sym, g.loc[idx, "event_id"])]
+            want_lr = lr.loc[idx]
+            if want_lr is None or pd.isna(want_lr):
+                assert r.log_return is None
+            else:
+                assert abs(r.log_return - want_lr) < 1e-12
+            want_z = (
+                None
+                if pd.isna(sd.loc[idx]) or sd.loc[idx] == 0
+                else (g.loc[idx, "price"] - mu.loc[idx]) / sd.loc[idx]
+            )
+            if want_z is None:
+                assert r.zscore is None
+            else:
+                assert abs(r.zscore - want_z) < 1e-9
+            assert abs(r.drawdown - dd.loc[idx]) < 1e-12
+
+
+def test_indicator_panel_is_single_window_pass(spark) -> None:
+    """All three indicator frames share one window spec - the plan must
+    contain exactly one Window operator (one shuffle + sort for the
+    whole panel)."""
+    out = TS.indicator_panel(
+        _trades(spark), "sym", "ts", "price", tie_break="event_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+
+
+def test_ewma_matches_recursion(spark) -> None:
+    """EWMA (adjust=False) equals the hand-rolled recursion
+    y_i = a*x_i + (1-a)*y_{i-1} per key in timestamp order, including
+    rows arriving unsorted."""
+    rows = [
+        ("A", _ts(3), 2, 12.0),
+        ("A", _ts(1), 1, 10.0),
+        ("A", _ts(7), 3, 11.0),
+        ("B", _ts(2), 4, 100.0),
+        ("B", _ts(9), 5, 102.0),
+    ]
+    df = spark.createDataFrame(rows, ["sym", "ts", "event_id", "price"])
+    out = TS.ewma(df, "sym", "ts", "price", alpha=0.5, tie_break="event_id")
+    got = {r.event_id: r.ewma for r in out.collect()}
+
+    def rec(xs, a=0.5):
+        y = [xs[0]]
+        for x in xs[1:]:
+            y.append(a * x + (1 - a) * y[-1])
+        return y
+
+    for key, ids, xs in (("A", [1, 2, 3], [10.0, 12.0, 11.0]),
+                         ("B", [4, 5], [100.0, 102.0])):
+        for i, want in zip(ids, rec(xs)):
+            assert abs(got[i] - want) < 1e-12
+
+
 def test_time_grid_is_dense_and_dimension_sized(spark) -> None:
     grid = TS.time_grid(_trades(spark), "sym", "ts", width="hour")
     assert grid.count() == 2 * 3  # 2 keys x (09,10,11)
