@@ -18,6 +18,7 @@ from .windows import (
     watermarked_dedup,
 )
 from .file_source import file_task_stream, start_lake_sink
+from .stateful import streaming_ewma, track_attempts
 from .corpus_ingest import (
     benchmark_gram_index,
     gated_doc_stream,
@@ -31,6 +32,8 @@ __all__ = [
     "interval_join",
     "watermarked_dedup",
     "file_task_stream",
+    "streaming_ewma",
+    "track_attempts",
     "start_lake_sink",
     "benchmark_gram_index",
     "gated_doc_stream",

@@ -79,3 +79,73 @@ def track_attempts(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_ewma(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming EWMA per key: the recursion y_i = a*x_i + (1-a)*y_{i-1}
+    carried ACROSS micro-batches - per-key state is one double (the
+    last smoothed value), the minimum any sequential feature needs.
+
+    Within a batch, a key's rows sort by ``ts`` and the whole segment
+    is computed vectorized (pandas ewm seeded with the carried value by
+    prepending it as a synthetic first observation - with adjust=False
+    that reproduces the recursion exactly, verified against the batch
+    operator in tests). Rows arriving in a LATER batch than a larger
+    timestamp fold in arrival order - feed the stream through a
+    watermark/sort upstream when strict time order matters.
+
+    ``state_ttl_ms`` expires quiet keys (continuous streams); leave it
+    None under run-to-completion triggers, same trade-off as
+    track_attempts above.
+    """
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        f"{c} {in_schema[c]}" for c in (key, ts, value)
+    ) + ", ewma double"
+    use_ttl = state_ttl_ms is not None
+
+    def update(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(ts, ignore_index=True)
+        if state.exists:
+            (prev,) = state.get
+            seeded = pd.concat(
+                [pd.Series([prev]), pdf[value]], ignore_index=True
+            )
+            ew = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+            ew.index = pdf.index
+        else:
+            ew = pdf[value].ewm(alpha=alpha, adjust=False).mean()
+        pdf["ewma"] = ew
+        state.update((float(ew.iloc[-1]),))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pdf[[key, ts, value, "ewma"]]
+
+    return df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="last_ewma double",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

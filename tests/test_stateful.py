@@ -47,3 +47,60 @@ def test_attempt_counter_crosses_to_dlq(spark, tmp_path) -> None:
     assert by_key["A"] == [(3, False), (5, True)]
     # B: never crosses
     assert by_key["B"] == [(1, False), (2, False)]
+
+
+def test_streaming_ewma_carries_state_across_batches(spark, tmp_path) -> None:
+    """The streaming EWMA's per-key carry must make two micro-batches
+    equal one batch pass over the concatenated series (the recursion
+    seeds from the stored last value, not from scratch)."""
+    from etl_marketdata_downloader_archived_spark.operators import timeseries as TS
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    b1 = [("A", "2024-03-01 09:00:00", 10.0), ("A", "2024-03-01 09:01:00", 12.0),
+          ("B", "2024-03-01 09:00:30", 100.0)]
+    b2 = [("A", "2024-03-01 09:02:00", 11.0), ("B", "2024-03-01 09:03:00", 104.0)]
+
+    src = tmp_path / "ticks"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"sym": s, "ts": t, "price": p}) for s, t, p in rows
+            )
+        )
+        time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    ticks = raw.select(
+        F.from_json("value", "sym STRING, ts TIMESTAMP, price DOUBLE").alias("j")
+    ).select("j.*")
+    out = streaming_ewma(ticks, "sym", "ts", "price", alpha=0.5)
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.sym, r.ts): r.ewma for r in spark.sql("select * from ewma_out").collect()
+    }
+
+    both = spark.createDataFrame(
+        [(s, t, p) for s, t, p in b1 + b2], ["sym", "ts_s", "price"]
+    ).select("sym", F.col("ts_s").cast("timestamp").alias("ts"), "price")
+    expected = {
+        (r.sym, r.ts): r.ewma
+        for r in TS.ewma(both, "sym", "ts", "price", alpha=0.5).collect()
+    }
+    assert set(streamed) == set(expected)
+    for k in expected:
+        assert abs(streamed[k] - expected[k]) < 1e-12
