@@ -24,22 +24,37 @@ def asof_join(
     right_cols: list[str],
     tie_break: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_time <= left_time`` within the same ``on`` key (inclusive,
-    like DuckDB/pandas ``merge_asof`` with direction='backward').
+    """For each left row, attach one right row within the same ``on``
+    key, chosen by ``direction`` (the pandas ``merge_asof`` surface):
 
+    - ``backward``: greatest ``right_time <= left_time`` (inclusive) -
+      the market-data default (latest quote at or before the trade);
+    - ``forward``: smallest ``right_time >= left_time`` (inclusive);
+    - ``nearest``: whichever of the two is closer in time; exact ties
+      resolve backward (deterministic).
+
+    ``tolerance_seconds`` drops matches farther than that from
+    ``left_time`` (the match columns go NULL, like pandas tolerance).
     Ties on ``right_time`` resolve to the greatest ``tie_break`` value
     (deterministic). Unmatched left rows keep NULL right columns.
 
-    Plan shape: union(left, right) -> single shuffle + sort on
-    (key, time) -> running ``last(right_struct, ignorenulls)`` -> filter
-    back to left rows. One shuffle, linear state, no skew amplification
-    beyond the key's own cardinality.
+    Plan shape: union(left, right) -> ONE shuffle on key -> running
+    ``last(right_struct, ignorenulls)`` over a sorted window (backward/
+    forward: one sort; nearest: two sorts of the same partitioning,
+    still one shuffle) -> filter back to left rows. Linear state, no
+    skew amplification beyond the key's own cardinality.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     payload = [c for c in right_cols]
     if tie_break and tie_break not in payload:
         payload = payload + [tie_break]
+    if right_time not in payload:
+        # the match's own time is needed for nearest/tolerance
+        payload = payload + [right_time]
 
     l_tagged = left.select(
         F.col(on).alias("_k"),
@@ -59,24 +74,64 @@ def asof_join(
         ).alias("_lrow"),
         F.struct(*[F.col(c) for c in payload]).alias("_rrow"),
     )
+    unioned = l_tagged.unionByName(r_tagged)
 
-    order: list[Column] = [F.col("_t").asc(), F.col("_is_right").desc()]
-    if tie_break:
-        order.append(F.col("_rrow").getField(tie_break).asc_nulls_first())
-    w = (
-        W.partitionBy("_k")
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    def running_match(descending: bool) -> Column:
+        # at equal _t rights sort before lefts (inclusive match); among
+        # equal rights the greatest tie_break is seen last and wins
+        order: list[Column] = [
+            F.col("_t").desc() if descending else F.col("_t").asc(),
+            F.col("_is_right").desc(),
+        ]
+        if tie_break:
+            order.append(F.col("_rrow").getField(tie_break).asc_nulls_first())
+        w = (
+            W.partitionBy("_k")
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return F.last("_rrow", ignorenulls=True).over(w)
 
-    matched = (
-        l_tagged.unionByName(r_tagged)
-        .withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
-        .filter(F.col("_is_right") == 0)
-    )
+    def seconds(c: Column) -> Column:
+        # timestamp/date -> epoch seconds; numeric time axes pass through
+        return c.cast("timestamp").cast("double") if _is_temporal(
+            left.schema[left_time].dataType
+        ) else c.cast("double")
+
+    if direction == "backward":
+        matched = unioned.withColumn("_match", running_match(False))
+    elif direction == "forward":
+        matched = unioned.withColumn("_match", running_match(True))
+    else:
+        b, f_ = running_match(False), running_match(True)
+        dist_b = seconds(F.col("_t")) - seconds(b.getField(right_time))
+        dist_f = seconds(f_.getField(right_time)) - seconds(F.col("_t"))
+        matched = unioned.withColumn(
+            "_match",
+            F.when(b.isNull(), f_)
+            .when(f_.isNull(), b)
+            .when(dist_f < dist_b, f_)
+            .otherwise(b),  # ties resolve backward
+        )
+    matched = matched.filter(F.col("_is_right") == 0)
+
+    if tolerance_seconds is not None:
+        dist = F.abs(
+            seconds(F.col("_t")) - seconds(F.col("_match").getField(right_time))
+        )
+        matched = matched.withColumn(
+            "_match", F.when(dist <= tolerance_seconds, F.col("_match"))
+        )
+
     out_cols = [F.col("_lrow").getField(c).alias(c) for c in left.columns]
     out_cols += [F.col("_match").getField(c).alias(f"{prefix}{c}") for c in right_cols]
     return matched.select(*out_cols)
+
+
+def _is_temporal(dt) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
 
 
 def range_join(

@@ -254,3 +254,92 @@ def test_asof_join_randomized_vs_pandas_merge_asof(spark) -> None:
         for r in merged.itertuples()
     }
     assert got == expected
+
+
+def test_asof_join_directions_and_tolerance_vs_oracles(spark) -> None:
+    """Randomized differential for the forward / nearest directions and
+    tolerance: forward against pandas.merge_asof (right ties ordered so
+    the greatest tie_break is taken first), nearest against a
+    hand-rolled oracle with explicit tie->backward resolution,
+    tolerance against pandas' Timedelta tolerance."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(23)
+    left_rows = [
+        (f"k{rng.randrange(4)}", datetime(2024, 6, 1 + rng.randrange(10), rng.randrange(24)), i)
+        for i in range(100)
+    ]
+    right_rows = [
+        (f"k{rng.randrange(5)}", datetime(2024, 6, 1 + rng.randrange(10), rng.randrange(24)), i)
+        for i in range(70)
+    ]
+    left = spark.createDataFrame(left_rows, ["k", "ts", "lid"])
+    right = spark.createDataFrame(right_rows, ["k", "rts", "rid"])
+
+    def run(**kw):
+        return {
+            r.lid: r.asof_rid
+            for r in asof_join(
+                left, right, on="k", left_time="ts", right_time="rts",
+                right_cols=["rid"], tie_break="rid", **kw,
+            ).collect()
+        }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts", kind="stable")
+
+    # forward: first row >= ts; pre-order ties rid-DESC so pandas takes
+    # the greatest tie_break, matching the operator's tie rule
+    rp_fwd = (
+        pd.DataFrame(right_rows, columns=["k", "rts", "rid"])
+        .sort_values("rid", ascending=False, kind="stable")
+        .sort_values("rts", kind="stable")
+    )
+    merged_f = pd.merge_asof(
+        lp, rp_fwd, left_on="ts", right_on="rts", by="k",
+        direction="forward", allow_exact_matches=True,
+    )
+    expected_f = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged_f.itertuples()
+    }
+    assert run(direction="forward") == expected_f
+
+    # nearest: hand-rolled oracle, exact-tie -> backward, right-time
+    # ties -> greatest rid
+    by_key: dict = {}
+    for k, rts, rid in right_rows:
+        by_key.setdefault(k, []).append((rts, rid))
+    expected_n = {}
+    for k, ts, lid in left_rows:
+        cands = by_key.get(k, [])
+        back = max(((t, r) for t, r in cands if t <= ts), default=None)
+        fwd = min(
+            ((t, -r) for t, r in cands if t >= ts), default=None
+        )  # min over (t, -rid) -> earliest time, greatest rid
+        if back is None and fwd is None:
+            expected_n[lid] = None
+        elif back is None:
+            expected_n[lid] = -fwd[1]
+        elif fwd is None:
+            expected_n[lid] = back[1]
+        else:
+            db, df_ = ts - back[0], fwd[0] - ts
+            expected_n[lid] = -fwd[1] if df_ < db else back[1]
+    assert run(direction="nearest") == expected_n
+
+    # tolerance: backward within 36 hours
+    rp_back = pd.DataFrame(right_rows, columns=["k", "rts", "rid"]).sort_values(
+        ["rts", "rid"], kind="stable"
+    )
+    merged_t = pd.merge_asof(
+        lp, rp_back, left_on="ts", right_on="rts", by="k",
+        direction="backward", allow_exact_matches=True,
+        tolerance=pd.Timedelta(hours=36),
+    )
+    expected_t = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged_t.itertuples()
+    }
+    assert run(tolerance_seconds=36 * 3600) == expected_t
