@@ -485,26 +485,38 @@ def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "pivot_status",
     oracle="""
-    SELECT o_orderpriority,
-           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
-           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
-           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH p AS (
+        SELECT o_orderpriority,
+               round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
+               round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
+               round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, total
+    FROM p UNPIVOT INCLUDE NULLS (total FOR status IN (F, O, P))
     """,
 )
 def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (wide aggregation) - explicit value list so the plan needs
-    no extra distinct-values pass."""
+    """Pivot (wide aggregation, explicit value list so the plan needs
+    no extra distinct-values pass) THEN unpivot/melt back to long -
+    both reshaping operators in one certified round-trip; the zero
+    coalesce keeps the long form total and row set deterministic."""
     o = load_table(spark, sf_dir, "orders")
-    out = (
+    wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.sum("o_totalprice"))
     )
-    return out.select(
+    wide = wide.select(
         "o_orderpriority",
         *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("F", "O", "P")],
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="total",
     )
 
 
