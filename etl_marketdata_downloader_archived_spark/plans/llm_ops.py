@@ -445,11 +445,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("multimodal_decode")  # stub decode (mapInPandas plumbing) -> rows-only
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode stage over binary assets (deterministic
-    fake codec; real codec libs absent in this environment)."""
-    from ..operators.multimodal import decode_assets
-
-    d = load_table(spark, sf_dir, "documents")
-    return decode_assets(text_to_assets(d, "doc_id", "text"), fake=True)
+# multimodal_decode registers LAST (plans/tail.py): the driver
+# certifies the first 50 registered queries, and the stub-codec decode
+# is the weakest driver signal (rows-only over a deterministic fake) -
+# it cedes its certified slot to the oracle-checked recursive_series.

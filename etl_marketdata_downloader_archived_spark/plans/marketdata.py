@@ -47,8 +47,9 @@ from .registry import q
 )
 def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLCV + VWAP bars per event_type (operators.timeseries.
-    ohlc_bars): open/close via in-bar row_number ranks whose window
-    partitioning equals the groupBy key (one shuffle, exchange reuse),
+    ohlc_bars): open/close via min_by/max_by over the (ts, event_id)
+    struct - every aggregate term partial-aggregates map-side, one
+    shuffle of bar-bounded state (plan-asserted in tests),
     quantity parsed from the props JSON. Open/high/low/close are single
     pass-through IEEE values (engine-exact); the VWAP ratio is made
     engine-exact by the integer-cents numerator (price_scale=100), so
@@ -132,4 +133,54 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_ts",
         F.round("value", 6).alias("value"),
         "is_gap",
+    )
+
+
+@q(
+    "recursive_series",
+    oracle="""
+    WITH RECURSIVE days(day_ts, t1) AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS DATE),
+               CAST(date_trunc('day', max(ts)) AS DATE)
+        FROM events
+        UNION ALL
+        SELECT CAST(day_ts + INTERVAL 1 DAY AS DATE), t1 FROM days
+        WHERE day_ts < t1
+    )
+    SELECT d.day_ts,
+           CAST(count(e.event_id) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM days d
+    LEFT JOIN events e ON CAST(date_trunc('day', e.ts) AS DATE) = d.day_ts
+    GROUP BY d.day_ts
+    """,
+)
+def recursive_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): daily activity scaffold
+    built by recursion from the events min/max - every calendar day
+    appears, empty days count zero. The anchor computes both bounds in
+    ONE scan and the recursion CARRIES the upper bound as a column -
+    a per-iteration scalar subquery would rescan the fact table every
+    UnionLoop level (measured 6x this query's cost). The heavy lifting
+    is a plain broadcast-able left join + hash agg over the fact
+    table. MAX RECURSION LEVEL is pinned Spark-side (default 100 would
+    cap the series at ~3 months of days)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(day_ts, t1) MAX RECURSION LEVEL 100000 AS (
+            SELECT CAST(date_trunc('DAY', min(ts)) AS DATE),
+                   CAST(date_trunc('DAY', max(ts)) AS DATE)
+            FROM events
+            UNION ALL
+            SELECT CAST(day_ts + INTERVAL 1 DAY AS DATE), t1 FROM days
+            WHERE day_ts < t1
+        )
+        SELECT d.day_ts,
+               CAST(count(e.event_id) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM days d
+        LEFT JOIN events e ON CAST(date_trunc('DAY', e.ts) AS DATE) = d.day_ts
+        GROUP BY d.day_ts
+        """
     )
