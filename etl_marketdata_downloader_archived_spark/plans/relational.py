@@ -1054,24 +1054,44 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) AS discounted
+           l_extendedprice * (1 - l_discount) AS discounted,
+           CASE WHEN l_extendedprice * (1 - l_discount) > 50000 THEN 'high'
+                WHEN l_extendedprice * (1 - l_discount) > 10000 THEN 'mid'
+                ELSE 'low' END AS bracket
     FROM lineitem
     """,
 )
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized (Arrow) pandas UDF - the sanctioned Python escape
-    hatch; elementwise IEEE ops so results match the SQL oracle exactly."""
+    """Both scalar-UDF surfaces in one certified query: a vectorized
+    (Arrow) pandas UDF - the sanctioned Python escape hatch,
+    elementwise IEEE ops so results match the SQL oracle exactly - and
+    a Spark 4 SQL UDF (CREATE TEMPORARY FUNCTION ... RETURN), which
+    Catalyst INLINES into the plan (stays whole-stage-codegen, unlike
+    any Python path; the production-preferred UDF form when the logic
+    is expressible)."""
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.DoubleType())
     def discount_price(price: pd.Series, disc: pd.Series) -> pd.Series:
         return price * (1 - disc)
 
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_bracket(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p > 50000 THEN 'high'
+                    WHEN p > 10000 THEN 'mid'
+                    ELSE 'low' END
+        """
+    )
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         discount_price("l_extendedprice", "l_discount").alias("discounted"),
+        F.expr(
+            "price_bracket(l_extendedprice * (1 - l_discount))"
+        ).alias("bracket"),
     )
 
 
