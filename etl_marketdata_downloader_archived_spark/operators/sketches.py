@@ -52,3 +52,133 @@ def estimate_distinct(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(est)
     return sketches.agg(est)
+
+
+# ------------------------------------------------------- theta sketches
+# Theta (Apache DataSketches) adds what HLL cannot: SET ALGEBRA over
+# the sketches. Retention (|A intersect B|), churn (|A \ B|), and
+# cross-segment overlap all become scalar operations over
+# bucket-count-bounded state - the fact table is scanned exactly once,
+# at build time.
+
+
+def build_theta_sketches(
+    df: DataFrame,
+    value: str,
+    bucket_cols: list[str],
+) -> DataFrame:
+    """One theta sketch of distinct ``value`` per bucket. Same
+    map-side-combining aggregate shape as the HLL builder; prefer
+    theta when later queries need intersections/differences, HLL when
+    they only need unions (HLL state is smaller)."""
+    return df.groupBy(*bucket_cols).agg(
+        F.expr(f"theta_sketch_agg({value})").alias("sketch")
+    )
+
+
+def theta_estimate(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union theta sketches (optionally per regrouping key) and
+    estimate the distinct count."""
+    est = F.expr(
+        f"theta_sketch_estimate(theta_union_agg({sketch_col}))"
+    ).alias("n_distinct_est")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(est)
+    return sketches.agg(est)
+
+
+def theta_overlap(a, b):
+    """Column expr: estimated |A intersect B| of two sketch columns -
+    the retention primitive (e.g. users active in both periods)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return _theta_binop("theta_intersection", a, b)
+
+
+def theta_only_in_first(a, b):
+    """Column expr: estimated |A \\ B| - the churn primitive (e.g.
+    users seen last period but not this one)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return _theta_binop("theta_difference", a, b)
+
+
+def _theta_binop(fn: str, a, b):
+    from pyspark.sql.functions import call_function
+
+    return call_function(
+        "theta_sketch_estimate", call_function(fn, a, b)
+    )
+
+
+def retention(
+    sketches: DataFrame,
+    bucket_col: str,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Consecutive-bucket retention/churn table from a sketch table
+    alone: for each bucket, the estimated distinct count, the overlap
+    with the PREVIOUS bucket (retained), and the difference (churned).
+    A self-lag over bucket order - never touches the fact table."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(bucket_col)
+    lagged = sketches.select(
+        bucket_col,
+        F.col(sketch_col).alias("_cur"),
+        F.lag(sketch_col).over(w).alias("_prev"),
+    )
+    return lagged.select(
+        bucket_col,
+        F.expr("theta_sketch_estimate(_cur)").alias("n_distinct_est"),
+        F.when(
+            F.col("_prev").isNotNull(), _theta_binop("theta_intersection", F.col("_prev"), F.col("_cur"))
+        ).alias("retained_est"),
+        F.when(
+            F.col("_prev").isNotNull(), _theta_binop("theta_difference", F.col("_prev"), F.col("_cur"))
+        ).alias("churned_est"),
+    )
+
+
+# ----------------------------------------------------- heavy hitters
+
+
+def build_topk_sketches(
+    df: DataFrame,
+    value: str,
+    bucket_cols: list[str],
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Mergeable heavy-hitter (approx top-k) state per bucket: the
+    ingest half of 'top items over <any range>' without rescanning.
+    ``max_items_tracked`` bounds sketch size (and is the accuracy
+    knob)."""
+    return df.groupBy(*bucket_cols).agg(
+        F.expr(
+            f"approx_top_k_accumulate({value}, {max_items_tracked})"
+        ).alias("topk_state")
+    )
+
+
+def estimate_topk(
+    sketches: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+    state_col: str = "topk_state",
+) -> DataFrame:
+    """Combine per-bucket top-k states (optionally per regrouping key)
+    and return the merged top-k as (item, count) rows."""
+    est = F.expr(
+        f"approx_top_k_estimate(approx_top_k_combine({state_col}), {k})"
+    ).alias("topk")
+    grouped = (
+        sketches.groupBy(*group_cols).agg(est)
+        if group_cols
+        else sketches.agg(est)
+    )
+    keep = ([*group_cols] if group_cols else [])
+    return grouped.select(
+        *keep, F.explode("topk").alias("hit")
+    ).select(*keep, "hit.item", "hit.count")

@@ -79,3 +79,64 @@ def test_sketch_survives_parquet_roundtrip(spark, tmp_path) -> None:
     est = SK.estimate_distinct(reread).collect()[0].n_distinct_est
     exact = len({u for d, s, u in rows})
     assert abs(est - exact) <= max(4, 0.033 * exact)
+
+
+def test_theta_retention_and_set_ops(spark) -> None:
+    """Theta set algebra vs exact: per-day distincts, consecutive-day
+    retained/churned users from the sketch table alone."""
+    df, rows = _events(spark, n=12000, n_users=800, days=6)
+    daily = SK.build_theta_sketches(df, "user_id", ["day"]).cache()
+
+    got = {r.day: r for r in SK.retention(daily, "day").collect()}
+    by_day = {}
+    for d, s, u in rows:
+        by_day.setdefault(d, set()).add(u)
+    days = sorted(by_day)
+    for i, d in enumerate(days):
+        r = got[d]
+        assert abs(r.n_distinct_est - len(by_day[d])) <= max(
+            4, 0.04 * len(by_day[d])
+        )
+        if i == 0:
+            assert r.retained_est is None and r.churned_est is None
+        else:
+            prev = by_day[days[i - 1]]
+            retained = len(prev & by_day[d])
+            churned = len(prev - by_day[d])
+            assert abs(r.retained_est - retained) <= max(6, 0.06 * retained)
+            assert abs(r.churned_est - churned) <= max(6, 0.06 * churned)
+
+
+def test_theta_union_estimate_vs_exact(spark) -> None:
+    df, rows = _events(spark, n=8000, n_users=1200, days=8)
+    daily = SK.build_theta_sketches(df, "user_id", ["day"])
+    est = SK.theta_estimate(daily).collect()[0].n_distinct_est
+    exact = len({u for _, _, u in rows})
+    assert abs(est - exact) <= max(4, 0.04 * exact)
+
+
+def test_mergeable_topk_matches_exact_counts(spark) -> None:
+    """approx_top_k accumulate/combine across buckets: with fewer
+    distinct items than max_items_tracked the merged counts are EXACT,
+    and the global top-k equals the true top-k."""
+    import collections
+
+    df, rows = _events(spark, n=10000, n_users=50, days=10)
+    per_day = SK.build_topk_sketches(
+        df.selectExpr("day", "cast(user_id as string) item"),
+        "item",
+        ["day"],
+        max_items_tracked=200,
+    )
+    got = {
+        r.item: r["count"] for r in SK.estimate_topk(per_day, k=10).collect()
+    }
+    true_counts = collections.Counter(str(u) for _, _, u in rows)
+    want = dict(true_counts.most_common(10))
+    # counts for the reported items must be exact
+    for item, n in got.items():
+        assert true_counts[item] == n
+    # the k-th count boundary may tie; compare count multisets
+    assert sorted(got.values(), reverse=True) == sorted(
+        want.values(), reverse=True
+    )
