@@ -31,6 +31,7 @@ HEADLINE = [
     "sim_ann_panel",
     "ohlc_bars",
     "resample_ffill",
+    "recursive_series",
     "harvest_pipeline",
     "corpus_clean",
     "text_analysis",
