@@ -378,6 +378,37 @@ def weighted_stratum_sample(
     )
 
 
+def stratified_exact_k(
+    df,
+    id_col: str,
+    stratum_col: str,
+    k: int,
+    seed: int = 42,
+):
+    """EXACTLY min(k, |stratum|) rows per stratum, deterministically -
+    the eval-set constructor (rate-based sampling only hits k in
+    expectation). Rows rank by ``xxhash64(seed, id)`` inside their
+    stratum, so the chosen set is a pure function of (seed, ids):
+    stable across runs, partitionings, and engine restarts, and
+    UNCHANGED for surviving strata when other strata grow.
+
+    Scale shape: one shuffle on the stratum key; the rank filter is a
+    ``row_number() <= k`` that Spark pushes down as WindowGroupLimit -
+    each map task keeps only its local top-k per stratum before the
+    shuffle, so the wire carries O(strata x k) rows per task, not the
+    corpus (plan-asserted in tests)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy(
+        F.xxhash64(F.lit(seed), _col(id_col)), _col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def mix_rates(
     counts: dict[str, int], target_mix: dict[str, float]
 ) -> dict[str, float]:

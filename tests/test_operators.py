@@ -1028,3 +1028,36 @@ def test_compact_lake_rewrites_to_current_state(spark, tmp_path) -> None:
     # idempotent: compacting a compact lake is a no-op
     compact_lake(spark, lake)
     assert spark.read.parquet(lake).count() == 2
+
+
+def test_stratified_exact_k_deterministic_and_group_limited(spark) -> None:
+    """Exact-k per stratum: correct sizes, deterministic membership
+    that survives corpus growth in OTHER strata, and the
+    WindowGroupLimit pushdown that keeps the shuffle k-bounded."""
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = X.stratified_exact_k(df, "doc_id", "source", k=20)
+    got = out.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in got} == {"s0": 20, "s1": 20, "s2": 20}
+
+    # short stratum -> whole stratum kept
+    small = spark.createDataFrame(rows[:5], ["doc_id", "source"])
+    assert X.stratified_exact_k(small, "doc_id", "source", k=20).count() == 5
+
+    # growing s2 must not change the s0/s1 selections
+    chosen_before = {
+        r.doc_id for r in out.filter("source <> 's2'").collect()
+    }
+    grown = spark.createDataFrame(
+        rows + [(i, "s2") for i in range(1000, 1400)], ["doc_id", "source"]
+    )
+    chosen_after = {
+        r.doc_id
+        for r in X.stratified_exact_k(grown, "doc_id", "source", k=20)
+        .filter("source <> 's2'")
+        .collect()
+    }
+    assert chosen_before == chosen_after
+
+    plan = X.stratified_exact_k(df, "doc_id", "source", k=20)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
