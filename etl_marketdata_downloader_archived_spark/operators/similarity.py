@@ -402,3 +402,72 @@ def ivf_search(
     return topk_cosine(
         df.filter(F.col(cluster_col).isin(probe)), query_vec, k, vec_col, id_col
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors in ``corpus`` for EVERY query vector -
+    the kNN-graph primitive behind semantic dedup clustering and
+    retrieval eval. Output: (query_id, neighbor_id, cos_sim, rank).
+
+    Scale shape: the QUERY side is the small side (an eval set, a
+    probe batch) - it broadcasts to every corpus partition as one
+    normalized numpy matrix; ``mapInPandas`` scores each Arrow batch
+    against all queries with one BLAS matmul and emits only each
+    batch's LOCAL top-k per query. The global window then ranks
+    O(queries x k x batches) candidate rows, never the corpus - the
+    same partial-top-k-then-merge contract TakeOrderedAndProject uses.
+    Corpus-side parallelism is the partition count; nothing about the
+    corpus must fit on one machine (the query matrix must: Q x dim
+    floats). Ties on cos_sim break toward the smaller neighbor id,
+    making the graph deterministic."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    q_rows = queries.select(F.col(qid).alias("qid"), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms[q_norms == 0.0] = 1.0
+    q_mat = q_mat / q_norms
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids_q, mat_q = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(c, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            sims = mat_q @ (c / n).T  # Q x B
+            kk = min(k, sims.shape[1])
+            # local top-k per query (argpartition: O(B) per query)
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(ids_q, kk)
+            rows_c = c_ids[idx.ravel()]
+            rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+            yield pd.DataFrame(
+                {"query_id": rows_q, "neighbor_id": rows_c, "cos_sim": rows_s}
+            )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1061,3 +1061,38 @@ def test_stratified_exact_k_deterministic_and_group_limited(spark) -> None:
 
     plan = X.stratified_exact_k(df, "doc_id", "source", k=20)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_knn_join_matches_numpy_bruteforce(spark) -> None:
+    """knn_join (broadcast-queries + per-partition BLAS + partial
+    top-k merge) must equal the exact numpy brute force, including
+    rank order and id tie-breaks, across multiple corpus partitions."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    corpus_vecs = rng.normal(size=(200, 16))
+    query_vecs = rng.normal(size=(7, 16))
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(corpus_vecs)],
+        ["vec_id", "embedding"],
+    ).repartition(6)
+    queries = spark.createDataFrame(
+        [(100 + i, v.tolist()) for i, v in enumerate(query_vecs)],
+        ["vec_id", "embedding"],
+    )
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cos_sim, 10))
+        for r in S.knn_join(queries, corpus, k=5).collect()
+    }
+
+    cn = corpus_vecs / np.linalg.norm(corpus_vecs, axis=1, keepdims=True)
+    qn = query_vecs / np.linalg.norm(query_vecs, axis=1, keepdims=True)
+    sims = qn @ cn.T
+    for qi in range(len(query_vecs)):
+        # sort by (-sim, id) to mirror the deterministic tie-break
+        order = sorted(range(200), key=lambda j: (-sims[qi, j], j))[:5]
+        for rank, j in enumerate(order, 1):
+            nid, s = got[(100 + qi, rank)]
+            assert nid == j
+            assert abs(s - sims[qi, j]) < 1e-9
