@@ -91,14 +91,23 @@ def write_lake(
     path: str,
     partition_cols: tuple[str, ...] = ("source_type",),
     mode: str = "append",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Partitioned parquet landing - the lake layout.
 
     The reference routes landed files under per-type S3 prefixes
     (POC2/{LINK,LINKS_OVER,...}); partitionBy gives the same physical
     layout plus automatic partition pruning on read.
-    """
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+    ``max_records_per_file`` caps file size task-side (the other half
+    of file sizing - too-small files are the compaction job's problem,
+    see compact_lake; too-LARGE files serialize the read because one
+    row group is one scan split floor). Size it so files land near the
+    128 MB ``maxPartitionBytes`` read split."""
+    w = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
 
 
 def write_lake_audited(

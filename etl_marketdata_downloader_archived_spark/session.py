@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd over the snappy default: ~30-50% smaller lake files at
+        # comparable decode speed - at 100 TB the scan is IO-bound, so
+        # smaller files ARE faster reads (and cheaper storage/egress)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Some upstream parquet (e.g. the events table) carries
         # TIMESTAMP(NANOS) which the Spark reader rejects; read as long
         # and let io.load_table convert to micros (= DuckDB truncation).

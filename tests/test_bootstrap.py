@@ -56,3 +56,19 @@ def test_bootstrap_with_stream(spark, tmp_path) -> None:
     out2["query"].awaitTermination(120)
     landed = spark.read.parquet(out["paths"]["lake"])
     assert [r.file_name for r in landed.collect()] == ["f.bin"]
+
+
+def test_write_lake_caps_records_per_file(spark, tmp_path) -> None:
+    """File sizing knob: maxRecordsPerFile splits task output so no
+    parquet file exceeds the cap (the too-large half of file sizing;
+    compact_lake handles the too-small half)."""
+    import glob
+
+    from etl_marketdata_downloader_archived_spark.io import write_lake
+
+    df = spark.range(100).selectExpr("id", "'A' as source_type").coalesce(1)
+    path = str(tmp_path / "lake")
+    write_lake(df, path, max_records_per_file=20)
+    files = glob.glob(f"{path}/source_type=A/*.parquet")
+    assert len(files) >= 5
+    assert spark.read.parquet(path).count() == 100
