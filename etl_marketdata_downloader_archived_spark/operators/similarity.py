@@ -471,3 +471,109 @@ def knn_join(
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_join_clustered(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-bucketed kNN join - the scale path when the QUERY side is
+    also unbounded (knn_join's broadcast matrix caps Q). Both sides
+    meet per centroid cluster:
+
+    1. k-means assigns the corpus to ``nlist`` clusters (the offline
+       index build; at lake scale the corpus is written PARTITIONED BY
+       cluster once and this step is a read).
+    2. Queries fan out to their ``nprobe`` nearest centroids via a
+       broadcast centroid matrix (nlist x dim - always tiny) inside
+       mapInPandas: no shuffle, no driver collect of queries.
+    3. A COGROUP on the cluster key hands each (query-batch,
+       corpus-cluster) pair to one BLAS matmul emitting local top-k
+       per query; the global window merges O(Q x k x nprobe) rows.
+
+    Approximate like any IVF probe (recall rises with nprobe;
+    nprobe=nlist is exhaustive and equals knn_join - pytest-pinned).
+    Every stage is bounded: centroids broadcast, one corpus cluster +
+    one query batch per task, candidates k-bounded."""
+    import numpy as np
+
+    qid = query_id_col or id_col
+    assigned = kmeans_assign(corpus, k=nlist, vec_col=vec_col, seed=seed)
+    cents = ivf_centroids(assigned, "cluster", vec_col=vec_col).collect()
+    c_ids = np.array([r["cluster"] for r in cents], dtype=np.int64)
+    c_mat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cents])
+    c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_norm[c_norm == 0.0] = 1.0
+    c_mat = c_mat / c_norm
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast((c_ids, c_mat))
+    probe = min(nprobe, len(cents))
+
+    def route(batches):
+        ids_c, mat_c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            sims = (v / n) @ mat_c.T  # Q x nlist
+            near = np.argpartition(-sims, probe - 1, axis=1)[:, :probe]
+            qids = pdf[qid].to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, probe),
+                    "cluster": ids_c[near.ravel()],
+                    "qvec": [v for v in np.repeat(vecs, probe)],
+                }
+            )
+
+    routed = queries.select(F.col(qid), F.col(vec_col)).mapInPandas(
+        route, schema=f"qid long, cluster long, qvec {queries.schema[vec_col].dataType.simpleString()}"
+    )
+
+    def per_cluster(key, qpdf, cpdf):
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+        qv = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qv, axis=1, keepdims=True)
+        qn[qn == 0.0] = 1.0
+        cv = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
+        cn = np.linalg.norm(cv, axis=1, keepdims=True)
+        cn[cn == 0.0] = 1.0
+        sims = (qv / qn) @ (cv / cn).T
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        c_ids_local = cpdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qpdf["qid"].to_numpy(), kk),
+                "neighbor_id": c_ids_local[idx.ravel()],
+                "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+        )
+
+    candidates = routed.groupby("cluster").cogroup(
+        assigned.select(id_col, vec_col, "cluster").groupby("cluster")
+    ).applyInPandas(
+        per_cluster, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

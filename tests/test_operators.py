@@ -1096,3 +1096,49 @@ def test_knn_join_matches_numpy_bruteforce(spark) -> None:
             nid, s = got[(100 + qi, rank)]
             assert nid == j
             assert abs(s - sims[qi, j]) < 1e-9
+
+
+def test_knn_join_clustered_exhaustive_equals_brute(spark) -> None:
+    """With nprobe = nlist the IVF-bucketed kNN join is exhaustive and
+    must equal knn_join exactly; with a partial probe it keeps high
+    recall on clusterable data."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    # 4 well-separated blobs -> k-means recovers them
+    centers = rng.normal(scale=10, size=(4, 12))
+    corpus_vecs = np.concatenate(
+        [c + rng.normal(scale=0.5, size=(40, 12)) for c in centers]
+    )
+    query_vecs = np.concatenate(
+        [c + rng.normal(scale=0.5, size=(3, 12)) for c in centers]
+    )
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(corpus_vecs)],
+        ["vec_id", "embedding"],
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(500 + i, v.tolist()) for i, v in enumerate(query_vecs)],
+        ["vec_id", "embedding"],
+    )
+
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.knn_join(queries, corpus, k=5).collect()
+    }
+    exhaustive = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.knn_join_clustered(
+            queries, corpus, k=5, nlist=4, nprobe=4
+        ).collect()
+    }
+    assert exhaustive == brute
+
+    probed = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.knn_join_clustered(
+            queries, corpus, k=5, nlist=4, nprobe=1
+        ).collect()
+    }
+    hits = sum(1 for key, nid in brute.items() if probed.get(key) == nid)
+    assert hits / len(brute) >= 0.9  # blobs: probing the home cluster suffices
