@@ -499,3 +499,54 @@ def clean_corpus(
         .withColumnRenamed("_sw", "sw_ratio")
         .withColumnRenamed("_fp", "fp")
     )
+
+
+def register_sentence_udtf(spark, name: str = "split_sentences"):
+    """Register the sentence-segmentation Python UDTF (Spark 3.5+ udtf
+    surface): one input row -> N (pos, start_char, sentence) rows,
+    usable from SQL via LATERAL. This is the sanctioned shape for
+    row-to-table logic that is genuinely ITERATIVE - the running
+    character offset and quote-aware terminator scan below don't
+    compose from split/posexplode. For plain delimiter explodes stay
+    Catalyst-side (F.split + F.posexplode - JVM, no Python workers).
+
+    Returns the UDTF handle (also usable directly:
+    ``udtf_handle(F.col('text'))`` in a DataFrame lateralJoin).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, start_char int, sentence string")
+    class SplitSentences:
+        TERMINATORS = ".!?"
+
+        def eval(self, text: str):
+            if text is None:
+                return
+            pos = 0
+            start = 0
+            i = 0
+            in_quote = False
+            n = len(text)
+            while i < n:
+                ch = text[i]
+                if ch == '"':
+                    in_quote = not in_quote
+                elif ch in self.TERMINATORS and not in_quote:
+                    # consume trailing terminators/quotes/spaces
+                    j = i + 1
+                    while j < n and text[j] in '."!? ':
+                        j += 1
+                    sent = text[start:j].strip()
+                    if sent:
+                        yield pos, start, sent
+                        pos += 1
+                    start = j
+                    i = j
+                    continue
+                i += 1
+            tail = text[start:].strip()
+            if tail:
+                yield pos, start, tail
+
+    spark.udtf.register(name, SplitSentences)
+    return SplitSentences

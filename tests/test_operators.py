@@ -1142,3 +1142,32 @@ def test_knn_join_clustered_exhaustive_equals_brute(spark) -> None:
     }
     hits = sum(1 for key, nid in brute.items() if probed.get(key) == nid)
     assert hits / len(brute) >= 0.9  # blobs: probing the home cluster suffices
+
+
+def test_sentence_udtf_lateral(spark) -> None:
+    """Python UDTF surface: sentence segmentation with running char
+    offsets, consumed through SQL LATERAL - quote-aware termination
+    that a split/posexplode chain can't express."""
+    X.register_sentence_udtf(spark)
+    spark.createDataFrame(
+        [(1, 'He said "Stop. Now." and left. Then rain came.'), (2, None)],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.start_char, t.sentence
+        FROM udtf_docs d, LATERAL split_sentences(d.text) t
+        """
+    ).collect()
+    got = [(r.doc_id, r.pos, r.sentence) for r in rows]
+    assert got == [
+        (1, 0, 'He said "Stop. Now." and left.'),
+        (1, 1, "Then rain came."),
+    ]
+    # offsets point into the original text
+    assert all(
+        'He said "Stop. Now." and left. Then rain came.'[r.start_char :].startswith(
+            r.sentence
+        )
+        for r in rows
+    )
