@@ -345,3 +345,56 @@ def test_time_grid_is_dense_and_dimension_sized(spark) -> None:
         r.bar_ts.hour for r in grid.filter(F.col("sym") == "A").collect()
     )
     assert hours == [9, 10, 11]
+
+
+def test_feature_pipeline_end_to_end(spark, sf_dir) -> None:
+    """events -> bars -> indicators -> forward label -> split, on the
+    driver tables: label equals the manually-computed lead return,
+    leaks nothing at series ends, split is exhaustive and stable."""
+    import math
+
+    from etl_marketdata_downloader_archived_spark.plans.feature_pipeline import (
+        build_feature_table,
+    )
+
+    # window discipline FIRST, before .cache() makes every later build
+    # resolve to an InMemoryRelation (whose stored string embeds the
+    # executed AQE plan with duplicated initial/final sections): the
+    # indicator panel collapses to one Window op, the label lead adds
+    # one more.
+    fresh = build_feature_table(spark, sf_dir)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    n_windows = sum(
+        1 for line in plan.splitlines() if line.lstrip("+- ").startswith("Window ")
+    )
+    assert n_windows <= 2, plan
+
+    out = build_feature_table(spark, sf_dir).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+
+    by_series: dict = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    for series in by_series.values():
+        series.sort(key=lambda r: r.bar_ts)
+        for i, r in enumerate(series):
+            if i + 1 < len(series):
+                want = math.log(series[i + 1].close / r.close)
+                assert abs(r.fwd_return - want) < 1e-12
+            else:
+                assert r.fwd_return is None  # no label leak at the end
+
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.split is not None for r in rows)
+
+    # determinism: a second build chooses identical splits and labels
+    again = {
+        (r.event_type, r.bar_ts): (r.split, r.fwd_return)
+        for r in build_feature_table(spark, sf_dir).collect()
+    }
+    assert all(
+        again[(r.event_type, r.bar_ts)] == (r.split, r.fwd_return) for r in rows
+    )
+
+    out.unpersist()
