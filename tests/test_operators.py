@@ -1171,3 +1171,47 @@ def test_sentence_udtf_lateral(spark) -> None:
         )
         for r in rows
     )
+
+
+def test_validate_routes_violations_with_rule_names(spark) -> None:
+    """One-pass quality gate: clean/quarantine split, NULL verdicts
+    count as violations (three-valued-logic trap), rule names attach
+    to quarantined rows."""
+    from etl_marketdata_downloader_archived_spark.operators.quality import (
+        fk_violations,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 50.0, "A"),
+            (2, -3.0, "A"),      # negative price
+            (3, None, "B"),      # NULL price -> NULL verdict -> violation
+            (4, 10.0, None),     # missing route
+            (5, -1.0, None),     # two violations
+        ],
+        ["id", "price", "route"],
+    )
+    clean, quarantined = validate(
+        df,
+        {
+            "price_positive": F.col("price") > 0,
+            "route_present": F.col("route").isNotNull(),
+        },
+    )
+    assert [r.id for r in clean.orderBy("id").collect()] == [1]
+    bad = {r.id: sorted(r._violations) for r in quarantined.collect()}
+    assert bad == {
+        2: ["price_positive"],
+        3: ["price_positive"],
+        4: ["route_present"],
+        5: ["price_positive", "route_present"],
+    }
+    # nothing silently dropped
+    assert clean.count() + quarantined.count() == df.count()
+
+    parent = spark.createDataFrame([("A",), ("B",)], ["route"])
+    orphans = fk_violations(df, parent, "route")
+    assert [r.id for r in orphans.collect()] == []  # NULLs excluded
+    parent_small = spark.createDataFrame([("A",)], ["route"])
+    assert {r.id for r in fk_violations(df, parent_small, "route").collect()} == {3}
