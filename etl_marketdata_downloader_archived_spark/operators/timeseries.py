@@ -303,3 +303,44 @@ def resample_ffill(
         F.last("_obs", ignorenulls=True).over(w_fill).alias(value),
         F.col("_obs").isNull().cast("int").alias("is_gap"),
     )
+
+
+def rollup_bars(
+    bars: DataFrame,
+    key: str,
+    width: str = "day",
+) -> DataFrame:
+    """Roll finer bars up to a coarser ``width`` (hour -> day -> week)
+    WITHOUT revisiting ticks: open = first bar's open, close = last
+    bar's close (min_by/max_by on bar_ts), high/low = extrema,
+    n_trades/volume = sums, VWAP re-derived from the re-accumulated
+    (vwap x volume) notional. Exactly the ohlc_bars aggregate shape -
+    every term partial-aggregates map-side - so bar hierarchies build
+    each level from the previous one at bar-count cost. The identity
+    rollup(ticks->hour) == ticks->day is pytest-pinned.
+
+    VWAP caveat: the notional re-accumulates as (vwap * volume) per
+    fine bar - float products - so the rolled VWAP can differ from the
+    tick-level VWAP in the last ulps (not the integer-cents path);
+    bars with NULL vwap (zero volume) contribute nothing."""
+    coarse = _bar("bar_ts", width)
+    return (
+        bars.withColumn("_cb", coarse)
+        .groupBy(key, "_cb")
+        .agg(
+            F.min_by("open", F.col("bar_ts")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("bar_ts")).alias("close"),
+            F.sum("n_trades").cast("bigint").alias("n_trades"),
+            F.sum("volume").cast("bigint").alias("volume"),
+            (
+                F.sum(F.col("vwap") * F.col("volume"))
+                / F.nullif(
+                    F.sum(F.when(F.col("vwap").isNotNull(), F.col("volume"))),
+                    F.lit(0),
+                )
+            ).alias("vwap"),
+        )
+        .withColumnRenamed("_cb", "bar_ts")
+    )

@@ -398,3 +398,47 @@ def test_feature_pipeline_end_to_end(spark, sf_dir) -> None:
     )
 
     out.unpersist()
+
+
+def test_rollup_bars_equals_direct_daily_bars(spark) -> None:
+    """Bar-hierarchy identity: hour bars rolled to days must equal day
+    bars built straight from ticks on every OHLCV field (VWAP to float
+    tolerance - the rollup re-accumulates notional from per-bar
+    floats)."""
+    import random
+
+    rng = random.Random(31)
+    trades = [
+        (
+            rng.choice(["A", "B"]),
+            dt.datetime(2024, 3, 1 + rng.randrange(3), rng.randrange(24), rng.randrange(60)),
+            i,
+            round(rng.uniform(5, 50), 2),
+            rng.randrange(0, 5),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(trades, ["sym", "ts", "event_id", "price", "qty"])
+    hourly = TS.ohlc_bars(
+        df, "sym", "ts", "price", "qty",
+        width="hour", tie_break="event_id", price_scale=100,
+    )
+    rolled = {
+        (r.sym, r.bar_ts): r for r in TS.rollup_bars(hourly, "sym", "day").collect()
+    }
+    direct = {
+        (r.sym, r.bar_ts): r
+        for r in TS.ohlc_bars(
+            df, "sym", "ts", "price", "qty",
+            width="day", tie_break="event_id", price_scale=100,
+        ).collect()
+    }
+    assert set(rolled) == set(direct)
+    for k, d in direct.items():
+        r = rolled[k]
+        assert (r.open, r.high, r.low, r.close) == (d.open, d.high, d.low, d.close)
+        assert (r.n_trades, r.volume) == (d.n_trades, d.volume)
+        if d.vwap is None:
+            assert r.vwap is None
+        else:
+            assert abs(r.vwap - d.vwap) < 1e-9
