@@ -538,3 +538,70 @@ def test_streaming_error_path_composes_quarantine_and_catalog(spark, tmp_path) -
     assert len(qrows) == 1 and qrows[0].ID == "9" and qrows[0].attempts == 1
     flags = {r.id: r.active for r in read_catalog(spark, cat_dir, fmt="parquet").collect()}
     assert flags["9"] == 2
+
+
+def test_streaming_bars_feed_batch_indicators(spark, tmp_path) -> None:
+    """Lambda composition: streaming OHLC bars land in a checkpointed
+    parquet sink; the batch indicator panel then reads the landed bars
+    - streaming ingest and batch analytics meet at the lake, no
+    special-casing on either side."""
+    from etl_marketdata_downloader_archived_spark.operators import (
+        timeseries as TS,
+    )
+
+    rows = [
+        {"sym": "A", "ts": "2024-06-01 09:05:00", "event_id": 1, "price": 10.0, "qty": 1},
+        {"sym": "A", "ts": "2024-06-01 10:10:00", "event_id": 2, "price": 12.0, "qty": 2},
+        {"sym": "A", "ts": "2024-06-01 11:20:00", "event_id": 3, "price": 9.0, "qty": 1},
+        # advances the watermark past the 11:00 bar's close so append
+        # mode flushes hours 9-11; its own 13:00 bar stays open
+        {"sym": "A", "ts": "2024-06-01 13:59:00", "event_id": 4, "price": 9.5, "qty": 1},
+    ]
+    src = tmp_path / "ticks"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    ticks = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(
+            F.from_json(
+                "value",
+                "sym STRING, ts TIMESTAMP, event_id LONG, price DOUBLE, qty LONG",
+            ).alias("j")
+        )
+        .select("j.*")
+    )
+    bars = TS.streaming_ohlc_bars(
+        ticks, "sym", "ts", "price", "qty",
+        window="1 hour", watermark="1 hour",
+        tie_break="event_id", price_scale=100,
+    )
+    sink = str(tmp_path / "bars_lake")
+    q = (
+        bars.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(sink)
+    # append mode emits only watermark-closed bars: the final
+    # watermark (13:59 - 1h) passes the 09/10/11 bar closes; the
+    # 13:00 bar's state is still open when the stream drains
+    assert landed.count() == 3
+    panel = {
+        r.bar_ts.hour: r
+        for r in TS.indicator_panel(
+            landed, "sym", "bar_ts", "close", zscore_rows=3
+        ).collect()
+    }
+    assert panel[9].log_return is None
+    import math
+
+    assert abs(panel[10].log_return - math.log(12.0 / 10.0)) < 1e-12
+    assert panel[10].drawdown == 0.0  # at the running max
+    assert abs(panel[11].log_return - math.log(9.0 / 12.0)) < 1e-12
+    assert abs(panel[11].drawdown - (9.0 / 12.0 - 1.0)) < 1e-12
