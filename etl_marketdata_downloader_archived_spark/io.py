@@ -224,3 +224,15 @@ def overwrite_small_table(df: DataFrame, path: str) -> None:
     # Write-to-temp-then-swap is handled by Spark's overwrite mode; the
     # catalog is tiny so coalesce(1) keeps it a single file.
     df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
+    """Compute table + column statistics for the CBO (row count, size,
+    per-column NDV/min/max/null counts). Stats are what turn the
+    cost-based optimizer's join reordering and broadcast decisions
+    from guesses into informed choices on multi-join plans - at 100 TB
+    a wrong join order is the difference between shuffling a dimension
+    and shuffling the fact table. Run after (re)landing a catalog
+    table; session.get_spark enables CBO so the stats are consumed."""
+    cols = f" FOR COLUMNS {', '.join(columns)}" if columns else " FOR ALL COLUMNS"
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS{cols}")

@@ -48,6 +48,11 @@ def get_spark(
         # comparable decode speed - at 100 TB the scan is IO-bound, so
         # smaller files ARE faster reads (and cheaper storage/egress)
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # CBO consumes ANALYZE TABLE stats (io.analyze_table) for join
+        # reordering + cardinality-aware broadcast choices; inert (and
+        # harmless) for path-based reads without stats
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         # Some upstream parquet (e.g. the events table) carries
         # TIMESTAMP(NANOS) which the Spark reader rejects; read as long
         # and let io.load_table convert to micros (= DuckDB truncation).

@@ -72,3 +72,29 @@ def test_write_lake_caps_records_per_file(spark, tmp_path) -> None:
     files = glob.glob(f"{path}/source_type=A/*.parquet")
     assert len(files) >= 5
     assert spark.read.parquet(path).count() == 100
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path) -> None:
+    """ANALYZE TABLE materializes row-count + column stats the CBO
+    reads for join reordering; assert the stats actually land in the
+    catalog."""
+    from etl_marketdata_downloader_archived_spark.io import analyze_table
+
+    spark.sql("DROP TABLE IF EXISTS stats_probe")
+    spark.range(1000).selectExpr("id", "id % 7 AS grp").write.mode(
+        "overwrite"
+    ).saveAsTable("stats_probe")
+    analyze_table(spark, "stats_probe", ["grp"])
+    detail = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED stats_probe").collect()
+    }
+    assert "1000 bytes" in detail.get("Statistics", "") or "rows" in detail.get(
+        "Statistics", ""
+    )
+    colstats = {
+        r.info_name: r.info_value
+        for r in spark.sql("DESCRIBE EXTENDED stats_probe grp").collect()
+    }
+    assert colstats.get("distinct_count") == "7"
+    spark.sql("DROP TABLE stats_probe")
