@@ -140,3 +140,49 @@ def test_mergeable_topk_matches_exact_counts(spark) -> None:
     assert sorted(got.values(), reverse=True) == sorted(
         want.values(), reverse=True
     )
+
+
+def test_streaming_window_sketches_merge_to_batch_distincts(spark, tmp_path) -> None:
+    """Sketch rollups compose with streaming: per-window HLL sketches
+    built by tumbling_agg on a real stream, then merged BATCH-side for
+    an any-range distinct - the streaming ingest half of the
+    sketch-table pattern. Small cardinalities -> estimates exact."""
+    import json as _json
+
+    from etl_marketdata_downloader_archived_spark.streaming import tumbling_agg
+
+    rows = [
+        {"ts": f"2024-06-01 09:{m:02d}:00", "user_id": u}
+        for m, u in [(1, 1), (2, 2), (3, 1), (11, 2), (12, 3), (21, 4), (22, 1)]
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(F.from_json("value", "ts TIMESTAMP, user_id LONG").alias("j"))
+        .select("j.*")
+    )
+    sketched = tumbling_agg(
+        stream, "ts", "10 minutes",
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        watermark="1 hour",
+    )
+    q = (
+        sketched.writeStream.format("memory")
+        .queryName("sketch_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    windows = spark.sql("select w.start AS ws, sketch from sketch_windows")
+    assert windows.count() == 3  # 09:00, 09:10, 09:20 buckets
+    merged = SK.estimate_distinct(windows).collect()[0].n_distinct_est
+    assert merged == 4  # users 1,2,3,4 across all windows
+    first_two = SK.estimate_distinct(
+        windows.filter(F.col("ws") < "2024-06-01 09:20:00")
+    ).collect()[0].n_distinct_est
+    assert first_two == 3  # users 1,2,3 before 09:20
