@@ -236,3 +236,56 @@ def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = N
     table; session.get_spark enables CBO so the stats are consumed."""
     cols = f" FOR COLUMNS {', '.join(columns)}" if columns else " FOR ALL COLUMNS"
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS{cols}")
+
+
+def merge_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    ts_col: str | None = None,
+) -> None:
+    """Upsert ``updates`` into a partitioned parquet lake, rewriting
+    ONLY the partitions the updates touch - MERGE INTO semantics
+    without a table format. (The reference point-updates its catalog by
+    rewriting the whole file; at lake scale that is a full-table
+    rewrite, this touches updated partitions only.)
+
+    Mechanics: the touched partition values (a bounded, dimension-sized
+    set) prune the current-state read; current rows in those partitions
+    union with the updates and collapse to one row per key (updates win
+    - via ``ts_col`` ordering when given, else unconditionally); the
+    result writes back under dynamic partition overwrite, which
+    replaces exactly the partitions present in the output and leaves
+    every other partition's files untouched (tested by file identity).
+
+    Caveats: a key's partition value must be stable (a row that MOVES
+    partitions needs a delete from the old one - that is table-format
+    territory); concurrent writers to the SAME partition race (single
+    maintenance writer per lake, like compact_lake).
+    """
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    current = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    updates = updates.select(*current.columns)  # align column order
+    if ts_col:
+        merged = latest_per_key(current.unionByName(updates), keys, ts_col)
+    else:
+        # updates win unconditionally: tag precedence, keep max tag per key
+        tagged = current.withColumn("_prec", F.lit(0)).unionByName(
+            updates.withColumn("_prec", F.lit(1))
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(F.col("_prec").desc())
+        merged = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_prec")
+        )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

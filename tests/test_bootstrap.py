@@ -98,3 +98,48 @@ def test_analyze_table_feeds_cbo_stats(spark, tmp_path) -> None:
     }
     assert colstats.get("distinct_count") == "7"
     spark.sql("DROP TABLE stats_probe")
+
+
+def test_merge_partitioned_touches_only_affected_partitions(spark, tmp_path) -> None:
+    """Partition-scoped MERGE: updates upsert into their partitions,
+    untouched partitions keep their exact files (identity by path +
+    mtime), and non-updated rows in touched partitions survive."""
+    import glob
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import merge_partitioned
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        ["id", "part", "val"],
+    )
+    base.write.partitionBy("part").parquet(path)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part=*/[!_]*.parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [(2, "a", 99), (5, "a", 50), (6, "b", 60)], ["id", "part", "val"]
+    )
+    merge_partitioned(spark, path, updates, keys=["id"], partition_col="part")
+
+    got = {r.id: (r.part, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", 10),   # untouched row in a touched partition survives
+        2: ("a", 99),   # updated
+        3: ("b", 30),
+        4: ("c", 40),   # untouched partition
+        5: ("a", 50),   # inserted
+        6: ("b", 60),   # inserted
+    }
+    # partition c's files are bit-identical (never rewritten)
+    after_c = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=c/[!_]*.parquet")
+    }
+    assert after_c == {f: m for f, m in before.items() if "part=c" in f}
+    # partitions a and b were rewritten
+    assert all(
+        f not in after_c for f in before if "part=a" in f or "part=b" in f
+    )
