@@ -53,6 +53,14 @@ def get_spark(
         # harmless) for path-based reads without stats
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Runtime bloom-filter join pruning (semi-join reduction): when
+        # a fact-dim join's dim side is selectively filtered, inject a
+        # bloom filter built from the dim keys as a fact-side scan
+        # filter, so pruned fact rows never reach the shuffle. Pinned
+        # on explicitly; the default application-side threshold (10 GB
+        # scan) means it only fires where it pays - exactly the 100 TB
+        # fact-table case. Plan shape asserted in tests/test_joins_skew.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Some upstream parquet (e.g. the events table) carries
         # TIMESTAMP(NANOS) which the Spark reader rejects; read as long
         # and let io.load_table convert to micros (= DuckDB truncation).

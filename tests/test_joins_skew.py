@@ -343,3 +343,51 @@ def test_asof_join_directions_and_tolerance_vs_oracles(spark) -> None:
         for r in merged_t.itertuples()
     }
     assert run(tolerance_seconds=36 * 3600) == expected_t
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir) -> None:
+    """Semi-join reduction: a selectively-filtered dim side injects a
+    bloom filter (built from dim join keys) into the fact-side scan, so
+    pruned fact rows never reach the shuffle. Locally the 10 GB
+    application-side threshold never fires, so the test lowers it to 0
+    to assert the plan shape that production (100 TB fact scans) gets
+    by default."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: bloom injection targets shuffle-side scans
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        dim = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan  # built on the dim (creation) side
+        assert "might_contain" in plan  # applied on the fact (application) side
+        # and the filtered result is still correct
+        keys = {
+            r.o_orderkey
+            for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+            .collect()
+        }
+        assert j.count() == fact.filter(F.col("l_orderkey").isin(keys)).count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
