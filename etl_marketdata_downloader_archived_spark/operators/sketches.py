@@ -182,3 +182,91 @@ def estimate_topk(
     return grouped.select(
         *keep, F.explode("topk").alias("hit")
     ).select(*keep, "hit.item", "hit.count")
+
+
+# ------------------------------------------------- quantile sketches
+# Completes the sketch family (HLL distincts, theta set algebra, top-k
+# heavy hitters) with quantiles. Spark's percentile_approx keeps its
+# state internal (no accumulate/combine surface), so this uses
+# coordinated bottom-k sampling: per bucket, keep the k rows whose
+# xxhash64(record id) is smallest. Because every bucket samples by the
+# SAME hash, the union of two buckets' sketches re-sliced to its k
+# smallest hashes IS the sketch of the unioned data - merge is exact
+# (deterministic, associative, commutative), not approximate; only the
+# quantile ESTIMATE carries sampling error (~1/sqrt(k) in rank).
+#
+# Scale shape: build is one shuffle of (bucket, hash, value) triples
+# with the rank filter pushed map-side (WindowGroupLimit), so at most k
+# rows per bucket per input partition cross the wire; the sketch table
+# is bucket-count x k doubles; any-range/regrouped quantiles touch only
+# the sketch table.
+
+
+def build_quantile_sketches(
+    df: DataFrame,
+    value: str,
+    id_cols: list[str],
+    bucket_cols: list[str],
+    k: int = 512,
+) -> DataFrame:
+    """One bottom-k-by-hash uniform value sample per bucket. ``id_cols``
+    must identify a row (the sampling coordinate); ``value`` is cast to
+    double. Output = bucket_cols + ``qsketch``
+    (array<struct<h:bigint,v:double>>, sorted by h - lake-persistable)."""
+    from pyspark.sql import Window as W
+
+    tagged = df.select(
+        *bucket_cols,
+        F.xxhash64(*id_cols).alias("h"),
+        F.col(value).cast("double").alias("v"),
+    )
+    w = W.partitionBy(*bucket_cols).orderBy("h", "v")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("h", "v"))).alias("qsketch"))
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 512,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Union sketches (optionally per regrouping key) by concatenating
+    and re-slicing to the k smallest hashes - exactly the sketch that a
+    direct build over the unioned raw data would produce. Bounded:
+    inputs are <=k entries each and the sketch table is bucket-sized."""
+    merged = F.slice(
+        F.array_sort(F.flatten(F.collect_list(sketch_col))), 1, k
+    ).alias(sketch_col)
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(merged)
+    return sketches.agg(merged)
+
+
+def estimate_quantiles(
+    sketches: DataFrame,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+    k: int = 512,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Merge (per ``group_cols`` when given) and report nearest-rank
+    quantile estimates, one ``q_<prob>`` column per requested prob."""
+    merged = merge_quantile_sketches(sketches, group_cols, k, sketch_col)
+    vals = F.array_sort(
+        F.transform(F.col(sketch_col), lambda x: x["v"])
+    )
+    m = F.size(vals)
+    cols = [
+        F.element_at(
+            vals,
+            F.greatest(F.lit(1), F.ceil(F.lit(p) * m).cast("int")),
+        ).alias(f"q_{str(p).replace('.', '_')}")
+        for p in probs
+    ]
+    keep = [*group_cols] if group_cols else []
+    return merged.select(*keep, *cols)

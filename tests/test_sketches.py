@@ -186,3 +186,83 @@ def test_streaming_window_sketches_merge_to_batch_distincts(spark, tmp_path) -> 
         windows.filter(F.col("ws") < "2024-06-01 09:20:00")
     ).collect()[0].n_distinct_est
     assert first_two == 3  # users 1,2,3 before 09:20
+
+
+# ---------------------------------------------------- quantile sketches
+
+
+def _valued(spark, n=6000, days=6, seed=11):
+    rng = random.Random(seed)
+    rows = [
+        (
+            dt.date(2024, 5, 1) + dt.timedelta(days=rng.randrange(days)),
+            f"s{rng.randrange(2)}",
+            i,  # unique row id: the sampling coordinate
+            rng.lognormvariate(3.0, 0.8),  # skewed, like latencies/prices
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["day", "source", "rid", "val"]), rows
+
+
+def test_quantile_sketch_merge_is_exact(spark) -> None:
+    """Coordinated bottom-k: merging per-bucket sketches yields the
+    BIT-IDENTICAL sketch a direct build over the unioned data gives -
+    merge carries zero additional error."""
+    df, _ = _valued(spark)
+    per_day = SK.build_quantile_sketches(
+        df, "val", id_cols=["rid"], bucket_cols=["day", "source"], k=256
+    )
+    merged = {
+        r.source: r.qsketch
+        for r in SK.merge_quantile_sketches(
+            per_day, group_cols=["source"], k=256
+        ).collect()
+    }
+    direct = {
+        r.source: r.qsketch
+        for r in SK.build_quantile_sketches(
+            df, "val", id_cols=["rid"], bucket_cols=["source"], k=256
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_quantile_estimates_within_rank_error(spark) -> None:
+    """Nearest-rank estimates from the k-sample land within ~2/sqrt(k)
+    of the requested rank on the exact distribution."""
+    df, rows = _valued(spark)
+    per_day = SK.build_quantile_sketches(
+        df, "val", id_cols=["rid"], bucket_cols=["day"], k=512
+    )
+    est = SK.estimate_quantiles(per_day, probs=[0.5, 0.9], k=512).collect()[0]
+    exact = sorted(v for *_, v in rows)
+    n = len(exact)
+    for p, got in ((0.5, est.q_0_5), (0.9, est.q_0_9)):
+        # rank of the estimate in the exact sorted data, as a fraction
+        import bisect
+
+        rank = bisect.bisect_right(exact, got) / n
+        assert abs(rank - p) < 2 / (512**0.5), (p, got, rank)
+
+
+def test_quantile_sketch_regroup_and_roundtrip(spark, tmp_path) -> None:
+    """Per-(day,source) sketches persisted to parquet answer per-source
+    quantiles after a round-trip, without touching the raw data."""
+    df, rows = _valued(spark)
+    path = str(tmp_path / "qsk")
+    SK.build_quantile_sketches(
+        df, "val", id_cols=["rid"], bucket_cols=["day", "source"], k=512
+    ).write.parquet(path)
+    got = {
+        r.source: r.q_0_5
+        for r in SK.estimate_quantiles(
+            spark.read.parquet(path), probs=[0.5], group_cols=["source"], k=512
+        ).collect()
+    }
+    import bisect
+
+    for src in ("s0", "s1"):
+        exact = sorted(v for _, s, _, v in rows if s == src)
+        rank = bisect.bisect_right(exact, got[src]) / len(exact)
+        assert abs(rank - 0.5) < 2 / (512**0.5), (src, rank)
