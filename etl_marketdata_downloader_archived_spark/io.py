@@ -289,3 +289,83 @@ def merge_partitioned(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+# Re-aggregatable measure algebra for incremental rollups: how a
+# measure is BUILT from facts, and how built partials COMBINE. avg is
+# deliberately absent (keep sum+count, divide at read); distincts go
+# through HLL sketches (the only way re-aggregation stays correct).
+_ROLLUP_BUILD = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "hll": F.hll_sketch_agg,
+}
+_ROLLUP_COMBINE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts add
+    "min": F.min,
+    "max": F.max,
+    "hll": F.hll_union_agg,
+}
+
+
+def rollup_delta(
+    facts: DataFrame, keys: list[str], spec: list[tuple[str, str]]
+) -> DataFrame:
+    """Partial-aggregate ``facts`` per ``spec`` = [(column, kind)] with
+    kind in {sum,count,min,max,hll}. Output column names are
+    ``<col>_<kind>`` - the rollup-table schema."""
+    aggs = [
+        _ROLLUP_BUILD[kind](col).alias(f"{col}_{kind}") for col, kind in spec
+    ]
+    return facts.groupBy(*keys).agg(*aggs)
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    path: str,
+    new_facts: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    spec: list[tuple[str, str]],
+) -> None:
+    """Maintain a persistent rollup table incrementally: aggregate ONLY
+    the newly-arrived facts, combine with current rollup state in the
+    partitions the delta touches, and rewrite just those partitions
+    (dynamic partition overwrite - untouched partitions keep their
+    files). The fact history is never rescanned; a daily append costs
+    one delta aggregation + a partition-scoped merge, regardless of
+    table age. ``partition_col`` must be one of ``keys`` (day, source,
+    ...). Distinct-count measures must be ``hll`` sketches - raw
+    distinct counts cannot be re-aggregated across increments.
+
+    (The reference recomputes aggregates by re-querying the whole lake
+    through Athena per run; at 100 TB that is a full scan per refresh -
+    this is the O(delta) replacement.)
+    """
+    assert partition_col in keys, "partition_col must be a rollup key"
+    delta = rollup_delta(new_facts, keys, spec)
+    combine = [
+        _ROLLUP_COMBINE[kind](f"{col}_{kind}").alias(f"{col}_{kind}")
+        for col, kind in spec
+    ]
+    if not os.path.exists(path):
+        delta.write.partitionBy(partition_col).parquet(path)
+        return
+    touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
+    current = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = (
+        current.unionByName(delta.select(*current.columns))
+        .groupBy(*keys)
+        .agg(*combine)
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

@@ -143,3 +143,77 @@ def test_merge_partitioned_touches_only_affected_partitions(spark, tmp_path) -> 
     assert all(
         f not in after_c for f in before if "part=a" in f or "part=b" in f
     )
+
+
+def test_incremental_rollup_matches_oneshot_and_scopes_rewrites(
+    spark, tmp_path
+) -> None:
+    """Two increments (the second carrying late data for an old
+    partition) produce exactly the one-shot rollup over all facts;
+    partitions the delta does not touch keep their files."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        incremental_rollup,
+        rollup_delta,
+    )
+
+    path = str(tmp_path / "rollup")
+    cols = ["day", "source", "user_id", "amount"]
+    batch1 = spark.createDataFrame(
+        [
+            ("d1", "a", 1, 10.0),
+            ("d1", "a", 2, 20.0),
+            ("d1", "b", 1, 5.0),
+            ("d2", "a", 3, 7.0),
+        ],
+        cols,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            ("d2", "a", 3, 9.0),   # d2 grows
+            ("d2", "a", 4, 1.0),
+            ("d1", "b", 9, 2.0),   # late data for d1/b
+        ],
+        cols,
+    )
+    spec = [
+        ("amount", "sum"),
+        ("amount", "count"),
+        ("amount", "max"),
+        ("user_id", "hll"),
+    ]
+    keys = ["day", "source"]
+    incremental_rollup(spark, path, batch1, keys, "day", spec)
+    files_d1 = set(glob.glob(f"{path}/day=d1/[!_]*.parquet"))
+    incremental_rollup(
+        spark, path, batch2.filter("day = 'd2'"), keys, "day", spec
+    )
+    # d1 untouched by a d2-only delta
+    assert set(glob.glob(f"{path}/day=d1/[!_]*.parquet")) == files_d1
+    incremental_rollup(
+        spark, path, batch2.filter("day = 'd1'"), keys, "day", spec
+    )
+
+    got = spark.read.parquet(path)
+    oneshot = rollup_delta(batch1.unionByName(batch2), keys, spec)
+    est = lambda df: {  # noqa: E731
+        (r.day, r.source): (
+            r.amount_sum,
+            r.amount_count,
+            r.amount_max,
+            r.users,
+        )
+        for r in df.select(
+            "day",
+            "source",
+            "amount_sum",
+            "amount_count",
+            "amount_max",
+            F.hll_sketch_estimate("user_id_hll").alias("users"),
+        ).collect()
+    }
+    assert est(got) == est(oneshot)
