@@ -1,0 +1,121 @@
+"""SCD Type-2 history: interval-versioned state from an append log.
+
+The reference's catalog is last-write-wins (a point update rewrites the
+CSV row - ``data-downloader/data_downloader.py:47-58`` keeps no
+history). The warehouse-grade counterpart keeps every state a key ever
+held as [valid_from, valid_to) versions, so any past point in time is
+reconstructable. Built from the same append-log landing pattern the
+lake already uses (io.write_lake + latest_per_key readers).
+
+Scale shape: one hash-partition on the key + a per-key sort (a single
+window pass, linear state); consecutive duplicate observations collapse
+BEFORE version numbering, so re-observing an unchanged state never
+opens a version. Point-in-time reads are a filter over the history
+table - at 100 TB the history is dimension-sized (rows = state
+CHANGES, not observations) and typically broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def scd2_history(
+    log: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Collapse an observation log into SCD2 versions.
+
+    ``log`` holds one row per observation of a key's state (possibly
+    unchanged, possibly many per day). Output: one row per (key,
+    version) carrying ``attrs``, with ``valid_from`` (first observation
+    of the state), ``valid_to`` (start of the NEXT state, null while
+    current), ``is_current``. Ties on ``ts_col`` within a key resolve
+    to the last row by attribute order (deterministic); equality is
+    null-safe (NULL -> NULL is not a change).
+    """
+    per_key = W.partitionBy(*keys).orderBy(ts_col, *attrs)
+    state = F.struct(*attrs)
+    changed = (
+        log.select(*keys, ts_col, *attrs)
+        .withColumn("_prev", F.lag(state).over(per_key))
+        # first observation (prev null) or a null-safe state change
+        .filter(F.col("_prev").isNull() | ~state.eqNullSafe(F.col("_prev")))
+        .drop("_prev")
+    )
+    versioned = W.partitionBy(*keys).orderBy(ts_col, *attrs)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(versioned))
+        .withColumn("version", F.row_number().over(versioned))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )
+
+
+def snapshot_at(history: DataFrame, at) -> DataFrame:
+    """Point-in-time read: the state every key held at ``at`` (a
+    timestamp/date literal or Column). A pure filter over the history
+    table - no window, no join, partition-prunable when the history is
+    partitioned on valid_from date."""
+    at = F.lit(at)
+    return history.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    ).drop("valid_to", "is_current")
+
+
+def scd2_merge(
+    current_history: DataFrame,
+    new_log: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a new batch of observations
+    into an existing history WITHOUT replaying the full log. Only the
+    open (is_current) versions of keys present in the batch join the
+    recompute; closed versions and untouched keys pass through
+    untouched. Cost is O(batch + open versions of touched keys).
+
+    Assumes monotone ingest: every new observation is at-or-after the
+    open version's valid_from for its key (the streaming/landing
+    pattern). Late data older than a key's OPEN version would need its
+    closed versions re-opened - that is a full ``scd2_history`` rebuild
+    for that key, not an incremental fold.
+    """
+    touched = new_log.select(*keys).distinct()
+    affected_open = current_history.filter("is_current").join(
+        F.broadcast(touched), on=keys, how="semi"
+    )
+    untouched = current_history.join(
+        F.broadcast(touched), on=keys, how="anti"
+    ).unionByName(
+        current_history.filter(~F.col("is_current")).join(
+            F.broadcast(touched), on=keys, how="semi"
+        )
+    )
+    # replay = open versions (as observations at their valid_from)
+    #        + the new batch; rebuilt versions renumber from the max
+    #          closed version per key
+    replay = affected_open.select(
+        *keys, F.col("valid_from").alias(ts_col), *attrs
+    ).unionByName(new_log.select(*keys, ts_col, *attrs))
+    rebuilt = scd2_history(replay, keys, ts_col, attrs)
+    base = (
+        untouched.filter(~F.col("is_current"))
+        .groupBy(*keys)
+        .agg(F.max("version").alias("_base"))
+    )
+    rebuilt = (
+        rebuilt.join(F.broadcast(base), on=keys, how="left")
+        .withColumn(
+            "version", F.col("version") + F.coalesce("_base", F.lit(0))
+        )
+        .drop("_base")
+    )
+    return untouched.unionByName(rebuilt)

@@ -1,0 +1,108 @@
+"""SCD Type-2 history: version collapsing, point-in-time snapshots,
+and the incremental-merge == full-rebuild invariant."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from etl_marketdata_downloader_archived_spark.operators.history import (
+    scd2_history,
+    scd2_merge,
+    snapshot_at,
+)
+
+
+def _t(d, h=0):
+    return datetime(2024, 6, d, h)
+
+
+LOG = [
+    # key A: X, X (dup), Y, Y (dup), back to X
+    ("A", _t(1), "X", 1),
+    ("A", _t(2), "X", 1),
+    ("A", _t(3), "Y", 2),
+    ("A", _t(4), "Y", 2),
+    ("A", _t(5), "X", 1),
+    # key B: one state with a NULL attr, re-observed (no new version),
+    # then the NULL fills in (that IS a change)
+    ("B", _t(1), "S", None),
+    ("B", _t(3), "S", None),
+    ("B", _t(6), "S", 9),
+]
+COLS = ["k", "ts", "status", "score"]
+
+
+def test_scd2_collapses_and_versions(spark) -> None:
+    hist = scd2_history(
+        spark.createDataFrame(LOG, COLS), ["k"], "ts", ["status", "score"]
+    )
+    got = {
+        (r.k, r.version): (r.status, r.score, r.valid_from, r.valid_to, r.is_current)
+        for r in hist.collect()
+    }
+    assert got == {
+        ("A", 1): ("X", 1, _t(1), _t(3), False),
+        ("A", 2): ("Y", 2, _t(3), _t(5), False),
+        ("A", 3): ("X", 1, _t(5), None, True),
+        ("B", 1): ("S", None, _t(1), _t(6), False),
+        ("B", 2): ("S", 9, _t(6), None, True),
+    }
+
+
+def test_snapshot_at_matches_brute_force(spark) -> None:
+    hist = scd2_history(
+        spark.createDataFrame(LOG, COLS), ["k"], "ts", ["status", "score"]
+    )
+    for day in (1, 2, 3, 4, 5, 6, 7):
+        at = _t(day, h=12)
+        got = {
+            r.k: (r.status, r.score) for r in snapshot_at(hist, at).collect()
+        }
+        expected = {}
+        for k, ts, status, score in LOG:
+            if ts <= at and (k not in expected or ts >= expected[k][0]):
+                expected[k] = (ts, status, score)
+        assert got == {k: v[1:] for k, v in expected.items()}, day
+
+
+def test_scd2_merge_equals_full_rebuild(spark) -> None:
+    """Folding a new batch into an existing history (touching one key,
+    leaving another alone, starting with an unchanged re-observation)
+    gives row-for-row the history a full-log rebuild gives."""
+    batch1 = [r for r in LOG if r[1] <= _t(4)]
+    batch2 = [
+        ("A", _t(5), "X", 1),       # change for A
+        ("B", _t(5), "S", None),    # unchanged re-observation: no version
+        ("C", _t(5), "N", 0),       # brand-new key
+    ]
+    keys, ts, attrs = ["k"], "ts", ["status", "score"]
+    full = scd2_history(
+        spark.createDataFrame(batch1 + batch2, COLS), keys, ts, attrs
+    )
+    inc = scd2_merge(
+        scd2_history(spark.createDataFrame(batch1, COLS), keys, ts, attrs),
+        spark.createDataFrame(batch2, COLS),
+        keys,
+        ts,
+        attrs,
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.k, r.version, r.status, r.score, r.valid_from, r.valid_to, r.is_current)
+        for r in df.collect()
+    )
+    assert key(inc) == key(full)
+
+
+def test_scd2_plan_is_single_window_pass(spark) -> None:
+    """The history build is one hash-partition on the key: the two
+    windows share (partition, order) so they collapse into one sort."""
+    log = spark.createDataFrame(LOG, COLS)
+    plan = (
+        scd2_history(log, ["k"], "ts", ["status", "score"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
