@@ -217,3 +217,81 @@ def test_incremental_rollup_matches_oneshot_and_scopes_rewrites(
         ).collect()
     }
     assert est(got) == est(oneshot)
+
+
+def test_streaming_ingest_maintains_incremental_rollup(spark, tmp_path) -> None:
+    """foreachBatch + incremental_rollup: a file stream lands two
+    micro-batches and the persistent rollup table ends exactly where a
+    one-shot rollup over all facts would - the streaming half of the
+    O(delta) maintenance pattern (each micro-batch is the delta)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        incremental_rollup,
+        rollup_delta,
+    )
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    rollup_path = str(tmp_path / "rollup")
+    keys, spec = ["day", "source"], [
+        ("amount", "sum"),
+        ("amount", "count"),
+        ("user_id", "hll"),
+    ]
+    schema = "day STRING, source STRING, user_id LONG, amount DOUBLE"
+
+    batches = [
+        [
+            {"day": "d1", "source": "a", "user_id": 1, "amount": 10.0},
+            {"day": "d1", "source": "b", "user_id": 2, "amount": 5.0},
+        ],
+        [
+            {"day": "d1", "source": "a", "user_id": 1, "amount": 3.0},
+            {"day": "d2", "source": "a", "user_id": 3, "amount": 7.0},
+        ],
+    ]
+
+    def fold(batch_df, _epoch):
+        incremental_rollup(
+            batch_df.sparkSession, rollup_path, batch_df, keys, "day", spec
+        )
+
+    all_rows = []
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        all_rows += rows
+        stream = (
+            spark.readStream.format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("j"))
+            .select("j.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    oneshot = rollup_delta(
+        spark.createDataFrame(
+            [(r["day"], r["source"], r["user_id"], r["amount"]) for r in all_rows],
+            ["day", "source", "user_id", "amount"],
+        ),
+        keys,
+        spec,
+    )
+    snap = lambda df: {  # noqa: E731
+        (r.day, r.source): (r.amount_sum, r.amount_count, r.users)
+        for r in df.select(
+            "day", "source", "amount_sum", "amount_count",
+            F.hll_sketch_estimate("user_id_hll").alias("users"),
+        ).collect()
+    }
+    assert snap(spark.read.parquet(rollup_path)) == snap(oneshot)
