@@ -369,3 +369,91 @@ def incremental_rollup(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_mb: int = 128,
+) -> dict:
+    """Small-file compaction: rewrite only the partitions whose file
+    count exceeds what their bytes need at ``target_mb``/file, leaving
+    right-sized partitions' files untouched (dynamic partition
+    overwrite scopes the rewrite, same mechanism as merge_partitioned).
+
+    The companion to compact_lake (which collapses KEYS): streaming /
+    incremental appends land one file per micro-batch per partition,
+    and at 100 TB a scan's task count is driven by file count - a
+    partition of 10k 1 MB files costs 10k tasks and 10k opens where 80
+    would do. Row content is unchanged (no dedup here); each rewritten
+    partition coalesces to ceil(bytes / target) files via a
+    per-partition-value shuffle + a task-side maxRecordsPerFile cap.
+
+    Returns {"partitions_compacted": n, "files_before": a, "files_after": b}.
+    Single maintenance writer per lake assumed (as compact_lake).
+    """
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    target_bytes = target_mb * 1024 * 1024
+
+    todo: list[str] = []  # partition VALUES needing a rewrite
+    files_before = 0
+    for st in fs.listStatus(jvm_path(path)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{partition_col}=")):
+            continue
+        parts = [
+            f
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        nbytes = sum(f.getLen() for f in parts)
+        need = max(1, math.ceil(nbytes / target_bytes))
+        files_before += len(parts)
+        if len(parts) > need:
+            todo.append(name.split("=", 1)[1])
+    if not todo:
+        return {
+            "partitions_compacted": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+
+    sub = spark.read.parquet(path).filter(F.col(partition_col).isin(todo))
+    # rows-per-file cap from the observed bytes/row of the data itself
+    n_rows = sub.count()
+    n_bytes = sum(
+        f.getLen()
+        for v in todo
+        for f in fs.listStatus(jvm_path(f"{path}/{partition_col}={v}"))
+        if f.getPath().getName().endswith(".parquet")
+    )
+    rows_per_file = max(1, int(n_rows * target_bytes / max(1, n_bytes)))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            sub.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    files_after = sum(
+        1
+        for st in fs.listStatus(jvm_path(path))
+        if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
+        for f in fs.listStatus(st.getPath())
+        if f.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "partitions_compacted": len(todo),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -295,3 +295,49 @@ def test_streaming_ingest_maintains_incremental_rollup(spark, tmp_path) -> None:
         ).collect()
     }
     assert snap(spark.read.parquet(rollup_path)) == snap(oneshot)
+
+
+def test_compact_files_rewrites_only_fragmented_partitions(spark, tmp_path) -> None:
+    """File-count compaction: a partition fragmented into many tiny
+    files coalesces to the few its bytes need; a partition already at
+    one file keeps its exact files; rows are unchanged."""
+    import glob
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import compact_files
+
+    path = str(tmp_path / "lake")
+    frag = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(400)], ["id", "part", "val"]
+    ).repartition(8)
+    tidy = spark.createDataFrame(
+        [(i, "b", float(i)) for i in range(400, 450)], ["id", "part", "val"]
+    ).coalesce(1)
+    frag.write.partitionBy("part").parquet(path)
+    tidy.write.mode("append").partitionBy("part").parquet(path)
+    assert len(glob.glob(f"{path}/part=a/[!_]*.parquet")) == 8
+    before_b = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=b/[!_]*.parquet")
+    }
+    assert len(before_b) == 1
+
+    stats = compact_files(spark, path, "part", target_mb=128)
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_before"] == 9
+    assert len(glob.glob(f"{path}/part=a/[!_]*.parquet")) == 1
+    assert stats["files_after"] == 2
+    # the tidy partition was never rewritten
+    assert {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=b/[!_]*.parquet")
+    } == before_b
+    got = spark.read.parquet(path)
+    assert got.count() == 450
+    assert got.groupBy().sum("val").collect()[0][0] == sum(
+        float(i) for i in range(450)
+    )
+    # idempotent: a second pass finds nothing to do
+    assert compact_files(spark, path, "part", target_mb=128) == {
+        "partitions_compacted": 0,
+        "files_before": 2,
+        "files_after": 2,
+    }
