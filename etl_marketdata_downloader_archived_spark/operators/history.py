@@ -119,3 +119,44 @@ def scd2_merge(
         .drop("_base")
     )
     return untouched.unionByName(rebuilt)
+
+
+def scd2_foreach_batch(
+    path: str,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str],
+):
+    """Streaming SCD2 sink: a foreachBatch function that folds each
+    micro-batch into the persistent history at ``path`` via
+    ``scd2_merge`` (first batch bootstraps with ``scd2_history``).
+    Streaming ingest IS the monotone-arrival case the incremental fold
+    assumes. The merged history is materialized (localCheckpoint)
+    before overwriting the path it was read from; history tables are
+    dimension-sized (rows = state changes), so the single-file
+    overwrite is the catalog-update pattern, not a fact-table rewrite.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            scd2_foreach_batch("/lake/catalog_history", ["k"], "ts", ["status"])
+        ).option("checkpointLocation", ckpt).start()
+    """
+    import os
+
+    def fold(batch_df: DataFrame, _epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(path):
+            merged = scd2_merge(
+                spark.read.parquet(path), batch_df, keys, ts_col, attrs
+            )
+        else:
+            merged = scd2_history(batch_df, keys, ts_col, attrs)
+        (
+            merged.localCheckpoint(eager=True)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    return fold

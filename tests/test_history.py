@@ -106,3 +106,62 @@ def test_scd2_plan_is_single_window_pass(spark) -> None:
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_streaming_scd2_sink_equals_full_rebuild(spark, tmp_path) -> None:
+    """Two micro-batches through the foreachBatch SCD2 sink leave the
+    persistent history exactly where a one-shot rebuild over the full
+    log would."""
+    import json as _json
+
+    from etl_marketdata_downloader_archived_spark.operators.history import (
+        scd2_foreach_batch,
+    )
+
+    src = tmp_path / "obs"
+    src.mkdir()
+    hist_path = str(tmp_path / "hist")
+    keys, ts, attrs = ["k"], "ts", ["status", "score"]
+    schema = "k STRING, ts TIMESTAMP, status STRING, score LONG"
+
+    batches = [
+        [r for r in LOG if r[1] <= _t(4)],
+        [r for r in LOG if r[1] > _t(4)] + [("C", _t(6), "N", 0)],
+    ]
+    fold = scd2_foreach_batch(hist_path, keys, ts, attrs)
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                _json.dumps(
+                    {"k": k, "ts": str(t), "status": s, "score": sc}
+                )
+                for k, t, s, sc in rows
+            )
+        )
+        stream = (
+            spark.readStream.format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("j"))
+            .select("j.*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    full = scd2_history(
+        spark.createDataFrame(
+            batches[0] + batches[1], COLS
+        ),
+        keys,
+        ts,
+        attrs,
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.k, r.version, r.status, r.score, r.valid_from, r.valid_to, r.is_current)
+        for r in df.collect()
+    )
+    assert key(spark.read.parquet(hist_path)) == key(full)
