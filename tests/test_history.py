@@ -165,3 +165,44 @@ def test_streaming_scd2_sink_equals_full_rebuild(spark, tmp_path) -> None:
         for r in df.collect()
     )
     assert key(spark.read.parquet(hist_path)) == key(full)
+
+
+def test_scd2_randomized_differential_vs_brute_force(spark) -> None:
+    """Randomized logs (duplicate states, ties, nulls, many keys) vs a
+    per-key python replay of the SCD2 semantics."""
+    import random
+
+    rng = random.Random(7)
+    statuses = ["X", "Y", "Z", None]
+    log = []
+    for _ in range(300):
+        k = f"k{rng.randrange(12)}"
+        ts = _t(rng.randrange(1, 28), rng.randrange(24))
+        log.append((k, ts, rng.choice(statuses), rng.choice([1, 2, None])))
+    # drop exact (k, ts) duplicate observations: two different states at
+    # the SAME instant have no defined order in any SCD2 engine
+    seen, dedup = set(), []
+    for r in log:
+        if (r[0], r[1]) not in seen:
+            seen.add((r[0], r[1]))
+            dedup.append(r)
+    got = {
+        (r.k, r.version): (r.status, r.score, r.valid_from, r.valid_to)
+        for r in scd2_history(
+            spark.createDataFrame(dedup, COLS), ["k"], "ts", ["status", "score"]
+        ).collect()
+    }
+
+    expected = {}
+    by_key = {}
+    for k, ts, st, sc in sorted(dedup, key=lambda r: (r[0], r[1])):
+        by_key.setdefault(k, []).append((ts, (st, sc)))
+    for k, obs in by_key.items():
+        versions = []
+        for ts, state in obs:
+            if not versions or versions[-1][1] != state:
+                versions.append((ts, state))
+        for i, (ts, state) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            expected[(k, i + 1)] = (state[0], state[1], ts, nxt)
+    assert got == expected

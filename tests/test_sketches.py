@@ -266,3 +266,25 @@ def test_quantile_sketch_regroup_and_roundtrip(spark, tmp_path) -> None:
         exact = sorted(v for _, s, _, v in rows if s == src)
         rank = bisect.bisect_right(exact, got[src]) / len(exact)
         assert abs(rank - 0.5) < 2 / (512**0.5), (src, rank)
+
+
+def test_quantile_sketch_merge_invariant_under_random_bucketing(spark) -> None:
+    """For any random partition of the rows into buckets, merging the
+    per-bucket sketches gives the identical global sketch - the
+    coordinated-sampling guarantee that makes regrouping safe."""
+    rng = random.Random(23)
+    base = [(i, rng.lognormvariate(2.0, 1.1)) for i in range(3000)]
+    reference = None
+    for trial in range(3):
+        rows = [(f"b{rng.randrange(2 + trial * 3)}", rid, v) for rid, v in base]
+        per_bucket = SK.build_quantile_sketches(
+            spark.createDataFrame(rows, ["bucket", "rid", "val"]),
+            "val",
+            id_cols=["rid"],
+            bucket_cols=["bucket"],
+            k=128,
+        )
+        merged = SK.merge_quantile_sketches(per_bucket, k=128).collect()[0].qsketch
+        if reference is None:
+            reference = merged
+        assert merged == reference, f"trial {trial}"
