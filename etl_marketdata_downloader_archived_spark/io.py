@@ -457,3 +457,78 @@ def compact_files(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    rules: dict,
+    partition_cols: tuple[str, ...] = (),
+    max_violation_frac: float = 0.0,
+) -> dict:
+    """Write-audit-publish: stage the write beside the live table,
+    audit the STAGED FILES with the declarative quality gates
+    (operators.quality.validate), and only then move them into the
+    live path - readers never observe unaudited rows, and a failed
+    audit leaves the live table untouched with the staged copy kept
+    for inspection.
+
+    The audit reads back what parquet will actually serve (post
+    encoding/type coercion), not the in-memory frame. Publish is
+    per-file rename (no data copy); Spark part-file names carry a
+    write-UUID, so staged names cannot collide with live ones. Returns
+    {"published": bool, "n_rows": int, "n_violations": int,
+    "staging": path} - on a refused publish the caller inspects/
+    repairs the staging dir.
+
+    (The composed form of the reference's validate-nothing gap: its
+    downloader lands whatever the fetch returned; here the landing IS
+    the gate.)
+    """
+    from .operators.quality import validate
+
+    staging = path.rstrip("/") + "__staging"
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    n_rows = staged.count()
+    _, quarantined = validate(staged, rules)
+    n_bad = quarantined.count()
+    if n_rows and n_bad / n_rows > max_violation_frac:
+        return {
+            "published": False,
+            "n_rows": n_rows,
+            "n_violations": n_bad,
+            "staging": staging,
+        }
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jvm_path(path))
+
+    def _move(src_dir: str, dst_dir: str) -> None:
+        for st in fs.listStatus(jvm_path(src_dir)):
+            name = st.getPath().getName()
+            if st.isDirectory():  # partition dir: recurse, merging
+                fs.mkdirs(jvm_path(f"{dst_dir}/{name}"))
+                _move(f"{src_dir}/{name}", f"{dst_dir}/{name}")
+            elif name.endswith(".parquet"):
+                if not fs.rename(
+                    st.getPath(), jvm_path(f"{dst_dir}/{name}")
+                ):
+                    raise IOError(
+                        f"write_audit_publish: rename failed for {name}"
+                    )
+
+    _move(staging, path)
+    fs.delete(jvm_path(staging), True)
+    return {
+        "published": True,
+        "n_rows": n_rows,
+        "n_violations": n_bad,
+        "staging": staging,
+    }

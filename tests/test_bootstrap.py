@@ -341,3 +341,61 @@ def test_compact_files_rewrites_only_fragmented_partitions(spark, tmp_path) -> N
         "files_before": 2,
         "files_after": 2,
     }
+
+
+def test_write_audit_publish_gates_and_appends(spark, tmp_path) -> None:
+    """WAP: a clean batch publishes (staging drained into the live
+    table, merging partitions); a dirty batch is refused - live table
+    unchanged, staged copy kept for inspection."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.io import write_audit_publish
+
+    path = str(tmp_path / "tbl")
+    rules = {
+        "amount_positive": F.col("amount") > 0,
+        "id_not_null": F.col("id").isNotNull(),
+    }
+    cols = ["id", "part", "amount"]
+
+    r1 = write_audit_publish(
+        spark,
+        spark.createDataFrame([(1, "a", 5.0), (2, "b", 3.0)], cols),
+        path,
+        rules,
+        partition_cols=("part",),
+    )
+    assert r1 == {
+        "published": True, "n_rows": 2, "n_violations": 0,
+        "staging": f"{path}__staging",
+    }
+    # second clean batch merges into existing partition dirs
+    r2 = write_audit_publish(
+        spark,
+        spark.createDataFrame([(3, "a", 1.0)], cols),
+        path,
+        rules,
+        partition_cols=("part",),
+    )
+    assert r2["published"] and not glob.glob(f"{path}__staging/*")
+    assert {
+        (r.id, r.part, r.amount) for r in spark.read.parquet(path).collect()
+    } == {(1, "a", 5.0), (2, "b", 3.0), (3, "a", 1.0)}
+
+    # dirty batch: one violation out of two rows > max_violation_frac=0
+    r3 = write_audit_publish(
+        spark,
+        spark.createDataFrame([(4, "a", -9.0), (5, "b", 2.0)], cols),
+        path,
+        rules,
+        partition_cols=("part",),
+    )
+    assert r3 == {
+        "published": False, "n_rows": 2, "n_violations": 1,
+        "staging": f"{path}__staging",
+    }
+    # live table untouched; staging kept for inspection
+    assert spark.read.parquet(path).count() == 3
+    assert spark.read.parquet(f"{path}__staging").count() == 2
