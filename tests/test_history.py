@@ -206,3 +206,64 @@ def test_scd2_randomized_differential_vs_brute_force(spark) -> None:
             nxt = versions[i + 1][0] if i + 1 < len(versions) else None
             expected[(k, i + 1)] = (state[0], state[1], ts, nxt)
     assert got == expected
+
+
+def test_stream_enrichment_sees_history_updates_between_batches(
+    spark, tmp_path
+) -> None:
+    """Stream-static join against the SCD2 history's CURRENT versions:
+    Spark re-evaluates the static side per micro-batch, so a history
+    update between batches changes the enrichment - the live-catalog
+    join pattern (no restart needed when the dimension changes)."""
+    import json as _json
+
+    from etl_marketdata_downloader_archived_spark.operators.history import (
+        scd2_foreach_batch,
+    )
+
+    hist_path = str(tmp_path / "hist")
+    fold = scd2_foreach_batch(hist_path, ["k"], "ts", ["status", "score"])
+
+    out = tmp_path / "out"
+    enriched_rows = {}
+
+    def run_batch(i, events):
+        # per-run source/checkpoint: the memory sink cannot recover a
+        # checkpoint, and the point here is the STATIC side's per-batch
+        # re-evaluation, not source offset tracking
+        src = tmp_path / f"ev{i}"
+        src.mkdir()
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in events)
+        )
+        stream = (
+            spark.readStream.format("text")
+            .load(str(src))
+            .select(F.from_json("value", "ev_id LONG, k STRING").alias("j"))
+            .select("j.*")
+        )
+        current = (
+            spark.read.parquet(hist_path)
+            .filter("is_current")
+            .select("k", "status")
+        )
+        q = (
+            stream.join(current, on="k", how="left")
+            .writeStream.format("memory")
+            .queryName(f"enriched_{i}")
+            .option("checkpointLocation", str(out / f"ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        for r in spark.sql(f"select * from enriched_{i}").collect():
+            enriched_rows[r.ev_id] = r.status
+
+    # seed history: A -> X
+    fold(spark.createDataFrame([("A", _t(1), "X", 1)], COLS), 0)
+    run_batch(0, [{"ev_id": 1, "k": "A"}])
+    # history moves on: A -> Y ; next micro-batch must see Y
+    fold(spark.createDataFrame([("A", _t(2), "Y", 2)], COLS), 1)
+    run_batch(1, [{"ev_id": 2, "k": "A"}])
+
+    assert enriched_rows == {1: "X", 2: "Y"}
