@@ -57,16 +57,25 @@ def scd2_history(
     )
 
 
-def snapshot_at(history: DataFrame, at) -> DataFrame:
+def snapshot_at(
+    history: DataFrame, at, partition_date_col: str | None = None
+) -> DataFrame:
     """Point-in-time read: the state every key held at ``at`` (a
     timestamp/date literal or Column). A pure filter over the history
-    table - no window, no join, partition-prunable when the history is
-    partitioned on valid_from date."""
+    table - no window, no join. When the history table is partitioned
+    on a valid_from DATE column, pass it as ``partition_date_col``: the
+    row predicate is on ``valid_from`` (not the partition column), so
+    only the explicit ``partition <= date(at)`` conjunct lets the scan
+    skip partitions opened after the snapshot instant (PartitionFilters
+    - plan-asserted in tests)."""
     at = F.lit(at)
-    return history.filter(
+    out = history.filter(
         (F.col("valid_from") <= at)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
-    ).drop("valid_to", "is_current")
+    )
+    if partition_date_col:
+        out = out.filter(F.col(partition_date_col) <= F.to_date(at))
+    return out.drop("valid_to", "is_current")
 
 
 def scd2_merge(

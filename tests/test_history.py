@@ -267,3 +267,22 @@ def test_stream_enrichment_sees_history_updates_between_batches(
     run_batch(1, [{"ev_id": 2, "k": "A"}])
 
     assert enriched_rows == {1: "X", 2: "Y"}
+
+
+def test_snapshot_at_prunes_partitions(spark, tmp_path) -> None:
+    """A valid_from-date-partitioned history with the partition
+    predicate skips partitions opened after the snapshot instant
+    (PartitionFilters in the scan), and still answers correctly."""
+    path = str(tmp_path / "hist")
+    hist = scd2_history(
+        spark.createDataFrame(LOG, COLS), ["k"], "ts", ["status", "score"]
+    ).withColumn("vf_date", F.to_date("valid_from"))
+    hist.write.partitionBy("vf_date").parquet(path)
+
+    at = _t(2, h=12)
+    snap = snapshot_at(spark.read.parquet(path), at, partition_date_col="vf_date")
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "vf_date" in plan.split("PartitionFilters", 1)[1][:200]
+    got = {r.k: (r.status, r.score) for r in snap.collect()}
+    assert got == {"A": ("X", 1), "B": ("S", None)}
