@@ -45,8 +45,12 @@ def decode_assets(assets: DataFrame, fake: bool = False) -> DataFrame:
 
     Real decode requires an image/audio codec library (not present in
     this environment) -> NotImplementedError. ``fake=True`` derives
-    deterministic pseudo-dimensions from the payload hash so tests can
-    validate the batch shape, schema, and partition behavior.
+    deterministic pseudo-dimensions so tests can validate the batch
+    shape, schema, and partition behavior. The fake fields are chosen
+    to be recomputable by an independent SQL engine from the same
+    payload (byte length, two arithmetic functions of it, sha256 hex)
+    so the whole decode pipeline is differentially checkable even
+    though the codec is a stub (plans/tail.py multimodal_decode).
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -62,15 +66,17 @@ def decode_assets(assets: DataFrame, fake: bool = False) -> DataFrame:
             # codec binding should keep: hand the whole batch to the
             # vectorized decoder, never per-row Python)
             payloads = pdf["content"].map(bytes)
-            digests = payloads.map(lambda b: hashlib.sha256(b).hexdigest())
+            n_bytes = payloads.map(len).astype("int64")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].to_numpy(),
                     "modality": pdf["modality"].to_numpy(),
-                    "width": digests.map(lambda d: int(d[:4], 16) % 4096).astype("int32"),
-                    "height": digests.map(lambda d: int(d[4:8], 16) % 4096).astype("int32"),
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "checksum": digests,
+                    "width": (n_bytes % 4096).astype("int32"),
+                    "height": ((n_bytes * 2654435761) % 4096).astype("int32"),
+                    "n_bytes": n_bytes,
+                    "checksum": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
                 }
             )
 

@@ -86,42 +86,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("source", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@q("dedup_near_panel")  # seeded hash families + iterative fixpoint -> rows-only
-def dedup_near_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both signature-based near-dup paths in one certified plan, as a
-    tagged union (registry packing: the driver certifies a bounded
-    number of queries, and neither branch has a DuckDB twin - seeded
-    xxhash64/blake2b hash families plus an iterative fixpoint):
-
-    - kind='cluster': the full MinHash pipeline - signatures (one
-      xxhash64 per shingle + k arithmetic rehashes) -> banded LSH
-      candidates -> exact Jaccard verification -> connected components;
-      (id_a, id_b) = (member id, component id), metric = NULL.
-    - kind='simhash': SimHash near-dup pairs (Hamming <= 3 of 64 bits)
-      with pigeonhole block bucketing - recall 1.0 within the bound, no
-      prefix blind spot, no O(n^2) bucket (operators.dedup.
-      simhash_near_pairs); metric = Hamming distance.
-
-    Both branches stay individually pytest-verified (known-answer and
-    recall-vs-brute-force property tests in tests/test_operators.py)."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.2
-    )
-    clusters = D.connected_components(pairs).select(
-        F.lit("cluster").alias("kind"),
-        F.col("id").alias("id_a"),
-        F.col("component").alias("id_b"),
-        F.lit(None).cast("double").alias("metric"),
-    )
-    sim = D.simhash64(d, "doc_id", "text")
-    sim_pairs = D.simhash_near_pairs(sim, "doc_id", max_hamming=3).select(
-        F.lit("simhash").alias("kind"),
-        "id_a",
-        "id_b",
-        F.col("hamming").cast("double").alias("metric"),
-    )
-    return clusters.unionByName(sim_pairs)
+# The two signature-seeded near-dup/ANN panels (dedup_near_panel,
+# sim_ann_panel) register in plans/tail.py: they are rows-only by
+# nature (seeded hash families have no cross-engine oracle), so they
+# cede their certified slots to the oracle-checked event-analytics
+# battery (plans/events.py).
 
 
 # ---------------------------------------------------------- similarity
@@ -200,40 +169,6 @@ def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.3)
     )
-
-
-@q("sim_ann_panel")  # seeded hyperplanes / float-mean centroids -> rows-only
-def sim_ann_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both approximate-similarity scale paths in one certified plan,
-    as a tagged union (registry packing; neither has a DuckDB twin -
-    xxhash-derived hyperplanes and float-mean centroids):
-
-    - kind='lsh_pair': random-hyperplane LSH bucketing + exact cosine
-      verification - the no-natural-bucket path for embedding near-dup;
-      (id_a, id_b) = the verified pair.
-    - kind='ivf_hit': IVF approximate top-10 search probing the 3
-      closest label-clusters; id_a = NULL, id_b = the hit vec_id.
-
-    Both branches stay individually pytest-verified (LSH recall vs
-    brute force, IVF vs exact top-k in tests/test_joins_skew.py and
-    tests/test_operators.py)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    lsh = S.lsh_cosine_pairs(e, threshold=0.3, num_planes=6).select(
-        F.lit("lsh_pair").alias("kind"),
-        "id_a",
-        "id_b",
-        F.round("cos_sim", 6).alias("cos_sim"),
-    )
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ivf = S.ivf_search(
-        e.filter(F.col("vec_id") != 0), list(qvec), k=10, nprobe=3
-    ).select(
-        F.lit("ivf_hit").alias("kind"),
-        F.lit(None).cast("bigint").alias("id_a"),
-        F.col("vec_id").alias("id_b"),
-        F.round("cos_sim", 6).alias("cos_sim"),
-    )
-    return lsh.unionByName(ivf)
 
 
 # -------------------------------------------------------- text analysis
@@ -445,7 +380,6 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# multimodal_decode registers LAST (plans/tail.py): the driver
-# certifies the first 50 registered queries, and the stub-codec decode
-# is the weakest driver signal (rows-only over a deterministic fake) -
-# it cedes its certified slot to the oracle-checked recursive_series.
+# multimodal_decode registers past the window (plans/tail.py): a real
+# codec would have no oracle, so the stub decode keeps its overflow
+# slot even now that its fake fields are DuckDB-recomputable.

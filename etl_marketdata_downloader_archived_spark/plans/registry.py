@@ -64,6 +64,7 @@ def _load_batteries() -> None:
     from . import relational  # noqa: F401
     from . import marketdata  # noqa: F401
     from . import llm_ops  # noqa: F401
+    from . import events  # noqa: F401
     from . import dataflow_queries  # noqa: F401
     from . import tail  # noqa: F401  (past-the-window queries LAST)
 
