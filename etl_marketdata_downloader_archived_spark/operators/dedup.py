@@ -147,10 +147,18 @@ def minhash_expr(shingles: Column, num_hashes: int = 32) -> Column:
     which is what survives a 100x scale-up (an explode+groupBy
     formulation shuffles one row per (doc, shingle)). Empty shingle
     sets keep the MaxLong sentinel (callers filter empties)."""
-    max_long = 9223372036854775807
     base = F.transform(shingles, lambda s: F.xxhash64(s))
+    return minhash_from_hashes(base, num_hashes)
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
+    """k-minhash signature from PRE-HASHED shingles (array<long>) -
+    the inner kernel of ``minhash_expr``, split out so a pipeline that
+    materializes hashed shingles anyway (minhash_dedup_pairs persists
+    them for the verify join) doesn't re-hash the strings."""
+    max_long = 9223372036854775807
     per_shingle = F.transform(
-        base,
+        hashes,
         lambda h: F.array(*[F.xxhash64(F.lit(seed), h) for seed in range(num_hashes)]),
     )
     init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
@@ -323,9 +331,19 @@ def minhash_dedup_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Full two-stage near-dup pipeline: MinHash+LSH candidates, then
-    exact n-gram Jaccard verification on the candidates only."""
+    exact n-gram Jaccard verification on the candidates only.
+
+    The persisted intermediate is HASHED shingles (array<long>, one
+    xxhash64 per distinct shingle string), not the strings: the
+    signature stage rehashes fixed-width longs instead of re-walking
+    strings, the verify join intersects long arrays (cheap equality)
+    instead of string arrays, and the materialized blocks are a
+    fraction of the string footprint. Jaccard over 64-bit shingle
+    hashes equals string Jaccard up to hash collisions (~n^2/2^64 -
+    immaterial at any per-doc shingle count)."""
     # persisted DISK_ONLY: three consumers (signature stage, verify
     # join a-side, verify join b-side) would each recompute the
     # tokenize+shingle projection - the most expensive narrow stage of
@@ -336,10 +354,19 @@ def minhash_dedup_pairs(
     from pyspark import StorageLevel
 
     shingled = _spread(df).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+        F.col(id_col),
+        F.transform(
+            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
     ).filter(F.size("shingles") > 0).persist(StorageLevel.DISK_ONLY)
+    if cache_registry is not None:
+        # hand the persisted stage to the caller for release once the
+        # pair set is materialized (a caller that eagerly consumes the
+        # pairs - e.g. connected_components' bounded collect - would
+        # otherwise leak one DISK_ONLY copy per invocation)
+        cache_registry.append(shingled)
     sigs = shingled.select(
-        F.col(id_col), minhash_expr(F.col("shingles"), num_hashes).alias("signature")
+        F.col(id_col), minhash_from_hashes(F.col("shingles"), num_hashes).alias("signature")
     )
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sa = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -463,18 +490,22 @@ def connected_components(
       iterative-join trap). At extreme scale swap in
       large-star/small-star (same join primitives, fewer rounds).
     """
-    # materialize the edge set ONCE: `pairs` is usually the whole
-    # candidate-generation pipeline (shingle -> minhash -> LSH ->
-    # verify), and every iteration below joins edges twice - without
-    # this checkpoint each round would recompute that pipeline
-    edges = (
+    # size probe and bounded collect are ONE job on the LAZY pair
+    # plan: pull at most threshold+1 raw pairs; a short result proves
+    # the graph is small and IS the edge list (union-find is direction-
+    # and duplicate-insensitive, so the undirected doubling and
+    # dropDuplicates shuffle are skipped entirely). The common driver-
+    # solvable path therefore runs the candidate pipeline exactly once
+    # with no extra shuffle and no full-edge-set checkpoint.
+    pair_rows = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .dropDuplicates()
-    ).localCheckpoint()
-
-    if local_threshold and edges.limit(local_threshold + 1).count() <= local_threshold:
-        edge_rows = edges.collect()  # bounded by local_threshold
+        .limit(local_threshold + 1)
+        .collect()
+        if local_threshold
+        else None
+    )
+    if pair_rows is not None and len(pair_rows) <= local_threshold:
+        edge_rows = pair_rows
         parent: dict = {}
 
         def find(x):
@@ -491,12 +522,22 @@ def connected_components(
                 # union by min so the representative is the min id
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        ids = {r.src for r in edge_rows}
+        ids = {r.src for r in edge_rows} | {r.dst for r in edge_rows}
         out = [(i, find(i)) for i in sorted(ids)]
-        id_type = edges.schema["src"].dataType.simpleString()
-        return edges.sparkSession.createDataFrame(
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
             out, f"id {id_type}, component {id_type}"
         )
+    # big-graph path: NOW build + materialize the undirected edge set
+    # once - `pairs` is usually the whole candidate-generation pipeline
+    # (shingle -> minhash -> LSH -> verify), and every iteration below
+    # joins edges twice; without this checkpoint each round would
+    # recompute it
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates()
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .dropDuplicates()
