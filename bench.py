@@ -60,27 +60,39 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # best-of-2: this host shows transient noisy-neighbor contention
-    # (single-run timings can inflate 5-10x); the min of two runs is
-    # the stable signal of what the plan actually costs
-    timings: dict[str, float] = {}
+    # min-of-n headline (default 3 runs): this host shows transient
+    # noisy-neighbor contention and first-run codegen/warm-up costs
+    # that inflate a single timing 2-10x; the MIN over runs is the
+    # stable signal of what the plan actually costs, and the mean is
+    # reported alongside so round-over-round deltas can be told apart
+    # from noise (a query whose min is flat but whose mean moved was a
+    # noisy run, not a plan change).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    t_min: dict[str, float] = {}
+    t_mean: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        t_min[name] = round(min(samples), 4)
+        t_mean[name] = round(sum(samples) / len(samples), 4)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t_min.values()), 3)
     print(
-        json.dumps({n: round(t, 3) for n, t in sorted(timings.items())}),
+        json.dumps(
+            {
+                n: {"min": round(t_min[n], 3), "mean": round(t_mean[n], 3)}
+                for n in sorted(t_min)
+            }
+        ),
         file=sys.stderr,
     )
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:TOP_N_IN_JSON]
+        sorted(t_min.items(), key=lambda kv: kv[1], reverse=True)[:TOP_N_IN_JSON]
     )
     print(
         json.dumps(
@@ -89,8 +101,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "n_queries": len(timings),
+                "n_queries": len(t_min),
+                "runs_per_query": runs,
                 "queries": {n: round(t, 3) for n, t in slowest.items()},
+                "queries_mean": {n: round(t_mean[n], 3) for n in slowest},
             },
             separators=(",", ":"),
         )
