@@ -283,6 +283,14 @@ def merge_partitioned(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_prec")
         )
+    # Materialization barrier: ``merged`` still reads lazily from
+    # ``path``, and the overwrite about to happen deletes the very
+    # files it would read - eager localCheckpoint executes the read
+    # BEFORE the commit starts, so a failure mid-commit cannot strand
+    # a half-replaced partition with its recovery copy already gone
+    # (same guard as scd2_foreach_batch). The commit itself is still
+    # non-atomic per partition; rerun the merge on failure.
+    merged = merged.localCheckpoint(eager=True)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -363,6 +371,9 @@ def incremental_rollup(
         .groupBy(*keys)
         .agg(*combine)
     )
+    # Same barrier as merge_partitioned: execute the read of the live
+    # rollup before overwriting the partitions it came from.
+    merged = merged.localCheckpoint(eager=True)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -399,7 +410,15 @@ def compact_files(
     fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
     target_bytes = target_mb * 1024 * 1024
 
-    todo: list[str] = []  # partition VALUES needing a rewrite
+    from urllib.parse import unquote
+
+    # (dir_name, value) pairs needing a rewrite: dir_name addresses the
+    # physical path, value matches the typed column. Spark URL-escapes
+    # partition values in directory names (space, ':', '%', ...), so
+    # the dir name must be unquoted before it can equal the column -
+    # comparing the raw name silently skips every escaped partition.
+    todo: list[tuple[str, str]] = []
+    null_part = False  # __HIVE_DEFAULT_PARTITION__ fragmented?
     files_before = 0
     for st in fs.listStatus(jvm_path(path)):
         name = st.getPath().getName()
@@ -414,24 +433,37 @@ def compact_files(
         need = max(1, math.ceil(nbytes / target_bytes))
         files_before += len(parts)
         if len(parts) > need:
-            todo.append(name.split("=", 1)[1])
-    if not todo:
+            raw = name.split("=", 1)[1]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                null_part = True
+            else:
+                todo.append((name, unquote(raw)))
+    if not todo and not null_part:
         return {
             "partitions_compacted": 0,
             "files_before": files_before,
             "files_after": files_before,
         }
 
-    sub = spark.read.parquet(path).filter(F.col(partition_col).isin(todo))
+    pred = F.col(partition_col).isin([v for _, v in todo]) if todo else F.lit(False)
+    if null_part:
+        pred = pred | F.col(partition_col).isNull()
+    sub = spark.read.parquet(path).filter(pred)
     # rows-per-file cap from the observed bytes/row of the data itself
     n_rows = sub.count()
+    dirs = [d for d, _ in todo] + (
+        [f"{partition_col}=__HIVE_DEFAULT_PARTITION__"] if null_part else []
+    )
     n_bytes = sum(
         f.getLen()
-        for v in todo
-        for f in fs.listStatus(jvm_path(f"{path}/{partition_col}={v}"))
+        for d in dirs
+        for f in fs.listStatus(jvm_path(f"{path}/{d}"))
         if f.getPath().getName().endswith(".parquet")
     )
     rows_per_file = max(1, int(n_rows * target_bytes / max(1, n_bytes)))
+    # Same self-overwrite barrier as merge_partitioned: the rewrite
+    # reads the files it replaces, so execute the read first.
+    sub = sub.localCheckpoint(eager=True)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -453,7 +485,7 @@ def compact_files(
         if f.getPath().getName().endswith(".parquet")
     )
     return {
-        "partitions_compacted": len(todo),
+        "partitions_compacted": len(todo) + (1 if null_part else 0),
         "files_before": files_before,
         "files_after": files_after,
     }
@@ -466,6 +498,7 @@ def write_audit_publish(
     rules: dict,
     partition_cols: tuple[str, ...] = (),
     max_violation_frac: float = 0.0,
+    mode: str = "append",
 ) -> dict:
     """Write-audit-publish: stage the write beside the live table,
     audit the STAGED FILES with the declarative quality gates
@@ -473,6 +506,18 @@ def write_audit_publish(
     live path - readers never observe unaudited rows, and a failed
     audit leaves the live table untouched with the staged copy kept
     for inspection.
+
+    ``mode`` controls what publish does to data already live:
+
+    - ``"append"`` (default): the staged part-files LAND BESIDE the
+      existing ones - publish is an audited append, one publish per
+      batch. Publishing the same batch twice duplicates its rows, by
+      design (same contract as ``df.write.mode("append")``).
+    - ``"replace"``: before the rename pass, every live data file in
+      each directory the staging tree is about to land files into
+      (the table root when unpartitioned, else exactly the staged
+      partitions) is deleted - per-partition overwrite semantics;
+      partitions absent from the staged write keep their files.
 
     The audit reads back what parquet will actually serve (post
     encoding/type coercion), not the in-memory frame. Publish is
@@ -488,6 +533,8 @@ def write_audit_publish(
     """
     from .operators.quality import validate
 
+    if mode not in ("append", "replace"):
+        raise ValueError(f"write_audit_publish: unknown mode {mode!r}")
     staging = path.rstrip("/") + "__staging"
     w = df.write.mode("overwrite")
     if partition_cols:
@@ -511,7 +558,25 @@ def write_audit_publish(
     fs.mkdirs(jvm_path(path))
 
     def _move(src_dir: str, dst_dir: str) -> None:
-        for st in fs.listStatus(jvm_path(src_dir)):
+        entries = list(fs.listStatus(jvm_path(src_dir)))
+        if (
+            mode == "replace"
+            and any(
+                not e.isDirectory()
+                and e.getPath().getName().endswith(".parquet")
+                for e in entries
+            )
+            and fs.exists(jvm_path(dst_dir))
+        ):
+            # replace semantics: clear the live files this directory
+            # is about to receive replacements for (leaf level only -
+            # partitions with no staged files are untouched)
+            for e in fs.listStatus(jvm_path(dst_dir)):
+                if not e.isDirectory() and e.getPath().getName().endswith(
+                    ".parquet"
+                ):
+                    fs.delete(e.getPath(), False)
+        for st in entries:
             name = st.getPath().getName()
             if st.isDirectory():  # partition dir: recurse, merging
                 fs.mkdirs(jvm_path(f"{dst_dir}/{name}"))

@@ -426,14 +426,18 @@ def knn_join(
     Corpus-side parallelism is the partition count; nothing about the
     corpus must fit on one machine (the query matrix must: Q x dim
     floats). Ties on cos_sim break toward the smaller neighbor id,
-    making the graph deterministic."""
+    making the graph deterministic. Id columns keep their input types
+    (int, string, ...) - the output schema is derived from the input
+    schemas, not hardcoded to long."""
     import numpy as np
 
     from pyspark.sql import Window as W
 
     qid = query_id_col or id_col
+    qid_t = queries.schema[qid].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
     q_rows = queries.select(F.col(qid).alias("qid"), F.col(vec_col)).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_norms[q_norms == 0.0] = 1.0
@@ -462,7 +466,7 @@ def knn_join(
             )
 
     candidates = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, cos_sim double"
+        score, schema=f"query_id {qid_t}, neighbor_id {nid_t}, cos_sim double"
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -505,6 +509,8 @@ def knn_join_clustered(
     import numpy as np
 
     qid = query_id_col or id_col
+    qid_t = queries.schema[qid].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
     assigned = kmeans_assign(corpus, k=nlist, vec_col=vec_col, seed=seed)
     cents = ivf_centroids(assigned, "cluster", vec_col=vec_col).collect()
     c_ids = np.array([r["cluster"] for r in cents], dtype=np.int64)
@@ -537,14 +543,20 @@ def knn_join_clustered(
             )
 
     routed = queries.select(F.col(qid), F.col(vec_col)).mapInPandas(
-        route, schema=f"qid long, cluster long, qvec {queries.schema[vec_col].dataType.simpleString()}"
+        route, schema=f"qid {qid_t}, cluster long, qvec {queries.schema[vec_col].dataType.simpleString()}"
     )
 
     def per_cluster(key, qpdf, cpdf):
         if len(qpdf) == 0 or len(cpdf) == 0:
+            # empty slices keep the input columns' dtypes, whatever
+            # the id types are
             return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cos_sim": []}
-            ).astype({"query_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+                {
+                    "query_id": qpdf["qid"].iloc[:0],
+                    "neighbor_id": cpdf[id_col].iloc[:0],
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
         qv = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
         qn = np.linalg.norm(qv, axis=1, keepdims=True)
         qn[qn == 0.0] = 1.0
@@ -566,7 +578,7 @@ def knn_join_clustered(
     candidates = routed.groupby("cluster").cogroup(
         assigned.select(id_col, vec_col, "cluster").groupby("cluster")
     ).applyInPandas(
-        per_cluster, schema="query_id long, neighbor_id long, cos_sim double"
+        per_cluster, schema=f"query_id {qid_t}, neighbor_id {nid_t}, cos_sim double"
     )
     from pyspark.sql import Window as W
 

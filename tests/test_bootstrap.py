@@ -399,3 +399,90 @@ def test_write_audit_publish_gates_and_appends(spark, tmp_path) -> None:
     # live table untouched; staging kept for inspection
     assert spark.read.parquet(path).count() == 3
     assert spark.read.parquet(f"{path}__staging").count() == 2
+
+
+def test_write_audit_publish_replace_mode_is_idempotent(spark, tmp_path) -> None:
+    """mode="replace": re-publishing a batch overwrites the live files
+    in the staged partitions instead of duplicating rows, and
+    partitions absent from the staged write keep their files."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.io import write_audit_publish
+
+    path = str(tmp_path / "tbl")
+    rules = {"amount_positive": F.col("amount") > 0}
+    cols = ["id", "part", "amount"]
+
+    write_audit_publish(
+        spark,
+        spark.createDataFrame([(1, "a", 5.0), (2, "b", 3.0)], cols),
+        path,
+        rules,
+        partition_cols=("part",),
+        mode="replace",
+    )
+    b_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=b/[!_]*.parquet")
+    }
+    # publish a REVISED partition-a batch twice: replace semantics keep
+    # exactly the latest copy, and partition b's files are untouched
+    for _ in range(2):
+        r = write_audit_publish(
+            spark,
+            spark.createDataFrame([(1, "a", 7.0)], cols),
+            path,
+            rules,
+            partition_cols=("part",),
+            mode="replace",
+        )
+        assert r["published"]
+    assert {
+        (r.id, r.part, r.amount) for r in spark.read.parquet(path).collect()
+    } == {(1, "a", 7.0), (2, "b", 3.0)}
+    assert {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=b/[!_]*.parquet")
+    } == b_files
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        write_audit_publish(
+            spark,
+            spark.createDataFrame([(1, "a", 1.0)], cols),
+            path,
+            rules,
+            mode="merge",
+        )
+
+
+def test_compact_files_handles_escaped_partition_values(spark, tmp_path) -> None:
+    """Partition values Spark URL-escapes in directory names (space,
+    ':') still compact: the dir name is unquoted before matching the
+    typed column, so escaped partitions are neither skipped nor
+    miscounted."""
+    import glob
+
+    from etl_marketdata_downloader_archived_spark.io import compact_files
+
+    path = str(tmp_path / "lake")
+    # "a b:c" escapes to part=a%20b%3Ac on disk
+    frag = spark.createDataFrame(
+        [(i, "a b:c", float(i)) for i in range(300)], ["id", "part", "val"]
+    ).repartition(6)
+    frag.write.partitionBy("part").parquet(path)
+    [dirname] = [
+        d.split("/")[-1] for d in glob.glob(f"{path}/part=*") if "/_" not in d
+    ]
+    assert "%" in dirname  # precondition: the value really is escaped
+    assert len(glob.glob(f"{path}/{dirname}/[!_]*.parquet")) == 6
+
+    stats = compact_files(spark, path, "part", target_mb=128)
+    assert stats == {
+        "partitions_compacted": 1, "files_before": 6, "files_after": 1,
+    }
+    got = spark.read.parquet(path)
+    assert got.count() == 300
+    assert got.select("part").distinct().collect()[0][0] == "a b:c"

@@ -1144,6 +1144,40 @@ def test_knn_join_clustered_exhaustive_equals_brute(spark) -> None:
     assert hits / len(brute) >= 0.9  # blobs: probing the home cluster suffices
 
 
+def test_knn_joins_preserve_string_id_types(spark) -> None:
+    """knn_join / knn_join_clustered derive id column types from the
+    input schemas: string doc ids flow through both paths unchanged
+    (no hardcoded long schema, no numpy int cast)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    corpus_vecs = rng.normal(size=(60, 8))
+    query_vecs = corpus_vecs[:4] + rng.normal(scale=0.01, size=(4, 8))
+    corpus = spark.createDataFrame(
+        [(f"doc-{i:03d}", v.tolist()) for i, v in enumerate(corpus_vecs)],
+        ["vec_id", "embedding"],
+    ).repartition(3)
+    queries = spark.createDataFrame(
+        [(f"q-{i}", v.tolist()) for i, v in enumerate(query_vecs)],
+        ["vec_id", "embedding"],
+    )
+
+    out = S.knn_join(queries, corpus, k=3)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+    rows = out.collect()
+    assert len(rows) == 4 * 3
+    # each near-copy query's top neighbor is its source doc
+    top = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    assert top == {f"q-{i}": f"doc-{i:03d}" for i in range(4)}
+
+    out_c = S.knn_join_clustered(queries, corpus, k=3, nlist=3, nprobe=3)
+    assert dict(out_c.dtypes)["query_id"] == "string"
+    assert {(r.query_id, r.rank): r.neighbor_id for r in out_c.collect()} == {
+        (r.query_id, r.rank): r.neighbor_id for r in rows
+    }
+
+
 def test_sentence_udtf_lateral(spark) -> None:
     """Python UDTF surface: sentence segmentation with running char
     offsets, consumed through SQL LATERAL - quote-aware termination
