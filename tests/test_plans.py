@@ -174,3 +174,18 @@ def test_line_dedup_winners_aggregate_is_partial(spark) -> None:
     plan = _plan(line_dedup(df, "doc_id", "text"))
     assert "partial_min" in plan or "partial(min" in plan.replace(" ", "")
     assert "Window" not in plan.split("Generate")[0]
+
+
+def test_explain_report_covers_every_registered_query() -> None:
+    """EXPLAIN.md's red-flag scan must cover the whole battery: the
+    recorded query count has to match the live registry, so adding a
+    query without re-running tools/explain_report.py fails here
+    instead of silently shipping an unscanned plan."""
+    import re
+
+    from etl_marketdata_downloader_archived_spark.plans import registry
+
+    text = open("/root/repo/EXPLAIN.md").read()
+    m = re.search(r"All-query scan result: (\d+) queries, zero red flags", text)
+    assert m, "EXPLAIN.md red-flag scan line missing or reports flags"
+    assert int(m.group(1)) == len(registry.all_queries())
