@@ -89,6 +89,63 @@ def _strip_quotes(col: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(col, "^[\"']", ""), "[\"']$", "")
 
 
+def _hrefs_lenient(body: str) -> list[str]:
+    """Anchor hrefs at real-HTML-parser fidelity - the reference soups
+    the page (data-downloader/data_downloader.py:83-91), which IGNORES
+    anchors inside comments/CDATA and recovers from unbalanced quotes;
+    the JVM regex extracts from both. Prefers BeautifulSoup when the
+    runtime has it; otherwise stdlib ``html.parser.HTMLParser``, which
+    is the exact tokenizer bs4's "html.parser" backend wraps, so the
+    two paths agree on comment/CDATA/quote handling."""
+    try:
+        from bs4 import BeautifulSoup  # optional dep - import-gated
+
+        return [
+            a["href"]
+            for a in BeautifulSoup(body, "html.parser").find_all("a", href=True)
+        ]
+    except ImportError:
+        from html.parser import HTMLParser
+
+        out: list[str] = []
+
+        class _Anchors(HTMLParser):
+            def handle_starttag(self, tag, attrs):  # noqa: ANN001
+                if tag == "a":
+                    for k, v in attrs:
+                        if k == "href" and v is not None:
+                            out.append(v)
+                            break
+
+        p = _Anchors(convert_charrefs=True)
+        p.feed(body)
+        p.close()
+        return out
+
+
+def _extract_links_lenient(ok: DataFrame) -> DataFrame:
+    """Pandas-UDF branch of the href explode: one lenient HTML parse
+    per page, Arrow-batched. Python-side and ~10x the regex cost per
+    byte - reserve it for real-world pages where commented-out nav
+    links and broken markup occur; the JVM regex stays the fast path
+    for trusted/generated markup."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"ID": [], "TYPE": [], "page_url": [], "href": []}
+            for r in pdf.itertuples(index=False):
+                for href in _hrefs_lenient(r.body or ""):
+                    rows["ID"].append(r.ID)
+                    rows["TYPE"].append(r.TYPE)
+                    rows["page_url"].append(r.URL)
+                    rows["href"].append(href)
+            yield pd.DataFrame(rows, columns=["ID", "TYPE", "page_url", "href"])
+
+    return ok.select("ID", "TYPE", "URL", "body").mapInPandas(
+        parse, schema="ID string, TYPE string, page_url string, href string"
+    )
+
+
 _PAGE_SCHEMA = "ID string, URL string, TYPE string, PATTERN string, body string, error string"
 
 
@@ -131,13 +188,23 @@ def expand_link_tasks(
     tasks: DataFrame,
     allow_network: bool = False,
     cache_registry: list | None = None,
+    html_parser: str = "regex",
 ) -> tuple[DataFrame, DataFrame]:
     """LINKS / LINKS_OVERWRITE branch: page -> hrefs -> one row per
     candidate file (reference: data-downloader/data_downloader.py:83-107).
     Returns (candidate files, failed page fetches). The persisted fetch
     stage is appended to ``cache_registry`` so the caller can release
     it (a streaming twin would otherwise accumulate one cache entry per
-    micro-batch, unbounded)."""
+    micro-batch, unbounded).
+
+    ``html_parser``: "regex" (default) extracts hrefs JVM-side - fast,
+    codegen-friendly, but reads through comments/CDATA and can smear
+    across unbalanced quotes; "lenient" runs a real HTML parser
+    (bs4 when importable, else the stdlib tokenizer bs4 wraps) as an
+    Arrow-batched pandas stage - reference-fidelity on malformed
+    real-world pages (data-downloader/data_downloader.py:83-91)."""
+    if html_parser not in ("regex", "lenient"):
+        raise ValueError(f"expand_link_tasks: unknown html_parser {html_parser!r}")
     pages = _fetch_body_stage(
         tasks.filter(F.col("TYPE").isin("LINKS", "LINKS_OVERWRITE")),
         listing=False,
@@ -151,15 +218,19 @@ def expand_link_tasks(
     # page bodies are raw payload, not worth executor memory.
     ok = pages.filter(F.col("error").isNull())
 
-    # href extraction stays JVM-side: regexp_extract_all + explode
-    # (the reference soups the page, data_downloader.py:84-91; for the
-    # anchor-list case a regex is equivalent and codegen-friendly)
-    links = ok.select(
-        "ID",
-        "TYPE",
-        F.col("URL").alias("page_url"),
-        F.explode(F.regexp_extract_all("body", F.lit(_HREF_SQL_RE), 1)).alias("raw_href"),
-    ).withColumn("href", _strip_quotes(F.col("raw_href")))
+    if html_parser == "lenient":
+        links = _extract_links_lenient(ok)
+    else:
+        # href extraction stays JVM-side: regexp_extract_all + explode
+        # (the reference soups the page, data_downloader.py:84-91; for
+        # well-formed anchor lists a regex is equivalent and
+        # codegen-friendly)
+        links = ok.select(
+            "ID",
+            "TYPE",
+            F.col("URL").alias("page_url"),
+            F.explode(F.regexp_extract_all("body", F.lit(_HREF_SQL_RE), 1)).alias("raw_href"),
+        ).withColumn("href", _strip_quotes(F.col("raw_href")))
     resolved = links.select(
         "ID",
         "TYPE",
@@ -346,6 +417,7 @@ def run_downloader(
     allow_network: bool = False,
     body_col: str = "task_json",
     max_attempts: int = 5,
+    html_parser: str = "regex",
 ) -> dict[str, DataFrame]:
     """One micro-batch of the download pipeline, end to end - INCLUDING
     the reference's composed error path (handle_error,
@@ -412,7 +484,9 @@ def run_downloader(
     tasks = tasks.cache()
     cached: list[DataFrame] = [tasks]
 
-    link_files, link_errs = expand_link_tasks(tasks, allow_network, cache_registry=cached)
+    link_files, link_errs = expand_link_tasks(
+        tasks, allow_network, cache_registry=cached, html_parser=html_parser
+    )
     ftp_files, ftp_errs = expand_listing_tasks(tasks, allow_network, cache_registry=cached)
     direct_files = expand_direct_tasks(tasks)
     unknown = tasks.filter(F.col("handler") == "error_unknown_type")

@@ -266,6 +266,57 @@ def test_href_extraction_bs4_fidelity(spark, tmp_path) -> None:
     ]
 
 
+def test_href_extraction_lenient_ignores_commented_anchors(spark, tmp_path) -> None:
+    """Differential fixture where the regex and a real HTML parser
+    DISAGREE - anchors inside comments/CDATA, an unbalanced quote -
+    and the lenient pipeline branch must match the parser (reference
+    behavior: BeautifulSoup, data-downloader/data_downloader.py:83-91),
+    not the regex."""
+    from etl_marketdata_downloader_archived_spark.plans.downloader import (
+        _hrefs_lenient,
+        expand_link_tasks,
+        route_tasks,
+    )
+
+    page = tmp_path / "malformed.html"
+    page.write_text(
+        "<html><body>\n"
+        '<!-- <a href="commented.csv">commented-out nav</a> -->\n'
+        '<a href="real1.csv">one</a>\n'
+        "<a href='real2.csv'>two</a>\n"
+        "<A HREF=real3.csv>three</A>\n"
+        '<![CDATA[ <a href="cdata.csv">x</a> ]]>\n'
+        "</body></html>"
+    )
+    tasks = route_tasks(
+        spark.createDataFrame(
+            [("1", f"file://{page}", "LINKS", "p", "0")],
+            ["ID", "URL", "TYPE", "PATTERN", "UTC"],
+        )
+    )
+
+    # precondition: the fast path really does disagree on this page
+    # (it reads through the comment and the CDATA block)
+    regex_files, _ = expand_link_tasks(tasks)
+    regex_names = sorted(r.file_name for r in regex_files.collect())
+    assert "commented.csv" in regex_names and "cdata.csv" in regex_names
+
+    lenient_files, errs = expand_link_tasks(tasks, html_parser="lenient")
+    assert errs.count() == 0
+    assert sorted(r.file_name for r in lenient_files.collect()) == [
+        "real1.csv", "real2.csv", "real3.csv"
+    ]
+    # the pipeline branch and the parser primitive agree exactly
+    assert _hrefs_lenient(page.read_text()) == [
+        "real1.csv", "real2.csv", "real3.csv"
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown html_parser"):
+        expand_link_tasks(tasks, html_parser="soup")
+
+
 def test_staging_lifecycle_in_processing_done(spark, tmp_path) -> None:
     """Poll-mode staging hop in/ -> processing/ -> done/ (reference:
     market_data_downloader_create_folders.py:20-22): claim moves the
