@@ -27,15 +27,23 @@ from .text import fingerprint
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism.
+    """Ensure at least default-parallelism input splits.
 
     Small control/document tables often arrive as a single file split;
     the operators below do real per-row work (Python UDFs, explodes,
     pair joins), so a one-time round-robin shuffle of the (narrow)
-    input rows buys full-core parallelism. At lake scale inputs are
-    already multi-split and this is a no-op cost-wise.
+    input rows buys full-core parallelism. The repartition only fires
+    when the input is genuinely under-split: at lake scale the scan is
+    already thousands of splits, and an unconditional repartition
+    would round-robin-shuffle the full text payload for nothing.
+    (getNumPartitions plans the scan but runs no job.)
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - unplannable (e.g. streaming) input
+        n = 1
+    return df.repartition(target) if n < max(2, target // 2) else df
 
 
 def exact_dedup(
@@ -497,13 +505,23 @@ def connected_components(
     # dropDuplicates shuffle are skipped entirely). The common driver-
     # solvable path therefore runs the candidate pipeline exactly once
     # with no extra shuffle and no full-edge-set checkpoint.
-    pair_rows = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .limit(local_threshold + 1)
-        .collect()
-        if local_threshold
-        else None
-    )
+    pair_rows = None
+    if local_threshold:
+        # CollectLimit otherwise probes 1 -> 4 -> 16 ... partitions
+        # (limit scale-up), re-reading the final shuffle output once
+        # per step; starting at every partition makes the probe ONE
+        # job over shuffle output that is about to be consumed anyway.
+        sess = pairs.sparkSession
+        prev = sess.conf.get("spark.sql.limit.initialNumPartitions", "1")
+        sess.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+        try:
+            pair_rows = (
+                pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+                .limit(local_threshold + 1)
+                .collect()
+            )
+        finally:
+            sess.conf.set("spark.sql.limit.initialNumPartitions", prev)
     if pair_rows is not None and len(pair_rows) <= local_threshold:
         edge_rows = pair_rows
         parent: dict = {}
@@ -591,50 +609,47 @@ def dedup_keep_representatives(
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document.
 
-    Bit voting is genuinely bit-twiddly, so this is the sanctioned
-    Python escape hatch: an Arrow-batched pandas UDF (hashlib blake2b
-    per token, numpy bit matrix) - not a row-at-a-time UDF.
+    Split of labor: the per-token 64-bit hash is ``xxhash64`` INSIDE
+    the JVM (vectorized, codegen - hashing is the bulk of simhash
+    cost, and a Python hash call per token was measured 5-10x the
+    whole operator); only the bit VOTING crosses to Python, as an
+    Arrow-batched pandas UDF over the hashed-token arrays doing 64
+    shift-mask-reduceat passes in numpy - no per-token Python work
+    anywhere. Token multiplicity weights votes (classic SimHash), and
+    a bit is set iff strictly more than half the tokens set it.
     """
-    @F.pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        import hashlib
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
 
+    @F.pandas_udf("long")
+    def _vote(harrs: pd.Series) -> pd.Series:
         import numpy as np
 
-        # token -> (+1/-1)^64 vote vector, cached per batch: corpus
-        # vocabulary is tiny relative to token count, so almost every
-        # blake2b is a dict hit
-        votes_cache: dict[str, np.ndarray] = {}
-        shifts = np.arange(64, dtype=np.uint64)
-
-        def token_votes(tok: str) -> np.ndarray:
-            v = votes_cache.get(tok)
-            if v is None:
-                h = np.uint64(
-                    int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                    )
+        n = len(harrs)
+        out = np.zeros(n, dtype=np.uint64)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in harrs), dtype=np.int64, count=n
+        )
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(harrs.iat[i], dtype=np.int64) for i in nz]
+            ).view(np.uint64)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nz])[:-1]
+            doc_lens = lens[nz]
+            one = np.uint64(1)
+            for b in range(64):
+                bit = ((flat >> np.uint64(b)) & one).astype(np.int64)
+                cnt = np.add.reduceat(bit, starts)
+                out[nz] |= np.where(
+                    2 * cnt > doc_lens, one << np.uint64(b), np.uint64(0)
                 )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                v = bits * 2 - 1
-                votes_cache[tok] = v
-            return v
+        return pd.Series(out.view(np.int64))
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        powers = (np.uint64(1) << shifts).astype(np.uint64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                out[i] = 0
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                votes += token_votes(tok)
-            sig = int(np.sum(powers[votes > 0], dtype=np.uint64))
-            out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        return pd.Series(out)
-
-    return _spread(df).select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    return _spread(df).select(F.col(id_col), _vote(hashed).alias("simhash"))
 
 
 def simhash_near_pairs(
