@@ -9,6 +9,11 @@ engine-seeded hash families (MinHash/SimHash/RP-LSH/IVF/xxhash
 sampling) that no cross-engine oracle can replay. The oracle-checkable
 queries that used to overflow here (scd2_history_events, funnel +
 cohort as one tagged union) now hold certified slots in plans/events.py.
+Two exceptions carry oracles despite sitting past the window (the 50
+certified slots are all taken by oracle queries already):
+multimodal_decode and stream_interval_join are locally
+parity-verified, upgrading their components from pytest-only to
+oracle-checked evidence without reshuffling certified positions.
 """
 
 from __future__ import annotations
@@ -159,3 +164,57 @@ def sim_ann_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", 6).alias("cos_sim"),
     )
     return lsh.unionByName(ivf)
+
+
+@q(
+    "stream_interval_join",
+    oracle="""
+    SELECT l.event_id            AS click_id,
+           r.event_id            AS next_id,
+           l.user_id             AS user_id,
+           r.event_type          AS next_type,
+           floor(epoch(r.ts) - epoch(l.ts)) AS gap_s
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 60 MINUTE
+     AND l.event_id <> r.event_id
+    WHERE l.event_type = 'click'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream equi+interval join, batch-restated for the
+    differential oracle: each click pairs with every OTHER event by
+    the same user in the following hour. The EXACT code path is
+    streaming.windows.interval_join - watermarks and the two-sided
+    time bound included - run on static frames, where withWatermark
+    is a no-op and the semantics are identical (Spark's unified
+    batch/streaming contract); the true streaming execution of the
+    same operator (state expiry, finite memory) is pytest-verified in
+    tests/test_streaming.py. Upgrades the stream-stream join cell of
+    SURVEY section 2B from pytest-only to oracle-checked."""
+    from ..streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = interval_join(
+        clicks,
+        ev,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower="0 minutes",
+        upper="60 minutes",
+        watermark="2 hours",
+    ).filter(F.col("l.event_id") != F.col("r.event_id"))
+    return joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("next_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.event_type").alias("next_type"),
+        # NTZ-safe whole-second gap: timestamp subtraction yields a
+        # day-time interval; casting it to long truncates to seconds
+        # (gaps here are non-negative, so truncation == floor)
+        (F.col("r.ts") - F.col("l.ts")).cast("long").cast("double").alias("gap_s"),
+    )
