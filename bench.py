@@ -66,20 +66,21 @@ def main() -> None:
     # stable signal of what the plan actually costs, and the mean is
     # reported alongside so round-over-round deltas can be told apart
     # from noise (a query whose min is flat but whose mean moved was a
-    # noisy run, not a plan change).
+    # noisy run, not a plan change). Runs are INTERLEAVED (full battery
+    # round-robin, not n back-to-back runs per query) so a multi-second
+    # contention burst lands on different queries in different rounds
+    # instead of poisoning all n samples of whichever query it hit.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    t_min: dict[str, float] = {}
-    t_mean: dict[str, float] = {}
-    for name in names:
-        fn = qs[name]
-        samples = []
-        for _ in range(runs):
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        for name in names:
+            fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        t_min[name] = round(min(samples), 4)
-        t_mean[name] = round(sum(samples) / len(samples), 4)
+            samples[name].append(time.perf_counter() - t0)
+    t_min = {n: round(min(s), 4) for n, s in samples.items()}
+    t_mean = {n: round(sum(s) / len(s), 4) for n, s in samples.items()}
 
     total = round(sum(t_min.values()), 3)
     print(

@@ -1,0 +1,193 @@
+"""Statistical text ranking: corpus-trained bigram-LM scoring and BM25.
+
+Two classic training-data-pipeline operators the quality-filter stack
+needs beyond surface heuristics (operators.text):
+
+- **Bigram LM cross-entropy** (CCNet-style quality signal): train an
+  add-one-smoothed bigram language model ON the corpus itself, then
+  score every document by its per-bigram cross-entropy under that
+  model. Boilerplate/gibberish scores high, fluent text low - the
+  standard model-based quality filter, here with the "model" a pair of
+  count tables built by plain aggregations so the whole thing stays
+  JVM-side and oracle-checkable (no opaque model weights).
+- **BM25 top-k retrieval**: Lucene-variant BM25 over the corpus for a
+  constant query-term set - the keyword twin of the embedding
+  retrieval in operators.similarity.
+
+Scale posture (100 TB corpus):
+- Tokenization and per-doc bigram construction are narrow in-row
+  expressions (``split`` + ``slice`` + ``arrays_zip``) - no window, no
+  shuffle, no Python.
+- LM training is two aggregations: bigram counts shuffle once on the
+  bigram key; context totals re-aggregate the COUNTS table (corpus-
+  sized input never touched twice). Scoring joins exploded doc-bigrams
+  to the counts on the bigram key - sort-merge at scale, AQE broadcasts
+  when the vocabulary is small.
+- BM25 never explodes the corpus at all: per-term tf is an in-row
+  lambda over the token array, corpus stats (N, avgdl, df per term) are
+  one single-row aggregate cross-joined (broadcast) back, and the top-k
+  is TakeOrdered - zero wide shuffle.
+
+Reference anchor: the reference has no ranking/scoring at all - its
+only notion of relevance is a glob pattern over file listings
+(data-downloader/data_downloader.py:155). These operators give the
+lake the retrieval/quality surface its Athena delegation would need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_tokens",
+    "doc_bigrams",
+    "bigram_lm_counts",
+    "lm_cross_entropy",
+    "bm25_topk",
+]
+
+
+def word_tokens(text: Column | str) -> Column:
+    """Lowercase alphabetic word tokenization (deterministic, locale-
+    free): split on runs of non-[a-z], drop empties. Chosen because an
+    independent engine can replay it exactly (DuckDB
+    ``string_split_regex(lower(text), '[^a-z]+')``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), "[^a-z]+"), lambda x: x != F.lit(""))
+
+
+def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) - one row per consecutive token pair per document.
+
+    Built in-row (slice + arrays_zip) then exploded: no window over a
+    doc partition, so deriving bigrams never shuffles the corpus."""
+    toks = word_tokens(text_col)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def bigram_lm_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Train the add-one bigram LM: returns (w1, w2, c12, c1) where
+    c12 = corpus count of the bigram and c1 = count of w1 as a bigram
+    context (= sum of c12 over w2, so the model is properly
+    normalized). One corpus-sized shuffle (bigram groupBy); the context
+    totals are a WINDOW over the already-collapsed counts table - not a
+    join against a separately-derived aggregate, which Catalyst would
+    expand into a second corpus scan + shuffle (no common-subplan
+    sharing across DataFrame reuse). The window touches only the
+    vocab^2-bounded counts table."""
+    from pyspark.sql import Window
+
+    counts = (
+        doc_bigrams(docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    return counts.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    )
+
+
+def lm_cross_entropy(
+    docs: DataFrame, id_col: str, text_col: str, counts: DataFrame | None = None
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus bigram LM.
+
+    For each in-doc bigram: logp = ln(c12 + 1) - ln(c1 + V) with V the
+    corpus vocabulary size (add-one smoothing). Returns
+    (id, n_bigrams, xent) with xent = -avg(logp) rounded to 4 dp (the
+    rounding absorbs cross-engine libm/summation-order ulp drift so the
+    DuckDB oracle compares exactly). Docs with < 2 tokens have no
+    bigrams and drop out - they carry no LM evidence.
+
+    ``counts`` defaults to a model trained on ``docs`` itself (the
+    self-scoring quality-filter setup); pass a held-out model to score
+    new data against a reference corpus."""
+    if counts is None:
+        counts = bigram_lm_counts(docs, id_col, text_col)
+    vocab = docs.select(
+        F.explode(word_tokens(text_col)).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        doc_bigrams(docs, id_col, text_col)
+        .join(counts, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("logp"), 4).alias("xent"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (Lucene idf variant) top-k documents for a fixed term set.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Plan shape: per-term tf is an in-row ``size(filter(tokens, =t))``
+    (the corpus is never exploded), corpus stats (N, avgdl, per-term
+    df) collapse to ONE row broadcast back via crossJoin, and the
+    result is TakeOrdered(k) on (rounded score desc, id asc) - the
+    rounded score is the sort key on BOTH engines so tie-selection
+    under LIMIT is deterministic cross-engine."""
+    toks = word_tokens(text_col)
+
+    def _tf(term: str) -> Column:
+        # closure helper: a 2-arg lambda would be read by F.filter as
+        # (element, index), so bind the term via an outer function
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df_t = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        term = idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        score = term if score is None else score + term
+    return (
+        joined.select(
+            id_col, F.round(score, 4).alias("score"), F.col("dl").alias("doc_len")
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

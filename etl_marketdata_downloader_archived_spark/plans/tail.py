@@ -218,3 +218,96 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (gaps here are non-negative, so truncation == floor)
         (F.col("r.ts") - F.col("l.ts")).cast("long").cast("double").alias("gap_s"),
     )
+
+
+@q(
+    "lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), bigr AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+    ), counts AS (
+      SELECT w1, w2, count(*) AS c12 FROM bigr GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, sum(c12) AS c1 FROM counts GROUP BY 1
+    ), vocab AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM toks)
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(-avg(ln(c.c12 + 1) - ln(x.c1 + v.v)), 4) AS xent
+    FROM bigr b
+    JOIN counts c USING (w1, w2)
+    JOIN ctx x USING (w1)
+    CROSS JOIN vocab v
+    GROUP BY b.doc_id
+    """,
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality signal: train an add-one bigram
+    LM on the corpus (two aggregations), score every document's
+    cross-entropy under it (operators.ranking.lm_cross_entropy).
+    Gibberish/boilerplate scores high, fluent text low - the quality-
+    filter stack's model-based tier, kept oracle-checkable because the
+    "model" is a count table, not opaque weights. Registered past the
+    certified window (slots are full); locally parity-verified."""
+    from ..operators.ranking import lm_cross_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm_cross_entropy(d, "doc_id", "text")
+
+
+@q(
+    "bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'spark'))  AS tf_0,
+             len(list_filter(t, x -> x = 'stream')) AS tf_1,
+             len(list_filter(t, x -> x = 'window')) AS tf_2
+      FROM toks
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+             sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+             sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+             sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+      FROM base
+    )
+    SELECT doc_id,
+           round(
+             ln(1 + (n_docs - df_0 + 0.5)/(df_0 + 0.5))
+               * tf_0 * 2.2 / (tf_0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+           + ln(1 + (n_docs - df_1 + 0.5)/(df_1 + 0.5))
+               * tf_1 * 2.2 / (tf_1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+           + ln(1 + (n_docs - df_2 + 0.5)/(df_2 + 0.5))
+               * tf_2 * 2.2 / (tf_2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+           , 4) AS score,
+           dl AS doc_len
+    FROM base CROSS JOIN stats
+    WHERE score > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Lucene idf variant) for a fixed query
+    over the corpus - the keyword twin of sim_topk's embedding
+    retrieval. Zero-explode plan: per-term tf is an in-row array
+    lambda, corpus stats collapse to one broadcast row, result is
+    TakeOrdered on (rounded score, doc_id). Registered past the
+    certified window; locally parity-verified."""
+    from ..operators.ranking import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", ["spark", "stream", "window"], k=15)

@@ -1,0 +1,91 @@
+"""Known-answer tests for operators.ranking (bigram LM + BM25).
+
+The differential oracle (tools/parity.py lm_perplexity / bm25_topk)
+checks engine-vs-DuckDB equivalence; these tests pin the SEMANTICS to
+hand-computed numbers on a corpus small enough to verify on paper.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_marketdata_downloader_archived_spark.operators import ranking as R
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "dog runs fast dog runs"),
+        (4, "x"),  # single token -> no bigrams -> drops out of LM
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_bigrams_counts(tiny):
+    bg = R.doc_bigrams(tiny, "doc_id", "text").collect()
+    # doc1: 5 bigrams, doc2: 2, doc3: 4, doc4: 0
+    per = {}
+    for r in bg:
+        per[r.doc_id] = per.get(r.doc_id, 0) + 1
+    assert per == {1: 5, 2: 2, 3: 4}
+    assert (1, "the", "cat") in {(r.doc_id, r.w1, r.w2) for r in bg}
+
+
+def test_lm_cross_entropy_hand_computed(tiny):
+    # corpus bigram counts: (the,cat)=2 (cat,sat)=2 (sat,on)=1 (on,the)=1
+    # (the,mat)=1 (dog,runs)=2 (runs,fast)=1 (fast,dog)=1
+    # contexts: the=4? (the,cat)2+(the,mat)1 -> c1(the)=3; cat=2; sat=1;
+    # on=1; dog=2; runs=1; fast=1.  V = 8 distinct tokens
+    # (the,cat,sat,on,mat,dog,runs,fast,x) -> actually 9 with 'x'.
+    out = {r.doc_id: (r.n_bigrams, r.xent) for r in
+           R.lm_cross_entropy(tiny, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}  # doc4 has no bigrams
+    v = 9
+    # doc2: bigrams (the,cat): ln(3/(3+9)); (cat,sat): ln(3/(2+9))
+    exp = -(math.log(3 / 12) + math.log(3 / 11)) / 2
+    assert out[2] == (2, round(exp, 4))
+    # repeated gibberish-free text scores lower than the rare-path doc
+    assert out[3][1] != out[1][1]
+
+
+def test_lm_heldout_model(tiny, spark):
+    # score new docs against a model trained on `tiny`
+    model = R.bigram_lm_counts(tiny, "doc_id", "text")
+    new = spark.createDataFrame(
+        [(10, "the cat sat")], "doc_id long, text string"
+    )
+    out = R.lm_cross_entropy(new, "doc_id", "text", counts=model).collect()
+    # vocab comes from the SCORED frame per the function contract;
+    # 3 distinct tokens here -> V=3
+    exp = -(math.log(3 / (3 + 3)) + math.log(3 / (2 + 3))) / 2
+    assert out[0].n_bigrams == 2 and out[0].xent == round(exp, 4)
+
+
+def test_bm25_ranks_term_matches_first(spark):
+    rows = [
+        (1, "alpha beta alpha beta alpha"),  # heavy on alpha
+        (2, "alpha gamma delta epsilon zeta eta theta"),  # one alpha, long
+        (3, "beta beta beta"),  # no alpha
+        (4, "iota kappa"),  # no query terms at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = R.bm25_topk(df, "doc_id", "text", ["alpha"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids and 3 not in ids  # zero-score docs filtered
+    assert ids[0] == 1  # higher tf, shorter doc -> ranks first
+    assert out[0].score > out[1].score > 0
+
+
+def test_bm25_multi_term_additivity(spark):
+    rows = [(1, "p q"), (2, "p p"), (3, "q q"), (4, "r r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.score for r in
+           R.bm25_topk(df, "doc_id", "text", ["p", "q"], k=10).collect()}
+    # doc1 matches both terms; with equal dl its score exceeds
+    # single-term docs 2 and 3 (tf saturation: tf=2 < 2x tf=1 term hit)
+    assert out[1] > out[2] == out[3]
+    assert 4 not in out
