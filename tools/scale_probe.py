@@ -1,0 +1,116 @@
+"""Empirical scaling probe: replicate the sf0.1 tables KX with remapped
+ids, run the heaviest operator families on both sizes, and report the
+wall-time growth ratio per query.
+
+Why: the per-sf bench can't distinguish "fixed overhead" from "real
+work growth" - a query that is 90% job-scheduling constant at sf0.1
+looks flat until the data actually grows. A family whose ratio is far
+above K at KX data has a super-linear term (quadratic bucket, driver
+collect, iteration count scaling with n) that would detonate at 100 TB.
+Candidate-pair growth in the near-dup families is corpus-dependent
+(replication multiplies within-bucket collisions), so ratios modestly
+above K there mean MORE DUPLICATES FOUND, not super-linear compute; the
+red flag is a ratio >> K^2 or an OOM/driver stall.
+
+Usage: python tools/scale_probe.py [K] [query ...]
+Writes replicas under /tmp/scale_probe/xK/ (reused if present), prints
+one line per query: name, t(sf0.1), t(xK), ratio.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1"
+
+# Heavy families worth probing: near-dup (banded LSH + connected
+# components), exact-verify ngram jaccard, LM train+score, corpus
+# clean (gates + decontam), ANN panel (RP-LSH + IVF), grouped UDAF.
+DEFAULT_QUERIES = [
+    "dedup_near_panel",
+    "dedup_ngram_jaccard",
+    "lm_perplexity",
+    "corpus_clean",
+    "text_analysis",
+    "sim_ann_panel",
+    "dedup_exact",
+]
+
+# Tables the probe queries touch; replicated with id remapping so
+# replicas are DISTINCT rows (not trivial exact duplicates) except for
+# the text/embedding payloads, which near-dup families are SUPPOSED to
+# collapse across replicas.
+REPLICATED = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+
+
+def build_replica(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.io import load_table
+
+    out_dir = f"/tmp/scale_probe/x{k}"
+    if all(
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
+        for t in REPLICATED
+    ):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for table, id_col in REPLICATED.items():
+        df = load_table(spark, BASE, table)
+        n = df.agg(F.max(id_col)).collect()[0][0] + 1
+        rep = df.crossJoin(
+            spark.range(k).withColumnRenamed("id", "_rep")
+        ).withColumn(id_col, F.col(id_col) + F.col("_rep") * n)
+        if table == "events":
+            # shift replica timestamps so event-time ops see a longer
+            # history, not k copies of the same instant
+            rep = rep.withColumn(
+                "ts", F.col("ts") + F.make_dt_interval(days=F.col("_rep") * 40)
+            )
+        rep.drop("_rep").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+    return out_dir
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    from etl_marketdata_downloader_archived_spark.plans import registry
+    from etl_marketdata_downloader_archived_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    qs = registry.all_queries()
+    rep_dir = build_replica(spark, k)
+
+    def run(fn, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):  # min-of-2: shave warm-up/noise
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    print(f"{'query':24s} {'t_sf0.1':>8s} {f't_x{k}':>8s} {'ratio':>6s}")
+    worst = 0.0
+    for name in names:
+        fn = qs[name]
+        t1 = run(fn, BASE)
+        tk = run(fn, rep_dir)
+        ratio = tk / t1 if t1 > 0 else float("inf")
+        worst = max(worst, ratio)
+        print(f"{name:24s} {t1:8.2f} {tk:8.2f} {ratio:5.1f}x", flush=True)
+    print(f"max growth at {k}x data: {worst:.1f}x")
+
+
+if __name__ == "__main__":
+    main()
