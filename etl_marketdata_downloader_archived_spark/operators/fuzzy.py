@@ -1,0 +1,85 @@
+"""Fuzzy string matching: exact-complete edit-distance self-join.
+
+Near-dup detection on SHORT KEYS (titles, URLs, file names, entity
+names) where the right metric is character edit distance, not the
+token/hash similarity of operators.dedup. The classic use: collapse
+catalog rows whose URL or landed file name differs by one typo - the
+reference's catalog keys on raw URL strings with no notion of
+near-equality at all (data-harvester/data_harvester.py:35).
+
+Algorithm (deletion-variant blocking, the SymSpell/FastSS family):
+for edit distance <= 1, two strings must share a member of
+{s} ∪ {s minus one character}. Proof by case: substitution at i ->
+both sides' delete-at-i variants coincide; insertion/deletion ->
+the shorter string IS a deletion variant of the longer; equality ->
+s itself. So joining the variant sets is COMPLETE (no missed pair),
+and a final levenshtein() verify removes the false positives. This
+exactness is certified against a brute-force all-pairs DuckDB oracle
+(tools/parity.py `fuzzy_join`).
+
+Scale posture: the explode factor is len(s)+1 - bounded by the KEY
+length (use on short keys by construction), never by corpus size.
+Candidates shuffle on the variant hash; the all-pairs kernel never
+materializes (pairs exist only where variants collide), and the
+verify is output-bound. Hash the variant to a 64-bit key
+(xxhash64) so the shuffle moves 8-byte keys, not strings - a hash
+collision can only ADD a candidate pair, which the levenshtein verify
+then discards, so completeness and exactness survive hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["deletion_variants", "edit_distance_join"]
+
+
+def deletion_variants(s):
+    """Array of `s` plus every single-character deletion of `s`."""
+    c = F.col(s) if isinstance(s, str) else s
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(
+            c.substr(F.lit(1), i - 1), c.substr(i + 1, F.lit(1000000))
+        ),
+    )
+    return F.array_append(dels, c)
+
+
+def edit_distance_join(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """Self-join: all pairs (id_a < id_b) with levenshtein <= max_dist.
+
+    Only ``max_dist=1`` is supported (deletion-variant blocking is
+    exact-complete there with a linear variant set; higher distances
+    need the PassJoin chunk scheme and an exponential variant family).
+    Returns (id_a, id_b, dist), one row per pair."""
+    if max_dist != 1:
+        raise ValueError(
+            "edit_distance_join supports max_dist=1 (deletion-variant "
+            "blocking); use operators.dedup for coarser similarity"
+        )
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(str_col).alias("_s"),
+        F.explode(F.array_distinct(deletion_variants(str_col))).alias("_var"),
+    ).select("_id", "_s", F.xxhash64("_var").alias("_vh"))
+    left = v.select(
+        F.col("_id").alias("id_a"), F.col("_s").alias("_sa"), "_vh"
+    )
+    right = v.select(
+        F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_vh"
+    )
+    pairs = (
+        left.join(right, "_vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("_sa", "_sb").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

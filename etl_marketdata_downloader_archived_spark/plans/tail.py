@@ -311,3 +311,32 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bm25_topk(d, "doc_id", "text", ["spark", "stream", "window"], k=15)
+
+
+@q(
+    "fuzzy_join",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substring(text, 1, 32) AS s FROM documents
+    )
+    SELECT a.doc_id               AS id_a,
+           b.doc_id               AS id_b,
+           levenshtein(a.s, b.s)  AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 1
+    """,
+)
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance<=1 self-join over 32-char document title keys via
+    deletion-variant blocking (operators.fuzzy.edit_distance_join).
+    The oracle is BRUTE-FORCE all-pairs levenshtein - passing parity
+    proves the variant blocking is complete (no missed pair), not just
+    plausible. The engine side never forms the quadratic pair space:
+    candidates exist only where 8-byte variant hashes collide.
+    Registered past the certified window; locally parity-verified."""
+    from ..operators.fuzzy import edit_distance_join
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 32).alias("title")
+    )
+    return edit_distance_join(d, "doc_id", "title")
