@@ -19,7 +19,7 @@ different lg_k still union (DataSketches downsamples to the coarser).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -208,16 +208,27 @@ def build_quantile_sketches(
     id_cols: list[str],
     bucket_cols: list[str],
     k: int = 512,
+    coordinate: Column | None = None,
 ) -> DataFrame:
     """One bottom-k-by-hash uniform value sample per bucket. ``id_cols``
     must identify a row (the sampling coordinate); ``value`` is cast to
     double. Output = bucket_cols + ``qsketch``
-    (array<struct<h:bigint,v:double>>, sorted by h - lake-persistable)."""
+    (array<struct<h,v:double>>, sorted by h - lake-persistable).
+
+    ``coordinate`` overrides the sampling hash (default
+    ``xxhash64(*id_cols)``, the cheapest uniform 8-byte coordinate).
+    Any deterministic uniform-ish total order works - e.g.
+    ``md5(concat_ws('|', *id_cols))`` yields a coordinate an external
+    engine can replay, making the whole sketch pipeline
+    differentially checkable (the registered ``quantile_rollup`` query
+    does exactly this); merge/estimate are coordinate-type-agnostic."""
     from pyspark.sql import Window as W
 
     tagged = df.select(
         *bucket_cols,
-        F.xxhash64(*id_cols).alias("h"),
+        (coordinate if coordinate is not None else F.xxhash64(*id_cols)).alias(
+            "h"
+        ),
         F.col(value).cast("double").alias("v"),
     )
     w = W.partitionBy(*bucket_cols).orderBy("h", "v")

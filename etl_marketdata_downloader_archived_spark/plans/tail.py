@@ -58,14 +58,46 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(text_to_assets(d, "doc_id", "text"), fake=True)
 
 
-@q("quantile_rollup")  # xxhash64 sampling coordinate -> rows-only
+@q(
+    "quantile_rollup",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             md5(CAST(event_id AS VARCHAR)) AS h,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+    ), sk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type, day ORDER BY h, v) AS rn
+        FROM t
+      ) WHERE rn <= 256
+    ), merged AS (
+      SELECT * FROM (
+        SELECT event_type, h, v, row_number() OVER (
+          PARTITION BY event_type ORDER BY h, v) AS rn2
+        FROM sk
+      ) WHERE rn2 <= 256
+    ), agg AS (
+      SELECT event_type, list_sort(list(v)) AS vals
+      FROM merged GROUP BY event_type
+    )
+    SELECT event_type,
+           vals[greatest(1, CAST(ceil(0.5 * len(vals)) AS INT))] AS q_0_5,
+           vals[greatest(1, CAST(ceil(0.9 * len(vals)) AS INT))] AS q_0_9
+    FROM agg
+    """,
+)
 def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches end-to-end: per-(event_type, day)
     bottom-k samples of `value`, REGROUPED to per-event_type p50/p90
     by sketch merge alone (operators.sketches) - the raw events are
-    scanned once. No oracle: the sampling coordinate is Spark's
-    xxhash64, which DuckDB cannot replicate; accuracy and exact
-    mergeability are pytest-pinned (tests/test_sketches.py)."""
+    scanned once. The sampling coordinate here is md5(event_id) (the
+    pluggable ``coordinate`` arg) instead of the default xxhash64
+    PRECISELY so DuckDB can replay the whole build->merge->estimate
+    pipeline - this query graduated from rows-only to oracle-checked.
+    Exact mergeability/accuracy stay pytest-pinned
+    (tests/test_sketches.py)."""
     from ..operators.sketches import build_quantile_sketches, estimate_quantiles
 
     ev = load_table(spark, sf_dir, "events").withColumn(
@@ -74,6 +106,7 @@ def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = build_quantile_sketches(
         ev, "value", id_cols=["event_id"], bucket_cols=["event_type", "day"],
         k=256,
+        coordinate=F.md5(F.col("event_id").cast("string")),
     )
     return estimate_quantiles(
         sk, probs=[0.5, 0.9], group_cols=["event_type"], k=256
