@@ -9,11 +9,15 @@ engine-seeded hash families (MinHash/SimHash/RP-LSH/IVF/xxhash
 sampling) that no cross-engine oracle can replay. The oracle-checkable
 queries that used to overflow here (scd2_history_events, funnel +
 cohort as one tagged union) now hold certified slots in plans/events.py.
-Two exceptions carry oracles despite sitting past the window (the 50
-certified slots are all taken by oracle queries already):
-multimodal_decode and stream_interval_join are locally
-parity-verified, upgrading their components from pytest-only to
-oracle-checked evidence without reshuffling certified positions.
+Most queries here DO carry oracles despite sitting past the window
+(the 50 certified slots are all taken by oracle queries already):
+multimodal_decode, stream_interval_join, quantile_rollup (md5
+sampling coordinate), lm_perplexity, bm25_topk, fuzzy_join
+(brute-force oracle) and flagship_star are locally parity-verified,
+upgrading their components from pytest-only/smoke-only to
+oracle-checked evidence without reshuffling certified positions. The
+only rows-only remainders are the two panels built on engine-seeded
+hash families + iterative fixpoints (dedup_near_panel, sim_ann_panel).
 """
 
 from __future__ import annotations
@@ -373,3 +377,54 @@ def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.substring("text", 1, 32).alias("title")
     )
     return edit_distance_join(d, "doc_id", "title")
+
+
+@q(
+    "flagship_star",
+    oracle="""
+    SELECT r_name,
+           year(o_orderdate) AS order_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2))
+                       - CAST(l_discount AS DECIMAL(12,2))))
+                AS DOUBLE)                           AS revenue,
+           count(DISTINCT o_orderkey)                AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, year(o_orderdate)
+    """,
+)
+def flagship_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's entry() star query (revenue by region and year),
+    registered so the flagship shape carries a full value-hash
+    certificate instead of the smoke check's rows>0. Same plan as
+    entry(): two shuffled fact joins, broadcast dims, two-level
+    aggregate - with the money math moved to exact decimal (the
+    decimal_agg pattern) so the cross-engine compare is drift-free
+    where entry()'s display rounding need not be."""
+    from ..io import load_tables
+
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    li, o, c, n, r = (
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
