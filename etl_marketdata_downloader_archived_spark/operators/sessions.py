@@ -1,0 +1,98 @@
+"""Batch event sessionization and path mining.
+
+The batch twins of the streaming session windows
+(plans/relational.py `stream_session` aggregates per session;
+streaming.windows owns the live path): `sessionize` ASSIGNS each raw
+event its session - the per-event labeling product-analytics stacks
+join everything else onto - and `path_ngrams` mines the most common
+k-step event-type journeys.
+
+Scale posture: sessionize is ONE shuffle (partition by user) and one
+ordered window pass - no self-join, no per-user collect beyond the
+window's streaming frame. Path mining groups each user's events once
+(shuffle by user), builds the step n-grams IN-ROW (slice + arrays_zip,
+the doc_bigrams pattern - no second explode-shuffle of raw events),
+and counts paths with a map-side-combinable aggregate whose key space
+is |event_type|^k, independent of user count. A user's full event list
+does sit in one aggregation buffer - same bound as any per-user
+ordered analysis; cap with a per-user limit upstream if a key can be
+pathological.
+
+Reference anchor: the reference records no user/event notion at all
+(tasks are fire-and-forget, data-downloader/data_downloader.py:213-226);
+these extend the funnel/cohort family (plans/events.py) the lake adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "path_ngrams"]
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign every event a per-user session number (1-based) by the
+    classic gap rule: a new session starts when the time since the
+    user's previous event exceeds ``gap``. Adds ``session_seq``;
+    (user, session_seq) identifies a session. ``tiebreak_col`` makes
+    the event order total when timestamps can tie."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = W.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    is_new = prev.isNull() | (
+        F.col(ts_col) - prev > F.expr(f"INTERVAL {gap}")
+    )
+    return df.withColumn(
+        "session_seq",
+        F.sum(is_new.cast("long")).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+
+
+def path_ngrams(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    n: int = 3,
+    tiebreak_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """(path, n_occurrences) for every length-``n`` consecutive step
+    sequence across users' time-ordered events. One shuffle collects
+    each user's ordered steps; n-grams are built in-row; the count's
+    key space is bounded by |distinct steps|^n, not by users."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(*order, F.col(step_col).alias("_s")))
+        ),
+        lambda x: x["_s"],
+    )
+    per_user = df.groupBy(user_col).agg(seq.alias("_seq"))
+    m = F.greatest(F.size(F.col("_seq")) - (n - 1), F.lit(0))
+    grams = F.arrays_zip(
+        *[F.slice(F.col("_seq"), i + 1, m).alias(f"g{i}") for i in range(n)]
+    )
+    return (
+        per_user.select(F.explode(grams).alias("g"))
+        .select(
+            F.concat_ws(sep, *[F.col(f"g.g{i}") for i in range(n)]).alias(
+                "path"
+            )
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )

@@ -428,3 +428,84 @@ def flagship_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
+
+
+@q(
+    "sessionize_stats",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), t AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq
+      FROM s
+    )
+    SELECT user_id, session_seq,
+           count(*)                                 AS n_events,
+           min(ts)                                  AS session_start,
+           max(ts)                                  AS session_end,
+           floor(epoch(max(ts)) - epoch(min(ts)))   AS dur_s
+    FROM t GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators.sessions.sessionize): assign
+    every event its gap-defined session in one user-partitioned window
+    pass, then collapse to per-session stats. The per-event labeling
+    twin of the certified stream_session aggregate - this is the form
+    everything else joins onto. Registered past the certified window;
+    locally parity-verified."""
+    from ..operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    lab = sessionize(ev, "user_id", "ts", gap="30 minutes",
+                     tiebreak_col="event_id")
+    return lab.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max("ts") - F.min("ts")).cast("long").cast("double").alias("dur_s"),
+    )
+
+
+@q(
+    "path_topk",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+      FROM events GROUP BY user_id
+    ), grams AS (
+      SELECT t[i] || '>' || t[i+1] || '>' || t[i+2] AS path
+      FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM seqs)
+    )
+    SELECT path, count(*) AS n_occurrences
+    FROM grams GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT 20
+    """,
+)
+def path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event-type journeys
+    (operators.sessions.path_ngrams): one shuffle gathers each user's
+    ordered steps, n-grams build in-row, and the count's key space is
+    |event_type|^3 regardless of user count. Registered past the
+    certified window; locally parity-verified."""
+    from ..operators.sessions import path_ngrams
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        path_ngrams(ev, "user_id", "ts", "event_type", n=3,
+                    tiebreak_col="event_id")
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(20)
+    )
