@@ -1,0 +1,80 @@
+"""Snapshot diff (CDC-style table compare).
+
+`table_diff` computes the row-level delta between two versions of a
+keyed table: which keys were ADDED, REMOVED, or CHANGED (and which
+columns changed). The audit half of the lake's mutation surface - what
+`io.merge_partitioned` / `io.write_audit_publish` apply, this
+verifies after the fact, and what an incremental downstream consumer
+replays. The reference mutates its catalog blindly in place
+(data-downloader/data_downloader.py:40-48, full-file rewrite) with no
+way to answer "what changed"; SCD2 (operators.history) keeps the
+time dimension, this keeps the version-to-version delta.
+
+Scale: one key-partitioned full-outer join (sort-merge at scale, AQE
+broadcasts a small side), column compares are in-row null-safe
+equality, unchanged rows drop before anything downstream - the output
+is delta-sized, never table-sized. No collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["table_diff"]
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level delta NEW vs OLD keyed by ``key_cols``.
+
+    Returns key_cols + ``change`` ('added'|'removed'|'changed', plus
+    'unchanged' when ``include_unchanged``) + ``changed_cols`` (sorted
+    array of differing column names; empty unless 'changed').
+    ``compare_cols`` defaults to all shared non-key columns. Column
+    compares are null-safe (NULL == NULL, NULL != value)."""
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(shared - set(key_cols))
+    o = old.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *key_cols,
+        change.alias("change"),
+        F.when(change == "changed", F.array_sort(diffs))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out

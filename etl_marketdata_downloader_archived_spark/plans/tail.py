@@ -509,3 +509,59 @@ def path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(20)
     )
+
+
+@q(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN round(o_totalprice + 1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           CASE WHEN old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+                THEN []
+                ELSE list_sort(
+                  [x FOR x IN [
+                     CASE WHEN old.o_orderstatus IS DISTINCT FROM
+                               new.o_orderstatus THEN 'o_orderstatus' END,
+                     CASE WHEN old.o_totalprice IS DISTINCT FROM
+                               new.o_totalprice THEN 'o_totalprice' END
+                   ] IF x IS NOT NULL])
+                END AS changed_cols
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+       OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style version delta (operators.diff.table_diff): two
+    deterministic snapshots derived from orders (rows dropped on one
+    side each, a price bump on every third key) diffed into
+    added/removed/changed rows with per-column change attribution. One
+    key-partitioned full-outer join; output is delta-sized. Registered
+    past the certified window; locally parity-verified."""
+    from ..operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.round(F.col("o_totalprice") + 1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(old, new, ["o_orderkey"])

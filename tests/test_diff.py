@@ -1,0 +1,37 @@
+"""operators.diff.table_diff: CDC-style snapshot compare."""
+
+from __future__ import annotations
+
+from etl_marketdata_downloader_archived_spark.operators.diff import table_diff
+
+
+def test_table_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "B", 21.0),        # changed: s AND v
+         (3, "c", 30.0),        # changed: v (NULL -> value, null-safe)
+         (5, "e", 50.0)],       # added;  4 removed
+        "k long, s string, v double",
+    )
+    out = {r.k: (r.change, list(r.changed_cols))
+           for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {
+        2: ("changed", ["s", "v"]),
+        3: ("changed", ["v"]),
+        4: ("removed", []),
+        5: ("added", []),
+    }
+
+
+def test_table_diff_include_unchanged_and_subset_cols(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
+    new = spark.createDataFrame([(1, "a", 9.9)], "k long, s string, v double")
+    # compare only s -> row counts as unchanged
+    out = table_diff(old, new, ["k"], compare_cols=["s"],
+                     include_unchanged=True).collect()
+    assert [(r.k, r.change) for r in out] == [(1, "unchanged")]
+    assert table_diff(old, new, ["k"], compare_cols=["s"]).count() == 0
