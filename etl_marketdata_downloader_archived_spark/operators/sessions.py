@@ -96,3 +96,54 @@ def path_ngrams(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Max simultaneously-open intervals per time bucket (closed
+    intervals: an interval open at instant t counts at t, so
+    zero-length intervals still register). The classic sweep-line,
+    made scale-safe: the +1/-1 delta stream is swept WITHIN each
+    bucket's partition (shuffle on bucket, ordered window inside),
+    and cross-bucket state is stitched by a prefix sum over the
+    BUCKET-LEVEL net deltas - a table with one row per bucket, so the
+    single-partition window touches dimension-sized data, never the
+    event stream. Buckets with no interval endpoints don't emit a row
+    (their concurrency is the running carry; join against a calendar
+    grid if gap buckets must appear).
+
+    Within one timestamp, +1s sort before -1s; the in-bucket MAX of
+    the running sum is order-insensitive beyond that, so the result is
+    deterministic on both engines."""
+    from pyspark.sql import Window as W
+
+    trunc = {"day": F.to_date, "hour": lambda c: F.date_trunc("hour", c)}[
+        bucket
+    ]
+    deltas = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
+    ).withColumn("bucket", trunc(F.col("t")))
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    in_bucket = (
+        deltas.withColumn("run", F.sum("delta").over(w_in))
+        .groupBy("bucket")
+        .agg(F.max("run").alias("_max_run"), F.sum("delta").alias("_net"))
+    )
+    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    return in_bucket.select(
+        "bucket",
+        (
+            F.coalesce(F.sum("_net").over(w_b), F.lit(0))
+            + F.col("_max_run")
+        ).alias("max_concurrent"),
+    )

@@ -565,3 +565,113 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return table_diff(old, new, ["o_orderkey"])
+
+
+@q(
+    "profile_events",
+    oracle="""
+    SELECT 'event_id' AS column, count(*) AS n,
+           count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null,
+           count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS DOUBLE) AS num_min,
+           CAST(max(event_id) AS DOUBLE) AS num_max,
+           round(avg(event_id), 4) AS num_mean,
+           CAST(NULL AS VARCHAR) AS str_min, CAST(NULL AS VARCHAR) AS str_max
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*),
+           count(CASE WHEN user_id IS NULL THEN 1 END),
+           count(DISTINCT user_id),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+           round(avg(user_id), 4), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*),
+           count(CASE WHEN value IS NULL THEN 1 END),
+           count(DISTINCT value),
+           min(value), max(value), round(avg(value), 4), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*),
+           count(CASE WHEN event_type IS NULL THEN 1 END),
+           count(DISTINCT event_type),
+           NULL, NULL, NULL, min(event_type), max(event_type)
+    FROM events
+    """,
+)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the events table
+    (operators.profile.profile, exact distincts so DuckDB can replay;
+    the scale default is approx HLL distincts without the Expand).
+    Registered past the certified window; locally parity-verified."""
+    from ..operators.profile import profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile(
+        ev, ["event_id", "user_id", "value", "event_type"], exact=True
+    )
+
+
+@q(
+    "session_concurrency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), lab AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq
+      FROM s
+    ), sess AS (
+      SELECT min(ts) AS t_start, max(ts) AS t_end
+      FROM lab GROUP BY user_id, session_seq
+    ), deltas AS (
+      SELECT t_start AS t, 1 AS delta FROM sess
+      UNION ALL
+      SELECT t_end, -1 FROM sess
+    ), run AS (
+      SELECT CAST(t AS DATE) AS bucket, delta,
+             sum(delta) OVER (PARTITION BY CAST(t AS DATE)
+                              ORDER BY t, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS r
+      FROM deltas
+    ), ib AS (
+      SELECT bucket, max(r) AS max_run, sum(delta) AS net
+      FROM run GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(coalesce(sum(net) OVER (ORDER BY bucket
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                + max_run AS BIGINT) AS max_concurrent
+    FROM ib
+    """,
+)
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-overlap aggregation: max simultaneously-open sessions
+    per day (operators.sessions.max_concurrency over sessionize
+    intervals). The sweep-line runs inside per-day partitions and
+    stitches across days with a prefix sum over the day-level nets -
+    the single-partition window touches one row per DAY, never the
+    event stream, so the classic global-sort formulation never
+    appears. Registered past the certified window; locally
+    parity-verified."""
+    from ..operators.sessions import max_concurrency, sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, "user_id", "ts", gap="30 minutes",
+                   tiebreak_col="event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    )
+    return max_concurrency(sess, "t_start", "t_end", bucket="day")

@@ -35,3 +35,24 @@ def test_table_diff_include_unchanged_and_subset_cols(spark):
                      include_unchanged=True).collect()
     assert [(r.k, r.change) for r in out] == [(1, "unchanged")]
     assert table_diff(old, new, ["k"], compare_cols=["s"]).count() == 0
+
+
+def test_profile_long_form(spark):
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", None), (2, None, 6.0)],
+        "k long, s string, v double",
+    )
+    out = {r.column: r for r in profile(df, exact=True).collect()}
+    assert set(out) == {"k", "s", "v"}
+    k = out["k"]
+    assert (k.n, k.n_null, k.n_distinct, k.num_min, k.num_max, k.num_mean) \
+        == (3, 0, 2, 1.0, 2.0, round(5 / 3, 4))
+    s = out["s"]
+    assert (s.n, s.n_null, s.n_distinct, s.str_min, s.str_max) \
+        == (3, 1, 2, "a", "b")
+    assert s.num_min is None and out["v"].str_min is None
+    assert (out["v"].n_null, out["v"].num_mean) == (1, 4.0)

@@ -72,3 +72,21 @@ def test_path_ngrams_order_by_time_not_insertion(spark):
            path_ngrams(df, "user_id", "ts", "et", n=3,
                        tiebreak_col="event_id").collect()]
     assert out == ["early>late>end"]
+
+
+def test_max_concurrency_carry_and_zero_length(spark):
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        max_concurrency,
+    )
+
+    rows = [
+        (_ts(0), _ts(50)),                              # 10:00-10:50
+        (_ts(30), _ts(45)),                             # overlap -> 2
+        (_ts(40), datetime(2026, 1, 2, 9, 0)),          # 3-way; spans midnight
+        (datetime(2026, 1, 2, 8, 0), datetime(2026, 1, 2, 8, 0)),  # zero-len
+    ]
+    df = spark.createDataFrame(rows, "s timestamp_ntz, e timestamp_ntz")
+    out = {str(r.bucket): r.max_concurrent
+           for r in max_concurrency(df, "s", "e").collect()}
+    # day1 peak = 3 (10:40-10:45); day2 = carried-over session + zero-len
+    assert out == {"2026-01-01": 3, "2026-01-02": 2}
