@@ -61,13 +61,19 @@ def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) - one row per consecutive token pair per document.
 
     Built in-row (slice + arrays_zip) then exploded: no window over a
-    doc partition, so deriving bigrams never shuffles the corpus."""
-    toks = word_tokens(text_col)
+    doc partition, so deriving bigrams never shuffles the corpus. The
+    token array goes through its own projection step so the regex
+    tokenizer evaluates ONCE per row - referencing the column from a
+    prior select keeps CollapseProject from inlining the non-cheap
+    expression into each of its four uses (verified in the executed
+    plan: one `split(lower(...))` occurrence, not four)."""
+    tok = df.select(F.col(id_col), word_tokens(text_col).alias("_t"))
+    t = F.col("_t")
     pairs = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("w1"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w2"),
     )
-    return df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+    return tok.select(F.col(id_col), F.explode(pairs).alias("p")).select(
         id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
 
@@ -151,15 +157,19 @@ def bm25_topk(
     result is TakeOrdered(k) on (rounded score desc, id asc) - the
     rounded score is the sort key on BOTH engines so tie-selection
     under LIMIT is deterministic cross-engine."""
-    toks = word_tokens(text_col)
+    # tokenize through a dedicated projection so the regex split runs
+    # once per row; CollapseProject keeps multi-referenced non-cheap
+    # expressions in their own step instead of inlining a copy into
+    # dl + every tf (verified: one `split` in the executed plan)
+    tok = docs.select(F.col(id_col), word_tokens(text_col).alias("_t"))
 
     def _tf(term: str) -> Column:
         # closure helper: a 2-arg lambda would be read by F.filter as
         # (element, index), so bind the term via an outer function
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        return F.size(F.filter(F.col("_t"), lambda x: x == F.lit(term)))
 
-    base = docs.select(
-        F.col(id_col), F.size(toks).alias("dl"),
+    base = tok.select(
+        F.col(id_col), F.size("_t").alias("dl"),
         *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
     )
     stats = base.agg(
