@@ -344,3 +344,48 @@ def rollup_bars(
         )
         .withColumnRenamed("_cb", "bar_ts")
     )
+
+
+def find_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    step: str = "hour",
+) -> DataFrame:
+    """Missing-interval report: for each key, the runs of ``step``
+    buckets between the key's first and last observation that contain
+    NO rows. Output: key_cols + (gap_start, gap_end, n_missing) - one
+    row per contiguous gap, both endpoints missing buckets inclusive.
+
+    Plan: distinct (key, bucket) -> lag over each key's bucket order ->
+    emit where consecutive buckets differ by more than one step. One
+    shuffle + one window pass, both on the DISTINCT bucket set (bounded
+    by keys x time range, not by row count); no calendar grid is ever
+    materialized, so sparse series with year-long gaps cost one output
+    row, not a year of join rows."""
+    sec = {"hour": 3600, "day": 86400, "minute": 60}[step]
+    b = df.select(
+        *key_cols, _bar(ts_col, step).alias("_b")
+    ).distinct()
+    w = W.partitionBy(*key_cols).orderBy("_b")
+    prev = F.lag("_b").over(w)
+    # NTZ timestamps don't cast to long; subtracting them yields a
+    # day-time interval whose long cast is whole seconds
+    missing = (
+        (F.col("_b") - prev).cast("long") / sec - 1
+    ).cast("long")
+    return (
+        b.withColumn("_prev", prev)
+        .withColumn("n_missing", missing)
+        .filter(F.col("n_missing") > 0)
+        .select(
+            *key_cols,
+            (F.col("_prev") + F.expr(f"INTERVAL {sec} SECONDS")).alias(
+                "gap_start"
+            ),
+            (F.col("_b") - F.expr(f"INTERVAL {sec} SECONDS")).alias(
+                "gap_end"
+            ),
+            "n_missing",
+        )
+    )

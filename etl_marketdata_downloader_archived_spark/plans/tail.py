@@ -675,3 +675,33 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
     )
     return max_concurrency(sess, "t_start", "t_end", bucket="day")
+
+
+@q(
+    "ts_gaps",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS bk FROM events
+    ), lagged AS (
+      SELECT event_type, bk,
+             lag(bk) OVER (PARTITION BY event_type ORDER BY bk) AS prev
+      FROM b
+    )
+    SELECT event_type,
+           prev + INTERVAL 3600 SECOND              AS gap_start,
+           bk - INTERVAL 3600 SECOND                AS gap_end,
+           CAST((epoch(bk) - epoch(prev)) / 3600 - 1 AS BIGINT) AS n_missing
+    FROM lagged
+    WHERE prev IS NOT NULL AND epoch(bk) - epoch(prev) > 3600
+    """,
+)
+def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-interval report per event type at hour grain
+    (operators.timeseries.find_gaps): one distinct + one window over
+    the DISTINCT bucket set; a year-long outage is one output row, not
+    a year of grid-join rows. Registered past the certified window;
+    locally parity-verified."""
+    from ..operators.timeseries import find_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    return find_gaps(ev, ["event_type"], "ts", "hour")

@@ -442,3 +442,20 @@ def test_rollup_bars_equals_direct_daily_bars(spark) -> None:
             assert r.vwap is None
         else:
             assert abs(r.vwap - d.vwap) < 1e-9
+
+
+def test_find_gaps_known_answer(spark):
+    from datetime import datetime
+
+    from etl_marketdata_downloader_archived_spark.operators.timeseries import (
+        find_gaps,
+    )
+
+    rows = [("a", datetime(2026, 1, 1, 10, 5)),
+            ("a", datetime(2026, 1, 1, 10, 50)),   # same bucket: no gap
+            ("a", datetime(2026, 1, 1, 13, 0)),    # 11:00+12:00 missing
+            ("b", datetime(2026, 1, 1, 0, 0))]     # single point: no gap
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz")
+    out = [(r.k, str(r.gap_start), str(r.gap_end), r.n_missing)
+           for r in find_gaps(df, ["k"], "ts", "hour").collect()]
+    assert out == [("a", "2026-01-01 11:00:00", "2026-01-01 12:00:00", 2)]
