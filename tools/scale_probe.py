@@ -38,6 +38,13 @@ DEFAULT_QUERIES = [
     "text_analysis",
     "sim_ann_panel",
     "dedup_exact",
+    "bm25_topk",
+    "fuzzy_join",
+    "sessionize_stats",
+    "session_concurrency",
+    "path_topk",
+    "snapshot_diff",
+    "profile_events",
 ]
 
 # Tables the probe queries touch; replicated with id remapping so
@@ -48,6 +55,7 @@ REPLICATED = {
     "documents": "doc_id",
     "embeddings": "vec_id",
     "events": "event_id",
+    "orders": "o_orderkey",
 }
 
 
