@@ -9,15 +9,14 @@ engine-seeded hash families (MinHash/SimHash/RP-LSH/IVF/xxhash
 sampling) that no cross-engine oracle can replay. The oracle-checkable
 queries that used to overflow here (scd2_history_events, funnel +
 cohort as one tagged union) now hold certified slots in plans/events.py.
-Most queries here DO carry oracles despite sitting past the window
-(the 50 certified slots are all taken by oracle queries already):
-multimodal_decode, stream_interval_join, quantile_rollup (md5
-sampling coordinate), lm_perplexity, bm25_topk, fuzzy_join
-(brute-force oracle) and flagship_star are locally parity-verified,
-upgrading their components from pytest-only/smoke-only to
-oracle-checked evidence without reshuffling certified positions. The
-only rows-only remainders are the two panels built on engine-seeded
-hash families + iterative fixpoints (dedup_near_panel, sim_ann_panel).
+Almost every query here DOES carry an oracle despite sitting past the
+window (the 50 certified slots are all taken by oracle queries
+already) - each is locally parity-verified by tools/parity.py,
+upgrading its component from pytest-only/smoke-only to oracle-checked
+evidence without reshuffling certified positions. The only rows-only
+remainders in the whole battery are the two panels built on
+engine-seeded hash families + iterative fixpoints (dedup_near_panel,
+sim_ann_panel).
 """
 
 from __future__ import annotations
