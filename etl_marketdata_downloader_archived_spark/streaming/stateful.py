@@ -149,3 +149,80 @@ def streaming_ewma(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_sessionize(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    gap: str = "30 minutes",
+    tiebreak: str | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.sessions.sessionize: label every
+    event with its per-user session number, the session state carried
+    ACROSS micro-batches as two scalars per user (last event time +
+    current session seq) - the per-event LABELING complement to
+    Spark's built-in session_window aggregate, which can only emit
+    per-session rollups.
+
+    Within a batch a user's rows sort by (ts, tiebreak) and the gap
+    rule applies vectorized; the first row of each batch compares
+    against the carried last-event time, so a session spanning many
+    micro-batches keeps its number. Same ordering caveat as
+    streaming_ewma: rows arriving in a later batch than a larger
+    timestamp fold in arrival order.
+
+    ``state_ttl_ms`` expires quiet users (continuous streams); leave
+    None under run-to-completion triggers."""
+    gap_n, gap_unit = gap.split()
+    gap_s = float(gap_n) * {
+        "seconds": 1, "second": 1, "minutes": 60, "minute": 60,
+        "hours": 3600, "hour": 3600,
+    }[gap_unit]
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = [user, ts] + ([tiebreak] if tiebreak else [])
+    out_schema = ", ".join(
+        f"{c} {in_schema[c]}" for c in cols
+    ) + ", session_seq long"
+    use_ttl = state_ttl_ms is not None
+
+    def update(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        sort_cols = [ts] + ([tiebreak] if tiebreak else [])
+        pdf = pdf.sort_values(sort_cols, ignore_index=True)
+        t_ns = pdf[ts].astype("int64")
+        if state.exists:
+            last_ns, seq = state.get
+        else:
+            last_ns, seq = None, 0
+        prev = t_ns.shift(1)
+        if last_ns is not None:
+            prev.iloc[0] = last_ns
+        is_new = prev.isna() | ((t_ns - prev) > gap_s * 1e9)
+        pdf["session_seq"] = seq + is_new.cumsum().astype("int64")
+        state.update((int(t_ns.iloc[-1]), int(pdf["session_seq"].iloc[-1])))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pdf[cols + ["session_seq"]]
+
+    return df.groupBy(user).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="last_ts_ns long, seq long",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

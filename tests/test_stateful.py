@@ -104,3 +104,69 @@ def test_streaming_ewma_carries_state_across_batches(spark, tmp_path) -> None:
     assert set(streamed) == set(expected)
     for k in expected:
         assert abs(streamed[k] - expected[k]) < 1e-12
+
+
+def test_streaming_sessionize_carries_sessions_across_batches(
+    spark, tmp_path
+) -> None:
+    """Two micro-batches must label events exactly like one batch pass
+    (operators.sessions.sessionize): an open session continues across
+    the batch boundary, a long gap spanning batches opens a new one."""
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        sessionize,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    b1 = [(1, 1, "2024-03-01 09:00:00"), (1, 2, "2024-03-01 09:10:00"),
+          (2, 3, "2024-03-01 09:00:00")]
+    b2 = [(1, 4, "2024-03-01 09:20:00"),   # continues user1 session 1
+          (1, 5, "2024-03-01 11:00:00"),   # gap -> session 2
+          (2, 6, "2024-03-01 10:30:00")]   # gap -> user2 session 2
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "event_id": e, "ts": t})
+                for u, e, t in rows
+            )
+        )
+        time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    ev = raw.select(
+        F.from_json(
+            "value", "user_id LONG, event_id LONG, ts TIMESTAMP"
+        ).alias("j")
+    ).select("j.*")
+    out = streaming_sessionize(
+        ev, "user_id", "ts", gap="30 minutes", tiebreak="event_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r.event_id: r.session_seq
+                for r in spark.sql("select * from sess_out").collect()}
+
+    both = spark.createDataFrame(
+        b1 + b2, ["user_id", "event_id", "ts_s"]
+    ).select("user_id", "event_id",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    expected = {r.event_id: r.session_seq
+                for r in sessionize(both, "user_id", "ts",
+                                    gap="30 minutes",
+                                    tiebreak_col="event_id").collect()}
+    assert streamed == expected
+    assert expected[5] == 2 and expected[6] == 2  # the cross-batch splits
