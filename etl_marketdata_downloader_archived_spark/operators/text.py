@@ -33,9 +33,21 @@ def tokens(text: Column | str) -> Column:
     return F.split(_col(text), r"\s+")
 
 
-def token_count_ws(text: Column | str) -> Column:
+# The token-based signals below accept an optional pre-tokenized
+# ``toks`` column. Building panels that compute many signals over the
+# SAME tokenization should tokenize once in a prior select and pass
+# the column through - CollapseProject keeps a multi-referenced
+# non-cheap expression in its own projection step, while inlining
+# ``tokens(text)`` into every signal re-runs the regex split per use
+# (the executed text_analysis plan showed 26 split() evaluations
+# per row before this; see plans/llm_ops.py).
+
+
+def token_count_ws(
+    text: Column | str | None = None, toks: Column | None = None
+) -> Column:
     """Whitespace token count."""
-    return F.size(tokens(text))
+    return F.size(toks if toks is not None else tokens(text))
 
 
 def token_count_bpe_ish(text: Column | str) -> Column:
@@ -54,29 +66,41 @@ def punct_ratio(text: Column | str) -> Column:
     return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
 
 
-def stopword_ratio(text: Column | str) -> Column:
-    """Fraction of tokens that are (English) stopwords."""
-    toks = tokens(F.lower(_col(text)))
-    hits = F.size(
-        F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
+def stopword_ratio(
+    text: Column | str | None = None, toks: Column | None = None
+) -> Column:
+    """Fraction of tokens that are (English) stopwords. With ``toks``,
+    lowercasing moves inside the array (whitespace splitting commutes
+    with lower(), so the two formulations are identical)."""
+    t = (
+        F.transform(toks, lambda x: F.lower(x))
+        if toks is not None
+        else tokens(F.lower(_col(text)))
     )
-    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    hits = F.size(
+        F.filter(t, lambda x: x.isin(EN_STOPWORDS))
+    )
+    return hits.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")
 
 
-def mean_token_len(text: Column | str) -> Column:
-    toks = tokens(_col(text))
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+def mean_token_len(
+    text: Column | str | None = None, toks: Column | None = None
+) -> Column:
+    t = toks if toks is not None else tokens(_col(text))
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.greatest(F.size(t), F.lit(1)).cast("double")
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(
+    text: Column | str, toks: Column | None = None
+) -> Column:
     """Composite heuristic quality score in [0, 1]: rewards mid-length
     docs with word-like tokens and low punctuation density - the
     standard cheap pre-filter before expensive model-based scoring."""
     c = _col(text)
-    n_tok = token_count_ws(c).cast("double")
+    n_tok = token_count_ws(c, toks=toks).cast("double")
     length_component = F.least(n_tok / F.lit(64.0), F.lit(1.0))
-    mtl = mean_token_len(c)
+    mtl = mean_token_len(c, toks=toks)
     shape_component = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     punct_component = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
     return (length_component + shape_component + punct_component) / F.lit(3.0)
@@ -95,12 +119,14 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
-def _ngrams(text: Column | str, n: int) -> Column:
+def _ngrams(
+    text: Column | str | None, n: int, toks: Column | None = None
+) -> Column:
     """ALL word n-grams (non-distinct, order-preserving) via the
     slice/zip_with chain - same formulation as dedup.word_shingles but
     without the final array_distinct, because repetition signals need
     the multiplicity that dedup deliberately throws away."""
-    words = tokens(_col(text))
+    words = toks if toks is not None else tokens(_col(text))
     m = F.greatest(F.size(words) - (n - 1), F.lit(0))
     acc = F.slice(words, 1, m)
     for j in range(1, n):
@@ -110,32 +136,38 @@ def _ngrams(text: Column | str, n: int) -> Column:
     return acc
 
 
-def type_token_ratio(text: Column | str) -> Column:
+def type_token_ratio(
+    text: Column | str | None = None, toks: Column | None = None
+) -> Column:
     """Distinct-token / total-token ratio - the cheapest lexical
     diversity signal; word-soup and boilerplate score low."""
-    toks = tokens(_col(text))
-    return F.size(F.array_distinct(toks)).cast("double") / F.greatest(
-        F.size(toks), F.lit(1)
+    t = toks if toks is not None else tokens(_col(text))
+    return F.size(F.array_distinct(t)).cast("double") / F.greatest(
+        F.size(t), F.lit(1)
     ).cast("double")
 
 
-def dup_ngram_frac(text: Column | str, n: int = 2) -> Column:
+def dup_ngram_frac(
+    text: Column | str | None = None, n: int = 2, toks: Column | None = None
+) -> Column:
     """Fraction of word n-grams that are repeats of an earlier
     occurrence in the same document (the Gopher-style repetition
     filter signal). 0 = no repeated n-grams, ->1 = the document is one
     phrase stuttered over and over."""
-    grams = _ngrams(text, n)
+    grams = _ngrams(text, n, toks=toks)
     return (F.size(grams) - F.size(F.array_distinct(grams))).cast(
         "double"
     ) / F.greatest(F.size(grams), F.lit(1)).cast("double")
 
 
-def top_token_frac(text: Column | str) -> Column:
+def top_token_frac(
+    text: Column | str | None = None, toks: Column | None = None
+) -> Column:
     """Fraction of the document taken by its single most frequent
     token (Gopher's most-common-word filter). One narrow pass: sort
     the token array, then a single aggregate fold tracks the longest
     equal-run - no explode, no shuffle, no per-doc subquery."""
-    toks = tokens(_col(text))
+    toks = toks if toks is not None else tokens(_col(text))
     sorted_toks = F.array_sort(toks)
     zero = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
@@ -461,9 +493,18 @@ def clean_corpus(
     # ~30x at sf0.1 (single split -> one core -> ~50 s; spread -> <2 s).
     # At lake scale inputs are already multi-split and AQE coalesces.
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    scored = df.withColumn("_lang", lang_id(text_col)).withColumn(
-        "_quality", quality_score(text_col)
-    ).withColumn("_sw", stopword_ratio(text_col)).withColumn("_fp", fingerprint(text_col))
+    # tokenize once (own projection step, same rationale as
+    # text_analysis): the token-based signals below reference the
+    # array instead of re-running the regex split per signal - the
+    # executed plan previously carried 48 split() evaluations because
+    # the gate filter AND the projection each inlined every signal
+    scored = df.withColumn("_toks", tokens(text_col))
+    t = F.col("_toks")
+    scored = scored.withColumn("_lang", lang_id(text_col)).withColumn(
+        "_quality", quality_score(text_col, toks=t)
+    ).withColumn("_sw", stopword_ratio(toks=t)).withColumn(
+        "_fp", fingerprint(text_col)
+    ).drop("_toks")
     # thresholds compare the 6dp-ROUNDED scores: the gates stay stable
     # across engines/BLAS summation order when a document sits exactly
     # on a boundary (the differential-oracle lesson from the cosine ops)

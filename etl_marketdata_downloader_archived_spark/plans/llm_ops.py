@@ -232,18 +232,23 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row token array instead of explode+groupBy, so they stay narrow
     at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    # tokenize ONCE through a dedicated projection and pass the array
+    # to every token-based signal: inlining tokens(text) into each
+    # signal re-ran the regex split 26x per row (executed-plan count);
+    # CollapseProject keeps the multi-referenced array in its own step
+    t = F.col("_t")
+    return d.select("doc_id", "text", X.tokens("text").alias("_t")).select(
         "doc_id",
-        X.token_count_ws("text").alias("n_tokens"),
-        X.mean_token_len("text").alias("mean_tok_len"),
+        X.token_count_ws(toks=t).alias("n_tokens"),
+        X.mean_token_len(toks=t).alias("mean_tok_len"),
         X.punct_ratio("text").alias("punct_ratio"),
         X.token_count_bpe_ish("text").alias("n_bpe_ish"),
         X.lang_id("text").alias("lang_guess"),
-        F.round(X.quality_score("text"), 6).alias("quality"),
-        F.round(X.stopword_ratio("text"), 6).alias("sw_ratio"),
-        F.round(X.type_token_ratio("text"), 6).alias("ttr"),
-        F.round(X.dup_ngram_frac("text", 2), 6).alias("dup_bigram_frac"),
-        F.round(X.top_token_frac("text"), 6).alias("top_token_frac"),
+        F.round(X.quality_score("text", toks=t), 6).alias("quality"),
+        F.round(X.stopword_ratio(toks=t), 6).alias("sw_ratio"),
+        F.round(X.type_token_ratio(toks=t), 6).alias("ttr"),
+        F.round(X.dup_ngram_frac(toks=t), 6).alias("dup_bigram_frac"),
+        F.round(X.top_token_frac(toks=t), 6).alias("top_token_frac"),
     )
 
 
