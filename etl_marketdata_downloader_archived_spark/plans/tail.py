@@ -704,3 +704,94 @@ def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return find_gaps(ev, ["event_type"], "ts", "hour")
+
+
+@q(
+    "win_extra",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6)    AS cd,
+           first_value(CASE WHEN c_acctbal < 0 THEN NULL
+                            ELSE c_acctbal END IGNORE NULLS)
+             OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey
+                   ROWS UNBOUNDED PRECEDING) AS fv,
+           lead(c_acctbal, 2, -1.0) OVER w  AS ld
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function tail the certified win_rank/win_lag pair
+    doesn't cover: percent_rank, cume_dist, an IGNORE NULLS
+    first_value over a growing frame, and lead with an explicit
+    default. Registered past the certified window; locally
+    parity-verified."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    nullable = F.when(F.col("c_acctbal") < 0, None).otherwise(
+        F.col("c_acctbal")
+    )
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first(nullable, ignorenulls=True).over(wf).alias("fv"),
+        F.lead("c_acctbal", 2, -1.0).over(w).alias("ld"),
+    )
+
+
+@q(
+    "null_semantics",
+    oracle="""
+    WITH d AS (
+      SELECT nullif(o_orderpriority, '1-URGENT') AS key FROM orders
+    ), g AS (
+      SELECT key, count(*) AS n_rows, count(key) AS n_nonnull
+      FROM d GROUP BY key
+    )
+    SELECT g.key, g.n_rows, g.n_nonnull,
+           row_number() OVER (ORDER BY g.key NULLS FIRST) AS rn,
+           (SELECT count(*) FROM d
+            WHERE d.key IS NOT DISTINCT FROM g.key) AS n_joined
+    FROM g
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic corners in one query: a NULL group-by key
+    (nullif derivation), count(col)'s null skip vs count(*), ordering
+    with NULLS FIRST, and a null-safe equi-join (<=>) - the oracle
+    states the join as IS NOT DISTINCT FROM. Registered past the
+    certified window; locally parity-verified."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "orders").select(
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("key")
+    )
+    g = d.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.count("key").alias("n_nonnull")
+    )
+    g = g.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.col("key").asc_nulls_first()))
+    )
+    # distinct column names avoid the ambiguous-self-join trap (g
+    # derives from d, so qualified d.key/g.key still collide)
+    joined = (
+        d.withColumnRenamed("key", "_dkey")
+        .join(
+            g.select(F.col("key").alias("_gkey")),
+            F.col("_dkey").eqNullSafe(F.col("_gkey")),
+        )
+        .groupBy("_gkey")
+        .agg(F.count(F.lit(1)).alias("n_joined"))
+    )
+    return g.join(joined, g.key.eqNullSafe(F.col("_gkey"))).select(
+        "key", "n_rows", "n_nonnull", "rn", "n_joined"
+    )
