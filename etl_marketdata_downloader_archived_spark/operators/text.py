@@ -591,3 +591,40 @@ def register_sentence_udtf(spark, name: str = "split_sentences"):
 
     spark.udtf.register(name, SplitSentences)
     return SplitSentences
+
+
+# Small built-in valence lexicon (AFINN-style scoring scheme; the word
+# list here is original). Real deployments broadcast a full lexicon
+# table; the mechanism - in-row map lookup + fold - is identical.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 1, "great": 2, "excellent": 3, "love": 2, "best": 2,
+    "fast": 1, "clean": 1, "win": 2, "correct": 1, "stable": 1,
+    "bad": -1, "poor": -1, "slow": -1, "bug": -1, "wrong": -1,
+    "terrible": -3, "awful": -3, "hate": -2, "broken": -2, "fail": -2,
+}
+
+
+def sentiment_score(
+    text: Column | str | None = None, toks: Column | None = None
+) -> Column:
+    """Mean token valence under the built-in lexicon (lexicon-based
+    sentiment, the classic Spark-scale formulation - cf. "Large Scale
+    Sentiment Analysis on Twitter with Spark", EDBT 2016). In-row map
+    lookup + aggregate fold: no explode, no shuffle, no Python; 0.0
+    for docs with no lexicon hits. Same pre-tokenized ``toks``
+    contract as the other token signals."""
+    t = (
+        F.transform(toks, lambda x: F.lower(x))
+        if toks is not None
+        else tokens(F.lower(_col(text)))
+    )
+    pairs: list[Column] = []
+    for w, v in SENTIMENT_LEXICON.items():
+        pairs.extend([F.lit(w), F.lit(v)])
+    lex = F.create_map(*pairs)
+    total = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.coalesce(lex[x], F.lit(0))
+    )
+    return total.cast("double") / F.greatest(F.size(t), F.lit(1)).cast(
+        "double"
+    )

@@ -795,3 +795,48 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.join(joined, g.key.eqNullSafe(F.col("_gkey"))).select(
         "key", "n_rows", "n_nonnull", "rn", "n_joined"
     )
+
+
+@q(
+    "sentiment_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             [lower(x) FOR x IN regexp_split_to_array(text, '\\s+')] AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum([CASE x
+                 WHEN 'good' THEN 1 WHEN 'great' THEN 2
+                 WHEN 'excellent' THEN 3 WHEN 'love' THEN 2
+                 WHEN 'best' THEN 2 WHEN 'fast' THEN 1
+                 WHEN 'clean' THEN 1 WHEN 'win' THEN 2
+                 WHEN 'correct' THEN 1 WHEN 'stable' THEN 1
+                 WHEN 'bad' THEN -1 WHEN 'poor' THEN -1
+                 WHEN 'slow' THEN -1 WHEN 'bug' THEN -1
+                 WHEN 'wrong' THEN -1 WHEN 'terrible' THEN -3
+                 WHEN 'awful' THEN -3 WHEN 'hate' THEN -2
+                 WHEN 'broken' THEN -2 WHEN 'fail' THEN -2
+                 ELSE 0 END FOR x IN toks]) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS sentiment
+    FROM t
+    """,
+)
+def sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment over the corpus
+    (operators.text.sentiment_score): in-row map lookup + fold, no
+    explode - the mechanism of Spark-scale lexicon scoring with the
+    lexicon as a literal map (a full lexicon would broadcast).
+    Registered past the certified window; locally parity-verified."""
+    from ..operators import text as X
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("_t")
+    return d.select(
+        "doc_id", X.tokens("text").alias("_t")
+    ).select(
+        "doc_id",
+        X.token_count_ws(toks=t).alias("n_tokens"),
+        F.round(X.sentiment_score(toks=t), 6).alias("sentiment"),
+    )

@@ -89,3 +89,18 @@ def test_bm25_multi_term_additivity(spark):
     # single-term docs 2 and 3 (tf saturation: tf=2 < 2x tf=1 term hit)
     assert out[1] > out[2] == out[3]
     assert 4 not in out
+
+
+def test_sentiment_score_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.operators import text as X
+
+    rows = [(1, "Great work love it"), (2, "terrible awful bug"),
+            (3, "neutral words only")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.s for r in df.select(
+        "doc_id", F.round(X.sentiment_score("text"), 6).alias("s"),
+    ).collect()}
+    # (2 + 2) / 4 ; (-3 - 3 - 1) / 3 ; 0
+    assert out == {1: 1.0, 2: round(-7 / 3, 6), 3: 0.0}
