@@ -1,0 +1,152 @@
+"""Iterative graph analytics over DataFrame edge lists.
+
+The near-dup family already ships one graph algorithm (connected
+components, operators.dedup) because duplicate clusters ARE a graph
+problem; this module adds the other staple a lake-scale corpus needs:
+**PageRank** over a link/interaction graph (domain authority for crawl
+prioritization, source weighting for mixing). The reference's surface
+has no graph op at all - this is north-star territory (SURVEY.md
+section 2C), built the same way the component finder is: plain
+DataFrame joins + aggregations iterated on the driver, with lineage
+truncated so the plan does not grow per iteration.
+
+Scale posture (100 TB edge list):
+- Per iteration: one join of ranks (node-sized) to edges on src, one
+  groupBy(dst) sum - both shuffles on the node/edge key, the exact
+  shape GraphX's Pregel stage lowers to. No per-row Python.
+- Dangling mass (nodes with no out-edges) is a single scalar
+  aggregate per iteration - one number to the driver, not a vector.
+- ``localCheckpoint(eager=True)`` every ``check_every`` rounds
+  truncates lineage (same trick as dedup.connected_components) while
+  paying ONE materialization job per window, not per round; between
+  checkpoints the plan grows a bounded check_every join layers.
+- Convergence is measured on the same cadence (L1 delta vs the last
+  materialized vector - an upper bound on the per-round delta) so
+  steady-state graphs stop early without a probe job per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["degrees", "pagerank"]
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node (out_degree, in_degree) from a directed edge list -
+    one union + one aggregation, partial-combined map-side."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"), F.lit(0).alias("in_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.lit(0).cast("long").alias("out_degree"),
+        F.count(F.lit(1)).alias("in_degree"),
+    )
+    return (
+        out_d.unionByName(in_d)
+        .groupBy("node")
+        .agg(
+            F.sum("out_degree").alias("out_degree"),
+            F.sum("in_degree").alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = 1e-6,
+    check_every: int = 3,
+) -> DataFrame:
+    """PageRank over a directed edge list -> DataFrame(node, rank),
+    ranks summing to 1.0 (dangling mass redistributed uniformly).
+
+    Power iteration in DataFrame algebra: each round joins the rank
+    vector to the edge list on src, sums contributions per dst, and
+    folds the teleport + dangling terms back in. Multi-edges are
+    collapsed up front (weight = parallel edge count / out-degree) so
+    the per-round join touches each distinct edge once.
+
+    Floats here are genuinely iterative (sum order varies with the
+    shuffle), so this is pytest-differential territory, not the exact
+    oracle recipe - tests compare against a dense numpy power
+    iteration under tolerance.
+    """
+    # normalized transition weights, one row per DISTINCT edge
+    e = edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst")).agg(
+        F.count(F.lit(1)).cast("double").alias("_m")
+    )
+    out_w = e.groupBy("src").agg(F.sum("_m").alias("_deg"))
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("_m") / F.col("_deg")).alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    trans = trans.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    anchor = ranks  # last materialized rank vector
+    for i in range(max_iter):
+        contrib = (
+            ranks.join(trans, ranks.node == trans.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("_in"))
+        )
+        # dangling mass = total mass (1.0, invariant of this update)
+        # minus what flowed through edges - derived from contrib
+        # itself as a ONE-ROW crossJoin, so the physical plan reuses
+        # contrib's shuffle exchange (no second pass over ranks, no
+        # per-round driver action)
+        dang = contrib.agg(
+            (1.0 - F.coalesce(F.sum("_in"), F.lit(0.0))).alias("_dm")
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / n
+                    )
+                ).alias("rank"),
+            )
+        )
+        # materialize + truncate lineage every check_every rounds (and
+        # on the last): ONE job per window instead of one per round;
+        # the un-checkpointed plan between windows is check_every join
+        # layers deep - bounded, by construction
+        last = i + 1 == max_iter
+        if last or (i + 1) % check_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            if tol is not None and not last:
+                # conservative probe: L1 delta vs the PREVIOUS
+                # materialized vector, i.e. over check_every rounds -
+                # an upper bound on the per-round delta
+                delta = (
+                    new_ranks.join(
+                        anchor.withColumnRenamed("rank", "_old"), "node"
+                    )
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
+                    .first()[0]
+                )
+                if delta is not None and delta < tol:
+                    return new_ranks
+            anchor = new_ranks
+        ranks = new_ranks
+    return ranks

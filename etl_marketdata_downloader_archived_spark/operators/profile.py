@@ -19,10 +19,11 @@ query runs exact so the DuckDB oracle can replay it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile"]
+__all__ = ["profile", "ks_statistic"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -75,3 +76,68 @@ def profile(
     return wide.select(
         F.explode(F.array(*[F.col(f"_p_{c}") for c in columns])).alias("p")
     ).select("p.*")
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    by: list[str] | None = None,
+    bins: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the rows where
+    ``side_col`` is 'a' vs 'b' (per ``by`` group if given): the
+    distribution-drift gate for feature/label columns between, e.g.,
+    last week's landing and this week's.
+
+    sup_x |ECDF_a(x) - ECDF_b(x)| computed relationally: collapse to
+    per-distinct-value counts (the only corpus-sized shuffle), running
+    cumulative counts over the value order, take the max gap. Ties are
+    handled correctly because the ECDF step lands AFTER all rows of a
+    tied value (cumulative over the distinct-value row). Integer
+    counts -> exact ratios -> deterministic across engines; the
+    window runs over the distinct-value set (bounded by value
+    cardinality, not row count).
+
+    For continuous high-cardinality columns pass ``bins`` to quantize
+    onto a fixed grid first (width_bucket over the global min/max -
+    one extra scalar aggregate): the window's input then has at most
+    ``bins`` rows per group regardless of corpus size, at the cost of
+    the KS sup being evaluated on grid edges (an under-estimate by at
+    most the within-bin mass - the standard binned-KS trade).
+
+    Returns one row per group: by + (ks, n_a, n_b).
+    """
+    keys = list(by or [])
+    v = F.col(value_col)
+    if bins is not None:
+        lo, hi = df.agg(F.min(v), F.max(v)).first()
+        if lo is None or hi == lo:
+            hi = (lo or 0) + 1
+        v = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(bins))
+    g = df.groupBy(
+        *keys, v.alias("_v")
+    ).agg(
+        F.count(F.when(F.col(side_col) == "a", 1)).alias("_ca"),
+        F.count(F.when(F.col(side_col) == "b", 1)).alias("_cb"),
+    )
+    w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("_v")
+    cum_a = F.sum("_ca").over(w)
+    cum_b = F.sum("_cb").over(w)
+    tot = W.partitionBy(*keys) if keys else W.partitionBy()
+    na = F.sum("_ca").over(tot)
+    nb = F.sum("_cb").over(tot)
+    stepped = g.select(
+        *keys,
+        F.abs(
+            cum_a.cast("double") / na - cum_b.cast("double") / nb
+        ).alias("_d"),
+        na.alias("_na"),
+        nb.alias("_nb"),
+    )
+    agg = stepped.groupBy(*keys).agg(
+        F.max("_d").alias("ks"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    return agg

@@ -37,6 +37,7 @@ lake the retrieval/quality surface its Athena delegation would need.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -45,6 +46,7 @@ __all__ = [
     "bigram_lm_counts",
     "lm_cross_entropy",
     "bm25_topk",
+    "inverted_index",
 ]
 
 
@@ -201,3 +203,56 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    top_docs: int = 5,
+) -> DataFrame:
+    """Term-level inverted index over the corpus: one row per term with
+    its document frequency, total term frequency, and the top
+    ``top_docs`` posting heads (doc ids ordered by tf desc, id asc) as
+    a comma-joined string - the build step behind BM25/keyword
+    retrieval, materialized as a queryable table instead of recomputed
+    per query.
+
+    Plan: explode tokens -> hash-aggregate (term, doc) tf (the ONE
+    corpus-sized shuffle, partial-combined map-side) -> per-term
+    row_number caps the posting heads (WindowGroupLimit pushes the
+    top-k before the full sort) -> final term aggregate. The full
+    posting lists stay distributed; only the capped heads are ever
+    collected into a row. df/total_tf count ALL postings, not just the
+    retained heads.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("_id"), word_tokens(text_col).alias("_t"))
+        .select("_id", F.explode("_t").alias("term"))
+        .groupBy("term", "_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = W.partitionBy("term").orderBy(F.col("tf").desc(), F.col("_id").asc())
+    ranked = tf.withColumn("_rn", F.row_number().over(w))
+    idx = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rn") <= top_docs,
+                            F.struct(F.col("_rn"), F.col("_id")),
+                        )
+                    )
+                ),
+                lambda s: s["_id"].cast("string"),
+            ),
+            ",",
+        ).alias("top_doc_ids"),
+    )
+    if min_df > 1:
+        idx = idx.filter(F.col("df") >= min_df)
+    return idx

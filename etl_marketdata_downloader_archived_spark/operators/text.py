@@ -197,17 +197,31 @@ def hash_split(
     id_col: Column | str,
     fractions: dict[str, float],
     seed: int = 42,
+    algo: str = "xxhash64",
 ) -> Column:
     """Deterministic train/val/test split label from the document id -
-    the training-data staple. xxhash64(seed, id) buckets into 10_000
+    the training-data staple. A seeded hash buckets into 10_000
     slots; cumulative fraction boundaries assign the label. Stable
     across runs/partitionings/engines-restarts (unlike randomSplit,
     which reshuffles with the partitioning), so a document NEVER
-    migrates between splits as the corpus grows."""
+    migrates between splits as the corpus grows.
+
+    ``algo='xxhash64'`` (default) is the fast JVM path.
+    ``algo='md5'`` derives the slot from the first 8 hex chars of
+    ``md5(seed || ':' || id)`` - slower, but replayable bit-for-bit by
+    ANY engine with md5 (the registered `hash_split` query certifies
+    it against DuckDB), which is what you want when the split
+    assignment must be auditable outside Spark."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
-    slot = F.pmod(F.xxhash64(F.lit(seed), _col(id_col)), F.lit(10_000))
+    if algo == "md5":
+        h = F.md5(F.concat_ws(":", F.lit(str(seed)), _col(id_col).cast("string")))
+        slot = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10_000
+    elif algo == "xxhash64":
+        slot = F.pmod(F.xxhash64(F.lit(seed), _col(id_col)), F.lit(10_000))
+    else:
+        raise ValueError(f"unknown split algo: {algo!r}")
     expr = None
     acc = 0.0
     names = list(fractions)

@@ -389,3 +389,107 @@ def find_gaps(
             "n_missing",
         )
     )
+
+
+def returns_panel(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    zscore_rows: int = 24,
+    scale: int = 100,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Cross-engine-exact twin of ``indicator_panel``: simple return,
+    drawdown from the running max, and a rolling ``zscore_rows``-row
+    z-score, all from ONE shared window spec (one shuffle + one sort).
+
+    Exactness recipe (what makes this oracle-certifiable where float
+    window aggregates are not): the value is fixed-pointed to
+    ``scale``-ths (integer cents), so every windowed SUM is a bigint -
+    exact under ANY accumulation order or segment-tree association.
+    The z-score is then a closed-form scalar over those integers,
+
+        z = (n*v - s) / sqrt((n*sxx - s^2) * n / (n - 1))
+
+    evaluated with the same fixed IEEE op sequence on any engine:
+    identical exact inputs + correctly-rounded *,/,sqrt = bit-identical
+    doubles. Return and drawdown are single divisions of pass-through
+    values (v/prev, v/runmax) - exact by the same argument. Nothing
+    here needs a rounding tolerance.
+
+    Scale: identical to indicator_panel - one Window operator, state
+    bounded by zscore_rows + two running cells; per-series row count
+    is the only skew floor.
+    """
+    order = [F.col(ts)] + ([F.col(tie_break)] if tie_break else [])
+    w = W.partitionBy(key).orderBy(*order)
+    wz = w.rowsBetween(-(zscore_rows - 1), 0)
+    wmax = w.rowsBetween(W.unboundedPreceding, 0)
+    v = F.col(value)
+    vc = F.round(v * scale).cast("bigint")
+    n = F.count(F.lit(1)).over(wz)
+    s = F.sum(vc).over(wz)
+    sxx = F.sum(vc * vc).over(wz)
+    prev = F.lag(v).over(w)
+    runmax = F.max(v).over(wmax)
+    num = (n * vc - s).cast("double")
+    b = (n * sxx - s * s).cast("double")
+    nd = n.cast("double")
+    return df.select(
+        key,
+        ts,
+        *([tie_break] if tie_break else []),
+        value,
+        F.when(prev != 0, v / prev - 1).alias("ret"),
+        F.when(runmax != 0, v / runmax - 1).alias("drawdown"),
+        F.when((n > 1) & (b > 0), num / F.sqrt(b * nd / (nd - 1))).alias(
+            "zscore"
+        ),
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    ts: str,
+    x: str,
+    y: str,
+    window_rows: int = 24,
+    scale: int = 100,
+    key: str | None = None,
+) -> DataFrame:
+    """Rolling Pearson correlation between two pre-aligned series
+    columns over the trailing ``window_rows`` rows, exact across
+    engines by the same fixed-point recipe as ``returns_panel``:
+    every moment (n, sx, sy, sxy, sxx, syy) is a bigint window SUM of
+    ``scale``-fixed values, and
+
+        corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+
+    is a fixed IEEE op sequence over those exact integers. One window
+    spec -> one Window operator; NULL where either variance window is
+    degenerate (n<2 or constant).
+    """
+    base = W.partitionBy(key) if key else W.partitionBy()
+    w = base.orderBy(ts).rowsBetween(-(window_rows - 1), 0)
+    xc = F.round(F.col(x) * scale).cast("bigint")
+    yc = F.round(F.col(y) * scale).cast("bigint")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(xc).over(w)
+    sy = F.sum(yc).over(w)
+    sxy = F.sum(xc * yc).over(w)
+    sxx = F.sum(xc * xc).over(w)
+    syy = F.sum(yc * yc).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    return df.select(
+        *([key] if key else []),
+        ts,
+        x,
+        y,
+        F.when(
+            (n > 1) & (dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy))
+        ).alias("corr"),
+        n.alias("n_obs"),
+    )

@@ -1,0 +1,419 @@
+"""Round-4 analytics extensions: exact-arithmetic risk panels,
+distribution drift, retrieval-index build, auditable splits, and
+graph authority - all past the certified window (the driver's 50
+slots are full of oracle-green queries; these are parity-verified
+locally by tools/parity.py, same check, no certificate).
+
+The cross-engine float discipline here is the "integer moments"
+recipe proven out by ohlc_bars' integer-cents VWAP: fix-point the
+measure, let every windowed/grouped SUM be a bigint (exact under any
+accumulation order or segment-tree association), then evaluate ONE
+closed-form scalar expression over those integers with the same IEEE
+op sequence on both engines - bit-identical doubles, no rounding
+tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import timeseries as TS
+from .registry import q
+
+# Shared CTE: deterministic hourly close per event_type (last value
+# in the hour, ties broken by event_id - same selection resample_ffill
+# certifies).
+_HOURLY_CLOSE = """
+    SELECT event_type, bar_ts, value
+    FROM (
+        SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+"""
+
+
+def _hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy(
+        "event_type", F.date_trunc("hour", "ts").cast("timestamp_ntz")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bar_ts"),
+            "value",
+        )
+    )
+
+
+@q(
+    "returns_drawdown",
+    oracle=f"""
+    WITH obs AS ({_HOURLY_CLOSE}),
+    c AS (
+        SELECT event_type, bar_ts, value,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM obs
+    ),
+    m AS (
+        SELECT event_type, bar_ts, value, vc,
+               lag(value) OVER w AS prev,
+               max(value) OVER (PARTITION BY event_type ORDER BY bar_ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS runmax,
+               count(*)    OVER wz AS n,
+               sum(vc)     OVER wz AS s,
+               sum(vc*vc)  OVER wz AS sxx
+        FROM c
+        WINDOW w  AS (PARTITION BY event_type ORDER BY bar_ts),
+               wz AS (PARTITION BY event_type ORDER BY bar_ts
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bar_ts, value,
+           CASE WHEN prev <> 0 THEN value / prev - 1 END AS ret,
+           CASE WHEN runmax <> 0 THEN value / runmax - 1 END AS drawdown,
+           CASE WHEN n > 1 AND CAST(n*sxx - s*s AS DOUBLE) > 0 THEN
+             CAST(n*vc - s AS DOUBLE)
+               / sqrt(CAST(n*sxx - s*s AS DOUBLE) * CAST(n AS DOUBLE)
+                      / (CAST(n AS DOUBLE) - 1))
+           END AS zscore
+    FROM m
+    """,
+)
+def returns_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series risk panel over the hourly close: simple return,
+    drawdown from the running max, rolling 24-bar z-score - ONE window
+    pass via operators.timeseries.returns_panel, certified exactly
+    (no rounding) by the integer-moments recipe. The reference's
+    surface delegates all analytics to Athena (wiki.md:139-141); this
+    is the market-risk query that surface exists to serve."""
+    return TS.returns_panel(
+        _hourly_close(spark, sf_dir),
+        key="event_type",
+        ts="bar_ts",
+        value="value",
+        zscore_rows=24,
+        scale=100,
+    )
+
+
+@q(
+    "rolling_corr",
+    oracle=f"""
+    WITH obs AS ({_HOURLY_CLOSE}),
+    a AS (SELECT bar_ts, value AS x FROM obs WHERE event_type = 'view'),
+    b AS (SELECT bar_ts, value AS y FROM obs WHERE event_type = 'click'),
+    j AS (
+        SELECT a.bar_ts, x, y,
+               CAST(round(x * 100) AS BIGINT) AS xc,
+               CAST(round(y * 100) AS BIGINT) AS yc
+        FROM a JOIN b ON a.bar_ts = b.bar_ts
+    ),
+    m AS (
+        SELECT bar_ts, x, y,
+               count(*)   OVER w AS n,
+               sum(xc)    OVER w AS sx,
+               sum(yc)    OVER w AS sy,
+               sum(xc*yc) OVER w AS sxy,
+               sum(xc*xc) OVER w AS sxx,
+               sum(yc*yc) OVER w AS syy
+        FROM j
+        WINDOW w AS (ORDER BY bar_ts ROWS BETWEEN 23 PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT bar_ts, x, y,
+           CASE WHEN n > 1 AND CAST(n*sxx - sx*sx AS DOUBLE) > 0
+                         AND CAST(n*syy - sy*sy AS DOUBLE) > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END AS corr,
+           n AS n_obs
+    FROM m
+    """,
+)
+def rolling_corr_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-bar correlation between the 'view' and 'click'
+    hourly close series (operators.timeseries.rolling_corr), exact
+    across engines via integer moments. The two series align on the
+    hour key with an equi-join; the window is a single pass over the
+    joined grid (bar-count-bounded, not event-count-bounded - at
+    100 TB the window input is the bar grid, and a multi-pair panel
+    would partition the same window by the pair key)."""
+    obs = _hourly_close(spark, sf_dir)
+    a = obs.filter(F.col("event_type") == "view").select(
+        "bar_ts", F.col("value").alias("x")
+    )
+    b = obs.filter(F.col("event_type") == "click").select(
+        "bar_ts", F.col("value").alias("y")
+    )
+    return TS.rolling_corr(
+        a.join(b, "bar_ts"), ts="bar_ts", x="x", y="y", window_rows=24,
+        scale=100,
+    )
+
+
+@q(
+    "hash_split",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               md5(concat('42', ':', CAST(doc_id AS VARCHAR))) AS hx
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_chars,
+               (  (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+                + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+                + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)
+               ) % 10000 AS slot
+        FROM h
+    )
+    SELECT CASE WHEN slot < 8000 THEN 'train'
+                WHEN slot < 9000 THEN 'val'
+                ELSE 'test' END          AS split,
+           count(*)                      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+           min(doc_id)                   AS min_doc_id,
+           max(doc_id)                   AS max_doc_id
+    FROM s
+    GROUP BY 1
+    """,
+)
+def hash_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auditable deterministic 80/10/10 train/val/test split
+    (operators.text.hash_split, algo='md5'): the slot is the first 8
+    hex chars of md5('42:' || id) mod 10000, which the oracle replays
+    digit-by-digit - certifying that split membership is a pure
+    function of the id, reproducible by any engine, never dependent
+    on partitioning or run order. Narrow map + one 3-group aggregate;
+    the reference has no notion of reproducible splits at all."""
+    from ..operators.text import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            hash_split(
+                "doc_id",
+                {"train": 0.8, "val": 0.1, "test": 0.1},
+                seed=42,
+                algo="md5",
+            ).alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@q(
+    "inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM toks GROUP BY term, doc_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY term
+                                     ORDER BY tf DESC, doc_id) AS rn
+        FROM tf
+    )
+    SELECT term,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY rn) AS top_doc_ids
+    FROM r
+    GROUP BY term
+    """,
+)
+def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the corpus
+    (operators.ranking.inverted_index): per term, document frequency,
+    total term frequency, and the top-5 posting heads ordered by
+    (tf desc, doc_id). One corpus-sized shuffle on the (term, doc)
+    key; posting heads are capped by a per-term row_number BEFORE any
+    list is materialized, so no full posting list ever sits in one
+    row."""
+    from ..operators.ranking import inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    return inverted_index(d, "doc_id", "text", top_docs=5)
+
+
+@q(
+    "anomaly_zscore",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type, value,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               count(*)   AS n,
+               sum(vc)    AS s,
+               sum(vc*vc) AS sxx
+        FROM c GROUP BY event_type
+    ),
+    z AS (
+        SELECT event_id, c.event_type, value,
+               (CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1)) AS z
+        FROM c JOIN g ON c.event_type = g.event_type
+        WHERE n > 1
+    )
+    SELECT event_id, event_type, value, z
+    FROM z
+    WHERE abs(z) >= 2.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global z-score outlier detection per event_type: flag events
+    more than 2.5 sample standard deviations from their group mean,
+    with z certified EXACTLY (integer moments -> one fixed IEEE
+    expression, so the 2.5 cutoff cannot disagree across engines by
+    an ulp). Shape: one partial-combined aggregate to group-count
+    rows, broadcast back over the fact scan - two narrow passes, no
+    window over the full table."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    z = (F.col("vc").cast("double") - sd / nd) / F.sqrt(
+        (sxxd - sd * sd / nd) / (nd - 1)
+    )
+    return (
+        c.join(F.broadcast(g.filter(F.col("n") > 1)), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+@q(
+    "ks_drift",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, value AS v,
+               count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-15') AS ca,
+               count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15') AS cb
+        FROM events
+        GROUP BY event_type, value
+    ),
+    s AS (
+        SELECT event_type,
+               sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS cum_a,
+               sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS cum_b,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb
+        FROM g
+    )
+    SELECT event_type,
+           max(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b
+    FROM s
+    GROUP BY event_type
+    """,
+)
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate (operators.profile.ks_statistic):
+    two-sample KS distance of the value distribution before vs after
+    2024-01-15, per event_type. ECDFs are built from integer
+    cumulative counts over the DISTINCT-value set (the one corpus-
+    sized shuffle is the distinct aggregate; the window input is
+    value-cardinality-bounded), so the sup statistic is exact across
+    engines - a drift alarm that cannot misfire by float noise."""
+    from ..operators.profile import ks_statistic
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    flagged = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < cut, "a").otherwise("b").alias("side"),
+    )
+    out = ks_statistic(flagged, "value", "side", by=["event_type"])
+    return out.select("event_type", "ks", "n_a", "n_b")
+
+
+@q("pagerank_trade")  # iterative float fixpoint -> rows-only (pytest vs numpy)
+def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph: one pass over
+    lineitem->orders builds supplier-nation -> customer-nation edges
+    (the corpus-sized work - partial-combined aggregate + two
+    broadcast dimension joins), then operators.graph.pagerank iterates
+    on the 25-node weighted graph. Rank sums float across a varying
+    shuffle order, so this is pytest-differential (vs dense numpy
+    power iteration), not oracle-checkable; ranks are rounded for
+    display only."""
+    from ..operators.graph import pagerank
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "supplier", "customer", "nation")
+    }
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+    )
+    # fixed 8 rounds, no convergence probes: the trade graph is dense
+    # (fast-mixing), and for a ranking display the ordering is stable
+    # well before the 1e-6 L1 fixpoint; each round costs one
+    # scheduled job, so the probe-free config halves the job count
+    ranks = pagerank(edges, max_iter=8, tol=None, check_every=2)
+    n = t["nation"].select(
+        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+    )
+    return (
+        ranks.join(F.broadcast(n), "node")
+        .select("nation", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "nation")
+    )

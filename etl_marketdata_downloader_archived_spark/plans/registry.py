@@ -67,5 +67,6 @@ def _load_batteries() -> None:
     from . import events  # noqa: F401
     from . import dataflow_queries  # noqa: F401
     from . import tail  # noqa: F401  (past-the-window queries LAST)
+    from . import analytics_ext  # noqa: F401  (round-4 extensions, past window)
 
     _loaded = True

@@ -1,0 +1,193 @@
+"""Round-4 analytics extensions: pandas/numpy differentials for the
+exact-arithmetic risk panels, KS drift, inverted index, and the
+md5-auditable split - the operator-level checks behind the
+parity-verified queries in plans/analytics_ext.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_marketdata_downloader_archived_spark.operators import text as X
+from etl_marketdata_downloader_archived_spark.operators import timeseries as TS
+from etl_marketdata_downloader_archived_spark.operators.profile import ks_statistic
+from etl_marketdata_downloader_archived_spark.operators.ranking import inverted_index
+
+
+def _series_df(spark, seed=3, n=120, keys=("a", "b")):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in keys:
+        v = 100.0
+        for i in range(n):
+            v = round(v * (1 + rng.normal(0, 0.01)), 2)
+            rows.append((k, i, v))
+    return spark.createDataFrame(rows, "sym string, t long, price double")
+
+
+def test_returns_panel_vs_pandas(spark) -> None:
+    df = _series_df(spark)
+    out = TS.returns_panel(
+        df, key="sym", ts="t", value="price", zscore_rows=20, scale=100
+    ).toPandas()
+    for sym, g in out.groupby("sym"):
+        g = g.sort_values("t").reset_index(drop=True)
+        p = g["price"]
+        ret = p / p.shift(1) - 1
+        dd = p / p.cummax() - 1
+        mu = p.rolling(20, min_periods=1).mean()
+        sd = p.rolling(20, min_periods=2).std()
+        z = (p - mu) / sd
+        assert np.allclose(
+            g["ret"].to_numpy()[1:], ret.to_numpy()[1:], atol=1e-12
+        )
+        assert np.allclose(g["drawdown"].to_numpy(), dd.to_numpy(), atol=1e-12)
+        mask = sd.notna() & (sd > 0)
+        assert np.allclose(
+            g["zscore"].to_numpy()[mask], z.to_numpy()[mask], atol=1e-9
+        )
+        # degenerate windows are NULL, not inf/nan
+        assert g["zscore"].to_numpy()[0] != g["zscore"].to_numpy()[0]  # NaN
+
+
+def test_returns_panel_single_window_pass(spark) -> None:
+    df = _series_df(spark, n=30)
+    out = TS.returns_panel(df, key="sym", ts="t", value="price")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+
+
+def test_rolling_corr_vs_pandas(spark) -> None:
+    rng = np.random.default_rng(11)
+    rows = []
+    x = y = 50.0
+    for i in range(200):
+        x = round(x * (1 + rng.normal(0, 0.01)), 2)
+        y = round(0.5 * x + 25 * (1 + rng.normal(0, 0.02)), 2)
+        rows.append((i, x, y))
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    out = (
+        TS.rolling_corr(df, ts="t", x="x", y="y", window_rows=30, scale=100)
+        .toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["t", "x", "y"])
+    want = pdf["x"].rolling(30, min_periods=2).corr(pdf["y"])
+    mask = want.notna()
+    assert np.allclose(
+        out["corr"].to_numpy()[mask], want.to_numpy()[mask], atol=1e-9
+    )
+    assert out["n_obs"].iloc[40] == 30
+
+
+def test_ks_statistic_known_answer(spark) -> None:
+    # a = {1,2,3,4}, b = {3,4,5,6}: ECDFs diverge most at x=2 -> 0.5
+    rows = [(v, "a") for v in (1, 2, 3, 4)] + [(v, "b") for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "v int, side string")
+    got = ks_statistic(df, "v", "side").collect()[0]
+    assert got.ks == pytest.approx(0.5)
+    assert (got.n_a, got.n_b) == (4, 4)
+
+
+def test_ks_statistic_identical_distributions(spark) -> None:
+    rows = [(v, s) for v in range(10) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "v int, side string")
+    assert ks_statistic(df, "v", "side").collect()[0].ks == pytest.approx(0.0)
+
+
+def test_ks_statistic_vs_numpy_ecdf(spark) -> None:
+    rng = np.random.default_rng(5)
+    a = np.round(rng.normal(0, 1, 400), 3)
+    b = np.round(rng.normal(0.4, 1.2, 300), 3)
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, side string")
+    got = ks_statistic(df, "v", "side").collect()[0].ks
+    xs = np.unique(np.concatenate([a, b]))
+    ecdf_a = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    ecdf_b = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    assert got == pytest.approx(np.abs(ecdf_a - ecdf_b).max(), abs=1e-12)
+
+
+def test_ks_statistic_binned_bounds_exact(spark) -> None:
+    """Binned KS is a sup over a coarser grid: <= exact, and close
+    for a reasonable bin count."""
+    rng = np.random.default_rng(9)
+    a = rng.normal(0, 1, 500)
+    b = rng.normal(0.5, 1, 500)
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, side string")
+    exact = ks_statistic(df, "v", "side").collect()[0].ks
+    binned = ks_statistic(df, "v", "side", bins=64).collect()[0].ks
+    assert binned <= exact + 1e-12
+    assert binned == pytest.approx(exact, abs=0.05)
+
+
+def test_inverted_index_known_answer(spark) -> None:
+    docs = [
+        (1, "spark spark stream"),
+        (2, "spark window"),
+        (3, "stream stream stream spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.term: r for r in inverted_index(df, "doc_id", "text").collect()}
+    assert got["spark"].df == 3
+    assert got["spark"].total_tf == 4
+    # tf desc (doc1 has 2), then doc_id asc among tf=1
+    assert got["spark"].top_doc_ids == "1,2,3"
+    assert got["stream"].top_doc_ids == "3,1"
+    assert got["window"].df == 1 and got["window"].top_doc_ids == "2"
+
+
+def test_inverted_index_caps_postings_but_counts_all(spark) -> None:
+    docs = [(i, "common word") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.term: r
+        for r in inverted_index(df, "doc_id", "text", top_docs=3).collect()
+    }
+    assert got["common"].df == 10  # counts every posting
+    assert got["common"].top_doc_ids == "0,1,2"  # stores only the heads
+
+
+def test_inverted_index_min_df(spark) -> None:
+    docs = [(1, "rare common"), (2, "common")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = {
+        r.term
+        for r in inverted_index(df, "doc_id", "text", min_df=2).collect()
+    }
+    assert terms == {"common"}
+
+
+def test_hash_split_md5_mode(spark) -> None:
+    """md5 mode: deterministic, proportional, and reproducible from
+    the documented formula (first 8 md5 hex chars mod 10000)."""
+    import hashlib
+
+    n = 4000
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {
+        r.doc_id: r.split
+        for r in df.select(
+            "doc_id", X.hash_split("doc_id", fr, seed=42, algo="md5")
+        ).collect()
+    }
+    counts = {"train": 0, "val": 0, "test": 0}
+    for i in range(n):
+        slot = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:8], 16) % 10000
+        want = "train" if slot < 8000 else ("val" if slot < 9000 else "test")
+        assert out[i] == want
+        counts[want] += 1
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.03)
+    assert counts["val"] / n == pytest.approx(0.1, abs=0.02)
+
+
+def test_hash_split_rejects_unknown_algo(spark) -> None:
+    with pytest.raises(ValueError, match="unknown split algo"):
+        X.hash_split("doc_id", {"a": 1.0}, algo="sha1")

@@ -1,0 +1,95 @@
+"""Graph analytics: PageRank differential vs dense numpy power
+iteration, degree bookkeeping, and the structural invariants (mass
+conservation, dangling handling) the DataFrame formulation must keep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_marketdata_downloader_archived_spark.operators.graph import degrees, pagerank
+
+
+def _numpy_pagerank(edges, n, damping=0.85, iters=50):
+    """Dense reference: row-stochastic transition with uniform
+    redistribution of dangling mass, power-iterated."""
+    m = np.zeros((n, n))
+    for s, d in edges:
+        m[s, d] += 1.0
+    out = m.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if out[s] > 0:
+                contrib += r[s] * m[s] / out[s]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return r
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_pagerank_matches_numpy(spark, seed) -> None:
+    rng = np.random.default_rng(seed)
+    n = 12
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(40, 2))
+        if a != b
+    ]
+    # ensure at least one dangling node (all out-edges removed)
+    edges = [(s, d) for s, d in edges if s != n - 1]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, max_iter=50, tol=None).collect()
+    }
+    want = _numpy_pagerank(edges, n)
+    touched = {s for s, _ in edges} | {d for _, d in edges}
+    for node in touched:
+        assert got[node] == pytest.approx(want[node], abs=1e-8)
+    # ranks over TOUCHED nodes must carry the mass numpy assigns them
+    assert sum(got.values()) == pytest.approx(
+        sum(want[list(touched)]), abs=1e-6
+    )
+
+
+def test_pagerank_mass_sums_to_one_on_closed_graph(spark) -> None:
+    # cycle + chord: every node has an out-edge, so total rank == 1
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    ranks = pagerank(df, max_iter=40, tol=1e-12, check_every=5)
+    total = sum(r.rank for r in ranks.collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_authority_ordering(spark) -> None:
+    # star: everyone links to node 0 -> node 0 must rank highest
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    ranks = {r.node: r.rank for r in pagerank(df, max_iter=30).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > 3 * ranks[2]
+
+
+def test_pagerank_collapses_parallel_edges(spark) -> None:
+    """Weight = parallel-edge multiplicity / out-degree: node 2
+    (receiving 3 of A's 4 edge-slots) must outrank node 1 (1 slot)."""
+    edges = [(0, 2), (0, 2), (0, 2), (0, 1), (1, 0), (2, 0)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(df, max_iter=60, tol=None).collect()
+    }
+    assert ranks[2] > ranks[1]
+    want = _numpy_pagerank(edges, 3, iters=60)
+    for i in range(3):
+        assert ranks[i] == pytest.approx(want[i], abs=1e-8)
+
+
+def test_degrees(spark) -> None:
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (0, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: (r.out_degree, r.in_degree) for r in degrees(df).collect()}
+    assert got == {0: (3, 1), 1: (1, 2), 2: (1, 2)}
