@@ -417,3 +417,221 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "nation")
     )
+
+
+@q(
+    "ols_trend",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               datediff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS x,
+               CAST(round(value * 100) AS BIGINT) AS yc
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               count(*)  AS n,
+               sum(x)    AS sx,
+               sum(yc)   AS sy,
+               sum(x*yc) AS sxy,
+               sum(x*x)  AS sxx,
+               sum(yc*yc) AS syy
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE) / 100          AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n*sxy - sx*sy AS DOUBLE)
+               / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100                      AS intercept,
+           CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+             / (CAST(n*sxx - sx*sx AS DOUBLE)
+                * CAST(n*syy - sy*sy AS DOUBLE))            AS r2
+    FROM g
+    WHERE n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+    """,
+)
+def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS trend (slope / intercept / r-squared
+    of price against hours-since-anchor): the drift detector for a
+    landed series, certified EXACTLY - all five moments are bigint
+    sums (x is a small hour index, y is integer cents), and the
+    regression coefficients are one fixed IEEE expression over them.
+    One partial-combined aggregate over the fact scan; nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    slope_c = num / dx
+    return (
+        g.filter((n * sxx - sx * sx != 0) & (n * syy - sy * sy != 0))
+        .select(
+            "event_type",
+            n.alias("n"),
+            (slope_c / 100).alias("slope"),
+            (
+                (sy.cast("double") - slope_c * sx.cast("double"))
+                / n.cast("double")
+                / 100
+            ).alias("intercept"),
+            (num * num / (dx * dy)).alias("r2"),
+        )
+    )
+
+
+@q(
+    "value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    h AS (
+        SELECT event_type,
+               CASE WHEN value >= hi THEN 19
+                    ELSE CAST(floor((value - lo) / (hi - lo) * 20) AS INT)
+               END AS bucket
+        FROM events, b
+    )
+    SELECT event_type, bucket, count(*) AS n
+    FROM h
+    GROUP BY event_type, bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of value per event_type over the
+    GLOBAL min/max: the profiling companion to operators.profile.
+    Bucket assignment is one fixed IEEE expression over the same
+    doubles on both engines (floor((v-lo)/(hi-lo)*20), top edge
+    closed), so counts match exactly. Shape: one scalar aggregate for
+    the bounds (broadcast back as a one-row crossJoin), one
+    partial-combined aggregate for the counts - two scans, zero
+    windows, the same plan at any corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.when(F.col("value") >= F.col("hi"), F.lit(19)).otherwise(
+        F.floor(
+            (F.col("value") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * 20
+        ).cast("int")
+    )
+    return (
+        e.crossJoin(F.broadcast(b))
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "winsorized_stats",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*)    OVER (PARTITION BY event_type)   AS n
+        FROM events
+    ),
+    cuts AS (
+        SELECT event_type,
+               max(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT)
+                        THEN value END) AS p01,
+               max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                        THEN value END) AS p99
+        FROM r GROUP BY event_type
+    ),
+    w AS (
+        SELECT e.event_type,
+               CASE WHEN value < p01 THEN 1 ELSE 0 END AS clip_lo,
+               CASE WHEN value > p99 THEN 1 ELSE 0 END AS clip_hi,
+               CAST(round(
+                 CASE WHEN value < p01 THEN p01
+                      WHEN value > p99 THEN p99
+                      ELSE value END * 100) AS BIGINT) AS wc
+        FROM events e JOIN cuts ON e.event_type = cuts.event_type
+    )
+    SELECT event_type,
+           CAST(sum(clip_lo) AS BIGINT) AS n_clip_lo,
+           CAST(sum(clip_hi) AS BIGINT) AS n_clip_hi,
+           CAST(sum(wc) AS DOUBLE) / count(*) / 100 AS wmean
+    FROM w
+    GROUP BY event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based winsorization at [p01, p99] per event_type with the
+    cut points defined POSITIONALLY (the value at row ceil(p*n) in
+    (value, event_id) order) rather than by an engine's interpolating
+    quantile - which is what makes the clip exact across engines
+    where quantile_cont/percentile implementations would drift.
+    Outputs clip counts and the winsorized mean (exact integer-cents
+    ratio). Shape: one ranking window per group + one broadcast join
+    of the 5-row cut table back over the scan."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wt = W.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    cuts = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.01 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p01"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p99"),
+    )
+    clipped = (
+        e.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("value") < F.col("p01"), 1).otherwise(0).alias("clip_lo"),
+            F.when(F.col("value") > F.col("p99"), 1).otherwise(0).alias("clip_hi"),
+            F.round(
+                F.when(F.col("value") < F.col("p01"), F.col("p01"))
+                .when(F.col("value") > F.col("p99"), F.col("p99"))
+                .otherwise(F.col("value"))
+                * 100
+            )
+            .cast("bigint")
+            .alias("wc"),
+        )
+    )
+    return clipped.groupBy("event_type").agg(
+        F.sum("clip_lo").alias("n_clip_lo"),
+        F.sum("clip_hi").alias("n_clip_hi"),
+        (
+            F.sum("wc").cast("double") / F.count(F.lit(1)) / 100
+        ).alias("wmean"),
+    )

@@ -191,3 +191,25 @@ def test_hash_split_md5_mode(spark) -> None:
 def test_hash_split_rejects_unknown_algo(spark) -> None:
     with pytest.raises(ValueError, match="unknown split algo"):
         X.hash_split("doc_id", {"a": 1.0}, algo="sha1")
+
+
+def test_ols_trend_matches_numpy(spark, sf_dir) -> None:
+    """Registered ols_trend query vs numpy.polyfit on the same
+    cents-rounded series (the query regresses integer cents/100)."""
+    from etl_marketdata_downloader_archived_spark.plans import registry
+
+    out = {
+        r.event_type: r
+        for r in registry.all_queries()["ols_trend"](spark, sf_dir).collect()
+    }
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["x"] = (
+        pdf["ts"].dt.floor("h") - pd.Timestamp("2024-01-01")
+    ).dt.total_seconds() // 3600
+    pdf["y"] = (pdf["value"] * 100).round() / 100
+    for et, g in pdf.groupby("event_type"):
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        assert out[et].slope == pytest.approx(slope, rel=1e-9)
+        assert out[et].intercept == pytest.approx(intercept, rel=1e-9)
+        r = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert out[et].r2 == pytest.approx(r * r, rel=1e-9)
