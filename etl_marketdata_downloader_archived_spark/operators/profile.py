@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile", "ks_statistic"]
+__all__ = ["profile", "ks_statistic", "ks_from_counts"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -121,6 +121,16 @@ def ks_statistic(
         F.count(F.when(F.col(side_col) == "a", 1)).alias("_ca"),
         F.count(F.when(F.col(side_col) == "b", 1)).alias("_cb"),
     )
+    return ks_from_counts(g, keys)
+
+
+def ks_from_counts(g: DataFrame, keys: list[str]) -> DataFrame:
+    """KS sup-distance from pre-aggregated per-value counts: ``g`` has
+    columns keys + (_v, _ca, _cb) - one row per distinct value (or
+    bin) with the two samples' counts. This is the reusable core of
+    ``ks_statistic``; the streaming drift monitor feeds it a cached
+    reference count table unioned with each micro-batch's counts, so
+    the reference corpus is aggregated ONCE, not once per batch."""
     w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("_v")
     cum_a = F.sum("_ca").over(w)
     cum_b = F.sum("_cb").over(w)

@@ -19,6 +19,7 @@ from .windows import (
 )
 from .file_source import file_task_stream, start_lake_sink
 from .stateful import streaming_ewma, track_attempts
+from .drift import batch_ks, reference_counts, start_drift_monitor
 from .corpus_ingest import (
     benchmark_gram_index,
     gated_doc_stream,
@@ -38,4 +39,7 @@ __all__ = [
     "benchmark_gram_index",
     "gated_doc_stream",
     "start_corpus_ingest",
+    "reference_counts",
+    "batch_ks",
+    "start_drift_monitor",
 ]

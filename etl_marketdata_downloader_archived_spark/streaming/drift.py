@@ -1,0 +1,127 @@
+"""Streaming distribution-drift monitor.
+
+The streaming twin of the batch `ks_drift` query: every micro-batch's
+value distribution is compared (binned two-sample KS) against a STATIC
+reference distribution fixed when the monitor starts - the alarm that
+catches an upstream feed going bad (unit change, silent truncation,
+schema rot) within one trigger interval instead of at the next
+backfill audit.
+
+Scale shape:
+- The reference corpus is scanned ONCE at start: global [lo, hi]
+  bounds (one scalar aggregate) + per-(group, bin) counts, cached -
+  groups x bins rows, dimension-sized regardless of reference size.
+- Per micro-batch: one partial-combined aggregate of the batch onto
+  the SAME fixed bin grid, unioned with the cached reference counts
+  into operators.profile.ks_from_counts - the window input is bounded
+  by groups x bins, never by batch or reference row count.
+- foreachBatch is the right streaming construct here: KS needs a
+  full-distribution comparison per trigger (not an incremental
+  aggregate), and the batch inside foreachBatch is exactly that.
+  Values outside the reference range clamp to the edge bins, so a
+  range-shifted feed shows up as mass piling into a boundary bin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.profile import ks_from_counts
+
+__all__ = ["reference_counts", "batch_ks", "start_drift_monitor"]
+
+
+def _bucket(value_col: str, lo: float, hi: float, bins: int):
+    # fixed-grid bin with clamped edges: floor((v-lo)/(hi-lo)*bins),
+    # clamped into [0, bins-1] so out-of-range batch values land in
+    # the edge bins instead of new grid points the reference lacks
+    raw = F.floor(
+        (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins)
+    )
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+
+
+def reference_counts(
+    ref_df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    bins: int = 64,
+) -> tuple[DataFrame, float, float]:
+    """One-time reference aggregation: returns (counts, lo, hi) where
+    counts has by + (_v, _ca, _cb=0) - one row per (group, bin),
+    cached so each micro-batch reuses it without rescanning the
+    reference corpus."""
+    keys = list(by or [])
+    lo, hi = ref_df.agg(F.min(value_col), F.max(value_col)).first()
+    if lo is None or hi == lo:
+        hi = (lo or 0.0) + 1.0
+    counts = (
+        ref_df.groupBy(*keys, _bucket(value_col, lo, hi, bins).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_ca"))
+        .withColumn("_cb", F.lit(0).cast("long"))
+        .persist()
+    )
+    counts.count()  # materialize the cache before the stream starts
+    return counts, float(lo), float(hi)
+
+
+def batch_ks(
+    batch_df: DataFrame,
+    ref: DataFrame,
+    lo: float,
+    hi: float,
+    value_col: str,
+    by: list[str] | None = None,
+    bins: int = 64,
+) -> DataFrame:
+    """Binned KS of one batch against the prepared reference counts:
+    by + (ks, n_a, n_b) with n_a = reference rows, n_b = batch rows."""
+    keys = list(by or [])
+    b = (
+        batch_df.groupBy(*keys, _bucket(value_col, lo, hi, bins).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_cb"))
+        .withColumn("_ca", F.lit(0).cast("long"))
+    )
+    merged = (
+        ref.unionByName(b.select(*keys, "_v", "_ca", "_cb"))
+        .groupBy(*keys, "_v")
+        .agg(F.sum("_ca").alias("_ca"), F.sum("_cb").alias("_cb"))
+    )
+    return ks_from_counts(merged, keys)
+
+
+def start_drift_monitor(
+    stream_df: DataFrame,
+    reference_df: DataFrame,
+    value_col: str,
+    checkpoint: str,
+    on_result: Callable[[DataFrame, int], None],
+    by: list[str] | None = None,
+    bins: int = 64,
+    threshold: float | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start the monitor: per micro-batch, compute the binned KS per
+    group against the fixed reference and hand the result frame (with
+    batch_id, and is_drift when ``threshold`` is set) to
+    ``on_result``. Returns the StreamingQuery."""
+    ref, lo, hi = reference_counts(reference_df, value_col, by, bins)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_ks(batch_df, ref, lo, hi, value_col, by, bins)
+        out = out.withColumn("batch_id", F.lit(batch_id))
+        if threshold is not None:
+            out = out.withColumn(
+                "is_drift", F.col("ks") > F.lit(threshold)
+            )
+        on_result(out, batch_id)
+
+    w = stream_df.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
