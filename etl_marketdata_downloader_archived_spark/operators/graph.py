@@ -93,6 +93,13 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    if n <= 2048:
+        # dimension-sized graph (distinct edges <= n^2 rows): collapse
+        # to one partition so the per-round shuffles don't fan a few
+        # hundred rows across the full shuffle-partition count - the
+        # iteration floor becomes stage latency, not partition count
+        trans = trans.coalesce(1)
+        nodes = nodes.coalesce(1)
     trans = trans.localCheckpoint(eager=True)
     nodes = nodes.localCheckpoint(eager=True)
 
