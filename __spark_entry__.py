@@ -27,8 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     Revenue-by-region-and-year star query - the Athena-over-the-lake
-    shape the reference delegates (SURVEY.md section 2B): fact tables
-    join on shuffled keys, dimensions broadcast, two-level aggregate.
+    shape the reference delegates (SURVEY.md section 2B). Lineitem
+    pre-aggregates to ORDER grain before the join (aggregate-below-
+    join): the join side shrinks to order count and n_orders is a
+    plain count instead of a countDistinct Expand over the joined
+    fact - the full-certificate twin is `flagship_star` in
+    plans/tail.py.
     """
     from pyspark.sql import functions as F
 
@@ -38,17 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
         spark, SMOKE_SF_DIR, "lineitem", "orders", "customer", "nation", "region"
     )
     li, o, c, n, r = t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("_rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("r_name", "order_year")
     )
