@@ -635,3 +635,64 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wc").cast("double") / F.count(F.lit(1)) / 100
         ).alias("wmean"),
     )
+
+
+@q(
+    "anomaly_mad",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*)    OVER (PARTITION BY event_type)   AS n
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               (max(CASE WHEN rn = floor((n+1)/2.0) THEN value END)
+                + max(CASE WHEN rn = ceil((n+1)/2.0) THEN value END)) / 2
+                 AS med
+        FROM r GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, event_id, value,
+               abs(value - med) AS dev
+        FROM events e JOIN m ON e.event_type = m.event_type
+    ),
+    rd AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY dev, event_id) AS rn,
+               count(*)  OVER (PARTITION BY event_type) AS n
+        FROM d
+    ),
+    md AS (
+        SELECT event_type,
+               (max(CASE WHEN rn = floor((n+1)/2.0) THEN dev END)
+                + max(CASE WHEN rn = ceil((n+1)/2.0) THEN dev END)) / 2
+                 AS mad
+        FROM rd GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value, d.dev,
+           d.dev / (md.mad * 1.4826) AS robust_z
+    FROM d JOIN md ON d.event_type = md.event_type
+    WHERE md.mad > 0 AND d.dev / (md.mad * 1.4826) > 3.0
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier gate per event_type
+    (operators.profile.mad_outliers): the 50%-breakdown-point
+    complement of anomaly_zscore - a burst of bad ticks cannot drag
+    the center or inflate the spread enough to mask itself. Both
+    medians are positional (lower/upper rank average), so the robust
+    z and the k=3 cutoff are engine-exact with no interpolating
+    percentile in sight."""
+    from ..operators.profile import mad_outliers
+
+    e = load_table(spark, sf_dir, "events")
+    return mad_outliers(
+        e.select("event_id", "event_type", "value"),
+        "value",
+        by=["event_type"],
+        k=3.0,
+        id_cols=["event_id"],
+    )

