@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degrees", "pagerank"]
+__all__ = ["degrees", "pagerank", "triangle_count"]
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -157,3 +157,61 @@ def pagerank(
             anchor = new_ranks
         ranks = new_ranks
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph under the
+    edge list (self-loops dropped, direction and multiplicity
+    collapsed). Returns one row: (n_nodes, n_edges, n_triangles) -
+    exact integers.
+
+    Algorithm: degree-ordered orientation (the Cohen / vertex-ordering
+    formulation): direct every edge from its lower-(degree, id)
+    endpoint to the higher one - an acyclic orientation in which each
+    triangle has exactly ONE node with out-edges to the other two, so
+    counting (u->v, u->w, v->w) configurations counts each triangle
+    once. The payoff at scale: max out-degree is O(sqrt(m)) after
+    this orientation, so the wedge join (the quadratic step) is
+    sum-of-squares-of-OUT-degrees bounded - a celebrity node with
+    10^7 undirected neighbors contributes ~sqrt(m) wedges instead of
+    10^14. Three shuffles total (degree agg, wedge join, closing
+    edge join); all joins on plain keys, AQE-skew-splittable.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    ed = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = o.select(F.col("u").alias("w_u"), F.col("v").alias("w_v1"))
+    e2 = o.select(F.col("u").alias("w_u"), F.col("v").alias("w_v2"))
+    wedges = e1.join(e2, "w_u").filter(F.col("w_v1") < F.col("w_v2"))
+    closing = o.select(
+        F.least("u", "v").alias("c_lo"), F.greatest("u", "v").alias("c_hi")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("w_v1", "w_v2") == F.col("c_lo"))
+        & (F.greatest("w_v1", "w_v2") == F.col("c_hi")),
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

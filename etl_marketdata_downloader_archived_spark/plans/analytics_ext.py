@@ -696,3 +696,99 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3.0,
         id_cols=["event_id"],
     )
+
+
+@q(
+    "graph_components",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_partkey AS a, 100000 + l_suppkey AS b
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 97 = 0
+    ),
+    ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(src, dst) AS (
+        SELECT a AS src, a AS dst FROM ud
+        UNION
+        SELECT b AS src, b AS dst FROM ud
+        UNION
+        SELECT r.src, ud.b AS dst FROM reach r JOIN ud ON r.dst = ud.a
+    )
+    SELECT src AS node, CAST(min(dst) AS BIGINT) AS component
+    FROM reach
+    GROUP BY src
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a sparse part-supplier co-purchase
+    subgraph, certified against a DuckDB RECURSIVE transitive-closure
+    oracle - the independent certificate for the SAME
+    operators.dedup.connected_components that clusters near-dup pairs
+    (where seeded hash families force rows-only checks). Component
+    label = min reachable node id on both sides. The subgraph filter
+    (first line of 1-in-97 orders) is a deterministic sparsifier, not
+    semantics: the oracle's closure is quadratic in component size, so
+    the fixture keeps components small while the Spark side runs the
+    production operator unchanged (driver union-find fast path here;
+    min-label propagation past 1M edges)."""
+    from ..operators.dedup import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 97 == 0))
+        .select(
+            F.col("l_partkey").alias("id_a"),
+            (F.lit(100000) + F.col("l_suppkey")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return connected_components(e).select(
+        F.col("id").alias("node"), F.col("component")
+    )
+
+
+@q(
+    "triangle_count",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+                        greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e)
+    SELECT (SELECT count(*) FROM nodes)                    AS n_nodes,
+           (SELECT count(*) FROM e)                        AS n_edges,
+           (SELECT count(*)
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the undirected nation trade graph
+    (operators.graph.triangle_count, degree-ordered orientation so the
+    wedge join is sum-of-squares-of-OUT-degree bounded - the
+    formulation that survives celebrity nodes at 10^9 edges). The
+    oracle counts id-ordered triangles (a<b<c three-way join); both
+    orientations count each triangle exactly once, so the exact
+    integer triple (nodes, edges, triangles) must match."""
+    from ..operators.graph import triangle_count
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "supplier", "customer")
+    }
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)

@@ -93,3 +93,57 @@ def test_degrees(spark) -> None:
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r.node: (r.out_degree, r.in_degree) for r in degrees(df).collect()}
     assert got == {0: (3, 1), 1: (1, 2), 2: (1, 2)}
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    nodes = sorted({n for e in und for n in e})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+
+
+def test_triangle_count_known_answers(spark) -> None:
+    from etl_marketdata_downloader_archived_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 has 4 triangles; direction/multiplicity/self-loops collapse
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    k4 += [(0, 0), (1, 2), (2, 1)]
+    df = spark.createDataFrame(k4, "src int, dst int")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    # triangle-free: a star
+    star = [(0, i) for i in range(1, 6)]
+    r = triangle_count(
+        spark.createDataFrame(star, "src int, dst int")
+    ).collect()[0]
+    assert r.n_triangles == 0
+
+
+def test_triangle_count_vs_brute_force(spark) -> None:
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = np.random.default_rng(21)
+    edges = [
+        (int(a), int(b)) for a, b in rng.integers(0, 15, size=(60, 2))
+    ]
+    # add a celebrity hub touching everyone: the degree-ordered
+    # orientation must keep its OUT-degree tiny
+    edges += [(99, i) for i in range(15)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    r = triangle_count(df).collect()[0]
+    assert r.n_triangles == _brute_triangles(edges)
