@@ -792,3 +792,84 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return triangle_count(edges)
+
+
+@q(
+    "risk_report",
+    oracle=f"""
+    WITH obs AS ({_HOURLY_CLOSE}),
+    c AS (
+        SELECT event_type, bar_ts, value,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM obs
+    ),
+    m AS (
+        SELECT event_type, bar_ts, value, vc,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY bar_ts)       AS rn_a,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY bar_ts DESC)  AS rn_d,
+               max(value) OVER (PARTITION BY event_type ORDER BY bar_ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS runmax,
+               count(*)    OVER wz AS n,
+               sum(vc)     OVER wz AS s,
+               sum(vc*vc)  OVER wz AS sxx
+        FROM c
+        WINDOW wz AS (PARTITION BY event_type ORDER BY bar_ts
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    ),
+    p AS (
+        SELECT event_type, value, rn_a, rn_d,
+               CASE WHEN runmax <> 0 THEN value / runmax - 1 END AS drawdown,
+               CASE WHEN n > 1 AND CAST(n*sxx - s*s AS DOUBLE) > 0 THEN
+                 CAST(n*vc - s AS DOUBLE)
+                   / sqrt(CAST(n*sxx - s*s AS DOUBLE) * CAST(n AS DOUBLE)
+                          / (CAST(n AS DOUBLE) - 1))
+               END AS zscore
+        FROM m
+    )
+    SELECT event_type,
+           count(*)                                            AS n_bars,
+           max(CASE WHEN rn_d = 1 THEN value END)
+             / max(CASE WHEN rn_a = 1 THEN value END) - 1      AS total_return,
+           min(drawdown)                                       AS max_drawdown,
+           max(abs(zscore))                                    AS worst_z,
+           CAST(count(CASE WHEN abs(zscore) > 3 THEN 1 END)
+                AS BIGINT)                                     AS n_z_alerts
+    FROM p
+    GROUP BY event_type
+    """,
+)
+def risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-series risk report: the returns_drawdown panel
+    collapsed to one row per series (bar count, total return, max
+    drawdown, worst rolling z, z>3 alert count) - the end-to-end
+    certificate that the COMPOSITION of exact pieces stays exact
+    (first/last selected positionally, every input double bit-equal
+    by the integer-moments argument, aggregates of exact values
+    exact). Shape: the panel's single window pass + one
+    partial-combined aggregate."""
+    panel = TS.returns_panel(
+        _hourly_close(spark, sf_dir),
+        key="event_type",
+        ts="bar_ts",
+        value="value",
+        zscore_rows=24,
+        scale=100,
+    )
+    w = W.partitionBy("event_type")
+    first_v = F.min(F.struct("bar_ts", "value")).over(w)["value"]
+    last_v = F.max(F.struct("bar_ts", "value")).over(w)["value"]
+    return (
+        panel.withColumn("_first", first_v)
+        .withColumn("_last", last_v)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            (F.max("_last") / F.max("_first") - 1).alias("total_return"),
+            F.min("drawdown").alias("max_drawdown"),
+            F.max(F.abs("zscore")).alias("worst_z"),
+            F.count(F.when(F.abs("zscore") > 3, 1)).alias("n_z_alerts"),
+        )
+    )
