@@ -139,8 +139,12 @@ def ks_from_counts(g: DataFrame, keys: list[str]) -> DataFrame:
     nb = F.sum("_cb").over(tot)
     stepped = g.select(
         *keys,
-        F.abs(
-            cum_a.cast("double") / na - cum_b.cast("double") / nb
+        # NULL (not 0/0 = NaN) when either sample is empty: NaN sorts
+        # ABOVE every double in Spark, so one empty side would
+        # otherwise surface as a max-severity "drift"
+        F.when(
+            (na > 0) & (nb > 0),
+            F.abs(cum_a.cast("double") / na - cum_b.cast("double") / nb),
         ).alias("_d"),
         na.alias("_na"),
         nb.alias("_nb"),

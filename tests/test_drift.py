@@ -136,3 +136,14 @@ def test_out_of_range_batch_clamps_to_edge_bin(spark, ref_df) -> None:
     # mass there); only the reference's own top-bin mass keeps it < 1
     assert got.ks > 0.9
     ref.unpersist()
+
+
+def test_ks_empty_side_is_null_not_drift(spark) -> None:
+    """A group present in only one sample must report NULL ks (NaN
+    sorts above every double in Spark, so the unguarded 0/0 would
+    read as max-severity drift)."""
+    rows = [(v, "a") for v in range(5)]  # no 'b' rows at all
+    df = spark.createDataFrame(rows, "v int, side string")
+    got = ks_statistic(df, "v", "side").collect()[0]
+    assert got.ks is None
+    assert (got.n_a, got.n_b) == (5, 0)
