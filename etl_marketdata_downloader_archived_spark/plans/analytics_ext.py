@@ -290,6 +290,8 @@ def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (CAST(n AS DOUBLE) - 1)) AS z
         FROM c JOIN g ON c.event_type = g.event_type
         WHERE n > 1
+          AND CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE) > 0
     )
     SELECT event_id, event_type, value, z
     FROM z
@@ -322,8 +324,12 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("vc").cast("double") - sd / nd) / F.sqrt(
         (sxxd - sd * sd / nd) / (nd - 1)
     )
+    # variance > 0 guard on the broadcast side: a CONSTANT group would
+    # make z = 0/0 = NaN, and NaN compares greater than every double
+    # in Spark - without the guard every row of that group would flag
+    stats = g.filter((F.col("n") > 1) & (sxxd - sd * sd / nd > 0))
     return (
-        c.join(F.broadcast(g.filter(F.col("n") > 1)), "event_type")
+        c.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) >= 2.5)
         .select("event_id", "event_type", "value", "z")
