@@ -61,6 +61,7 @@ def pagerank(
     max_iter: int = 20,
     tol: float | None = 1e-6,
     check_every: int = 3,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list -> DataFrame(node, rank),
     ranks summing to 1.0 (dangling mass redistributed uniformly).
@@ -68,8 +69,10 @@ def pagerank(
     Power iteration in DataFrame algebra: each round joins the rank
     vector to the edge list on src, sums contributions per dst, and
     folds the teleport + dangling terms back in. Multi-edges are
-    collapsed up front (weight = parallel edge count / out-degree) so
-    the per-round join touches each distinct edge once.
+    collapsed up front (weight = parallel edge count / out-degree, or
+    the summed non-negative ``weight_col`` - e.g. trade volume or
+    link count - normalized per source) so the per-round join touches
+    each distinct edge once.
 
     Floats here are genuinely iterative (sum order varies with the
     shuffle), so this is pytest-differential territory, not the exact
@@ -77,9 +80,16 @@ def pagerank(
     iteration under tolerance.
     """
     # normalized transition weights, one row per DISTINCT edge
-    e = edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst")).agg(
-        F.count(F.lit(1)).cast("double").alias("_m")
+    mass = (
+        F.sum(weight_col).cast("double")
+        if weight_col
+        else F.count(F.lit(1)).cast("double")
     )
+    e = edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst")).agg(
+        mass.alias("_m")
+    )
+    if weight_col:
+        e = e.filter(F.col("_m") > 0)
     out_w = e.groupBy("src").agg(F.sum("_m").alias("_deg"))
     trans = (
         e.join(out_w, "src")

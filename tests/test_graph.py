@@ -147,3 +147,25 @@ def test_triangle_count_vs_brute_force(spark) -> None:
     df = spark.createDataFrame(edges, "src int, dst int")
     r = triangle_count(df).collect()[0]
     assert r.n_triangles == _brute_triangles(edges)
+
+
+def test_pagerank_weighted_edges(spark) -> None:
+    """weight_col: an edge carrying 3x the weight behaves exactly like
+    3 parallel unweighted edges; zero-weight edges drop out."""
+    from etl_marketdata_downloader_archived_spark.operators.graph import pagerank
+
+    weighted = [(0, 2, 3.0), (0, 1, 1.0), (1, 0, 2.0), (2, 0, 1.0), (0, 3, 0.0)]
+    parallel = [(0, 2), (0, 2), (0, 2), (0, 1), (1, 0), (2, 0)]
+    wdf = spark.createDataFrame(weighted, "src int, dst int, w double")
+    pdf = spark.createDataFrame(parallel, "src int, dst int")
+    got_w = {
+        r.node: r.rank
+        for r in pagerank(wdf, max_iter=40, tol=None, weight_col="w").collect()
+    }
+    got_p = {
+        r.node: r.rank
+        for r in pagerank(pdf, max_iter=40, tol=None).collect()
+    }
+    assert 3 not in got_w  # zero-weight edge contributes no node
+    for n in got_p:
+        assert got_w[n] == pytest.approx(got_p[n], abs=1e-10)
