@@ -90,6 +90,10 @@ def pagerank(
     )
     if weight_col:
         e = e.filter(F.col("_m") > 0)
+    # materialize the distinct-edge set FIRST: trans, nodes, and the
+    # node count all derive from it, so the one corpus-sized pass over
+    # the raw edge list runs once, not once per consumer
+    e = e.localCheckpoint(eager=True)
     out_w = e.groupBy("src").agg(F.sum("_m").alias("_deg"))
     trans = (
         e.join(out_w, "src")
