@@ -262,3 +262,39 @@ def test_mad_outliers_constant_group_flags_nothing(spark) -> None:
     assert (
         mad_outliers(df, "v", by=["grp"], id_cols=["event_id"]).count() == 0
     )
+
+
+def test_exact_panel_is_partitioning_invariant(spark) -> None:
+    """The integer-moments claim, tested directly: the z-score panel
+    must be BIT-IDENTICAL under different partitionings (different
+    shuffle split = different float accumulation order in a naive
+    formulation; exact bigint moments make the result independent of
+    parallelism, which is why the alert gates cannot flicker on a
+    cluster)."""
+    df = _series_df(spark, seed=17, n=300, keys=("a", "b", "c"))
+    outs = []
+    for parts in (1, 7, 32):
+        out = TS.returns_panel(
+            df.repartition(parts), key="sym", ts="t", value="price",
+            zscore_rows=24, scale=100,
+        )
+        rows = {
+            (r.sym, r.t): (r.ret, r.drawdown, r.zscore)
+            for r in out.collect()
+        }
+        outs.append(rows)
+    assert outs[0] == outs[1] == outs[2]  # == on floats: bit-exact
+
+
+def test_ks_is_partitioning_invariant(spark) -> None:
+    rng = np.random.default_rng(23)
+    rows = [
+        (float(v), "a" if i % 2 else "b")
+        for i, v in enumerate(rng.normal(0, 1, 2000))
+    ]
+    df = spark.createDataFrame(rows, "v double, side string")
+    vals = {
+        parts: ks_statistic(df.repartition(parts), "v", "side").collect()[0].ks
+        for parts in (1, 11, 32)
+    }
+    assert len(set(vals.values())) == 1
