@@ -298,3 +298,51 @@ def test_ks_is_partitioning_invariant(spark) -> None:
         for parts in (1, 11, 32)
     }
     assert len(set(vals.values())) == 1
+
+
+def test_quantize_embeddings_roundtrip_and_recall(spark, sf_dir) -> None:
+    """int8 quantization: reconstruction error bounded by scale/2 per
+    component, and brute-force cosine top-10 recall vs the float
+    corpus stays >= 0.9 on the driver embeddings table."""
+    from etl_marketdata_downloader_archived_spark.operators.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+        topk_cosine,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+
+    # roundtrip error bound: |v - codes*scale| <= scale/2 + eps
+    joined = emb.join(q, "vec_id").select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    dequantize_expr(F.col("codes"), F.col("scale")),
+                    lambda a, b: F.abs(a - b) / F.col("scale"),
+                ),
+                F.lit(0.0),
+                lambda a, b: F.greatest(a, b),
+            )
+        ).alias("worst_half_steps")
+    ).collect()[0]
+    assert joined.worst_half_steps <= 0.5 + 1e-6
+
+    # recall of cosine top-10 under quantization
+    query = emb.orderBy("vec_id").first().embedding
+    want = {
+        r.vec_id for r in topk_cosine(emb, query, k=10).collect()
+    }
+    deq = q.select(
+        "vec_id", dequantize_expr(F.col("codes"), F.col("scale")).alias("embedding")
+    )
+    got = {
+        r.vec_id for r in topk_cosine(deq, query, k=10).collect()
+    }
+    assert len(want & got) >= 9
+
+    # schema actually shrinks: tinyint codes, float scale
+    assert dict(q.dtypes)["codes"] == "array<tinyint>"
+    assert dict(q.dtypes)["scale"] == "float"
