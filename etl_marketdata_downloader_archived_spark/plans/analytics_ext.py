@@ -879,3 +879,65 @@ def risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.abs("zscore") > 3, 1)).alias("n_z_alerts"),
         )
     )
+
+
+_DOT_Q = """list_sum([{a}[i] * {b}[i] for i in generate_series(1, len({a}))])"""
+
+
+def _cos_q(a: str, b: str) -> str:
+    return (
+        f"({_DOT_Q.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_Q.format(a=a, b=a)}) * sqrt({_DOT_Q.format(a=b, b=b)})))"
+    )
+
+
+@q(
+    "sim_topk_quantized",
+    oracle=f"""
+    WITH z AS (
+        SELECT vec_id,
+               list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS amax,
+               embedding
+        FROM embeddings
+    ),
+    dq AS (
+        SELECT vec_id,
+               [round(CAST(x AS DOUBLE)
+                      / (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END))
+                * CAST(CAST(CASE WHEN amax > 0 THEN amax / 127.0
+                            ELSE 1.0 END AS REAL) AS DOUBLE)
+                for x in embedding] AS v
+        FROM z
+    ),
+    qv AS (SELECT v AS q FROM dq WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_cos_q('v', 'q')}, 6) AS cos_sim
+    FROM dq, qv
+    WHERE vec_id <> 0
+    ORDER BY round({_cos_q('v', 'q')}, 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over the int8-QUANTIZED corpus
+    (operators.similarity.quantize_embeddings -> dequantize_expr ->
+    brute cosine): certifies the whole quantize/dequantize arithmetic
+    against DuckDB replaying it step for step (double scale for the
+    codes, float-cast scale for the reconstruction - the exact
+    precision path the operator takes). Same 6dp-rounded ordering +
+    id tie-break as sim_topk; in practice the quantized ranking
+    reproduces the float ranking (recall pytest), which is the point:
+    4-8x smaller vectors, same retrieval."""
+    from ..operators.similarity import cosine, dequantize_expr, quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dq = quantize_embeddings(e).select(
+        "vec_id", dequantize_expr(F.col("codes"), F.col("scale")).alias("v")
+    )
+    qvec = dq.filter(F.col("vec_id") == 0).select("v").head()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = dq.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.round(cosine(F.col("v"), qlit), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
