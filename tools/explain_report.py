@@ -39,6 +39,13 @@ HEADLINE = [
     "scd2_history_events",
     "quantile_rollup",
     "multimodal_decode",
+    # round-4 families
+    "returns_drawdown",
+    "ks_drift",
+    "anomaly_mad",
+    "inverted_index",
+    "triangle_count",
+    "flagship_star",
 ]
 
 # Round-over-round plan observations worth keeping next to the trees.
