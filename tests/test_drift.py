@@ -147,3 +147,42 @@ def test_ks_empty_side_is_null_not_drift(spark) -> None:
     got = ks_statistic(df, "v", "side").collect()[0]
     assert got.ks is None
     assert (got.n_a, got.n_b) == (5, 0)
+
+
+def test_monitor_restart_resumes_from_checkpoint(spark, ref_df, tmp_path) -> None:
+    """Kill-and-restart with the same checkpoint: the already-processed
+    file is NOT re-emitted (offsets are the ack), the new file is."""
+    rng = np.random.default_rng(4)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    seen = []
+
+    def on_result(df, batch_id):
+        seen.append({r.grp: r.n_b for r in df.collect()})
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("grp string, v double").json(str(in_dir))
+        )
+        q = start_drift_monitor(
+            stream, ref_df, "v", checkpoint=ckpt,
+            on_result=on_result, by=["grp"], bins=32,
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        in_dir, "b0.json",
+        [("a", float(v)) for v in rng.normal(10, 2, 100)],
+    )
+    run_once()
+    assert len(seen) == 1 and seen[0]["a"] == 100
+
+    _write_batch(
+        in_dir, "b1.json",
+        [("a", float(v)) for v in rng.normal(10, 2, 50)],
+    )
+    run_once()
+    # exactly one new result, sized to the NEW file only
+    assert len(seen) == 2 and seen[1]["a"] == 50
