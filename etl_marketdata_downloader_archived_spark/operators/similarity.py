@@ -616,12 +616,17 @@ def quantize_embeddings(
         lambda acc, x: F.greatest(acc, F.abs(x)),
     )
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    return df.select(
+    # hoist the scale fold into its own projection: referenced inside
+    # the codes lambda it would re-run the O(d) max fold PER ELEMENT
+    # (O(d^2) per row); as a named column used twice (codes + output)
+    # CollapseProject keeps it materialized once per row
+    base = df.select(F.col(id_col), v.alias("_v"), scale.alias("_s"))
+    return base.select(
         F.col(id_col),
         F.transform(
-            v, lambda x: F.round(x / scale).cast("tinyint")
+            F.col("_v"), lambda x: F.round(x / F.col("_s")).cast("tinyint")
         ).alias("codes"),
-        scale.cast("float").alias("scale"),
+        F.col("_s").cast("float").alias("scale"),
     )
 
 

@@ -928,7 +928,9 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     id tie-break as sim_topk; in practice the quantized ranking
     reproduces the float ranking (recall pytest), which is the point:
     4-8x smaller vectors, same retrieval."""
-    from ..operators.similarity import cosine, dequantize_expr, quantize_embeddings
+    import math
+
+    from ..operators.similarity import dequantize_expr, quantize_embeddings
 
     e = load_table(spark, sf_dir, "embeddings")
     dq = quantize_embeddings(e).select(
@@ -936,8 +938,37 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qvec = dq.filter(F.col("vec_id") == 0).select("v").head()[0]
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    scored = dq.filter(F.col("vec_id") != 0).select(
-        "vec_id",
-        F.round(cosine(F.col("v"), qlit), 6).alias("cos_sim"),
+    # |q| precomputed with the same left-to-right IEEE fold the oracle
+    # uses (separate sums accumulate independently, so the combined
+    # struct fold below is bit-equal to the oracle's separate folds)
+    qn = 0.0
+    for x in qvec:
+        qn += float(x) * float(x)
+    qnorm = math.sqrt(qn)
+    # ONE fold computes dot(v,q) and |v|^2 together, and `v` is
+    # referenced once - without this, CollapseProject inlines the
+    # whole quantize->dequantize chain into each of the three cosine
+    # folds (measured 4x transform / 7x aggregate in the plan)
+    pairs = F.zip_with(
+        F.col("v"), qlit, lambda a, b: F.struct(a.alias("x"), b.alias("y"))
+    )
+    acc = F.aggregate(
+        pairs,
+        F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("n")),
+        lambda acc, p: F.struct(
+            (acc["d"] + p["x"] * p["y"]).alias("d"),
+            (acc["n"] + p["x"] * p["x"]).alias("n"),
+        ),
+    )
+    scored = (
+        dq.filter(F.col("vec_id") != 0)
+        .select("vec_id", acc.alias("_acc"))
+        .select(
+            "vec_id",
+            F.round(
+                F.col("_acc")["d"] / (F.sqrt(F.col("_acc")["n"]) * F.lit(qnorm)),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
