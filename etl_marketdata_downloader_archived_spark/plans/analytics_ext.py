@@ -972,3 +972,56 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+@q(
+    "ohlc_rollup_week",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS bar_ts,
+               ts, event_id,
+               value, CAST(json_extract(props, '$.k') AS BIGINT) AS qty
+        FROM events
+    ), r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bar_ts
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, bar_ts
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT event_type, bar_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value)                             AS high,
+           min(value)                             AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT)               AS n_trades,
+           CAST(sum(qty) AS BIGINT)               AS volume
+    FROM r
+    GROUP BY event_type, bar_ts
+    """,
+)
+def ohlc_rollup_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar-hierarchy identity, certified on real data: weekly bars
+    built by ROLLING UP the hourly bars (operators.timeseries.
+    rollup_bars - bar-count cost, ticks never revisited) must equal
+    weekly bars derived DIRECTLY from the tick stream, which is what
+    the oracle computes. Covers the exact OHLC core (open/close
+    positional, high/low extrema, count/volume sums - all exact);
+    VWAP is excluded here because the rollup re-accumulates it as
+    float notional (documented last-ulp caveat on rollup_bars), and
+    this certificate is about the hierarchy identity, not float
+    recombination."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "qty", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    hourly = TS.ohlc_bars(
+        e, "event_type", "ts", "value", "qty",
+        width="hour", tie_break="event_id", price_scale=100,
+    )
+    weekly = TS.rollup_bars(hourly, "event_type", width="week")
+    return weekly.select(
+        "event_type", "bar_ts", "open", "high", "low", "close",
+        "n_trades", "volume",
+    )
