@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_diff"]
+__all__ = ["table_diff", "apply_changes"]
 
 
 def table_diff(
@@ -78,3 +78,46 @@ def table_diff(
     if not include_unchanged:
         out = out.filter(F.col("change") != "unchanged")
     return out
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC change feed to a snapshot (the APPLY CHANGES INTO /
+    MERGE-from-CDC pattern): ``changes`` carries one row per mutation
+    with ``op_col`` in {'upsert', 'delete'} and a monotonically
+    comparable ``seq_col`` (commit LSN, event time); for each key the
+    LATEST change wins - an upsert replaces the base row, a delete
+    removes it, stale intermediate changes are ignored entirely.
+
+    Shape: one window pass over the CHANGE FEED ONLY (rank per key by
+    seq desc - feed-sized, not table-sized), then one key join against
+    the base: anti-join drops keys with any winning change, union
+    appends the winning upserts. The base is never windowed; at 100 TB
+    the cost is the change feed + one shuffle-or-broadcast join, and
+    composed with io.merge_partitioned the rewrite touches only the
+    partitions holding changed keys.
+
+    Ties on (key, seq) break deterministically: delete beats upsert
+    (the conservative read of simultaneous ops), pinned in tests.
+    """
+    from pyspark.sql import Window as W
+
+    data_cols = [c for c in base.columns]
+    w = W.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        # on equal seq, delete wins: 'delete' < 'upsert' ascending
+        F.col(op_col).asc(),
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = base.join(latest.select(*keys), keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) == "upsert").select(*data_cols)
+    return survivors.unionByName(upserts)

@@ -256,3 +256,45 @@ def inverted_index(
     if min_df > 1:
         idx = idx.filter(F.col("df") >= min_df)
     return idx
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information for adjacent word pairs across the
+    corpus: PMI(x,y) = ln(c_xy * T / (c_x * c_y)) with T = total
+    bigram tokens - the classic collocation detector ("new york"
+    scores high, "of the" near zero). Returns (w1, w2, n_pair, pmi)
+    for pairs with ``min_count`` occurrences.
+
+    Shape: one (w1,w2) bigram-count shuffle (partial-combined);
+    unigram totals re-aggregate the collapsed COUNTS table (never the
+    corpus); the two unigram joins hit a vocabulary-sized side that
+    AQE broadcasts. Same cost skeleton as the bigram LM trainer."""
+    pairs = doc_bigrams(df, id_col, text_col)
+    c_xy = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    c_x = c_xy.groupBy("w1").agg(F.sum("n_pair").alias("n_left"))
+    c_y = c_xy.groupBy("w2").agg(F.sum("n_pair").alias("n_right"))
+    total = c_xy.agg(F.sum("n_pair").alias("n_total"))
+    return (
+        c_xy.filter(F.col("n_pair") >= min_count)
+        .join(c_x, "w1")
+        .join(c_y, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.log(
+                F.col("n_pair").cast("double")
+                * F.col("n_total").cast("double")
+                / (
+                    F.col("n_left").cast("double")
+                    * F.col("n_right").cast("double")
+                )
+            ).alias("pmi"),
+        )
+    )

@@ -1025,3 +1025,42 @@ def ohlc_rollup_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bar_ts", "open", "high", "low", "close",
         "n_trades", "volume",
     )
+
+
+@q(
+    "pmi_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+    ),
+    c_xy AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2),
+    c_x AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left FROM c_xy GROUP BY w1),
+    c_y AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right FROM c_xy GROUP BY w2),
+    t AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM c_xy)
+    SELECT w1, w2, n_pair,
+           round(ln(CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))), 6)
+             AS pmi
+    FROM c_xy JOIN c_x USING (w1) JOIN c_y USING (w2) CROSS JOIN t
+    WHERE n_pair >= 5
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by pointwise mutual information
+    (operators.ranking.pmi_pairs): counts are exact integers; the
+    single ln() is rounded to 6dp on both sides (the one place the
+    engines' libm may differ in the last ulp - same discipline as
+    bm25/lm scores). One bigram shuffle; unigram margins re-aggregate
+    the collapsed counts table, never the corpus."""
+    from ..operators.ranking import pmi_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    out = pmi_pairs(d, "doc_id", "text", min_count=5)
+    return out.select("w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))

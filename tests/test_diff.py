@@ -56,3 +56,69 @@ def test_profile_long_form(spark):
         == (3, 1, 2, "a", "b")
     assert s.num_min is None and out["v"].str_min is None
     assert (out["v"].n_null, out["v"].num_mean) == (1, 4.0)
+
+
+def test_apply_changes_latest_wins(spark) -> None:
+    """CDC apply: latest change per key wins; stale intermediates are
+    skipped; deletes remove; untouched rows survive bit-identical."""
+    from etl_marketdata_downloader_archived_spark.operators.diff import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 1: upsert then delete -> deleted
+            (1, "a2", 11.0, "upsert", 5),
+            (1, "a3", 12.0, "delete", 9),
+            # key 2: two upserts -> latest value only
+            (2, "b2", 21.0, "upsert", 3),
+            (2, "b3", 22.0, "upsert", 7),
+            # key 4: brand-new insert
+            (4, "d", 40.0, "upsert", 1),
+        ],
+        "id long, name string, v double, op string, seq long",
+    )
+    got = {
+        r.id: (r.name, r.v)
+        for r in apply_changes(base, changes, ["id"]).collect()
+    }
+    assert got == {2: ("b3", 22.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_apply_changes_delete_beats_upsert_on_tied_seq(spark) -> None:
+    from etl_marketdata_downloader_archived_spark.operators.diff import apply_changes
+
+    base = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    changes = spark.createDataFrame(
+        [(1, 2.0, "upsert", 5), (1, 3.0, "delete", 5)],
+        "id long, v double, op string, seq long",
+    )
+    assert apply_changes(base, changes, ["id"]).count() == 0
+
+
+def test_apply_changes_equals_sequential_replay(spark) -> None:
+    """Differential: one-shot apply == replaying the feed one change
+    at a time in seq order (the semantics a transaction log defines)."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.diff import apply_changes
+
+    rng = random.Random(31)
+    state = {k: float(k) for k in range(20)}
+    base_rows = [(k, v) for k, v in state.items()]
+    feed = []
+    for seq in range(1, 120):
+        k = rng.randrange(30)
+        if rng.random() < 0.3:
+            feed.append((k, 0.0, "delete", seq))
+            state.pop(k, None)
+        else:
+            v = round(rng.random() * 100, 2)
+            feed.append((k, v, "upsert", seq))
+            state[k] = v
+    base = spark.createDataFrame(base_rows, "id long, v double")
+    changes = spark.createDataFrame(feed, "id long, v double, op string, seq long")
+    got = {r.id: r.v for r in apply_changes(base, changes, ["id"]).collect()}
+    assert got == state
