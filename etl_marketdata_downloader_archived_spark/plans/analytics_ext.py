@@ -1064,3 +1064,53 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out = pmi_pairs(d, "doc_id", "text", min_count=5)
     return out.select("w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))
+
+
+@q(
+    "cdc_apply",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS id, c_acctbal AS bal FROM customer
+    ),
+    feed AS (
+        SELECT o_custkey AS id, o_totalprice AS bal,
+               CASE WHEN o_orderstatus = 'F' THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               o_orderkey AS seq
+        FROM orders
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY id
+                                         ORDER BY seq DESC, op ASC) AS rn
+            FROM feed
+        ) WHERE rn = 1
+    )
+    SELECT b.id, b.bal
+    FROM base b LEFT JOIN latest l ON b.id = l.id
+    WHERE l.id IS NULL
+    UNION ALL
+    SELECT id, bal FROM latest WHERE op = 'upsert'
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC fold certified end-to-end: customer balances as the
+    snapshot, orders replayed as an upsert/delete feed keyed by
+    customer (finalized orders delete, others upsert the order total;
+    seq = order key), operators.diff.apply_changes folds it, and the
+    oracle replays the identical latest-change-wins semantics in SQL.
+    Values pass through untouched, so the compare is exact."""
+    from ..operators.diff import apply_changes
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal")
+    )
+    feed = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("id"),
+        F.col("o_totalprice").alias("bal"),
+        F.when(F.col("o_orderstatus") == "F", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return apply_changes(c, feed, ["id"])
