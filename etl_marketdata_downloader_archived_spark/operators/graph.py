@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degrees", "pagerank", "triangle_count"]
+__all__ = ["degrees", "pagerank", "triangle_count", "k_core"]
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -229,3 +229,64 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    check_every: int = 3,
+) -> DataFrame:
+    """The k-core of the undirected simple graph: the maximal subgraph
+    in which every node has degree >= k, found by deterministic
+    iterative peeling (drop all nodes with degree < k, recompute,
+    repeat to fixpoint). The cohesion filter for interaction graphs -
+    crawl-frontier pruning, spam-farm isolation, community cores.
+
+    Returns (node, degree) for surviving nodes, degree measured inside
+    the core. Per round: one degree aggregate + two semi-joins on the
+    node key (the same shuffle shape as the other iterative ops);
+    lineage checkpoints every ``check_every`` rounds pay one
+    materialization job per window. Convergence is checked on the same
+    cadence by comparing edge counts - a scalar, not a vector. Rounds
+    are bounded by the peeling depth (the graph's degeneracy ladder),
+    tiny for real sparse graphs.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_edges = e.count()
+    for i in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .select("a", "b")
+        )
+        if (i + 1) % check_every == 0 or i + 1 == max_iter:
+            e2 = e2.localCheckpoint(eager=True)
+            n_edges = e2.count()
+            if n_edges == prev_edges:
+                e = e2
+                break
+            prev_edges = n_edges
+        e = e2
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.filter(F.col("degree") >= k)

@@ -169,3 +169,43 @@ def test_pagerank_weighted_edges(spark) -> None:
     assert 3 not in got_w  # zero-weight edge contributes no node
     for n in got_p:
         assert got_w[n] == pytest.approx(got_p[n], abs=1e-10)
+
+
+def _brute_k_core(edges, k):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        und = {(a, b) for a, b in und if a not in drop and b not in drop}
+
+
+def test_k_core_known_answer(spark) -> None:
+    from etl_marketdata_downloader_archived_spark.operators.graph import k_core
+
+    # K4 core-3 plus a pendant chain that must peel away entirely
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.degree for r in k_core(df, 3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k above the max core empties the graph
+    assert k_core(df, 4).count() == 0
+
+
+def test_k_core_vs_brute_force(spark) -> None:
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.graph import k_core
+
+    rng = np.random.default_rng(29)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, size=(120, 2))]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for k in (2, 3, 4):
+        want = _brute_k_core(edges, k)
+        got = {r.node: r.degree for r in k_core(df, k).collect()}
+        assert got == want
