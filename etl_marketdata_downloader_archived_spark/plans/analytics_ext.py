@@ -1114,3 +1114,123 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("seq"),
     )
     return apply_changes(c, feed, ["id"])
+
+
+@q(
+    "fk_integrity",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           CAST(count(*) AS BIGINT) AS n_orphans,
+           min(o_orderkey)          AS sample_key
+    FROM orders o
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST(count(*) AS BIGINT),
+           min(l_orderkey)
+    FROM lineitem l
+    WHERE l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST(count(*) AS BIGINT),
+           min(l_orderkey)
+    FROM lineitem l
+    WHERE l_partkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    """,
+)
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity panel over the star schema
+    (operators.quality.fk_violations, the production gate): orphan
+    counts for three child->parent relations as key-only broadcast
+    anti joins - the lake-landing audit the reference's blind catalog
+    mutation never runs. Each relation ships only the parent KEY
+    column; counts are exact integers. (On healthy driver data all
+    three rows report zero orphans - the certificate is that both
+    engines agree on that, and on the sample key when they exist.)"""
+    from ..operators.quality import fk_violations
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("orders", "customer", "lineitem", "part")
+    }
+
+    def panel(name, child, parent, ck, pk, sample):
+        v = fk_violations(child, parent, ck, pk)
+        return v.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_orphans"),
+            F.min(sample).alias("sample_key"),
+        )
+
+    return (
+        panel("orders->customer", t["orders"], t["customer"],
+              "o_custkey", "c_custkey", "o_orderkey")
+        .unionByName(
+            panel("lineitem->orders", t["lineitem"], t["orders"],
+                  "l_orderkey", "o_orderkey", "l_orderkey")
+        )
+        .unionByName(
+            panel("lineitem->part", t["lineitem"], t["part"],
+                  "l_partkey", "p_partkey", "l_orderkey")
+        )
+    )
+
+
+@q(
+    "benford_panel",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM events
+        WHERE value > 0
+    ),
+    c AS (
+        SELECT event_type, digit, count(*) AS n
+        FROM d GROUP BY event_type, digit
+    ),
+    t AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, digit, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed,
+           ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) / ln(10.0)
+             AS benford
+    FROM c JOIN t ON c.event_type = t.event_type
+    """,
+)
+def benford_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution per event_type vs the
+    Benford expectation log10(1 + 1/d) - the classic fabricated-data
+    / unit-mixing tripwire for landed numeric feeds. The digit comes
+    from the integer-cents rendering (exact across engines); observed
+    shares are exact integer ratios; the Benford column is the same
+    two-ln expression on both sides. One partial-combined aggregate +
+    a 9-rows-per-group join."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    d = e.select(
+        "event_type",
+        F.substring(
+            F.round(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    c = d.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "observed"
+        ),
+        (
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+        ).alias("benford"),
+    )
