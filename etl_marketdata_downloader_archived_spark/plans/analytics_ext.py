@@ -1234,3 +1234,189 @@ def benford_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
         ).alias("benford"),
     )
+
+
+@q(
+    "acf_panel",
+    oracle=f"""
+    WITH obs AS ({_HOURLY_CLOSE}),
+    c AS (
+        SELECT event_type, bar_ts,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM obs
+    ),
+    lagged AS (
+        SELECT event_type, lag_k, vc, pv
+        FROM (
+            SELECT event_type, vc,
+                   unnest([1, 2, 3, 6, 12, 24]) AS lag_k,
+                   unnest([lag(vc, 1)  OVER w, lag(vc, 2)  OVER w,
+                           lag(vc, 3)  OVER w, lag(vc, 6)  OVER w,
+                           lag(vc, 12) OVER w, lag(vc, 24) OVER w]) AS pv
+            FROM c
+            WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts)
+        )
+        WHERE pv IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, lag_k,
+               count(*)  AS n,
+               sum(vc)   AS sx,
+               sum(pv)   AS sy,
+               sum(vc*pv) AS sxy,
+               sum(vc*vc) AS sxx,
+               sum(pv*pv) AS syy
+        FROM lagged GROUP BY event_type, lag_k
+    )
+    SELECT event_type, lag_k,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n > 1 AND CAST(n*sxx - sx*sx AS DOUBLE) > 0
+                         AND CAST(n*syy - sy*sy AS DOUBLE) > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END AS acf
+    FROM g
+    """,
+)
+def acf_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly close at lags {1,2,3,6,12,24} per
+    series - the memory/seasonality diagnostic behind every
+    forecasting decision on landed market data. Exact across engines:
+    each lag's correlation is Pearson over (value, lagged value) pairs
+    computed from integer-cents moments. Shape: ONE window pass
+    produces all six lag columns (the lags share the window spec, so
+    Catalyst collapses them into a single Window operator), an in-row
+    unnest melts them, and one partial-combined aggregate reduces to
+    6 rows per series."""
+    obs = _hourly_close(spark, sf_dir)
+    lags = [1, 2, 3, 6, 12, 24]
+    w = W.partitionBy("event_type").orderBy("bar_ts")
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    c = obs.select("event_type", "bar_ts", vc.alias("vc"))
+    # window lags materialize as top-level columns first: a window
+    # expression can't sit inside the generator's argument
+    with_lags = c.select(
+        "event_type",
+        "vc",
+        *[F.lag("vc", k).over(w).alias(f"_l{k}") for k in lags],
+    )
+    melted = with_lags.select(
+        "event_type",
+        "vc",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(k) for k in lags]).alias("lag_k"),
+                F.array(*[F.col(f"_l{k}") for k in lags]).alias("pv"),
+            )
+        ).alias("z"),
+    ).select(
+        "event_type",
+        "vc",
+        F.col("z.lag_k").alias("lag_k"),
+        F.col("z.pv").alias("pv"),
+    ).filter(F.col("pv").isNotNull())
+    g = melted.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("sx"),
+        F.sum("pv").alias("sy"),
+        F.sum(F.col("vc") * F.col("pv")).alias("sxy"),
+        F.sum(F.col("vc") * F.col("vc")).alias("sxx"),
+        F.sum(F.col("pv") * F.col("pv")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    return g.select(
+        "event_type",
+        "lag_k",
+        n.alias("n_pairs"),
+        F.when((n > 1) & (dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy))).alias(
+            "acf"
+        ),
+    )
+
+
+@q(
+    "spearman_corr",
+    oracle=f"""
+    WITH obs AS ({_HOURLY_CLOSE}),
+    a AS (SELECT bar_ts, value AS x FROM obs WHERE event_type = 'view'),
+    b AS (SELECT bar_ts, value AS y FROM obs WHERE event_type = 'click'),
+    j AS (SELECT a.bar_ts, x, y FROM a JOIN b ON a.bar_ts = b.bar_ts),
+    r AS (
+        SELECT bar_ts,
+               -- average ranks doubled -> exact integers (rank pairs
+               -- for ties average to half-integers)
+               CAST(rank() OVER (ORDER BY x) AS BIGINT)
+                 + CAST(count(*) OVER (PARTITION BY x) AS BIGINT) - 1 AS rx2,
+               CAST(rank() OVER (ORDER BY y) AS BIGINT)
+                 + CAST(count(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS ry2
+        FROM j
+    ),
+    g AS (
+        SELECT count(*)    AS n,
+               sum(rx2)    AS sx,
+               sum(ry2)    AS sy,
+               sum(rx2*ry2) AS sxy,
+               sum(rx2*rx2) AS sxx,
+               sum(ry2*ry2) AS syy
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS spearman
+    FROM g
+    WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+    """,
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the two aligned hourly close
+    series - the monotonic-association twin of rolling_corr's Pearson,
+    robust to outliers and nonlinearity. Exact across engines by
+    construction: tie-averaged ranks are DOUBLED so they are integers
+    (rank + tie_count - 1 = twice the average rank), the moments are
+    bigint sums, and the correlation is one fixed IEEE expression.
+    Shape: two ranking windows over the bar grid + one scalar
+    aggregate - bar-count-bounded, like every panel in this family."""
+    obs = _hourly_close(spark, sf_dir)
+    a = obs.filter(F.col("event_type") == "view").select(
+        "bar_ts", F.col("value").alias("x")
+    )
+    b = obs.filter(F.col("event_type") == "click").select(
+        "bar_ts", F.col("value").alias("y")
+    )
+    j = a.join(b, "bar_ts")
+    rx2 = (
+        F.rank().over(W.partitionBy().orderBy("x")).cast("bigint")
+        + F.count(F.lit(1)).over(W.partitionBy("x")).cast("bigint")
+        - 1
+    )
+    ry2 = (
+        F.rank().over(W.partitionBy().orderBy("y")).cast("bigint")
+        + F.count(F.lit(1)).over(W.partitionBy("y")).cast("bigint")
+        - 1
+    )
+    r = j.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    g = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    return g.filter(
+        (n > 1) & (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)
+    ).select(
+        n.alias("n_obs"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("spearman"),
+    )
