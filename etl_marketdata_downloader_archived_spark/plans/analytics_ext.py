@@ -1420,3 +1420,112 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_obs"),
         (num / (F.sqrt(dx) * F.sqrt(dy))).alias("spearman"),
     )
+
+
+@q(
+    "chi2_cells",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS o
+        FROM events GROUP BY event_type, hour(ts)
+    ),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n FROM c GROUP BY event_type),
+    ct AS (SELECT hr, CAST(sum(o) AS BIGINT) AS col_n FROM c GROUP BY hr),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM c)
+    SELECT c.event_type, c.hr,
+           CAST(o AS BIGINT) AS observed,
+           CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+             / CAST(total AS DOUBLE)                       AS expected,
+           (CAST(o AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                                  / CAST(total AS DOUBLE))
+           * (CAST(o AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                                    / CAST(total AS DOUBLE))
+           / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(total AS DOUBLE))                   AS contrib
+    FROM c JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN t
+    """,
+)
+def chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for event_type x hour-of-day:
+    observed counts, expected under independence (row x col / total),
+    and each cell's chi-square contribution - the seasonality/
+    dependence screen, emitted PER CELL so every number is a fixed
+    IEEE expression over exact integer marginals (a single chi-square
+    scalar would need a float sum whose order differs across engines;
+    the per-cell form stays exact and the consumer sums it at
+    whatever precision it wants). One count aggregate + two
+    marginal re-aggregations of the collapsed cell table."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = c.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    ct = c.groupBy("hr").agg(F.sum("o").alias("col_n"))
+    t = c.agg(F.sum("o").alias("total"))
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("total").cast("double")
+    )
+    od = F.col("o").cast("double")
+    return (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "hr",
+            F.col("o").alias("observed"),
+            exp.alias("expected"),
+            ((od - exp) * (od - exp) / exp).alias("contrib"),
+        )
+    )
+
+
+@q(
+    "concentration_hhi",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, user_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, user_id
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)   AS n_users,
+               CAST(sum(n) AS BIGINT)     AS total,
+               CAST(sum(n*n) AS BIGINT)   AS sum_sq,
+               CAST(max(n) AS BIGINT)     AS top_user_n
+        FROM v GROUP BY event_type
+    )
+    SELECT event_type, n_users, total,
+           CAST(sum_sq AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi,
+           CAST(top_user_n AS DOUBLE) / CAST(total AS DOUBLE)  AS top_share
+    FROM g
+    """,
+)
+def concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of per-user activity within
+    each event_type (sum of squared shares), plus the top-user share -
+    the source-dominance screen a training-data pipeline runs before
+    trusting a stratum (one crawler producing 80% of a source's docs).
+    Exact: HHI = sum(n^2) / total^2 from two bigint aggregates - the
+    squared-shares float sum never happens. Two partial-combined
+    aggregates, second over the collapsed (type, user) table."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.max("n").alias("top_user_n"),
+    )
+    td = F.col("total").cast("double")
+    return g.select(
+        "event_type",
+        "n_users",
+        "total",
+        (F.col("sum_sq").cast("double") / (td * td)).alias("hhi"),
+        (F.col("top_user_n").cast("double") / td).alias("top_share"),
+    )
