@@ -1529,3 +1529,68 @@ def concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_sq").cast("double") / (td * td)).alias("hhi"),
         (F.col("top_user_n").cast("double") / td).alias("top_share"),
     )
+
+
+@q(
+    "gini_activity",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+        SELECT event_type, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n, user_id) AS i,
+               count(*)     OVER (PARTITION BY event_type) AS cnt
+        FROM v
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(max(cnt) AS BIGINT)  AS n_users,
+               CAST(sum(n) AS BIGINT)    AS total,
+               CAST(sum(i * n) AS BIGINT) AS wsum
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_users, total,
+           (2.0 * CAST(wsum AS DOUBLE))
+             / (CAST(n_users AS DOUBLE) * CAST(total AS DOUBLE))
+           - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE)
+             AS gini
+    FROM g
+    """,
+)
+def gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity within each event_type -
+    the inequality twin of the HHI screen (0 = uniform contribution,
+    ->1 = one user is the stratum). Exact via the rank formulation
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n with x ascending: the
+    rank-weighted sum is a bigint (ranks deterministic via the
+    (n, user_id) tie-break), so the statistic is one fixed IEEE
+    expression over exact integers. One ranking window over the
+    collapsed (type, user) table + one aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("n", "user_id")
+    wt = W.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wt).alias("cnt"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.max("cnt").alias("n_users"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("i") * F.col("n")).alias("wsum"),
+    )
+    nu = F.col("n_users").cast("double")
+    td = F.col("total").cast("double")
+    return g.select(
+        "event_type",
+        "n_users",
+        "total",
+        (
+            2.0 * F.col("wsum").cast("double") / (nu * td) - (nu + 1.0) / nu
+        ).alias("gini"),
+    )
