@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile", "ks_statistic", "ks_from_counts", "mad_outliers"]
+__all__ = ["profile", "ks_statistic", "ks_from_counts", "mad_outliers", "mann_whitney"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -227,4 +227,79 @@ def mad_outliers(
             F.col("_dev").alias("dev"),
             rz.alias("robust_z"),
         )
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Mann-Whitney U (rank-sum) two-sample test per group: the
+    nonparametric location-shift companion to ``ks_statistic`` -
+    KS asks "is the distribution different anywhere", U asks "does one
+    side stochastically dominate", which is the question for a feed
+    whose values drifted up rather than changed shape.
+
+    Exact across engines: tie-averaged ranks are DOUBLED into integers
+    (rank + tie_count - 1), U and the common-language effect size are
+    fixed IEEE expressions over their bigint sums, and the
+    tie-corrected normal approximation's variance uses the exact
+    integer tie term sum(t^3 - t). Shape: one ranking window over the
+    combined sample per group + one aggregate; the tie term
+    re-aggregates per-distinct-value counts.
+
+    Returns by + (n_a, n_b, u_a, effect, z): u_a is side-'a''s U,
+    effect = U_a/(n_a*n_b) in [0,1] (0.5 = no dominance), z the
+    tie-corrected standardized statistic (NULL when degenerate).
+    """
+    keys = list(by or [])
+    base = W.partitionBy(*keys) if keys else W.partitionBy()
+    # doubled tie-averaged rank: the tie group occupying positions
+    # [rank, rank+t-1] has average (2*rank + t - 1)/2, so doubling it
+    # gives the exact integer 2*rank + t - 1
+    r2 = (
+        2 * F.rank().over(base.orderBy(value_col)).cast("bigint")
+        + F.count(F.lit(1))
+        .over(W.partitionBy(*keys, value_col) if keys else W.partitionBy(value_col))
+        .cast("bigint")
+        - 1
+    )
+    ranked = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        F.col(side_col).alias("_side"),
+        r2.alias("_r2"),
+    )
+    ties = (
+        ranked.groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias(
+                "_tie_term"
+            )
+        )
+    )
+    g = ranked.groupBy(*keys).agg(
+        F.count(F.when(F.col("_side") == "a", 1)).alias("n_a"),
+        F.count(F.when(F.col("_side") == "b", 1)).alias("n_b"),
+        F.sum(F.when(F.col("_side") == "a", F.col("_r2"))).alias("_sr2a"),
+    )
+    g = g.join(ties, keys) if keys else g.crossJoin(ties)
+    na, nb = F.col("n_a"), F.col("n_b")
+    nad, nbd = na.cast("double"), nb.cast("double")
+    nd = (na + nb).cast("double")
+    u_a = (F.col("_sr2a") - na * (na + 1)).cast("double") / 2
+    tie_d = F.col("_tie_term").cast("double")
+    var = (nad * nbd / 12.0) * ((nd + 1.0) - tie_d / (nd * (nd - 1.0)))
+    z = (u_a - nad * nbd / 2.0) / F.sqrt(var)
+    return g.select(
+        *keys,
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        F.when((na > 0) & (nb > 0), u_a / (nad * nbd)).alias("effect"),
+        F.when((na > 0) & (nb > 0) & (var > 0), z).alias("z"),
     )

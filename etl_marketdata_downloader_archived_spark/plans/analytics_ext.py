@@ -1350,9 +1350,9 @@ def acf_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT bar_ts,
                -- average ranks doubled -> exact integers (rank pairs
                -- for ties average to half-integers)
-               CAST(rank() OVER (ORDER BY x) AS BIGINT)
+               2 * CAST(rank() OVER (ORDER BY x) AS BIGINT)
                  + CAST(count(*) OVER (PARTITION BY x) AS BIGINT) - 1 AS rx2,
-               CAST(rank() OVER (ORDER BY y) AS BIGINT)
+               2 * CAST(rank() OVER (ORDER BY y) AS BIGINT)
                  + CAST(count(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS ry2
         FROM j
     ),
@@ -1378,7 +1378,7 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     series - the monotonic-association twin of rolling_corr's Pearson,
     robust to outliers and nonlinearity. Exact across engines by
     construction: tie-averaged ranks are DOUBLED so they are integers
-    (rank + tie_count - 1 = twice the average rank), the moments are
+    (2*rank + tie_count - 1 = twice the average rank), the moments are
     bigint sums, and the correlation is one fixed IEEE expression.
     Shape: two ranking windows over the bar grid + one scalar
     aggregate - bar-count-bounded, like every panel in this family."""
@@ -1390,13 +1390,14 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_ts", F.col("value").alias("y")
     )
     j = a.join(b, "bar_ts")
+    # doubled tie-averaged ranks: 2*rank + tie_count - 1 (exact ints)
     rx2 = (
-        F.rank().over(W.partitionBy().orderBy("x")).cast("bigint")
+        2 * F.rank().over(W.partitionBy().orderBy("x")).cast("bigint")
         + F.count(F.lit(1)).over(W.partitionBy("x")).cast("bigint")
         - 1
     )
     ry2 = (
-        F.rank().over(W.partitionBy().orderBy("y")).cast("bigint")
+        2 * F.rank().over(W.partitionBy().orderBy("y")).cast("bigint")
         + F.count(F.lit(1)).over(W.partitionBy("y")).cast("bigint")
         - 1
     )
@@ -1594,3 +1595,77 @@ def gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("wsum").cast("double") / (nu * td) - (nu + 1.0) / nu
         ).alias("gini"),
     )
+
+
+@q(
+    "mannwhitney_drift",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'a'
+                    ELSE 'b' END AS side
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, value, side,
+               2 * CAST(rank() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS BIGINT)
+                 + CAST(count(*) OVER (PARTITION BY event_type, value)
+                        AS BIGINT) - 1 AS r2
+        FROM s
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(sum(t*t*t - t) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, value, CAST(count(*) AS BIGINT) AS t
+              FROM s GROUP BY event_type, value)
+        GROUP BY event_type
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (WHERE side = 'a') AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE side = 'b') AS BIGINT) AS n_b,
+               CAST(sum(r2)  FILTER (WHERE side = 'a') AS BIGINT) AS sr2a
+        FROM r GROUP BY event_type
+    )
+    SELECT g.event_type, n_a, n_b,
+           CAST(sr2a - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_a,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             (CAST(sr2a - n_a * (n_a + 1) AS DOUBLE) / 2)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           END AS effect,
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                     * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                        - CAST(tie_term AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE)
+                             * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0
+           THEN
+             (CAST(sr2a - n_a * (n_a + 1) AS DOUBLE) / 2
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                    * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                       - CAST(tie_term AS DOUBLE)
+                         / (CAST(n_a + n_b AS DOUBLE)
+                            * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+           END AS z
+    FROM g JOIN ties ON g.event_type = ties.event_type
+    """,
+)
+def mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum drift test per event_type, before vs
+    after 2024-01-15 (operators.profile.mann_whitney): the
+    stochastic-dominance companion to ks_drift - KS asks "different
+    anywhere", U asks "did the values move up or down". Exact across
+    engines: doubled tie-averaged ranks, bigint tie term sum(t^3-t),
+    and the tie-corrected z as one fixed IEEE expression."""
+    from ..operators.profile import mann_whitney
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    flagged = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < cut, "a").otherwise("b").alias("side"),
+    )
+    return mann_whitney(flagged, "value", "side", by=["event_type"])

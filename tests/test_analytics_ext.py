@@ -346,3 +346,55 @@ def test_quantize_embeddings_roundtrip_and_recall(spark, sf_dir) -> None:
     # schema actually shrinks: tinyint codes, float scale
     assert dict(q.dtypes)["codes"] == "array<tinyint>"
     assert dict(q.dtypes)["scale"] == "float"
+
+
+def test_mann_whitney_vs_reference(spark) -> None:
+    """mann_whitney vs a from-scratch numpy reference (tie-averaged
+    ranks, tie-corrected variance) on a shifted sample with ties."""
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        mann_whitney,
+    )
+
+    rng = np.random.default_rng(41)
+    a = np.round(rng.normal(0, 1, 300), 1)  # coarse rounding -> ties
+    b = np.round(rng.normal(0.5, 1, 250), 1)
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, side string")
+    got = mann_whitney(df, "v", "side").collect()[0]
+
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    # tie-averaged ranks
+    sorted_v = allv[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2
+        i = j
+    ra = ranks[: len(a)].sum()
+    na, nb = len(a), len(b)
+    u = ra - na * (na + 1) / 2
+    assert got.u_a == pytest.approx(u, abs=1e-9)
+    assert got.effect == pytest.approx(u / (na * nb), rel=1e-12)
+    n = na + nb
+    _, t = np.unique(allv, return_counts=True)
+    var = (na * nb / 12) * ((n + 1) - ((t**3 - t).sum()) / (n * (n - 1)))
+    z = (u - na * nb / 2) / np.sqrt(var)
+    assert got.z == pytest.approx(z, rel=1e-12)
+    # b is shifted UP, so side a's rank sum is LOW: strong negative z
+    assert got.z < -3
+
+
+def test_mann_whitney_no_shift_small_z(spark) -> None:
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        mann_whitney,
+    )
+
+    rows = [(float(v % 17), s) for v in range(400) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "v double, side string")
+    got = mann_whitney(df, "v", "side").collect()[0]
+    assert got.effect == pytest.approx(0.5, abs=1e-12)
+    assert abs(got.z) < 1e-9
