@@ -398,3 +398,29 @@ def test_mann_whitney_no_shift_small_z(spark) -> None:
     got = mann_whitney(df, "v", "side").collect()[0]
     assert got.effect == pytest.approx(0.5, abs=1e-12)
     assert abs(got.z) < 1e-9
+
+
+def test_spearman_query_matches_pandas(spark, sf_dir) -> None:
+    """Registered spearman_corr vs pandas .corr(method='spearman') on
+    the same aligned hourly-close pair - pins the true tie-averaged
+    definition (a self-consistent wrong rank formula would pass
+    parity on both engines but fail this)."""
+    from etl_marketdata_downloader_archived_spark.plans import registry
+
+    got = registry.all_queries()["spearman_corr"](spark, sf_dir).collect()[0]
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    pdf["bar_ts"] = pdf["ts"].dt.floor("h")
+    close = (
+        pdf.sort_values(["ts", "event_id"])
+        .groupby(["event_type", "bar_ts"])
+        .last()["value"]
+        .reset_index()
+    )
+    a = close[close.event_type == "view"].set_index("bar_ts")["value"]
+    b = close[close.event_type == "click"].set_index("bar_ts")["value"]
+    j = pd.concat([a.rename("x"), b.rename("y")], axis=1, join="inner")
+    # spearman = pearson on tie-averaged ranks (pandas' spearman needs
+    # scipy, absent here; rank(method='average') is the definition)
+    want = j["x"].rank(method="average").corr(j["y"].rank(method="average"))
+    assert got.n_obs == len(j)
+    assert got.spearman == pytest.approx(want, rel=1e-12)
