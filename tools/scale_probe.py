@@ -65,10 +65,23 @@ def build_replica(spark, k: int) -> str:
     from etl_marketdata_downloader_archived_spark.io import load_table
 
     out_dir = f"/tmp/scale_probe/x{k}"
+
+    def _link_dims() -> None:
+        # non-replicated tables (dimensions) symlink to the base
+        # copies so ANY registered query runs against the replica dir
+        # - dims growing slower than facts is the realistic shape
+        for fname in os.listdir(BASE):
+            if not fname.endswith(".parquet"):
+                continue
+            dst = os.path.join(out_dir, fname)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(BASE, fname), dst)
+
     if all(
         os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
         for t in REPLICATED
     ):
+        _link_dims()
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     for table, id_col in REPLICATED.items():
@@ -86,6 +99,7 @@ def build_replica(spark, k: int) -> str:
         rep.drop("_rep").write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{table}.parquet")
         )
+    _link_dims()
     return out_dir
 
 
