@@ -1669,3 +1669,87 @@ def mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ts") < cut, "a").otherwise("b").alias("side"),
     )
     return mann_whitney(flagged, "value", "side", by=["event_type"])
+
+
+@q(
+    "corr_matrix",
+    oracle=f"""
+    WITH obs AS ({_HOURLY_CLOSE}),
+    c AS (
+        SELECT event_type, bar_ts,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM obs
+    ),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.vc AS xa, b.vc AS xb
+        FROM c a JOIN c b
+          ON a.bar_ts = b.bar_ts AND a.event_type < b.event_type
+    ),
+    g AS (
+        SELECT type_a, type_b,
+               count(*)   AS n,
+               sum(xa)    AS sx,
+               sum(xb)    AS sy,
+               sum(xa*xb) AS sxy,
+               sum(xa*xa) AS sxx,
+               sum(xb*xb) AS syy
+        FROM p GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_obs,
+           CASE WHEN n > 1 AND CAST(n*sxx - sx*sx AS DOUBLE) > 0
+                         AND CAST(n*syy - sy*sy AS DOUBLE) > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE)
+               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END AS corr
+    FROM g
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise correlation matrix across ALL series (upper
+    triangle): the cross-asset panel behind portfolio/beta work,
+    computed WITHOUT pivoting or collecting the series list - one
+    self-equi-join of the hourly close grid on the bar key (type_a <
+    type_b keeps each pair once) and one partial-combined aggregate
+    over integer-cents moments; exact across engines. At 100 TB the
+    join input is the bar grid (bars x series), and the pair fan-out
+    is series-count-bounded per bar - the shuffle key is the hour."""
+    obs = _hourly_close(spark, sf_dir)
+    c = obs.select(
+        "event_type",
+        "bar_ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    a = c.select(
+        F.col("event_type").alias("type_a"),
+        "bar_ts",
+        F.col("vc").alias("xa"),
+    )
+    b = c.select(
+        F.col("event_type").alias("type_b"),
+        "bar_ts",
+        F.col("vc").alias("xb"),
+    )
+    p = a.join(b, "bar_ts").filter(F.col("type_a") < F.col("type_b"))
+    g = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    return g.select(
+        "type_a",
+        "type_b",
+        n.alias("n_obs"),
+        F.when((n > 1) & (dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy))).alias(
+            "corr"
+        ),
+    )
