@@ -106,14 +106,23 @@ def ks_statistic(
     the KS sup being evaluated on grid edges (an under-estimate by at
     most the within-bin mass - the standard binned-KS trade).
 
+    NULL values are dropped up front (scipy two-sample semantics):
+    a NULL carries no ECDF step, and Spark's window ORDER BY puts
+    NULLS FIRST where DuckDB puts them LAST, so letting them through
+    would make the cumulative counts engine-dependent.
+
     Returns one row per group: by + (ks, n_a, n_b).
     """
     keys = list(by or [])
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col)
     if bins is not None:
         lo, hi = df.agg(F.min(v), F.max(v)).first()
-        if lo is None or hi == lo:
-            hi = (lo or 0) + 1
+        if lo is None:
+            lo = 0.0  # all rows null-valued: empty result either way,
+            hi = 1.0  # but keep width_bucket's bounds well-typed
+        elif hi == lo:
+            hi = lo + 1
         v = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(bins))
     g = df.groupBy(
         *keys, v.alias("_v")
@@ -130,7 +139,9 @@ def ks_from_counts(g: DataFrame, keys: list[str]) -> DataFrame:
     bin) with the two samples' counts. This is the reusable core of
     ``ks_statistic``; the streaming drift monitor feeds it a cached
     reference count table unioned with each micro-batch's counts, so
-    the reference corpus is aggregated ONCE, not once per batch."""
+    the reference corpus is aggregated ONCE, not once per batch.
+    Precondition: ``_v`` is non-null (callers drop NULL values before
+    counting - NULL ordering differs across engines)."""
     w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("_v")
     cum_a = F.sum("_ca").over(w)
     cum_b = F.sum("_cb").over(w)
@@ -246,48 +257,51 @@ def mann_whitney(
     (rank + tie_count - 1), U and the common-language effect size are
     fixed IEEE expressions over their bigint sums, and the
     tie-corrected normal approximation's variance uses the exact
-    integer tie term sum(t^3 - t). Shape: one ranking window over the
-    combined sample per group + one aggregate; the tie term
-    re-aggregates per-distinct-value counts.
+    integer tie term sum(t^3 - t). NULL values are dropped up front
+    (scipy two-sample semantics) - they carry no rank and would
+    otherwise order differently across engines (Spark NULLS FIRST vs
+    DuckDB NULLS LAST).
+
+    Scale shape (rank-from-counts): the combined sample collapses
+    FIRST to per-(group, distinct-value) side counts - one
+    partial-combined shuffle - and the ranking window runs over THAT
+    table (input bounded by value cardinality, never sample size; no
+    per-group single-task sort of fact-scale input). The tie group of
+    size t at cumulative count cum starts at rank cum-t+1, so its
+    doubled tie-averaged rank is the exact integer 2*cum - t + 1;
+    side-'a''s rank sum is the c_a-weighted sum of that column, and
+    the tie term folds onto the same table.
 
     Returns by + (n_a, n_b, u_a, effect, z): u_a is side-'a''s U,
     effect = U_a/(n_a*n_b) in [0,1] (0.5 = no dominance), z the
     tie-corrected standardized statistic (NULL when degenerate).
     """
     keys = list(by or [])
-    base = W.partitionBy(*keys) if keys else W.partitionBy()
-    # doubled tie-averaged rank: the tie group occupying positions
-    # [rank, rank+t-1] has average (2*rank + t - 1)/2, so doubling it
-    # gives the exact integer 2*rank + t - 1
-    r2 = (
-        2 * F.rank().over(base.orderBy(value_col)).cast("bigint")
-        + F.count(F.lit(1))
-        .over(W.partitionBy(*keys, value_col) if keys else W.partitionBy(value_col))
-        .cast("bigint")
-        - 1
-    )
-    ranked = df.select(
-        *keys,
-        F.col(value_col).alias("_v"),
-        F.col(side_col).alias("_side"),
-        r2.alias("_r2"),
-    )
-    ties = (
-        ranked.groupBy(*keys, "_v")
-        .agg(F.count(F.lit(1)).alias("_t"))
-        .groupBy(*keys)
+    g0 = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.col(value_col).alias("_v"))
         .agg(
-            F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias(
-                "_tie_term"
-            )
+            F.count(F.lit(1)).alias("_t"),
+            F.count(F.when(F.col(side_col) == "a", 1)).alias("_ca"),
+            F.count(F.when(F.col(side_col) == "b", 1)).alias("_cb"),
         )
     )
-    g = ranked.groupBy(*keys).agg(
-        F.count(F.when(F.col("_side") == "a", 1)).alias("n_a"),
-        F.count(F.when(F.col("_side") == "b", 1)).alias("n_b"),
-        F.sum(F.when(F.col("_side") == "a", F.col("_r2"))).alias("_sr2a"),
+    wv = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("_v")
+    stepped = g0.select(
+        *keys,
+        "_t",
+        "_ca",
+        "_cb",
+        (2 * F.sum("_t").over(wv) - F.col("_t") + 1).alias("_r2"),
     )
-    g = g.join(ties, keys) if keys else g.crossJoin(ties)
+    g = stepped.groupBy(*keys).agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(F.col("_ca") * F.col("_r2")).alias("_sr2a"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_tie_term"),
+    )
     na, nb = F.col("n_a"), F.col("n_b")
     nad, nbd = na.cast("double"), nb.cast("double")
     nd = (na + nb).cast("double")

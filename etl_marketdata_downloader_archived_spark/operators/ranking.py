@@ -47,6 +47,7 @@ __all__ = [
     "lm_cross_entropy",
     "bm25_topk",
     "inverted_index",
+    "pmi_pairs",
 ]
 
 

@@ -344,6 +344,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-15') AS ca,
                count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15') AS cb
         FROM events
+        WHERE value IS NOT NULL
         GROUP BY event_type, value
     ),
     s AS (
@@ -593,52 +594,73 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile - which is what makes the clip exact across engines
     where quantile_cont/percentile implementations would drift.
     Outputs clip counts and the winsorized mean (exact integer-cents
-    ratio). Shape: one ranking window per group + one broadcast join
-    of the 5-row cut table back over the scan."""
+    ratio).
+
+    Scale shape (rank-from-counts): the fact scan collapses FIRST to
+    per-(type, distinct-value) counts - one partial-combined shuffle -
+    and the ranking window runs over THAT table (input bounded by
+    value cardinality, never row count; no per-event_type single-task
+    sort of fact-scale input). The positional cut at rank k =
+    ceil(p*n) is the unique distinct value whose cumulative count
+    interval [cum-c+1, cum] contains k - identical to the row-level
+    row_number() definition because the event_id tie-break never
+    crosses a value boundary. Clip counts and the winsorized cents sum
+    then fold onto the same counts table (sum of c-weighted per-value
+    terms == the row-level sums, exactly, in bigint)."""
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    g = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wv = W.partitionBy("event_type").orderBy("value")
     wt = W.partitionBy("event_type")
-    r = e.select(
+    stepped = g.select(
         "event_type",
         "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wt).alias("n"),
+        "c",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
     )
-    cuts = r.groupBy("event_type").agg(
+    k01 = F.ceil(0.01 * F.col("n")).cast("bigint")
+    k99 = F.ceil(0.99 * F.col("n")).cast("bigint")
+    cuts = stepped.groupBy("event_type").agg(
         F.max(
             F.when(
-                F.col("rn") == F.ceil(0.01 * F.col("n")).cast("bigint"),
+                (F.col("cum") >= k01) & (F.col("cum") - F.col("c") < k01),
                 F.col("value"),
             )
         ).alias("p01"),
         F.max(
             F.when(
-                F.col("rn") == F.ceil(0.99 * F.col("n")).cast("bigint"),
+                (F.col("cum") >= k99) & (F.col("cum") - F.col("c") < k99),
                 F.col("value"),
             )
         ).alias("p99"),
     )
     clipped = (
-        e.join(F.broadcast(cuts), "event_type")
+        g.join(F.broadcast(cuts), "event_type")
         .select(
             "event_type",
-            F.when(F.col("value") < F.col("p01"), 1).otherwise(0).alias("clip_lo"),
-            F.when(F.col("value") > F.col("p99"), 1).otherwise(0).alias("clip_hi"),
-            F.round(
-                F.when(F.col("value") < F.col("p01"), F.col("p01"))
-                .when(F.col("value") > F.col("p99"), F.col("p99"))
-                .otherwise(F.col("value"))
-                * 100
-            )
-            .cast("bigint")
-            .alias("wc"),
+            "c",
+            F.when(F.col("value") < F.col("p01"), F.col("c"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("clip_lo"),
+            F.when(F.col("value") > F.col("p99"), F.col("c"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("clip_hi"),
+            (
+                F.round(
+                    F.when(F.col("value") < F.col("p01"), F.col("p01"))
+                    .when(F.col("value") > F.col("p99"), F.col("p99"))
+                    .otherwise(F.col("value"))
+                    * 100
+                ).cast("bigint")
+                * F.col("c")
+            ).alias("wc"),
         )
     )
     return clipped.groupBy("event_type").agg(
         F.sum("clip_lo").alias("n_clip_lo"),
         F.sum("clip_hi").alias("n_clip_hi"),
         (
-            F.sum("wc").cast("double") / F.count(F.lit(1)) / 100
+            F.sum("wc").cast("double") / F.sum("c") / 100
         ).alias("wmean"),
     )
 
@@ -708,7 +730,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_components",
     oracle="""
     WITH RECURSIVE e AS (
-        SELECT DISTINCT l_partkey AS a, 100000 + l_suppkey AS b
+        SELECT DISTINCT l_partkey AS a, - l_suppkey AS b
         FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 97 = 0
     ),
     ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
@@ -735,7 +757,11 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics: the oracle's closure is quadratic in component size, so
     the fixture keeps components small while the Spark side runs the
     production operator unchanged (driver union-find fast path here;
-    min-label propagation past 1M edges)."""
+    min-label propagation past 1M edges). Supplier nodes are encoded
+    as NEGATED keys: part keys are positive, supplier keys negative,
+    so the two id spaces cannot collide at ANY scale factor (an
+    additive offset like 100000+s_suppkey overlaps partkey once
+    SF >= 0.5 - TPC-H partkey ranges to 200000*SF)."""
     from ..operators.dedup import connected_components
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -743,7 +769,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 97 == 0))
         .select(
             F.col("l_partkey").alias("id_a"),
-            (F.lit(100000) + F.col("l_suppkey")).alias("id_b"),
+            (-F.col("l_suppkey")).alias("id_b"),
         )
         .distinct()
     )
@@ -1568,22 +1594,33 @@ def gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n with x ascending: the
     rank-weighted sum is a bigint (ranks deterministic via the
     (n, user_id) tie-break), so the statistic is one fixed IEEE
-    expression over exact integers. One ranking window over the
-    collapsed (type, user) table + one aggregate."""
+    expression over exact integers.
+
+    Scale shape (rank-from-counts): per-user rows collapse to
+    per-(type, distinct activity count n) tie groups of size t, and
+    the window runs over THAT table (input bounded by activity-count
+    cardinality, never user count - no per-type single-task sort of
+    10^9 user rows). Within a tie group all users share the same n,
+    so the user_id tie-break is rank-sum-invariant: the group occupies
+    positions [r, r+t-1] (r = cum-t+1 from a cumulative count) and
+    contributes exactly n*(t*r + t*(t-1)/2) to sum(i*n) - integer
+    arithmetic throughout (t*(t-1) is even, DIV is exact)."""
     e = load_table(spark, sf_dir, "events")
     v = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = W.partitionBy("event_type").orderBy("n", "user_id")
+    d = v.groupBy("event_type", "n").agg(F.count(F.lit(1)).alias("t"))
+    wv = W.partitionBy("event_type").orderBy("n")
     wt = W.partitionBy("event_type")
-    r = v.select(
+    stepped = d.select(
         "event_type",
         "n",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wt).alias("cnt"),
+        "t",
+        (F.sum("t").over(wv) - F.col("t") + 1).alias("r"),
+        F.sum("t").over(wt).alias("cnt"),
     )
-    g = r.groupBy("event_type").agg(
+    g = stepped.groupBy("event_type").agg(
         F.max("cnt").alias("n_users"),
-        F.sum("n").alias("total"),
-        F.sum(F.col("i") * F.col("n")).alias("wsum"),
+        F.sum(F.col("t") * F.col("n")).alias("total"),
+        F.sum(F.expr("n * (t * r + (t * (t - 1)) DIV 2)")).alias("wsum"),
     )
     nu = F.col("n_users").cast("double")
     td = F.col("total").cast("double")
@@ -1605,6 +1642,7 @@ def gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'a'
                     ELSE 'b' END AS side
         FROM events
+        WHERE value IS NOT NULL
     ),
     r AS (
         SELECT event_type, value, side,

@@ -55,9 +55,16 @@ def reference_counts(
     cached so each micro-batch reuses it without rescanning the
     reference corpus."""
     keys = list(by or [])
+    ref_df = ref_df.filter(F.col(value_col).isNotNull())
     lo, hi = ref_df.agg(F.min(value_col), F.max(value_col)).first()
-    if lo is None or hi == lo:
-        hi = (lo or 0.0) + 1.0
+    if lo is None:
+        # a monitor with no reference distribution is a config error,
+        # not a degenerate grid: fail at start, not NULL-KS per batch
+        raise ValueError(
+            f"drift reference has no non-null {value_col!r} values"
+        )
+    if hi == lo:
+        hi = lo + 1.0
     counts = (
         ref_df.groupBy(*keys, _bucket(value_col, lo, hi, bins).alias("_v"))
         .agg(F.count(F.lit(1)).alias("_ca"))
@@ -80,6 +87,7 @@ def batch_ks(
     """Binned KS of one batch against the prepared reference counts:
     by + (ks, n_a, n_b) with n_a = reference rows, n_b = batch rows."""
     keys = list(by or [])
+    batch_df = batch_df.filter(F.col(value_col).isNotNull())
     b = (
         batch_df.groupBy(*keys, _bucket(value_col, lo, hi, bins).alias("_v"))
         .agg(F.count(F.lit(1)).alias("_cb"))
@@ -106,16 +114,31 @@ def start_drift_monitor(
 ):
     """Start the monitor: per micro-batch, compute the binned KS per
     group against the fixed reference and hand the result frame (with
-    batch_id, and is_drift when ``threshold`` is set) to
-    ``on_result``. Returns the StreamingQuery."""
+    batch_id, status, and is_drift when ``threshold`` is set) to
+    ``on_result``. Returns the StreamingQuery.
+
+    One-sided groups are the MOST severe failures, not missing data:
+    a group in the batch with no reference counterpart (new stratum)
+    or a reference group the batch went silent on both get
+    status != 'ok' and is_drift = true - the NULL ks that a
+    one-sided ECDF produces must never propagate into a silent
+    NULL alarm."""
     ref, lo, hi = reference_counts(reference_df, value_col, by, bins)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_ks(batch_df, ref, lo, hi, value_col, by, bins)
-        out = out.withColumn("batch_id", F.lit(batch_id))
+        out = out.withColumn("batch_id", F.lit(batch_id)).withColumn(
+            "status",
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.lit("ok"))
+            .when(F.col("n_a") == 0, F.lit("new_group"))
+            .otherwise(F.lit("batch_silent")),
+        )
         if threshold is not None:
             out = out.withColumn(
-                "is_drift", F.col("ks") > F.lit(threshold)
+                "is_drift",
+                F.when(F.col("status") != "ok", F.lit(True)).otherwise(
+                    F.col("ks") > F.lit(threshold)
+                ),
             )
         on_result(out, batch_id)
 

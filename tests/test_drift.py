@@ -186,3 +186,59 @@ def test_monitor_restart_resumes_from_checkpoint(spark, ref_df, tmp_path) -> Non
     run_once()
     # exactly one new result, sized to the NEW file only
     assert len(seen) == 2 and seen[1]["a"] == 50
+
+
+def test_one_sided_groups_alarm_explicitly(spark, ref_df, tmp_path) -> None:
+    """The most severe feed failures are STRUCTURAL, not distributional:
+    a group in the batch with no reference (new stratum) and a
+    reference group the batch went silent on both produce a one-sided
+    ECDF whose ks is NULL - the monitor must surface status != 'ok'
+    and is_drift = true, never a NULL alarm."""
+    rng = np.random.default_rng(11)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # batch: group a normal, group c brand new; group b absent
+    rows = [("a", float(v)) for v in rng.normal(10, 2, 200)]
+    rows += [("c", float(v)) for v in rng.normal(5, 1, 200)]
+    _write_batch(in_dir, "b0.json", rows)
+
+    results: dict[str, object] = {}
+
+    def on_result(df, batch_id):
+        for r in df.collect():
+            results[r.grp] = r
+
+    stream = (
+        spark.readStream.schema("grp string, v double")
+        .json(str(in_dir))
+    )
+    q = start_drift_monitor(
+        stream,
+        ref_df,
+        "v",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_result=on_result,
+        by=["grp"],
+        bins=32,
+        threshold=0.2,
+    )
+    q.awaitTermination(120)
+
+    assert set(results) == {"a", "b", "c"}
+    assert results["a"].status == "ok" and not results["a"].is_drift
+    # reference group went silent in the batch
+    assert results["b"].status == "batch_silent"
+    assert results["b"].is_drift is True and results["b"].n_b == 0
+    # stratum with no reference distribution
+    assert results["c"].status == "new_group"
+    assert results["c"].is_drift is True and results["c"].n_a == 0
+
+
+def test_reference_with_no_values_fails_fast(spark) -> None:
+    """An all-NULL (or empty) reference is a configuration error: the
+    monitor must refuse to start instead of emitting NULL ks rows."""
+    empty = spark.createDataFrame(
+        [("a", None)], "grp string, v double"
+    )
+    with pytest.raises(ValueError, match="no non-null"):
+        reference_counts(empty, "v", ["grp"], bins=8)
