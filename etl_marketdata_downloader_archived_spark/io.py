@@ -238,6 +238,61 @@ def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = N
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS{cols}")
 
 
+def publish_partitions(
+    spark: SparkSession, path: str, stage: str, partition_col: str
+) -> None:
+    """Swap every partition directory staged under ``stage`` into the
+    live table at ``path`` by RENAME - the shared publish discipline of
+    the partition-scoped mutators (merge_partitioned,
+    incremental_rollup; compact_lake does the same at whole-table
+    granularity).
+
+    Why not dynamic partition overwrite: that deletes the live files
+    DURING the write job, so a concurrent reader can list a partition
+    mid-replacement and read half old, half new files for the whole
+    duration of the job. Here the new data is fully written to a
+    sibling staging dir first (readers of ``path`` still see exactly
+    the old table), then each staged partition dir is renamed in:
+    live -> ``<path>__backup/<dir>``, staged -> live, backup deleted.
+    The backup parent is a SIBLING of the table root - never inside
+    it, where its files would feed partition discovery (a reader
+    listing a ``part=``-shaped leftover mid-swap would crash on
+    conflicting partition columns, worse than stale data). A reader
+    therefore sees each partition wholly old or wholly new, never a
+    mixed file set - the remaining race is the two metadata renames,
+    during which that one partition can briefly list as absent.
+
+    Crash safety: before its first rename a partition is untouched;
+    between renames its previous content survives under
+    ``<path>__backup/`` (recover by renaming back); leftover backup /
+    stage dirs from a crashed publish are cleaned on the next run.
+    Partition dir names travel verbatim (URL-escaped values
+    included). Single maintenance writer per lake assumed, as
+    compact_lake."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    backup = path.rstrip("/") + "__backup"
+    fs.mkdirs(jvm_path(backup))
+    prefix = partition_col + "="
+    for status in fs.listStatus(jvm_path(stage)):
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue  # _SUCCESS and friends
+        live = jvm_path(path.rstrip("/") + "/" + name)
+        old = jvm_path(backup + "/" + name)
+        fs.delete(old, True)  # leftover from a prior crashed publish
+        had_old = fs.exists(live)
+        if had_old and not fs.rename(live, old):
+            raise IOError(f"publish_partitions: could not rename {name} aside")
+        if not fs.rename(status.getPath(), live):
+            if had_old:
+                fs.rename(old, live)  # roll back; live stays valid
+            raise IOError(f"publish_partitions: could not publish {name}")
+        fs.delete(old, True)
+    fs.delete(jvm_path(stage), True)
+    fs.delete(jvm_path(backup), True)
+
+
 def merge_partitioned(
     spark: SparkSession,
     path: str,
@@ -256,9 +311,12 @@ def merge_partitioned(
     set) prune the current-state read; current rows in those partitions
     union with the updates and collapse to one row per key (updates win
     - via ``ts_col`` ordering when given, else unconditionally); the
-    result writes back under dynamic partition overwrite, which
-    replaces exactly the partitions present in the output and leaves
-    every other partition's files untouched (tested by file identity).
+    result is staged to a sibling directory (which also fully executes
+    the read of the live files before anything moves) and then
+    rename-published per partition (``publish_partitions``), so a
+    concurrent reader sees each partition wholly old or wholly new and
+    every other partition's files stay untouched (tested by file
+    identity).
 
     Caveats: a key's partition value must be stable (a row that MOVES
     partitions needs a delete from the old one - that is table-format
@@ -283,20 +341,14 @@ def merge_partitioned(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_prec")
         )
-    # Materialization barrier: ``merged`` still reads lazily from
-    # ``path``, and the overwrite about to happen deletes the very
-    # files it would read - eager localCheckpoint executes the read
-    # BEFORE the commit starts, so a failure mid-commit cannot strand
-    # a half-replaced partition with its recovery copy already gone
-    # (same guard as scd2_foreach_batch). The commit itself is still
-    # non-atomic per partition; rerun the merge on failure.
-    merged = merged.localCheckpoint(eager=True)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # Stage-then-publish: the stage write is itself the materialization
+    # barrier (it executes the read of the live files to completion
+    # before any live path is touched), and the rename publish means a
+    # crash at any point leaves every partition recoverable - no
+    # half-replaced partition can exist.
+    stage = path.rstrip("/") + "__stage"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+    publish_partitions(spark, path, stage, partition_col)
 
 
 # Re-aggregatable measure algebra for incremental rollups: how a
@@ -342,8 +394,10 @@ def incremental_rollup(
     """Maintain a persistent rollup table incrementally: aggregate ONLY
     the newly-arrived facts, combine with current rollup state in the
     partitions the delta touches, and rewrite just those partitions
-    (dynamic partition overwrite - untouched partitions keep their
-    files). The fact history is never rescanned; a daily append costs
+    (stage + rename publish via ``publish_partitions`` - untouched
+    partitions keep their files, and a concurrent reader sees each
+    partition wholly old or wholly new).
+    The fact history is never rescanned; a daily append costs
     one delta aggregation + a partition-scoped merge, regardless of
     table age. ``partition_col`` must be one of ``keys`` (day, source,
     ...). Distinct-count measures must be ``hll`` sketches - raw
@@ -371,15 +425,12 @@ def incremental_rollup(
         .groupBy(*keys)
         .agg(*combine)
     )
-    # Same barrier as merge_partitioned: execute the read of the live
-    # rollup before overwriting the partitions it came from.
-    merged = merged.localCheckpoint(eager=True)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # Same stage-then-publish discipline as merge_partitioned: the
+    # stage write executes the read of the live rollup to completion,
+    # then each touched partition rename-swaps in atomically-per-dir.
+    stage = path.rstrip("/") + "__stage"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+    publish_partitions(spark, path, stage, partition_col)
 
 
 def compact_files(
@@ -461,21 +512,19 @@ def compact_files(
         if f.getPath().getName().endswith(".parquet")
     )
     rows_per_file = max(1, int(n_rows * target_bytes / max(1, n_bytes)))
-    # Same self-overwrite barrier as merge_partitioned: the rewrite
-    # reads the files it replaces, so execute the read first.
-    sub = sub.localCheckpoint(eager=True)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            sub.repartition(F.col(partition_col))
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", rows_per_file)
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # Same stage-then-publish discipline as merge_partitioned: the
+    # stage write executes the read of the files being replaced, and
+    # the rename publish keeps concurrent readers on wholly-old or
+    # wholly-new per-partition file sets.
+    stage = path.rstrip("/") + "__stage"
+    (
+        sub.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy(partition_col)
+        .parquet(stage)
+    )
+    publish_partitions(spark, path, stage, partition_col)
 
     files_after = sum(
         1

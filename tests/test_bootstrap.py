@@ -486,3 +486,49 @@ def test_compact_files_handles_escaped_partition_values(spark, tmp_path) -> None
     got = spark.read.parquet(path)
     assert got.count() == 300
     assert got.select("part").distinct().collect()[0][0] == "a b:c"
+
+
+def test_publish_partitions_reader_sees_only_old_or_new(spark, tmp_path) -> None:
+    """The atomic-publish contract behind merge_partitioned /
+    incremental_rollup: with a fully-written stage dir already on
+    disk, a reader of the live table still sees exactly the OLD rows;
+    after publish_partitions exactly the NEW rows - never a mix of
+    old and new files within a partition (the dynamic-partition-
+    overwrite failure mode this replaced). Partition dir names travel
+    verbatim, URL-escaped values included; leftover backup dirs from
+    a crashed publish are cleaned up."""
+    import glob
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import publish_partitions
+
+    path = str(tmp_path / "lake")
+    old = spark.createDataFrame(
+        [(1, "a b:c", 10), (2, "plain", 20)], ["id", "part", "val"]
+    )
+    old.write.partitionBy("part").parquet(path)
+
+    # simulate a prior crashed publish leaving a recovery copy behind
+    os.makedirs(f"{path}__backup/part=plain")
+    with open(f"{path}__backup/part=plain/junk", "w") as f:
+        f.write("stale")
+
+    new = spark.createDataFrame(
+        [(1, "a b:c", 11), (3, "plain", 30)], ["id", "part", "val"]
+    )
+    stage = path + "__stage"
+    new.write.partitionBy("part").parquet(stage)
+
+    # interleaved reader between stage and publish: old rows only
+    mid = {(r.id, r.part, r.val) for r in spark.read.parquet(path).collect()}
+    assert mid == {(1, "a b:c", 10), (2, "plain", 20)}
+
+    publish_partitions(spark, path, stage, "part")
+
+    after = {(r.id, r.part, r.val) for r in spark.read.parquet(path).collect()}
+    assert after == {(1, "a b:c", 11), (3, "plain", 30)}
+    assert not os.path.exists(stage)
+    assert not os.path.exists(f"{path}__backup")
+    # no stray swap artifacts in the root (the writer's _SUCCESS marker
+    # is expected and reader-invisible)
+    assert glob.glob(f"{path}/_*") == [f"{path}/_SUCCESS"]
