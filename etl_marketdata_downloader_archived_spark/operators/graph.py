@@ -53,6 +53,9 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
+SMALL_GRAPH_MAX = 2048  # node-count gate for the single-partition path
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -62,6 +65,7 @@ def pagerank(
     tol: float | None = 1e-6,
     check_every: int = 3,
     weight_col: str | None = None,
+    small_graph_max: int = SMALL_GRAPH_MAX,
 ) -> DataFrame:
     """PageRank over a directed edge list -> DataFrame(node, rank),
     ranks summing to 1.0 (dangling mass redistributed uniformly).
@@ -107,7 +111,23 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    if n <= 2048:
+    # Dangling-free graphs (every node has an out-edge - trade webs,
+    # strongly-connected cores) take a cheaper update: edge flow
+    # conserves the unit mass, so the dangling term is identically 0
+    # and the per-round plan references contrib ONCE (no one-row
+    # aggregate + crossJoin per round, and the logical plan grows
+    # linearly instead of doubling per un-checkpointed round). If on
+    # top of that every node also has an IN-edge ("closed"), contrib
+    # already covers all n nodes and the per-round left join to the
+    # node set drops too - a round is exactly one join + one combine.
+    # Both probes come from one tiny aggregate over the distinct-edge
+    # table.
+    src_n, dst_n = e.agg(
+        F.countDistinct("src"), F.countDistinct("dst")
+    ).first()
+    dangling_free = src_n == n
+    closed = dangling_free and dst_n == n
+    if n <= small_graph_max:
         # dimension-sized graph (distinct edges <= n^2 rows): collapse
         # to one partition so the per-round shuffles don't fan a few
         # hundred rows across the full shuffle-partition count - the
@@ -125,37 +145,59 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("_in"))
         )
-        # dangling mass = total mass (1.0, invariant of this update)
-        # minus what flowed through edges - derived from contrib
-        # itself as a ONE-ROW crossJoin, so the physical plan reuses
-        # contrib's shuffle exchange (no second pass over ranks, no
-        # per-round driver action)
-        dang = contrib.agg(
-            (1.0 - F.coalesce(F.sum("_in"), F.lit(0.0))).alias("_dm")
-        )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
+        if closed:
+            # every node receives flow, so contrib IS the node set
+            new_ranks = contrib.select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dm") / n
-                    )
+                    + F.lit(damping) * F.col("_in")
                 ).alias("rank"),
             )
-        )
-        # materialize + truncate lineage every check_every rounds (and
-        # on the last): ONE job per window instead of one per round;
-        # the un-checkpointed plan between windows is check_every join
-        # layers deep - bounded, by construction
+        elif dangling_free:
+            new_ranks = nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        else:
+            # dangling mass = total mass (1.0, invariant of this
+            # update) minus what flowed through edges - derived from
+            # contrib itself as a ONE-ROW crossJoin, so the physical
+            # plan reuses contrib's shuffle exchange (no second pass
+            # over ranks, no per-round driver action)
+            dang = contrib.agg(
+                (1.0 - F.coalesce(F.sum("_in"), F.lit(0.0))).alias("_dm")
+            )
+            new_ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("_in"), F.lit(0.0))
+                            + F.col("_dm") / n
+                        )
+                    ).alias("rank"),
+                )
+            )
+        # materialize + truncate lineage every check_every rounds: ONE
+        # job per window instead of one per round; the un-checkpointed
+        # plan between windows is check_every join layers deep -
+        # bounded, by construction. The FINAL round is left lazy: the
+        # caller's action materializes it (its tail is at most
+        # check_every layers above the last checkpoint), so a
+        # probe-free fixed-iteration run schedules zero extra jobs
+        # beyond the checkpoint cadence.
         last = i + 1 == max_iter
-        if last or (i + 1) % check_every == 0:
+        if not last and (i + 1) % check_every == 0:
             new_ranks = new_ranks.localCheckpoint(eager=True)
-            if tol is not None and not last:
+            if tol is not None:
                 # conservative probe: L1 delta vs the PREVIOUS
                 # materialized vector, i.e. over check_every rounds -
                 # an upper bound on the per-round delta

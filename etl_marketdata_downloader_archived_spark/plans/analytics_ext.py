@@ -413,9 +413,13 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fixed 8 rounds, no convergence probes: the trade graph is dense
     # (fast-mixing), and for a ranking display the ordering is stable
-    # well before the 1e-6 L1 fixpoint; each round costs one
-    # scheduled job, so the probe-free config halves the job count
-    ranks = pagerank(edges, max_iter=8, tol=None, check_every=2)
+    # well before the 1e-6 L1 fixpoint. The graph is dangling-free,
+    # so pagerank's conserved-mass update applies (contrib referenced
+    # once -> the lazy plan grows LINEARLY per round; with the doubled
+    # general update, 8 lazy rounds cost 2^8 plan copies - measured
+    # 6x slower than the checkpoints they save) and all 8 rounds run
+    # as one scheduled job over the single-partition 25-node graph
+    ranks = pagerank(edges, max_iter=8, tol=None, check_every=8)
     n = t["nation"].select(
         F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
     )

@@ -209,3 +209,38 @@ def test_k_core_vs_brute_force(spark) -> None:
         want = _brute_k_core(edges, k)
         got = {r.node: r.degree for r in k_core(df, k).collect()}
         assert got == want
+
+
+@pytest.mark.parametrize("kind", ["closed", "open_in", "dangling"])
+def test_pagerank_update_tiers_match_numpy_and_each_other(spark, kind) -> None:
+    """pagerank picks one of three per-round updates (closed graph /
+    dangling-free / general) from structural probes, and the
+    single-partition fast path from the node count. Every tier, on
+    BOTH the collapsed and the distributed (small_graph_max=0) route,
+    must agree with the dense numpy reference - so a future change to
+    one branch cannot drift while the others hold."""
+    n = 30
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    chords = [(i, (i * 7 + 3) % n) for i in range(n)]
+    if kind == "closed":
+        edges = ring + chords
+    elif kind == "open_in":
+        # node n-1 keeps its out-edge but nothing points at it:
+        # dangling-free yet not closed (left-join tier)
+        edges = [(s, d) for s, d in ring + chords if d != n - 1]
+        edges += [(n - 1, 0)]
+    else:
+        # node n-1 receives but never sends: dangling tier
+        edges = [(s, d) for s, d in ring + chords if s != n - 1]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    want = _numpy_pagerank(edges, n)
+    for gate in (2048, 0):
+        got = {
+            r.node: r.rank
+            for r in pagerank(
+                df, max_iter=50, tol=None, small_graph_max=gate
+            ).collect()
+        }
+        assert len(got) == n
+        for node, rank in got.items():
+            assert rank == pytest.approx(want[node], abs=1e-9), (kind, gate)
