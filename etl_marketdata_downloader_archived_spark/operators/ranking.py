@@ -221,12 +221,21 @@ def inverted_index(
     per query.
 
     Plan: explode tokens -> hash-aggregate (term, doc) tf (the ONE
-    corpus-sized shuffle, partial-combined map-side) -> per-term
-    row_number caps the posting heads (WindowGroupLimit pushes the
-    top-k before the full sort) -> final term aggregate. The full
-    posting lists stay distributed; only the capped heads are ever
-    collected into a row. df/total_tf count ALL postings, not just the
-    retained heads.
+    corpus-sized shuffle, partial-combined map-side), then TWO
+    bounded consumers of the tf table joined on term:
+    - df/total_tf as a plain partial-combined aggregate (no window:
+      a stopword-class term with 10^9 postings combines map-side
+      instead of sorting in one task);
+    - posting heads as a row_number filter applied DIRECTLY after the
+      window, which lets Catalyst insert a partial WindowGroupLimit
+      BEFORE the shuffle - each map task forwards at most
+      ``top_docs`` rows per term, so the per-term sort task sees
+      O(top_docs x map partitions) rows, never the full posting list.
+    The previous single-window formulation computed df inside the same
+    aggregate, which blocked the group-limit push and sent EVERY
+    posting of a term through one task - correct, but a skew
+    bottleneck at corpus scale. df/total_tf count ALL postings, not
+    just the retained heads.
     """
     tf = (
         df.select(F.col(id_col).alias("_id"), word_tokens(text_col).alias("_t"))
@@ -234,26 +243,28 @@ def inverted_index(
         .groupBy("term", "_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    w = W.partitionBy("term").orderBy(F.col("tf").desc(), F.col("_id").asc())
-    ranked = tf.withColumn("_rn", F.row_number().over(w))
-    idx = ranked.groupBy("term").agg(
+    agg = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("_rn") <= top_docs,
-                            F.struct(F.col("_rn"), F.col("_id")),
-                        )
-                    )
-                ),
-                lambda s: s["_id"].cast("string"),
-            ),
-            ",",
-        ).alias("top_doc_ids"),
     )
+    w = W.partitionBy("term").orderBy(F.col("tf").desc(), F.col("_id").asc())
+    heads = (
+        tf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_docs)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_rn"), F.col("_id")))
+                    ),
+                    lambda s: s["_id"].cast("string"),
+                ),
+                ",",
+            ).alias("top_doc_ids")
+        )
+    )
+    idx = agg.join(heads, "term")
     if min_df > 1:
         idx = idx.filter(F.col("df") >= min_df)
     return idx

@@ -1795,3 +1795,74 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr"
         ),
     )
+
+
+@q(
+    "drift_monitor_batch",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(value) AS lo0, max(value) AS hi0
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL
+    ),
+    b AS (
+        SELECT lo0 AS lo,
+               CASE WHEN hi0 = lo0 THEN lo0 + 1.0 ELSE hi0 END AS hi
+        FROM bounds
+    ),
+    binned AS (
+        SELECT event_type,
+               CAST(least(greatest(
+                   floor((value - lo) / (hi - lo) * 64), 0), 63) AS INT) AS v,
+               CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END
+                 AS is_ref
+        FROM events, b
+        WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, v,
+               CAST(sum(is_ref) AS BIGINT)     AS ca,
+               CAST(sum(1 - is_ref) AS BIGINT) AS cb
+        FROM binned GROUP BY event_type, v
+    ),
+    s AS (
+        SELECT event_type,
+               sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS cum_a,
+               sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS cum_b,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb
+        FROM g
+    )
+    SELECT event_type,
+           max(CASE WHEN na > 0 AND nb > 0 THEN
+                 abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))
+               END) AS ks,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b
+    FROM s GROUP BY event_type
+    """,
+)
+def drift_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor's EXACT arithmetic, certified in
+    batch: streaming.drift.reference_counts + batch_ks replayed over a
+    static before/after split of events (reference = pre-2024-01-15,
+    "micro-batch" = the rest), per event_type, 64 clamped fixed-grid
+    bins over the reference's global [lo, hi]. The oracle recomputes
+    the same floor-clamp bin edges and integer cumulative ECDFs in
+    DuckDB - identical IEEE expression shapes, so the binned KS is
+    bit-exact across engines. This closes the monitor's last
+    pytest-only gap: the streamed path is already pinned equal to
+    batch_ks by test_drift, and batch_ks itself is now oracle-PASS."""
+    from ..streaming.drift import batch_ks, reference_counts
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    ref_df = e.filter(F.col("ts") < cut).select("event_type", "value")
+    batch_df = e.filter(F.col("ts") >= cut).select("event_type", "value")
+    ref, lo, hi = reference_counts(ref_df, "value", ["event_type"], bins=64)
+    out = batch_ks(batch_df, ref, lo, hi, "value", ["event_type"], bins=64)
+    # the monitor keeps ref cached across micro-batches; a one-shot
+    # batch certificate should not pin executor memory after it runs
+    ref.unpersist(blocking=False)
+    return out

@@ -89,14 +89,38 @@ def _strip_quotes(col: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(col, "^[\"']", ""), "[\"']$", "")
 
 
+def _hrefs_stdlib(body: str) -> list[str]:
+    """stdlib half of ``_hrefs_lenient``: ``html.parser.HTMLParser``,
+    the exact tokenizer bs4's "html.parser" backend wraps. Split out
+    so the bs4-agreement boundary is property-testable directly
+    (tests/test_pipeline.py drives generated malformed markup through
+    both whenever bs4 is importable)."""
+    from html.parser import HTMLParser
+
+    out: list[str] = []
+
+    class _Anchors(HTMLParser):
+        def handle_starttag(self, tag, attrs):  # noqa: ANN001
+            if tag == "a":
+                for k, v in attrs:
+                    if k == "href" and v is not None:
+                        out.append(v)
+                        break
+
+    p = _Anchors(convert_charrefs=True)
+    p.feed(body)
+    p.close()
+    return out
+
+
 def _hrefs_lenient(body: str) -> list[str]:
     """Anchor hrefs at real-HTML-parser fidelity - the reference soups
     the page (data-downloader/data_downloader.py:83-91), which IGNORES
     anchors inside comments/CDATA and recovers from unbalanced quotes;
     the JVM regex extracts from both. Prefers BeautifulSoup when the
-    runtime has it; otherwise stdlib ``html.parser.HTMLParser``, which
-    is the exact tokenizer bs4's "html.parser" backend wraps, so the
-    two paths agree on comment/CDATA/quote handling."""
+    runtime has it; otherwise the stdlib tokenizer path
+    (``_hrefs_stdlib``), so the two paths agree on comment/CDATA/
+    quote handling."""
     try:
         from bs4 import BeautifulSoup  # optional dep - import-gated
 
@@ -105,22 +129,7 @@ def _hrefs_lenient(body: str) -> list[str]:
             for a in BeautifulSoup(body, "html.parser").find_all("a", href=True)
         ]
     except ImportError:
-        from html.parser import HTMLParser
-
-        out: list[str] = []
-
-        class _Anchors(HTMLParser):
-            def handle_starttag(self, tag, attrs):  # noqa: ANN001
-                if tag == "a":
-                    for k, v in attrs:
-                        if k == "href" and v is not None:
-                            out.append(v)
-                            break
-
-        p = _Anchors(convert_charrefs=True)
-        p.feed(body)
-        p.close()
-        return out
+        return _hrefs_stdlib(body)
 
 
 def _extract_links_lenient(ok: DataFrame) -> DataFrame:

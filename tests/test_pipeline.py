@@ -393,3 +393,98 @@ def test_compact_quarantine_preserves_attempt_accumulation(spark, tmp_path) -> N
 
     out3 = run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=9)
     assert [r.attempts for r in out3["quarantine"].collect()] == [3]
+
+
+# --- property tests: parser agreement over generated malformed markup ---
+
+try:
+    import bs4  # noqa: F401
+
+    _HAS_BS4 = True
+except ImportError:
+    _HAS_BS4 = False
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_URLS = st.text(alphabet="abcz0123456789/._-:", min_size=1, max_size=16)
+_NOISE = st.text(alphabet="xy <>&\"'=", max_size=8)
+# malformed-markup fragment grammar: the shapes where a naive regex
+# and a real HTML tokenizer disagree (comments, CDATA, unclosed
+# quotes, nested angles, decoy attributes, odd casing/whitespace)
+_FRAGMENT = st.one_of(
+    st.builds('<a href="{}">t</a>'.format, _URLS),
+    st.builds("<a href='{}'>t</a>".format, _URLS),
+    st.builds("<a href={}>t</a>".format, _URLS),
+    st.builds('<A HREF = "{}">T</A>'.format, _URLS),
+    st.builds('<a class="c" href={} rel=nofollow>t</a>'.format, _URLS),
+    st.builds('<a data-href="{}">decoy</a>'.format, _URLS),
+    st.builds('<!-- <a href="{}">hidden</a> -->'.format, _URLS),
+    st.builds('<![CDATA[ <a href="{}">c</a> ]]>'.format, _URLS),
+    st.builds('<a href="{}>unclosed quote</a>'.format, _URLS),
+    st.builds("<div <span>> <a href={}>nested</a>".format, _URLS),
+    st.builds("<p>{}</p>".format, _NOISE),
+    st.just("<a>no href</a>"),
+)
+_PAGE = st.lists(_FRAGMENT, max_size=10).map(
+    lambda fs: "<html><body>" + "".join(fs) + "</body></html>"
+)
+
+
+@pytest.mark.skipif(not _HAS_BS4, reason="bs4 not installed here")
+@given(page=_PAGE)
+@settings(max_examples=250, deadline=None)
+def test_stdlib_parser_matches_bs4_on_malformed_markup(page) -> None:
+    """The lenient branch's stdlib fallback must agree with
+    BeautifulSoup (the reference's parser,
+    data-downloader/data_downloader.py:83-91) on every generated
+    malformed page - unclosed quotes, commented/CDATA anchors, nested
+    angles, decoy attributes. Runs wherever bs4 is importable; the
+    fallback wraps the same tokenizer, so disagreement means the
+    wrapper broke fidelity."""
+    from bs4 import BeautifulSoup
+
+    from etl_marketdata_downloader_archived_spark.plans.downloader import (
+        _hrefs_stdlib,
+    )
+
+    want = [
+        a["href"]
+        for a in BeautifulSoup(page, "html.parser").find_all("a", href=True)
+    ]
+    assert _hrefs_stdlib(page) == want
+
+
+@given(data=st.data())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lenient_pipeline_matches_local_parser_property(spark, data) -> None:
+    """The Arrow-batched mapInPandas plumbing of the lenient branch
+    must emit exactly what the local parser primitive emits, per page
+    and in order, over generated malformed pages (5 examples x 50
+    pages = 250 pages) - so batching, schema, and row fan-out cannot
+    drop or reorder hrefs on adversarial input."""
+    from etl_marketdata_downloader_archived_spark.plans.downloader import (
+        _extract_links_lenient,
+        _hrefs_lenient,
+    )
+
+    pages = data.draw(st.lists(_PAGE, min_size=50, max_size=50))
+    rows = [
+        (str(i), f"http://host/{i}", "LINKS", "p", page, None)
+        for i, page in enumerate(pages)
+    ]
+    ok = spark.createDataFrame(
+        rows,
+        "ID string, URL string, TYPE string, PATTERN string, "
+        "body string, error string",
+    )
+    got: dict[str, list[str]] = {str(i): [] for i in range(len(pages))}
+    links = _extract_links_lenient(ok).collect()
+    for r in links:
+        got[r.ID].append(r.href)
+    want = {str(i): _hrefs_lenient(p) for i, p in enumerate(pages)}
+    assert got == want
