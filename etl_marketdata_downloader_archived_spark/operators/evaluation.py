@@ -1,0 +1,192 @@
+"""Model/score evaluation: the metrics a training-data pipeline runs
+against a scored table (ROC AUC, decile lift/gain, threshold
+confusion) - the acceptance gates between "we trained on this corpus"
+and "we ship the model", kept engine-exact so a gate cannot flicker
+between the offline evaluation and the warehouse replay.
+
+Exactness discipline (same as operators.profile's rank statistics):
+every corpus-sized reduction is an integer count, ranks come from
+cumulative sums over per-distinct-score count tables (never a
+row-level sort), and each final metric is one fixed IEEE expression
+over bigints - so a DuckDB/warehouse oracle reproduces every bit.
+
+Scale shape: one partial-combined shuffle to per-(group, distinct
+score) counts; every window below it runs over score cardinality,
+never row count. No operator here sorts fact-scale input in a single
+task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .profile import mann_whitney
+
+__all__ = ["binary_auc", "score_deciles", "confusion_at_threshold"]
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """ROC AUC of ``score_col`` against the boolean ``label_col`` per
+    ``by`` group - the probability a random positive outscores a
+    random negative, with ties counted half.
+
+    AUC is exactly the Mann-Whitney U statistic of the positive class
+    normalized by n_pos*n_neg, so this reuses
+    ``operators.profile.mann_whitney``'s rank-from-counts machinery:
+    doubled tie-averaged ranks (2*cum - t + 1) from cumulative counts
+    over the distinct-score table, bigint rank sums, one fixed IEEE
+    division. No row-level sort anywhere; NULL scores are dropped
+    (they carry no rank). AUC is NULL when a group has only one class.
+
+    Returns by + (n_pos, n_neg, auc).
+    """
+    keys = list(by or [])
+    sided = df.select(
+        *keys,
+        F.col(score_col).alias("_s"),
+        F.when(F.col(label_col).cast("boolean"), "a")
+        .otherwise("b")
+        .alias("_side"),
+    )
+    mw = mann_whitney(sided, "_s", "_side", by=keys)
+    return mw.select(
+        *keys,
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.col("effect").alias("auc"),
+    )
+
+
+def score_deciles(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile lift/gain table: bucket rows by descending score into
+    ``n_buckets`` value-deciles and report, per bucket, row/positive
+    counts, cumulative counts, lift over the base rate, and cumulative
+    gain - the "how deep do we have to dip into the ranked corpus"
+    curve behind quality-threshold selection and campaign targeting.
+
+    Bucket semantics are VALUE deciles: rows collapse to per-distinct-
+    score counts first, and a whole tie group lands in the bucket of
+    its last cumulative position (ceil(cum * B / n)). That keeps the
+    assignment deterministic and engine-exact (a positional ntile
+    splits ties arbitrarily AND needs a row-level global sort - the
+    single-task bottleneck this formulation avoids); a bucket can be
+    empty if one score value spans it, which is the honest answer for
+    a discrete score. All counts are bigints; lift and gain are fixed
+    IEEE expressions over them.
+
+    Returns by + (decile, n_rows, n_pos, cum_rows, cum_pos, lift,
+    cum_gain), decile 1 = highest scores.
+    """
+    keys = list(by or [])
+    g = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(*keys, F.col(score_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("_t"),
+            F.count(
+                F.when(F.col(label_col).cast("boolean"), 1)
+            ).alias("_p"),
+        )
+    )
+    wv = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
+        F.col("_s").desc()
+    )
+    wt = W.partitionBy(*keys) if keys else W.partitionBy()
+    stepped = g.select(
+        *keys,
+        "_t",
+        "_p",
+        F.sum("_t").over(wv).alias("_cum"),
+        F.sum("_t").over(wt).alias("_n"),
+    )
+    bucket = F.ceil(
+        F.col("_cum").cast("double")
+        * n_buckets
+        / F.col("_n").cast("double")
+    ).cast("bigint")
+    per = stepped.groupBy(*keys, bucket.alias("decile")).agg(
+        F.sum("_t").alias("n_rows"),
+        F.sum("_p").alias("n_pos"),
+    )
+    wb = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
+        "decile"
+    )
+    wtot = W.partitionBy(*keys) if keys else W.partitionBy()
+    rows_d = F.col("n_rows").cast("double")
+    pos_d = F.col("n_pos").cast("double")
+    tot_rows = F.sum("n_rows").over(wtot)
+    tot_pos = F.sum("n_pos").over(wtot)
+    return per.select(
+        *keys,
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(wb).alias("cum_rows"),
+        F.sum("n_pos").over(wb).alias("cum_pos"),
+        F.when(
+            (F.col("n_rows") > 0) & (tot_pos > 0),
+            (pos_d / rows_d)
+            / (tot_pos.cast("double") / tot_rows.cast("double")),
+        ).alias("lift"),
+        F.when(
+            tot_pos > 0,
+            F.sum("n_pos").over(wb).cast("double") / tot_pos.cast("double"),
+        ).alias("cum_gain"),
+    )
+
+
+def confusion_at_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Confusion counts + precision/recall/F1 at ``score >=
+    threshold`` per group - the operating-point check that pairs with
+    ``binary_auc`` (AUC says the ranking is good; this says the
+    deployed cutoff is). One partial-combined aggregate; four bigint
+    cells; every derived rate is a fixed IEEE expression (NULL when
+    undefined, never NaN).
+
+    Returns by + (tp, fp, tn, fn, precision, recall, f1).
+    """
+    keys = list(by or [])
+    pred = F.col(score_col) >= F.lit(threshold)
+    lab = F.col(label_col).cast("boolean")
+    g = df.filter(F.col(score_col).isNotNull()).groupBy(*keys).agg(
+        F.count(F.when(pred & lab, 1)).alias("tp"),
+        F.count(F.when(pred & ~lab, 1)).alias("fp"),
+        F.count(F.when(~pred & ~lab, 1)).alias("tn"),
+        F.count(F.when(~pred & lab, 1)).alias("fn"),
+    )
+    tp, fp, fn = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
+    prec = F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + fp))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + fn))
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2 * tp / (2 * tp + fp + fn),
+    )
+    return g.select(
+        *keys,
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -1866,3 +1866,185 @@ def drift_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch certificate should not pin executor memory after it runs
     ref.unpersist(blocking=False)
     return out
+
+
+@q(
+    "auc_daily",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS score_date,
+               value,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN 'a' ELSE 'b' END AS side
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT score_date, value, side,
+               2 * CAST(rank() OVER (PARTITION BY score_date
+                                     ORDER BY value) AS BIGINT)
+                 + CAST(count(*) OVER (PARTITION BY score_date, value)
+                        AS BIGINT) - 1 AS r2
+        FROM s
+    ),
+    g AS (
+        SELECT score_date,
+               CAST(count(*) FILTER (WHERE side = 'a') AS BIGINT) AS n_pos,
+               CAST(count(*) FILTER (WHERE side = 'b') AS BIGINT) AS n_neg,
+               CAST(sum(r2)  FILTER (WHERE side = 'a') AS BIGINT) AS sr2a
+        FROM r GROUP BY score_date
+    )
+    SELECT score_date, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             (CAST(sr2a - n_pos * (n_pos + 1) AS DOUBLE) / 2)
+               / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+           END AS auc
+    FROM g
+    """,
+)
+def auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ROC AUC of the event value as a conversion score
+    (operators.evaluation.binary_auc): does value rank
+    purchase/signup events above the rest, per day - the
+    model-acceptance gate computed engine-exact. AUC == Mann-Whitney
+    U / (n_pos*n_neg), so it inherits the rank-from-counts shape: the
+    ranking window runs over per-(day, distinct-value) counts, never
+    rows, and the oracle's row-level rank() formulation landing on the
+    identical bits IS the certificate that the counts rewrite is
+    exact."""
+    from ..operators.evaluation import binary_auc
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.to_date("ts").alias("score_date"),
+        "value",
+        F.col("event_type").isin("purchase", "signup").alias("is_conv"),
+    )
+    return binary_auc(scored, "value", "is_conv", by=["score_date"])
+
+
+@q(
+    "lift_deciles",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS score_date,
+               value AS sc,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN 1 ELSE 0 END AS pos
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT score_date, sc,
+               CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(pos) AS BIGINT) AS p
+        FROM s GROUP BY score_date, sc
+    ),
+    st AS (
+        SELECT score_date, t, p,
+               sum(t) OVER (PARTITION BY score_date
+                            ORDER BY sc DESC) AS cum,
+               sum(t) OVER (PARTITION BY score_date) AS n
+        FROM g
+    ),
+    per AS (
+        SELECT score_date,
+               CAST(ceil(CAST(cum AS DOUBLE) * 10
+                         / CAST(n AS DOUBLE)) AS BIGINT) AS decile,
+               CAST(sum(t) AS BIGINT) AS n_rows,
+               CAST(sum(p) AS BIGINT) AS n_pos
+        FROM st GROUP BY score_date, decile
+    ),
+    fin AS (
+        SELECT score_date, decile, n_rows, n_pos,
+               sum(n_rows) OVER (PARTITION BY score_date
+                                 ORDER BY decile) AS cum_rows,
+               sum(n_pos)  OVER (PARTITION BY score_date
+                                 ORDER BY decile) AS cum_pos,
+               sum(n_rows) OVER (PARTITION BY score_date) AS tot_rows,
+               sum(n_pos)  OVER (PARTITION BY score_date) AS tot_pos
+        FROM per
+    )
+    SELECT score_date, decile, n_rows, n_pos,
+           CAST(cum_rows AS BIGINT) AS cum_rows,
+           CAST(cum_pos  AS BIGINT) AS cum_pos,
+           CASE WHEN n_rows > 0 AND tot_pos > 0 THEN
+             (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE))
+               / (CAST(tot_pos AS DOUBLE) / CAST(tot_rows AS DOUBLE))
+           END AS lift,
+           CASE WHEN tot_pos > 0 THEN
+             CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)
+           END AS cum_gain
+    FROM fin
+    """,
+)
+def lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day decile lift/gain of the conversion score
+    (operators.evaluation.score_deciles): bucket events by descending
+    value into 10 value-deciles and report counts, lift over the base
+    conversion rate, and cumulative gain. Tie groups land wholly in
+    the bucket of their last cumulative position - deterministic,
+    engine-exact, and computable from per-distinct-score counts (no
+    positional ntile, no row-level global sort)."""
+    from ..operators.evaluation import score_deciles
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.to_date("ts").alias("score_date"),
+        "value",
+        F.col("event_type").isin("purchase", "signup").alias("is_conv"),
+    )
+    return score_deciles(scored, "value", "is_conv", by=["score_date"])
+
+
+@q(
+    "confusion_gate",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS score_date,
+               value >= 250.0 AS pred,
+               event_type IN ('purchase', 'signup') AS lab
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT score_date,
+               CAST(count(*) FILTER (WHERE pred AND lab)         AS BIGINT) AS tp,
+               CAST(count(*) FILTER (WHERE pred AND NOT lab)     AS BIGINT) AS fp,
+               CAST(count(*) FILTER (WHERE NOT pred AND NOT lab) AS BIGINT) AS tn,
+               CAST(count(*) FILTER (WHERE NOT pred AND lab)     AS BIGINT) AS fn
+        FROM s GROUP BY score_date
+    )
+    SELECT score_date, tp, fp, tn, fn,
+           CASE WHEN tp + fp > 0 THEN
+             CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+           END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+             CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+           END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             2 * CAST(tp AS DOUBLE)
+               / (2 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                  + CAST(fn AS DOUBLE))
+           END AS f1
+    FROM g
+    """,
+)
+def confusion_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day confusion counts + precision/recall/F1 at the
+    value >= 250 operating point
+    (operators.evaluation.confusion_at_threshold) - the deployed-
+    cutoff companion to auc_daily. Four bigint cells from one
+    partial-combined aggregate; every rate is a fixed IEEE expression,
+    NULL when undefined."""
+    from ..operators.evaluation import confusion_at_threshold
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.to_date("ts").alias("score_date"),
+        "value",
+        F.col("event_type").isin("purchase", "signup").alias("is_conv"),
+    )
+    return confusion_at_threshold(
+        scored, "value", "is_conv", threshold=250.0, by=["score_date"]
+    )

@@ -1,0 +1,149 @@
+"""Model-evaluation operators: independent numpy/pandas differentials
+(the oracle parity proves cross-engine exactness; these prove the
+FORMULAS - a metric wrong the same way on both engines passes parity
+but fails here), plus the degenerate edges a gate must not misreport.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_marketdata_downloader_archived_spark.operators.evaluation import (
+    binary_auc,
+    confusion_at_threshold,
+    score_deciles,
+)
+
+
+def _numpy_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Tie-averaged rank AUC: U_pos / (n_pos * n_neg)."""
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=float)
+    sorted_scores = scores[order]
+    i = 0
+    pos = 1
+    while i < len(scores):
+        j = i
+        while j < len(scores) and sorted_scores[j] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2.0
+        pos += j - i
+        i = j
+    n_pos = int(labels.sum())
+    n_neg = len(labels) - n_pos
+    u = ranks[labels].sum() - n_pos * (n_pos + 1) / 2.0
+    return u / (n_pos * n_neg)
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_binary_auc_matches_numpy(spark, seed) -> None:
+    rng = np.random.default_rng(seed)
+    n = 400
+    # integer-ish scores force heavy ties - the tie-averaged rank path
+    scores = np.round(rng.normal(50, 10, n), 0)
+    labels = rng.random(n) < 1 / (1 + np.exp(-(scores - 50) / 10))
+    grp = rng.integers(0, 3, n)
+    df = spark.createDataFrame(
+        [(int(g), float(s), bool(l)) for g, s, l in zip(grp, scores, labels)],
+        "g int, score double, label boolean",
+    )
+    got = {r.g: r for r in binary_auc(df, "score", "label", by=["g"]).collect()}
+    for g in range(3):
+        m = grp == g
+        want = _numpy_auc(scores[m], labels[m])
+        assert got[g].auc == pytest.approx(want, abs=1e-12)
+        assert got[g].n_pos == int(labels[m].sum())
+        assert got[g].n_neg == int((~labels[m]).sum())
+
+
+def test_binary_auc_single_class_is_null(spark) -> None:
+    df = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (3.0, True)], "score double, label boolean"
+    )
+    row = binary_auc(df, "score", "label").collect()[0]
+    assert row.n_pos == 3 and row.n_neg == 0 and row.auc is None
+
+
+def test_score_deciles_matches_pandas(spark) -> None:
+    """Value-decile reference in pandas: collapse to distinct-score
+    counts, descending cumulative positions, bucket = ceil(cum*10/n)
+    for the whole tie group."""
+    rng = np.random.default_rng(3)
+    n = 1000
+    scores = np.round(rng.uniform(0, 100, n), 1)
+    labels = rng.random(n) < scores / 120.0
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    got = (
+        score_deciles(df, "score", "label")
+        .orderBy("decile")
+        .toPandas()
+        .set_index("decile")
+    )
+
+    pdf = pd.DataFrame({"s": scores, "p": labels.astype(int)})
+    g = pdf.groupby("s", as_index=False).agg(t=("p", "size"), p=("p", "sum"))
+    g = g.sort_values("s", ascending=False)
+    g["cum"] = g["t"].cumsum()
+    g["decile"] = np.ceil(g["cum"] * 10 / n).astype(int)
+    per = g.groupby("decile").agg(n_rows=("t", "sum"), n_pos=("p", "sum"))
+    base = labels.sum() / n
+    assert list(got.index) == list(per.index)
+    for d in per.index:
+        assert got.loc[d, "n_rows"] == per.loc[d, "n_rows"]
+        assert got.loc[d, "n_pos"] == per.loc[d, "n_pos"]
+        want_lift = (per.loc[d, "n_pos"] / per.loc[d, "n_rows"]) / base
+        assert got.loc[d, "lift"] == pytest.approx(want_lift, abs=1e-12)
+    assert got["cum_rows"].iloc[-1] == n
+    assert got["cum_gain"].iloc[-1] == pytest.approx(1.0, abs=0)
+
+
+def test_score_deciles_tie_group_spanning_buckets(spark) -> None:
+    """One score value holding 70% of the mass swallows the buckets it
+    spans: the tie group lands wholly in its LAST bucket and the
+    swallowed deciles are absent, not fabricated."""
+    rows = [(5.0, False)] * 70 + [(float(9 + i), True) for i in range(30)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {r.decile: r for r in score_deciles(df, "score", "label").collect()}
+    # 30 distinct high scores fill deciles 1..3; the 70-row tie group's
+    # last position is 100 -> decile 10
+    assert set(got) == {1, 2, 3, 10}
+    assert got[10].n_rows == 70 and got[10].n_pos == 0
+    assert got[10].cum_rows == 100
+
+
+def test_confusion_at_threshold_matches_numpy(spark) -> None:
+    rng = np.random.default_rng(5)
+    scores = rng.uniform(0, 1, 500)
+    labels = rng.random(500) < scores
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    row = confusion_at_threshold(df, "score", "label", threshold=0.5).collect()[0]
+    pred = scores >= 0.5
+    tp = int((pred & labels).sum())
+    fp = int((pred & ~labels).sum())
+    fn = int((~pred & labels).sum())
+    assert (row.tp, row.fp, row.tn, row.fn) == (
+        tp, fp, int((~pred & ~labels).sum()), fn
+    )
+    assert row.precision == pytest.approx(tp / (tp + fp), abs=1e-15)
+    assert row.recall == pytest.approx(tp / (tp + fn), abs=1e-15)
+    assert row.f1 == pytest.approx(2 * tp / (2 * tp + fp + fn), abs=1e-15)
+
+
+def test_confusion_degenerate_rates_are_null(spark) -> None:
+    """No predicted positives -> precision NULL (not NaN/0); no actual
+    positives -> recall NULL; alarm logic downstream must see NULL and
+    decide, not inherit a NaN comparison."""
+    df = spark.createDataFrame(
+        [(0.1, False), (0.2, False)], "score double, label boolean"
+    )
+    row = confusion_at_threshold(df, "score", "label", threshold=0.9).collect()[0]
+    assert row.tp == 0 and row.fp == 0 and row.fn == 0 and row.tn == 2
+    assert row.precision is None and row.recall is None and row.f1 is None
