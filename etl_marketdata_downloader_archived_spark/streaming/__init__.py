@@ -18,6 +18,7 @@ from .windows import (
     watermarked_dedup,
 )
 from .file_source import file_task_stream, start_lake_sink
+from .kafka_source import kafka_task_stream
 from .stateful import streaming_ewma, track_attempts
 from .drift import batch_ks, reference_counts, start_drift_monitor
 from .corpus_ingest import (
@@ -33,6 +34,7 @@ __all__ = [
     "interval_join",
     "watermarked_dedup",
     "file_task_stream",
+    "kafka_task_stream",
     "streaming_ewma",
     "track_attempts",
     "start_lake_sink",

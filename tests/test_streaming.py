@@ -605,3 +605,29 @@ def test_streaming_bars_feed_batch_indicators(spark, tmp_path) -> None:
     assert panel[10].drawdown == 0.0  # at the running max
     assert abs(panel[11].log_return - math.log(9.0 / 12.0)) < 1e-12
     assert abs(panel[11].drawdown - (9.0 / 12.0 - 1.0)) < 1e-12
+
+
+def test_kafka_task_stream_fails_with_actionable_error(spark) -> None:
+    """The Kafka task-source adapter (the SQS-queue analogue,
+    SURVEY 1.1-B) must fail at CONSTRUCTION with an error naming the
+    missing connector package when spark-sql-kafka is not on the
+    classpath - not surface Spark's bare failed-to-find-data-source
+    at stream start. (With the connector present it returns the same
+    single task_json column the file source produces; no broker in
+    this environment, so that path runs only where Kafka exists.)"""
+    import pytest
+
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        kafka_task_stream,
+    )
+
+    try:
+        df = kafka_task_stream(
+            spark, "localhost:9092", "tasks", max_offsets_per_trigger=5
+        )
+    except RuntimeError as exc:
+        assert "spark-sql-kafka" in str(exc)
+    else:
+        # connector available: contract parity with file_task_stream
+        assert df.columns == ["task_json"]
+        assert df.isStreaming
