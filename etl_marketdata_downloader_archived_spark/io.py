@@ -293,6 +293,61 @@ def publish_partitions(
     fs.delete(jvm_path(backup), True)
 
 
+def vacuum_maintenance(spark: SparkSession, path: str) -> dict:
+    """Recover-then-clean after a crashed maintenance pass: the swap
+    disciplines (``publish_partitions``, ``compact_lake``) guarantee a
+    crash leaves every byte recoverable in a sibling dir - this is the
+    tool that performs that recovery and removes what is genuinely
+    garbage.
+
+    Rules, per sibling of ``path``:
+    - ``<path>__backup/<dir>``: if the live table LACKS that partition
+      dir, a publish died between its two renames - rename the backup
+      copy back in (recover). If the live dir exists, the backup is a
+      superseded copy - delete.
+    - ``<path>__old`` (compact_lake's whole-table copy): if the live
+      table dir itself is missing, the swap died mid-rename - restore
+      it. Otherwise delete.
+    - ``<path>__stage`` / ``<path>__compact``: half-written staging
+      output, never published - always safe to delete (the write that
+      produces them is atomic-by-rename only at publish).
+
+    Returns {"recovered": [...], "removed": [...]} of paths acted on.
+    Single maintenance writer per lake assumed, as everywhere."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = path.rstrip("/")
+    recovered: list[str] = []
+    removed: list[str] = []
+
+    old = jvm_path(root + "__old")
+    if fs.exists(old):
+        if not fs.exists(jvm_path(root)):
+            fs.rename(old, jvm_path(root))
+            recovered.append(root)
+        else:
+            fs.delete(old, True)
+            removed.append(root + "__old")
+
+    backup = jvm_path(root + "__backup")
+    if fs.exists(backup):
+        for status in fs.listStatus(backup):
+            name = status.getPath().getName()
+            live = jvm_path(root + "/" + name)
+            if "=" in name and not fs.exists(live):
+                fs.rename(status.getPath(), live)
+                recovered.append(root + "/" + name)
+        fs.delete(backup, True)
+        removed.append(root + "__backup")
+
+    for suffix in ("__stage", "__compact"):
+        p = jvm_path(root + suffix)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed.append(root + suffix)
+    return {"recovered": recovered, "removed": removed}
+
+
 def merge_partitioned(
     spark: SparkSession,
     path: str,

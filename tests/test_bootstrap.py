@@ -532,3 +532,49 @@ def test_publish_partitions_reader_sees_only_old_or_new(spark, tmp_path) -> None
     # no stray swap artifacts in the root (the writer's _SUCCESS marker
     # is expected and reader-invisible)
     assert glob.glob(f"{path}/_*") == [f"{path}/_SUCCESS"]
+
+
+def test_vacuum_maintenance_recovers_then_cleans(spark, tmp_path) -> None:
+    """Every crash window the swap disciplines leave behind must be
+    closable by vacuum_maintenance: a partition stranded in __backup
+    with no live copy is RESTORED; a superseded backup, a half-written
+    stage, and a leftover whole-table __old are deleted."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import vacuum_maintenance
+
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["id", "part", "val"]
+    ).write.partitionBy("part").parquet(path)
+
+    # crash mid-publish: part=b was renamed aside, replacement never
+    # landed - live lacks it, backup holds the only copy
+    os.makedirs(f"{path}__backup")
+    os.rename(f"{path}/part=b", f"{path}__backup/part=b")
+    # plus a superseded backup of part=a (live copy still present)
+    os.makedirs(f"{path}__backup/part=a")
+    with open(f"{path}__backup/part=a/stale", "w") as f:
+        f.write("x")
+    # and a half-written stage
+    os.makedirs(f"{path}__stage/part=a")
+    with open(f"{path}__stage/part=a/half", "w") as f:
+        f.write("y")
+
+    report = vacuum_maintenance(spark, path)
+
+    got = {(r.id, r.part, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", 10), (2, "b", 20)}  # part=b restored
+    assert f"{path}/part=b" in report["recovered"]
+    assert not os.path.exists(f"{path}__backup")
+    assert not os.path.exists(f"{path}__stage")
+
+    # crash mid-compact-swap: live dir renamed to __old, compact copy
+    # never swapped in - the whole table must come back
+    os.rename(path, f"{path}__old")
+    report2 = vacuum_maintenance(spark, path)
+    assert report2["recovered"] == [path]
+    assert {r.part for r in spark.read.parquet(path).collect()} == {"a", "b"}
+
+    # idempotent on a clean lake
+    assert vacuum_maintenance(spark, path) == {"recovered": [], "removed": []}

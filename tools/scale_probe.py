@@ -45,6 +45,9 @@ DEFAULT_QUERIES = [
     "path_topk",
     "snapshot_diff",
     "profile_events",
+    "auc_daily",
+    "lift_deciles",
+    "drift_monitor_batch",
 ]
 
 # Tables the probe queries touch; replicated with id remapping so
