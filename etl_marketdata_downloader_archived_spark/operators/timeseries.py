@@ -470,6 +470,9 @@ def rolling_corr(
     spec -> one Window operator; NULL where either variance window is
     degenerate (n<2 or constant).
     """
+    # key=None = one deliberately-global series over bar-grid-bounded
+    # input; the single-partition WindowExec warning this logs is the
+    # expected cost of a global rolling spec, not an accident
     base = W.partitionBy(key) if key else W.partitionBy()
     w = base.orderBy(ts).rowsBetween(-(window_rows - 1), 0)
     xc = F.round(F.col(x) * scale).cast("bigint")

@@ -1421,6 +1421,9 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = a.join(b, "bar_ts")
     # doubled tie-averaged ranks: 2*rank + tie_count - 1 (exact ints)
+    # global-order ranks over the WHOLE aligned series by design; the
+    # input is bar-grid-bounded (one row per bar), so the
+    # single-partition WindowExec this plans is dimension-sized
     rx2 = (
         2 * F.rank().over(W.partitionBy().orderBy("x")).cast("bigint")
         + F.count(F.lit(1)).over(W.partitionBy("x")).cast("bigint")

@@ -46,6 +46,14 @@ HEADLINE = [
     "inverted_index",
     "triangle_count",
     "flagship_star",
+    # round-5 families: rank-from-counts rewrites (the Window input
+    # must visibly be the distinct-value count table) + evaluation
+    "winsorized_stats",
+    "mannwhitney_drift",
+    "gini_activity",
+    "auc_daily",
+    "lift_deciles",
+    "drift_monitor_batch",
 ]
 
 # Round-over-round plan observations worth keeping next to the trees.
