@@ -147,3 +147,63 @@ def test_confusion_degenerate_rates_are_null(spark) -> None:
     row = confusion_at_threshold(df, "score", "label", threshold=0.9).collect()[0]
     assert row.tp == 0 and row.fp == 0 and row.fn == 0 and row.tn == 2
     assert row.precision is None and row.recall is None and row.f1 is None
+
+
+# --- hypothesis invariants (one Spark job per example, small N) ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SAMPLES = st.lists(
+    st.tuples(st.integers(0, 15), st.booleans()),  # tiny range -> ties
+    min_size=12,
+    max_size=60,
+).filter(lambda xs: any(l for _, l in xs) and any(not l for _, l in xs))
+
+
+@given(xs=_SAMPLES)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_auc_label_flip_symmetry(spark, xs) -> None:
+    """AUC(label) + AUC(~label) == 1 exactly (tie-averaged ranks make
+    the two U statistics partition n_pos*n_neg) - a formula-level
+    invariant independent of the numpy differential."""
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in xs], "score double, label boolean"
+    )
+    a = binary_auc(df, "score", "label").collect()[0]
+    df2 = spark.createDataFrame(
+        [(float(s), not l) for s, l in xs], "score double, label boolean"
+    )
+    b = binary_auc(df2, "score", "label").collect()[0]
+    assert (a.n_pos, a.n_neg) == (b.n_neg, b.n_pos)
+    assert a.auc + b.auc == pytest.approx(1.0, abs=1e-12)
+
+
+@given(xs=_SAMPLES)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_score_deciles_invariants(spark, xs) -> None:
+    """Structural invariants for any input: deciles within 1..10,
+    cumulative counts monotone and totaling the input, final gain
+    exactly 1, and the row-weighted mean lift exactly the base rate's
+    inverse-normalization (== 1)."""
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in xs], "score double, label boolean"
+    )
+    rows = score_deciles(df, "score", "label").orderBy("decile").collect()
+    n = len(xs)
+    n_pos = sum(1 for _, l in xs if l)
+    assert all(1 <= r.decile <= 10 for r in rows)
+    assert [r.cum_rows for r in rows] == sorted(r.cum_rows for r in rows)
+    assert rows[-1].cum_rows == n and rows[-1].cum_pos == n_pos
+    assert sum(r.n_rows for r in rows) == n
+    assert rows[-1].cum_gain == pytest.approx(1.0, abs=0)
+    weighted = sum(r.n_rows * r.lift for r in rows if r.lift is not None)
+    assert weighted / n == pytest.approx(1.0, rel=1e-12)
