@@ -48,6 +48,10 @@ def binary_auc(
     Returns by + (n_pos, n_neg, auc).
     """
     keys = list(by or [])
+    # a NULL label is unknown, not negative: when(NULL,'a').otherwise('b')
+    # would silently class it 'b', so drop it explicitly (score NULLs
+    # are dropped inside mann_whitney)
+    df = df.filter(F.col(label_col).isNotNull())
     sided = df.select(
         *keys,
         F.col(score_col).alias("_s"),
@@ -92,7 +96,9 @@ def score_deciles(
     """
     keys = list(by or [])
     g = (
-        df.filter(F.col(score_col).isNotNull())
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
         .groupBy(*keys, F.col(score_col).alias("_s"))
         .agg(
             F.count(F.lit(1)).alias("_t"),
@@ -167,7 +173,11 @@ def confusion_at_threshold(
     keys = list(by or [])
     pred = F.col(score_col) >= F.lit(threshold)
     lab = F.col(label_col).cast("boolean")
-    g = df.filter(F.col(score_col).isNotNull()).groupBy(*keys).agg(
+    # NULL labels must not silently vanish from the cells (pred & NULL
+    # counts nowhere, so tp+fp+tn+fn would undercount the input)
+    g = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).groupBy(*keys).agg(
         F.count(F.when(pred & lab, 1)).alias("tp"),
         F.count(F.when(pred & ~lab, 1)).alias("fp"),
         F.count(F.when(~pred & ~lab, 1)).alias("tn"),

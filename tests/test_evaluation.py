@@ -207,3 +207,17 @@ def test_score_deciles_invariants(spark, xs) -> None:
     assert rows[-1].cum_gain == pytest.approx(1.0, abs=0)
     weighted = sum(r.n_rows * r.lift for r in rows if r.lift is not None)
     assert weighted / n == pytest.approx(1.0, rel=1e-12)
+
+
+def test_null_labels_are_dropped_not_misclassed(spark) -> None:
+    """A NULL label is unknown, not negative: it must not tilt AUC
+    toward the negative class, shift a decile's base rate, or vanish
+    from confusion cells leaving tp+fp+tn+fn < n."""
+    rows = [(1.0, False), (2.0, True), (3.0, None), (4.0, True)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    a = binary_auc(df, "score", "label").collect()[0]
+    assert (a.n_pos, a.n_neg) == (2, 1)  # the NULL row is gone
+    c = confusion_at_threshold(df, "score", "label", threshold=2.5).collect()[0]
+    assert c.tp + c.fp + c.tn + c.fn == 3
+    d = score_deciles(df, "score", "label").collect()
+    assert sum(r.n_rows for r in d) == 3
