@@ -264,8 +264,10 @@ def publish_partitions(
 
     Crash safety: before its first rename a partition is untouched;
     between renames its previous content survives under
-    ``<path>__backup/`` (recover by renaming back); leftover backup /
-    stage dirs from a crashed publish are cleaned on the next run.
+    ``<path>__backup/`` (recover by renaming back). Every mutator
+    calls ``vacuum_maintenance`` at entry, BEFORE reading the live
+    table, so a rerun after a crash restores the stranded copy first
+    - rerunning the mutation is the documented recovery.
     Partition dir names travel verbatim (URL-escaped values
     included). Single maintenance writer per lake assumed, as
     compact_lake."""
@@ -378,6 +380,11 @@ def merge_partitioned(
     territory); concurrent writers to the SAME partition race (single
     maintenance writer per lake, like compact_lake).
     """
+    # Self-recover before READING: a prior publish may have died with a
+    # partition renamed aside - the merge must see the restored state,
+    # or the stage read would miss that partition's rows and the
+    # publish below would then discard the only remaining copy.
+    vacuum_maintenance(spark, path)
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     current = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
     updates = updates.select(*current.columns)  # align column order
@@ -463,6 +470,7 @@ def incremental_rollup(
     this is the O(delta) replacement.)
     """
     assert partition_col in keys, "partition_col must be a rollup key"
+    vacuum_maintenance(spark, path)  # restore any crashed-publish state first
     delta = rollup_delta(new_facts, keys, spec)
     combine = [
         _ROLLUP_COMBINE[kind](f"{col}_{kind}").alias(f"{col}_{kind}")
@@ -511,6 +519,8 @@ def compact_files(
     Single maintenance writer per lake assumed (as compact_lake).
     """
     import math
+
+    vacuum_maintenance(spark, path)  # restore any crashed-publish state first
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())

@@ -48,14 +48,16 @@ def binary_auc(
     Returns by + (n_pos, n_neg, auc).
     """
     keys = list(by or [])
-    # a NULL label is unknown, not negative: when(NULL,'a').otherwise('b')
-    # would silently class it 'b', so drop it explicitly (score NULLs
-    # are dropped inside mann_whitney)
-    df = df.filter(F.col(label_col).isNotNull())
+    # an unknown label is not a negative: filter on the CAST value, so
+    # both raw NULLs and values that cast to NULL boolean (e.g. a
+    # string 'unknown') are dropped instead of when(NULL,'a')
+    # .otherwise('b') silently classing them 'b' (score NULLs are
+    # dropped inside mann_whitney)
+    df = df.filter(F.col(label_col).try_cast("boolean").isNotNull())
     sided = df.select(
         *keys,
         F.col(score_col).alias("_s"),
-        F.when(F.col(label_col).cast("boolean"), "a")
+        F.when(F.col(label_col).try_cast("boolean"), "a")
         .otherwise("b")
         .alias("_side"),
     )
@@ -97,13 +99,14 @@ def score_deciles(
     keys = list(by or [])
     g = (
         df.filter(
-            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+            F.col(score_col).isNotNull()
+            & F.col(label_col).try_cast("boolean").isNotNull()
         )
         .groupBy(*keys, F.col(score_col).alias("_s"))
         .agg(
             F.count(F.lit(1)).alias("_t"),
             F.count(
-                F.when(F.col(label_col).cast("boolean"), 1)
+                F.when(F.col(label_col).try_cast("boolean"), 1)
             ).alias("_p"),
         )
     )
@@ -172,11 +175,13 @@ def confusion_at_threshold(
     """
     keys = list(by or [])
     pred = F.col(score_col) >= F.lit(threshold)
-    lab = F.col(label_col).cast("boolean")
-    # NULL labels must not silently vanish from the cells (pred & NULL
-    # counts nowhere, so tp+fp+tn+fn would undercount the input)
+    lab = F.col(label_col).try_cast("boolean")
+    # labels that are NULL or CAST to NULL must not silently vanish
+    # from the cells (pred & NULL counts nowhere, so tp+fp+tn+fn would
+    # undercount the input)
     g = df.filter(
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        F.col(score_col).isNotNull()
+        & F.col(label_col).try_cast("boolean").isNotNull()
     ).groupBy(*keys).agg(
         F.count(F.when(pred & lab, 1)).alias("tp"),
         F.count(F.when(pred & ~lab, 1)).alias("fp"),

@@ -1863,12 +1863,12 @@ def drift_monitor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("2024-01-15").cast("timestamp")
     ref_df = e.filter(F.col("ts") < cut).select("event_type", "value")
     batch_df = e.filter(F.col("ts") >= cut).select("event_type", "value")
-    ref, lo, hi = reference_counts(ref_df, "value", ["event_type"], bins=64)
-    out = batch_ks(batch_df, ref, lo, hi, "value", ["event_type"], bins=64)
-    # the monitor keeps ref cached across micro-batches; a one-shot
-    # batch certificate should not pin executor memory after it runs
-    ref.unpersist(blocking=False)
-    return out
+    # cache=False: the monitor caches the reference to amortize it
+    # across micro-batches; a one-shot certificate evaluates it once
+    ref, lo, hi = reference_counts(
+        ref_df, "value", ["event_type"], bins=64, cache=False
+    )
+    return batch_ks(batch_df, ref, lo, hi, "value", ["event_type"], bins=64)
 
 
 @q(

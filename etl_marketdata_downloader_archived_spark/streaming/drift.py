@@ -49,11 +49,15 @@ def reference_counts(
     value_col: str,
     by: list[str] | None = None,
     bins: int = 64,
+    cache: bool = True,
 ) -> tuple[DataFrame, float, float]:
     """One-time reference aggregation: returns (counts, lo, hi) where
     counts has by + (_v, _ca, _cb=0) - one row per (group, bin),
     cached so each micro-batch reuses it without rescanning the
-    reference corpus."""
+    reference corpus. Pass ``cache=False`` for a one-shot batch
+    certificate (drift_monitor_batch): persisting + eagerly
+    materializing a table the caller evaluates exactly once is a
+    wasted cache-build job."""
     keys = list(by or [])
     ref_df = ref_df.filter(F.col(value_col).isNotNull())
     lo, hi = ref_df.agg(F.min(value_col), F.max(value_col)).first()
@@ -69,9 +73,10 @@ def reference_counts(
         ref_df.groupBy(*keys, _bucket(value_col, lo, hi, bins).alias("_v"))
         .agg(F.count(F.lit(1)).alias("_ca"))
         .withColumn("_cb", F.lit(0).cast("long"))
-        .persist()
     )
-    counts.count()  # materialize the cache before the stream starts
+    if cache:
+        counts = counts.persist()
+        counts.count()  # materialize the cache before the stream starts
     return counts, float(lo), float(hi)
 
 
@@ -111,34 +116,40 @@ def start_drift_monitor(
     bins: int = 64,
     threshold: float | None = None,
     trigger_available_now: bool = True,
+    alarm_on_silent: bool = True,
 ):
     """Start the monitor: per micro-batch, compute the binned KS per
     group against the fixed reference and hand the result frame (with
     batch_id, status, and is_drift when ``threshold`` is set) to
     ``on_result``. Returns the StreamingQuery.
 
-    One-sided groups are the MOST severe failures, not missing data:
-    a group in the batch with no reference counterpart (new stratum)
-    or a reference group the batch went silent on both get
-    status != 'ok' and is_drift = true - the NULL ks that a
-    one-sided ECDF produces must never propagate into a silent
-    NULL alarm."""
+    One-sided groups are structural failures, not missing data: a
+    group in the batch with no reference counterpart (new stratum)
+    always alarms, and a reference group absent from a NON-empty
+    batch alarms when ``alarm_on_silent`` (default) - set it False
+    for sparse feeds where per-trigger absence is ordinary and only
+    the status column should carry the signal. A wholly empty
+    micro-batch is an idle trigger, not drift: every group gets
+    status 'batch_empty' and is_drift false. In no case does the NULL
+    ks of a one-sided ECDF propagate into a silent NULL alarm."""
     ref, lo, hi = reference_counts(reference_df, value_col, by, bins)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        empty = batch_df.isEmpty()
         out = batch_ks(batch_df, ref, lo, hi, value_col, by, bins)
         out = out.withColumn("batch_id", F.lit(batch_id)).withColumn(
             "status",
             F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.lit("ok"))
             .when(F.col("n_a") == 0, F.lit("new_group"))
-            .otherwise(F.lit("batch_silent")),
+            .otherwise(F.lit("batch_empty" if empty else "batch_silent")),
         )
         if threshold is not None:
             out = out.withColumn(
                 "is_drift",
-                F.when(F.col("status") != "ok", F.lit(True)).otherwise(
-                    F.col("ks") > F.lit(threshold)
-                ),
+                F.when(F.col("status") == "ok", F.col("ks") > F.lit(threshold))
+                .when(F.col("status") == "new_group", F.lit(True))
+                .when(F.col("status") == "batch_silent", F.lit(alarm_on_silent))
+                .otherwise(F.lit(False)),
             )
         on_result(out, batch_id)
 

@@ -62,11 +62,14 @@ def kafka_task_stream(
     try:
         raw = r.load()
     except Exception as exc:  # AnalysisException without the connector
-        if "kafka" in str(exc).lower():
+        msg = str(exc)
+        # only rewrite the specific connector-missing failure; any
+        # other error (bad options, auth) must surface unchanged
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
             raise RuntimeError(
-                "Kafka data source not on the classpath - add "
-                "org.apache.spark:spark-sql-kafka-0-10_2.13 to "
-                "spark.jars.packages (matching the Spark version)"
+                "Kafka data source not on the classpath - add the "
+                "spark-sql-kafka-0-10 package matching your Spark/"
+                "Scala build to spark.jars.packages"
             ) from exc
         raise
     return raw.select(F.col("value").cast("string").alias("task_json"))

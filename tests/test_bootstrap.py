@@ -578,3 +578,31 @@ def test_vacuum_maintenance_recovers_then_cleans(spark, tmp_path) -> None:
 
     # idempotent on a clean lake
     assert vacuum_maintenance(spark, path) == {"recovered": [], "removed": []}
+
+
+def test_rerun_merge_after_crashed_publish_recovers_backup(spark, tmp_path) -> None:
+    """The documented crash recovery is 'rerun the mutation': after a
+    publish dies with a partition renamed aside (live lacks it, backup
+    holds the only copy), rerunning merge_partitioned must first
+    restore that partition - otherwise the merge reads a live table
+    without its rows and the publish deletes the only remaining copy."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import merge_partitioned
+
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "b", 30)], ["id", "part", "val"]
+    ).write.partitionBy("part").parquet(path)
+
+    # crash window: part=b renamed aside, replacement never landed
+    os.makedirs(f"{path}__backup")
+    os.rename(f"{path}/part=b", f"{path}__backup/part=b")
+
+    updates = spark.createDataFrame([(2, "b", 99)], ["id", "part", "val"])
+    merge_partitioned(spark, path, updates, keys=["id"], partition_col="part")
+
+    got = {(r.id, r.part, r.val) for r in spark.read.parquet(path).collect()}
+    # row 3 existed only in the stranded backup - it must survive
+    assert got == {(1, "a", 10), (2, "b", 99), (3, "b", 30)}
+    assert not os.path.exists(f"{path}__backup")

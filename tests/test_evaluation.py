@@ -221,3 +221,17 @@ def test_null_labels_are_dropped_not_misclassed(spark) -> None:
     assert c.tp + c.fp + c.tn + c.fn == 3
     d = score_deciles(df, "score", "label").collect()
     assert sum(r.n_rows for r in d) == 3
+
+
+def test_uncastable_labels_are_dropped_too(spark) -> None:
+    """A string label that casts to NULL boolean ('unknown') is as
+    unknown as a raw NULL - it must be dropped by every operator, not
+    classed negative (AUC) or vanished from the cells (confusion)."""
+    rows = [(1.0, "false"), (2.0, "true"), (3.0, "unknown"), (4.0, "true")]
+    df = spark.createDataFrame(rows, "score double, label string")
+    a = binary_auc(df, "score", "label").collect()[0]
+    assert (a.n_pos, a.n_neg) == (2, 1)
+    c = confusion_at_threshold(df, "score", "label", threshold=2.5).collect()[0]
+    assert c.tp + c.fp + c.tn + c.fn == 3
+    d = score_deciles(df, "score", "label").collect()
+    assert sum(r.n_rows for r in d) == 3
