@@ -186,34 +186,55 @@ def mad_outliers(
     Exactness: both medians are POSITIONAL (lower/upper rank elements,
     averaged with one IEEE division) - no interpolating percentile, so
     the result is engine-exact and the k-cutoff cannot flicker by an
-    ulp. Two ranking windows per group (one over values, one over
-    absolute deviations) + one broadcast join of the per-group cut
-    table back over the scan; window state is a rank counter.
+    ulp.
+
+    Scale shape (rank-from-counts, like winsorization/Mann-Whitney):
+    each median collapses its input to per-(group, distinct-value)
+    counts first - one partial-combined shuffle - and picks the
+    lower/upper rank elements from cumulative counts over THAT table
+    (the value at positional rank k is the distinct value whose
+    cumulative interval [cum-c+1, cum] contains k; a row-level
+    tie-break never moves the value at a rank, so this is identical
+    to the row_number() definition). No per-group row-level sort
+    anywhere; the cut tables broadcast back over the scan.
 
     Returns id_cols + by + (value, dev, robust_z) for flagged rows.
     """
     keys = list(by or [])
     ids = list(id_cols or [])
-    tie = ids[0] if ids else value_col
 
     def _median(frame: DataFrame, col: str, out: str) -> DataFrame:
-        w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
-            col, tie
+        g = frame.groupBy(*keys, F.col(col).alias("_x")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        wv = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
+            "_x"
         )
         wt = W.partitionBy(*keys) if keys else W.partitionBy()
-        r = frame.select(
+        stepped = g.select(
             *keys,
-            F.col(col).alias("_x"),
-            F.row_number().over(w).alias("_rn"),
-            F.count(F.lit(1)).over(wt).alias("_n"),
+            "_x",
+            "_c",
+            F.sum("_c").over(wv).alias("_cum"),
+            F.sum("_c").over(wt).alias("_n"),
         )
+        k_lo = F.floor((F.col("_n") + 1) / 2)
+        k_hi = F.ceil((F.col("_n") + 1) / 2)
         lo = F.max(
-            F.when(F.col("_rn") == F.floor((F.col("_n") + 1) / 2), F.col("_x"))
+            F.when(
+                (F.col("_cum") >= k_lo)
+                & (F.col("_cum") - F.col("_c") < k_lo),
+                F.col("_x"),
+            )
         )
         hi = F.max(
-            F.when(F.col("_rn") == F.ceil((F.col("_n") + 1) / 2), F.col("_x"))
+            F.when(
+                (F.col("_cum") >= k_hi)
+                & (F.col("_cum") - F.col("_c") < k_hi),
+                F.col("_x"),
+            )
         )
-        return r.groupBy(*keys).agg(((lo + hi) / 2).alias(out))
+        return stepped.groupBy(*keys).agg(((lo + hi) / 2).alias(out))
 
     med = _median(df, value_col, "med")
     centered = df.join(F.broadcast(med), keys) if keys else df.crossJoin(

@@ -48,6 +48,7 @@ DEFAULT_QUERIES = [
     "auc_daily",
     "lift_deciles",
     "drift_monitor_batch",
+    "anomaly_mad",
 ]
 
 # Tables the probe queries touch; replicated with id remapping so
