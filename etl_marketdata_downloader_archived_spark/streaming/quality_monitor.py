@@ -1,0 +1,74 @@
+"""Streaming model-quality monitor: per-micro-batch ROC AUC of a
+scored stream against its realized labels - the online companion of
+the batch acceptance gates (operators.evaluation): drift.py watches
+the FEATURE distribution, this watches whether the SCORE still ranks
+outcomes, which is the first thing to decay when an upstream feed or
+a model version goes stale.
+
+Scale shape: binary_auc is rank-from-counts (one partial-combined
+shuffle to per-(group, distinct-score) counts; windows over score
+cardinality), so a micro-batch of any size costs one combinable
+aggregate - no row-level sort per trigger. foreachBatch because AUC,
+like KS, is a full-batch statistic, not an incremental aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.evaluation import binary_auc
+
+__all__ = ["start_auc_monitor"]
+
+
+def start_auc_monitor(
+    stream_df: DataFrame,
+    score_col: str,
+    label_col: str,
+    checkpoint: str,
+    on_result: Callable[[DataFrame, int], None],
+    by: list[str] | None = None,
+    min_auc: float | None = None,
+    min_rows: int = 30,
+    trigger_available_now: bool = True,
+):
+    """Start the monitor: per micro-batch, compute per-group
+    (n_pos, n_neg, auc) plus batch_id and a status column, and hand
+    the frame to ``on_result``. Returns the StreamingQuery.
+
+    Degenerate batches carry STATUS, never a silent NULL alarm:
+    'too_few' when the group has fewer than ``min_rows`` labeled rows
+    (an AUC over a handful of rows is noise, not signal) and
+    'one_class' when only positives or only negatives arrived (AUC
+    undefined). With ``min_auc`` set, is_alarm fires only on an 'ok'
+    group whose auc < min_auc - the degenerate statuses are for the
+    operator to trend, not to page on."""
+    keys = list(by or [])
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = binary_auc(batch_df, score_col, label_col, by=keys)
+        n = F.col("n_pos") + F.col("n_neg")
+        out = out.withColumn("batch_id", F.lit(batch_id)).withColumn(
+            "status",
+            F.when(n < min_rows, F.lit("too_few"))
+            .when(F.col("auc").isNull(), F.lit("one_class"))
+            .otherwise(F.lit("ok")),
+        )
+        if min_auc is not None:
+            out = out.withColumn(
+                "is_alarm",
+                F.when(
+                    F.col("status") == "ok", F.col("auc") < F.lit(min_auc)
+                ).otherwise(F.lit(False)),
+            )
+        on_result(out, batch_id)
+
+    w = stream_df.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -242,3 +242,85 @@ def test_reference_with_no_values_fails_fast(spark) -> None:
     )
     with pytest.raises(ValueError, match="no non-null"):
         reference_counts(empty, "v", ["grp"], bins=8)
+
+
+def test_auc_monitor_stream_equals_batch_and_alarms(spark, tmp_path) -> None:
+    """Streaming AUC monitor: batch 0 carries a well-ranking score
+    (no alarm), batch 1 an inverted score (alarm); each streamed AUC
+    equals binary_auc run in batch on the same rows, and a degenerate
+    one-class group reports status instead of a NULL alarm."""
+    import json as _json
+
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.evaluation import (
+        binary_auc,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        start_auc_monitor,
+    )
+
+    rng = np.random.default_rng(17)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def page(name, rows):
+        lines = [
+            _json.dumps({"g": g, "score": s, "label": l}) for g, s, l in rows
+        ]
+        (in_dir / name).write_text("\n".join(lines))
+
+    def sample(invert):
+        out = []
+        for _ in range(200):
+            s = float(np.round(rng.uniform(0, 10), 0))
+            p = s / 12.0
+            lab = bool(rng.random() < (1 - p if invert else p))
+            out.append(("m", s, lab))
+        return out
+
+    good = sample(False) + [("only_pos", 1.0, True)] * 40
+    bad = sample(True) + [("only_pos", 1.0, True)] * 40
+    page("b0.json", good)
+    page("b1.json", bad)
+
+    results: dict[int, dict] = {}
+
+    def on_result(df, batch_id):
+        rows = {r.g: r for r in df.collect()}
+        if rows:
+            results[max(results, default=-1) + 1] = rows
+
+    stream = (
+        spark.readStream.schema("g string, score double, label boolean")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = start_auc_monitor(
+        stream,
+        "score",
+        "label",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_result=on_result,
+        by=["g"],
+        min_auc=0.6,
+        min_rows=30,
+    )
+    q.awaitTermination(120)
+
+    assert len(results) == 2
+    assert results[0]["m"].status == "ok" and not results[0]["m"].is_alarm
+    assert results[0]["m"].auc > 0.7
+    assert results[1]["m"].status == "ok" and results[1]["m"].is_alarm
+    assert results[1]["m"].auc < 0.4
+    # one-class group: status, never a NULL alarm
+    assert results[0]["only_pos"].status == "one_class"
+    assert results[0]["only_pos"].is_alarm is False
+
+    # stream == batch twin on batch 0's rows
+    bdf = spark.createDataFrame(good, "g string, score double, label boolean")
+    want = {r.g: r for r in binary_auc(bdf, "score", "label", by=["g"]).collect()}
+    assert results[0]["m"].auc == want["m"].auc
+    assert (results[0]["m"].n_pos, results[0]["m"].n_neg) == (
+        want["m"].n_pos, want["m"].n_neg
+    )
