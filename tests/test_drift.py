@@ -87,9 +87,16 @@ def test_monitor_stream_equals_batch_and_alarms(spark, ref_df, tmp_path) -> None
         .json(str(in_dir))
     )
     # both files present before start; maxFilesPerTrigger=1 splits
-    # them into two ordered micro-batches
+    # them into two ordered micro-batches (mtimes pinned apart so the
+    # order cannot tie under a loaded test run)
     _write_batch(in_dir, "b0.json", same)
     _write_batch(in_dir, "b1.json", shifted)
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(in_dir / "b0.json", (now - 10, now - 10))
+    _os.utime(in_dir / "b1.json", (now, now))
     q = start_drift_monitor(
         stream,
         ref_df,
@@ -283,6 +290,15 @@ def test_auc_monitor_stream_equals_batch_and_alarms(spark, tmp_path) -> None:
     bad = sample(True) + [("only_pos", 1.0, True)] * 40
     page("b0.json", good)
     page("b1.json", bad)
+    # the file source orders same-batch-limit discovery by mod time;
+    # under a loaded test run both writes can land in one clock tick -
+    # pin distinct mtimes so the two micro-batches keep their order
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(in_dir / "b0.json", (now - 10, now - 10))
+    _os.utime(in_dir / "b1.json", (now, now))
 
     results: dict[int, dict] = {}
 
