@@ -138,6 +138,33 @@ def write_lake_audited(
     return obs.get
 
 
+def read_lake_evolving(
+    spark: SparkSession,
+    path: str,
+    expected: T.StructType | None = None,
+) -> DataFrame:
+    """Read a lake whose files span schema versions - the reality of
+    any table that lives longer than its producer's first release:
+    early partitions lack columns later ones carry. ``mergeSchema``
+    unifies the parquet footers (a column missing from an old file
+    reads as NULL there), and the optional ``expected`` contract adds
+    any still-missing column as a typed NULL - so a plan written
+    against today's schema runs over every historical partition
+    without a backfill rewrite.
+
+    Cost note for 100 TB: mergeSchema footer reconciliation reads one
+    footer per file (a driver-side listing pass, parallelized by
+    Spark) - pair with compact_files so file count stays proportional
+    to data, and prefer an explicit ``expected`` contract over
+    re-deriving the union every read."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is not None:
+        for f in expected.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
+
+
 def latest_per_key(df: DataFrame, keys: list[str], ts_col: str = "fetched_at") -> DataFrame:
     """Current-state view over an append-only log: the newest row per
     key (ts desc, with the file hash as a deterministic tie-break when

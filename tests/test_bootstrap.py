@@ -606,3 +606,38 @@ def test_rerun_merge_after_crashed_publish_recovers_backup(spark, tmp_path) -> N
     # row 3 existed only in the stranded backup - it must survive
     assert got == {(1, "a", 10), (2, "b", 99), (3, "b", 30)}
     assert not os.path.exists(f"{path}__backup")
+
+
+def test_read_lake_evolving_spans_schema_versions(spark, tmp_path) -> None:
+    """Old partitions written before a column existed must read as
+    typed NULLs under the merged schema, and an expected contract
+    fills columns no file carries yet - today's plan runs over every
+    historical partition unchanged."""
+    from pyspark.sql import types as T
+
+    from etl_marketdata_downloader_archived_spark.io import read_lake_evolving
+
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a")], ["id", "val"]
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], ["id", "val", "score"]
+    ).write.mode("append").parquet(path)
+
+    got = read_lake_evolving(spark, path)
+    assert set(got.columns) == {"id", "val", "score"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].score is None and rows[2].score == 0.5
+
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("lang", T.StringType()),  # nothing has it yet
+        ]
+    )
+    got2 = read_lake_evolving(spark, path, expected=contract)
+    assert dict(got2.dtypes)["lang"] == "string"
+    assert all(r.lang is None for r in got2.collect())
