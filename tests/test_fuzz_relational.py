@@ -195,3 +195,93 @@ def test_dataframe_plan_matches_sql_on_duckdb(spark, ddb, spec) -> None:
     assert len(s_rows) == len(d_rows), (sql, len(s_rows), len(d_rows))
     assert sorted(s_cols) == sorted(d_cols), sql
     assert row_multiset(s_cols, s_rows) == row_multiset(d_cols, d_rows), sql
+
+
+# --- window-function fuzzing: frames, ties, ordering semantics ---
+
+_WIN = {
+    "lineitem": {
+        "part": ["l_returnflag", "l_linestatus"],
+        "tie": ["l_orderkey", "l_linenumber"],  # unique per row
+        "val": "l_quantity",
+    },
+    "orders": {
+        "part": ["o_orderstatus", "o_orderpriority"],
+        "tie": ["o_orderkey"],
+        "val": "o_custkey",
+    },
+}
+
+
+@st.composite
+def _win_spec(draw):
+    t = draw(st.sampled_from(sorted(_WIN)))
+    cfg = _WIN[t]
+    part = draw(
+        st.lists(
+            st.sampled_from(cfg["part"]), min_size=1, max_size=2, unique=True
+        )
+    )
+    fn = draw(
+        st.sampled_from(
+            ["row_number", "rank", "dense_rank", "lag", "lead", "sum_frame"]
+        )
+    )
+    frame = draw(st.integers(1, 5))
+    desc = draw(st.booleans())
+    return {"table": t, "part": part, "fn": fn, "frame": frame, "desc": desc}
+
+
+def _win_build(spark, spec):
+    from pyspark.sql import Window as W
+
+    t = spec["table"]
+    cfg = _WIN[t]
+    part, fn, k = spec["part"], spec["fn"], spec["frame"]
+    val, tie = cfg["val"], cfg["tie"]
+    df = spark.read.parquet(f"{SF}/{t}.parquet")
+    dirw = " DESC" if spec["desc"] else ""
+    # total order inside each partition: value then unique key(s) -
+    # every ranking/offset function below is deterministic
+    order_sql = f"{val}{dirw}, " + ", ".join(tie)
+    ocols = [F.col(val).desc() if spec["desc"] else F.col(val)] + [
+        F.col(c) for c in tie
+    ]
+    w = W.partitionBy(*part).orderBy(*ocols)
+    if fn in ("row_number", "rank", "dense_rank"):
+        col = getattr(F, fn)().over(w)
+        fn_sql = f"{fn}()"
+    elif fn in ("lag", "lead"):
+        col = getattr(F, fn)(val, 1).over(w)
+        fn_sql = f"{fn}({val}, 1)"
+    else:
+        col = F.sum(val).over(w.rowsBetween(-k, 0))
+        fn_sql = f"sum({val})"
+    over = f"OVER (PARTITION BY {', '.join(part)} ORDER BY {order_sql}"
+    over += (
+        f" ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)"
+        if fn == "sum_frame"
+        else ")"
+    )
+    out_cols = list(dict.fromkeys(part + tie))
+    sdf = df.select(*out_cols, col.alias("w"))
+    sql = (
+        f"SELECT {', '.join(out_cols)}, {fn_sql} {over} AS w FROM {t}"
+    )
+    return sdf, sql
+
+
+@given(spec=_win_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_window_functions_match_sql_on_duckdb(spark, ddb, spec) -> None:
+    df, sql = _win_build(spark, spec)
+    s_rows = df.collect()
+    d = ddb.execute(sql)
+    d_cols = [c[0] for c in d.description]
+    d_rows = d.fetchall()
+    assert len(s_rows) == len(d_rows), sql
+    assert row_multiset(df.columns, s_rows) == row_multiset(d_cols, d_rows), sql
