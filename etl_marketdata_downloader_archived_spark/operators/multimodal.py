@@ -3,10 +3,16 @@
 Image/audio/video payloads are opaque ``BinaryType`` columns with a
 typed metadata struct (schemas.ASSET). The Spark-side plumbing -
 schema, partitioning, Arrow batch shape, UDF signatures - is real and
-tested; the codec step is STUBBED (no image/audio libraries in this
-environment): ``decode_image`` raises NotImplementedError unless
-``fake=True``, which produces a deterministic fake decode so the
-pipeline shape can be exercised end-to-end.
+tested. Codecs come in two tiers:
+
+- ``decode_media``: REAL decode for the formats stdlib can handle -
+  PNG (chunk walk + inflate + scanline unfilter + pixel mean) and
+  WAV/PCM (channels, rate, duration, RMS) - differentially tested
+  against an independent encoder written from the format specs.
+- ``decode_assets``: the deterministic stub for everything a codec
+  LIBRARY would be needed for (JPEG, MP4, ...; none are installed in
+  this environment); its fake fields are SQL-recomputable so the full
+  binary pipeline stays oracle-checkable.
 
 Extends the reference's raw-bytes landing (reference:
 data-downloader/data_downloader.py:69-70 stores fetched bytes with no
@@ -81,6 +87,185 @@ def decode_assets(assets: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return assets.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+MEDIA_SCHEMA = (
+    "asset_id string, modality_detected string, width int, height int, "
+    "n_channels int, sample_rate int, duration_s double, mean_value double, "
+    "n_bytes long, checksum string"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, channels: int):
+    """Reverse PNG scanline filtering (types 0-4, 8-bit samples) into
+    an (h, w*channels) uint8 array. Pure stdlib+numpy; the sequential
+    sub/avg/paeth paths run per byte, which is fine for asset-sized
+    images - a production deployment swaps in a vectorized codec
+    binding behind the same batch interface."""
+    import numpy as np
+
+    stride = w * channels
+    bpp = channels
+    px = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for row in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:
+            cur = line + prev  # uint8 wraps mod 256, per spec
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        px[row] = cur
+        prev = cur
+    return px
+
+
+def _decode_png(b: bytes) -> dict | None:
+    """Minimal real PNG decode from first principles (stdlib struct +
+    zlib): chunk walk -> IHDR dimensions, IDAT inflate, scanline
+    unfilter, channel-mean pixel value. Returns None if not a PNG;
+    non-8-bit/interlaced/paletted images decode dimensions only."""
+    import struct
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    idat = b""
+    hdr = None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        return None
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    channels = _PNG_CHANNELS.get(ctype)
+    out = {
+        "modality_detected": "image/png",
+        "width": int(w),
+        "height": int(h),
+        "n_channels": channels,
+    }
+    if depth == 8 and interlace == 0 and ctype in (0, 2, 4, 6) and idat:
+        px = _png_unfilter(zlib.decompress(idat), w, h, channels)
+        out["mean_value"] = float(px.mean())
+    return out
+
+
+def _decode_wav(b: bytes) -> dict | None:
+    """Real WAV/PCM decode via the stdlib ``wave`` module: channel
+    count, sample rate, duration, and RMS amplitude (16-bit PCM) -
+    the audio features a corpus pipeline gates on (silence, clipping,
+    truncation)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(b)) as f:
+            nch = f.getnchannels()
+            rate = f.getframerate()
+            nframes = f.getnframes()
+            width = f.getsampwidth()
+            frames = f.readframes(nframes)
+    except wave.Error:
+        return None
+    out = {
+        "modality_detected": "audio/wav",
+        "n_channels": int(nch),
+        "sample_rate": int(rate),
+        "duration_s": (nframes / rate) if rate else None,
+    }
+    if width == 2 and frames:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        out["mean_value"] = float(np.sqrt(np.mean(x * x)))  # RMS
+    return out
+
+
+def decode_media(assets: DataFrame) -> DataFrame:
+    """REAL media decode for the formats a stdlib-only environment can
+    handle - PNG (struct+zlib chunk walk, inflate, scanline unfilter,
+    pixel mean) and WAV/PCM (wave module: channels, rate, duration,
+    RMS) - dispatched on magic bytes per asset; anything else passes
+    through with byte length + checksum and NULL media fields.
+
+    This replaces the ``fake=True`` stub for these two formats: the
+    emitted width/height/pixel-mean/RMS are decoded from the actual
+    payload bytes, differentially tested against an independent
+    encoder (tests/test_operators.py writes PNGs/WAVs from known
+    pixels/samples from first principles). Formats beyond PNG/WAV
+    (JPEG, MP4, ...) still require a codec library and stay behind
+    the documented stub. Arrow-batched mapInPandas; the per-asset
+    Python codec is the honest cost of decoding in this environment -
+    swap in a vectorized binding (pillow/pyav) behind the same batch
+    interface in production."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        cols = [
+            "asset_id", "modality_detected", "width", "height",
+            "n_channels", "sample_rate", "duration_s", "mean_value",
+            "n_bytes", "checksum",
+        ]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                b = bytes(r.content)
+                rec = {
+                    "asset_id": r.asset_id,
+                    "modality_detected": "binary/unknown",
+                    "width": None,
+                    "height": None,
+                    "n_channels": None,
+                    "sample_rate": None,
+                    "duration_s": None,
+                    "mean_value": None,
+                    "n_bytes": len(b),
+                    "checksum": hashlib.sha256(b).hexdigest(),
+                }
+                dec = _decode_png(b) or _decode_wav(b)
+                if dec:
+                    rec.update(dec)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("asset_id", "content").mapInPandas(
+        _decode, schema=MEDIA_SCHEMA
+    )
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
