@@ -152,6 +152,13 @@ def read_lake_evolving(
     against today's schema runs over every historical partition
     without a backfill rewrite.
 
+    Columns the files carry under an OLDER type are cast to the
+    contract's type (cast-compatible evolution - int widened to
+    double, etc.; a no-op when types already match), and matching is
+    case-insensitive like Spark's own column resolution, so a
+    case-variant historical column is cast in place rather than
+    shadowed by a NULL duplicate.
+
     Cost note for 100 TB: mergeSchema footer reconciliation reads one
     footer per file (a driver-side listing pass, parallelized by
     Spark) - pair with compact_files so file count stays proportional
@@ -159,9 +166,13 @@ def read_lake_evolving(
     re-deriving the union every read."""
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if expected is not None:
+        have = {c.lower(): c for c in df.columns}
         for f in expected.fields:
-            if f.name not in df.columns:
+            actual = have.get(f.name.lower())
+            if actual is None:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            else:
+                df = df.withColumn(actual, F.col(actual).cast(f.dataType))
     return df
 
 
@@ -198,6 +209,7 @@ def compact_lake(
     data lives in __old and __compact (recover by renaming either back);
     after the swap the old copy is garbage. A half-built __compact from
     a previous crash is simply overwritten."""
+    vacuum_maintenance(spark, lake_dir)  # restore crashed-publish state first
     cur = latest_per_key(spark.read.parquet(lake_dir), list(keys), ts_col)
     tmp = lake_dir.rstrip("/") + "__compact"
     old = lake_dir.rstrip("/") + "__old"

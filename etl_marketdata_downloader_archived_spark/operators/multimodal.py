@@ -201,7 +201,7 @@ def _decode_wav(b: bytes) -> dict | None:
             nframes = f.getnframes()
             width = f.getsampwidth()
             frames = f.readframes(nframes)
-    except wave.Error:
+    except (wave.Error, EOFError):
         return None
     out = {
         "modality_detected": "audio/wav",
@@ -231,7 +231,15 @@ def decode_media(assets: DataFrame) -> DataFrame:
     the documented stub. Arrow-batched mapInPandas; the per-asset
     Python codec is the honest cost of decoding in this environment -
     swap in a vectorized binding (pillow/pyav) behind the same batch
-    interface in production."""
+    interface in production.
+
+    Robustness contract: a malformed payload NEVER fails the job. A
+    truncated IDAT, short header, bad filter byte, or mid-chunk WAV
+    truncation downgrades that one asset to modality
+    'corrupt/<detected>' with bytes+checksum intact (the quarantine
+    signal a lake audit filters on); a NULL payload yields NULL
+    n_bytes/checksum. One corrupt asset in a billion must not kill
+    the scan."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -244,7 +252,6 @@ def decode_media(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                b = bytes(r.content)
                 rec = {
                     "asset_id": r.asset_id,
                     "modality_detected": "binary/unknown",
@@ -254,10 +261,24 @@ def decode_media(assets: DataFrame) -> DataFrame:
                     "sample_rate": None,
                     "duration_s": None,
                     "mean_value": None,
-                    "n_bytes": len(b),
-                    "checksum": hashlib.sha256(b).hexdigest(),
+                    "n_bytes": None,
+                    "checksum": None,
                 }
-                dec = _decode_png(b) or _decode_wav(b)
+                if r.content is None:
+                    rec["modality_detected"] = "binary/null"
+                    rows.append(rec)
+                    continue
+                b = bytes(r.content)
+                rec["n_bytes"] = len(b)
+                rec["checksum"] = hashlib.sha256(b).hexdigest()
+                try:
+                    dec = _decode_png(b) or _decode_wav(b)
+                except Exception:
+                    kind = (
+                        "png" if b.startswith(_PNG_SIG) else
+                        "wav" if b[:4] == b"RIFF" else "unknown"
+                    )
+                    dec = {"modality_detected": f"corrupt/{kind}"}
                 if dec:
                     rec.update(dec)
                 rows.append(rec)

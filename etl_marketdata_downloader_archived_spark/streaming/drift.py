@@ -80,6 +80,33 @@ def reference_counts(
     return counts, float(lo), float(hi)
 
 
+def _batch_counts(
+    batch_df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """One partial-combined aggregate of the batch onto the fixed
+    grid: keys + (_v, _cb, _ca=0) - groups x bins rows."""
+    return (
+        batch_df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, _bucket(value_col, lo, hi, bins).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_cb"))
+        .withColumn("_ca", F.lit(0).cast("long"))
+    )
+
+
+def _ks_merged(ref: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    merged = (
+        ref.unionByName(b.select(*keys, "_v", "_ca", "_cb"))
+        .groupBy(*keys, "_v")
+        .agg(F.sum("_ca").alias("_ca"), F.sum("_cb").alias("_cb"))
+    )
+    return ks_from_counts(merged, keys)
+
+
 def batch_ks(
     batch_df: DataFrame,
     ref: DataFrame,
@@ -92,18 +119,7 @@ def batch_ks(
     """Binned KS of one batch against the prepared reference counts:
     by + (ks, n_a, n_b) with n_a = reference rows, n_b = batch rows."""
     keys = list(by or [])
-    batch_df = batch_df.filter(F.col(value_col).isNotNull())
-    b = (
-        batch_df.groupBy(*keys, _bucket(value_col, lo, hi, bins).alias("_v"))
-        .agg(F.count(F.lit(1)).alias("_cb"))
-        .withColumn("_ca", F.lit(0).cast("long"))
-    )
-    merged = (
-        ref.unionByName(b.select(*keys, "_v", "_ca", "_cb"))
-        .groupBy(*keys, "_v")
-        .agg(F.sum("_ca").alias("_ca"), F.sum("_cb").alias("_cb"))
-    )
-    return ks_from_counts(merged, keys)
+    return _ks_merged(ref, _batch_counts(batch_df, value_col, keys, lo, hi, bins), keys)
 
 
 def start_drift_monitor(
@@ -134,9 +150,15 @@ def start_drift_monitor(
     ks of a one-sided ECDF propagate into a silent NULL alarm."""
     ref, lo, hi = reference_counts(reference_df, value_col, by, bins)
 
+    keys = list(by or [])
+
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        empty = batch_df.isEmpty()
-        out = batch_ks(batch_df, ref, lo, hi, value_col, by, bins)
+        # one scan of the batch total: the aggregated counts are cached
+        # and reused for the emptiness probe AND the KS union (isEmpty
+        # on the raw source would be a second scan per trigger)
+        b = _batch_counts(batch_df, value_col, keys, lo, hi, bins).persist()
+        empty = (b.agg(F.coalesce(F.sum("_cb"), F.lit(0))).first()[0] or 0) == 0
+        out = _ks_merged(ref, b, keys)
         out = out.withColumn("batch_id", F.lit(batch_id)).withColumn(
             "status",
             F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.lit("ok"))
@@ -151,7 +173,12 @@ def start_drift_monitor(
                 .when(F.col("status") == "batch_silent", F.lit(alarm_on_silent))
                 .otherwise(F.lit(False)),
             )
-        on_result(out, batch_id)
+        try:
+            on_result(out, batch_id)
+        finally:
+            # on_result consumes out within the trigger (collect/write);
+            # release the batch-counts cache before the next one
+            b.unpersist()
 
     w = stream_df.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint

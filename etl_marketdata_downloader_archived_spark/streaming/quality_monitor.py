@@ -39,21 +39,50 @@ def start_auc_monitor(
     (n_pos, n_neg, auc) plus batch_id and a status column, and hand
     the frame to ``on_result``. Returns the StreamingQuery.
 
-    Degenerate batches carry STATUS, never a silent NULL alarm:
-    'too_few' when the group has fewer than ``min_rows`` labeled rows
-    (an AUC over a handful of rows is noise, not signal) and
-    'one_class' when only positives or only negatives arrived (AUC
-    undefined). With ``min_auc`` set, is_alarm fires only on an 'ok'
-    group whose auc < min_auc - the degenerate statuses are for the
-    operator to trend, not to page on."""
+    Degenerate batches carry STATUS, never a silent NULL alarm - and
+    never a silently ABSENT row: every group with rows in the batch
+    appears in the output. 'no_labels' when every label in the group
+    was NULL/uncastable (binary_auc drops them - the exact stale-
+    label-join failure this monitor must surface, not hide),
+    'too_few' when fewer than ``min_rows`` labeled rows arrived (an
+    AUC over a handful of rows is noise, not signal), 'one_class'
+    when only positives or only negatives arrived (AUC undefined).
+    With ``min_auc`` set, is_alarm fires only on an 'ok' group whose
+    auc < min_auc - the degenerate statuses are for the operator to
+    trend, not to page on."""
     keys = list(by or [])
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = binary_auc(batch_df, score_col, label_col, by=keys)
+        # group presence from the RAW batch: a group whose labels all
+        # dropped must still emit a (status) row, so anchor on raw
+        # per-group counts and left-join the AUC panel onto them
+        present = batch_df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        auc = binary_auc(batch_df, score_col, label_col, by=keys)
+        if keys:
+            out = present.join(auc, keys, "left")
+        else:
+            # global monitor: still a LEFT join (a crossJoin against an
+            # empty AUC frame would erase the row, re-hiding the
+            # all-labels-dropped case)
+            out = (
+                present.withColumn("_k", F.lit(1))
+                .join(auc.withColumn("_k", F.lit(1)), "_k", "left")
+                .drop("_k")
+            )
+        out = out.select(
+            *keys,
+            "n_rows",
+            F.coalesce(F.col("n_pos"), F.lit(0)).alias("n_pos"),
+            F.coalesce(F.col("n_neg"), F.lit(0)).alias("n_neg"),
+            "auc",
+        )
         n = F.col("n_pos") + F.col("n_neg")
         out = out.withColumn("batch_id", F.lit(batch_id)).withColumn(
             "status",
-            F.when(n < min_rows, F.lit("too_few"))
+            F.when(n == 0, F.lit("no_labels"))
+            .when(n < min_rows, F.lit("too_few"))
             .when(F.col("auc").isNull(), F.lit("one_class"))
             .otherwise(F.lit("ok")),
         )

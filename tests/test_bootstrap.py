@@ -641,3 +641,52 @@ def test_read_lake_evolving_spans_schema_versions(spark, tmp_path) -> None:
     got2 = read_lake_evolving(spark, path, expected=contract)
     assert dict(got2.dtypes)["lang"] == "string"
     assert all(r.lang is None for r in got2.collect())
+
+
+def test_read_lake_evolving_contract_casts_types(spark, tmp_path) -> None:
+    """A contract declaring a wider type than every file carries casts
+    the column in place (int -> double), and matching is
+    case-insensitive - no NULL shadow column for a case-variant
+    historical name."""
+    from pyspark.sql import types as T
+
+    from etl_marketdata_downloader_archived_spark.io import read_lake_evolving
+
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, 7), (2, 9)], ["id", "Score"]
+    ).write.parquet(path)
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    got = read_lake_evolving(spark, path, expected=contract)
+    assert set(got.columns) == {"id", "Score"}  # no duplicate column
+    assert dict(got.dtypes)["Score"] == "double"
+    assert {r.Score for r in got.collect()} == {7.0, 9.0}
+
+
+def test_compact_lake_recovers_crashed_publish_first(spark, tmp_path) -> None:
+    """compact_lake after a crashed partition publish must restore the
+    stranded backup BEFORE compacting - otherwise the 'current state'
+    it swaps in silently drops that partition's keys."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import compact_lake
+
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a", 10, 100), (2, "b", 20, 100), (2, "b", 21, 200)],
+        ["id", "part", "val", "ts"],
+    ).write.partitionBy("part").parquet(path)
+    os.makedirs(f"{path}__backup")
+    os.rename(f"{path}/part=b", f"{path}__backup/part=b")
+
+    compact_lake(
+        spark, path, keys=("id",), ts_col="ts", partition_cols=("part",)
+    )
+    got = {(r.id, r.part, r.val) for r in spark.read.parquet(path).collect()}
+    # id=2's latest row (ts=200) survives via the restored backup
+    assert got == {(1, "a", 10), (2, "b", 21)}

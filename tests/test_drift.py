@@ -288,6 +288,9 @@ def test_auc_monitor_stream_equals_batch_and_alarms(spark, tmp_path) -> None:
 
     good = sample(False) + [("only_pos", 1.0, True)] * 40
     bad = sample(True) + [("only_pos", 1.0, True)] * 40
+    # a group whose label join went stale: rows arrive, labels NULL
+    good += [("stale", float(i), None) for i in range(35)]
+    bad += [("stale", float(i), None) for i in range(35)]
     page("b0.json", good)
     page("b1.json", bad)
     # the file source orders same-batch-limit discovery by mod time;
@@ -332,6 +335,11 @@ def test_auc_monitor_stream_equals_batch_and_alarms(spark, tmp_path) -> None:
     # one-class group: status, never a NULL alarm
     assert results[0]["only_pos"].status == "one_class"
     assert results[0]["only_pos"].is_alarm is False
+    # all-labels-dropped group: present with status, never absent
+    assert results[0]["stale"].status == "no_labels"
+    assert results[0]["stale"].n_rows == 35
+    assert (results[0]["stale"].n_pos, results[0]["stale"].n_neg) == (0, 0)
+    assert results[0]["stale"].is_alarm is False
 
     # stream == batch twin on batch 0's rows
     bdf = spark.createDataFrame(good, "g string, score double, label boolean")

@@ -1346,6 +1346,12 @@ def test_decode_media_real_png_and_wav(spark) -> None:
     ]
     rows.append(("tone", "audio", bytearray(_encode_wav(sine))))
     rows.append(("junk", "blob", bytearray(b"not media at all")))
+    # corruption must degrade per-asset, never fail the job: a PNG
+    # with a truncated IDAT, a WAV cut mid-chunk, and a NULL payload
+    png_ok = _encode_png(imgs["gray_f0"][0], [0])
+    rows.append(("trunc_png", "image", bytearray(png_ok[:-20])))
+    rows.append(("trunc_wav", "audio", bytearray(_encode_wav(sine)[:30])))
+    rows.append(("null_bytes", "blob", None))
     assets = spark.createDataFrame(
         rows, "asset_id string, modality string, content binary"
     )
@@ -1372,3 +1378,10 @@ def test_decode_media_real_png_and_wav(spark) -> None:
     assert r.width is None and r.sample_rate is None
     assert r.n_bytes == 16
     assert r.checksum == hashlib.sha256(b"not media at all").hexdigest()
+
+    assert got["trunc_png"].modality_detected == "corrupt/png"
+    assert got["trunc_png"].n_bytes == len(png_ok) - 20
+    assert got["trunc_png"].checksum is not None
+    assert got["trunc_wav"].modality_detected in ("corrupt/wav", "binary/unknown")
+    assert got["null_bytes"].modality_detected == "binary/null"
+    assert got["null_bytes"].n_bytes is None and got["null_bytes"].checksum is None
