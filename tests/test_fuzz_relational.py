@@ -285,3 +285,80 @@ def test_window_functions_match_sql_on_duckdb(spark, ddb, spec) -> None:
     d_rows = d.fetchall()
     assert len(s_rows) == len(d_rows), sql
     assert row_multiset(df.columns, s_rows) == row_multiset(d_cols, d_rows), sql
+
+
+# --- ordered top-k fuzzing: ORDER BY + LIMIT under a total order ---
+
+_TOPK = {
+    "lineitem": {"val": "l_quantity", "tie": ["l_orderkey", "l_linenumber"]},
+    "orders": {"val": "o_totalprice", "tie": ["o_orderkey"]},
+    "customer": {"val": "c_acctbal", "tie": ["c_custkey"]},
+}
+
+
+@st.composite
+def _topk_spec(draw):
+    t = draw(st.sampled_from(sorted(_TOPK)))
+    k = draw(st.integers(1, 25))
+    desc = draw(st.booleans())
+    # optional IN / BETWEEN predicate exercises list & range translation
+    pred = None
+    if t in _STR_COLS and draw(st.booleans()):
+        col = draw(st.sampled_from(sorted(_STR_COLS[t])))
+        vals = draw(
+            st.lists(
+                st.sampled_from(_STR_COLS[t][col]),
+                min_size=1,
+                max_size=2,
+                unique=True,
+            )
+        )
+        pred = ("in", col, vals)
+    elif draw(st.booleans()):
+        col = draw(st.sampled_from(sorted(_NUM_COLS[t])))
+        dom = sorted(_NUM_COLS[t][col])
+        lo, hi = dom[0], dom[-1]
+        pred = ("between", col, (lo, hi))
+    return {"table": t, "k": k, "desc": desc, "pred": pred}
+
+
+@given(spec=_topk_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ordered_topk_matches_sql_on_duckdb(spark, ddb, spec) -> None:
+    """ORDER BY val, unique-tie LIMIT k is fully deterministic, so the
+    comparison here is ORDERED row lists, not multisets - catching
+    engines that disagree on sort stability, null placement, or
+    LIMIT-with-ties behavior; IN-lists and BETWEEN ranges ride along
+    to cover predicate translation."""
+    t, k = spec["table"], spec["k"]
+    cfg = _TOPK[t]
+    val, tie = cfg["val"], cfg["tie"]
+    df = spark.read.parquet(f"{SF}/{t}.parquet")
+    where_sql = ""
+    if spec["pred"]:
+        kind, col, arg = spec["pred"]
+        if kind == "in":
+            df = df.filter(F.col(col).isin(arg))
+            vals = ", ".join(f"'{v}'" for v in arg)
+            where_sql = f" WHERE {col} IN ({vals})"
+        else:
+            lo, hi = arg
+            df = df.filter(F.col(col).between(lo, hi))
+            where_sql = f" WHERE {col} BETWEEN {lo!r} AND {hi!r}"
+    ocols = [F.col(val).desc() if spec["desc"] else F.col(val)] + [
+        F.col(c) for c in tie
+    ]
+    out_cols = [val] + tie
+    sdf = df.select(*out_cols).orderBy(*ocols).limit(k)
+    dirw = " DESC" if spec["desc"] else ""
+    sql = (
+        f"SELECT {', '.join(out_cols)} FROM {t}{where_sql} "
+        f"ORDER BY {val}{dirw}, {', '.join(tie)} LIMIT {k}"
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+    d_rows = [tuple(r) for r in ddb.execute(sql).fetchall()]
+    assert s_rows == d_rows, sql  # ORDERED equality
