@@ -71,6 +71,27 @@ NOTES = """\
   appears at three host operators (projection, filter, pushed scan
   filter) but is one logical subquery; AQE stage reuse dedupes the
   underlying scan+agg at runtime.
+
+- **Round-5 rank-from-counts family** (`winsorized_stats`,
+  `mannwhitney_drift`, `gini_activity`, `anomaly_mad`, `auc_daily`,
+  `lift_deciles`): every Window operator in these trees now sits
+  ABOVE a HashAggregate pair that collapses the fact scan to
+  per-(group, distinct-value) counts - the window's Sort input is
+  value-cardinality-bounded, and the single-partition WindowExec
+  warning those plans used to log during parity runs is gone. The
+  only remaining deliberately-global windows are spearman_corr's
+  bar-grid-bounded ranks (one row per hourly bar by construction).
+
+- **inverted_index** (round 5): the plan shows the partial/final
+  `WindowGroupLimit ... row_number(), 5` pair BELOW the exchange -
+  each map task forwards at most top_docs rows per term; df/total_tf
+  come from a separate plain aggregate branch joined on term, so no
+  full posting list ever passes through one task.
+
+- **pagerank_trade** (round 5): probe-free closed-graph update - the
+  iteration is one scheduled job of join+combine layers over the
+  single-partition 25-node transition table; no per-round one-row
+  aggregate/broadcast, no dangling term (conserved mass).
 """
 
 RED_FLAGS = ["CartesianProduct", "BatchEvalPython"]  # row-at-a-time Python
