@@ -43,9 +43,14 @@ def read_catalog(spark: SparkSession, path: str, fmt: str = "csv") -> DataFrame:
         .csv(path)
     )
     # Spark disallows predicates that reference only _corrupt_record on
-    # a raw CSV scan (it would need the full row anyway); caching is
-    # the documented escape and the catalog is control-table sized.
-    return df.cache()
+    # a raw CSV scan (it would need the full row anyway); materializing
+    # first is the documented escape and the catalog is control-table
+    # sized. localCheckpoint, NOT cache(): the CacheManager keys on the
+    # logical plan, so a shared cache entry would serve STALE rows to
+    # every re-read after a catalog point update - a scheduler ticking
+    # against a mutable catalog (streaming.schedule) must see each
+    # tick's current file, like the reference's per-invocation S3 read.
+    return df.localCheckpoint(eager=True)
 
 
 def valid_rows(catalog: DataFrame) -> DataFrame:

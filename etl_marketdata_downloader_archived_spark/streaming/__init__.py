@@ -22,6 +22,7 @@ from .kafka_source import kafka_task_stream
 from .stateful import streaming_ewma, track_attempts
 from .drift import batch_ks, reference_counts, start_drift_monitor
 from .quality_monitor import start_auc_monitor
+from .schedule import start_scheduled_harvest
 from .corpus_ingest import (
     benchmark_gram_index,
     gated_doc_stream,
@@ -46,4 +47,5 @@ __all__ = [
     "batch_ks",
     "start_drift_monitor",
     "start_auc_monitor",
+    "start_scheduled_harvest",
 ]

@@ -1,0 +1,89 @@
+"""Scheduled harvest: the reference's CloudWatch-timer entry point
+re-expressed as a Structured Streaming processing-time trigger - no
+external orchestrator needed to run the scheduler -> queue ->
+downloader loop end-to-end in Spark.
+
+Reference mapping (SURVEY.md section 3.1): CloudWatch schedule ->
+`data_harvester.handler` per interval becomes a rate-source stream
+triggered every ``tick_seconds``; each tick re-reads the MUTABLE
+source catalog (point updates - error flags, re-activations - land
+between ticks, exactly like the reference's per-invocation S3 read),
+computes the due task set via plans.harvester.harvest_tasks, and
+lands one JSON-lines task file in the directory
+``file_task_stream`` watches. The downstream downloader stream picks
+it up as its next micro-batch - the SQS hop, minus SQS.
+
+Scale: the per-tick work is catalog-sized (a dimension table by
+definition); the rate source rows are ignored - they are the clock,
+not data. Each tick's file is written by Spark to a dot-prefixed
+staging dir (invisible to the watching stream) and renamed in whole,
+so the consumer never reads a half-written task file.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def start_scheduled_harvest(
+    spark: SparkSession,
+    catalog_path: str,
+    interval: str,
+    task_dir: str,
+    checkpoint: str,
+    tick_seconds: int = 60,
+    now_fn: Callable[[], datetime] | None = None,
+    read_catalog_fn: Callable[[SparkSession, str], DataFrame] | None = None,
+):
+    """Start the scheduler; returns the StreamingQuery. ``now_fn``
+    pins the harvest clock per tick (tests); None uses the engine's
+    current_timestamp. Empty due-sets write no file (the reference
+    likewise enqueues nothing)."""
+    from ..plans.harvester import harvest_tasks
+    from ..sources.catalog import read_catalog
+
+    reader = read_catalog_fn or read_catalog
+
+    def on_tick(_batch: DataFrame, batch_id: int) -> None:
+        catalog = reader(spark, catalog_path)
+        tasks = harvest_tasks(
+            catalog, interval, now_fn() if now_fn else None
+        ).select("task_json")
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jvm_path(task_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+        stage = f"{task_dir}/.tick-{batch_id}"
+        tasks.coalesce(1).write.mode("overwrite").text(stage)
+        parts = [
+            st.getPath()
+            for st in fs.listStatus(jvm_path(stage))
+            if st.getPath().getName().startswith("part-")
+        ]
+        # one coalesced writer -> at most one part file; zero when the
+        # due-set is empty (header-less text writes no part)
+        wrote = False
+        for p in parts:
+            if fs.getFileStatus(p).getLen() > 0:
+                fs.rename(p, jvm_path(f"{task_dir}/tick-{batch_id}.jsonl"))
+                # local-FS rename drags a checksum sidecar along; it is
+                # dot-prefixed (invisible to the watching stream) but
+                # there is no reason to leave debris in the queue dir
+                fs.delete(
+                    jvm_path(f"{task_dir}/.tick-{batch_id}.jsonl.crc"), False
+                )
+                wrote = True
+        fs.delete(jvm_path(stage), True)
+        if not wrote:
+            return
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.foreachBatch(on_tick)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{tick_seconds} seconds")
+        .start()
+    )

@@ -631,3 +631,84 @@ def test_kafka_task_stream_fails_with_actionable_error(spark) -> None:
         # connector available: contract parity with file_task_stream
         assert df.columns == ["task_json"]
         assert df.isStreaming
+
+
+def test_scheduled_harvest_ticks_and_sees_catalog_updates(spark, tmp_path) -> None:
+    """The CloudWatch-schedule analogue: a processing-time trigger
+    re-reads the MUTABLE catalog each tick and lands a whole task file
+    per tick in the watched directory. A catalog edit between ticks
+    must be reflected in the next tick's tasks; files appear whole
+    (renamed in from a dot-staging dir), one per non-empty tick."""
+    import glob
+    import json
+    import time
+    from datetime import datetime
+
+    from etl_marketdata_downloader_archived_spark.streaming.schedule import (
+        start_scheduled_harvest,
+    )
+
+    cat = tmp_path / "catalog.csv"
+    cat.write_text(
+        "1,http://h/a_{year}.csv,hourly,x,1,y,z,DIRECT,a_{year}.csv,0\r\n"
+        "2,http://h/b.html,hourly,x,1,y,z,LINKS,unused,0\r\n"
+    )
+    task_dir = tmp_path / "in"
+    task_dir.mkdir()
+
+    q = start_scheduled_harvest(
+        spark,
+        str(cat),
+        "hourly",
+        str(task_dir),
+        checkpoint=str(tmp_path / "ckpt"),
+        tick_seconds=2,
+        now_fn=lambda: datetime(2024, 6, 15, 22, 30),
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if glob.glob(f"{task_dir}/tick-*.jsonl"):
+                break
+            time.sleep(0.5)
+        first = sorted(glob.glob(f"{task_dir}/tick-*.jsonl"))
+        assert first, "no tick file appeared"
+        tasks = [
+            json.loads(line)
+            for line in open(first[0]).read().splitlines()
+        ]
+        assert {t["ID"] for t in tasks} == {"1", "2"}
+        # template expanded with the pinned clock
+        assert any(t["URL"].endswith("a_2024.csv") for t in tasks)
+
+        # catalog point update between ticks: deactivate source 2
+        cat.write_text(
+            "1,http://h/a_{year}.csv,hourly,x,1,y,z,DIRECT,a_{year}.csv,0\r\n"
+            "2,http://h/b.html,hourly,x,0,y,z,LINKS,unused,0\r\n"
+        )
+        # a tick already in flight may still carry the old catalog;
+        # the NEXT fully-fresh tick must reflect the edit - poll the
+        # numerically-latest file until it does (lexicographic sort
+        # would put tick-10 before tick-9)
+        def latest_ids():
+            files = sorted(
+                glob.glob(f"{task_dir}/tick-*.jsonl"),
+                key=lambda f: int(f.rsplit("-", 1)[1].split(".")[0]),
+            )
+            if not files:
+                return None
+            return {
+                json.loads(line)["ID"]
+                for line in open(files[-1]).read().splitlines()
+            }
+
+        while time.time() < deadline and latest_ids() != {"1"}:
+            time.sleep(0.5)
+        assert latest_ids() == {"1"}, "catalog update never reached a tick"
+        # no half-written or staging debris visible to a consumer
+        # (checksum sidecars are scrubbed on rename; only whole task
+        # files remain)
+        stray = [f for f in glob.glob(f"{task_dir}/.tick-*") if not f.endswith(".crc")]
+        assert stray == []
+    finally:
+        q.stop()
