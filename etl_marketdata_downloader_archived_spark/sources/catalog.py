@@ -45,12 +45,16 @@ def read_catalog(spark: SparkSession, path: str, fmt: str = "csv") -> DataFrame:
     # Spark disallows predicates that reference only _corrupt_record on
     # a raw CSV scan (it would need the full row anyway); materializing
     # first is the documented escape and the catalog is control-table
-    # sized. localCheckpoint, NOT cache(): the CacheManager keys on the
-    # logical plan, so a shared cache entry would serve STALE rows to
-    # every re-read after a catalog point update - a scheduler ticking
-    # against a mutable catalog (streaming.schedule) must see each
-    # tick's current file, like the reference's per-invocation S3 read.
-    return df.localCheckpoint(eager=True)
+    # sized by definition. DRIVER-side materialization, not cache() or
+    # localCheckpoint: a cache() entry is keyed on the logical plan and
+    # serves STALE rows to every re-read after a catalog point update
+    # (a scheduler ticking against a mutable catalog must see each
+    # tick's current file, like the reference's per-invocation S3
+    # read), while localCheckpoint pins unreplicated executor blocks
+    # that an executor loss makes permanently unreadable. Re-creating
+    # the frame from collected rows is fresh, lineage-free, and
+    # survives any executor churn.
+    return spark.createDataFrame(df.collect(), df.schema)
 
 
 def valid_rows(catalog: DataFrame) -> DataFrame:

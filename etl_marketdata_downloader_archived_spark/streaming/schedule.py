@@ -56,27 +56,30 @@ def start_scheduled_harvest(
         fs = jvm_path(task_dir).getFileSystem(spark._jsc.hadoopConfiguration())
         stage = f"{task_dir}/.tick-{batch_id}"
         tasks.coalesce(1).write.mode("overwrite").text(stage)
-        parts = [
-            st.getPath()
-            for st in fs.listStatus(jvm_path(stage))
-            if st.getPath().getName().startswith("part-")
-        ]
         # one coalesced writer -> at most one part file; zero when the
         # due-set is empty (header-less text writes no part)
-        wrote = False
-        for p in parts:
-            if fs.getFileStatus(p).getLen() > 0:
-                fs.rename(p, jvm_path(f"{task_dir}/tick-{batch_id}.jsonl"))
-                # local-FS rename drags a checksum sidecar along; it is
-                # dot-prefixed (invisible to the watching stream) but
-                # there is no reason to leave debris in the queue dir
-                fs.delete(
-                    jvm_path(f"{task_dir}/.tick-{batch_id}.jsonl.crc"), False
+        for st in fs.listStatus(jvm_path(stage)):
+            if not st.getPath().getName().startswith("part-"):
+                continue
+            if st.getLen() == 0:
+                continue
+            target = jvm_path(f"{task_dir}/tick-{batch_id}.jsonl")
+            # a checkpoint-replayed batch re-lands ITS OWN tick file:
+            # clear the previous copy so the rename cannot silently
+            # return false and strand the fresh task set in the
+            # staging dir about to be deleted
+            fs.delete(target, False)
+            if not fs.rename(st.getPath(), target):
+                raise IOError(
+                    f"scheduled harvest: could not publish tick {batch_id}"
                 )
-                wrote = True
+            # local-FS rename drags a checksum sidecar along; it is
+            # dot-prefixed (invisible to the watching stream) but
+            # there is no reason to leave debris in the queue dir
+            fs.delete(
+                jvm_path(f"{task_dir}/.tick-{batch_id}.jsonl.crc"), False
+            )
         fs.delete(jvm_path(stage), True)
-        if not wrote:
-            return
 
     return (
         spark.readStream.format("rate")

@@ -726,8 +726,23 @@ def test_publish_partitions_under_live_concurrent_reader(spark, tmp_path) -> Non
                     F.collect_set("version").alias("vs"),
                     F.count(F.lit(1)).alias("n"),
                 ).collect()
-            except Exception:
-                continue  # listing race mid-rename: retry, that's the contract
+            except Exception as exc:
+                # ONLY the documented two-rename absence window is
+                # retryable; anything else (conflicting partition
+                # columns from backup leakage, corrupt footers from a
+                # half-written file set) is exactly what this test
+                # exists to catch
+                msg = str(exc)
+                if any(
+                    tok in msg
+                    for tok in (
+                        "FileNotFound", "does not exist",
+                        "PATH_NOT_FOUND", "NoSuchFile",
+                    )
+                ):
+                    continue
+                violations.append(f"reader exception: {msg[:200]}")
+                continue
             for r in rows:
                 if len(r.vs) != 1 or r.n != 1:
                     violations.append(f"part={r.part} versions={r.vs} n={r.n}")

@@ -316,8 +316,11 @@ def _topk_spec(draw):
         pred = ("in", col, vals)
     elif draw(st.booleans()):
         col = draw(st.sampled_from(sorted(_NUM_COLS[t])))
-        dom = sorted(_NUM_COLS[t][col])
-        lo, hi = dom[0], dom[-1]
+        dom = _NUM_COLS[t][col]
+        # independent draws: narrow, single-point, and INVERTED
+        # (lo > hi -> empty) ranges all get exercised
+        lo = draw(st.sampled_from(dom))
+        hi = draw(st.sampled_from(dom))
         pred = ("between", col, (lo, hi))
     return {"table": t, "k": k, "desc": desc, "pred": pred}
 

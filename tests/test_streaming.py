@@ -705,13 +705,15 @@ def test_scheduled_harvest_ticks_and_sees_catalog_updates(spark, tmp_path) -> No
         while time.time() < deadline and latest_ids() != {"1"}:
             time.sleep(0.5)
         assert latest_ids() == {"1"}, "catalog update never reached a tick"
-        # no half-written or staging debris visible to a consumer
-        # (checksum sidecars are scrubbed on rename; only whole task
-        # files remain)
-        stray = [f for f in glob.glob(f"{task_dir}/.tick-*") if not f.endswith(".crc")]
-        assert stray == []
     finally:
         q.stop()
+    # no half-written or staging debris once the scheduler is stopped
+    # (an in-flight .tick-N dir is legitimate WHILE ticking, so this
+    # asserts only after stop)
+    stray = [
+        f for f in glob.glob(f"{task_dir}/.tick-*") if not f.endswith(".crc")
+    ]
+    assert stray == []
 
 
 def test_full_loop_scheduler_to_lake(spark, tmp_path) -> None:
