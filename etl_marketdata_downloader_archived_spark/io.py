@@ -9,6 +9,7 @@ prefix (reference: data-downloader/data_downloader.py:104,107,132,170,195)
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -275,6 +276,58 @@ def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = N
     table; session.get_spark enables CBO so the stats are consumed."""
     cols = f" FOR COLUMNS {', '.join(columns)}" if columns else " FOR ALL COLUMNS"
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS{cols}")
+
+
+class MaintenanceLockHeld(RuntimeError):
+    """Another maintenance writer holds the lake's advisory lock."""
+
+
+@contextmanager
+def maintenance_lock(
+    spark: SparkSession, path: str, ttl_s: int = 3600, owner: str = ""
+):
+    """Advisory single-writer lock for lake maintenance - the
+    mechanism behind every mutator's "single maintenance writer per
+    lake assumed" caveat, for deployments where two schedulers might
+    race the same table.
+
+    ``<path>__lock`` is claimed with an atomic ``createNewFile`` (the
+    FS primitive that either creates-exclusively or reports the loser)
+    and removed on exit. A lock older than ``ttl_s`` is presumed
+    abandoned by a crashed writer and broken - the new holder then
+    runs ``vacuum_maintenance``-style recovery anyway at mutator
+    entry, so taking over a crashed run is safe by construction.
+    Raises MaintenanceLockHeld when a live writer holds it.
+
+    Usage::
+
+        with maintenance_lock(spark, lake):
+            merge_partitioned(spark, lake, updates, ...)
+
+    Advisory means exactly that: mutators do not acquire it
+    themselves (a single-writer deployment should not pay lock I/O
+    per mutation); wrap the call sites that can actually race.
+    """
+    import time
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    lock = jvm_path(path.rstrip("/") + "__lock")
+    if fs.exists(lock):
+        age = time.time() - fs.getFileStatus(lock).getModificationTime() / 1000.0
+        if age > ttl_s:
+            fs.delete(lock, False)  # abandoned by a crashed writer
+        else:
+            raise MaintenanceLockHeld(
+                f"maintenance lock on {path} held for {age:.0f}s "
+                f"(ttl {ttl_s}s)"
+            )
+    if not fs.createNewFile(lock):
+        raise MaintenanceLockHeld(f"lost the lock race on {path}")
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)
 
 
 def publish_partitions(

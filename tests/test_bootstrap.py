@@ -758,3 +758,37 @@ def test_publish_partitions_under_live_concurrent_reader(spark, tmp_path) -> Non
     final = spark.read.parquet(path)
     assert final.count() == n_parts
     assert final.agg(F.min("version"), F.max("version")).first() == (1, 1)
+
+
+def test_maintenance_lock_excludes_and_breaks_stale(spark, tmp_path) -> None:
+    """Advisory single-writer lock: a second acquire fails while held,
+    release frees it, and a lock older than the TTL (a crashed writer)
+    is broken by the next acquirer."""
+    import os
+    import time
+
+    import pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        MaintenanceLockHeld,
+        maintenance_lock,
+    )
+
+    path = str(tmp_path / "lake")
+    os.makedirs(path)
+
+    with maintenance_lock(spark, path):
+        assert os.path.exists(f"{path}__lock")
+        with pytest.raises(MaintenanceLockHeld, match="held for"):
+            with maintenance_lock(spark, path):
+                pass
+    assert not os.path.exists(f"{path}__lock")  # released
+
+    # stale lock from a crashed writer: backdate its mtime past the ttl
+    with open(f"{path}__lock", "w"):
+        pass
+    old = time.time() - 100
+    os.utime(f"{path}__lock", (old, old))
+    with maintenance_lock(spark, path, ttl_s=10):
+        pass  # broken and re-acquired
+    assert not os.path.exists(f"{path}__lock")
