@@ -60,6 +60,11 @@ REPLICATED = {
     "embeddings": "vec_id",
     "events": "event_id",
     "orders": "o_orderkey",
+    # lineitem remaps l_orderkey in ORDERS' key domain so the
+    # fact-fact join stays consistent across replicas; part/supp keys
+    # stay dim-ranged (replicas add parallel edges, the realistic
+    # heavier-graph shape)
+    "lineitem": "l_orderkey",
 }
 
 
@@ -91,6 +96,13 @@ def build_replica(spark, k: int) -> str:
     for table, id_col in REPLICATED.items():
         df = load_table(spark, BASE, table)
         n = df.agg(F.max(id_col)).collect()[0][0] + 1
+        if table == "lineitem":
+            # share orders' key domain (every order has lines, but pin
+            # the domain explicitly rather than relying on it)
+            n = (
+                load_table(spark, BASE, "orders")
+                .agg(F.max("o_orderkey")).collect()[0][0] + 1
+            )
         rep = df.crossJoin(
             spark.range(k).withColumnRenamed("id", "_rep")
         ).withColumn(id_col, F.col(id_col) + F.col("_rep") * n)
