@@ -145,8 +145,23 @@ def main() -> int:
         spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
+        # The engine's timestamp domain is MICROSECONDS (load_table
+        # floor-divides TIMESTAMP(NANOS) parquet to micros): project
+        # any TIMESTAMP_NS column through the same truncation so an
+        # oracle can never order by sub-micro information Spark cannot
+        # see. (The current fixtures surface plain TIMESTAMP, so this
+        # is a guard for future nanos files, not an active rewrite.)
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        ).fetchall()
+        sel = ", ".join(
+            f'CAST("{c}" AS TIMESTAMP) AS "{c}"' if ty == "TIMESTAMP_NS"
+            else f'"{c}"'
+            for c, ty, *_ in cols
+        )
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT {sel} "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
     n_pass = n_fail = n_rows_only = 0
@@ -190,6 +205,34 @@ def main() -> int:
                 diff_d = list((md - ms).items())[:3]
                 problems.append(f"values spark-only={diff_s} duckdb-only={diff_d}")
         if problems:
+            # DuckDB 1.0's PARALLEL window aggregation is
+            # nondeterministic on large partitions: the same
+            # ROWS-frame running sum over a fully unique ORDER BY
+            # returned three distinct prefixes across identical runs
+            # at sf0.1 (win_frames, suppkey 707: 7728/7731/7744), only
+            # one matching the explicitly-sorted ground truth both
+            # engines agree on. Before declaring a mismatch, re-run
+            # the ORACLE single-threaded (deterministic and correct)
+            # and compare against that - the Spark side is already
+            # deterministic by the exactness recipe.
+            try:
+                con.execute("SET threads=1")
+                res = con.execute(oracles[name])
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+            finally:
+                con.execute("RESET threads")
+            if (
+                len(s_rows) == len(d_rows)
+                and sorted(s_cols) == sorted(d_cols)
+                and row_multiset(s_cols, s_rows) == row_multiset(d_cols, d_rows)
+            ):
+                print(
+                    f"PASS  {name} ({len(s_rows)} rows; oracle retried "
+                    "single-threaded - parallel-DuckDB nondeterminism)"
+                )
+                n_pass += 1
+                continue
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         else:
