@@ -127,6 +127,16 @@ def pagerank(
     ).first()
     dangling_free = src_n == n
     closed = dangling_free and dst_n == n
+    # Lazy-plan growth per round is LINEAR on the dangling-free tiers
+    # (contrib referenced once) but DOUBLES on the general tier (the
+    # dangling scalar references contrib twice), so a caller-chosen
+    # cadence tuned for a closed graph would compound into 2^k
+    # analysis cost if the probes fall back - measured 18s vs 2s on a
+    # 25-node graph at check_every=8. The operator clamps its own
+    # window on the doubling tier; callers need not know which tier
+    # their graph lands on.
+    if not dangling_free:
+        check_every = min(check_every, 3)
     if n <= small_graph_max:
         # dimension-sized graph (distinct edges <= n^2 rows): collapse
         # to one partition so the per-round shuffles don't fan a few
