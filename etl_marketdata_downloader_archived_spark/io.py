@@ -307,27 +307,147 @@ def maintenance_lock(
     Advisory means exactly that: mutators do not acquire it
     themselves (a single-writer deployment should not pay lock I/O
     per mutation); wrap the call sites that can actually race.
+
+    Contract: the protected job MUST finish within ``ttl_s``. A holder
+    that overruns its TTL is treated as crashed - another writer may
+    take the lock over, after which exclusivity is gone for the
+    overrunner (its release then detects the foreign owner nonce and
+    leaves the new holder's lock untouched rather than deleting it).
+
+    Takeover discipline (the delete-then-create of earlier rounds let
+    two waiters both break one expired lock and the second delete
+    removed the first waiter's FRESH lock): an expired lock is broken
+    by RENAME to a unique per-contender name - the filesystem grants
+    exactly one renamer the file; every loser raises
+    MaintenanceLockHeld. The winner re-checks the renamed file's
+    mtime against the expired mtime it observed, so a contender whose
+    rename landed on a DIFFERENT, freshly-created lock (the previous
+    winner already re-acquired) detects the theft and puts the file
+    back. Acquisition itself writes an owner nonce via exclusive
+    create (``overwrite=false``), and release deletes the lock only
+    after reading its own nonce back.
     """
+    import uuid
+
+    jvm = spark._jvm
+    jvm_path = jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = path.rstrip("/")
+    lock = jvm_path(root + "__lock")
+    nonce = f"{owner or 'anon'}:{uuid.uuid4().hex}"
+
+    _break_expired_lock(spark, path, ttl_s)
+    out = None
+    try:
+        out = fs.create(lock, False)  # exclusive: raises if it exists
+        out.write(bytearray(nonce, "utf-8"))
+    except Exception as exc:  # noqa: BLE001 - py4j wraps the FS error
+        if "Exists" not in str(exc) and "exists" not in str(exc):
+            raise
+        raise MaintenanceLockHeld(
+            f"lost the lock race on {path}"
+        ) from None
+    finally:
+        if out is not None:
+            out.close()
+    try:
+        yield
+    finally:
+        holder = _read_lock_owner(spark, lock)
+        if holder == nonce:
+            # Benign race: between this read and the delete an
+            # expired-TTL takeover could swap the file - but takeover
+            # requires the lock to be PAST ttl_s, which the contract
+            # above forbids for a live holder.
+            fs.delete(lock, False)
+        # else: our TTL elapsed and another writer took over (or the
+        # file vanished) - the lock file is theirs, leave it alone.
+
+
+def _read_lock_owner(spark: SparkSession, lock) -> str | None:
+    """Owner nonce stored in a maintenance lock file, or None if the
+    file is unreadable/absent (vanished mid-check)."""
+    jvm = spark._jvm
+    fs = lock.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        stream = fs.open(lock)
+    except Exception:  # noqa: BLE001
+        return None
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    except Exception:  # noqa: BLE001
+        return None
+    finally:
+        stream.close()
+
+
+def _break_expired_lock(spark: SparkSession, path: str, ttl_s: int) -> None:
+    """Break ``<path>__lock`` iff it is older than ``ttl_s`` - by
+    atomic rename to a unique takeover name, so of N concurrent
+    contenders exactly one removes the expired file and every other
+    raises MaintenanceLockHeld. No-op when no lock exists; raises when
+    a live (non-expired) holder is present.
+
+    The post-rename mtime check closes the second-order race: a
+    contender that passed the staleness check, then stalled while the
+    winner broke the lock AND re-created a fresh one, would otherwise
+    rename the WINNER'S fresh lock away. Detecting a changed mtime on
+    the renamed file, it restores the file and raises. (The restore
+    itself can collide with a third writer creating yet another lock
+    in that same instant - that residual window is two metadata ops
+    wide and needs three simultaneous contenders inside one expired
+    takeover; the stolen file is then dropped and this contender still
+    raises.)"""
     import time
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    lock = jvm_path(path.rstrip("/") + "__lock")
-    if fs.exists(lock):
-        age = time.time() - fs.getFileStatus(lock).getModificationTime() / 1000.0
-        if age > ttl_s:
-            fs.delete(lock, False)  # abandoned by a crashed writer
-        else:
-            raise MaintenanceLockHeld(
-                f"maintenance lock on {path} held for {age:.0f}s "
-                f"(ttl {ttl_s}s)"
-            )
-    if not fs.createNewFile(lock):
-        raise MaintenanceLockHeld(f"lost the lock race on {path}")
+    root = path.rstrip("/")
+    lock = jvm_path(root + "__lock")
+    if not fs.exists(lock):
+        return
+    stale_mtime = fs.getFileStatus(lock).getModificationTime()
+    age = time.time() - stale_mtime / 1000.0
+    if age <= ttl_s:
+        raise MaintenanceLockHeld(
+            f"maintenance lock on {path} held for {age:.0f}s (ttl {ttl_s}s)"
+        )
+    _takeover_expired(spark, path, stale_mtime)
+
+
+def _takeover_expired(spark: SparkSession, path: str, stale_mtime: int) -> None:
+    """The rename-based takeover step, given the expired lock's
+    observed mtime: exactly one contender's rename wins the file;
+    losers and theft-detections raise MaintenanceLockHeld. Split out
+    so the two-contender race is testable with a pre-captured stale
+    observation (the real race window)."""
+    import uuid
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = path.rstrip("/")
+    lock = jvm_path(root + "__lock")
+    tomb = jvm_path(root + "__lock_takeover_" + uuid.uuid4().hex)
     try:
-        yield
-    finally:
-        fs.delete(lock, False)
+        won = fs.rename(lock, tomb)
+    except Exception as exc:  # noqa: BLE001 - local FS throws FNF,
+        if "FileNotFoundException" not in str(exc):  # HDFS returns false
+            raise
+        won = False
+    if not won:
+        raise MaintenanceLockHeld(
+            f"lost the takeover race on {path}: another writer broke "
+            "the expired lock first"
+        )
+    if fs.getFileStatus(tomb).getModificationTime() != stale_mtime:
+        # We renamed a FRESH lock (a previous winner already
+        # re-acquired) - put it back and yield to that holder.
+        if not fs.rename(tomb, lock):
+            fs.delete(tomb, False)
+        raise MaintenanceLockHeld(
+            f"expired lock on {path} was already replaced by a new holder"
+        )
+    fs.delete(tomb, False)
 
 
 def publish_partitions(

@@ -202,7 +202,10 @@ def _decode_wav(b: bytes) -> dict | None:
             width = f.getsampwidth()
             frames = f.readframes(nframes)
     except (wave.Error, EOFError):
-        return None
+        # The RIFF/WAVE magic matched, so this IS a wav payload - a
+        # mid-chunk truncation must surface as the quarantine signal
+        # ('corrupt/%'), not pass as binary/unknown.
+        return {"modality_detected": "corrupt/wav"}
     out = {
         "modality_detected": "audio/wav",
         "n_channels": int(nch),

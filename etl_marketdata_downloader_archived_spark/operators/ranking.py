@@ -264,7 +264,12 @@ def inverted_index(
             ).alias("top_doc_ids")
         )
     )
-    idx = agg.join(heads, "term")
+    # LEFT join: with top_docs=0 (index terms, skip posting heads)
+    # the heads frame is empty and an inner join would drop every
+    # term; absent heads surface as an empty posting string instead.
+    idx = agg.join(heads, "term", "left").withColumn(
+        "top_doc_ids", F.coalesce(F.col("top_doc_ids"), F.lit(""))
+    )
     if min_df > 1:
         idx = idx.filter(F.col("df") >= min_df)
     return idx

@@ -154,6 +154,21 @@ def test_inverted_index_caps_postings_but_counts_all(spark) -> None:
     assert got["common"].top_doc_ids == "0,1,2"  # stores only the heads
 
 
+def test_inverted_index_top_docs_zero_keeps_terms(spark) -> None:
+    """top_docs=0 (stats-only index, skip posting heads) must keep
+    every term with an empty posting string - the round-5 df/heads
+    split made heads EMPTY at 0 and an inner join dropped all terms."""
+    docs = [(1, "spark stream"), (2, "spark")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.term: r
+        for r in inverted_index(df, "doc_id", "text", top_docs=0).collect()
+    }
+    assert set(got) == {"spark", "stream"}
+    assert got["spark"].df == 2 and got["spark"].top_doc_ids == ""
+    assert got["stream"].df == 1 and got["stream"].top_doc_ids == ""
+
+
 def test_inverted_index_min_df(spark) -> None:
     docs = [(1, "rare common"), (2, "common")]
     df = spark.createDataFrame(docs, "doc_id long, text string")

@@ -792,3 +792,80 @@ def test_maintenance_lock_excludes_and_breaks_stale(spark, tmp_path) -> None:
     with maintenance_lock(spark, path, ttl_s=10):
         pass  # broken and re-acquired
     assert not os.path.exists(f"{path}__lock")
+
+
+def test_maintenance_lock_takeover_race_single_winner(spark, tmp_path) -> None:
+    """Two contenders both observe ONE expired lock: exactly one
+    proceeds; the loser raises MaintenanceLockHeld at every stall
+    point of the old delete-then-create TOCTOU.
+
+    Stage 1 - both race the rename itself: the loser's rename finds no
+    source file and raises. Stage 2 - the loser stalls even longer,
+    until the winner has re-acquired with a FRESH lock: the loser's
+    rename then lands on that fresh file, the mtime check detects the
+    theft, restores the winner's lock (same owner nonce), and raises."""
+    import os
+    import time
+
+    import pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        MaintenanceLockHeld,
+        _takeover_expired,
+        maintenance_lock,
+    )
+
+    path = str(tmp_path / "lake")
+    os.makedirs(path)
+    lock = f"{path}__lock"
+
+    # One expired lock from a crashed writer; both contenders capture
+    # the SAME stale observation (they both passed the age check).
+    with open(lock, "w") as f:
+        f.write("crashed-writer-nonce")
+    old = time.time() - 100
+    os.utime(lock, (old, old))
+    stale_mtime = int(os.stat(lock).st_mtime * 1000)
+
+    # Stage 1: winner breaks the lock first; loser's rename has no
+    # source left and raises instead of deleting anything.
+    _takeover_expired(spark, path, stale_mtime)
+    assert not os.path.exists(lock)
+    with pytest.raises(MaintenanceLockHeld, match="takeover race"):
+        _takeover_expired(spark, path, stale_mtime)
+
+    # Stage 2: winner has re-acquired (fresh lock, fresh nonce); the
+    # stalled loser finally runs its rename with the stale
+    # observation. It must NOT remove the winner's fresh lock.
+    with maintenance_lock(spark, path, owner="winner"):
+        fresh = open(lock).read()
+        assert fresh.startswith("winner:")
+        with pytest.raises(MaintenanceLockHeld, match="already replaced"):
+            _takeover_expired(spark, path, stale_mtime)
+        assert os.path.exists(lock)
+        assert open(lock).read() == fresh  # restored byte-identical
+    assert not os.path.exists(lock)  # winner's release still works
+    assert not [p for p in os.listdir(tmp_path) if "takeover" in p]
+
+
+def test_maintenance_lock_release_checks_owner(spark, tmp_path) -> None:
+    """A holder that overran its TTL and was taken over must NOT
+    delete the new holder's lock on release - release verifies the
+    owner nonce first (the old finally-block deleted uncondition-
+    ally, unlocking a third writer under the new holder's feet)."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import maintenance_lock
+
+    path = str(tmp_path / "lake")
+    os.makedirs(path)
+    lock = f"{path}__lock"
+
+    with maintenance_lock(spark, path, owner="overrunner"):
+        # Simulate an expired-TTL takeover while the job overruns:
+        # the lock file now belongs to someone else.
+        with open(lock, "w") as f:
+            f.write("new-holder:cafebabe")
+    assert os.path.exists(lock)  # foreign lock survived our release
+    assert open(lock).read() == "new-holder:cafebabe"
+    os.remove(lock)

@@ -1382,6 +1382,6 @@ def test_decode_media_real_png_and_wav(spark) -> None:
     assert got["trunc_png"].modality_detected == "corrupt/png"
     assert got["trunc_png"].n_bytes == len(png_ok) - 20
     assert got["trunc_png"].checksum is not None
-    assert got["trunc_wav"].modality_detected in ("corrupt/wav", "binary/unknown")
+    assert got["trunc_wav"].modality_detected == "corrupt/wav"
     assert got["null_bytes"].modality_detected == "binary/null"
     assert got["null_bytes"].n_bytes is None and got["null_bytes"].checksum is None
