@@ -27,11 +27,28 @@ from .profile import mann_whitney
 __all__ = ["binary_auc", "score_deciles", "confusion_at_threshold"]
 
 
+def _quantized_score(df: DataFrame, score_col: str, bins: int):
+    """Score expression quantized onto a fixed ``width_bucket`` grid
+    over the GLOBAL min/max (one scalar aggregate, driver-side pair) -
+    the same scale tier as ``ks_statistic(bins=...)``. width_bucket is
+    monotone, so any rank statistic computed over bucket indices is
+    the statistic over scores with within-bin values tied; NULL scores
+    map to NULL buckets (still dropped downstream)."""
+    s = F.col(score_col).cast("double")
+    lo, hi = df.agg(F.min(s), F.max(s)).first()
+    if lo is None:
+        lo, hi = 0.0, 1.0  # no non-null scores: empty result either way
+    elif hi == lo:
+        hi = lo + 1
+    return F.width_bucket(s, F.lit(lo), F.lit(hi), F.lit(bins))
+
+
 def binary_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
     by: list[str] | None = None,
+    bins: int | None = None,
 ) -> DataFrame:
     """ROC AUC of ``score_col`` against the boolean ``label_col`` per
     ``by`` group - the probability a random positive outscores a
@@ -45,6 +62,20 @@ def binary_auc(
     division. No row-level sort anywhere; NULL scores are dropped
     (they carry no rank). AUC is NULL when a group has only one class.
 
+    Scale tier: rank-from-counts bounds the window's input by DISTINCT
+    score cardinality - exact AND scale-free whenever the score domain
+    is discrete (int-cents, quantized logits). For CONTINUOUS float
+    scores distinct-count approaches row count and the per-group rank
+    window degenerates back to a single-task row-scale sort; pass
+    ``bins`` to quantize onto a fixed ``width_bucket`` grid first
+    (exactly ``ks_statistic``'s binned tier) - the window input is
+    then at most ``bins`` rows per group at any corpus size. Binned
+    AUC counts within-bin positive/negative pairs as ties (half), the
+    standard quantized-AUC approximation: the error is bounded by
+    half the within-bin pair mass, sum_i(p_i*q_i)/(2*P*N) <= half the
+    largest bin's smaller-class share; it is EXACT when quantization
+    is injective on the observed scores.
+
     Returns by + (n_pos, n_neg, auc).
     """
     keys = list(by or [])
@@ -54,9 +85,12 @@ def binary_auc(
     # .otherwise('b') silently classing them 'b' (score NULLs are
     # dropped inside mann_whitney)
     df = df.filter(F.col(label_col).try_cast("boolean").isNotNull())
+    score = F.col(score_col)
+    if bins is not None:
+        score = _quantized_score(df, score_col, bins)
     sided = df.select(
         *keys,
-        F.col(score_col).alias("_s"),
+        score.alias("_s"),
         F.when(F.col(label_col).try_cast("boolean"), "a")
         .otherwise("b")
         .alias("_side"),
@@ -76,6 +110,7 @@ def score_deciles(
     label_col: str,
     by: list[str] | None = None,
     n_buckets: int = 10,
+    bins: int | None = None,
 ) -> DataFrame:
     """Decile lift/gain table: bucket rows by descending score into
     ``n_buckets`` value-deciles and report, per bucket, row/positive
@@ -93,16 +128,26 @@ def score_deciles(
     a discrete score. All counts are bigints; lift and gain are fixed
     IEEE expressions over them.
 
+    Scale tier: as ``binary_auc``, the cumulative windows run over the
+    distinct-score count table - pass ``bins`` for continuous float
+    scores so the per-group window input is capped at ``bins`` rows
+    regardless of corpus size (width_bucket is monotone, so bucket
+    order IS score order; decile edges then land on grid edges, which
+    can only coarsen the already-value-decile bucket boundaries).
+
     Returns by + (decile, n_rows, n_pos, cum_rows, cum_pos, lift,
     cum_gain), decile 1 = highest scores.
     """
     keys = list(by or [])
+    df = df.filter(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).try_cast("boolean").isNotNull()
+    )
+    score = F.col(score_col)
+    if bins is not None:
+        score = _quantized_score(df, score_col, bins)
     g = (
-        df.filter(
-            F.col(score_col).isNotNull()
-            & F.col(label_col).try_cast("boolean").isNotNull()
-        )
-        .groupBy(*keys, F.col(score_col).alias("_s"))
+        df.groupBy(*keys, score.alias("_s"))
         .agg(
             F.count(F.lit(1)).alias("_t"),
             F.count(

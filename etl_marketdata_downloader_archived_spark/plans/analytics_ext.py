@@ -1927,6 +1927,72 @@ def auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "auc_daily_binned",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(min(value) AS DOUBLE) AS lo,
+               CAST(max(value) AS DOUBLE) AS hi
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS score_date,
+               CASE WHEN value >= b.hi THEN CAST(65 AS BIGINT)
+                    ELSE CAST(floor(
+                        64.0 * (CAST(value AS DOUBLE) - b.lo)
+                        / (b.hi - b.lo) + 1) AS BIGINT)
+               END AS v,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN 'a' ELSE 'b' END AS side
+        FROM events, b
+        WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT score_date, v, side,
+               2 * CAST(rank() OVER (PARTITION BY score_date
+                                     ORDER BY v) AS BIGINT)
+                 + CAST(count(*) OVER (PARTITION BY score_date, v)
+                        AS BIGINT) - 1 AS r2
+        FROM s
+    ),
+    g AS (
+        SELECT score_date,
+               CAST(count(*) FILTER (WHERE side = 'a') AS BIGINT) AS n_pos,
+               CAST(count(*) FILTER (WHERE side = 'b') AS BIGINT) AS n_neg,
+               CAST(sum(r2)  FILTER (WHERE side = 'a') AS BIGINT) AS sr2a
+        FROM r GROUP BY score_date
+    )
+    SELECT score_date, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             (CAST(sr2a - n_pos * (n_pos + 1) AS DOUBLE) / 2)
+               / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+           END AS auc
+    FROM g
+    """,
+)
+def auc_daily_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``auc_daily`` under the binned scale tier
+    (operators.evaluation.binary_auc with ``bins=64``): scores are
+    quantized onto a global 64-bucket ``width_bucket`` grid BEFORE
+    ranking, so the per-day rank window's input is capped at ~66 rows
+    per group at any corpus size - the tier continuous float scores
+    need (exact rank-from-counts degenerates to distinct~=row count
+    there). The oracle replays the grid arithmetic bit-for-bit
+    (floor(bins*(v-lo)/(hi-lo)+1), hi -> bins+1) and the identical
+    rank machinery over bucket indices, certifying that quantization
+    itself is engine-exact - the approximation is only
+    binned-vs-exact AUC, bounded in tests/test_evaluation.py."""
+    from ..operators.evaluation import binary_auc
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        F.to_date("ts").alias("score_date"),
+        "value",
+        F.col("event_type").isin("purchase", "signup").alias("is_conv"),
+    )
+    return binary_auc(scored, "value", "is_conv", by=["score_date"], bins=64)
+
+
+@q(
     "lift_deciles",
     oracle="""
     WITH s AS (

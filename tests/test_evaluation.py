@@ -235,3 +235,106 @@ def test_uncastable_labels_are_dropped_too(spark) -> None:
     assert c.tp + c.fp + c.tn + c.fn == 3
     d = score_deciles(df, "score", "label").collect()
     assert sum(r.n_rows for r in d) == 3
+
+
+def test_binned_auc_error_bound_continuous(spark) -> None:
+    """Binned AUC on continuous scores: within-bin pos/neg pairs are
+    counted half, so |binned - exact| <= sum_i(p_i*q_i)/(2*P*N) - the
+    theoretical bound, asserted from the actual bin masses, plus an
+    empirical 256-bin ceiling for this distribution."""
+    rng = np.random.default_rng(11)
+    n = 2000
+    scores = rng.normal(0.0, 1.0, n)  # continuous: all distinct
+    labels = rng.random(n) < 1 / (1 + np.exp(-1.2 * scores))
+    assert len(np.unique(scores)) == n
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    exact = _numpy_auc(scores, labels)
+    bins = 256
+    row = binary_auc(df, "score", "label", bins=bins).collect()[0]
+    # replicate the width_bucket grid to get per-bin class masses
+    lo, hi = scores.min(), scores.max()
+    bucket = np.clip(
+        np.floor((scores - lo) / (hi - lo) * bins).astype(int), 0, bins
+    )
+    p = np.bincount(bucket[labels], minlength=bins + 2)
+    q = np.bincount(bucket[~labels], minlength=bins + 2)
+    bound = float((p * q).sum()) / (2.0 * labels.sum() * (~labels).sum())
+    assert abs(row.auc - exact) <= bound + 1e-12
+    assert abs(row.auc - exact) < 0.01  # 256 bins on 2k normals
+    assert row.n_pos == int(labels.sum())
+    assert row.n_neg == int((~labels).sum())
+
+
+def test_binned_auc_exact_when_quantization_injective(spark) -> None:
+    """A discrete score domain that maps one value per bucket loses
+    nothing: binned AUC == exact AUC bit-for-bit (the existing oracle
+    fixtures are unaffected by opting into the tier)."""
+    rng = np.random.default_rng(3)
+    n = 300
+    scores = rng.integers(0, 20, n).astype(float)  # 20 distinct values
+    labels = rng.random(n) < (scores / 25.0)
+    if labels.all() or not labels.any():
+        labels[0] = not labels[0]
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    exact_row = binary_auc(df, "score", "label").collect()[0]
+    binned_row = binary_auc(df, "score", "label", bins=1000).collect()[0]
+    assert binned_row.auc == exact_row.auc  # bit-identical
+    assert exact_row.auc == pytest.approx(_numpy_auc(scores, labels), abs=1e-12)
+
+
+def test_binned_deciles_match_exact_when_injective(spark) -> None:
+    """score_deciles(bins=large) on a discrete domain reproduces the
+    exact value-decile table row-for-row (only the _s grouping key is
+    remapped, monotonically)."""
+    rng = np.random.default_rng(5)
+    n = 500
+    scores = rng.integers(0, 30, n).astype(float)
+    labels = rng.random(n) < (scores / 40.0)
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    cols = ["decile", "n_rows", "n_pos", "cum_rows", "cum_pos", "lift", "cum_gain"]
+    exact = sorted(
+        tuple(getattr(r, c) for c in cols)
+        for r in score_deciles(df, "score", "label").collect()
+    )
+    binned = sorted(
+        tuple(getattr(r, c) for c in cols)
+        for r in score_deciles(df, "score", "label", bins=3000).collect()
+    )
+    assert binned == exact
+
+
+def test_binned_deciles_continuous_invariants(spark) -> None:
+    """Continuous scores under the binned tier keep the table's
+    conservation invariants: counts sum to the input, cumulative
+    columns are monotone, final cum_gain is 1."""
+    rng = np.random.default_rng(9)
+    n = 1500
+    scores = rng.normal(0, 1, n)
+    labels = rng.random(n) < 0.3
+    if not labels.any():
+        labels[0] = True
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    rows = sorted(
+        score_deciles(df, "score", "label", bins=64).collect(),
+        key=lambda r: r.decile,
+    )
+    assert sum(r.n_rows for r in rows) == n
+    assert sum(r.n_pos for r in rows) == int(labels.sum())
+    assert rows[-1].cum_rows == n
+    assert rows[-1].cum_gain == pytest.approx(1.0)
+    cums = [r.cum_rows for r in rows]
+    assert cums == sorted(cums)
+    # at most `bins`+2 distinct grouping values feed the windows
+    assert len(rows) <= 10
