@@ -189,3 +189,39 @@ def test_explain_report_covers_every_registered_query() -> None:
     m = re.search(r"All-query scan result: (\d+) queries, zero red flags", text)
     assert m, "EXPLAIN.md red-flag scan line missing or reports flags"
     assert int(m.group(1)) == len(registry.all_queries())
+
+
+def test_explain_scan_detects_global_windows(spark) -> None:
+    """The explain-report scan's global-window detector: a Window with
+    an empty partition spec (two top-level argument groups, second one
+    a sort spec) is counted; partitioned and partitioned-but-unordered
+    windows are not. Live plans (not synthetic strings) so the
+    formatted-explain shape this parses is pinned to the running Spark
+    version."""
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from tools.explain_report import global_windows
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    base = spark.range(20).withColumn("g", F.col("id") % 3)
+    glob = base.withColumn("r", F.row_number().over(W.orderBy("id")))
+    part = base.withColumn(
+        "r", F.row_number().over(W.partitionBy("g").orderBy("id"))
+    )
+    both = glob.withColumn(
+        "s", F.sum("id").over(W.partitionBy("g").orderBy("id"))
+    )
+    assert global_windows(plan_of(glob)) == 1
+    assert global_windows(plan_of(part)) == 0
+    assert global_windows(plan_of(both)) == 1  # counts only the global one

@@ -79,8 +79,9 @@ NOTES = """\
   per-(group, distinct-value) counts - the window's Sort input is
   value-cardinality-bounded, and the single-partition WindowExec
   warning those plans used to log during parity runs is gone. The
-  only remaining deliberately-global windows are spearman_corr's
-  bar-grid-bounded ranks (one row per hourly bar by construction).
+  remaining deliberately-global windows are enumerated (and asserted:
+  an unlisted one fails the scan) in the whitelist table at the end
+  of this report - all four are grid/day/group-count bounded.
 
 - **inverted_index** (round 5): the plan shows the partial/final
   `WindowGroupLimit ... row_number(), 5` pair BELOW the exchange -
@@ -95,6 +96,73 @@ NOTES = """\
 """
 
 RED_FLAGS = ["CartesianProduct", "BatchEvalPython"]  # row-at-a-time Python
+
+# Queries whose plans contain a Window with NO partition spec
+# (single-partition WindowExec) ON PURPOSE: each one's window input is
+# bounded by construction (cardinality of a grid / value set / group
+# count, never fact rows), so funnelling it through one task is the
+# right plan. ANY query with a global window that is not listed here
+# fails the scan - a future fact-scale global window cannot scroll by
+# as one more log line (VERDICT r5 "what's wrong #4").
+GLOBAL_WINDOW_WHITELIST = {
+    # input = the hourly bar grid (one row per bar), two per-variable
+    # rank windows over that grid - bounded by calendar, never events
+    "spearman_corr": "bar-grid-bounded ranks (one row per hourly bar, x2)",
+    # input = the equi-joined view/click hourly close grid; a
+    # multi-pair panel would partition this same window by pair key
+    "rolling_corr": "24-bar moment window over the joined bar grid",
+    # sweep-line runs INSIDE per-day partitions; this window stitches
+    # day-level nets - one row per calendar day
+    "session_concurrency": "cross-day prefix sum over one row per day",
+    # row_number over the group-by result: one row per distinct
+    # o_orderpriority value (6 incl. the NULL group)
+    "null_semantics": "ranks the 6-row priority group-by output",
+}
+
+
+def _arg_groups(args: str) -> list[str]:
+    """Split a formatted-explain ``Arguments:`` payload into its
+    top-level ``[...]`` groups (bracket/paren nesting respected)."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(args):
+        if ch in "[(":
+            if ch == "[" and depth == 0:
+                start = i
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+            if ch == "]" and depth == 0 and start is not None:
+                groups.append(args[start + 1 : i])
+                start = None
+    return groups
+
+
+def global_windows(plan: str) -> int:
+    """Count Window nodes with an EMPTY partition spec in a formatted
+    plan. A partitioned Window prints three top-level argument groups
+    ``[exprs], [partitionSpec], [orderSpec]``; with no partition the
+    empty list is omitted and only ``[exprs], [orderSpec]`` remain -
+    disambiguated from a partitioned-but-unordered window by the sort
+    direction tokens in the second group."""
+    import re
+
+    n = 0
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.match(r"\(\d+\) Window(InPandas)?\s*(\[|$)", ln.strip()):
+            continue
+        for nxt in lines[i + 1 : i + 6]:
+            nxt = nxt.strip()
+            if nxt.startswith("Arguments: "):
+                groups = _arg_groups(nxt[len("Arguments: "):])
+                if len(groups) == 2 and (
+                    " ASC" in groups[1] or " DESC" in groups[1]
+                ):
+                    n += 1
+                elif len(groups) == 1:
+                    n += 1  # no partition AND no order
+                break
+    return n
 
 
 def main() -> int:
@@ -117,6 +185,7 @@ def main() -> int:
         "",
     ]
     flagged = []
+    seen_global: dict[str, int] = {}
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -125,6 +194,11 @@ def main() -> int:
             df.explain("formatted")
         plan = buf.getvalue()
         flags = [f for f in RED_FLAGS if f in plan]
+        gw = global_windows(plan)
+        if gw and name not in GLOBAL_WINDOW_WHITELIST:
+            flags.append(f"unlisted global Window x{gw}")
+        if gw:
+            seen_global[name] = gw
         if flags:
             flagged.append((name, flags))
         if name not in HEADLINE:
@@ -145,10 +219,35 @@ def main() -> int:
         + "\n",
     )
     out.append(NOTES)
+    stale = sorted(set(GLOBAL_WINDOW_WHITELIST) - set(seen_global))
+    out.append("\n## Global-window whitelist (asserted by the scan)\n")
+    out.append(
+        "Every `Window` with an empty partition spec must appear here"
+        " with its bounded-input justification; an unlisted one FAILS"
+        " the scan (exit 1). Each row's input is bounded by"
+        " construction - grids, value/count tables, dimension rows -"
+        " never fact rows.\n"
+    )
+    out.append("| query | global Windows | bounded because |")
+    out.append("|---|---|---|")
+    for name in sorted(seen_global):
+        out.append(
+            f"| `{name}` | {seen_global[name]} | "
+            f"{GLOBAL_WINDOW_WHITELIST.get(name, '**UNLISTED - FAILING**')} |"
+        )
+    if stale:
+        out.append("")
+        out.append(
+            "Whitelist entries with no global window in the current plans"
+            f" (kept for documentation): {', '.join(sorted(stale))}."
+        )
 
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote EXPLAIN.md ({len(out)} lines); red-flagged: {flagged or 'none'}")
+    print(
+        f"wrote EXPLAIN.md ({len(out)} lines); red-flagged: {flagged or 'none'}; "
+        f"global-window queries: {seen_global or 'none'}; stale whitelist: {stale or 'none'}"
+    )
     return 1 if flagged else 0
 
 
