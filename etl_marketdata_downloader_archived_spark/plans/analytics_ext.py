@@ -830,6 +830,74 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling in plain SQL: a recursive CTE cannot
+    express peeling (each round's degree filter references the working
+    edge set twice, and aggregates over it), so the oracle unrolls a
+    FIXED number of peel rounds. Peeling is monotone-decreasing and
+    idempotent at the fixpoint, so any unroll depth >= the true peel
+    depth yields exactly the k-core; the fixture graph peels in 2
+    rounds at sf0.01 (measured 1-2 across sf0.001-0.1) and the unroll
+    leaves a 4x margin. Every CTE is MATERIALIZED: each round
+    references its predecessor three times, and an inlining engine
+    would otherwise expand e0 3^rounds times. Extra rounds are
+    identity scans of a few-thousand-row table - cheap by
+    construction."""
+    cte = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey AND x.l_orderkey % 11 = 0
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"r{i - 1}" if i > 1 else "e0"
+        keep = (
+            f"(SELECT node FROM (SELECT a AS node FROM {prev} "
+            f"UNION ALL SELECT b AS node FROM {prev}) "
+            f"GROUP BY node HAVING count(*) >= {k})"
+        )
+        cte.append(
+            f"r{i} AS MATERIALIZED (SELECT a, b FROM {prev} "
+            f"WHERE a IN {keep} AND b IN {keep})"
+        )
+    last = f"r{rounds}"
+    return (
+        "WITH " + ",\n    ".join(cte) + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM {last} UNION ALL SELECT b AS node FROM {last})
+    GROUP BY node HAVING count(*) >= {k}
+    """
+    )
+
+
+@q("kcore_parts", oracle=_kcore_oracle(k=3, rounds=8))
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-order graph (parts that appear together
+    in 1-in-11 orders), run through the production
+    operators.graph.k_core iterative peeler and certified against a
+    DuckDB oracle that replays the peeling as 16 unrolled SQL rounds -
+    the same differential treatment graph_components got, closing the
+    last pytest-only gap in the graph family. The modulo filter is a
+    deterministic sparsifier (keeps the fixture's peel depth and edge
+    count oracle-friendly); the Spark side runs the unmodified
+    operator, whose per-round cost is one degree aggregate plus two
+    semi-joins regardless of graph size."""
+    from ..operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 11 == 0
+    )
+    x = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return k_core(e, 3).select("node", "degree")
+
+
 @q(
     "risk_report",
     oracle=f"""
