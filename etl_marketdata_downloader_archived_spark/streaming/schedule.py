@@ -52,34 +52,7 @@ def start_scheduled_harvest(
         tasks = harvest_tasks(
             catalog, interval, now_fn() if now_fn else None
         ).select("task_json")
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-        fs = jvm_path(task_dir).getFileSystem(spark._jsc.hadoopConfiguration())
-        stage = f"{task_dir}/.tick-{batch_id}"
-        tasks.coalesce(1).write.mode("overwrite").text(stage)
-        # one coalesced writer -> at most one part file; zero when the
-        # due-set is empty (header-less text writes no part)
-        for st in fs.listStatus(jvm_path(stage)):
-            if not st.getPath().getName().startswith("part-"):
-                continue
-            if st.getLen() == 0:
-                continue
-            target = jvm_path(f"{task_dir}/tick-{batch_id}.jsonl")
-            # a checkpoint-replayed batch re-lands ITS OWN tick file:
-            # clear the previous copy so the rename cannot silently
-            # return false and strand the fresh task set in the
-            # staging dir about to be deleted
-            fs.delete(target, False)
-            if not fs.rename(st.getPath(), target):
-                raise IOError(
-                    f"scheduled harvest: could not publish tick {batch_id}"
-                )
-            # local-FS rename drags a checksum sidecar along; it is
-            # dot-prefixed (invisible to the watching stream) but
-            # there is no reason to leave debris in the queue dir
-            fs.delete(
-                jvm_path(f"{task_dir}/.tick-{batch_id}.jsonl.crc"), False
-            )
-        fs.delete(jvm_path(stage), True)
+        publish_tick(spark, task_dir, batch_id, tasks)
 
     return (
         spark.readStream.format("rate")
@@ -90,3 +63,65 @@ def start_scheduled_harvest(
         .trigger(processingTime=f"{tick_seconds} seconds")
         .start()
     )
+
+
+def publish_tick(
+    spark: SparkSession, task_dir: str, batch_id: int, tasks: DataFrame
+) -> str | None:
+    """Atomically land one tick's due-set as a CONTENT-ADDRESSED task
+    file ``tick-<batch>-<sha256[:12]>.jsonl``; returns the published
+    path (None for an empty due-set).
+
+    Why content-addressed: a checkpoint-replayed batch re-reads the
+    CURRENT (possibly mutated) catalog. Publishing over a plain
+    ``tick-N`` name would silently replace a file the downstream file
+    stream already ingested and never re-reads - the delta between the
+    old and new due-sets would be dropped until the next tick. Hashing
+    the payload into the name makes a changed replay land a NEW file
+    the stream DOES read; an identical replay re-lands its own name
+    (no-op; downstream stays idempotent via the lake's dedup
+    manifest). The file is staged dot-prefixed (invisible to the
+    watching stream) and renamed in whole, so a consumer never reads a
+    half-written task file; rows are sorted so a given due-set is
+    byte-deterministic and its hash stable across replays."""
+    import hashlib
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(task_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    stage = f"{task_dir}/.tick-{batch_id}"
+    tasks.coalesce(1).sortWithinPartitions("task_json").write.mode(
+        "overwrite"
+    ).text(stage)
+    published = None
+    # one coalesced writer -> at most one part file; zero when the
+    # due-set is empty (header-less text writes no part)
+    for st in fs.listStatus(jvm_path(stage)):
+        if not st.getPath().getName().startswith("part-"):
+            continue
+        if st.getLen() == 0:
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            payload = bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        digest = hashlib.sha256(payload).hexdigest()[:12]
+        name = f"tick-{batch_id}-{digest}.jsonl"
+        target = jvm_path(f"{task_dir}/{name}")
+        # an identical replay re-lands its own name: clear it so the
+        # rename cannot silently return false and strand the fresh
+        # task set in the staging dir about to be deleted
+        fs.delete(target, False)
+        if not fs.rename(st.getPath(), target):
+            raise IOError(
+                f"scheduled harvest: could not publish tick {batch_id}"
+            )
+        # local-FS rename drags a checksum sidecar along; it is
+        # dot-prefixed (invisible to the watching stream) but there is
+        # no reason to leave debris in the queue dir
+        fs.delete(jvm_path(f"{task_dir}/.{name}.crc"), False)
+        published = f"{task_dir}/{name}"
+    fs.delete(jvm_path(stage), True)
+    return published

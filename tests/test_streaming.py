@@ -691,9 +691,10 @@ def test_scheduled_harvest_ticks_and_sees_catalog_updates(spark, tmp_path) -> No
         # numerically-latest file until it does (lexicographic sort
         # would put tick-10 before tick-9)
         def latest_ids():
+            # tick-<batch>-<contenthash>.jsonl: order by batch number
             files = sorted(
                 glob.glob(f"{task_dir}/tick-*.jsonl"),
-                key=lambda f: int(f.rsplit("-", 1)[1].split(".")[0]),
+                key=lambda f: int(f.split("tick-")[-1].split("-")[0]),
             )
             if not files:
                 return None
@@ -714,6 +715,70 @@ def test_scheduled_harvest_ticks_and_sees_catalog_updates(spark, tmp_path) -> No
         f for f in glob.glob(f"{task_dir}/.tick-*") if not f.endswith(".crc")
     ]
     assert stray == []
+
+
+def test_tick_replay_content_addressed(spark, tmp_path) -> None:
+    """A checkpoint-replayed tick that recomputes a DIFFERENT due-set
+    (the catalog mutated between the original tick and its replay)
+    must land a NEW file the downstream stream actually reads - the
+    old fixed tick-N name silently replaced a file the stream had
+    already consumed, orphaning the delta. Identical replays stay
+    idempotent (same content hash -> same name), and the hash is
+    row-order-insensitive (the publish sorts)."""
+    import glob
+    import os
+    import time
+
+    from etl_marketdata_downloader_archived_spark.streaming.schedule import (
+        publish_tick,
+    )
+
+    task_dir = str(tmp_path / "in")
+    os.makedirs(task_dir)
+
+    due_v1 = spark.createDataFrame(
+        [('{"ID":"1"}',), ('{"ID":"2"}',)], "task_json string"
+    )
+    p1 = publish_tick(spark, task_dir, 7, due_v1)
+    assert p1 and os.path.basename(p1).startswith("tick-7-")
+
+    # identical replay (row order shuffled): SAME name, one file
+    due_v1_shuffled = spark.createDataFrame(
+        [('{"ID":"2"}',), ('{"ID":"1"}',)], "task_json string"
+    )
+    assert publish_tick(spark, task_dir, 7, due_v1_shuffled) == p1
+    assert glob.glob(f"{task_dir}/tick-7-*.jsonl") == [p1]
+
+    # replay against a MUTATED catalog: new content -> NEW file,
+    # original preserved
+    due_v2 = spark.createDataFrame([('{"ID":"1"}',)], "task_json string")
+    p2 = publish_tick(spark, task_dir, 7, due_v2)
+    assert p2 != p1
+    assert sorted(glob.glob(f"{task_dir}/tick-7-*.jsonl")) == sorted([p1, p2])
+
+    # empty due-set publishes nothing
+    empty = spark.createDataFrame([], "task_json string")
+    assert publish_tick(spark, task_dir, 8, empty) is None
+
+    # the downstream file stream sees BOTH due-sets - the replayed
+    # one included (the exact delta the fixed-name scheme dropped)
+    q = (
+        spark.readStream.format("text")
+        .load(task_dir)
+        .writeStream.format("memory")
+        .queryName("tick_replay_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    seen = [r.value for r in spark.sql(
+        "select value from tick_replay_probe"
+    ).collect()]
+    assert seen.count('{"ID":"1"}') == 2  # v1 file + replayed v2 file
+    assert seen.count('{"ID":"2"}') == 1
 
 
 def test_full_loop_scheduler_to_lake(spark, tmp_path) -> None:
