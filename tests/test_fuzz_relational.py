@@ -12,9 +12,13 @@ aggregate typing) fails here on inputs nobody thought to hand-write.
 Determinism guards baked into the grammar: no LIMIT without total
 order, no float-sum aggregates except over integral-valued columns
 (l_quantity is 1..50 integers in doubles; sums stay exact in IEEE for
-any accumulation order at this scale), no NULL-bearing columns (TPC-H
-base columns are NOT NULL by spec), group keys restricted to
-low-cardinality columns so result sets stay small.
+any accumulation order at this scale), group keys restricted to
+low-cardinality columns so result sets stay small. TPC-H base columns
+are NOT NULL by spec, so the base families never see a NULL - the
+dedicated NULL-semantics family at the bottom injects NULLs
+deterministically (nullif / CASE) on both engines and fuzzes 3VL
+filters, null group keys, null-skipping aggregates, pinned
+NULLS FIRST/LAST ordering, and outer/null-safe joins over them.
 """
 
 from __future__ import annotations
@@ -365,3 +369,192 @@ def test_ordered_topk_matches_sql_on_duckdb(spark, ddb, spec) -> None:
     s_rows = [tuple(r) for r in sdf.collect()]
     d_rows = [tuple(r) for r in ddb.execute(sql).fetchall()]
     assert s_rows == d_rows, sql  # ORDERED equality
+
+
+# --- NULL-semantics fuzzing: injected NULLs, 3VL, outer joins ---
+#
+# TPC-H base columns are NOT NULL, so the families above never see a
+# NULL - yet null ordering, three-valued logic, null group keys, and
+# outer-join null fabrication are exactly where DataFrame-vs-SQL and
+# Spark-vs-DuckDB diverge. This family DERIVES a nullable column with
+# the same deterministic injection on both engines (nullif / CASE
+# WHEN ... THEN NULL) and fuzzes the null-sensitive operations over
+# it. Null ordering is always pinned explicitly (NULLS FIRST/LAST on
+# both sides): Spark's default is NULLS FIRST where DuckDB's is NULLS
+# LAST, so an unpinned ORDER BY would fuzz the engines' defaults, not
+# the semantics.
+
+_NULL_FAM = {
+    "orders": {
+        "num": ("o_custkey", [3, 7, 10]),  # NULL where col % m == 0
+        "str": ("o_orderpriority", ["1-URGENT", "3-MEDIUM"]),
+        "tie": ["o_orderkey"],
+        "sum": "o_custkey",
+        "join": ("customer", "c_custkey", "c_mktsegment"),
+    },
+    "lineitem": {
+        "num": ("l_suppkey", [2, 5]),
+        "str": ("l_returnflag", ["A", "N"]),
+        "tie": ["l_orderkey", "l_linenumber"],
+        "sum": "l_quantity",
+        "join": ("orders", "o_orderkey", "o_orderstatus"),
+    },
+}
+_NULL_OPS = [
+    "filter_is_null",
+    "filter_is_not_null",
+    "filter_cmp",        # 3VL: NULL rows silently dropped by <
+    "group_by_null_key", # the NULL group must appear exactly once
+    "agg_null_skip",     # count(col) vs count(*), sum/min/max skip
+    "order_nulls_limit", # explicit NULLS FIRST/LAST + tie + LIMIT
+    "left_join",
+    "full_join",
+    "null_safe_join",    # <=> vs IS NOT DISTINCT FROM
+]
+
+
+@st.composite
+def _null_spec(draw):
+    t = draw(st.sampled_from(sorted(_NULL_FAM)))
+    cfg = _NULL_FAM[t]
+    kind = draw(st.sampled_from(["num", "str"]))
+    col, params = cfg[kind]
+    param = draw(st.sampled_from(params))
+    op = draw(st.sampled_from(_NULL_OPS))
+    if op in ("left_join", "full_join", "null_safe_join"):
+        kind, (col, params) = "num", cfg["num"]  # join keys are numeric
+        param = draw(st.sampled_from(params))
+    return {
+        "table": t,
+        "kind": kind,
+        "col": col,
+        "param": param,
+        "op": op,
+        "nulls_first": draw(st.booleans()),
+        "desc": draw(st.booleans()),
+    }
+
+
+def _null_build(spark, spec):
+    t, col, param = spec["table"], spec["col"], spec["param"]
+    cfg = _NULL_FAM[t]
+    tie, sum_col = cfg["tie"], cfg["sum"]
+    df = spark.read.parquet(f"{SF}/{t}.parquet")
+    if spec["kind"] == "num":
+        k = F.when(F.col(col) % param == 0, None).otherwise(F.col(col))
+        k_sql = f"CASE WHEN {col} % {param} = 0 THEN NULL ELSE {col} END"
+    else:
+        k = F.nullif(F.col(col), F.lit(param))
+        k_sql = f"nullif({col}, '{param}')"
+    base = df.select(*tie, sum_col, k.alias("k"))
+    base_sql = f"SELECT {', '.join(tie)}, {sum_col}, {k_sql} AS k FROM {t}"
+    op = spec["op"]
+
+    if op in ("filter_is_null", "filter_is_not_null"):
+        cond = F.col("k").isNull() if op == "filter_is_null" else F.col(
+            "k"
+        ).isNotNull()
+        cond_sql = "k IS NULL" if op == "filter_is_null" else "k IS NOT NULL"
+        return base.filter(cond), f"SELECT * FROM ({base_sql}) WHERE {cond_sql}"
+    if op == "filter_cmp":
+        lit = param if spec["kind"] == "num" else f"'{param}'"
+        return (
+            base.filter(F.col("k") > F.lit(param)),
+            f"SELECT * FROM ({base_sql}) WHERE k > {lit}",
+        )
+    if op == "group_by_null_key":
+        sdf = base.groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("k").alias("cnt_k"),
+            F.min(tie[0]).alias("mn"),
+        )
+        sql = (
+            f"SELECT k, count(*) AS cnt, count(k) AS cnt_k, "
+            f"min({tie[0]}) AS mn FROM ({base_sql}) GROUP BY k"
+        )
+        return sdf, sql
+    if op == "agg_null_skip":
+        sdf = base.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("k").alias("cnt_k"),
+            F.min("k").alias("mn"),
+            F.max("k").alias("mx"),
+        )
+        mnmx = "min(k) AS mn, max(k) AS mx"
+        sql = (
+            f"SELECT count(*) AS cnt, count(k) AS cnt_k, {mnmx} "
+            f"FROM ({base_sql})"
+        )
+        return sdf, sql
+    if op == "order_nulls_limit":
+        if spec["desc"]:
+            kcol = (
+                F.col("k").desc_nulls_first()
+                if spec["nulls_first"]
+                else F.col("k").desc_nulls_last()
+            )
+            dir_sql = "DESC"
+        else:
+            kcol = (
+                F.col("k").asc_nulls_first()
+                if spec["nulls_first"]
+                else F.col("k").asc_nulls_last()
+            )
+            dir_sql = "ASC"
+        nf = "NULLS FIRST" if spec["nulls_first"] else "NULLS LAST"
+        # the synthetic tables do NOT guarantee TPC-H key uniqueness
+        # (duplicate (l_orderkey, l_linenumber) pairs exist), so order
+        # by every output column - ordered comparison is then total
+        sdf = base.orderBy(
+            kcol, *[F.col(c) for c in tie], F.col(sum_col)
+        ).limit(20)
+        sql = (
+            f"SELECT * FROM ({base_sql}) ORDER BY k {dir_sql} {nf}, "
+            f"{', '.join(tie)}, {sum_col} LIMIT 20"
+        )
+        return sdf, sql, "ordered"
+    # join ops: NULL keys never equi-match but survive the outer side;
+    # <=> matches NULL to NULL (cross of the null groups - the numeric
+    # injection keeps that bounded: nulls on the right side come from
+    # the OTHER table's disjoint key range, so <=> NULL-matches are
+    # right-side-empty unless both sides inject)
+    other, rk, rcol = cfg["join"]
+    odf = spark.read.parquet(f"{SF}/{other}.parquet").select(rk, rcol)
+    if op == "null_safe_join":
+        joined = base.join(odf, base["k"].eqNullSafe(odf[rk]), "inner")
+        jsql = f"ON k IS NOT DISTINCT FROM {rk}"
+        how_sql = "JOIN"
+    else:
+        how = "left" if op == "left_join" else "full"
+        joined = base.join(odf, base["k"] == odf[rk], how)
+        jsql = f"ON k = {rk}"
+        how_sql = "LEFT JOIN" if op == "left_join" else "FULL JOIN"
+    sdf = joined.select(*tie, "k", rk, rcol)
+    sql = (
+        f"SELECT {', '.join(tie)}, k, {rk}, {rcol} "
+        f"FROM ({base_sql}) b {how_sql} {other} {jsql}"
+    )
+    return sdf, sql
+
+
+@given(spec=_null_spec())
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_null_semantics_match_sql_on_duckdb(spark, ddb, spec) -> None:
+    built = _null_build(spark, spec)
+    ordered = len(built) == 3
+    df, sql = built[0], built[1]
+    s_rows = df.collect()
+    d = ddb.execute(sql)
+    d_cols = [c[0] for c in d.description]
+    d_rows = d.fetchall()
+    assert len(s_rows) == len(d_rows), (sql, len(s_rows), len(d_rows))
+    if ordered:
+        assert [tuple(r) for r in s_rows] == [tuple(r) for r in d_rows], sql
+    else:
+        assert row_multiset(df.columns, s_rows) == row_multiset(
+            d_cols, d_rows
+        ), sql
