@@ -91,10 +91,17 @@ def _strip_quotes(col: Column) -> Column:
 
 def _hrefs_stdlib(body: str) -> list[str]:
     """stdlib half of ``_hrefs_lenient``: ``html.parser.HTMLParser``,
-    the exact tokenizer bs4's "html.parser" backend wraps. Split out
-    so the bs4-agreement boundary is property-testable directly
-    (tests/test_pipeline.py drives generated malformed markup through
-    both whenever bs4 is importable)."""
+    the exact tokenizer bs4's "html.parser" backend wraps, plus bs4's
+    attribute-dict layer on top so the two branches of
+    ``_hrefs_lenient`` agree byte-for-byte: a MINIMIZED attribute
+    (bare ``href``, tokenizer value None) becomes ``''`` (bs4 does
+    ``value or ''`` - and ``find_all(href=True)`` matches ``''``
+    because its truthy-match tests ``is not None``), and a DUPLICATED
+    attribute keeps the LAST value (bs4's default
+    on_duplicate_attribute=REPLACE dict build). Split out so the
+    bs4-agreement boundary is property-testable directly
+    (tests/test_pipeline.py replays the committed expectation corpus
+    here and drives live bs4 wherever it is importable)."""
     from html.parser import HTMLParser
 
     out: list[str] = []
@@ -102,10 +109,11 @@ def _hrefs_stdlib(body: str) -> list[str]:
     class _Anchors(HTMLParser):
         def handle_starttag(self, tag, attrs):  # noqa: ANN001
             if tag == "a":
+                d: dict = {}
                 for k, v in attrs:
-                    if k == "href" and v is not None:
-                        out.append(v)
-                        break
+                    d[k] = v or ""
+                if "href" in d:
+                    out.append(d["href"])
 
     p = _Anchors(convert_charrefs=True)
     p.feed(body)

@@ -425,6 +425,11 @@ _FRAGMENT = st.one_of(
     st.builds("<div <span>> <a href={}>nested</a>".format, _URLS),
     st.builds("<p>{}</p>".format, _NOISE),
     st.just("<a>no href</a>"),
+    # attribute-layer corners: minimized href (bs4 -> ''), duplicated
+    # href (bs4 default REPLACE -> last wins)
+    st.just("<a href>bare</a>"),
+    st.builds('<a href="{}" href="{}">dup</a>'.format, _URLS, _URLS),
+    st.builds("<a href href={}>bare-then-value</a>".format, _URLS),
 )
 _PAGE = st.lists(_FRAGMENT, max_size=10).map(
     lambda fs: "<html><body>" + "".join(fs) + "</body></html>"
@@ -453,6 +458,32 @@ def test_stdlib_parser_matches_bs4_on_malformed_markup(page) -> None:
         for a in BeautifulSoup(page, "html.parser").find_all("a", href=True)
     ]
     assert _hrefs_stdlib(page) == want
+
+
+def test_stdlib_parser_matches_committed_bs4_corpus() -> None:
+    """The bs4-agreement differential EXECUTES here (no skip): replay
+    the committed expectation corpus (tests/fixtures/bs4_corpus.json,
+    400 deterministic pages from the malformed grammar incl. the
+    minimized-/duplicated-href attribute corners) against the stdlib
+    extraction. Provenance is recorded in the file's ``oracle`` field:
+    regenerate with tools/gen_bs4_corpus.py wherever real bs4 is
+    importable - same seed, same pages, so any diff from the committed
+    expectations is a genuine fidelity bug, not corpus drift."""
+    import json
+    import os
+
+    from etl_marketdata_downloader_archived_spark.plans.downloader import (
+        _hrefs_stdlib,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "bs4_corpus.json"
+    )
+    corpus = json.load(open(path))
+    assert corpus["oracle"]  # provenance must be recorded
+    assert len(corpus["entries"]) >= 400
+    for entry in corpus["entries"]:
+        assert _hrefs_stdlib(entry["page"]) == entry["hrefs"], entry["page"]
 
 
 @given(data=st.data())
