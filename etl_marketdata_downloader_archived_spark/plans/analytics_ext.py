@@ -2185,3 +2185,66 @@ def confusion_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_at_threshold(
         scored, "value", "is_conv", threshold=250.0, by=["score_date"]
     )
+
+
+@q(
+    "dedup_keep_set",
+    oracle="""
+    WITH RECURSIVE sh AS MATERIALIZED (
+        SELECT doc_id, source,
+               list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in generate_series(1, greatest(len(w) - 2, 0))
+               ]) AS shingles
+        FROM (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS w
+              FROM documents)
+    ),
+    p AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.shingles,
+                                                       b.shingles))), 1)
+              > 0.01
+    ),
+    ud AS (SELECT id_a AS a, id_b AS b FROM p
+           UNION SELECT id_b, id_a FROM p),
+    reach(src, dst) AS (
+        SELECT a AS src, a AS dst FROM ud
+        UNION
+        SELECT r.src, ud.b FROM reach r JOIN ud ON r.dst = ud.a
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT src FROM reach GROUP BY src HAVING min(dst) < src
+    )
+    """,
+)
+def dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup keep-set certificate: exact 3-gram Jaccard
+    candidate pairs (operators.dedup.ngram_jaccard_pairs, bucketed by
+    source - the already-certified pair stage) -> connected components
+    -> drop every member except the min-id representative
+    (operators.dedup.dedup_keep_representatives, the operator the
+    corpus pipeline and streaming ingest both call, previously
+    pytest-only). The oracle recomputes the pairs in SQL, closes them
+    with WITH RECURSIVE, and keeps documents whose component
+    representative is themselves - so pair generation, component
+    labeling, and the anti-join survivor semantics are certified
+    TOGETHER on real corpus data (170 of 500 docs drop at sf0.01).
+    Spark side runs the production operators unchanged (driver
+    union-find fast path at this pair count; min-label propagation
+    past 1M edges)."""
+    from ..operators.dedup import (
+        dedup_keep_representatives,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=3, threshold=0.01
+    )
+    return dedup_keep_representatives(d, pairs, "doc_id").select(
+        "doc_id", "source"
+    )
