@@ -291,9 +291,11 @@ def maintenance_lock(
     lake assumed" caveat, for deployments where two schedulers might
     race the same table.
 
-    ``<path>__lock`` is claimed with an atomic ``createNewFile`` (the
-    FS primitive that either creates-exclusively or reports the loser)
-    and removed on exit. A lock older than ``ttl_s`` is presumed
+    ``<path>__lock`` is claimed with an exclusive create
+    (``overwrite=false``) followed by an owner-nonce read-back - the
+    read-back matters because on local/Checksum filesystems the
+    exclusive create is exists-then-open, not atomic - and removed on
+    exit. A lock older than ``ttl_s`` is presumed
     abandoned by a crashed writer and broken - the new holder then
     runs ``vacuum_maintenance``-style recovery anyway at mutator
     entry, so taking over a crashed run is safe by construction.
@@ -338,18 +340,47 @@ def maintenance_lock(
 
     _break_expired_lock(spark, path, ttl_s)
     out = None
+    created = False
     try:
         out = fs.create(lock, False)  # exclusive: raises if it exists
+        created = True
         out.write(bytearray(nonce, "utf-8"))
+        out.close()
+        out = None
     except Exception as exc:  # noqa: BLE001 - py4j wraps the FS error
+        if out is not None:
+            try:
+                out.close()
+            except Exception:  # noqa: BLE001
+                pass
+        if created:
+            # The exclusive create succeeded but writing/closing the
+            # nonce failed (disk full, stream error): a half-written
+            # lock we own would block every writer until the TTL.
+            # Remove it before re-raising.
+            try:
+                fs.delete(lock, False)
+            except Exception:  # noqa: BLE001
+                pass
+            raise
         if "Exists" not in str(exc) and "exists" not in str(exc):
             raise
         raise MaintenanceLockHeld(
             f"lost the lock race on {path}"
         ) from None
-    finally:
-        if out is not None:
-            out.close()
+    # Read-back verification: on Hadoop's Local/ChecksumFileSystem,
+    # create(overwrite=false) is an exists-CHECK-then-open, not an
+    # atomic O_CREAT|O_EXCL, so two contenders can both pass the
+    # check and both reach the write - last nonce wins the file. Only
+    # the contender whose nonce actually persisted holds the lock;
+    # everyone else must yield WITHOUT deleting (the file is the
+    # winner's). This shrinks the non-atomicity to the interval
+    # between a late loser's write and this read - and that loser's
+    # own read-back then sees the winner's nonce and yields too.
+    if _read_lock_owner(spark, lock) != nonce:
+        raise MaintenanceLockHeld(
+            f"lost the lock race on {path}: read-back nonce mismatch"
+        )
     try:
         yield
     finally:

@@ -27,19 +27,41 @@ from .profile import mann_whitney
 __all__ = ["binary_auc", "score_deciles", "confusion_at_threshold"]
 
 
-def _quantized_score(df: DataFrame, score_col: str, bins: int):
-    """Score expression quantized onto a fixed ``width_bucket`` grid
-    over the GLOBAL min/max (one scalar aggregate, driver-side pair) -
+def _quantized_score(
+    df: DataFrame,
+    score_col: str,
+    bins: int,
+    bounds: tuple[float, float] | None = None,
+):
+    """Score expression quantized onto a fixed ``width_bucket`` grid -
     the same scale tier as ``ks_statistic(bins=...)``. width_bucket is
     monotone, so any rank statistic computed over bucket indices is
     the statistic over scores with within-bin values tied; NULL scores
-    map to NULL buckets (still dropped downstream)."""
+    map to NULL buckets (still dropped downstream).
+
+    ``bounds=(lo, hi)`` pins the grid explicitly; without it the
+    bounds come from the GLOBAL min/max (one scalar aggregate,
+    driver-side pair). Explicit bounds matter twice at scale: they
+    drop the extra full scan of the score column (at 100 TB the
+    min/max job re-reads the fact table once before the real pass),
+    and they make the grid STABLE across windows - a rolling monitor
+    with auto bounds re-derives a different grid per batch, so its
+    binned-AUC series is not comparable batch-to-batch. Out-of-range
+    scores clamp to the under/overflow buckets (width_bucket's 0 and
+    bins+1) - still monotone, so rank statistics stay well-defined
+    when a batch exceeds the pinned domain (same contract as
+    ``ks_statistic``)."""
     s = F.col(score_col).cast("double")
-    lo, hi = df.agg(F.min(s), F.max(s)).first()
-    if lo is None:
-        lo, hi = 0.0, 1.0  # no non-null scores: empty result either way
-    elif hi == lo:
-        hi = lo + 1
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        if not hi > lo:
+            raise ValueError(f"bounds must satisfy lo < hi, got {bounds}")
+    else:
+        lo, hi = df.agg(F.min(s), F.max(s)).first()
+        if lo is None:
+            lo, hi = 0.0, 1.0  # no non-null scores: empty result either way
+        elif hi == lo:
+            hi = lo + 1
     return F.width_bucket(s, F.lit(lo), F.lit(hi), F.lit(bins))
 
 
@@ -49,6 +71,7 @@ def binary_auc(
     label_col: str,
     by: list[str] | None = None,
     bins: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """ROC AUC of ``score_col`` against the boolean ``label_col`` per
     ``by`` group - the probability a random positive outscores a
@@ -74,7 +97,11 @@ def binary_auc(
     standard quantized-AUC approximation: the error is bounded by
     half the within-bin pair mass, sum_i(p_i*q_i)/(2*P*N) <= half the
     largest bin's smaller-class share; it is EXACT when quantization
-    is injective on the observed scores.
+    is injective on the observed scores. ``bounds=(lo, hi)`` pins the
+    grid and skips the global min/max scan (see ``_quantized_score`` -
+    one fewer pass over the fact table, and a stable grid across a
+    monitor's windows); out-of-domain scores clamp to the edge
+    buckets.
 
     Returns by + (n_pos, n_neg, auc).
     """
@@ -87,7 +114,7 @@ def binary_auc(
     df = df.filter(F.col(label_col).try_cast("boolean").isNotNull())
     score = F.col(score_col)
     if bins is not None:
-        score = _quantized_score(df, score_col, bins)
+        score = _quantized_score(df, score_col, bins, bounds)
     sided = df.select(
         *keys,
         score.alias("_s"),
@@ -111,6 +138,7 @@ def score_deciles(
     by: list[str] | None = None,
     n_buckets: int = 10,
     bins: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Decile lift/gain table: bucket rows by descending score into
     ``n_buckets`` value-deciles and report, per bucket, row/positive
@@ -134,6 +162,8 @@ def score_deciles(
     regardless of corpus size (width_bucket is monotone, so bucket
     order IS score order; decile edges then land on grid edges, which
     can only coarsen the already-value-decile bucket boundaries).
+    ``bounds=(lo, hi)`` pins the grid and skips the min/max scan, as
+    in ``binary_auc``.
 
     Returns by + (decile, n_rows, n_pos, cum_rows, cum_pos, lift,
     cum_gain), decile 1 = highest scores.
@@ -145,7 +175,7 @@ def score_deciles(
     )
     score = F.col(score_col)
     if bins is not None:
-        score = _quantized_score(df, score_col, bins)
+        score = _quantized_score(df, score_col, bins, bounds)
     g = (
         df.groupBy(*keys, score.alias("_s"))
         .agg(

@@ -84,6 +84,7 @@ def ks_statistic(
     side_col: str,
     by: list[str] | None = None,
     bins: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance between the rows where
     ``side_col`` is 'a' vs 'b' (per ``by`` group if given): the
@@ -105,6 +106,11 @@ def ks_statistic(
     ``bins`` rows per group regardless of corpus size, at the cost of
     the KS sup being evaluated on grid edges (an under-estimate by at
     most the within-bin mass - the standard binned-KS trade).
+    ``bounds=(lo, hi)`` pins the grid explicitly and skips the global
+    min/max job - one fewer scan over the value column at 100 TB, and
+    a grid that stays comparable across a monitor's windows;
+    out-of-range values clamp to width_bucket's under/overflow
+    buckets (monotone, so the ECDF stays well-ordered).
 
     NULL values are dropped up front (scipy two-sample semantics):
     a NULL carries no ECDF step, and Spark's window ORDER BY puts
@@ -117,12 +123,19 @@ def ks_statistic(
     df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col)
     if bins is not None:
-        lo, hi = df.agg(F.min(v), F.max(v)).first()
-        if lo is None:
-            lo = 0.0  # all rows null-valued: empty result either way,
-            hi = 1.0  # but keep width_bucket's bounds well-typed
-        elif hi == lo:
-            hi = lo + 1
+        if bounds is not None:
+            lo, hi = float(bounds[0]), float(bounds[1])
+            if not hi > lo:
+                raise ValueError(
+                    f"bounds must satisfy lo < hi, got {bounds}"
+                )
+        else:
+            lo, hi = df.agg(F.min(v), F.max(v)).first()
+            if lo is None:
+                lo = 0.0  # all rows null-valued: empty result either way,
+                hi = 1.0  # but keep width_bucket's bounds well-typed
+            elif hi == lo:
+                hi = lo + 1
         v = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(bins))
     g = df.groupBy(
         *keys, v.alias("_v")

@@ -34,10 +34,23 @@ def start_auc_monitor(
     min_auc: float | None = None,
     min_rows: int = 30,
     trigger_available_now: bool = True,
+    bins: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ):
     """Start the monitor: per micro-batch, compute per-group
     (n_pos, n_neg, auc) plus batch_id and a status column, and hand
     the frame to ``on_result``. Returns the StreamingQuery.
+
+    ``bins``/``bounds`` forward to ``binary_auc``'s quantized scale
+    tier - REQUIRED posture for raw continuous float scores on a
+    high-rate stream: without it every trigger re-creates the
+    per-group rank window over the batch's near-distinct score set (a
+    row-scale sort per batch). Prefer pinning ``bounds=(lo, hi)`` to
+    the model's known score domain: the per-batch min/max pre-scan
+    disappears AND the grid is identical across batches, so the
+    binned-AUC series is comparable trigger-to-trigger (auto bounds
+    re-derive a new grid per batch); out-of-domain scores clamp to
+    the edge buckets rather than erroring.
 
     Degenerate batches carry STATUS, never a silent NULL alarm - and
     never a silently ABSENT row: every group with rows in the batch
@@ -59,7 +72,9 @@ def start_auc_monitor(
         present = batch_df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n_rows")
         )
-        auc = binary_auc(batch_df, score_col, label_col, by=keys)
+        auc = binary_auc(
+            batch_df, score_col, label_col, by=keys, bins=bins, bounds=bounds
+        )
         if keys:
             out = present.join(auc, keys, "left")
         else:

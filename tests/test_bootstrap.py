@@ -869,3 +869,71 @@ def test_maintenance_lock_release_checks_owner(spark, tmp_path) -> None:
     assert os.path.exists(lock)  # foreign lock survived our release
     assert open(lock).read() == "new-holder:cafebabe"
     os.remove(lock)
+
+
+def test_maintenance_lock_readback_detects_lost_create_race(
+    spark, tmp_path, monkeypatch
+) -> None:
+    """On local/Checksum filesystems create(overwrite=false) is
+    exists-then-open, NOT atomic - two contenders can both pass the
+    exists check and both write; last nonce wins the file. The
+    read-back verification makes the overwritten contender yield:
+    simulate the lost race by having the read-back see a foreign
+    nonce - the contender must raise MaintenanceLockHeld and must NOT
+    delete the winner's lock file."""
+    import os
+
+    import pytest
+
+    from etl_marketdata_downloader_archived_spark import io as io_mod
+
+    path = str(tmp_path / "lake")
+    os.makedirs(path)
+    lock = f"{path}__lock"
+
+    monkeypatch.setattr(
+        io_mod, "_read_lock_owner", lambda spark, lock: "winner:feedbeef"
+    )
+    with pytest.raises(
+        io_mod.MaintenanceLockHeld, match="read-back nonce mismatch"
+    ):
+        with io_mod.maintenance_lock(spark, path):
+            raise AssertionError("must not enter the critical section")
+    # the file is the (simulated) winner's - the loser left it alone
+    assert os.path.exists(lock)
+
+
+def test_maintenance_lock_failed_nonce_write_cleans_up(
+    spark, tmp_path, monkeypatch
+) -> None:
+    """If the exclusive create succeeds but writing the nonce fails
+    (disk full, stream error), the half-written lock must be removed
+    before the error propagates - otherwise every writer is blocked
+    until the TTL on a lock nobody holds. The failure is injected
+    into the REAL acquisition path by shadowing the module-global
+    name ``bytearray`` (module globals win over builtins), so the
+    create has landed and the nonce write is what raises."""
+    import os
+
+    import pytest
+
+    from etl_marketdata_downloader_archived_spark import io as io_mod
+
+    path = str(tmp_path / "lake")
+    os.makedirs(path)
+    lock = f"{path}__lock"
+
+    def boom(*a, **k):
+        raise OSError("No space left on device")
+
+    monkeypatch.setattr(io_mod, "bytearray", boom, raising=False)
+    with pytest.raises(OSError, match="No space left"):
+        with io_mod.maintenance_lock(spark, path):
+            raise AssertionError("must not enter the critical section")
+    assert not os.path.exists(lock)  # half-written lock cleaned up
+
+    # with the fault removed, a fresh acquisition succeeds right away
+    monkeypatch.undo()
+    with io_mod.maintenance_lock(spark, path):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)

@@ -348,3 +348,117 @@ def test_auc_monitor_stream_equals_batch_and_alarms(spark, tmp_path) -> None:
     assert (results[0]["m"].n_pos, results[0]["m"].n_neg) == (
         want["m"].n_pos, want["m"].n_neg
     )
+
+
+def test_auc_monitor_binned_pinned_grid(spark, tmp_path) -> None:
+    """Binned streaming AUC monitor with a PINNED grid: continuous
+    float scores (the distinct~rows case the bins= tier exists for),
+    batch 0 in-domain, batch 1 deliberately out of the pinned bounds.
+    Streamed binned AUC == binary_auc(bins=, bounds=) run in batch on
+    the same rows (binned stream == binned batch), and the
+    out-of-range batch clamps to the edge buckets instead of erroring
+    or dropping rows."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.evaluation import (
+        binary_auc,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        start_auc_monitor,
+    )
+
+    rng = np.random.default_rng(23)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def sample(scale):
+        out = []
+        for _ in range(150):
+            s = float(rng.normal(0.0, scale))  # continuous: all distinct
+            lab = bool(rng.random() < 1 / (1 + np.exp(-s)))
+            out.append(("m", s, lab))
+        return out
+
+    b0 = sample(1.0)
+    b1 = sample(5.0)  # spills far outside the pinned [-3, 3] domain
+    for name, rows in (("b0.json", b0), ("b1.json", b1)):
+        (in_dir / name).write_text(
+            "\n".join(
+                _json.dumps({"g": g, "score": s, "label": l})
+                for g, s, l in rows
+            )
+        )
+    now = _time.time()
+    _os.utime(in_dir / "b0.json", (now - 10, now - 10))
+    _os.utime(in_dir / "b1.json", (now, now))
+
+    results: dict[int, dict] = {}
+
+    def on_result(df, batch_id):
+        rows = {r.g: r for r in df.collect()}
+        if rows:
+            results[max(results, default=-1) + 1] = rows
+
+    stream = (
+        spark.readStream.schema("g string, score double, label boolean")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = start_auc_monitor(
+        stream,
+        "score",
+        "label",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_result=on_result,
+        by=["g"],
+        min_rows=30,
+        bins=64,
+        bounds=(-3.0, 3.0),
+    )
+    q.awaitTermination(120)
+
+    assert len(results) == 2
+    for i, rows in ((0, b0), (1, b1)):
+        got = results[i]["m"]
+        assert got.status == "ok"
+        bdf = spark.createDataFrame(
+            rows, "g string, score double, label boolean"
+        )
+        want = binary_auc(
+            bdf, "score", "label", by=["g"], bins=64, bounds=(-3.0, 3.0)
+        ).collect()[0]
+        assert got.auc == want.auc  # binned stream == binned batch
+        assert (got.n_pos, got.n_neg) == (want.n_pos, want.n_neg)
+    # out-of-range batch: every labeled row still counted (clamped,
+    # not dropped), score still ranks outcomes
+    assert results[1]["m"].n_pos + results[1]["m"].n_neg == 150
+    assert results[1]["m"].auc > 0.6
+
+
+def test_ks_explicit_bounds_match_auto(spark) -> None:
+    """ks_statistic(bins=, bounds=) pinned at the data's min/max ==
+    auto bounds bit-for-bit; a narrower pinned grid clamps instead of
+    dropping mass (n_a/n_b unchanged)."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        ks_statistic,
+    )
+
+    rng = np.random.default_rng(41)
+    rows = [
+        ("a", float(v)) for v in rng.normal(0.0, 1.0, 400)
+    ] + [("b", float(v)) for v in rng.normal(0.5, 1.0, 400)]
+    df = spark.createDataFrame(rows, "side string, v double")
+    vals = np.array([v for _, v in rows])
+    lo, hi = float(vals.min()), float(vals.max())
+    auto = ks_statistic(df, "v", "side", bins=64).collect()[0]
+    pinned = ks_statistic(df, "v", "side", bins=64, bounds=(lo, hi)).collect()[0]
+    assert (pinned.ks, pinned.n_a, pinned.n_b) == (auto.ks, auto.n_a, auto.n_b)
+    narrow = ks_statistic(df, "v", "side", bins=64, bounds=(-0.5, 0.5)).collect()[0]
+    assert (narrow.n_a, narrow.n_b) == (400, 400)
+    assert 0.0 <= narrow.ks <= 1.0

@@ -338,3 +338,64 @@ def test_binned_deciles_continuous_invariants(spark) -> None:
     assert cums == sorted(cums)
     # at most `bins`+2 distinct grouping values feed the windows
     assert len(rows) <= 10
+
+
+def test_explicit_bounds_match_auto_bounds(spark) -> None:
+    """``bounds=(lo, hi)`` pinned to the data's actual min/max must
+    reproduce the auto-bounds result bit-for-bit (same width_bucket
+    grid, one fewer scan) - for both binned AUC and binned deciles."""
+    rng = np.random.default_rng(29)
+    n = 1500
+    scores = rng.normal(0.0, 1.0, n)
+    labels = rng.random(n) < 1 / (1 + np.exp(-scores))
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    lo, hi = float(scores.min()), float(scores.max())
+    auto = binary_auc(df, "score", "label", bins=64).collect()[0]
+    pinned = binary_auc(
+        df, "score", "label", bins=64, bounds=(lo, hi)
+    ).collect()[0]
+    assert (pinned.auc, pinned.n_pos, pinned.n_neg) == (
+        auto.auc, auto.n_pos, auto.n_neg,
+    )
+    d_auto = sorted(
+        score_deciles(df, "score", "label", bins=64).collect(),
+        key=lambda r: r.decile,
+    )
+    d_pin = sorted(
+        score_deciles(df, "score", "label", bins=64, bounds=(lo, hi)).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [tuple(r) for r in d_pin] == [tuple(r) for r in d_auto]
+
+
+def test_pinned_bounds_clamp_out_of_range(spark) -> None:
+    """A pinned grid fed scores OUTSIDE its domain clamps them to the
+    under/overflow buckets instead of erroring - and because
+    width_bucket's clamp is monotone, the result equals running the
+    same pinned grid on pre-clamped scores."""
+    rng = np.random.default_rng(31)
+    n = 800
+    scores = rng.normal(0.0, 3.0, n)  # spills far past [-1, 1]
+    labels = rng.random(n) < 1 / (1 + np.exp(-scores))
+    if labels.all() or not labels.any():
+        labels[0] = not labels[0]
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    row = binary_auc(df, "score", "label", bins=32, bounds=(-1.0, 1.0)).collect()[0]
+    assert row.n_pos + row.n_neg == n  # nothing dropped
+    assert row.auc is not None and 0.0 <= row.auc <= 1.0
+    clamped = np.clip(scores, -1.0, 1.0)
+    df2 = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(clamped, labels)],
+        "score double, label boolean",
+    )
+    row2 = binary_auc(df2, "score", "label", bins=32, bounds=(-1.0, 1.0)).collect()[0]
+    assert row.auc == row2.auc
+
+    with pytest.raises(ValueError):
+        binary_auc(df, "score", "label", bins=32, bounds=(1.0, 1.0)).collect()

@@ -225,3 +225,43 @@ def test_explain_scan_detects_global_windows(spark) -> None:
     assert global_windows(plan_of(glob)) == 1
     assert global_windows(plan_of(part)) == 0
     assert global_windows(plan_of(both)) == 1  # counts only the global one
+
+
+# The driver certifies exactly the FIRST 50 registered queries, in
+# registry import order. That window has been frozen and driver-green
+# since round 3; an accidental import-order change (a module moved, a
+# decorator reordered) would silently swap certified slots and show up
+# only at the next driver run. Pin the order here so a registry
+# refactor fails pytest instead. Keys copied from CORRECTNESS_r06.json
+# (all 50 pass rows+schema+hash).
+CERTIFIED_WINDOW = [
+    "scan_parquet", "filter_family", "join_equi", "join_broadcast",
+    "join_semi_anti", "join_range", "join_asof", "agg_basic",
+    "agg_stats", "agg_distinct", "agg_approx_distinct", "agg_cube_sets",
+    "decimal_agg", "pivot_status", "win_rank", "win_lag", "win_frames",
+    "topk", "set_ops", "str_funcs", "date_funcs", "math_cond_funcs",
+    "array_funcs", "map_json_funcs", "subq_family", "stream_windows",
+    "stream_session", "udf_scalar", "udaf_grouped", "ohlc_bars",
+    "resample_ffill", "recursive_series", "dedup_exact",
+    "dedup_ngram_jaccard", "sim_topk", "sim_pairs_bucketed",
+    "text_analysis", "corpus_clean", "word_topk", "multimodal_meta",
+    "funnel_cohort", "scd2_history_events", "scan_csv",
+    "clock_template", "task_codec", "link_pipeline", "listing_glob",
+    "dedup_anti", "dlq_filter", "harvest_pipeline",
+]
+
+
+def test_certified_window_slots_frozen() -> None:
+    """First 50 registered names == the driver-certified window, in
+    order, and every one keeps its oracle (a no_oracle row inside the
+    window would downgrade a certified slot to rows-only)."""
+    from etl_marketdata_downloader_archived_spark.plans.registry import (
+        all_oracles,
+        all_queries,
+    )
+
+    first50 = list(all_queries())[:50]
+    assert first50 == CERTIFIED_WINDOW
+    oracles = all_oracles()
+    missing = [n for n in CERTIFIED_WINDOW if n not in oracles]
+    assert missing == []
