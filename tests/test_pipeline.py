@@ -463,12 +463,19 @@ def test_stdlib_parser_matches_bs4_on_malformed_markup(page) -> None:
 def test_stdlib_parser_matches_committed_bs4_corpus() -> None:
     """The bs4-agreement differential EXECUTES here (no skip): replay
     the committed expectation corpus (tests/fixtures/bs4_corpus.json,
-    400 deterministic pages from the malformed grammar incl. the
-    minimized-/duplicated-href attribute corners) against the stdlib
-    extraction. Provenance is recorded in the file's ``oracle`` field:
-    regenerate with tools/gen_bs4_corpus.py wherever real bs4 is
-    importable - same seed, same pages, so any diff from the committed
-    expectations is a genuine fidelity bug, not corpus drift."""
+    400 deterministic grammar pages + the DIRECTED corner classes)
+    against the stdlib extraction.
+
+    Provenance semantics, asserted below: ``oracle: bs4-<version>``
+    means the expectations are real-BeautifulSoup ground truth (full
+    fidelity coverage); ``oracle: semantics-model`` means they come
+    from tools/gen_bs4_corpus.py's documented-semantics model - every
+    rule cited to public html.parser/Beautiful Soup documentation,
+    every directed entry carrying its per-rule rationale - which
+    makes this a doc-auditable regression pin, NOT a certificate of
+    bs4 agreement. Regenerate wherever real bs4 is importable (same
+    seed, same pages) to upgrade the provenance; any diff from the
+    committed expectations is then a genuine fidelity bug."""
     import json
     import os
 
@@ -481,7 +488,36 @@ def test_stdlib_parser_matches_committed_bs4_corpus() -> None:
     )
     corpus = json.load(open(path))
     assert corpus["oracle"]  # provenance must be recorded
+    bs4_stamped = corpus["oracle"].startswith("bs4-")
+    assert bs4_stamped or corpus["oracle"] == "semantics-model"
     assert len(corpus["entries"]) >= 400
+    # the directed corner classes must all be present, each with its
+    # written doc-citation rationale (the audit trail that replaces
+    # ground truth while the oracle is the model)
+    directed = {
+        e["class"]: e
+        for e in corpus["entries"]
+        if e["class"] != "random-grammar"
+    }
+    for cls in (
+        "charref-attr-quoted",
+        "charref-attr-numeric",
+        "charref-attr-unquoted",
+        "charref-attr-no-semicolon",
+        "nested-anchor",
+        "implicit-close-block",
+        "uppercase-tag-attr",
+        "uppercase-dup-attr",
+        "minimized-href",
+        "empty-href",
+        "base-link-area-decoys",
+        "script-style-rawtext",
+        "self-closing-anchor",
+        "comment-cdata-hidden",
+        "data-href-decoy",
+    ):
+        assert cls in directed, f"missing directed corner: {cls}"
+        assert bs4_stamped or directed[cls].get("rationale"), cls
     for entry in corpus["entries"]:
         assert _hrefs_stdlib(entry["page"]) == entry["hrefs"], entry["page"]
 

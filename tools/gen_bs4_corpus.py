@@ -8,22 +8,29 @@ BeautifulSoup(page, 'html.parser')
 (data-downloader/data_downloader.py:84-91), and the property test
 proving our stdlib fallback matches bs4 can only run where bs4 is
 importable - which this build environment is not. The corpus bridges
-that: pages are generated DETERMINISTICALLY (fixed seed, stdlib
-random) from the same malformed-markup grammar the live property test
-uses, and expectations are computed by
+that: pages come from a deterministic malformed-markup grammar (fixed
+seed, stdlib random) plus a DIRECTED set of corner-class pages, one
+per known builder-behavior rule, each carrying a written rationale
+with its documentation citation. Expectations are computed by
 
 - REAL BeautifulSoup when importable (``oracle: bs4-<version>``) -
   run this script anywhere bs4 exists to re-derive ground truth; any
   diff from the committed file is a genuine fidelity bug;
 - otherwise the documented-semantics model below
-  (``oracle: semantics-model``): stdlib HTMLParser (the exact
-  tokenizer bs4's html.parser builder wraps) plus bs4's attribute
-  layer - ``value or ''`` for minimized attributes, last-wins dict
-  build for duplicates (default on_duplicate_attribute=REPLACE),
-  ``find_all('a', href=True)`` matching any non-None value.
+  (``oracle: semantics-model``). The model is derived RULE BY RULE
+  from public documentation (Python html.parser docs + the Beautiful
+  Soup docs / public bs4 source), NOT from the production extractor -
+  each rule in ``model_hrefs`` cites its source, and each directed
+  corpus entry records which rule it pins and why. That keeps the
+  committed expectations falsifiable: a reviewer can check every rule
+  against its citation, and regenerating where bs4 exists replaces
+  the model's claims with ground truth wholesale.
 
 The JSON records which oracle produced it, so a reviewer can tell
-replayed-bs4 ground truth from the model's claim at a glance.
+replayed-bs4 ground truth from the model's claim at a glance. Entries
+tagged with a ``class`` other than ``random-grammar`` are the
+directed corners; their ``rationale`` fields are the per-entry audit
+trail the test asserts on.
 
 Usage: python tools/gen_bs4_corpus.py  (writes the fixture in place)
 """
@@ -75,6 +82,15 @@ def _fragment(rng: random.Random) -> str:
         "<a href>bare</a>",
         f'<a href="{u}" href="{_url(rng)}">dup</a>',
         f"<a href href={u}>bare-then-value</a>",
+        # round-7 grammar extensions (the directed-corner classes,
+        # also mixed randomly so they compose with the other shapes)
+        f'<a href="{u}&amp;x=1">t</a>',
+        f"<a href={u}&#38;2>t</a>",
+        f'<a href="{u}"><a href="{_url(rng)}">inner</a></a>',
+        f'<a HREF="{u}" href="{_url(rng)}">updup</a>',
+        f'<base href="{u}"><a href="{_url(rng)}">t</a>',
+        f'<script>var x = \'<a href="{u}">s</a>\';</script>',
+        f'<a href="{u}"/>',
     ]
     return rng.choice(shapes)
 
@@ -89,25 +105,201 @@ def gen_pages() -> list[str]:
     return pages
 
 
+# Directed corner pages: one per documented builder-behavior rule.
+# Each rationale states the expected behavior AND the public
+# documentation it is derived from - so the committed expectation is
+# auditable against the citation, not against the code under test.
+DIRECTED: list[tuple[str, str, str]] = [
+    (
+        "charref-attr-quoted",
+        '<html><body><a href="p?a=1&amp;b=2&lt;3">t</a></body></html>',
+        "Character references inside quoted attribute values are "
+        "resolved by the TOKENIZER itself: Python html.parser docs "
+        "(handle_starttag) - 'all entity references from the HTML "
+        "specification are replaced in attribute values'. bs4's "
+        "'html.parser' builder wraps that same tokenizer and the "
+        "Beautiful Soup docs say markup is converted to Unicode on "
+        "parse ('Output formatters': entities 'were converted to "
+        "Unicode characters when you parsed the document'), with no "
+        "further layer. Expected: a&b and < appear LITERALLY in the "
+        "extracted href.",
+    ),
+    (
+        "charref-attr-numeric",
+        '<html><body><a href="q?x=1&#38;y=2&#x26;z=3">t</a></body></html>',
+        "Numeric (decimal and hex) character references in attribute "
+        "values resolve to '&' in the tokenizer, same citation as "
+        "charref-attr-quoted. Expected href: q?x=1&y=2&z=3.",
+    ),
+    (
+        "charref-attr-unquoted",
+        "<html><body><a href=r?a=1&amp;b=2>t</a></body></html>",
+        "Unquoted attribute values get the same tokenizer-level "
+        "entity replacement as quoted ones (the html.parser docs "
+        "statement is about attribute values generally, not a quote "
+        "form). Expected href: r?a=1&b=2.",
+    ),
+    (
+        "charref-attr-no-semicolon",
+        '<html><body><a href="s?a&ampb&nosuch;c">t</a></body></html>',
+        "Semicolon-less named references and unknown entities follow "
+        "whatever the shared tokenizer does (html.unescape semantics: "
+        "longest known entity match may fire WITHOUT the trailing "
+        "semicolon; unknown names pass through verbatim). Both sides "
+        "of the differential consume the tokenizer's output, so this "
+        "pins the shared behavior rather than a builder divergence - "
+        "committed so a future tokenizer change surfaces as a diff.",
+    ),
+    (
+        "nested-anchor",
+        '<html><body><a href="outer"><a href="inner">i</a></a></body></html>',
+        "HTML forbids nested <a>, but the html.parser treebuilder "
+        "does not perform html5lib-style error recovery (Beautiful "
+        "Soup docs, 'Differences between parsers': html.parser is "
+        "'not as lenient' and does less invalid-markup repair). "
+        "Whether or not the second start tag implicitly closes the "
+        "first, BOTH start-tag events carry an href and find_all "
+        "returns elements in document order - expected: outer, inner.",
+    ),
+    (
+        "implicit-close-block",
+        '<html><body><a href="u1"><p>block</p></a><a href="u2">t'
+        "</body></html>",
+        "A block element inside <a> and a trailing unclosed <a>: "
+        "anchor EXTRACTION depends only on start-tag events with an "
+        "href attribute (find_all('a', href=True)), never on where "
+        "the element ends. Expected: u1, u2 in document order.",
+    ),
+    (
+        "uppercase-tag-attr",
+        '<html><body><A HREF="U1">t</A><a HrEf="U2">s</a></body></html>',
+        "Tag and attribute NAMES are lowercased by the tokenizer "
+        "(Python html.parser docs: 'The tag argument is the name of "
+        "the tag converted to lower case'; attribute names likewise), "
+        "so <A HREF=...> is the tag 'a' with attribute 'href'. "
+        "Attribute VALUES keep their case. Expected: U1, U2.",
+    ),
+    (
+        "uppercase-dup-attr",
+        '<html><body><a HREF="first" href="second">t</a></body></html>',
+        "Compound corner: name lowercasing turns HREF/href into a "
+        "DUPLICATE attribute, and the Beautiful Soup docs "
+        "(on_duplicate_attribute) say the default behavior is to use "
+        "the LAST value found in the tag. Expected: second.",
+    ),
+    (
+        "minimized-href",
+        "<html><body><a href>bare</a></body></html>",
+        "A valueless (minimized) attribute: the tokenizer reports "
+        "value None; bs4's html.parser builder stores the empty "
+        "string (public bs4 source, bs4/builder/_htmlparser.py "
+        "handle_starttag: 'value = value or'' '), and find_all(href="
+        "True) still matches because the Beautiful Soup docs say "
+        "'True matches everything it can' - presence, not truthiness "
+        "of the value. Expected: one empty-string href.",
+    ),
+    (
+        "empty-href",
+        '<html><body><a href="">t</a></body></html>',
+        "An explicit empty value is indistinguishable from the "
+        "minimized form after the builder's normalization; href=True "
+        "matches it (same citations as minimized-href). Expected: "
+        "one empty-string href.",
+    ),
+    (
+        "base-link-area-decoys",
+        '<html><head><base href="b1"><BASE HREF="b2">'
+        '<link href="l1"></head><body><area href="a1">'
+        '<a href="real">t</a></body></html>',
+        "find_all('a', ...) filters on the tag NAME 'a' exactly "
+        "(Beautiful Soup docs, 'The name argument': 'tags with "
+        "certain names'); base/BASE/link/area all carry href but are "
+        "different tag names (BASE lowercases to 'base', not 'a'). "
+        "Expected: only 'real'.",
+    ),
+    (
+        "script-style-rawtext",
+        "<html><body><script>var s = '<a href=\"s1\">x</a>';</script>"
+        "<style>/* <a href=s2>y</a> */</style>"
+        '<a href="real2">t</a></body></html>',
+        "script and style contents are CDATA content elements: the "
+        "tokenizer enters raw-text mode after their start tag "
+        "(Python html.parser behavior for script/style) and emits "
+        "the contents as data, never as tag events - so markup-"
+        "looking text inside them produces no anchors in EITHER "
+        "parser. Expected: only real2.",
+    ),
+    (
+        "self-closing-anchor",
+        '<html><body><a href="sc"/>t<a href="sc2" />u</body></html>',
+        "XHTML-style <a .../> produces a startendtag event, which "
+        "html.parser dispatches as start tag + end tag by default "
+        "(Python html.parser docs, handle_startendtag), so the "
+        "anchor exists with its href in both parsers. Expected: "
+        "sc, sc2.",
+    ),
+    (
+        "comment-cdata-hidden",
+        '<html><body><!-- <a href="c1">x</a> -->'
+        '<![CDATA[<a href="c2">y</a>]]>'
+        '<a href="real3">t</a></body></html>',
+        "Comments and CDATA sections are single tokenizer events "
+        "(handle_comment / unknown_decl) whose CONTENTS are never "
+        "re-tokenized - anchors inside them do not exist as elements "
+        "for either parser. Expected: only real3.",
+    ),
+    (
+        "data-href-decoy",
+        '<html><body><a data-href="d1" href="h1">t</a>'
+        '<a data-href="d2">u</a></body></html>',
+        "href=True matches the attribute NAMED href exactly; "
+        "data-href is a different attribute name (the docs' "
+        "attribute-filter examples match on exact names). Expected: "
+        "h1 only.",
+    ),
+]
+
+
 def model_hrefs(page: str) -> list[str]:
-    """The documented-semantics model of
-    BeautifulSoup(page, 'html.parser').find_all('a', href=True):
-    stdlib tokenizer events + bs4's attribute-dict build."""
+    """Documented-semantics model of
+    ``BeautifulSoup(page, 'html.parser').find_all('a', href=True)``,
+    derived from public documentation rule by rule (NOT from the
+    production extractor - see the module docstring for why that
+    distinction is load-bearing):
+
+    - T1 (tokenizer): bs4's 'html.parser' builder wraps stdlib
+      ``html.parser.HTMLParser`` with ``convert_charrefs=True`` - so
+      tag/attribute-name lowercasing, attribute-value entity
+      replacement, comment/CDATA opacity, script/style raw-text mode,
+      and startendtag dispatch all come from the SHARED tokenizer
+      (Python html.parser docs; Beautiful Soup docs 'Differences
+      between parsers').
+    - A1 (valueless attribute): tokenizer value None is stored as ''
+      (public bs4 source, bs4/builder/_htmlparser.py: ``value =
+      value or ''``).
+    - A2 (duplicate attribute): last value wins - Beautiful Soup docs
+      ``on_duplicate_attribute``: the default is to use the value
+      that appears LAST in the tag.
+    - F1 (filter): ``find_all('a', href=True)`` matches tag name 'a'
+      exactly and any tag DEFINING href - the docs' 'True matches
+      everything it can', i.e. presence (None excluded), so '' still
+      matches.
+    """
     from html.parser import HTMLParser
 
     out: list[str] = []
 
     class _Anchors(HTMLParser):
         def handle_starttag(self, tag, attrs):  # noqa: ANN001
-            if tag != "a":
+            if tag != "a":  # F1: exact tag-name match
                 return
             d: dict = {}
             for k, v in attrs:
-                d[k] = v or ""  # minimized -> ''; duplicate -> last wins
-            if "href" in d:  # href=True matches any non-None value
+                d[k] = v or ""  # A1 minimized -> ''; A2 last wins
+            if "href" in d:  # F1: href=True is presence, '' matches
                 out.append(d["href"])
 
-    p = _Anchors(convert_charrefs=True)
+    p = _Anchors(convert_charrefs=True)  # T1
     p.feed(page)
     p.close()
     return out
@@ -131,19 +323,28 @@ def main() -> int:
         oracle_fn = model_hrefs
         oracle = "semantics-model"
 
-    pages = gen_pages()
-    corpus = {
-        "seed": SEED,
-        "oracle": oracle,
-        "entries": [
-            {"page": p, "hrefs": oracle_fn(p)} for p in pages
-        ],
-    }
+    entries = [
+        {"class": "random-grammar", "page": p, "hrefs": oracle_fn(p)}
+        for p in gen_pages()
+    ]
+    entries += [
+        {
+            "class": cls,
+            "page": page,
+            "rationale": why,
+            "hrefs": oracle_fn(page),
+        }
+        for cls, page, why in DIRECTED
+    ]
+    corpus = {"seed": SEED, "oracle": oracle, "entries": entries}
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(corpus, f, indent=1)
     n_hrefs = sum(len(e["hrefs"]) for e in corpus["entries"])
-    print(f"wrote {OUT}: {len(pages)} pages, {n_hrefs} hrefs, oracle={oracle}")
+    print(
+        f"wrote {OUT}: {len(entries)} pages "
+        f"({len(DIRECTED)} directed), {n_hrefs} hrefs, oracle={oracle}"
+    )
     return 0
 
 
