@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degrees", "pagerank", "triangle_count", "k_core"]
+__all__ = [
+    "degrees",
+    "pagerank",
+    "triangle_count",
+    "k_core",
+    "degree_assortativity",
+]
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -342,3 +348,67 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.filter(F.col("degree") >= k)
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient of the UNDIRECTED simple
+    graph: the Pearson correlation of the degrees at the two ends of
+    each edge (Newman 2002) - positive means hubs link to hubs
+    (social nets), negative means hubs link to leaves (the web,
+    biology). The one-number structural summary that pairs with the
+    triangle count and degeneracy screens.
+
+    Exactness: over the both-directions edge-end list the marginal
+    sums coincide (sum x = sum y, sum x^2 = sum y^2), so
+    r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) - a RATIONAL function of
+    bigint sums, no sqrt - and degrees/counts are exact integers, so
+    the statistic is one fixed IEEE division both engines reproduce
+    bit-for-bit. Overflow headroom: n*Sxx <= 4 m^2 d_max^2 must fit
+    int64 - fine to ~10^6 edges with 10^3-degree hubs; beyond that,
+    cast the moment sums to double (or decimal) before the products.
+
+    Scale shape: dedupe edges (one shuffle), one degree aggregate
+    (map-side combinable), two broadcast-or-shuffle joins of the
+    dim-sized degree table onto edges, one scalar aggregate. No
+    iteration, no windows.
+
+    Returns one row: (n_nodes, n_edges, assortativity) - NULL when
+    the graph is degree-regular (zero variance) or has no edges.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_dy"))
+    ends = e.join(da, "a").join(db, "b")
+    # both directions: x gets every edge-end degree once
+    sym = ends.select(
+        F.col("_dx").alias("x"), F.col("_dy").alias("y")
+    ).unionAll(ends.select(F.col("_dy").alias("x"), F.col("_dx").alias("y")))
+    m = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).alias("assortativity"),
+    )

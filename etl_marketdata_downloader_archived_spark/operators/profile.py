@@ -23,7 +23,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile", "ks_statistic", "ks_from_counts", "mad_outliers", "mann_whitney"]
+__all__ = [
+    "profile",
+    "ks_statistic",
+    "ks_from_counts",
+    "mad_outliers",
+    "mann_whitney",
+    "weighted_median",
+]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -350,4 +357,51 @@ def mann_whitney(
         u_a.alias("u_a"),
         F.when((na > 0) & (nb > 0), u_a / (nad * nbd)).alias("effect"),
         F.when((na > 0) & (nb > 0) & (var > 0), z).alias("z"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Weighted (lower) median per group: the smallest value v whose
+    cumulative integer weight reaches half the group total -
+    volume-weighted median price, size-weighted latency midpoint.
+    Selection, not interpolation: the result is always an observed
+    value, so there is no float blend to drift across engines.
+
+    Exactness discipline (rank-from-counts): collapse to per-(group,
+    distinct value) bigint weight sums, cumulative-sum over the value
+    order, pick the first row where 2*cum >= total - the doubled
+    comparison keeps everything integer (no halving division).
+    Weights must be integral (cast upstream if fix-pointed); NULL
+    values and NULL/non-positive weights are dropped.
+
+    Scale shape: one partial-combined shuffle to the distinct-value
+    count table; the window runs over value cardinality, never rows -
+    the same tier as mann_whitney/mad_outliers.
+
+    Returns by + (total_weight, median).
+    """
+    keys = list(by or [])
+    d = df.filter(
+        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    g = d.groupBy(*keys, F.col(value_col).alias("_v")).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("_w")
+    )
+    wv = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("_v")
+    wt = W.partitionBy(*keys) if keys else W.partitionBy()
+    stepped = g.select(
+        *keys,
+        "_v",
+        F.sum("_w").over(wv).alias("_cum"),
+        F.sum("_w").over(wt).alias("_tot"),
+    )
+    hit = stepped.filter(2 * F.col("_cum") >= F.col("_tot"))
+    return hit.groupBy(*keys).agg(
+        F.max("_tot").alias("total_weight"),
+        F.min("_v").alias("median"),
     )

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "path_ngrams"]
+__all__ = [
+    "sessionize",
+    "path_ngrams",
+    "interval_coverage",
+    "day_streaks",
+]
 
 
 def sessionize(
@@ -146,4 +151,110 @@ def max_concurrency(
             F.coalesce(F.sum("_net").over(w_b), F.lit(0))
             + F.col("_max_run")
         ).alias("max_concurrent"),
+    )
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-of-intervals length per group: total time covered by at
+    least one interval, overlaps merged - uptime/SLA coverage,
+    time-on-site, sensor duty cycle. ``start_col``/``end_col`` are
+    BIGINT instants (epoch micros by convention - callers convert
+    timestamps so every sum below is exact integer arithmetic; the
+    same gaps-and-islands SQL runs verbatim on a warehouse oracle).
+
+    Merge semantics: closed intervals, touching merges (an interval
+    starting exactly where another ends extends the same covered
+    block). The sweep is the running-max formulation: a block starts
+    where start > max(end) over all earlier intervals of the group;
+    per block, covered span = max(end) - min(start).
+
+    Determinism under start ties needs no tie-break: every interval's
+    end >= its start, so a row can never open a new block relative to
+    a same-start predecessor regardless of their order, and the
+    per-block min/max aggregates are order-free.
+
+    Scale shape: one shuffle on the group key, one ordered window per
+    group (the running max is a streaming frame - no buffering beyond
+    the frame row). Per-group data sits in one task's sort, the same
+    bound as sessionize and every per-entity ordered analysis; group
+    by a bounded entity (user, device, machine), not a global key.
+
+    Returns group_cols + (n_intervals, n_blocks, covered) with
+    ``covered`` in the input's units (bigint).
+    """
+    from pyspark.sql import Window as W
+
+    s, e = F.col(start_col), F.col(end_col)
+    w = W.partitionBy(*group_cols).orderBy(start_col)
+    prev_end = F.max(end_col).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    blocked = intervals.select(
+        *group_cols,
+        s.alias("_s"),
+        e.alias("_e"),
+        F.sum(
+            F.when(prev_end.isNull() | (s > prev_end), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("_blk"),
+    )
+    per_block = blocked.groupBy(*group_cols, "_blk").agg(
+        F.min("_s").alias("_bs"),
+        F.max("_e").alias("_be"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_block.groupBy(*group_cols).agg(
+        F.sum("_n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("_be") - F.col("_bs")).alias("covered"),
+    )
+
+
+def day_streaks(
+    events: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Consecutive-active-day streaks per group - the retention
+    product metric ("7-day streak") and the cheap engagement-decay
+    signal. Collapses to DISTINCT (group, day) FIRST, so every window
+    below runs over day cardinality (<= days in the corpus window per
+    group), never event rows - the rank-from-counts posture applied
+    to gaps-and-islands.
+
+    Island key: day - row_number() is constant within a run of
+    consecutive days and strictly decreasing across gaps (the classic
+    formulation, exact date arithmetic on both engines).
+
+    Returns group_cols + (n_active_days, n_streaks, longest_streak,
+    longest_streak_end) where longest_streak is in days and
+    longest_streak_end is the last day of the LONGEST streak (max on
+    ties - deterministic).
+    """
+    from pyspark.sql import Window as W
+
+    days = (
+        events.select(*group_cols, F.to_date(F.col(ts_col)).alias("_d"))
+        .distinct()
+    )
+    w = W.partitionBy(*group_cols).orderBy("_d")
+    islands = days.withColumn(
+        "_isl", F.date_sub(F.col("_d"), F.row_number().over(w))
+    )
+    per_streak = islands.groupBy(*group_cols, "_isl").agg(
+        F.count(F.lit(1)).alias("_len"), F.max("_d").alias("_end")
+    )
+    return per_streak.groupBy(*group_cols).agg(
+        F.sum("_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("_len").alias("longest_streak"),
+        F.max_by("_end", F.struct(F.col("_len"), F.col("_end"))).alias(
+            "longest_streak_end"
+        ),
     )

@@ -1,0 +1,229 @@
+"""Round-7 analytics extensions: interval-union coverage, activity
+streaks, degree assortativity, weighted medians - registered past the
+certified window (parity-verified locally by tools/parity.py, the
+driver's identical check, no certificate).
+
+Same cross-engine exactness discipline as plans/analytics_ext: every
+corpus-sized reduction is an integer (epoch micros, day counts,
+degree moments, bigint weights), selections instead of
+interpolations, and any final float is ONE fixed IEEE expression over
+those integers - so the DuckDB oracles replay each query bit-for-bit
+with no rounding tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import q
+
+
+@q(
+    "interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts)
+                 + CAST(floor(value) AS BIGINT) * 60000000 AS e
+        FROM events
+    ),
+    swept AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pe
+        FROM iv
+    ),
+    blk AS (
+        SELECT user_id, s, e,
+               SUM(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS b
+        FROM swept
+    ),
+    pb AS (
+        SELECT user_id, b, min(s) AS bs, max(e) AS be,
+               CAST(count(*) AS BIGINT) AS n
+        FROM blk GROUP BY user_id, b
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT)       AS n_intervals,
+           CAST(count(*) AS BIGINT)     AS n_blocks,
+           CAST(sum(be - bs) AS BIGINT) AS covered
+    FROM pb GROUP BY user_id
+    """,
+)
+def interval_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals time coverage per user: each event opens an
+    interval of floor(value) minutes; overlaps merge, touching merges,
+    and the per-user covered micros total is exact bigint arithmetic
+    end to end (operators.sessions.interval_coverage - the
+    uptime/time-on-site primitive). The oracle replays the identical
+    running-max gaps-and-islands sweep; block assignment is provably
+    insensitive to start-tie order (an interval's end >= its start),
+    so no tie-break column is needed on either engine."""
+    from ..operators.sessions import interval_coverage
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor("value").cast("bigint") * F.lit(60000000).cast("bigint")
+        ).alias("e"),
+    )
+    return interval_coverage(iv, ["user_id"], "s", "e")
+
+
+@q(
+    "activity_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY d) AS INTEGER) AS isl
+        FROM d
+    ),
+    st AS (
+        SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len,
+               max(d) AS e
+        FROM isl GROUP BY user_id, isl
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(sum(len) AS BIGINT) AS n_active_days,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(max(len) AS BIGINT) AS longest_streak
+        FROM st GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_active_days, a.n_streaks, a.longest_streak,
+           max(s.e) AS longest_streak_end
+    FROM agg a
+    JOIN st s ON s.user_id = a.user_id AND s.len = a.longest_streak
+    GROUP BY a.user_id, a.n_active_days, a.n_streaks, a.longest_streak
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user (gaps-and-islands over
+    DISTINCT days - operators.sessions.day_streaks): longest streak,
+    streak count, active-day total, and the end date of the longest
+    streak (ties -> latest, via max_by on the (len, end) struct; the
+    oracle reproduces the same selection with a join + max). Windows
+    run over day cardinality, never event rows."""
+    from ..operators.sessions import day_streaks
+
+    e = load_table(spark, sf_dir, "events")
+    return day_streaks(e, ["user_id"], "ts")
+
+
+@q(
+    "graph_assortativity",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 11 = 0
+    ),
+    e0 AS (
+        SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                        greatest(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM e0
+              UNION ALL SELECT b FROM e0)
+        GROUP BY node
+    ),
+    ends AS (
+        SELECT da.deg AS dx, db.deg AS dy
+        FROM e0 JOIN deg da ON e0.a = da.node
+                JOIN deg db ON e0.b = db.node
+    ),
+    sym AS (
+        SELECT dx AS x, dy AS y FROM ends
+        UNION ALL SELECT dy, dx FROM ends
+    ),
+    mm AS (
+        SELECT CAST(count(*) AS BIGINT)   AS n,
+               CAST(sum(x) AS BIGINT)     AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM sym
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(n // 2 AS BIGINT) AS n_edges,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(n * sxy - sx * sx AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS assortativity
+    FROM mm
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-order graph (same 1-in-11
+    sparsified edge set kcore_parts peels) - Newman's r as a RATIONAL
+    function of bigint degree moments (the both-directions edge-end
+    list makes the x/y marginals coincide, eliminating the sqrt), so
+    the oracle replays the exact arithmetic. No iteration: one degree
+    aggregate, two joins of the dim-sized degree table, one scalar
+    aggregate."""
+    from ..operators.graph import degree_assortativity
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 11 == 0
+    )
+    x = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return degree_assortativity(e)
+
+
+@q(
+    "weighted_median_price",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS grp, l_extendedprice AS v,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        GROUP BY l_returnflag, l_extendedprice
+    ),
+    stepped AS (
+        SELECT grp, v,
+               CAST(sum(w) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+                 AS cum,
+               CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tot
+        FROM g
+    )
+    SELECT grp AS l_returnflag,
+           CAST(max(tot) AS BIGINT) AS total_weight,
+           min(v) AS median
+    FROM stepped WHERE 2 * cum >= tot GROUP BY grp
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median extended price per return
+    flag - operators.profile.weighted_median's rank-from-counts
+    selection: collapse to per-(flag, distinct price) bigint weight
+    sums, cumulative over the price order, pick the first value whose
+    doubled cumulative weight reaches the total. Pure selection (the
+    median is an observed price), so the result is engine-exact with
+    no rounding; the window input is bounded by price cardinality."""
+    from ..operators.profile import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_extendedprice", "l_quantity", by=["l_returnflag"]
+    )

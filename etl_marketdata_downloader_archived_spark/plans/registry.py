@@ -68,5 +68,6 @@ def _load_batteries() -> None:
     from . import dataflow_queries  # noqa: F401
     from . import tail  # noqa: F401  (past-the-window queries LAST)
     from . import analytics_ext  # noqa: F401  (round-4 extensions, past window)
+    from . import analytics_r7  # noqa: F401  (round-7 extensions, past window)
 
     _loaded = True

@@ -439,3 +439,54 @@ def test_spearman_query_matches_pandas(spark, sf_dir) -> None:
     want = j["x"].rank(method="average").corr(j["y"].rank(method="average"))
     assert got.n_obs == len(j)
     assert got.spearman == pytest.approx(want, rel=1e-12)
+
+
+def test_weighted_median_vs_numpy(spark) -> None:
+    """weighted_median's rank-from-counts selection vs an independent
+    expansion-based computation: repeat each value by its integer
+    weight, take the element at position ceil(W/2) (lower weighted
+    median). Heavy tie mass + a group whose boundary lands exactly on
+    a tie group."""
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        weighted_median,
+    )
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(200):
+            rows.append(
+                (g, float(rng.integers(0, 25)), int(rng.integers(1, 9)))
+            )
+    # exact-boundary group: weights 1,1 over values 1,2 -> cum(1)=1,
+    # 2*1 >= 2 -> lower median is 1
+    rows += [("edge", 1.0, 1), ("edge", 2.0, 1)]
+    # weight filtering: zero/negative/NULL weights drop
+    rows += [("edge", 0.5, 0), ("edge", 0.25, -3)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {
+        r.g: (r.total_weight, r.median)
+        for r in weighted_median(df, "v", "w", by=["g"]).collect()
+    }
+
+    want = {}
+    for g in ("a", "b", "c", "edge"):
+        expanded = sorted(
+            v for gg, v, w in rows if gg == g and w > 0 for _ in range(w)
+        )
+        W = len(expanded)
+        want[g] = (W, expanded[(W + 1) // 2 - 1])
+    assert got == want
+
+
+def test_weighted_median_global_no_groups(spark) -> None:
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [(10.0, 1), (20.0, 2), (30.0, 1)], "v double, w long"
+    )
+    row = weighted_median(df, "v", "w").collect()[0]
+    # expanded: 10,20,20,30 -> lower median = element 2 = 20
+    assert (row.total_weight, row.median) == (4, 20.0)

@@ -244,3 +244,61 @@ def test_pagerank_update_tiers_match_numpy_and_each_other(spark, kind) -> None:
         assert len(got) == n
         for node, rank in got.items():
             assert rank == pytest.approx(want[node], abs=1e-9), (kind, gate)
+
+
+def test_assortativity_matches_numpy(spark) -> None:
+    """degree_assortativity's rational bigint-moment formula vs the
+    textbook Pearson-with-sqrt computed by numpy over the edge-end
+    degree list - an INDEPENDENT formulation (numpy takes the
+    covariance/sqrt route; the operator proves the sqrt cancels)."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    rng = np.random.default_rng(13)
+    # preferential-attachment-ish: biased endpoints give a nonzero r
+    edges = set()
+    nodes = list(range(40))
+    for _ in range(300):
+        u = int(rng.choice(nodes[: 10 + int(rng.integers(0, 30))]))
+        v = int(rng.choice(nodes))
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long"
+    )
+    row = degree_assortativity(df).collect()[0]
+
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = float(np.corrcoef(np.array(xs), np.array(ys))[0, 1])
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(edges)
+    assert row.assortativity == pytest.approx(want, abs=1e-12)
+
+
+def test_assortativity_degenerate_cases(spark) -> None:
+    from etl_marketdata_downloader_archived_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # a perfect cycle is degree-regular: zero variance -> NULL, not NaN
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    row = degree_assortativity(cyc).collect()[0]
+    assert row.assortativity is None and row.n_edges == 5
+    # parallel + self edges collapse/drop before the statistic
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3), (2, 3)], "src long, dst long"
+    )
+    row = degree_assortativity(messy).collect()[0]
+    assert row.n_edges == 2 and row.n_nodes == 3

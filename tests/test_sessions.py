@@ -169,3 +169,112 @@ def test_max_concurrency_randomized_differential(spark):
     # only buckets holding endpoints appear in the operator's output
     assert got == {d: peak[d] for d in got}
     assert set(got) == set(peak)
+
+
+def test_interval_coverage_known_answer(spark):
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        interval_coverage,
+    )
+
+    rows = [
+        # group 1: [0,10] [5,20] overlap -> one block [0,20];
+        # [20,25] touches -> merges; [40,41] separate block
+        ("g1", 0, 10), ("g1", 5, 20), ("g1", 20, 25), ("g1", 40, 41),
+        # group 2: zero-length interval + a disjoint one
+        ("g2", 7, 7), ("g2", 9, 12),
+        # group 3: contained interval adds nothing
+        ("g3", 0, 100), ("g3", 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = {
+        r.g: (r.n_intervals, r.n_blocks, r.covered)
+        for r in interval_coverage(df, ["g"], "s", "e").collect()
+    }
+    assert got == {
+        "g1": (4, 2, 26),   # [0,25] + [40,41]
+        "g2": (2, 2, 3),    # [7,7] covers 0 + [9,12]
+        "g3": (2, 1, 100),
+    }
+
+
+def test_interval_coverage_vs_brute_force(spark):
+    """Random intervals (with heavy tie mass) vs an independent
+    python merge - the formulation check parity can't provide."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        interval_coverage,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(6):
+        for _ in range(rng.randint(0, 60)):
+            s = rng.randint(0, 50)  # small domain -> many exact ties
+            rows.append((f"g{g}", s, s + rng.randint(0, 12)))
+    rows = [r for r in rows if r[0] != "g5"]  # one empty group
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = {
+        r.g: (r.n_intervals, r.n_blocks, r.covered)
+        for r in interval_coverage(df, ["g"], "s", "e").collect()
+    }
+
+    def merge(iv):
+        iv = sorted(iv)
+        blocks = []
+        for s, e in iv:
+            if blocks and s <= blocks[-1][1]:
+                blocks[-1][1] = max(blocks[-1][1], e)
+            else:
+                blocks.append([s, e])
+        return (
+            len(iv),
+            len(blocks),
+            sum(e - s for s, e in blocks),
+        )
+
+    want = {}
+    for g, s, e in rows:
+        want.setdefault(g, []).append((s, e))
+    want = {g: merge(iv) for g, iv in want.items()}
+    assert got == want
+
+
+def test_day_streaks_known_and_brute(spark):
+    import random
+    from datetime import date, timedelta
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        day_streaks,
+    )
+
+    rng = random.Random(11)
+    base = date(2026, 3, 1)
+    rows = []
+    for u in range(8):
+        for _ in range(rng.randint(1, 40)):
+            d = base + timedelta(days=rng.randint(0, 25))
+            # several events per day: distinct-day collapse must dedupe
+            rows.append((u, datetime(d.year, d.month, d.day, rng.randint(0, 23))))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    got = {
+        r.user_id: (
+            r.n_active_days, r.n_streaks, r.longest_streak,
+            r.longest_streak_end,
+        )
+        for r in day_streaks(df, ["user_id"], "ts").collect()
+    }
+
+    want = {}
+    for u in {r[0] for r in rows}:
+        days = sorted({r[1].date() for r in rows if r[0] == u})
+        streaks = []
+        for d in days:
+            if streaks and (d - streaks[-1][-1]).days == 1:
+                streaks[-1].append(d)
+            else:
+                streaks.append([d])
+        longest = max(len(s) for s in streaks)
+        end = max(s[-1] for s in streaks if len(s) == longest)
+        want[u] = (len(days), len(streaks), longest, end)
+    assert got == want
