@@ -79,6 +79,15 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            # Some operators persist() intermediate stages (the
+            # standard multi-consumer pattern) and the returned frame
+            # keeps them referenced - over a 100+-query battery the
+            # leaked entries pile up in the CacheManager and block
+            # store, slowing every LATER query's plan lookup and
+            # eviction (measured ~5-10% on the heavy tail). Clearing
+            # between queries keeps each measurement's cache state
+            # identical regardless of battery position or size.
+            spark.catalog.clearCache()
     t_min = {n: round(min(s), 4) for n, s in samples.items()}
     t_mean = {n: round(sum(s) / len(s), 4) for n, s in samples.items()}
 

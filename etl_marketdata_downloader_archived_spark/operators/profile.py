@@ -365,6 +365,8 @@ def weighted_median(
     value_col: str,
     weight_col: str,
     by: list[str] | None = None,
+    bins: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Weighted (lower) median per group: the smallest value v whose
     cumulative integer weight reaches half the group total -
@@ -381,7 +383,17 @@ def weighted_median(
 
     Scale shape: one partial-combined shuffle to the distinct-value
     count table; the window runs over value cardinality, never rows -
-    the same tier as mann_whitney/mad_outliers.
+    the same tier as mann_whitney/mad_outliers. EXACT and scale-free
+    when the value domain is discrete (fix-pointed prices, integer
+    sizes). For CONTINUOUS values distinct-count approaches row count
+    and the window degenerates to a per-group row-scale sort - pass
+    ``bins`` (the family's width_bucket tier, ``bounds=(lo, hi)`` to
+    pin the grid and skip the min/max scan): the selection then runs
+    over at most ``bins`` buckets, and the reported median is the
+    SMALLEST OBSERVED VALUE in the median's bucket - still an
+    observed value, off by at most one bin width from the exact
+    median, and EXACT when quantization is injective on the observed
+    values.
 
     Returns by + (total_weight, median).
     """
@@ -389,19 +401,41 @@ def weighted_median(
     d = df.filter(
         F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
     )
-    g = d.groupBy(*keys, F.col(value_col).alias("_v")).agg(
-        F.sum(F.col(weight_col).cast("bigint")).alias("_w")
+    v = F.col(value_col)
+    if bins is not None:
+        if bounds is not None:
+            lo, hi = float(bounds[0]), float(bounds[1])
+            if not hi > lo:
+                raise ValueError(
+                    f"bounds must satisfy lo < hi, got {bounds}"
+                )
+        else:
+            vd = v.cast("double")
+            lo, hi = d.agg(F.min(vd), F.max(vd)).first()
+            if lo is None:
+                lo, hi = 0.0, 1.0
+            elif hi == lo:
+                hi = lo + 1
+        key = F.width_bucket(
+            v.cast("double"), F.lit(lo), F.lit(hi), F.lit(bins)
+        )
+    else:
+        key = v
+    g = d.groupBy(*keys, key.alias("_v")).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("_w"),
+        F.min(v).alias("_minv"),
     )
     wv = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("_v")
     wt = W.partitionBy(*keys) if keys else W.partitionBy()
     stepped = g.select(
         *keys,
         "_v",
+        "_minv",
         F.sum("_w").over(wv).alias("_cum"),
         F.sum("_w").over(wt).alias("_tot"),
     )
     hit = stepped.filter(2 * F.col("_cum") >= F.col("_tot"))
     return hit.groupBy(*keys).agg(
         F.max("_tot").alias("total_weight"),
-        F.min("_v").alias("median"),
+        F.min_by("_minv", "_v").alias("median"),
     )

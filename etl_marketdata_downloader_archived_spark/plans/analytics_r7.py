@@ -227,3 +227,65 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(
         li, "l_extendedprice", "l_quantity", by=["l_returnflag"]
     )
+
+
+@q(
+    "weighted_median_binned",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+    ),
+    b AS (
+        SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+               CAST(max(l_extendedprice) AS DOUBLE) AS hi
+        FROM base
+    ),
+    g AS (
+        SELECT l_returnflag AS grp,
+               CASE WHEN l_extendedprice >= b.hi THEN CAST(65 AS BIGINT)
+                    ELSE CAST(floor(
+                        64.0 * (CAST(l_extendedprice AS DOUBLE) - b.lo)
+                        / (b.hi - b.lo) + 1) AS BIGINT)
+               END AS v,
+               CAST(sum(w) AS BIGINT) AS w,
+               min(l_extendedprice) AS minv
+        FROM base, b
+        GROUP BY 1, 2
+    ),
+    stepped AS (
+        SELECT grp, v, minv,
+               CAST(sum(w) OVER (PARTITION BY grp ORDER BY v)
+                    AS BIGINT) AS cum,
+               CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tot
+        FROM g
+    )
+    SELECT grp AS l_returnflag,
+           CAST(max(tot) AS BIGINT) AS total_weight,
+           arg_min(minv, v) AS median
+    FROM stepped WHERE 2 * cum >= tot GROUP BY grp
+    """,
+)
+def weighted_median_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``weighted_median_price`` under the binned scale tier
+    (operators.profile.weighted_median with ``bins=64``): the fixture
+    prices are near-fully distinct (583K of 600K rows at sf0.1), so
+    the exact tier's per-flag cumulative window degenerates toward
+    row scale - exactly the continuous-score case the family's
+    ``bins=`` tier exists for. Quantized, the selection runs over at
+    most 66 buckets per flag at ANY corpus size; the reported median
+    is the smallest observed price in the median's bucket. The oracle
+    replays the width_bucket grid arithmetic bit-for-bit
+    (floor(bins*(v-lo)/(hi-lo)+1), hi -> bins+1) plus the identical
+    doubled-cumulative-weight selection, certifying the quantized
+    path end to end - the approximation is only binned-vs-exact
+    median, bounded by one bin width (asserted in
+    tests/test_analytics_ext.py)."""
+    from ..operators.profile import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_extendedprice", "l_quantity", by=["l_returnflag"], bins=64
+    )

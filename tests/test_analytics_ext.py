@@ -490,3 +490,55 @@ def test_weighted_median_global_no_groups(spark) -> None:
     row = weighted_median(df, "v", "w").collect()[0]
     # expanded: 10,20,20,30 -> lower median = element 2 = 20
     assert (row.total_weight, row.median) == (4, 20.0)
+
+
+def test_weighted_median_binned_tiers(spark) -> None:
+    """Binned weighted median: bit-equal to exact when quantization
+    is injective on the observed values; within one bin width of the
+    exact median on continuous values; explicit bounds reproduce auto
+    bounds; out-of-range values clamp (nothing dropped)."""
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        weighted_median,
+    )
+
+    rng = np.random.default_rng(23)
+    # injective case: 12 distinct values, 1000 bins
+    rows = [
+        ("g", float(v), int(w))
+        for v, w in zip(rng.integers(0, 12, 300), rng.integers(1, 7, 300))
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    exact = weighted_median(df, "v", "w", by=["g"]).collect()[0]
+    binned = weighted_median(df, "v", "w", by=["g"], bins=1000).collect()[0]
+    assert (binned.total_weight, binned.median) == (
+        exact.total_weight, exact.median,
+    )
+
+    # continuous case: error bounded by one bin width
+    vals = rng.normal(0.0, 1.0, 2000)
+    ws = rng.integers(1, 5, 2000)
+    dfc = spark.createDataFrame(
+        [("g", float(v), int(w)) for v, w in zip(vals, ws)],
+        "g string, v double, w long",
+    )
+    exact = weighted_median(dfc, "v", "w", by=["g"]).collect()[0]
+    b = 64
+    binned = weighted_median(dfc, "v", "w", by=["g"], bins=b).collect()[0]
+    width = (vals.max() - vals.min()) / b
+    assert binned.total_weight == exact.total_weight
+    assert abs(binned.median - exact.median) <= width + 1e-12
+    # binned median is still an OBSERVED value
+    assert binned.median in set(float(v) for v in vals)
+
+    # pinned bounds == auto bounds at the data min/max; narrow bounds clamp
+    lo, hi = float(vals.min()), float(vals.max())
+    pinned = weighted_median(
+        dfc, "v", "w", by=["g"], bins=b, bounds=(lo, hi)
+    ).collect()[0]
+    assert (pinned.total_weight, pinned.median) == (
+        binned.total_weight, binned.median,
+    )
+    narrow = weighted_median(
+        dfc, "v", "w", by=["g"], bins=b, bounds=(-0.1, 0.1)
+    ).collect()[0]
+    assert narrow.total_weight == exact.total_weight  # clamped, not dropped
