@@ -33,6 +33,7 @@ __all__ = [
     "path_ngrams",
     "interval_coverage",
     "day_streaks",
+    "attribute_conversions",
 ]
 
 
@@ -257,4 +258,75 @@ def day_streaks(
         F.max_by("_end", F.struct(F.col("_len"), F.col("_end"))).alias(
             "longest_streak_end"
         ),
+    )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    channel_types: list[str],
+    lookback_us: int,
+) -> DataFrame:
+    """Last-touch conversion attribution: for every conversion event,
+    the most recent channel event by the same user STRICTLY before it
+    and within ``lookback_us`` micros - the credit-assignment step
+    behind channel ROI and campaign reporting.
+
+    One pass, no self-join: a per-user RANGE window over epoch micros
+    carries max(struct(ts, id, type)) of channel rows only - the
+    struct max is lexicographic, so ties at the same instant break
+    deterministically on the event id, and the -1 upper bound makes
+    "strictly before" exact (a channel touch at the conversion's own
+    instant does not attribute). Conversions with no touch in the
+    window come through with NULL attribution - absent rows hide
+    attribution loss; NULL rows surface it.
+
+    Scale shape: one shuffle on the user key, one ordered window pass
+    over the user's events (streaming frame, no buffering beyond the
+    range frame). The self-join formulation this replaces is
+    O(conversions x touches-in-window) - kept only as the test/oracle
+    differential.
+
+    Returns one row per conversion: user_col, conversion_id,
+    conversion_ts_us, channel (NULL if unattributed), touch_id,
+    latency_us (conversion - touch, micros).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(user_col),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_ty"),
+        F.col(ts_col).alias("_us"),
+    )
+    is_channel = F.col("_ty").isin(*channel_types)
+    w = (
+        W.partitionBy(user_col)
+        .orderBy("_us")
+        .rangeBetween(-int(lookback_us), -1)
+    )
+    touch = F.max(
+        F.when(
+            is_channel,
+            F.struct(
+                F.col("_us").alias("ts"),
+                F.col("_id").alias("id"),
+                F.col("_ty").alias("ty"),
+            ),
+        )
+    ).over(w)
+    labeled = base.withColumn("_touch", touch).filter(
+        F.col("_ty") == conversion_type
+    )
+    return labeled.select(
+        user_col,
+        F.col("_id").alias("conversion_id"),
+        F.col("_us").alias("conversion_ts_us"),
+        F.col("_touch.ty").alias("channel"),
+        F.col("_touch.id").alias("touch_id"),
+        (F.col("_us") - F.col("_touch.ts")).alias("latency_us"),
     )

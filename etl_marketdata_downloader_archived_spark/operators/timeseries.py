@@ -496,3 +496,57 @@ def rolling_corr(
         ).alias("corr"),
         n.alias("n_obs"),
     )
+
+
+def twap(
+    df: DataFrame,
+    keys: list[str],
+    ts_us_col: str,
+    cents_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average price per group over the observed span -
+    the execution-quality benchmark VWAP's sibling: each observation's
+    value holds until the NEXT observation (piecewise-constant,
+    left-closed), weighted by how long it held. The last observation
+    of a group carries zero duration (the span ends at the last
+    tick); a single-tick group has no span and reports NULL.
+
+    Exactness: inputs are epoch-micros bigints and fix-pointed cents
+    (callers convert - same discipline as ohlc_bars' int-cents VWAP),
+    so duration*price accumulates as exact bigints and TWAP is ONE
+    IEEE division. Equal timestamps get a total order from
+    ``tiebreak_col``: the earlier-id tick holds for zero micros, so
+    the tie contributes nothing regardless of engine - but the ORDER
+    must still be pinned or lead() itself is nondeterministic.
+
+    Scale shape: one shuffle on the group key, one lead() window pass
+    (streaming frame), one partial-combined aggregate. Group by a
+    bounded slice (symbol x day), not a global key - the window sorts
+    per group.
+
+    Returns keys + (n_ticks, span_us, twap_cents: double).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(ts_us_col, tiebreak_col)
+    nxt = F.lead(ts_us_col).over(w)
+    seg = df.select(
+        *keys,
+        F.col(cents_col).alias("_c"),
+        (nxt - F.col(ts_us_col)).alias("_dur"),
+    )
+    g = seg.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("_dur").alias("span_us"),
+        F.sum(F.col("_dur") * F.col("_c")).alias("_wsum"),
+    )
+    return g.select(
+        *keys,
+        "n_ticks",
+        F.coalesce(F.col("span_us"), F.lit(0)).alias("span_us"),
+        F.when(
+            F.col("span_us") > 0,
+            F.col("_wsum").cast("double") / F.col("span_us").cast("double"),
+        ).alias("twap_cents"),
+    )

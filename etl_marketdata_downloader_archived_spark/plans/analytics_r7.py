@@ -289,3 +289,185 @@ def weighted_median_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(
         li, "l_extendedprice", "l_quantity", by=["l_returnflag"], bins=64
     )
+
+
+@q(
+    "attribution_channels",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    conv AS (
+        SELECT event_id, user_id, us FROM ev
+        WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id, event_type, us FROM ev
+        WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    pairs AS (
+        SELECT c.event_id, t.event_type AS ch, t.us AS tus,
+               row_number() OVER (PARTITION BY c.event_id
+                                  ORDER BY t.us DESC,
+                                           t.event_id DESC) AS rn
+        FROM conv c
+        JOIN touch t ON t.user_id = c.user_id
+                    AND t.us < c.us
+                    AND t.us >= c.us - 604800000000
+    ),
+    best AS (SELECT event_id, ch, tus FROM pairs WHERE rn = 1)
+    SELECT coalesce(b.ch, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(c.us - b.tus) AS BIGINT) AS total_latency_us
+    FROM conv c LEFT JOIN best b ON b.event_id = c.event_id
+    GROUP BY 1
+    """,
+)
+def attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases to click/view/signup
+    touches within a 7-day lookback
+    (operators.sessions.attribute_conversions - ONE per-user range
+    window over epoch micros, no self-join), rolled up to channel
+    totals with exact bigint latency sums. The oracle computes the
+    same assignment by the O(conversions x touches) pair join +
+    row_number - an independent FORMULATION, so a frame-boundary bug
+    (strictly-before, lookback edge) on the window path cannot hide;
+    ties at the same instant break on event id in both."""
+    from ..operators.sessions import attribute_conversions
+
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    attributed = attribute_conversions(
+        ev,
+        "user_id",
+        "us",
+        "event_type",
+        "event_id",
+        conversion_type="purchase",
+        channel_types=["click", "view", "signup"],
+        lookback_us=7 * 24 * 3600 * 1_000_000,
+    )
+    return attributed.groupBy(
+        F.coalesce(F.col("channel"), F.lit("unattributed")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("latency_us").alias("total_latency_us"),
+    )
+
+
+@q(
+    "twap_daily",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               epoch_us(ts) AS us, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    seg AS (
+        SELECT event_type, day, c,
+               lead(us) OVER (PARTITION BY event_type, day
+                              ORDER BY us, event_id) - us AS dur
+        FROM t
+    ),
+    g AS (
+        SELECT event_type, day,
+               CAST(count(*) AS BIGINT)    AS n_ticks,
+               CAST(sum(dur) AS BIGINT)    AS span0,
+               CAST(sum(dur * c) AS BIGINT) AS wsum
+        FROM seg GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_ticks,
+           coalesce(span0, 0) AS span_us,
+           CASE WHEN span0 > 0
+                THEN CAST(wsum AS DOUBLE) / CAST(span0 AS DOUBLE)
+           END AS twap_cents
+    FROM g
+    """,
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily TWAP per event_type (operators.timeseries.twap): each
+    tick's int-cents value held until the next tick of the same
+    (type, day), duration-weighted over exact epoch-micros bigints,
+    one IEEE division at the end - the ohlc_bars int-cents discipline
+    applied to time weighting. Same-instant ticks are ordered by
+    event_id on both engines; the earlier one holds for zero micros,
+    so ties contribute nothing either way."""
+    from ..operators.timeseries import twap
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    t = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    return twap(t, ["event_type", "day"], "us", "c", "event_id")
+
+
+@q(
+    "user_growth",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    fs AS (
+        SELECT user_id, min(day) AS first_day FROM active GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT a.day,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(count(*) FILTER (WHERE f.first_day = a.day)
+                    AS BIGINT) AS n_new
+        FROM active a JOIN fs f ON f.user_id = a.user_id
+        GROUP BY a.day
+    )
+    SELECT day, n_active, n_new,
+           n_active - n_new AS n_returning,
+           CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+             AS cum_users
+    FROM per_day
+    """,
+)
+def user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user-growth curve: actives, first-seen news, returning,
+    and the cumulative distinct-user count - the product growth
+    dashboard's backbone. Exact integers throughout: collapse to
+    DISTINCT (day, user) once (the only event-scale shuffle), first
+    seen via a per-user min, and the cumulative window runs over ONE
+    ROW PER CALENDAR DAY (whitelisted global window - bounded by the
+    corpus's day span, never events or users)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    fs = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = (
+        active.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(
+                F.when(F.col("first_day") == F.col("day"), 1)
+            ).alias("n_new"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("cum_users"),
+    )

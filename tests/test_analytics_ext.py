@@ -542,3 +542,34 @@ def test_weighted_median_binned_tiers(spark) -> None:
         dfc, "v", "w", by=["g"], bins=b, bounds=(-0.1, 0.1)
     ).collect()[0]
     assert narrow.total_weight == exact.total_weight  # clamped, not dropped
+
+
+def test_user_growth_vs_python(spark, sf_dir) -> None:
+    """user_growth's day-level curve vs independent python set
+    arithmetic over the same events fixture: conservation (every
+    active is new or returning), cumulative = running union size."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r7 import (
+        user_growth,
+    )
+
+    rows = user_growth(spark, sf_dir).orderBy("day").collect()
+    from etl_marketdata_downloader_archived_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id"
+    ).collect()
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r.ts.date(), set()).add(r.user_id)
+    seen: set = set()
+    want = []
+    for day in sorted(by_day):
+        users = by_day[day]
+        new = users - seen
+        seen |= users
+        want.append((day, len(users), len(new), len(users - new), len(seen)))
+    got = [
+        (r.day, r.n_active, r.n_new, r.n_returning, r.cum_users)
+        for r in rows
+    ]
+    assert got == want

@@ -278,3 +278,96 @@ def test_day_streaks_known_and_brute(spark):
         end = max(s[-1] for s in streaks if len(s) == longest)
         want[u] = (len(days), len(streaks), longest, end)
     assert got == want
+
+
+def test_attribute_conversions_known_answer(spark):
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        attribute_conversions,
+    )
+
+    rows = [
+        # user 1: click at 100, view at 200, purchase at 250
+        #   -> last touch = view@200, latency 50
+        (1, 10, "click", 100), (1, 11, "view", 200), (1, 12, "purchase", 250),
+        # same-instant touch does NOT attribute (strictly before);
+        # the click at 240 does
+        (1, 13, "click", 240), (1, 14, "click", 300), (1, 15, "purchase", 300),
+        # user 2: touch outside the lookback -> unattributed
+        (2, 20, "click", 0), (2, 21, "purchase", 2000),
+        # user 3: tie at the same ts -> higher event_id wins
+        (3, 30, "click", 50), (3, 31, "view", 50), (3, 32, "purchase", 60),
+        # purchase itself is never a touch
+        (3, 33, "purchase", 70),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, us long"
+    )
+    got = {
+        r.conversion_id: (r.channel, r.touch_id, r.latency_us)
+        for r in attribute_conversions(
+            df, "user_id", "us", "event_type", "event_id",
+            conversion_type="purchase",
+            channel_types=["click", "view"],
+            lookback_us=1000,
+        ).collect()
+    }
+    assert got == {
+        12: ("click", 13, 10),   # click@240 is the last touch before 250
+        15: ("click", 13, 60),   # click@300 shares the instant: excluded
+        21: (None, None, None),  # only touch is outside the lookback
+        32: ("view", 31, 10),    # tie at us=50 -> higher event_id wins
+        33: ("view", 31, 20),    # purchases are never touches
+    }
+
+
+def test_attribute_conversions_vs_brute_force(spark):
+    """Window formulation vs an independent python brute force over
+    random event streams with deliberate instant collisions and
+    lookback-boundary hits."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        attribute_conversions,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for _ in range(rng.randint(5, 60)):
+            eid += 1
+            rows.append((
+                u, eid,
+                rng.choice(["click", "view", "buy", "buy"]),
+                rng.randint(0, 300),  # tiny domain -> many exact ties
+            ))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, us long"
+    )
+    lookback = 75
+    got = {
+        r.conversion_id: (r.channel, r.touch_id, r.latency_us)
+        for r in attribute_conversions(
+            df, "user_id", "us", "event_type", "event_id",
+            conversion_type="buy",
+            channel_types=["click", "view"],
+            lookback_us=lookback,
+        ).collect()
+    }
+
+    want = {}
+    for u, cid, ty, us in rows:
+        if ty != "buy":
+            continue
+        cands = [
+            (tus, tid, tty)
+            for (uu, tid, tty, tus) in rows
+            if uu == u and tty in ("click", "view")
+            and us - lookback <= tus < us
+        ]
+        if cands:
+            tus, tid, tty = max(cands)
+            want[cid] = (tty, tid, us - tus)
+        else:
+            want[cid] = (None, None, None)
+    assert got == want

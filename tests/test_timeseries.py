@@ -459,3 +459,46 @@ def test_find_gaps_known_answer(spark):
     out = [(r.k, str(r.gap_start), str(r.gap_end), r.n_missing)
            for r in find_gaps(df, ["k"], "ts", "hour").collect()]
     assert out == [("a", "2026-01-01 11:00:00", "2026-01-01 12:00:00", 2)]
+
+
+def test_twap_known_answer_and_brute(spark) -> None:
+    """twap vs an independent python piecewise-constant integral,
+    including same-instant ties (zero-duration holds) and
+    single-tick groups (NULL twap, zero span)."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.timeseries import (
+        twap,
+    )
+
+    # known answer: 100c for 10us, 200c for 30us
+    #   -> (100*10 + 200*30) / 40 = 175
+    rows = [("k", 0, 100, 1), ("k", 10, 200, 2), ("k", 40, 999, 3)]
+    # tie at t=10: id2 holds 0us, id3 holds 30us
+    rows += [("t", 0, 100, 1), ("t", 10, 500, 2), ("t", 10, 200, 3),
+             ("t", 40, 999, 4)]
+    rows += [("single", 5, 123, 1)]
+    rng = random.Random(17)
+    for g in ("r1", "r2"):
+        for i in range(rng.randint(2, 50)):
+            rows.append((g, rng.randint(0, 100), rng.randint(1, 500), i))
+    df = spark.createDataFrame(rows, "g string, us long, c long, id long")
+    got = {
+        r.g: (r.n_ticks, r.span_us, r.twap_cents)
+        for r in twap(df, ["g"], "us", "c", "id").collect()
+    }
+    assert got["k"] == (3, 40, 175.0)
+    assert got["t"] == (4, 40, (100 * 10 + 500 * 0 + 200 * 30) / 40)
+    assert got["single"] == (1, 0, None)
+
+    for g in ("r1", "r2"):
+        ticks = sorted(
+            [(us, i, c) for gg, us, c, i in rows if gg == g]
+        )
+        wsum = sum(
+            (ticks[j + 1][0] - ticks[j][0]) * ticks[j][2]
+            for j in range(len(ticks) - 1)
+        )
+        span = ticks[-1][0] - ticks[0][0]
+        want = (len(ticks), span, wsum / span if span > 0 else None)
+        assert got[g] == want

@@ -117,6 +117,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # row_number over the group-by result: one row per distinct
     # o_orderpriority value (6 incl. the NULL group)
     "null_semantics": "ranks the 6-row priority group-by output",
+    # cumulative new-user sum over the per-day growth table - one row
+    # per calendar day, bounded by the corpus's day span
+    "user_growth": "cumulative sum over one row per day",
 }
 
 
