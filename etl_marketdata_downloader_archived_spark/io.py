@@ -291,11 +291,12 @@ def maintenance_lock(
     lake assumed" caveat, for deployments where two schedulers might
     race the same table.
 
-    ``<path>__lock`` is claimed with an exclusive create
-    (``overwrite=false``) followed by an owner-nonce read-back - the
-    read-back matters because on local/Checksum filesystems the
-    exclusive create is exists-then-open, not atomic - and removed on
-    exit. A lock older than ``ttl_s`` is presumed
+    ``<path>__lock`` is claimed atomically - java.io.File
+    .createNewFile (true O_CREAT|O_EXCL) on local filesystems, where
+    Hadoop's own create(overwrite=false) is a non-atomic
+    exists-then-open; the server-side exclusive create elsewhere -
+    then the owner nonce is written and read back (a tripwire for
+    filesystems whose exclusivity is advisory). Removed on exit. A lock older than ``ttl_s`` is presumed
     abandoned by a crashed writer and broken - the new holder then
     runs ``vacuum_maintenance``-style recovery anyway at mutator
     entry, so taking over a crashed run is safe by construction.
@@ -342,11 +343,36 @@ def maintenance_lock(
     out = None
     created = False
     try:
-        out = fs.create(lock, False)  # exclusive: raises if it exists
-        created = True
+        if fs.getUri().getScheme() == "file":
+            # Hadoop's Local/ChecksumFileSystem create(overwrite=
+            # false) is an exists-CHECK-then-open, NOT atomic - two
+            # contenders can both pass the check, both write, and
+            # both believe they won (a read-back alone cannot close
+            # this: the loser's late write can land after the
+            # winner's read-back, leaving TWO writers in the critical
+            # section). Claim with java.io.File.createNewFile, which
+            # IS atomic O_CREAT|O_EXCL ("if and only if a file with
+            # this name does not yet exist") - exactly one contender
+            # creates the file.
+            local = jvm.java.io.File(lock.toUri().getPath())
+            if not local.createNewFile():
+                raise MaintenanceLockHeld(
+                    f"lost the lock race on {path}"
+                )
+            created = True
+            # we own the claim; the nonce write may overwrite our own
+            # empty file (and lay down the checksum sidecar)
+            out = fs.create(lock, True)
+        else:
+            # HDFS-like filesystems implement exclusive create
+            # atomically server-side
+            out = fs.create(lock, False)
+            created = True
         out.write(bytearray(nonce, "utf-8"))
         out.close()
         out = None
+    except MaintenanceLockHeld:
+        raise
     except Exception as exc:  # noqa: BLE001 - py4j wraps the FS error
         if out is not None:
             try:
@@ -354,7 +380,7 @@ def maintenance_lock(
             except Exception:  # noqa: BLE001
                 pass
         if created:
-            # The exclusive create succeeded but writing/closing the
+            # The exclusive claim succeeded but writing/closing the
             # nonce failed (disk full, stream error): a half-written
             # lock we own would block every writer until the TTL.
             # Remove it before re-raising.
@@ -368,15 +394,10 @@ def maintenance_lock(
         raise MaintenanceLockHeld(
             f"lost the lock race on {path}"
         ) from None
-    # Read-back verification: on Hadoop's Local/ChecksumFileSystem,
-    # create(overwrite=false) is an exists-CHECK-then-open, not an
-    # atomic O_CREAT|O_EXCL, so two contenders can both pass the
-    # check and both reach the write - last nonce wins the file. Only
-    # the contender whose nonce actually persisted holds the lock;
-    # everyone else must yield WITHOUT deleting (the file is the
-    # winner's). This shrinks the non-atomicity to the interval
-    # between a late loser's write and this read - and that loser's
-    # own read-back then sees the winner's nonce and yields too.
+    # Read-back verification - a secondary tripwire for filesystems
+    # whose "exclusive" create is advisory (object-store lookalikes):
+    # if the persisted nonce is not ours, someone else owns the file -
+    # yield WITHOUT deleting it.
     if _read_lock_owner(spark, lock) != nonce:
         raise MaintenanceLockHeld(
             f"lost the lock race on {path}: read-back nonce mismatch"

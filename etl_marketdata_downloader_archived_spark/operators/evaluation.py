@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .profile import mann_whitney
+from .profile import grid_bounds, mann_whitney
 
 __all__ = ["binary_auc", "score_deciles", "confusion_at_threshold"]
 
@@ -30,7 +30,7 @@ __all__ = ["binary_auc", "score_deciles", "confusion_at_threshold"]
 def _quantized_score(
     df: DataFrame,
     score_col: str,
-    bins: int,
+    bins: int | None,
     bounds: tuple[float, float] | None = None,
 ):
     """Score expression quantized onto a fixed ``width_bucket`` grid -
@@ -52,16 +52,10 @@ def _quantized_score(
     when a batch exceeds the pinned domain (same contract as
     ``ks_statistic``)."""
     s = F.col(score_col).cast("double")
-    if bounds is not None:
-        lo, hi = float(bounds[0]), float(bounds[1])
-        if not hi > lo:
-            raise ValueError(f"bounds must satisfy lo < hi, got {bounds}")
-    else:
-        lo, hi = df.agg(F.min(s), F.max(s)).first()
-        if lo is None:
-            lo, hi = 0.0, 1.0  # no non-null scores: empty result either way
-        elif hi == lo:
-            hi = lo + 1
+    grid = grid_bounds(df, s, bins, bounds)
+    if grid is None:  # exact tier (bins=None); dangling bounds raised
+        return F.col(score_col)
+    lo, hi = grid
     return F.width_bucket(s, F.lit(lo), F.lit(hi), F.lit(bins))
 
 
@@ -112,9 +106,7 @@ def binary_auc(
     # .otherwise('b') silently classing them 'b' (score NULLs are
     # dropped inside mann_whitney)
     df = df.filter(F.col(label_col).try_cast("boolean").isNotNull())
-    score = F.col(score_col)
-    if bins is not None:
-        score = _quantized_score(df, score_col, bins, bounds)
+    score = _quantized_score(df, score_col, bins, bounds)
     sided = df.select(
         *keys,
         score.alias("_s"),
@@ -173,9 +165,7 @@ def score_deciles(
         F.col(score_col).isNotNull()
         & F.col(label_col).try_cast("boolean").isNotNull()
     )
-    score = F.col(score_col)
-    if bins is not None:
-        score = _quantized_score(df, score_col, bins, bounds)
+    score = _quantized_score(df, score_col, bins, bounds)
     g = (
         df.groupBy(*keys, score.alias("_s"))
         .agg(

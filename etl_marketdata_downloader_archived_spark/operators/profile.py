@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "profile",
+    "grid_bounds",
     "ks_statistic",
     "ks_from_counts",
     "mad_outliers",
@@ -85,6 +86,46 @@ def profile(
     ).select("p.*")
 
 
+def grid_bounds(
+    df: DataFrame,
+    value,
+    bins: int | None,
+    bounds: tuple[float, float] | None,
+) -> tuple[float, float] | None:
+    """Resolve the ``width_bucket`` grid for the family's ``bins=``
+    scale tier (ks_statistic, binary_auc/score_deciles via
+    evaluation._quantized_score, weighted_median) - the ONE place the
+    bounds rules live, so the tiers cannot drift:
+
+    - bins None: exact tier, returns None - and REJECTS a dangling
+      ``bounds`` (silently ignoring a pinned grid the caller asked
+      for would run the exact row-scale path they meant to avoid);
+    - explicit bounds: validated lo < hi, no data scan;
+    - auto bounds: one global min/max scalar aggregate over ``value``
+      cast to double; all-NULL input pins (0, 1) (empty result either
+      way), a constant column widens to (lo, lo+1) so width_bucket
+      stays well-formed.
+    """
+    if bins is None:
+        if bounds is not None:
+            raise ValueError(
+                "bounds= requires bins= (the exact tier has no grid to pin)"
+            )
+        return None
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        if not hi > lo:
+            raise ValueError(f"bounds must satisfy lo < hi, got {bounds}")
+        return lo, hi
+    v = value.cast("double")
+    lo, hi = df.agg(F.min(v), F.max(v)).first()
+    if lo is None:
+        return 0.0, 1.0
+    if hi == lo:
+        return lo, lo + 1
+    return lo, hi
+
+
 def ks_statistic(
     df: DataFrame,
     value_col: str,
@@ -129,20 +170,9 @@ def ks_statistic(
     keys = list(by or [])
     df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col)
-    if bins is not None:
-        if bounds is not None:
-            lo, hi = float(bounds[0]), float(bounds[1])
-            if not hi > lo:
-                raise ValueError(
-                    f"bounds must satisfy lo < hi, got {bounds}"
-                )
-        else:
-            lo, hi = df.agg(F.min(v), F.max(v)).first()
-            if lo is None:
-                lo = 0.0  # all rows null-valued: empty result either way,
-                hi = 1.0  # but keep width_bucket's bounds well-typed
-            elif hi == lo:
-                hi = lo + 1
+    grid = grid_bounds(df, v, bins, bounds)
+    if grid is not None:
+        lo, hi = grid
         v = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(bins))
     g = df.groupBy(
         *keys, v.alias("_v")
@@ -378,8 +408,12 @@ def weighted_median(
     distinct value) bigint weight sums, cumulative-sum over the value
     order, pick the first row where 2*cum >= total - the doubled
     comparison keeps everything integer (no halving division).
-    Weights must be integral (cast upstream if fix-pointed); NULL
-    values and NULL/non-positive weights are dropped.
+    Weights must be integral (fix-point upstream): the weight is CAST
+    to bigint FIRST and both the positivity filter and the sums see
+    that casted value, so a fractional weight truncates toward zero
+    and a sub-1 weight drops with its row - never a zero-total group
+    with a fabricated median. NULL values and NULL/non-positive
+    weights are dropped.
 
     Scale shape: one partial-combined shuffle to the distinct-value
     count table; the window runs over value cardinality, never rows -
@@ -391,38 +425,31 @@ def weighted_median(
     pin the grid and skip the min/max scan): the selection then runs
     over at most ``bins`` buckets, and the reported median is the
     SMALLEST OBSERVED VALUE in the median's bucket - still an
-    observed value, off by at most one bin width from the exact
-    median, and EXACT when quantization is injective on the observed
-    values.
+    observed value, EXACT when quantization is injective on the
+    observed values, and otherwise off by at most one bin width
+    PROVIDED the grid covers the observed domain. Pinned bounds
+    narrower than the data clamp the out-of-range mass into the
+    under/overflow buckets (nothing is dropped), but a median landing
+    in a clamp bucket then reports that bucket's smallest observed
+    value - the bin-width bound does NOT apply to clamped mass (same
+    caveat as ks_statistic's clamp).
 
     Returns by + (total_weight, median).
     """
     keys = list(by or [])
-    d = df.filter(
-        F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
-    )
+    w_int = F.col(weight_col).cast("bigint")
+    d = df.filter(F.col(value_col).isNotNull() & (w_int > 0))
     v = F.col(value_col)
-    if bins is not None:
-        if bounds is not None:
-            lo, hi = float(bounds[0]), float(bounds[1])
-            if not hi > lo:
-                raise ValueError(
-                    f"bounds must satisfy lo < hi, got {bounds}"
-                )
-        else:
-            vd = v.cast("double")
-            lo, hi = d.agg(F.min(vd), F.max(vd)).first()
-            if lo is None:
-                lo, hi = 0.0, 1.0
-            elif hi == lo:
-                hi = lo + 1
+    grid = grid_bounds(d, v, bins, bounds)
+    if grid is not None:
+        lo, hi = grid
         key = F.width_bucket(
             v.cast("double"), F.lit(lo), F.lit(hi), F.lit(bins)
         )
     else:
         key = v
     g = d.groupBy(*keys, key.alias("_v")).agg(
-        F.sum(F.col(weight_col).cast("bigint")).alias("_w"),
+        F.sum(w_int).alias("_w"),
         F.min(v).alias("_minv"),
     )
     wv = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("_v")

@@ -177,7 +177,12 @@ def interval_coverage(
     Determinism under start ties needs no tie-break: every interval's
     end >= its start, so a row can never open a new block relative to
     a same-start predecessor regardless of their order, and the
-    per-block min/max aggregates are order-free.
+    per-block min/max aggregates are order-free. That invariant is
+    ENFORCED, not assumed: a malformed end < start row (swapped
+    columns, a negative duration fed in upstream) is clamped to the
+    zero-length interval [start, start] - it still counts in
+    n_intervals but cannot split or shrink a block, and covered
+    totals can never go negative.
 
     Scale shape: one shuffle on the group key, one ordered window per
     group (the running max is a streaming frame - no buffering beyond
@@ -190,9 +195,12 @@ def interval_coverage(
     """
     from pyspark.sql import Window as W
 
-    s, e = F.col(start_col), F.col(end_col)
+    s = F.col(start_col)
+    # clamp malformed negative-duration rows to zero-length at start:
+    # the sweep's correctness proof requires e >= s
+    e = F.greatest(F.col(end_col), s)
     w = W.partitionBy(*group_cols).orderBy(start_col)
-    prev_end = F.max(end_col).over(
+    prev_end = F.max(e).over(
         w.rowsBetween(W.unboundedPreceding, -1)
     )
     blocked = intervals.select(

@@ -64,6 +64,13 @@ def start_auc_monitor(
     auc < min_auc - the degenerate statuses are for the operator to
     trend, not to page on."""
     keys = list(by or [])
+    if bounds is not None and bins is None:
+        # fail at start(), not inside the Nth micro-batch: a dangling
+        # bounds= would otherwise silently run the exact row-scale
+        # tier the caller explicitly tried to avoid
+        raise ValueError(
+            "bounds= requires bins= (the exact tier has no grid to pin)"
+        )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         # group presence from the RAW batch: a group whose labels all

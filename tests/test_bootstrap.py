@@ -937,3 +937,34 @@ def test_maintenance_lock_failed_nonce_write_cleans_up(
     with io_mod.maintenance_lock(spark, path):
         assert os.path.exists(lock)
     assert not os.path.exists(lock)
+
+
+def test_maintenance_lock_local_claim_is_atomic_exclusive(
+    spark, tmp_path, monkeypatch
+) -> None:
+    """The local-FS claim is java.io.File.createNewFile - atomic
+    O_CREAT|O_EXCL - so a lock file that appears between the
+    staleness check and the claim makes the contender LOSE cleanly
+    (no overwrite, no double-acquire). Simulated by disabling the
+    staleness gate and pre-creating the file."""
+    import os
+
+    import pytest
+
+    from etl_marketdata_downloader_archived_spark import io as io_mod
+
+    path = str(tmp_path / "lake")
+    os.makedirs(path)
+    lock = f"{path}__lock"
+    monkeypatch.setattr(
+        io_mod, "_break_expired_lock", lambda *a, **k: None
+    )
+    with open(lock, "w") as f:
+        f.write("other-holder:cafe")
+    with pytest.raises(
+        io_mod.MaintenanceLockHeld, match="lost the lock race"
+    ):
+        with io_mod.maintenance_lock(spark, path):
+            raise AssertionError("must not enter the critical section")
+    # the other holder's file is untouched - no truncation, no delete
+    assert open(lock).read() == "other-holder:cafe"

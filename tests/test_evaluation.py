@@ -399,3 +399,57 @@ def test_pinned_bounds_clamp_out_of_range(spark) -> None:
 
     with pytest.raises(ValueError):
         binary_auc(df, "score", "label", bins=32, bounds=(1.0, 1.0)).collect()
+
+
+def test_bounds_without_bins_raises(spark) -> None:
+    """A dangling bounds= (no bins=) must raise, not silently run the
+    exact row-scale tier the caller tried to avoid - across the whole
+    grid family."""
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        ks_statistic,
+        weighted_median,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        start_auc_monitor,
+    )
+
+    df = spark.createDataFrame(
+        [(0.5, True, 1, "a")], "score double, label boolean, w long, side string"
+    )
+    with pytest.raises(ValueError, match="requires bins"):
+        binary_auc(df, "score", "label", bounds=(0.0, 1.0))
+    with pytest.raises(ValueError, match="requires bins"):
+        score_deciles(df, "score", "label", bounds=(0.0, 1.0))
+    with pytest.raises(ValueError, match="requires bins"):
+        ks_statistic(df, "score", "side", bounds=(0.0, 1.0))
+    with pytest.raises(ValueError, match="requires bins"):
+        weighted_median(df, "score", "w", bounds=(0.0, 1.0))
+    with pytest.raises(ValueError, match="requires bins"):
+        start_auc_monitor(
+            df, "score", "label", checkpoint="/tmp/x",
+            on_result=lambda *_: None, bounds=(0.0, 1.0),
+        )
+
+
+def test_weighted_median_fractional_weights_consistent(spark) -> None:
+    """Fractional weights truncate to bigint BEFORE the positivity
+    filter, so filter and sums agree: sub-1 weights drop with their
+    rows, and an all-fractional group disappears instead of emitting
+    total_weight=0 with a fabricated median."""
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("frac", 1.0, 0.5), ("frac", 2.0, 0.9),
+         ("mix", 1.0, 0.5), ("mix", 2.0, 2.9), ("mix", 3.0, 1.0)],
+        "g string, v double, w double",
+    )
+    got = {
+        r.g: (r.total_weight, r.median)
+        for r in weighted_median(df, "v", "w", by=["g"]).collect()
+    }
+    # all-fractional group: every weight truncates to 0 -> absent
+    assert "frac" not in got
+    # 2.9 truncates to 2; 0.5 drops -> expanded [2,2,3], median 2
+    assert got["mix"] == (3, 2.0)

@@ -371,3 +371,21 @@ def test_attribute_conversions_vs_brute_force(spark):
         else:
             want[cid] = (None, None, None)
     assert got == want
+
+
+def test_interval_coverage_clamps_negative_duration(spark):
+    """A malformed end < start row is clamped to zero-length at its
+    start: counted, but it cannot split/shrink blocks or drive the
+    covered total negative."""
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        interval_coverage,
+    )
+
+    rows = [
+        ("g", 0, 10),
+        ("g", 5, 1),    # malformed: end < start -> behaves as [5, 5]
+        ("g", 20, -50),  # malformed and disjoint -> zero-length block
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    r = interval_coverage(df, ["g"], "s", "e").collect()[0]
+    assert (r.n_intervals, r.n_blocks, r.covered) == (3, 2, 10)
