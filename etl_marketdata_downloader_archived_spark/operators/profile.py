@@ -31,6 +31,7 @@ __all__ = [
     "mad_outliers",
     "mann_whitney",
     "weighted_median",
+    "cusum_changepoint",
 ]
 
 _NUMERIC = (
@@ -465,4 +466,55 @@ def weighted_median(
     return hit.groupBy(*keys).agg(
         F.max("_tot").alias("total_weight"),
         F.min_by("_minv", "_v").alias("median"),
+    )
+
+
+def cusum_changepoint(
+    g: DataFrame,
+    by: list[str],
+    bucket_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Single-changepoint locator over a pre-bucketed integer series:
+    the bucket where the CUSUM chart peaks, i.e. argmax over i of
+    |cumsum_i(x) - (i/n) * total| - the classic max-deviation
+    estimator for a level shift (which day did the metric move?).
+
+    Exactness: the deviation is SCALED BY n to stay integral -
+    D_i = n*cum_i - i*total is a bigint, |D| comparisons and the
+    earliest-bucket tie-break are integer/struct selections, so both
+    the location and the peak are engine-exact; divide peak by
+    n (and interpret in x units) downstream if a normalized score is
+    wanted. Overflow bound: n * |cum| must fit int64 - fine to ~10^9
+    buckets of 10^9-scale sums; buckets are calendar-bounded anyway.
+
+    Input ``g``: one row per (by, bucket) with integer measure
+    ``x_col`` (fix-point upstream). Windows run over bucket
+    cardinality (calendar-bounded), never raw rows.
+
+    Returns by + (n_buckets, total, change_bucket, peak_dev).
+    """
+    w = W.partitionBy(*by).orderBy(bucket_col)
+    wt = W.partitionBy(*by)
+    stepped = g.select(
+        *by,
+        F.col(bucket_col).alias("_b"),
+        F.sum(x_col).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("_cum"),
+        F.row_number().over(w).alias("_i"),
+        F.sum(x_col).over(wt).alias("_tot"),
+        F.count(F.lit(1)).over(wt).alias("_n"),
+    )
+    dev = F.abs(
+        F.col("_n") * F.col("_cum") - F.col("_i") * F.col("_tot")
+    )
+    d = stepped.withColumn("_dev", dev)
+    return d.groupBy(*by).agg(
+        F.max("_n").alias("n_buckets"),
+        F.max("_tot").alias("total"),
+        F.min_by("_b", F.struct((-F.col("_dev")).alias("nd"), F.col("_b"))).alias(
+            "change_bucket"
+        ),
+        F.max("_dev").alias("peak_dev"),
     )

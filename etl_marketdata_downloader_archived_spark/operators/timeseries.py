@@ -550,3 +550,84 @@ def twap(
             F.col("_wsum").cast("double") / F.col("span_us").cast("double"),
         ).alias("twap_cents"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    cents: str,
+    width: str = "hour",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Resample to a regular ``width`` grid per key with LINEAR
+    interpolation across interior gaps - the smooth sibling of
+    ``resample_ffill`` for measures where holding the last value
+    misstates the path (prices between sparse ticks, sensor readings).
+
+    ``cents`` is a fix-pointed integer measure (ohlc_bars discipline):
+    an interior empty cell gets prev + (next - prev) * (dt / span)
+    where prev/next are the neighboring observed cells' int values and
+    dt/span are exact epoch-micros deltas - ONE fixed IEEE expression
+    over exact integers, so a warehouse oracle replays every bit.
+    Leading cells (before the key's first observation) stay NULL;
+    trailing cells hold the last value (forward-fill - there is
+    nothing to interpolate toward). ``kind`` says which:
+    'obs' | 'interp' | 'ffill' | NULL.
+
+    Scale shape: same as resample_ffill - one map-side-combinable
+    per-bar last, a dimension-sized grid join, and ONE per-key
+    ordered window pass computing both neighbor frames (the backward
+    last/ignorenulls pair and the forward first/ignorenulls pair
+    share the sort; grid rows per key are calendar-bounded).
+
+    Returns (key, bar_ts, value_cents: double, kind).
+    """
+    ord_key = F.struct(
+        F.col("_ts"), *([F.col(tie_break)] if tie_break else [])
+    )
+    barred = df.select(
+        F.col(key),
+        F.col(ts).alias("_ts"),
+        F.col(cents).alias("_v"),
+        *([F.col(tie_break)] if tie_break else []),
+    ).withColumn("bar_ts", _bar("_ts", width))
+    last_in_bar = barred.groupBy(key, "bar_ts").agg(
+        F.max_by("_v", ord_key).alias("_obs")
+    )
+    grid = time_grid(df, key, ts, width)
+    joined = grid.join(last_in_bar, [key, "bar_ts"], "left")
+
+    t_us = F.unix_micros(F.col("bar_ts").cast("timestamp"))
+    obs_t = F.when(F.col("_obs").isNotNull(), t_us)
+    wb = (
+        W.partitionBy(key)
+        .orderBy("bar_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(key)
+        .orderBy("bar_ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    pv = F.last("_obs", ignorenulls=True).over(wb)
+    pt = F.last(obs_t, ignorenulls=True).over(wb)
+    nv = F.first("_obs", ignorenulls=True).over(wf)
+    nt = F.first(obs_t, ignorenulls=True).over(wf)
+    interp = pv.cast("double") + (
+        nv.cast("double") - pv.cast("double")
+    ) * (
+        (t_us - pt).cast("double") / (nt - pt).cast("double")
+    )
+    return joined.select(
+        key,
+        "bar_ts",
+        F.when(F.col("_obs").isNotNull(), F.col("_obs").cast("double"))
+        .when(pv.isNotNull() & nv.isNotNull(), interp)
+        .when(pv.isNotNull(), pv.cast("double"))
+        .alias("value_cents"),
+        F.when(F.col("_obs").isNotNull(), F.lit("obs"))
+        .when(pv.isNotNull() & nv.isNotNull(), F.lit("interp"))
+        .when(pv.isNotNull(), F.lit("ffill"))
+        .alias("kind"),
+    )

@@ -471,3 +471,216 @@ def user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active") - F.col("n_new")).alias("n_returning"),
         F.sum("n_new").over(w).alias("cum_users"),
     )
+
+
+@q(
+    "resample_interp",
+    oracle="""
+    WITH src AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS t0,
+               date_trunc('hour', max(ts)) AS t1
+        FROM src
+    ),
+    grid AS (
+        SELECT k.event_type, g.bar_ts
+        FROM (SELECT DISTINCT event_type FROM src) k,
+             (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                  AS bar_ts
+              FROM bounds) g
+    ),
+    obs AS (
+        SELECT event_type, bar_ts, c AS _obs
+        FROM (
+            SELECT event_type, date_trunc('hour', ts) AS bar_ts, c,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM src
+        )
+        WHERE rn = 1
+    ),
+    nb AS (
+        SELECT g.event_type, g.bar_ts, o._obs,
+               epoch_us(g.bar_ts) AS t,
+               last_value(o._obs IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN o._obs IS NOT NULL
+                               THEN epoch_us(g.bar_ts) END
+                          IGNORE NULLS) OVER wb AS pt,
+               first_value(o._obs IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN o._obs IS NOT NULL
+                                THEN epoch_us(g.bar_ts) END
+                           IGNORE NULLS) OVER wf AS nt
+        FROM grid g
+        LEFT JOIN obs o ON g.event_type = o.event_type
+                       AND g.bar_ts = o.bar_ts
+        WINDOW wb AS (PARTITION BY g.event_type ORDER BY g.bar_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY g.event_type ORDER BY g.bar_ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bar_ts,
+           CASE WHEN _obs IS NOT NULL THEN CAST(_obs AS DOUBLE)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN CAST(pv AS DOUBLE)
+                     + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                       * (CAST(t - pt AS DOUBLE)
+                          / CAST(nt - pt AS DOUBLE))
+                WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+           END AS value_cents,
+           CASE WHEN _obs IS NOT NULL THEN 'obs'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                WHEN pv IS NOT NULL THEN 'ffill'
+           END AS kind
+    FROM nb
+    """,
+)
+def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly linear-interpolation resample of int-cents values per
+    event_type (operators.timeseries.resample_interpolate): interior
+    gaps get prev + (next - prev) * (dt/span) over exact
+    bigint cents and epoch-micros deltas - one fixed IEEE expression
+    the oracle replays bit-for-bit, NO rounding tolerance. Leading
+    cells NULL, trailing cells forward-fill, kind column says which
+    path produced each cell."""
+    from ..operators.timeseries import resample_interpolate
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    src = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    return resample_interpolate(
+        src, "event_type", "ts", "c", width="hour", tie_break="event_id"
+    )
+
+
+@q(
+    "percentiles_exact",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS t
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    stepped AS (
+        SELECT event_type, v,
+               CAST(sum(t) OVER (PARTITION BY event_type ORDER BY v)
+                    AS BIGINT) AS cum,
+               CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM g
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50_cents,
+           min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90_cents,
+           min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99_cents
+    FROM stepped GROUP BY event_type
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of int-cents values per event_type by
+    rank-from-counts POSITIONAL selection (lower percentile: the
+    smallest value whose cumulative count reaches ceil(p*n/100)) -
+    the latency-SLA panel, engine-exact because the answer is always
+    an observed value chosen by integer comparisons (ceil via
+    (n*p+99) DIV 100 - no float ever enters). The window runs over
+    distinct-value cardinality; the three selections share one
+    stepped table and collapse in a single aggregate. The mergeable
+    alternative at unbounded cardinality is operators.sketches'
+    quantile sketch (quantile_rollup) - this is the exact tier."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    from pyspark.sql import Window as W
+
+    g = e.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("t"))
+    wv = W.partitionBy("event_type").orderBy("v")
+    wt = W.partitionBy("event_type")
+    stepped = g.select(
+        "event_type",
+        "v",
+        F.sum("t").over(wv).alias("cum"),
+        F.sum("t").over(wt).alias("n"),
+    )
+
+    def pick(p: int, name: str):
+        # ceil(p*n/100) = (n*p + 99) DIV 100 - true integer division,
+        # never through a double (n*p would lose ulps past 2^53)
+        kk = F.expr(f"(n * {p} + 99) DIV 100")
+        return F.min(F.when(F.col("cum") >= kk, F.col("v"))).alias(name)
+
+    return stepped.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick(50, "p50_cents"),
+        pick(90, "p90_cents"),
+        pick(99, "p99_cents"),
+    )
+
+
+@q(
+    "cusum_shift",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    stepped AS (
+        SELECT event_type, day,
+               CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS cum,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS BIGINT) AS i,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM d
+    ),
+    dev AS (
+        SELECT event_type, day, n, tot,
+               abs(n * cum - i * tot) AS dv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(n * cum - i * tot) DESC,
+                                           day ASC) AS rn
+        FROM stepped
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_buckets,
+           CAST(max(tot) AS BIGINT) AS total,
+           min(CASE WHEN rn = 1 THEN day END) AS change_bucket,
+           CAST(max(dv) AS BIGINT) AS peak_dev
+    FROM dev GROUP BY event_type
+    """,
+)
+def cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift locator per event_type over daily int-cents sums
+    (operators.profile.cusum_changepoint): the day where the CUSUM
+    chart |n*cum_i - i*total| peaks, every term a bigint so location
+    AND peak replay exactly (the oracle takes the argmax via a
+    DESC/day-ASC row_number - an independent selection formulation
+    vs the operator's min_by struct). Windows run over per-type day
+    cardinality, calendar-bounded."""
+    from ..operators.profile import cusum_changepoint
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("x")
+    )
+    return cusum_changepoint(d, ["event_type"], "day", "x")

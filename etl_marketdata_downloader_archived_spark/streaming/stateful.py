@@ -226,3 +226,120 @@ def streaming_sessionize(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_attribution(
+    df: DataFrame,
+    user: str,
+    ts_us: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    channel_types: list[str],
+    lookback_us: int,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming last-touch attribution: the online twin of
+    operators.sessions.attribute_conversions. Per-user state is ONE
+    touch - the (ts, id, type) of the best channel event seen so far -
+    carried across micro-batches, so a touch in batch 0 attributes a
+    conversion in batch 9 without re-reading history.
+
+    Within a batch the user's rows sort by (ts, id) and replay
+    exactly like the batch operator: a conversion takes the best
+    touch with touch_ts < conversion_ts and within ``lookback_us``
+    (strictly-before + the lexicographic (ts, id) tie-break match the
+    batch semantics); each channel row then becomes the new best
+    touch if it is (ts, id)-greater than the carried one. Events
+    arriving in a LATER batch than a smaller timestamp fold in
+    arrival order - same caveat as streaming_ewma; watermark/sort
+    upstream when strict order matters across batches.
+
+    ``state_ttl_ms`` expires quiet users (continuous streams); leave
+    None under run-to-completion triggers. State is O(live users) x
+    one touch - the minimum any attribution needs.
+
+    Emits one row per conversion: user, conversion_id,
+    conversion_ts_us, channel, touch_id, latency_us - the batch
+    operator's exact schema (NULL channel = unattributed).
+    """
+    out_schema = (
+        f"{user} long, conversion_id long, conversion_ts_us long, "
+        "channel string, touch_id long, latency_us long"
+    )
+    use_ttl = state_ttl_ms is not None
+    channels = set(channel_types)
+
+    def update(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([ts_us, id_col], ignore_index=True)
+        touch = state.get if state.exists else None  # (ts, id, type)
+        # same-instant touches are held in `pending` until the clock
+        # advances: a conversion must see only STRICTLY earlier
+        # touches, and folding a same-ts touch into `touch` early
+        # would shadow an older still-valid one (the batch operator
+        # would attribute to that older touch; so must we)
+        pending = None
+        out = []
+        for _, row in pdf.iterrows():
+            ty = row[type_col]
+            t = int(row[ts_us])
+            i = int(row[id_col])
+            if pending is not None and t > pending[0]:
+                if touch is None or (pending[0], pending[1]) > (
+                    touch[0], touch[1]
+                ):
+                    touch = pending
+                pending = None
+            if ty == conversion_type:
+                if (
+                    touch is not None
+                    and touch[0] < t
+                    and touch[0] >= t - lookback_us
+                ):
+                    out.append(
+                        (key_t[0], i, t, touch[2], touch[1], t - touch[0])
+                    )
+                else:
+                    out.append((key_t[0], i, t, None, None, None))
+            if ty in channels and (
+                pending is None or (t, i) > (pending[0], pending[1])
+            ):
+                pending = (t, i, ty)
+        if pending is not None and (
+            touch is None or (pending[0], pending[1]) > (touch[0], touch[1])
+        ):
+            touch = pending
+        if touch is not None:
+            state.update(tuple(touch))
+            if use_ttl:
+                state.setTimeoutDuration(state_ttl_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    user, "conversion_id", "conversion_ts_us",
+                    "channel", "touch_id", "latency_us",
+                ],
+            )
+
+    return df.groupBy(user).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="t long, i long, ty string",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

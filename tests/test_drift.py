@@ -462,3 +462,41 @@ def test_ks_explicit_bounds_match_auto(spark) -> None:
     narrow = ks_statistic(df, "v", "side", bins=64, bounds=(-0.5, 0.5)).collect()[0]
     assert (narrow.n_a, narrow.n_b) == (400, 400)
     assert 0.0 <= narrow.ks <= 1.0
+
+
+def test_cusum_changepoint_vs_numpy(spark) -> None:
+    """cusum_changepoint's scaled-integer argmax vs numpy's float
+    CUSUM peak, on a series with a deliberate level shift and on
+    random series (argmax location + scaled peak/n equality)."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        cusum_changepoint,
+    )
+
+    rng = np.random.default_rng(43)
+    series = {
+        "shift": np.concatenate(
+            [rng.integers(90, 110, 12), rng.integers(190, 210, 12)]
+        ),
+        "flat": rng.integers(100, 101, 10),
+        "rand": rng.integers(0, 1000, 25),
+    }
+    rows = [
+        (g, i, int(x))
+        for g, xs in series.items()
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "g string, b long, x long")
+    got = {
+        r.g: (r.n_buckets, r.total, r.change_bucket, r.peak_dev)
+        for r in cusum_changepoint(df, ["g"], "b", "x").collect()
+    }
+    for g, xs in series.items():
+        n = len(xs)
+        cum = np.cumsum(xs)
+        dev = np.abs(n * cum - np.arange(1, n + 1) * cum[-1])
+        k = int(np.argmax(dev))  # numpy argmax = first max = earliest
+        assert got[g] == (n, int(cum[-1]), k, int(dev[k]))
+    # the shift series must locate the boundary
+    assert got["shift"][2] == 11

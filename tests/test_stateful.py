@@ -170,3 +170,92 @@ def test_streaming_sessionize_carries_sessions_across_batches(
                                     tiebreak_col="event_id").collect()}
     assert streamed == expected
     assert expected[5] == 2 and expected[6] == 2  # the cross-batch splits
+
+
+def test_streaming_attribution_equals_batch(spark, tmp_path) -> None:
+    """Streaming last-touch attribution over two micro-batches ==
+    the batch operator over the concatenated events - including a
+    cross-batch attribution (touch in batch 1, conversion in batch
+    2), a same-instant touch that must NOT shadow an older valid one,
+    and an out-of-lookback conversion."""
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        attribute_conversions,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_attribution,
+    )
+
+    b1 = [
+        (1, 10, "click", 100),
+        (2, 20, "view", 50),
+        # same-instant pair: touch 31 at t=200 arrives BEFORE the
+        # conversion 32 at t=200 in (ts,id) order - conversion must
+        # attribute to the STRICTLY earlier click 30, not go null,
+        # and not see touch 31
+        (3, 30, "click", 150), (3, 31, "view", 200), (3, 32, "buy", 200),
+    ]
+    b2 = [
+        (1, 11, "buy", 400),       # cross-batch: touch 10 from b1
+        (2, 21, "buy", 5000),      # outside lookback -> unattributed
+        (3, 33, "buy", 260),       # view 31 now strictly earlier
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"user_id": u, "event_id": e, "event_type": ty, "us": t}
+                )
+                for u, e, ty, t in rows
+            )
+        )
+        time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    ev = raw.select(
+        F.from_json(
+            "value",
+            "user_id LONG, event_id LONG, event_type STRING, us LONG",
+        ).alias("j")
+    ).select("j.*")
+    out = streaming_attribution(
+        ev, "user_id", "us", "event_type", "event_id",
+        conversion_type="buy",
+        channel_types=["click", "view"],
+        lookback_us=1000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.conversion_id: (r.channel, r.touch_id, r.latency_us)
+        for r in spark.sql("select * from attr_out").collect()
+    }
+
+    both = spark.createDataFrame(
+        b1 + b2, "user_id long, event_id long, event_type string, us long"
+    )
+    batch = {
+        r.conversion_id: (r.channel, r.touch_id, r.latency_us)
+        for r in attribute_conversions(
+            both, "user_id", "us", "event_type", "event_id",
+            conversion_type="buy",
+            channel_types=["click", "view"],
+            lookback_us=1000,
+        ).collect()
+    }
+    assert streamed == batch
+    assert batch[32] == ("click", 30, 50)   # same-instant shadow case
+    assert batch[11] == ("click", 10, 300)  # cross-batch carry
+    assert batch[21] == (None, None, None)  # out of lookback
+    assert batch[33] == ("view", 31, 60)

@@ -502,3 +502,49 @@ def test_twap_known_answer_and_brute(spark) -> None:
         span = ticks[-1][0] - ticks[0][0]
         want = (len(ticks), span, wsum / span if span > 0 else None)
         assert got[g] == want
+
+
+def test_resample_interpolate_vs_numpy(spark) -> None:
+    """Linear interpolation vs numpy.interp on the observed cells,
+    plus the edge semantics: leading NULL, trailing ffill, observed
+    cells pass through untouched."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    # key A observes hours 1, 4, 5 (of grid 0..6 set by key B)
+    rows = [
+        ("A", "2024-03-01 01:10:00", 1, 100),
+        ("A", "2024-03-01 04:20:00", 2, 400),
+        ("A", "2024-03-01 05:30:00", 3, 250),
+        ("B", "2024-03-01 00:00:00", 4, 10),
+        ("B", "2024-03-01 06:00:00", 5, 70),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, event_id long, c long"
+    ).select(
+        "k", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_id", "c"
+    )
+    out = resample_interpolate(df, "k", "ts", "c", "hour", "event_id")
+    got = {
+        (r.k, r.bar_ts.hour): (r.value_cents, r.kind)
+        for r in out.collect()
+    }
+    assert len(got) == 14  # 2 keys x 7 grid hours
+    # leading cells NULL, observed pass through, trailing ffill
+    assert got[("A", 0)] == (None, None)
+    assert got[("A", 1)] == (100.0, "obs")
+    assert got[("A", 4)] == (400.0, "obs")
+    assert got[("A", 6)] == (250.0, "ffill")
+    # interior gap hours 2,3 interpolate on the hour grid (bar
+    # timestamps, not raw tick times): numpy.interp over bar hours
+    xp, fp = [1, 4], [100.0, 400.0]
+    for h in (2, 3):
+        want = float(np.interp(h, xp, fp))
+        assert got[("A", h)] == (want, "interp")
+    # B: every interior hour interpolates the 10->70 line exactly
+    for h in range(1, 6):
+        want = float(np.interp(h, [0, 6], [10.0, 70.0]))
+        assert got[("B", h)] == (want, "interp")
