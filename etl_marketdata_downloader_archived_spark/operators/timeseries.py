@@ -261,6 +261,35 @@ def time_grid(
     return keys.crossJoin(F.broadcast(steps))
 
 
+def _grid_with_last_obs(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    width: str,
+    tie_break: str | None,
+) -> DataFrame:
+    """Shared staging for the resamplers: the dense (key, bar_ts)
+    grid left-joined with each bucket's LAST observation (ordered by
+    ts + tie-break via a map-side-combinable max_by). One place so
+    resample_ffill and resample_interpolate cannot drift on per-bar
+    selection or grid construction. Returns (key, bar_ts, _obs)."""
+    ord_key = F.struct(
+        F.col("_ts"), *([F.col(tie_break)] if tie_break else [])
+    )
+    barred = df.select(
+        F.col(key),
+        F.col(ts).alias("_ts"),
+        F.col(value).alias("_v"),
+        *([F.col(tie_break)] if tie_break else []),
+    ).withColumn("bar_ts", _bar("_ts", width))
+    last_in_bar = barred.groupBy(key, "bar_ts").agg(
+        F.max_by("_v", ord_key).alias("_obs")
+    )
+    grid = time_grid(df, key, ts, width)
+    return grid.join(last_in_bar, [key, "bar_ts"], "left")
+
+
 def resample_ffill(
     df: DataFrame,
     key: str,
@@ -278,20 +307,7 @@ def resample_ffill(
     observation stay NULL. ``is_gap`` marks filled-in cells. One
     shuffle for the per-bar last, one for the per-key ffill window;
     grid construction is dimension-sized (see time_grid)."""
-    ord_key = F.struct(
-        F.col("_ts"), *([F.col(tie_break)] if tie_break else [])
-    )
-    barred = df.select(
-        F.col(key),
-        F.col(ts).alias("_ts"),
-        F.col(value).alias("_v"),
-        *([F.col(tie_break)] if tie_break else []),
-    ).withColumn("bar_ts", _bar("_ts", width))
-    last_in_bar = barred.groupBy(key, "bar_ts").agg(
-        F.max_by("_v", ord_key).alias("_obs")
-    )
-    grid = time_grid(df, key, ts, width)
-    joined = grid.join(last_in_bar, [key, "bar_ts"], "left")
+    joined = _grid_with_last_obs(df, key, ts, value, width, tie_break)
     w_fill = (
         W.partitionBy(key)
         .orderBy("bar_ts")
@@ -583,20 +599,7 @@ def resample_interpolate(
 
     Returns (key, bar_ts, value_cents: double, kind).
     """
-    ord_key = F.struct(
-        F.col("_ts"), *([F.col(tie_break)] if tie_break else [])
-    )
-    barred = df.select(
-        F.col(key),
-        F.col(ts).alias("_ts"),
-        F.col(cents).alias("_v"),
-        *([F.col(tie_break)] if tie_break else []),
-    ).withColumn("bar_ts", _bar("_ts", width))
-    last_in_bar = barred.groupBy(key, "bar_ts").agg(
-        F.max_by("_v", ord_key).alias("_obs")
-    )
-    grid = time_grid(df, key, ts, width)
-    joined = grid.join(last_in_bar, [key, "bar_ts"], "left")
+    joined = _grid_with_last_obs(df, key, ts, cents, width, tie_break)
 
     t_us = F.unix_micros(F.col("bar_ts").cast("timestamp"))
     obs_t = F.when(F.col("_obs").isNotNull(), t_us)

@@ -240,32 +240,44 @@ def streaming_attribution(
     state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming last-touch attribution: the online twin of
-    operators.sessions.attribute_conversions. Per-user state is ONE
-    touch - the (ts, id, type) of the best channel event seen so far -
-    carried across micro-batches, so a touch in batch 0 attributes a
-    conversion in batch 9 without re-reading history.
+    operators.sessions.attribute_conversions. Per-user state is TWO
+    touches - the settled best channel touch plus the still-PENDING
+    touch at the newest seen instant - carried across micro-batches,
+    so a touch in batch 0 attributes a conversion in batch 9 without
+    re-reading history.
 
     Within a batch the user's rows sort by (ts, id) and replay
     exactly like the batch operator: a conversion takes the best
     touch with touch_ts < conversion_ts and within ``lookback_us``
     (strictly-before + the lexicographic (ts, id) tie-break match the
-    batch semantics); each channel row then becomes the new best
-    touch if it is (ts, id)-greater than the carried one. Events
-    arriving in a LATER batch than a smaller timestamp fold in
-    arrival order - same caveat as streaming_ewma; watermark/sort
-    upstream when strict order matters across batches.
+    batch semantics). A touch at the CURRENT instant stays pending
+    until the clock advances - including ACROSS batch boundaries
+    (that is why pending is a second state slot, not folded at batch
+    end: folding would let a same-instant touch shadow the older
+    still-valid one for a conversion arriving at that instant in the
+    NEXT batch, which the batch operator attributes). Events arriving
+    in a LATER batch than a smaller timestamp fold in arrival order -
+    same caveat as streaming_ewma; watermark/sort upstream when
+    strict order matters across batches.
 
     ``state_ttl_ms`` expires quiet users (continuous streams); leave
     None under run-to-completion triggers. State is O(live users) x
-    one touch - the minimum any attribution needs.
+    two touches - the minimum exact attribution needs.
 
     Emits one row per conversion: user, conversion_id,
     conversion_ts_us, channel, touch_id, latency_us - the batch
-    operator's exact schema (NULL channel = unattributed).
+    operator's exact schema with the input's own key/id/ts types
+    (NULL channel = unattributed).
     """
+    in_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        f"{user} long, conversion_id long, conversion_ts_us long, "
-        "channel string, touch_id long, latency_us long"
+        f"{user} {in_t[user]}, conversion_id {in_t[id_col]}, "
+        f"conversion_ts_us {in_t[ts_us]}, channel {in_t[type_col]}, "
+        f"touch_id {in_t[id_col]}, latency_us {in_t[ts_us]}"
+    )
+    state_schema = (
+        f"t {in_t[ts_us]}, i {in_t[id_col]}, ty {in_t[type_col]}, "
+        f"pt {in_t[ts_us]}, pi {in_t[id_col]}, pty {in_t[type_col]}"
     )
     use_ttl = state_ttl_ms is not None
     channels = set(channel_types)
@@ -282,18 +294,16 @@ def streaming_attribution(
         if len(pdf) == 0:
             return
         pdf = pdf.sort_values([ts_us, id_col], ignore_index=True)
-        touch = state.get if state.exists else None  # (ts, id, type)
-        # same-instant touches are held in `pending` until the clock
-        # advances: a conversion must see only STRICTLY earlier
-        # touches, and folding a same-ts touch into `touch` early
-        # would shadow an older still-valid one (the batch operator
-        # would attribute to that older touch; so must we)
+        touch = None
         pending = None
+        if state.exists:
+            st = state.get
+            touch = (st[0], st[1], st[2]) if st[0] is not None else None
+            pending = (st[3], st[4], st[5]) if st[3] is not None else None
         out = []
-        for _, row in pdf.iterrows():
-            ty = row[type_col]
-            t = int(row[ts_us])
-            i = int(row[id_col])
+        for t, ty, i in zip(
+            pdf[ts_us].tolist(), pdf[type_col].tolist(), pdf[id_col].tolist()
+        ):
             if pending is not None and t > pending[0]:
                 if touch is None or (pending[0], pending[1]) > (
                     touch[0], touch[1]
@@ -315,12 +325,10 @@ def streaming_attribution(
                 pending is None or (t, i) > (pending[0], pending[1])
             ):
                 pending = (t, i, ty)
-        if pending is not None and (
-            touch is None or (pending[0], pending[1]) > (touch[0], touch[1])
-        ):
-            touch = pending
-        if touch is not None:
-            state.update(tuple(touch))
+        if touch is not None or pending is not None:
+            tt = touch or (None, None, None)
+            pp = pending or (None, None, None)
+            state.update((tt[0], tt[1], tt[2], pp[0], pp[1], pp[2]))
             if use_ttl:
                 state.setTimeoutDuration(state_ttl_ms)
         if out:
@@ -335,7 +343,7 @@ def streaming_attribution(
     return df.groupBy(user).applyInPandasWithState(
         update,
         outputStructType=out_schema,
-        stateStructType="t long, i long, ty string",
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

@@ -194,10 +194,19 @@ def test_streaming_attribution_equals_batch(spark, tmp_path) -> None:
         # and not see touch 31
         (3, 30, "click", 150), (3, 31, "view", 200), (3, 32, "buy", 200),
     ]
+    b1 += [
+        # cross-batch same-instant shadow: view 41 at t=300 is the
+        # LAST event of batch 1 and must stay PENDING in state - a
+        # conversion at t=300 in batch 2 attributes to the strictly
+        # earlier click 40, exactly as the batch operator does
+        (4, 40, "click", 100), (4, 41, "view", 300),
+    ]
     b2 = [
         (1, 11, "buy", 400),       # cross-batch: touch 10 from b1
         (2, 21, "buy", 5000),      # outside lookback -> unattributed
         (3, 33, "buy", 260),       # view 31 now strictly earlier
+        (4, 42, "buy", 300),       # same instant as the pending touch
+        (4, 43, "buy", 350),       # clock advanced: view 41 now wins
     ]
     src = tmp_path / "ev"
     src.mkdir()
@@ -259,3 +268,5 @@ def test_streaming_attribution_equals_batch(spark, tmp_path) -> None:
     assert batch[11] == ("click", 10, 300)  # cross-batch carry
     assert batch[21] == (None, None, None)  # out of lookback
     assert batch[33] == ("view", 31, 60)
+    assert batch[42] == ("click", 40, 200)  # cross-BATCH shadow case
+    assert batch[43] == ("view", 41, 50)    # pending settles next tick
