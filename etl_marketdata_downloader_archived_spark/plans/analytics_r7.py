@@ -684,3 +684,254 @@ def cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("x")
     )
     return cusum_changepoint(d, ["event_type"], "day", "x")
+
+
+@q(
+    "fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    ),
+    g AS (
+        SELECT priority, d, CAST(count(*) AS BIGINT) AS t
+        FROM lat GROUP BY 1, 2
+    ),
+    stepped AS (
+        SELECT priority, d,
+               CAST(sum(t) OVER (PARTITION BY priority ORDER BY d)
+                    AS BIGINT) AS cum,
+               CAST(sum(t) OVER (PARTITION BY priority) AS BIGINT) AS n,
+               CAST(sum(d * t) OVER (PARTITION BY priority)
+                    AS BIGINT) AS tot_d
+        FROM g
+    )
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(tot_d) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+             AS mean_days,
+           min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN d END) AS p50_days,
+           min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN d END) AS p90_days
+    FROM stepped GROUP BY priority
+    """,
+)
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per order priority: exact integer day
+    diffs from the orders-lineitem equi-join, mean as one IEEE
+    division over bigint sums, p50/p90 by the rank-from-counts
+    positional selection (ceil via integer DIV - same machinery as
+    percentiles_exact). The join shuffles on the order key; the
+    windows run over distinct-latency cardinality (bounded by the
+    calendar), never line items."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    g = lat.groupBy("priority", "d").agg(F.count(F.lit(1)).alias("t"))
+    wv = W.partitionBy("priority").orderBy("d")
+    wt = W.partitionBy("priority")
+    stepped = g.select(
+        "priority",
+        "d",
+        F.sum("t").over(wv).alias("cum"),
+        F.sum("t").over(wt).alias("n"),
+        F.sum(F.col("d") * F.col("t")).over(wt).alias("tot_d"),
+    )
+    return stepped.groupBy("priority").agg(
+        F.max("n").alias("n"),
+        (
+            F.max("tot_d").cast("double") / F.max("n").cast("double")
+        ).alias("mean_days"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 50 + 99) DIV 100"), F.col("d"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n * 90 + 99) DIV 100"), F.col("d"))
+        ).alias("p90_days"),
+    )
+
+
+@q(
+    "basket_pairs",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    norder AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+               FROM op),
+    item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        FROM op GROUP BY 1
+    ),
+    pair AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b,
+               CAST(count(*) AS BIGINT) AS ab
+        FROM op x JOIN op y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT p.a, p.b, p.ab,
+           CAST(p.ab AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+           CAST(p.ab AS DOUBLE) / CAST(ia.c AS DOUBLE) AS confidence,
+           CAST(n.n * p.ab AS DOUBLE)
+             / CAST(ia.c * ib.c AS DOUBLE) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.a
+    JOIN item ib ON ib.l_partkey = p.b
+    CROSS JOIN norder n
+    ORDER BY p.ab DESC, p.a, p.b
+    LIMIT 50
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over co-ordered parts: support /
+    confidence / lift for the top-50 pairs (min co-count 2) by
+    co-occurrence, every metric an exact IEEE division over bigint
+    counts (n*ab and c_a*c_b stay integral, so lift replays
+    bit-for-bit). The pair join is the bucketed co-order self-join
+    (same shape the graph family certifies - never all-pairs across
+    orders), min-support prunes before the metric joins, item counts
+    broadcast, and the top-50 runs as TakeOrderedAndProject
+    (per-partition heaps, no global sort) under the deterministic
+    (ab DESC, a, b) order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    norder = op.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    x = op.select("l_orderkey", F.col("l_partkey").alias("a"))
+    y = op.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pair = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("ab"))
+        .filter(F.col("ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("a"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("b"), F.col("c").alias("cb"))
+    out = (
+        pair.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(norder))
+        .select(
+            "a",
+            "b",
+            "ab",
+            (F.col("ab").cast("double") / F.col("n").cast("double")).alias(
+                "support"
+            ),
+            (F.col("ab").cast("double") / F.col("ca").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n") * F.col("ab")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("ab").desc(), "a", "b").limit(50)
+
+
+@q(
+    "lorenz_curve",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+        FROM v GROUP BY 1, 2
+    ),
+    stepped AS (
+        SELECT event_type, n, t,
+               CAST(sum(t) OVER (PARTITION BY event_type ORDER BY n)
+                    AS BIGINT) AS cum_u,
+               CAST(sum(n * t) OVER (PARTITION BY event_type ORDER BY n)
+                    AS BIGINT) AS cum_a,
+               CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS tot_u,
+               CAST(sum(n * t) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS tot_a
+        FROM d
+    ),
+    bucketed AS (
+        SELECT event_type,
+               CAST(ceil(CAST(cum_u AS DOUBLE) * 10
+                         / CAST(tot_u AS DOUBLE)) AS BIGINT) AS decile,
+               max(cum_u) AS cum_users, max(cum_a) AS cum_activity,
+               max(tot_u) AS tot_u, max(tot_a) AS tot_a
+        FROM stepped GROUP BY 1, 2
+    )
+    SELECT event_type, decile,
+           CAST(cum_users AS BIGINT) AS cum_users,
+           CAST(cum_users AS DOUBLE) / CAST(tot_u AS DOUBLE)
+             AS user_share,
+           CAST(cum_activity AS DOUBLE) / CAST(tot_a AS DOUBLE)
+             AS activity_share
+    FROM bucketed
+    """,
+)
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points per event_type - the plottable companion
+    of gini_activity: users ascending by activity collapse to
+    per-(type, distinct count) tie groups (rank-from-counts, windows
+    over count cardinality), each group lands in the decile of its
+    LAST cumulative position (score_deciles' convention - exact
+    ceil over one IEEE division), and the cumulative user/activity
+    shares are single divisions over bigint sums."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    d = v.groupBy("event_type", "n").agg(F.count(F.lit(1)).alias("t"))
+    wv = W.partitionBy("event_type").orderBy("n")
+    wt = W.partitionBy("event_type")
+    stepped = d.select(
+        "event_type",
+        F.sum("t").over(wv).alias("cum_u"),
+        F.sum(F.col("n") * F.col("t")).over(wv).alias("cum_a"),
+        F.sum("t").over(wt).alias("tot_u"),
+        F.sum(F.col("n") * F.col("t")).over(wt).alias("tot_a"),
+    )
+    decile = F.ceil(
+        F.col("cum_u").cast("double") * 10 / F.col("tot_u").cast("double")
+    ).cast("bigint")
+    b = stepped.groupBy("event_type", decile.alias("decile")).agg(
+        F.max("cum_u").alias("cum_users"),
+        F.max("cum_a").alias("cum_activity"),
+        F.max("tot_u").alias("_tu"),
+        F.max("tot_a").alias("_ta"),
+    )
+    return b.select(
+        "event_type",
+        "decile",
+        "cum_users",
+        (
+            F.col("cum_users").cast("double") / F.col("_tu").cast("double")
+        ).alias("user_share"),
+        (
+            F.col("cum_activity").cast("double") / F.col("_ta").cast("double")
+        ).alias("activity_share"),
+    )

@@ -573,3 +573,112 @@ def test_user_growth_vs_python(spark, sf_dir) -> None:
         for r in rows
     ]
     assert got == want
+
+
+def test_basket_pairs_vs_python(spark, sf_dir) -> None:
+    """Market-basket support/confidence/lift vs an independent python
+    counter over the same fixture."""
+    from itertools import combinations
+
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r7 import (
+        basket_pairs,
+    )
+
+    rows = basket_pairs(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n = len(baskets)
+    item: dict = {}
+    pair: dict = {}
+    for parts in baskets.values():
+        for p in parts:
+            item[p] = item.get(p, 0) + 1
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    ranked = sorted(
+        ((ab, a, b) for (a, b), ab in pair.items() if ab >= 2),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:50]
+    assert [(r.a, r.b, r.ab) for r in rows] == [
+        (a, b, ab) for ab, a, b in ranked
+    ]
+    for r in rows:
+        assert r.support == pair[(r.a, r.b)] / n
+        assert r.confidence == pair[(r.a, r.b)] / item[r.a]
+        assert r.lift == (n * pair[(r.a, r.b)]) / (item[r.a] * item[r.b])
+
+
+def test_lorenz_curve_invariants(spark, sf_dir) -> None:
+    """Lorenz points: shares monotone, curve below the diagonal
+    (inequality), final point exactly (1.0, 1.0), cum_users
+    conservation vs a direct distinct count."""
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r7 import (
+        lorenz_curve,
+    )
+
+    rows = lorenz_curve(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    from pyspark.sql import functions as SF
+
+    ev = load_table(spark, sf_dir, "events")
+    n_users = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(SF.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for ty, pts in by_type.items():
+        pts.sort(key=lambda r: r.decile)
+        assert pts[-1].decile == 10
+        assert pts[-1].user_share == 1.0
+        assert pts[-1].activity_share == 1.0
+        assert pts[-1].cum_users == n_users[ty]
+        us = [p.user_share for p in pts]
+        ash = [p.activity_share for p in pts]
+        assert us == sorted(us) and ash == sorted(ash)
+        for p in pts:  # ascending-activity curve sits under the diagonal
+            assert p.activity_share <= p.user_share + 1e-12
+
+
+def test_fulfillment_latency_vs_python(spark, sf_dir) -> None:
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r7 import (
+        fulfillment_latency,
+    )
+
+    got = {
+        r.priority: (r.n, r.mean_days, r.p50_days, r.p90_days)
+        for r in fulfillment_latency(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).collect()
+    omap = {r.o_orderkey: r for r in o}
+    lat: dict = {}
+    for r in li:
+        oo = omap.get(r.l_orderkey)
+        if oo is None or r.l_shipdate is None or oo.o_orderdate is None:
+            continue
+        d = (r.l_shipdate.date() - oo.o_orderdate.date()).days
+        lat.setdefault(oo.o_orderpriority, []).append(d)
+    for pr, ds in lat.items():
+        ds.sort()
+        n = len(ds)
+        want = (
+            n,
+            sum(ds) / n,
+            ds[-(-n * 50 // 100) - 1],  # ceil(n*p/100)-th element
+            ds[-(-n * 90 // 100) - 1],
+        )
+        assert got[pr] == want
