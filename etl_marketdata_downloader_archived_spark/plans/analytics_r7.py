@@ -14,6 +14,7 @@ with no rounding tolerance.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -563,6 +564,36 @@ def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stepped_counts(
+    g: DataFrame, keys: list[str], val: str, with_value_total: bool = False
+) -> DataFrame:
+    """Rank-from-counts stepping shared by the percentile panels:
+    ``g`` has keys + (val, t) per distinct value; adds the running
+    cumulative count ``cum`` and the group total ``n`` (plus
+    ``tot_v`` = sum(val*t) when the caller needs an exact mean) -
+    one place so the selection convention cannot drift between
+    percentiles_exact and fulfillment_latency."""
+    wv = W.partitionBy(*keys).orderBy(val)
+    wt = W.partitionBy(*keys)
+    cols = [
+        *keys,
+        val,
+        F.sum("t").over(wv).alias("cum"),
+        F.sum("t").over(wt).alias("n"),
+    ]
+    if with_value_total:
+        cols.append(F.sum(F.col(val) * F.col("t")).over(wt).alias("tot_v"))
+    return g.select(*cols)
+
+
+def _pct_pick(p: int, val: str, name: str):
+    """ceil(p*n/100)-th positional pick over a _stepped_counts table:
+    true integer division, never through a double (n*p would lose
+    ulps past 2^53)."""
+    kk = F.expr(f"(n * {p} + 99) DIV 100")
+    return F.min(F.when(F.col("cum") >= kk, F.col(val))).alias(name)
+
+
 @q(
     "percentiles_exact",
     oracle="""
@@ -601,32 +632,16 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    from pyspark.sql import Window as W
-
     g = e.groupBy(
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("v"),
     ).agg(F.count(F.lit(1)).alias("t"))
-    wv = W.partitionBy("event_type").orderBy("v")
-    wt = W.partitionBy("event_type")
-    stepped = g.select(
-        "event_type",
-        "v",
-        F.sum("t").over(wv).alias("cum"),
-        F.sum("t").over(wt).alias("n"),
-    )
-
-    def pick(p: int, name: str):
-        # ceil(p*n/100) = (n*p + 99) DIV 100 - true integer division,
-        # never through a double (n*p would lose ulps past 2^53)
-        kk = F.expr(f"(n * {p} + 99) DIV 100")
-        return F.min(F.when(F.col("cum") >= kk, F.col("v"))).alias(name)
-
+    stepped = _stepped_counts(g, ["event_type"], "v")
     return stepped.groupBy("event_type").agg(
         F.max("n").alias("n"),
-        pick(50, "p50_cents"),
-        pick(90, "p90_cents"),
-        pick(99, "p99_cents"),
+        _pct_pick(50, "v", "p50_cents"),
+        _pct_pick(90, "v", "p90_cents"),
+        _pct_pick(99, "v", "p99_cents"),
     )
 
 
@@ -726,8 +741,6 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles_exact). The join shuffles on the order key; the
     windows run over distinct-latency cardinality (bounded by the
     calendar), never line items."""
-    from pyspark.sql import Window as W
-
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     lat = (
@@ -744,26 +757,14 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = lat.groupBy("priority", "d").agg(F.count(F.lit(1)).alias("t"))
-    wv = W.partitionBy("priority").orderBy("d")
-    wt = W.partitionBy("priority")
-    stepped = g.select(
-        "priority",
-        "d",
-        F.sum("t").over(wv).alias("cum"),
-        F.sum("t").over(wt).alias("n"),
-        F.sum(F.col("d") * F.col("t")).over(wt).alias("tot_d"),
-    )
+    stepped = _stepped_counts(g, ["priority"], "d", with_value_total=True)
     return stepped.groupBy("priority").agg(
         F.max("n").alias("n"),
         (
-            F.max("tot_d").cast("double") / F.max("n").cast("double")
+            F.max("tot_v").cast("double") / F.max("n").cast("double")
         ).alias("mean_days"),
-        F.min(
-            F.when(F.col("cum") >= F.expr("(n * 50 + 99) DIV 100"), F.col("d"))
-        ).alias("p50_days"),
-        F.min(
-            F.when(F.col("cum") >= F.expr("(n * 90 + 99) DIV 100"), F.col("d"))
-        ).alias("p90_days"),
+        _pct_pick(50, "d", "p50_days"),
+        _pct_pick(90, "d", "p90_days"),
     )
 
 

@@ -598,7 +598,9 @@ def test_basket_pairs_vs_python(spark, sf_dir) -> None:
     for parts in baskets.values():
         for p in parts:
             item[p] = item.get(p, 0) + 1
-        for a, b in combinations(sorted(parts), 2):
+        for a, b in combinations(
+            sorted(parts, key=lambda p: (p is None, p)), 2
+        ):
             pair[(a, b)] = pair.get((a, b), 0) + 1
     ranked = sorted(
         ((ab, a, b) for (a, b), ab in pair.items() if ab >= 2),
@@ -613,39 +615,66 @@ def test_basket_pairs_vs_python(spark, sf_dir) -> None:
         assert r.lift == (n * pair[(r.a, r.b)]) / (item[r.a] * item[r.b])
 
 
-def test_lorenz_curve_invariants(spark, sf_dir) -> None:
-    """Lorenz points: shares monotone, curve below the diagonal
-    (inequality), final point exactly (1.0, 1.0), cum_users
-    conservation vs a direct distinct count."""
+def test_lorenz_curve_vs_python(spark, sf_dir) -> None:
+    """Full independent value replay (parity cannot catch a formula
+    mirrored wrong on both engines): expand per-user activity counts
+    in python, walk users ascending, bucket by last cumulative
+    position, and compare every share bit-for-bit - plus the curve
+    invariants (monotone, under-diagonal, exact (1,1) endpoint).
+    Ground truth keeps a NULL user as one contributor, matching the
+    query's groupBy convention (countDistinct would drop it)."""
+    import math
+
     from etl_marketdata_downloader_archived_spark.io import load_table
     from etl_marketdata_downloader_archived_spark.plans.analytics_r7 import (
         lorenz_curve,
     )
 
     rows = lorenz_curve(spark, sf_dir).collect()
-    by_type: dict = {}
+    got: dict = {}
     for r in rows:
-        by_type.setdefault(r.event_type, []).append(r)
-    from pyspark.sql import functions as SF
-
-    ev = load_table(spark, sf_dir, "events")
-    n_users = {
-        r.event_type: r.n
-        for r in ev.groupBy("event_type")
-        .agg(SF.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    for ty, pts in by_type.items():
-        pts.sort(key=lambda r: r.decile)
-        assert pts[-1].decile == 10
-        assert pts[-1].user_share == 1.0
-        assert pts[-1].activity_share == 1.0
-        assert pts[-1].cum_users == n_users[ty]
-        us = [p.user_share for p in pts]
-        ash = [p.activity_share for p in pts]
-        assert us == sorted(us) and ash == sorted(ash)
-        for p in pts:  # ascending-activity curve sits under the diagonal
-            assert p.activity_share <= p.user_share + 1e-12
+        got[(r.event_type, r.decile)] = (
+            r.cum_users, r.user_share, r.activity_share
+        )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).collect()
+    per_user: dict = {}
+    for r in ev:
+        per_user[(r.event_type, r.user_id)] = (
+            per_user.get((r.event_type, r.user_id), 0) + 1
+        )
+    by_type: dict = {}
+    for (ty, _u), n in per_user.items():
+        by_type.setdefault(ty, []).append(n)
+    want: dict = {}
+    for ty, ns in by_type.items():
+        ns.sort()
+        tot_u, tot_a = len(ns), sum(ns)
+        cum_u = cum_a = 0
+        # collapse to tie groups exactly as the query does: the whole
+        # group lands in the decile of its LAST cumulative position
+        i = 0
+        while i < len(ns):
+            j = i
+            while j < len(ns) and ns[j] == ns[i]:
+                j += 1
+            cum_u += j - i
+            cum_a += ns[i] * (j - i)
+            dec = math.ceil(cum_u * 10 / tot_u)
+            want[(ty, dec)] = (cum_u, cum_u / tot_u, cum_a / tot_a)
+            i = j
+    assert got == want
+    for ty, ns in by_type.items():
+        pts = sorted(
+            (d for (t, d) in got if t == ty),
+        )
+        last = got[(ty, pts[-1])]
+        assert pts[-1] == 10 and last[1] == 1.0 and last[2] == 1.0
+        shares = [got[(ty, d)] for d in pts]
+        assert shares == sorted(shares)
+        for _cu, us, ash in shares:
+            assert ash <= us + 1e-12  # under the diagonal
 
 
 def test_fulfillment_latency_vs_python(spark, sf_dir) -> None:
