@@ -32,6 +32,9 @@ __all__ = [
     "mann_whitney",
     "weighted_median",
     "cusum_changepoint",
+    "stepped_counts",
+    "percentile_pick",
+    "exact_percentiles",
 ]
 
 _NUMERIC = (
@@ -517,4 +520,98 @@ def cusum_changepoint(
             "change_bucket"
         ),
         F.max("_dev").alias("peak_dev"),
+    )
+
+
+def stepped_counts(
+    g: DataFrame, keys: list[str], val: str, with_value_total: bool = False
+) -> DataFrame:
+    """Rank-from-counts stepping shared by the percentile family
+    (plans' percentile panels, ``exact_percentiles``, the streaming
+    latency monitor): ``g`` has keys + (val, t) per distinct value;
+    adds the running cumulative count ``cum`` and group total ``n``
+    (plus ``tot_v`` = sum(val*t) when the caller needs an exact
+    mean). One place so the selection convention cannot drift."""
+    wv = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(val)
+    wt = W.partitionBy(*keys) if keys else W.partitionBy()
+    cols = [
+        *keys,
+        val,
+        F.sum("t").over(wv).alias("cum"),
+        F.sum("t").over(wt).alias("n"),
+    ]
+    if with_value_total:
+        cols.append(F.sum(F.col(val) * F.col("t")).over(wt).alias("tot_v"))
+    return g.select(*cols)
+
+
+def percentile_pick(p: int, val: str, name: str):
+    """ceil(p*n/100)-th positional pick over a ``stepped_counts``
+    table: true integer division, never through a double (n*p would
+    lose ulps past 2^53)."""
+    kk = F.expr(f"(n * {p} + 99) DIV 100")
+    return F.min(F.when(F.col("cum") >= kk, F.col(val))).alias(name)
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    bins: int | None = None,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Per-group positional percentile panel - the reusable operator
+    behind the `percentiles_exact` plan and the streaming latency
+    monitor. Lower-percentile selection (the smallest OBSERVED value
+    whose cumulative count reaches ceil(p*n/100)); NULL values drop.
+
+    Exact and scale-free for discrete domains (windows over value
+    cardinality). For continuous values pass the family's ``bins``/
+    ``bounds`` width_bucket tier: selection then runs over <= bins
+    buckets and each percentile resolves to the smallest observed
+    value in its bucket (observed-value semantics kept; error <= one
+    bin width when the grid covers the domain - weighted_median's
+    exact contract).
+
+    Returns by + (n, p<p> for each requested percentile).
+    """
+    keys = list(by or [])
+    d = df.filter(F.col(value_col).isNotNull())
+    v = F.col(value_col)
+    grid = grid_bounds(d, v, bins, bounds)
+    if grid is not None:
+        lo, hi = grid
+        key = F.width_bucket(
+            v.cast("double"), F.lit(lo), F.lit(hi), F.lit(bins)
+        )
+    else:
+        key = v
+    g = d.groupBy(*keys, key.alias("_v")).agg(
+        F.count(F.lit(1)).alias("t"), F.min(v).alias("_minv")
+    )
+    wv = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("_v")
+    wt = W.partitionBy(*keys) if keys else W.partitionBy()
+    stepped = g.select(
+        *keys,
+        "_v",
+        "_minv",
+        F.sum("t").over(wv).alias("cum"),
+        F.sum("t").over(wt).alias("n"),
+    )
+
+    def pick(p: int):
+        kk = F.expr(f"(n * {p} + 99) DIV 100")
+        # smallest qualifying bucket's smallest observed value: the
+        # struct min orders by bucket first, so the pick stays an
+        # OBSERVED value on the binned tier (and is the value itself
+        # on the exact tier, where _minv == _v)
+        return (
+            F.min(F.when(F.col("cum") >= kk, F.struct("_v", "_minv")))
+            .getField("_minv")
+            .alias(f"p{p}")
+        )
+
+    return stepped.groupBy(*keys).agg(
+        F.max("n").alias("n"), *[pick(p) for p in percentiles]
     )

@@ -18,6 +18,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.profile import percentile_pick as _pct_pick
+from ..operators.profile import stepped_counts as _stepped_counts
 from .registry import q
 
 
@@ -562,36 +564,6 @@ def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(
         src, "event_type", "ts", "c", width="hour", tie_break="event_id"
     )
-
-
-def _stepped_counts(
-    g: DataFrame, keys: list[str], val: str, with_value_total: bool = False
-) -> DataFrame:
-    """Rank-from-counts stepping shared by the percentile panels:
-    ``g`` has keys + (val, t) per distinct value; adds the running
-    cumulative count ``cum`` and the group total ``n`` (plus
-    ``tot_v`` = sum(val*t) when the caller needs an exact mean) -
-    one place so the selection convention cannot drift between
-    percentiles_exact and fulfillment_latency."""
-    wv = W.partitionBy(*keys).orderBy(val)
-    wt = W.partitionBy(*keys)
-    cols = [
-        *keys,
-        val,
-        F.sum("t").over(wv).alias("cum"),
-        F.sum("t").over(wt).alias("n"),
-    ]
-    if with_value_total:
-        cols.append(F.sum(F.col(val) * F.col("t")).over(wt).alias("tot_v"))
-    return g.select(*cols)
-
-
-def _pct_pick(p: int, val: str, name: str):
-    """ceil(p*n/100)-th positional pick over a _stepped_counts table:
-    true integer division, never through a double (n*p would lose
-    ulps past 2^53)."""
-    kk = F.expr(f"(n * {p} + 99) DIV 100")
-    return F.min(F.when(F.col("cum") >= kk, F.col(val))).alias(name)
 
 
 @q(

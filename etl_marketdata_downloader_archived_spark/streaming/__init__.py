@@ -21,7 +21,7 @@ from .file_source import file_task_stream, start_lake_sink
 from .kafka_source import kafka_task_stream
 from .stateful import streaming_ewma, track_attempts
 from .drift import batch_ks, reference_counts, start_drift_monitor
-from .quality_monitor import start_auc_monitor
+from .quality_monitor import start_auc_monitor, start_percentile_monitor
 from .schedule import start_scheduled_harvest
 from .corpus_ingest import (
     benchmark_gram_index,
@@ -47,5 +47,6 @@ __all__ = [
     "batch_ks",
     "start_drift_monitor",
     "start_auc_monitor",
+    "start_percentile_monitor",
     "start_scheduled_harvest",
 ]

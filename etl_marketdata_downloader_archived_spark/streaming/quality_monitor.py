@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.evaluation import binary_auc
 
-__all__ = ["start_auc_monitor"]
+__all__ = ["start_auc_monitor", "start_percentile_monitor"]
 
 
 def start_auc_monitor(
@@ -113,6 +113,89 @@ def start_auc_monitor(
                 "is_alarm",
                 F.when(
                     F.col("status") == "ok", F.col("auc") < F.lit(min_auc)
+                ).otherwise(F.lit(False)),
+            )
+        on_result(out, batch_id)
+
+    w = stream_df.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_percentile_monitor(
+    stream_df: DataFrame,
+    value_col: str,
+    checkpoint: str,
+    on_result: Callable[[DataFrame, int], None],
+    by: list[str] | None = None,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    alarm: tuple[int, float] | None = None,
+    min_rows: int = 30,
+    trigger_available_now: bool = True,
+    bins: int | None = None,
+    bounds: tuple[float, float] | None = None,
+):
+    """Streaming latency/size percentile monitor: per micro-batch,
+    the per-group positional percentile panel
+    (operators.profile.exact_percentiles - rank-from-counts, windows
+    over value cardinality) plus batch_id and a status column, handed
+    to ``on_result``. The SLO companion of the AUC monitor: AUC says
+    the model still ranks; this says the p99 is still under the
+    budget. Returns the StreamingQuery.
+
+    ``alarm=(p, threshold)`` fires is_alarm when that percentile
+    EXCEEDS the threshold on an 'ok' group. Statuses mirror the AUC
+    monitor: 'no_values' when every value in a group was NULL (the
+    row is present, not silently absent), 'too_few' below
+    ``min_rows``. ``bins``/``bounds`` are the family's continuous
+    tier - pin ``bounds`` to the SLO window's known domain so the
+    grid is stable across triggers and no per-batch min/max pre-scan
+    runs (out-of-domain values clamp).
+    """
+    keys = list(by or [])
+    if bounds is not None and bins is None:
+        raise ValueError(
+            "bounds= requires bins= (the exact tier has no grid to pin)"
+        )
+    if alarm is not None and alarm[0] not in percentiles:
+        raise ValueError(
+            f"alarm percentile p{alarm[0]} not in requested {percentiles}"
+        )
+
+    from ..operators.profile import exact_percentiles
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        present = batch_df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        panel = exact_percentiles(
+            batch_df, value_col, by=keys,
+            percentiles=percentiles, bins=bins, bounds=bounds,
+        )
+        if keys:
+            out = present.join(panel, keys, "left")
+        else:
+            out = (
+                present.withColumn("_k", F.lit(1))
+                .join(panel.withColumn("_k", F.lit(1)), "_k", "left")
+                .drop("_k")
+            )
+        out = out.withColumn("batch_id", F.lit(batch_id)).withColumn(
+            "status",
+            F.when(F.col("n").isNull(), F.lit("no_values"))
+            .when(F.col("n") < min_rows, F.lit("too_few"))
+            .otherwise(F.lit("ok")),
+        )
+        if alarm is not None:
+            p, thresh = alarm
+            out = out.withColumn(
+                "is_alarm",
+                F.when(
+                    F.col("status") == "ok",
+                    F.col(f"p{p}") > F.lit(thresh),
                 ).otherwise(F.lit(False)),
             )
         on_result(out, batch_id)

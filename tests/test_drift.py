@@ -500,3 +500,127 @@ def test_cusum_changepoint_vs_numpy(spark) -> None:
         assert got[g] == (n, int(cum[-1]), k, int(dev[k]))
     # the shift series must locate the boundary
     assert got["shift"][2] == 11
+
+
+def test_percentile_monitor_stream_equals_batch(spark, tmp_path) -> None:
+    """Streaming percentile monitor: each batch's panel == the batch
+    exact_percentiles over the same rows (pinned binned grid), the
+    alarm fires exactly when the watched percentile crosses the
+    budget, and an all-NULL group reports 'no_values' instead of
+    vanishing."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        exact_percentiles,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        start_percentile_monitor,
+    )
+
+    rng = np.random.default_rng(47)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def sample(scale):
+        return [
+            ("api", float(v))
+            for v in rng.gamma(2.0, scale, 200)  # latency-shaped
+        ]
+
+    b0 = sample(20.0) + [("dead", None)] * 40
+    b1 = sample(90.0) + [("dead", None)] * 40  # slow batch -> alarm
+    for name, rows in (("b0.json", b0), ("b1.json", b1)):
+        (in_dir / name).write_text(
+            "\n".join(
+                _json.dumps({"g": g, "ms": v}) for g, v in rows
+            )
+        )
+    now = _time.time()
+    _os.utime(in_dir / "b0.json", (now - 10, now - 10))
+    _os.utime(in_dir / "b1.json", (now, now))
+
+    results: dict[int, dict] = {}
+
+    def on_result(df, batch_id):
+        rows = {r.g: r for r in df.collect()}
+        if rows:
+            results[max(results, default=-1) + 1] = rows
+
+    stream = (
+        spark.readStream.schema("g string, ms double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = start_percentile_monitor(
+        stream,
+        "ms",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_result=on_result,
+        by=["g"],
+        percentiles=(50, 99),
+        alarm=(99, 400.0),
+        min_rows=30,
+        bins=128,
+        bounds=(0.0, 1000.0),
+    )
+    q.awaitTermination(120)
+
+    assert len(results) == 2
+    for i, rows in ((0, b0), (1, b1)):
+        got = results[i]["api"]
+        assert got.status == "ok"
+        bdf = spark.createDataFrame(rows, "g string, ms double")
+        want = exact_percentiles(
+            bdf, "ms", by=["g"], percentiles=(50, 99),
+            bins=128, bounds=(0.0, 1000.0),
+        ).collect()
+        want = {r.g: r for r in want}["api"]
+        assert (got.n, got.p50, got.p99) == (want.n, want.p50, want.p99)
+    assert results[0]["api"].is_alarm is False
+    assert results[1]["api"].is_alarm is True  # slow batch crossed 400ms
+    # all-NULL group: present with status, never absent
+    assert results[0]["dead"].status == "no_values"
+    assert results[0]["dead"].n_rows == 40
+    assert results[0]["dead"].is_alarm is False
+
+
+def test_exact_percentiles_vs_numpy(spark) -> None:
+    """exact_percentiles (exact + binned tiers) vs numpy positional
+    selection; binned == exact when injective, bin-width bound on
+    continuous data, result always an observed value."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.profile import (
+        exact_percentiles,
+    )
+
+    rng = np.random.default_rng(53)
+    vals = rng.integers(0, 40, 500).astype(float)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    )
+    row = exact_percentiles(df, "v", by=["g"], percentiles=(50, 90, 99)).collect()[0]
+    s = np.sort(vals)
+    for p, gotv in ((50, row.p50), (90, row.p90), (99, row.p99)):
+        k = -(-len(s) * p // 100)  # ceil
+        assert gotv == s[k - 1]
+    binned = exact_percentiles(
+        df, "v", by=["g"], percentiles=(50, 90, 99), bins=1000
+    ).collect()[0]
+    assert (binned.p50, binned.p90, binned.p99) == (row.p50, row.p90, row.p99)
+
+    cont = rng.normal(0, 1, 2000)
+    dfc = spark.createDataFrame(
+        [("g", float(v)) for v in cont], "g string, v double"
+    )
+    ex = exact_percentiles(dfc, "v", by=["g"], percentiles=(90,)).collect()[0]
+    bn = exact_percentiles(
+        dfc, "v", by=["g"], percentiles=(90,), bins=64
+    ).collect()[0]
+    width = (cont.max() - cont.min()) / 64
+    assert abs(bn.p90 - ex.p90) <= width + 1e-12
+    assert bn.p90 in {float(v) for v in cont}  # observed value
