@@ -908,3 +908,112 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_activity").cast("double") / F.col("_ta").cast("double")
         ).alias("activity_share"),
     )
+
+
+@q(
+    "ltv_quintiles",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend_c,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT segment, spend_c, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(n_orders) AS BIGINT) AS ords
+        FROM cust GROUP BY 1, 2
+    ),
+    stepped AS (
+        SELECT segment, spend_c, t, ords,
+               CAST(sum(t) OVER (PARTITION BY segment ORDER BY spend_c)
+                    AS BIGINT) AS cum_u,
+               CAST(sum(t) OVER (PARTITION BY segment) AS BIGINT) AS tot_u,
+               CAST(sum(spend_c * t) OVER (PARTITION BY segment)
+                    AS BIGINT) AS tot_s
+        FROM d
+    ),
+    b AS (
+        SELECT segment,
+               CAST(ceil(CAST(cum_u AS DOUBLE) * 5
+                         / CAST(tot_u AS DOUBLE)) AS BIGINT) AS quintile,
+               CAST(sum(t) AS BIGINT) AS n_customers,
+               CAST(sum(ords) AS BIGINT) AS n_orders,
+               CAST(sum(spend_c * t) AS BIGINT) AS spend_sum,
+               max(tot_s) AS tot_s
+        FROM stepped GROUP BY 1, 2
+    )
+    SELECT segment, quintile, n_customers, n_orders,
+           CAST(spend_sum AS DOUBLE) / CAST(tot_s AS DOUBLE)
+             AS spend_share,
+           CAST(spend_sum AS DOUBLE) / CAST(n_customers AS DOUBLE) / 100.0
+             AS avg_spend
+    FROM b
+    """,
+)
+def ltv_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value quintiles per market segment: customers
+    ascending by exact int-cents total spend collapse to per-(segment,
+    distinct spend) tie groups (rank-from-counts - the Lorenz/decile
+    machinery over the orders fact joined to the customer dim), each
+    group landing in the quintile of its last cumulative position;
+    per quintile the customer/order counts are bigints and the spend
+    share / average are single IEEE divisions. The workhorse
+    segmentation cut ("what revenue share does the top quintile
+    carry, per segment"), engine-exact with no rounding tolerance;
+    windows are partitioned by segment and bounded by distinct-spend
+    cardinality, never raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("segment", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("spend_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    d = cust.groupBy("segment", "spend_c").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("n_orders").alias("ords"),
+    )
+    wv = W.partitionBy("segment").orderBy("spend_c")
+    wt = W.partitionBy("segment")
+    stepped = d.select(
+        "segment",
+        "spend_c",
+        "t",
+        "ords",
+        F.sum("t").over(wv).alias("cum_u"),
+        F.sum("t").over(wt).alias("tot_u"),
+        F.sum(F.col("spend_c") * F.col("t")).over(wt).alias("tot_s"),
+    )
+    quintile = F.ceil(
+        F.col("cum_u").cast("double") * 5 / F.col("tot_u").cast("double")
+    ).cast("bigint")
+    b = stepped.groupBy("segment", quintile.alias("quintile")).agg(
+        F.sum("t").alias("n_customers"),
+        F.sum("ords").alias("n_orders"),
+        F.sum(F.col("spend_c") * F.col("t")).alias("spend_sum"),
+        F.max("tot_s").alias("_ts"),
+    )
+    return b.select(
+        "segment",
+        "quintile",
+        "n_customers",
+        "n_orders",
+        (
+            F.col("spend_sum").cast("double") / F.col("_ts").cast("double")
+        ).alias("spend_share"),
+        (
+            F.col("spend_sum").cast("double")
+            / F.col("n_customers").cast("double")
+            / 100.0
+        ).alias("avg_spend"),
+    )

@@ -711,3 +711,61 @@ def test_fulfillment_latency_vs_python(spark, sf_dir) -> None:
             ds[-(-n * 90 // 100) - 1],
         )
         assert got[pr] == want
+
+
+def test_ltv_quintiles_vs_python(spark, sf_dir) -> None:
+    """Per-segment LTV quintiles vs a full python replay (ascending
+    spend tie groups, quintile of last cumulative position), plus
+    conservation: customers/orders/share sum to segment totals."""
+    import math
+
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r7 import (
+        ltv_quintiles,
+    )
+
+    rows = ltv_quintiles(spark, sf_dir).collect()
+    got = {
+        (r.segment, r.quintile): (
+            r.n_customers, r.n_orders, r.spend_share, r.avg_spend
+        )
+        for r in rows
+    }
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    seg = {r.c_custkey: r.c_mktsegment for r in c}
+    per_cust: dict = {}
+    for r in o:
+        k = (seg[r.o_custkey], r.o_custkey)
+        sp, n = per_cust.get(k, (0, 0))
+        per_cust[k] = (sp + round(r.o_totalprice * 100), n + 1)
+    by_seg: dict = {}
+    for (sg, _cu), (sp, n) in per_cust.items():
+        by_seg.setdefault(sg, {}).setdefault(sp, [0, 0])
+        by_seg[sg][sp][0] += 1
+        by_seg[sg][sp][1] += n
+    want: dict = {}
+    for sg, groups in by_seg.items():
+        tot_u = sum(t for t, _ in groups.values())
+        tot_s = sum(sp * t for sp, (t, _) in groups.items())
+        cum_u = 0
+        acc: dict = {}
+        for sp in sorted(groups):
+            t, ords = groups[sp]
+            cum_u += t
+            q = math.ceil(cum_u * 5 / tot_u)
+            a = acc.setdefault(q, [0, 0, 0])
+            a[0] += t
+            a[1] += ords
+            a[2] += sp * t
+        for q, (nc, no, ss) in acc.items():
+            want[(sg, q)] = (nc, no, ss / tot_s, ss / nc / 100.0)
+    assert got == want
+    for sg, groups in by_seg.items():
+        qs = [v for (s2, _q), v in got.items() if s2 == sg]
+        assert sum(v[0] for v in qs) == sum(t for t, _ in groups.values())
+        assert abs(sum(v[2] for v in qs) - 1.0) < 1e-9
