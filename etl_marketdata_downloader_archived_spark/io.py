@@ -336,7 +336,11 @@ def maintenance_lock(
     jvm_path = jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
     root = path.rstrip("/")
-    lock = jvm_path(root + "__lock")
+    # qualify against the FS (absolute path + scheme/authority) so the
+    # local-scheme java.io.File claim below and the later fs.create /
+    # fs.delete all resolve to the SAME object even when the caller
+    # passed a relative lake path or a file-scheme wrapper FS
+    lock = fs.makeQualified(jvm_path(root + "__lock"))
     nonce = f"{owner or 'anon'}:{uuid.uuid4().hex}"
 
     _break_expired_lock(spark, path, ttl_s)

@@ -371,9 +371,13 @@ def degree_assortativity(
     r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) - a RATIONAL function of
     bigint sums, no sqrt - and degrees/counts are exact integers, so
     the statistic is one fixed IEEE division both engines reproduce
-    bit-for-bit. Overflow headroom: n*Sxx <= 4 m^2 d_max^2 must fit
-    int64 - fine to ~10^6 edges with 10^3-degree hubs; beyond that,
-    cast the moment sums to double (or decimal) before the products.
+    bit-for-bit. Overflow: the moment sums are cast to decimal(38,0)
+    BEFORE the n*Sxx / n*Sxy / Sx^2 products, so past the int64 bound
+    (n*Sxx <= 4 m^2 d_max^2, ~10^6 edges with 10^3-degree hubs) the
+    coefficient degrades to NULL (decimal overflow) instead of a
+    silently wrapped bigint product - within the bound the
+    decimal->double cast of the exact integer is bit-identical to the
+    bigint path, so oracles replaying bigint arithmetic still match.
 
     Scale shape: dedupe edges (one shuffle), one degree aggregate
     (map-side combinable), two broadcast-or-shuffle joins of the
@@ -409,8 +413,13 @@ def degree_assortativity(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # decimal(38,0) products: exact integers with null-on-overflow,
+    # never a wrapped int64 (the sums themselves are degree-scale,
+    # far below the bound; only the products can overflow)
+    dn = F.col("n").cast("decimal(38,0)")
+    dsx = F.col("sx").cast("decimal(38,0)")
+    num = dn * F.col("sxy").cast("decimal(38,0)") - dsx * dsx
+    den = dn * F.col("sxx").cast("decimal(38,0)") - dsx * dsx
     return m.crossJoin(F.broadcast(nn)).select(
         "n_nodes",
         (F.col("n") / 2).cast("bigint").alias("n_edges"),

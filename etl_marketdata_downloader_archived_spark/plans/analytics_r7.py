@@ -28,9 +28,11 @@ from .registry import q
     oracle="""
     WITH iv AS (
         SELECT user_id, epoch_us(ts) AS s,
-               epoch_us(ts)
-                 + CAST(floor(value) AS BIGINT) * 60000000 AS e
+               GREATEST(epoch_us(ts)
+                          + CAST(floor(value) AS BIGINT) * 60000000,
+                        epoch_us(ts)) AS e
         FROM events
+        WHERE value IS NOT NULL
     ),
     swept AS (
         SELECT user_id, s, e,
@@ -67,10 +69,17 @@ def interval_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     uptime/time-on-site primitive). The oracle replays the identical
     running-max gaps-and-islands sweep; block assignment is provably
     insensitive to start-tie order (an interval's end >= its start),
-    so no tie-break column is needed on either engine."""
+    so no tie-break column is needed on either engine. NULL durations
+    are filtered on BOTH engines (Spark's greatest skips NULLs while
+    DuckDB's propagates them, so an unfiltered NULL value would
+    diverge) and the operator's end<start clamp is mirrored in the
+    oracle with GREATEST - a fixture refresh with NULL or negative
+    values keeps parity instead of silently drifting."""
     from ..operators.sessions import interval_coverage
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     iv = e.select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
@@ -198,9 +207,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT l_returnflag AS grp, l_extendedprice AS v,
-               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
         FROM lineitem
-        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        WHERE l_extendedprice IS NOT NULL
+          AND CAST(floor(l_quantity) AS BIGINT) > 0
         GROUP BY l_returnflag, l_extendedprice
     ),
     stepped AS (
@@ -223,7 +233,12 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, cumulative over the price order, pick the first value whose
     doubled cumulative weight reaches the total. Pure selection (the
     median is an observed price), so the result is engine-exact with
-    no rounding; the window input is bounded by price cardinality."""
+    no rounding; the window input is bounded by price cardinality.
+    The oracle replays the operator's truncate-then-filter weight
+    semantics with CAST(floor(qty)) (DuckDB's decimal->BIGINT cast
+    ROUNDS while Spark's truncates; for the w>0 survivors value>=1 so
+    floor == truncate-toward-zero and both engines agree even for
+    fractional weights)."""
     from ..operators.profile import weighted_median
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -237,9 +252,10 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT l_returnflag, l_extendedprice,
-               CAST(l_quantity AS BIGINT) AS w
+               CAST(floor(l_quantity) AS BIGINT) AS w
         FROM lineitem
-        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+        WHERE l_extendedprice IS NOT NULL
+          AND CAST(floor(l_quantity) AS BIGINT) > 0
     ),
     b AS (
         SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
