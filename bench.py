@@ -113,6 +113,11 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(t_min),
                 "runs_per_query": runs,
+                # cold-cache-r7: clearCache() between samples since
+                # bd6d69f - persist-heavy query numbers are NOT
+                # comparable to rounds <= 6 (those were partially
+                # warm-cache); see BASELINE.md "Bench methodology"
+                "methodology": "cold-cache-r7",
                 "queries": {n: round(t, 3) for n, t in slowest.items()},
                 "queries_mean": {n: round(t_mean[n], 3) for n in slowest},
             },

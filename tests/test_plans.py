@@ -265,3 +265,70 @@ def test_certified_window_slots_frozen() -> None:
     oracles = all_oracles()
     missing = [n for n in CERTIFIED_WINDOW if n not in oracles]
     assert missing == []
+
+
+def test_readme_battery_count_matches_registry() -> None:
+    """README's "N packed queries" claim must equal the live registry
+    size - doc drift in the trust document fails loudly, the same
+    treatment the certified window gets above."""
+    import re
+
+    from etl_marketdata_downloader_archived_spark.plans.registry import (
+        all_queries,
+    )
+
+    text = open("/root/repo/README.md", encoding="utf-8").read()
+    m = re.search(r"\((\d+) packed queries", text)
+    assert m, "README no longer states the packed-query count"
+    assert int(m.group(1)) == len(all_queries())
+
+
+def test_explain_scan_detects_forward_frames(spark) -> None:
+    """The explain-report scan's quadratic-frame detector: a window
+    frame that starts at a running bound (currentRow or an offset) and
+    ends at unboundedFollowing is flagged (Spark re-scans the
+    partition tail per row - the resample_interp bug class); the legal
+    shapes - running past frames, whole-partition frames, bounded
+    forward frames - are not. Live plans so the formatted-explain
+    token shape is pinned to the running Spark version."""
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from tools.explain_report import forward_frames
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    base = spark.range(20).withColumn("g", F.col("id") % 3)
+    wp = W.partitionBy("g").orderBy("id")
+    bad = base.withColumn(
+        "x", F.min("id").over(wp.rowsBetween(W.currentRow, W.unboundedFollowing))
+    )
+    bad_offset = base.withColumn(
+        "x", F.min("id").over(wp.rowsBetween(1, W.unboundedFollowing))
+    )
+    ok_running = base.withColumn(
+        "x", F.sum("id").over(wp.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    ok_whole = base.withColumn(
+        "x",
+        F.sum("id").over(
+            wp.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+    )
+    ok_bounded = base.withColumn(
+        "x", F.min("id").over(wp.rowsBetween(W.currentRow, 5))
+    )
+    assert forward_frames(plan_of(bad)) == 1
+    assert forward_frames(plan_of(bad_offset)) == 1
+    assert forward_frames(plan_of(ok_running)) == 0
+    assert forward_frames(plan_of(ok_whole)) == 0
+    assert forward_frames(plan_of(ok_bounded)) == 0

@@ -96,6 +96,9 @@ NOTES = """\
 """
 
 RED_FLAGS = ["CartesianProduct", "BatchEvalPython"]  # row-at-a-time Python
+# plus two structural scans applied per plan: global_windows() (empty
+# partition spec, whitelist below) and forward_frames() (running-start
+# unboundedfollowing frames - Spark re-scans the tail per row, O(n^2))
 
 # Queries whose plans contain a Window with NO partition spec
 # (single-partition WindowExec) ON PURPOSE: each one's window input is
@@ -168,6 +171,27 @@ def global_windows(plan: str) -> int:
     return n
 
 
+def forward_frames(plan: str) -> int:
+    """Count window frames that END at unboundedfollowing but START at
+    a running bound (currentrow or an offset). Spark evaluates these
+    by RE-SCANNING the partition tail for every row - O(n^2) per
+    partition (the ``resample_interp`` bug class: 24.2x wall at 10x
+    data, operators/timeseries.py:605 documents the engine-wide ban;
+    derive forward neighbors from a DESC-ordered RUNNING frame
+    instead). Whole-partition frames (unboundedpreceding ->
+    unboundedfollowing) are computed once and stay legal."""
+    import re
+
+    return len(
+        re.findall(
+            r"specifiedwindowframe\((?:Row|Range)Frame,"
+            r" (?!unboundedpreceding\$\(\))[^,]+,"
+            r" unboundedfollowing\$\(\)\)",
+            plan,
+        )
+    )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -182,7 +206,10 @@ def main() -> int:
         "",
         f"Scale dir: `{sf_dir}`. Plans are the post-AQE final plans",
         "(queries are executed first). `*(n)` marks whole-stage-codegen",
-        "spans. Red flags scanned per plan: " + ", ".join(RED_FLAGS) + ".",
+        "spans. Red flags scanned per plan: " + ", ".join(RED_FLAGS)
+        + ", quadratic forward frames (running start ->",
+        "unboundedfollowing - the resample_interp bug class), and",
+        "unlisted global windows (whitelist at the end).",
         "EVERY registered query is red-flag scanned; the plan trees below",
         "are printed for the headline set only.",
         "",
@@ -197,6 +224,9 @@ def main() -> int:
             df.explain("formatted")
         plan = buf.getvalue()
         flags = [f for f in RED_FLAGS if f in plan]
+        ff = forward_frames(plan)
+        if ff:
+            flags.append(f"quadratic forward frame x{ff}")
         gw = global_windows(plan)
         if gw and name not in GLOBAL_WINDOW_WHITELIST:
             flags.append(f"unlisted global Window x{gw}")
@@ -216,7 +246,7 @@ def main() -> int:
         out.append("```")
         out.append("")
     out.insert(
-        8,  # after the header sentences and their trailing blank line
+        10,  # after the header sentences and their trailing blank line
         f"All-query scan result: {len(qs)} queries, "
         + (f"red-flagged: {', '.join(n for n, _ in flagged)}" if flagged else "zero red flags.")
         + "\n",
