@@ -315,3 +315,81 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def mine_basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Market-basket pair mining: support / confidence / lift for item
+    pairs co-occurring in a basket (order, session, cart). Returns
+    ``(a, b, ab, support, confidence, lift)`` with a < b; every metric
+    is one exact IEEE division over bigint counts (n*ab and ca*cb stay
+    integral, so lift replays bit-for-bit in a SQL oracle).
+
+    Per-basket pair mass is QUADRATIC in basket size - one pathological
+    10k-item basket emits ~50M pairs from a single self-join key.
+    ``max_basket_size`` caps that class (the ``max_doc_freq`` analogue
+    the dedup family uses for stop-shingles): oversized baskets are
+    dropped UP FRONT, so every downstream count - basket total, item
+    supports, pair co-counts - sees exactly the kept-basket input, as
+    if the caller had pre-filtered. The metrics stay mutually
+    consistent and the cap is one HAVING clause in an oracle replay.
+    ``min_support`` prunes pair groups BEFORE the metric joins (the
+    knob to raise on duplicate-heavy corpora where support mass grows
+    with replication).
+
+    Scale shape: one distinct shuffle on (basket, item); the size
+    guard re-aggregates that table on the basket key and anti-joins
+    the (tiny by construction: <= n_baskets/cap rows) oversized-id
+    set back on the SAME key - exchange reuse, no new shuffle
+    partitioning, and AQE picks broadcast when the set is small as
+    expected. The pair self-join is bucket-keyed on the basket id
+    (never all-pairs across baskets), item counts join broadcast."""
+    op = df.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).distinct()
+    if max_basket_size is not None:
+        oversized = (
+            op.groupBy("_basket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") > int(max_basket_size))
+            .select("_basket")
+        )
+        op = op.join(oversized, "_basket", "left_anti")
+    n_baskets = op.select(F.countDistinct("_basket").alias("n"))
+    item = op.groupBy("_item").agg(F.count(F.lit(1)).alias("c"))
+    x = op.select("_basket", F.col("_item").alias("a"))
+    y = op.select("_basket", F.col("_item").alias("b"))
+    pair = (
+        x.join(y, "_basket")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("ab"))
+        .filter(F.col("ab") >= int(min_support))
+    )
+    ia = item.select(F.col("_item").alias("a"), F.col("c").alias("ca"))
+    ib = item.select(F.col("_item").alias("b"), F.col("c").alias("cb"))
+    return (
+        pair.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "a",
+            "b",
+            "ab",
+            (F.col("ab").cast("double") / F.col("n").cast("double")).alias(
+                "support"
+            ),
+            (F.col("ab").cast("double") / F.col("ca").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n") * F.col("ab")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -759,8 +759,15 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "basket_pairs",
     oracle="""
-    WITH op AS (
+    WITH op0 AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    keep AS (
+        SELECT l_orderkey FROM op0 GROUP BY 1 HAVING count(*) <= 32
+    ),
+    op AS (
+        SELECT op0.l_orderkey, op0.l_partkey
+        FROM op0 JOIN keep ON keep.l_orderkey = op0.l_orderkey
     ),
     norder AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
                FROM op),
@@ -790,52 +797,30 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket pair mining over co-ordered parts: support /
-    confidence / lift for the top-50 pairs (min co-count 2) by
-    co-occurrence, every metric an exact IEEE division over bigint
-    counts (n*ab and c_a*c_b stay integral, so lift replays
-    bit-for-bit). The pair join is the bucketed co-order self-join
-    (same shape the graph family certifies - never all-pairs across
-    orders), min-support prunes before the metric joins, item counts
-    broadcast, and the top-50 runs as TakeOrderedAndProject
-    (per-partition heaps, no global sort) under the deterministic
-    (ab DESC, a, b) order."""
+    """Market-basket pair mining over co-ordered parts
+    (operators.ranking.mine_basket_pairs): support / confidence /
+    lift for the top-50 pairs (min co-count 2) by co-occurrence,
+    every metric an exact IEEE division over bigint counts (n*ab and
+    c_a*c_b stay integral, so lift replays bit-for-bit). The pair
+    join is the bucketed co-order self-join (same shape the graph
+    family certifies - never all-pairs across orders), min-support
+    prunes before the metric joins, item counts broadcast, and the
+    top-50 runs as TakeOrderedAndProject (per-partition heaps, no
+    global sort) under the deterministic (ab DESC, a, b) order.
+    ``max_basket_size=32`` guards the quadratic per-basket pair mass
+    (one 10k-part order would emit ~50M pairs from a single join
+    key): inert on TPC-H orders (max ~7 distinct parts) and the
+    oracle mirrors it with the kept-basket HAVING, so the cap
+    semantics are themselves parity-checked."""
+    from ..operators.ranking import mine_basket_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    norder = op.select(
-        F.countDistinct("l_orderkey").alias("n")
-    )
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    x = op.select("l_orderkey", F.col("l_partkey").alias("a"))
-    y = op.select("l_orderkey", F.col("l_partkey").alias("b"))
-    pair = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("ab"))
-        .filter(F.col("ab") >= 2)
-    )
-    ia = item.select(F.col("l_partkey").alias("a"), F.col("c").alias("ca"))
-    ib = item.select(F.col("l_partkey").alias("b"), F.col("c").alias("cb"))
-    out = (
-        pair.join(F.broadcast(ia), "a")
-        .join(F.broadcast(ib), "b")
-        .crossJoin(F.broadcast(norder))
-        .select(
-            "a",
-            "b",
-            "ab",
-            (F.col("ab").cast("double") / F.col("n").cast("double")).alias(
-                "support"
-            ),
-            (F.col("ab").cast("double") / F.col("ca").cast("double")).alias(
-                "confidence"
-            ),
-            (
-                (F.col("n") * F.col("ab")).cast("double")
-                / (F.col("ca") * F.col("cb")).cast("double")
-            ).alias("lift"),
-        )
+    out = mine_basket_pairs(
+        li.select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=2,
+        max_basket_size=32,
     )
     return out.orderBy(F.col("ab").desc(), "a", "b").limit(50)
 

@@ -104,3 +104,81 @@ def test_sentiment_score_hand_computed(spark):
     ).collect()}
     # (2 + 2) / 4 ; (-3 - 3 - 1) / 3 ; 0
     assert out == {1: 1.0, 2: round(-7 / 3, 6), 3: 0.0}
+
+
+def test_mine_basket_pairs_hand_computed(spark):
+    """Support/confidence/lift replay by hand on a 3-basket corpus,
+    and min_support prunes singleton pairs."""
+    from etl_marketdata_downloader_archived_spark.operators.ranking import (
+        mine_basket_pairs,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (3, "a"),  # duplicate membership must not double-count
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["a"], r["b"]): r
+        for r in mine_basket_pairs(
+            df, "basket", "item", min_support=1
+        ).collect()
+    }
+    # n=3 baskets; c(a)=3, c(b)=2, c(c)=2; ab(a,b)=2, ab(a,c)=2, ab(b,c)=1
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab["ab"] == 2
+    assert ab["support"] == 2 / 3
+    assert ab["confidence"] == 2 / 3
+    assert ab["lift"] == (3 * 2) / (3 * 2)
+    bc = out[("b", "c")]
+    assert bc["ab"] == 1 and bc["lift"] == (3 * 1) / (2 * 2)
+    pruned = mine_basket_pairs(df, "basket", "item", min_support=2)
+    assert {(r["a"], r["b"]) for r in pruned.collect()} == {
+        ("a", "b"),
+        ("a", "c"),
+    }
+
+
+def test_mine_basket_pairs_max_basket_size_accounting(spark):
+    """The oversized-basket guard drops the mega-basket ENTIRELY: its
+    pairs vanish and every denominator (basket total, item supports)
+    matches running the operator on the pre-filtered input - the cap
+    is equivalent to filtering, never a partial discount. A basket of
+    exactly the cap size is kept."""
+    from etl_marketdata_downloader_archived_spark.operators.ranking import (
+        mine_basket_pairs,
+    )
+
+    small = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+             (3, "c")]
+    mega = [(9, f"w{i}") for i in range(10)] + [(9, "a"), (9, "b")]
+    df = spark.createDataFrame(small + mega, ["basket", "item"])
+
+    capped = mine_basket_pairs(
+        df, "basket", "item", min_support=1, max_basket_size=3
+    )
+    rows = {(r["a"], r["b"]): r for r in capped.collect()}
+    # no pair touching the mega-basket's exclusive items survives
+    assert not any(a.startswith("w") or b.startswith("w") for a, b in rows)
+    # (a, b) counts only the 3 small baskets: n=3, c(a)=c(b)=3
+    ab = rows[("a", "b")]
+    assert ab["ab"] == 3 and ab["support"] == 1.0 and ab["lift"] == 3 / 3
+
+    filtered = mine_basket_pairs(
+        spark.createDataFrame(small, ["basket", "item"]),
+        "basket",
+        "item",
+        min_support=1,
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, filtered.collect())
+    )
+
+    # boundary: size == cap is KEPT (basket 3 has exactly 3 items)
+    kept3 = mine_basket_pairs(
+        df, "basket", "item", min_support=1, max_basket_size=3
+    ).filter("a = 'b' and b = 'c'")
+    assert kept3.count() == 1
