@@ -769,3 +769,70 @@ def test_ltv_quintiles_vs_python(spark, sf_dir) -> None:
         qs = [v for (s2, _q), v in got.items() if s2 == sg]
         assert sum(v[0] for v in qs) == sum(t for t, _ in groups.values())
         assert abs(sum(v[2] for v in qs) - 1.0) < 1e-9
+
+
+def test_ltv_quintiles_binned_vs_python(spark, sf_dir) -> None:
+    """The binned LTV tier vs a full python replay of the 64-bucket
+    width_bucket grid (floor(bins*(v-lo)/(hi-lo)+1), hi -> bins+1)
+    plus the quintile-of-last-cumulative-position sweep - bit-for-bit,
+    and conservation: counts and shares still sum to segment totals
+    (quantization moves BOUNDARIES, never drops customers)."""
+    import math
+
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        ltv_quintiles_binned,
+    )
+
+    rows = ltv_quintiles_binned(spark, sf_dir).collect()
+    got = {
+        (r.segment, r.quintile): (
+            r.n_customers, r.n_orders, r.spend_share, r.avg_spend
+        )
+        for r in rows
+    }
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    seg = {r.c_custkey: r.c_mktsegment for r in c}
+    per_cust: dict = {}
+    for r in o:
+        k = (seg[r.o_custkey], r.o_custkey)
+        sp, n = per_cust.get(k, (0, 0))
+        per_cust[k] = (sp + round(r.o_totalprice * 100), n + 1)
+    lo = float(min(sp for sp, _ in per_cust.values()))
+    hi = float(max(sp for sp, _ in per_cust.values()))
+    by_seg: dict = {}
+    for (sg, _cu), (sp, n) in per_cust.items():
+        if float(sp) >= hi:
+            bkt = 65
+        else:
+            bkt = math.floor(64.0 * (float(sp) - lo) / (hi - lo) + 1)
+        g = by_seg.setdefault(sg, {}).setdefault(bkt, [0, 0, 0])
+        g[0] += 1
+        g[1] += n
+        g[2] += sp
+    want: dict = {}
+    for sg, groups in by_seg.items():
+        tot_u = sum(t for t, _, _ in groups.values())
+        tot_s = sum(s for _, _, s in groups.values())
+        cum_u = 0
+        acc: dict = {}
+        for bkt in sorted(groups):
+            t, ords, s = groups[bkt]
+            cum_u += t
+            q = math.ceil(cum_u * 5 / tot_u)
+            a = acc.setdefault(q, [0, 0, 0])
+            a[0] += t
+            a[1] += ords
+            a[2] += s
+        for q, (nc, no, ss) in acc.items():
+            want[(sg, q)] = (nc, no, ss / tot_s, ss / nc / 100.0)
+    assert got == want
+    for sg, groups in by_seg.items():
+        qs = [v for (s2, _q), v in got.items() if s2 == sg]
+        assert sum(v[0] for v in qs) == sum(t for t, _, _ in groups.values())
+        assert abs(sum(v[2] for v in qs) - 1.0) < 1e-9

@@ -65,6 +65,13 @@ REPLICATED = {
     # stay dim-ranged (replicas add parallel edges, the realistic
     # heavier-graph shape)
     "lineitem": "l_orderkey",
+    # customers grow WITH orders (o_custkey is remapped into the
+    # replicated domain below): per-customer aggregates - lifetime
+    # spend, LTV quintiles - must see cardinality GROWTH at Kx, not K
+    # copies of the same per-customer totals (r7 verdict: a replica
+    # that keeps custkeys fixed only multiplies WEIGHTS, so
+    # distinct-spend windows look flat while real growth would not be)
+    "customer": "c_custkey",
 }
 
 
@@ -73,7 +80,9 @@ def build_replica(spark, k: int) -> str:
 
     from etl_marketdata_downloader_archived_spark.io import load_table
 
-    out_dir = f"/tmp/scale_probe/x{k}"
+    # r8 suffix: customer joined the replicated set (cache-busts
+    # pre-r8 replica dirs, which symlinked customer to the base dim)
+    out_dir = f"/tmp/scale_probe/x{k}r8"
 
     def _link_dims() -> None:
         # non-replicated tables (dimensions) symlink to the base
@@ -106,6 +115,24 @@ def build_replica(spark, k: int) -> str:
         rep = df.crossJoin(
             spark.range(k).withColumnRenamed("id", "_rep")
         ).withColumn(id_col, F.col(id_col) + F.col("_rep") * n)
+        if table == "orders":
+            # keep the orders->customer FK valid per replica: replica
+            # r's orders belong to replica r's customers
+            n_cust = (
+                load_table(spark, BASE, "customer")
+                .agg(F.max("c_custkey")).collect()[0][0] + 1
+            )
+            rep = rep.withColumn(
+                "o_custkey", F.col("o_custkey") + F.col("_rep") * n_cust
+            ).withColumn(
+                # shift replica prices by _rep cents: WITHOUT this,
+                # replica customers carry bit-identical lifetime
+                # spend and per-customer VALUE tables (distinct spend,
+                # quintile window inputs) stay at 1x cardinality -
+                # the probe would only multiply tie weights
+                "o_totalprice",
+                F.col("o_totalprice") + F.col("_rep").cast("double") / 100.0,
+            )
         if table == "events":
             # shift replica timestamps so event-time ops see a longer
             # history, not k copies of the same instant
