@@ -338,3 +338,53 @@ def attribute_conversions(
         F.col("_touch.id").alias("touch_id"),
         (F.col("_us") - F.col("_touch.ts")).alias("latency_us"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    streams: for every consecutive (event, next-event) pair within a
+    user's timeline, the co-count, the outgoing total, and the
+    transition probability p = n_pair / n_from (ONE IEEE division
+    over bigint counts, so the matrix replays bit-for-bit in a SQL
+    oracle). The row key is (from_event, to_event); rows where the
+    user's stream ends (no successor) are excluded from the pair
+    counts AND from n_from - n_from is re-aggregated from the PAIR
+    table, so probabilities per from_event sum to exactly 1.
+
+    Ordering is pinned by (ts, id): ``id_col`` must be unique per
+    row, which makes the successor deterministic under same-instant
+    ties on both engines.
+
+    Scale shape: ONE per-user window pass (lead is a running frame -
+    linear per partition, same tier as sessionize), then two
+    aggregations where the second re-aggregates the collapsed
+    |event_types|^2-bounded pair table, never the fact stream."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = df.select(
+        F.col(event_col).alias("from_event"),
+        F.lead(F.col(event_col)).over(w).alias("to_event"),
+    ).filter(F.col("to_event").isNotNull())
+    c = pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    tot = c.groupBy("from_event").agg(F.sum("n_pair").alias("n_from"))
+    return (
+        c.join(tot, "from_event")
+        .select(
+            "from_event",
+            "to_event",
+            "n_pair",
+            "n_from",
+            (
+                F.col("n_pair").cast("double") / F.col("n_from").cast("double")
+            ).alias("p"),
+        )
+    )

@@ -154,3 +154,728 @@ def ltv_quintiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("avg_spend"),
     )
+
+
+@q(
+    "markov_transitions",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS from_event,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_event
+        FROM events
+    ),
+    c AS (
+        SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n_pair
+        FROM nxt WHERE to_event IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_event, CAST(sum(n_pair) AS BIGINT) AS n_from
+        FROM c GROUP BY 1
+    )
+    SELECT c.from_event, c.to_event, c.n_pair, tot.n_from,
+           CAST(c.n_pair AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
+    FROM c JOIN tot ON tot.from_event = c.from_event
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (operators.sessions.event_transitions): which event follows which,
+    with exact bigint co-counts and a single-division probability -
+    the "what do users do next" primitive behind journey analysis and
+    synthetic-session generation. One per-user lead window pass
+    (running frame, linear per partition, (ts, event_id)-pinned
+    successor), then aggregations over the |event_types|^2-bounded
+    pair table."""
+    from ..operators.sessions import event_transitions
+
+    e = load_table(spark, sf_dir, "events")
+    return event_transitions(e, "user_id", "ts", "event_type", "event_id")
+
+
+@q(
+    "seasonal_deviation",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT cur.event_type, cur.hour_ts, cur.n, prev.n AS n_prev,
+           (CAST(cur.n AS DOUBLE) - CAST(prev.n AS DOUBLE))
+             / CAST(prev.n AS DOUBLE) AS deviation,
+           2 * abs(cur.n - prev.n) >= prev.n AS is_anomaly
+    FROM g cur
+    JOIN g prev ON prev.event_type = cur.event_type
+                AND prev.hour_ts = cur.hour_ts - INTERVAL 24 HOUR
+    """,
+)
+def seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly screen: each (event_type, hour) bucket
+    count vs the SAME hour one day earlier - the classic ops-metrics
+    "is today weird compared to yesterday" monitor. The grid is an
+    aggregate (calendar x type bounded); the day-back comparison is
+    an equi-join of the grid to itself on the shifted hour key (no
+    window, no lag-over-gaps ambiguity - a missing previous hour
+    yields no row rather than silently comparing to an older hour).
+    Counts are bigints, the deviation ratio is one IEEE division,
+    and the >=50%-swing flag is pure integer arithmetic
+    (2*|n - n_prev| >= n_prev), so every column replays exactly."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    prev = g.select(
+        "event_type",
+        (F.col("hour_ts") + F.expr("INTERVAL 24 HOURS")).alias("hour_ts"),
+        F.col("n").alias("n_prev"),
+    )
+    return g.join(prev, ["event_type", "hour_ts"]).select(
+        "event_type",
+        "hour_ts",
+        "n",
+        "n_prev",
+        (
+            (F.col("n").cast("double") - F.col("n_prev").cast("double"))
+            / F.col("n_prev").cast("double")
+        ).alias("deviation"),
+        (2 * F.abs(F.col("n") - F.col("n_prev")) >= F.col("n_prev")).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+@q(
+    "pareto_abc",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ),
+    stepped AS (
+        SELECT brand, revenue_c,
+               CAST(sum(revenue_c) OVER (ORDER BY revenue_c DESC, brand)
+                    AS BIGINT) AS cum_c,
+               CAST(sum(revenue_c) OVER () AS BIGINT) AS tot_c
+        FROM rev
+    )
+    SELECT brand, revenue_c,
+           CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS cum_share,
+           CASE WHEN cum_c * 5 <= tot_c * 4 THEN 'A'
+                WHEN cum_c * 20 <= tot_c * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM stepped
+    """,
+)
+def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of brands by discounted revenue:
+    descending cumulative revenue share assigns class A to the brands
+    carrying the first 80% of revenue, B to the next 15%, C to the
+    tail - the inventory-management workhorse cut. Revenue fixes to
+    int cents per line (one rounded IEEE product), sums are bigints,
+    and BOTH class thresholds are pure integer comparisons (cum*5 <=
+    tot*4, cum*20 <= tot*19) so the classes replay exactly - the only
+    float in the output is the reported cumulative share (one
+    division). The cumulative window is global BUT runs over the
+    25-row brand aggregate (whitelisted: bounded by brand
+    cardinality, never lineitem rows); ties are impossible under the
+    (revenue DESC, brand) order since brand is the row key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand").alias("brand")
+    )
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("revenue_c")
+        )
+    )
+    wv = W.orderBy(F.col("revenue_c").desc(), "brand")
+    wt = W.partitionBy()
+    stepped = rev.select(
+        "brand",
+        "revenue_c",
+        F.sum("revenue_c").over(wv).alias("cum_c"),
+        F.sum("revenue_c").over(wt).alias("tot_c"),
+    )
+    return stepped.select(
+        "brand",
+        "revenue_c",
+        (
+            F.col("cum_c").cast("double") / F.col("tot_c").cast("double")
+        ).alias("cum_share"),
+        F.when(F.col("cum_c") * 5 <= F.col("tot_c") * 4, F.lit("A"))
+        .when(F.col("cum_c") * 20 <= F.col("tot_c") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+@q(
+    "order_reconciliation",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100) AS BIGINT))
+                    AS BIGINT) AS line_c,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1
+    ),
+    o AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS order_c
+        FROM orders
+    ),
+    j AS (
+        SELECT o.o_orderstatus, o.order_c, l.line_c, l.n_lines,
+               CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END AS miss,
+               CASE WHEN l.l_orderkey IS NOT NULL
+                         AND abs(o.order_c - l.line_c) > 5
+                    THEN 1 ELSE 0 END AS bad,
+               CASE WHEN l.l_orderkey IS NOT NULL
+                    THEN abs(o.order_c - l.line_c) ELSE 0 END AS adiff
+        FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(miss) AS BIGINT) AS n_no_lines,
+           CAST(sum(bad) AS BIGINT) AS n_mismatched,
+           CAST(max(adiff) AS BIGINT) AS max_abs_diff_c,
+           CAST(sum(CASE WHEN miss = 0 THEN adiff ELSE 0 END) AS BIGINT)
+             AS total_abs_diff_c
+    FROM j GROUP BY 1
+    """,
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-vs-lines financial reconciliation panel: per order
+    status, how many orders have NO lines, how many disagree with
+    their line-derived total beyond a 5-cent tolerance, and the
+    worst / total absolute discrepancy - the accounting-integrity
+    twin of the FK quality gates (fk_integrity checks key existence;
+    this checks the MONEY adds up). Both sides fix to int cents with
+    the same rounded IEEE expression (line total = extprice *
+    (1-disc) * (1+tax)), the comparison and both discrepancy
+    aggregates are pure bigint arithmetic, so every cell replays
+    exactly. Shape: one lineitem aggregate shuffled on the order key,
+    one broadcast-or-shuffle LEFT join to orders, one 3-row status
+    aggregate - no windows at all. (On this synthetic fixture the
+    generator does NOT enforce the TPC-H invariant, so the panel
+    reports real mismatch mass - which is exactly the point of a
+    reconciliation gate.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    l_agg = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("bigint")
+        ).alias("line_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("order_c"),
+    ).join(l_agg, o.o_orderkey == l_agg.l_orderkey, "left")
+    miss = F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+    adiff = F.when(
+        F.col("l_orderkey").isNotNull(),
+        F.abs(F.col("order_c") - F.col("line_c")),
+    ).otherwise(0)
+    bad = F.when(
+        F.col("l_orderkey").isNotNull() & (adiff > 5), 1
+    ).otherwise(0)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(miss).alias("n_no_lines"),
+        F.sum(bad).alias("n_mismatched"),
+        F.max(adiff).alias("max_abs_diff_c"),
+        F.sum(F.when(miss == 0, adiff).otherwise(0)).alias(
+            "total_abs_diff_c"
+        ),
+    )
+
+
+@q(
+    "boxplot_panel",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS t
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    stepped AS (
+        SELECT event_type, v, t,
+               CAST(sum(t) OVER (PARTITION BY event_type ORDER BY v)
+                    AS BIGINT) AS cum,
+               CAST(sum(t) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM g
+    ),
+    quart AS (
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN v END)
+                 AS p25_cents,
+               min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END)
+                 AS p50_cents,
+               min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN v END)
+                 AS p75_cents
+        FROM stepped GROUP BY event_type
+    )
+    SELECT q.event_type, q.n, q.p25_cents, q.p50_cents, q.p75_cents,
+           q.p75_cents - q.p25_cents AS iqr_cents,
+           CAST(sum(CASE WHEN 2 * g.v <
+                              2 * q.p25_cents
+                              - 3 * (q.p75_cents - q.p25_cents)
+                         THEN g.t ELSE 0 END) AS BIGINT)
+             AS n_low_outliers,
+           CAST(sum(CASE WHEN 2 * g.v >
+                              2 * q.p75_cents
+                              + 3 * (q.p75_cents - q.p25_cents)
+                         THEN g.t ELSE 0 END) AS BIGINT)
+             AS n_high_outliers
+    FROM quart q JOIN g ON g.event_type = q.event_type
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def boxplot_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot panel per event_type: exact positional quartiles
+    (rank-from-counts over int-cents values - the percentile family's
+    shared stepped machinery), IQR, and Tukey-fence outlier counts on
+    BOTH sides. The 1.5*IQR fences never materialize as floats: the
+    comparison doubles through (2*v < 2*p25 - 3*iqr and the mirrored
+    upper form), so fence membership is pure bigint arithmetic and
+    every output cell replays exactly. Outliers are counted from the
+    per-(type, value) COUNT table joined back to the 5-row quartile
+    frame (broadcast) - the fact stream is touched once, by the
+    counting aggregate."""
+    from ..operators.profile import percentile_pick, stepped_counts
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    g = e.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("t"))
+    stepped = stepped_counts(g, ["event_type"], "v")
+    quart = stepped.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        percentile_pick(25, "v", "p25_cents"),
+        percentile_pick(50, "v", "p50_cents"),
+        percentile_pick(75, "v", "p75_cents"),
+    )
+    iqr = F.col("p75_cents") - F.col("p25_cents")
+    low = 2 * F.col("v") < 2 * F.col("p25_cents") - 3 * iqr
+    high = 2 * F.col("v") > 2 * F.col("p75_cents") + 3 * iqr
+    return (
+        g.join(F.broadcast(quart), "event_type")
+        .groupBy(
+            "event_type", "n", "p25_cents", "p50_cents", "p75_cents"
+        )
+        .agg(
+            F.sum(F.when(low, F.col("t")).otherwise(0)).alias(
+                "n_low_outliers"
+            ),
+            F.sum(F.when(high, F.col("t")).otherwise(0)).alias(
+                "n_high_outliers"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p25_cents",
+            "p50_cents",
+            "p75_cents",
+            (F.col("p75_cents") - F.col("p25_cents")).alias("iqr_cents"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )
+
+
+@q(
+    "abtest_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN (
+                   (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+                     * 268435456
+                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                     * 16777216
+                 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+                     * 1048576
+                 + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)
+                     * 65536
+                 + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)
+                     * 4096
+                 + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)
+                     * 256
+                 + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1)
+                     * 16
+                 + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)
+               ) % 10000 < 5000 THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value >= 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM (
+            SELECT user_id, event_type, value,
+                   md5(concat('42', ':', CAST(user_id AS VARCHAR))) AS hx
+            FROM events
+        )
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT
+          CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+               AS BIGINT) AS c_a,
+          CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+               AS BIGINT) AS c_b
+        FROM u
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CASE WHEN n_a > 0
+                THEN CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+           CASE WHEN n_b > 0
+                THEN CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                     AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+                THEN (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt(
+                         (CAST(c_a + c_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE))
+                         * (1 - CAST(c_a + c_b AS DOUBLE)
+                                  / CAST(n_a + n_b AS DOUBLE))
+                         * (1.0 / CAST(n_a AS DOUBLE)
+                            + 1.0 / CAST(n_b AS DOUBLE))
+                       ) END AS z
+    FROM s
+    """,
+)
+def abtest_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion analysis end-to-end: users split into two arms
+    by the AUDITABLE md5 hash (operators.text.hash_split, the same
+    digit-replayable assignment the hash_split query certifies - arm
+    membership is a pure function of user_id, never of partitioning),
+    conversion = the user fired >=1 high-value purchase (value >= 150
+    - on this fixture EVERY user has some purchase, so the raw event
+    would be a degenerate 100% rate; the value cut lands ~50%), and the
+    two-proportion pooled z-statistic comes out as ONE fixed IEEE
+    expression over the four bigint counts (each rate one division,
+    pooled p one division, one sqrt) - so even the test statistic
+    replays bit-for-bit. Shape: one distinct-user aggregate (narrow
+    map + one shuffle on user_id), then a single-row conditional
+    aggregate; no windows, no joins."""
+    from ..operators.text import hash_split
+
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.select(
+            "user_id",
+            hash_split(
+                "user_id", {"A": 0.5, "B": 0.5}, seed=42, algo="md5"
+            ).alias("arm"),
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_purchase"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.max("is_purchase").alias("converted"))
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(
+            F.when(F.col("arm") == "A", F.col("converted")).otherwise(0)
+        ).alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("arm") == "B", F.col("converted")).otherwise(0)
+        ).alias("c_b"),
+    )
+    conv = F.col("c_a") + F.col("c_b")
+    users = F.col("n_a") + F.col("n_b")
+    raw_rate_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    raw_rate_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pooled = conv.cast("double") / users.cast("double")
+    # degenerate designs (an empty arm, zero or universal conversion)
+    # yield NULL instead of an ANSI divide-by-zero: the pooled
+    # variance is exactly 0 there and no z is defined
+    z = F.when(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (conv > 0)
+        & (conv < users),
+        (raw_rate_a - raw_rate_b)
+        / F.sqrt(
+            pooled
+            * (1 - pooled)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        ),
+    )
+    return s.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.when(F.col("n_a") > 0, raw_rate_a).alias("rate_a"),
+        F.when(F.col("n_b") > 0, raw_rate_b).alias("rate_b"),
+        z.alias("z"),
+    )
+
+
+@q(
+    "rfm_segments",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               datediff('day', CAST(max(o_orderdate) AS DATE),
+                        DATE '2001-12-31') AS rec_days,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend_c
+        FROM orders GROUP BY 1
+    ),
+    bnd AS (
+        SELECT CAST(min(spend_c) AS DOUBLE) AS lo,
+               CAST(max(spend_c) AS DOUBLE) AS hi
+        FROM cust
+    ),
+    cb AS (
+        SELECT cust.*,
+               CASE WHEN CAST(spend_c AS DOUBLE) >= bnd.hi
+                    THEN CAST(65 AS BIGINT)
+                    ELSE CAST(floor(
+                        64.0 * (CAST(spend_c AS DOUBLE) - bnd.lo)
+                        / (bnd.hi - bnd.lo) + 1) AS BIGINT)
+               END AS m_bkt
+        FROM cust, bnd
+    ),
+    rmap AS (
+        SELECT rec_days,
+               CAST(ceil(CAST(cum AS DOUBLE) * 3 / CAST(tot AS DOUBLE))
+                    AS BIGINT) AS r_score
+        FROM (
+            SELECT rec_days,
+                   CAST(sum(t) OVER (ORDER BY rec_days) AS BIGINT) AS cum,
+                   CAST(sum(t) OVER () AS BIGINT) AS tot
+            FROM (SELECT rec_days, CAST(count(*) AS BIGINT) AS t
+                  FROM cb GROUP BY 1)
+        )
+    ),
+    fmap AS (
+        SELECT n_orders,
+               CAST(ceil(CAST(cum AS DOUBLE) * 3 / CAST(tot AS DOUBLE))
+                    AS BIGINT) AS f_score
+        FROM (
+            SELECT n_orders,
+                   CAST(sum(t) OVER (ORDER BY n_orders) AS BIGINT) AS cum,
+                   CAST(sum(t) OVER () AS BIGINT) AS tot
+            FROM (SELECT n_orders, CAST(count(*) AS BIGINT) AS t
+                  FROM cb GROUP BY 1)
+        )
+    ),
+    mmap AS (
+        SELECT m_bkt,
+               CAST(ceil(CAST(cum AS DOUBLE) * 3 / CAST(tot AS DOUBLE))
+                    AS BIGINT) AS m_score
+        FROM (
+            SELECT m_bkt,
+                   CAST(sum(t) OVER (ORDER BY m_bkt) AS BIGINT) AS cum,
+                   CAST(sum(t) OVER () AS BIGINT) AS tot
+            FROM (SELECT m_bkt, CAST(count(*) AS BIGINT) AS t
+                  FROM cb GROUP BY 1)
+        )
+    )
+    SELECT r.r_score, f.f_score, m.m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cb.spend_c) AS BIGINT) AS spend_sum_c,
+           CAST(sum(cb.spend_c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 100.0 AS avg_spend
+    FROM cb
+    JOIN rmap r ON r.rec_days = cb.rec_days
+    JOIN fmap f ON f.n_orders = cb.n_orders
+    JOIN mmap m ON m.m_bkt = cb.m_bkt
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-3 on Recency (days
+    from last order to the pinned as-of date 2001-12-31), Frequency
+    (order count), and Monetary (int-cents lifetime spend), then the
+    27-cell segment grid with counts and average spend - the classic
+    CRM cut next to ltv_quintiles. Scores are VALUE-ASCENDING
+    terciles by the family's rank-from-counts convention (score =
+    ceil(3*cum/tot) of the value's last cumulative position): R=1 is
+    most-recent, F=3/M=3 are the heaviest customers. The R and F
+    axes are naturally bounded (calendar days / max orders per
+    customer); the near-unique M axis quantizes onto the 64-bucket
+    width_bucket grid FIRST (grid_bounds; the ltv_quintiles_binned
+    defense), so ALL THREE tercile windows run over bounded
+    value tables - whitelisted global windows, never customer rows.
+    Each value->score map joins back broadcast; counts/sums are
+    bigints, the average one IEEE division."""
+    from ..operators.profile import grid_bounds
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "spend_c"
+        ),
+    )
+    cust = cust.withColumn(
+        "rec_days",
+        F.datediff(F.lit("2001-12-31").cast("date"), F.col("last_dt")),
+    )
+    lo, hi = grid_bounds(cust, F.col("spend_c"), 64, None)
+    cb = cust.withColumn(
+        "m_bkt",
+        F.width_bucket(
+            F.col("spend_c").cast("double"), F.lit(lo), F.lit(hi), F.lit(64)
+        ),
+    )
+
+    def tercile_map(val: str, score_name: str) -> DataFrame:
+        d = cb.groupBy(val).agg(F.count(F.lit(1)).alias("t"))
+        stepped = d.select(
+            val,
+            F.sum("t").over(W.orderBy(val)).alias("cum"),
+            F.sum("t").over(W.partitionBy()).alias("tot"),
+        )
+        return stepped.select(
+            val,
+            F.ceil(
+                F.col("cum").cast("double") * 3 / F.col("tot").cast("double")
+            )
+            .cast("bigint")
+            .alias(score_name),
+        )
+
+    scored = (
+        cb.join(F.broadcast(tercile_map("rec_days", "r_score")), "rec_days")
+        .join(F.broadcast(tercile_map("n_orders", "f_score")), "n_orders")
+        .join(F.broadcast(tercile_map("m_bkt", "m_score")), "m_bkt")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_c").alias("spend_sum_c"),
+        (
+            F.sum("spend_c").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 100.0
+        ).alias("avg_spend"),
+    )
+
+
+@q(
+    "tfidf_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z]+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    n AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(CAST(tf.tf AS DOUBLE)
+                     * ln(CAST(n.n_docs AS DOUBLE)
+                          / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document - the per-doc keyword
+    extractor next to the corpus-level inverted index and BM25:
+    tfidf = round(tf * ln(N/df), 6) - ONE log over a ratio of bigints
+    per (doc, term), rounded the SAME way on both engines and RANKED
+    on the rounded value (JVM Math.log and libm disagree by an ulp on
+    some inputs - the 1-ulp-within-correctly-rounded contract - so
+    the raw double is the one float in the battery that does NOT
+    replay; 6 decimals is ~6 orders of magnitude above ulp at this
+    scale and far below any meaningful score gap). Never a float
+    SUM. Tokenization is the engine-wide [^a-z]+ split the
+    inverted_index oracle already certifies; N counts docs with >= 1
+    token (from the tf table, no second corpus scan). The per-doc
+    row_number filter sits DIRECTLY on the window so Spark plans the
+    partial WindowGroupLimit below the exchange - each map task
+    forwards at most 3 rows per doc; df joins at vocabulary size
+    (AQE broadcasts), ties break on the term for a deterministic
+    row set."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )

@@ -1,0 +1,371 @@
+"""Independent differentials for the round-8 battery - python/numpy
+replays from the RAW parquet rows, so a formula that is wrong the
+same way on both SQL engines still fails here (the parity harness
+cannot catch those)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from etl_marketdata_downloader_archived_spark.io import load_table
+
+
+def _half_up(x: float) -> int:
+    # Spark's F.round on doubles is HALF_UP; python's round() is
+    # half-even - the discounted-price products DO land on .5 cents
+    return math.floor(x + 0.5)
+
+
+def test_markov_transitions_vs_python(spark, sf_dir) -> None:
+    """Transition counts/probabilities vs a dict replay over
+    (ts, event_id)-sorted per-user streams; per-from probabilities
+    sum to exactly 1 (n_from comes from the pair table)."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        markov_transitions,
+    )
+
+    got = {
+        (r.from_event, r.to_event): (r.n_pair, r.n_from, r.p)
+        for r in markov_transitions(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams: dict = defaultdict(list)
+    for r in rows:
+        streams[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pairs: Counter = Counter()
+    for evs in streams.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    outs: Counter = Counter()
+    for (a, _b), n in pairs.items():
+        outs[a] += n
+    want = {
+        (a, b): (n, outs[a], n / outs[a]) for (a, b), n in pairs.items()
+    }
+    assert got == want
+    by_from: dict = defaultdict(float)
+    for (a, _b), (_n, _nf, p) in got.items():
+        by_from[a] += p
+    for a, s in by_from.items():
+        assert abs(s - 1.0) < 1e-9
+
+
+def test_seasonal_deviation_vs_python(spark, sf_dir) -> None:
+    """Hour-grid day-back comparison vs a dict replay; rows exist
+    exactly where the previous-day hour exists, and the integer
+    anomaly flag matches 2*|d| >= prev."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        seasonal_deviation,
+    )
+
+    got = {
+        (r.event_type, r.hour_ts): (r.n, r.n_prev, r.deviation, r.is_anomaly)
+        for r in seasonal_deviation(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .collect()
+    )
+    grid: Counter = Counter((r.event_type, r.h) for r in rows)
+    want = {}
+    from datetime import timedelta
+
+    day = timedelta(hours=24)
+    for (et, h), n in grid.items():
+        prev = grid.get((et, h - day))
+        if prev is not None:
+            want[(et, h)] = (
+                n,
+                prev,
+                (n - prev) / prev,
+                2 * abs(n - prev) >= prev,
+            )
+    assert got == want
+
+
+def test_pareto_abc_vs_python(spark, sf_dir) -> None:
+    """ABC classes vs a full python replay of the descending
+    cumulative integer-threshold sweep; classes partition the brands
+    and A-brands carry <= 80% cumulative revenue each."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        pareto_abc,
+    )
+
+    got = {
+        r.brand: (r.revenue_c, r.cum_share, r.abc_class)
+        for r in pareto_abc(spark, sf_dir).collect()
+    }
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    ).collect()
+    brand = {r.p_partkey: r.p_brand for r in pt}
+    rev: Counter = Counter()
+    for r in li:
+        rev[brand[r.l_partkey]] += _half_up(
+            r.l_extendedprice * (1 - r.l_discount) * 100
+        )
+    tot = sum(rev.values())
+    cum = 0
+    want = {}
+    for b in sorted(rev, key=lambda b: (-rev[b], b)):
+        cum += rev[b]
+        cls = "A" if cum * 5 <= tot * 4 else ("B" if cum * 20 <= tot * 19 else "C")
+        want[b] = (rev[b], cum / tot, cls)
+    assert got == want
+
+
+def test_order_reconciliation_vs_python(spark, sf_dir) -> None:
+    """Reconciliation cells vs a python replay of the cent-exact
+    order-vs-lines comparison, including the no-lines bucket."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        order_reconciliation,
+    )
+
+    got = {
+        r.o_orderstatus: (
+            r.n_orders,
+            r.n_no_lines,
+            r.n_mismatched,
+            r.max_abs_diff_c,
+            r.total_abs_diff_c,
+        )
+        for r in order_reconciliation(spark, sf_dir).collect()
+    }
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+        .collect()
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    lines: dict = defaultdict(int)
+    for r in li:
+        lines[r.l_orderkey] += _half_up(
+            r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax) * 100
+        )
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in o:
+        a = agg[r.o_orderstatus]
+        a[0] += 1
+        if r.o_orderkey not in lines:
+            a[1] += 1
+            continue
+        d = abs(_half_up(r.o_totalprice * 100) - lines[r.o_orderkey])
+        if d > 5:
+            a[2] += 1
+        a[3] = max(a[3], d)
+        a[4] += d
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_boxplot_panel_vs_python(spark, sf_dir) -> None:
+    """Quartiles and Tukey-fence outlier counts vs a sorted-list
+    positional replay (ceil(p*n/100)-th element, integer fences)."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        boxplot_panel,
+    )
+
+    got = {
+        r.event_type: (
+            r.n,
+            r.p25_cents,
+            r.p50_cents,
+            r.p75_cents,
+            r.iqr_cents,
+            r.n_low_outliers,
+            r.n_high_outliers,
+        )
+        for r in boxplot_panel(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    vals: dict = defaultdict(list)
+    for r in rows:
+        vals[r.event_type].append(round(r.value * 100))
+    want = {}
+    for et, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+
+        def pick(p):
+            return vs[-(-n * p // 100) - 1]
+
+        p25, p50, p75 = pick(25), pick(50), pick(75)
+        iqr = p75 - p25
+        lo = sum(1 for v in vs if 2 * v < 2 * p25 - 3 * iqr)
+        hi = sum(1 for v in vs if 2 * v > 2 * p75 + 3 * iqr)
+        want[et] = (n, p25, p50, p75, iqr, lo, hi)
+    assert got == want
+
+
+def test_abtest_conversion_vs_python(spark, sf_dir) -> None:
+    """Arm assignment replayed through hashlib.md5 and the pooled
+    two-proportion z recomputed from scratch - the full audit chain
+    outside any SQL engine."""
+    import hashlib
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        abtest_conversion,
+    )
+
+    row = abtest_conversion(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    conv: dict = {}
+    for r in rows:
+        good = (
+            r.event_type == "purchase"
+            and r.value is not None
+            and r.value >= 150
+        )
+        conv[r.user_id] = conv.get(r.user_id, False) or good
+    n = {"A": 0, "B": 0}
+    c = {"A": 0, "B": 0}
+    for uid, did in conv.items():
+        hx = hashlib.md5(f"42:{uid}".encode()).hexdigest()
+        arm = "A" if int(hx[:8], 16) % 10_000 < 5000 else "B"
+        n[arm] += 1
+        c[arm] += int(did)
+    assert (row.n_a, row.c_a, row.n_b, row.c_b) == (
+        n["A"],
+        c["A"],
+        n["B"],
+        c["B"],
+    )
+    assert row.rate_a == c["A"] / n["A"]
+    assert row.rate_b == c["B"] / n["B"]
+    p = (c["A"] + c["B"]) / (n["A"] + n["B"])
+    z = (c["A"] / n["A"] - c["B"] / n["B"]) / math.sqrt(
+        p * (1 - p) * (1.0 / n["A"] + 1.0 / n["B"])
+    )
+    assert abs(row.z - z) < 1e-12
+
+
+def test_rfm_segments_vs_python(spark, sf_dir) -> None:
+    """27-cell RFM grid vs a full python replay of all three tercile
+    maps (incl. the width_bucket monetary grid); customer counts
+    conserve."""
+    from datetime import date
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        rfm_segments,
+    )
+
+    got = {
+        (r.r_score, r.f_score, r.m_score): (
+            r.n_customers,
+            r.spend_sum_c,
+            r.avg_spend,
+        )
+        for r in rfm_segments(spark, sf_dir).collect()
+    }
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    asof = date(2001, 12, 31)
+    per: dict = {}
+    for r in o:
+        last, cnt, sp = per.get(r.o_custkey, (date(1900, 1, 1), 0, 0))
+        d = r.o_orderdate.date()
+        per[r.o_custkey] = (
+            max(last, d),
+            cnt + 1,
+            sp + round(r.o_totalprice * 100),
+        )
+    rec = {k: (asof - v[0]).days for k, v in per.items()}
+    frq = {k: v[1] for k, v in per.items()}
+    mon = {k: v[2] for k, v in per.items()}
+    lo, hi = float(min(mon.values())), float(max(mon.values()))
+    mbkt = {
+        k: (65 if float(v) >= hi else math.floor(
+            64.0 * (float(v) - lo) / (hi - lo) + 1))
+        for k, v in mon.items()
+    }
+
+    def tercile(values: dict) -> dict:
+        cnt = Counter(values.values())
+        tot = sum(cnt.values())
+        cum = 0
+        score = {}
+        for v in sorted(cnt):
+            cum += cnt[v]
+            score[v] = math.ceil(cum * 3 / tot)
+        return {k: score[v] for k, v in values.items()}
+
+    rs, fs, ms = tercile(rec), tercile(frq), tercile(mbkt)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for k in per:
+        a = agg[(rs[k], fs[k], ms[k])]
+        a[0] += 1
+        a[1] += mon[k]
+    want = {
+        k: (n, s, s / n / 100.0) for k, (n, s) in agg.items()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(per)
+
+
+def test_tfidf_topk_vs_python(spark, sf_dir) -> None:
+    """Per-doc top-3 TF-IDF terms vs a regex+Counter replay with the
+    identical rounded score and (score desc, term) tie order."""
+    import re
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        tfidf_topk,
+    )
+
+    got = defaultdict(list)
+    for r in tfidf_topk(spark, sf_dir).collect():
+        got[r.doc_id].append((r.rn, r.term, r.tf, r.df, r.tfidf))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    tf: dict = {}
+    df: Counter = Counter()
+    for r in docs:
+        toks = [t for t in re.split("[^a-z]+", r.text.lower()) if t]
+        if not toks:
+            continue
+        tf[r.doc_id] = Counter(toks)
+        for t in set(toks):
+            df[t] += 1
+    n_docs = len(tf)
+    for doc_id, cnt in tf.items():
+        scored = sorted(
+            (
+                (-round(c * math.log(n_docs / df[t]), 6), t, c)
+                for t, c in cnt.items()
+            )
+        )[:3]
+        want = [
+            (i + 1, t, c, df[t], -s) for i, (s, t, c) in enumerate(scored)
+        ]
+        assert sorted(got[doc_id]) == want, doc_id

@@ -123,6 +123,13 @@ GLOBAL_WINDOW_WHITELIST = {
     # cumulative new-user sum over the per-day growth table - one row
     # per calendar day, bounded by the corpus's day span
     "user_growth": "cumulative sum over one row per day",
+    # cumulative revenue share over the brand aggregate - one row per
+    # brand (25), bounded by brand cardinality
+    "pareto_abc": "cumulative share over the 25-row brand aggregate",
+    # three tercile maps, each over a bounded value table: recency
+    # days (calendar span), per-customer order counts (small ints),
+    # and the 64+2-bucket monetary grid - never customer rows
+    "rfm_segments": "tercile maps over calendar-day / order-count / 66-bucket value tables",
 }
 
 
