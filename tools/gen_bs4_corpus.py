@@ -257,6 +257,74 @@ DIRECTED: list[tuple[str, str, str]] = [
         "attribute-filter examples match on exact names). Expected: "
         "h1 only.",
     ),
+    # round-8 additions: six more documented-rule corners
+    (
+        "same-case-dup-attr",
+        '<html><body><a href="first" href="second">t</a></body></html>',
+        "The PLAIN duplicate-attribute case (round 7 only pinned the "
+        "compound uppercase form): Beautiful Soup docs, "
+        "on_duplicate_attribute - 'the default is to use the LAST "
+        "value found in the tag'. Expected: second.",
+    ),
+    (
+        "attr-value-newline",
+        '<html><body><a href="two\nlines\tand\ttabs">t</a></body></html>',
+        "Attribute VALUES are passed through verbatim apart from "
+        "entity replacement: the Python html.parser docs "
+        "(handle_starttag) describe only 'HTML entities replaced' "
+        "processing for values - no whitespace normalization step "
+        "exists in either the tokenizer docs or the Beautiful Soup "
+        "docs (HTML5's own attribute-value states keep whitespace "
+        "too). Expected: the newline and tabs appear LITERALLY in "
+        "the extracted href.",
+    ),
+    (
+        "pi-decl-decoys",
+        '<html><!DOCTYPE nested-decoy [<a href="d1">]>'
+        '<body><?php echo \'<a href="p1">x</a>\'; ?>'
+        '<a href="real4">t</a></body></html>',
+        "Processing instructions and declarations are single "
+        "tokenizer events (Python html.parser docs: handle_pi - "
+        "'method called when a processing instruction is "
+        "encountered'; handle_decl for doctype-style declarations) "
+        "whose CONTENTS are never re-tokenized, same opacity rule as "
+        "the comment/CDATA corner. Expected: only real4.",
+    ),
+    (
+        "textarea-not-rawtext",
+        '<html><body><textarea><a href="t1">x</a></textarea>'
+        '<a href="real5">t</a></body></html>',
+        "DELIBERATE browser-divergence pin: HTML5 makes textarea an "
+        "RCDATA element, but the stdlib tokenizer's raw-text mode "
+        "covers ONLY script and style (public CPython source, "
+        "html/parser.py CDATA_CONTENT_ELEMENTS = ('script', "
+        "'style'); the html.parser docs document raw handling for "
+        "'script/style elements' specifically) - so an anchor inside "
+        "textarea IS tokenized as a start tag by BOTH bs4's "
+        "html.parser builder and this engine. Expected: t1 AND "
+        "real5, in document order.",
+    ),
+    (
+        "quoted-gt-in-attr",
+        '<html><body><a href="x>y" title="a>b">t</a></body></html>',
+        "A '>' inside a QUOTED attribute value does not terminate "
+        "the tag: the HTML tokenizer's attribute-value-(double-)"
+        "quoted state only ends at the matching quote (html.parser "
+        "implements the quote-honoring scan; its docs' attribute "
+        "examples include quoted values with special characters). "
+        "Expected href: x>y.",
+    ),
+    (
+        "entity-encoded-markup-in-text",
+        '<html><body>&lt;a href="z1"&gt;not a tag&lt;/a&gt;'
+        '<a href="real6">t</a></body></html>',
+        "Entity-encoded markup in DATA stays data: with "
+        "convert_charrefs=True (the bs4 html.parser builder default) "
+        "character references in text are replaced and handed to "
+        "handle_data (Python html.parser docs, convert_charrefs) - "
+        "the resulting '<a ...>' STRING is never re-tokenized into "
+        "elements. Expected: only real6.",
+    ),
 ]
 
 
