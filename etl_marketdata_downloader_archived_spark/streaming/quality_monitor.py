@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from ..operators.evaluation import binary_auc
 
-__all__ = ["start_auc_monitor", "start_percentile_monitor"]
+__all__ = [
+    "start_auc_monitor",
+    "start_percentile_monitor",
+    "start_seasonal_monitor",
+]
 
 
 def start_auc_monitor(
@@ -198,6 +202,106 @@ def start_percentile_monitor(
                     F.col(f"p{p}") > F.lit(thresh),
                 ).otherwise(F.lit(False)),
             )
+        on_result(out, batch_id)
+
+    w = stream_df.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_seasonal_monitor(
+    stream_df: DataFrame,
+    ts_col: str,
+    checkpoint: str,
+    on_result: Callable[[DataFrame, int], None],
+    by: list[str] | None = None,
+    lag_hours: int = 24,
+    trigger_available_now: bool = True,
+):
+    """Streaming seasonal-naive deviation monitor - the online twin of
+    the ``seasonal_deviation`` batch query: per micro-batch, each
+    touched (group, hour) bucket's CUMULATIVE count is compared to the
+    cumulative count of the same hour ``lag_hours`` earlier, with the
+    batch query's exact arithmetic (bigint counts, one-division
+    deviation, pure-integer >=50%-swing flag 2*|d| >= prev). Returns
+    the StreamingQuery.
+
+    Cross-batch semantics (what makes the twin hold under ANY batch
+    split, including late baseline data): the monitor keeps a
+    driver-side cumulative hour-grid store - O(groups x calendar
+    hours), the same bounded-by-construction grid the batch query
+    aggregates to, so this is a control table, not fact state - and
+    each batch (a) merges its grid-bounded per-hour counts, (b)
+    emits every hour TOUCHED by the batch, and (c) RE-EMITS every
+    hour whose BASELINE (hour - lag) the batch just updated. (c) is
+    the load-bearing rule: without it, late-arriving baseline rows
+    would leave an already-emitted hour's deviation stale, and the
+    last emission per hour would not equal the batch query on the
+    full data. With it, last-emission-per-hour == batch twin,
+    asserted by the pytest twin through a real 2-micro-batch stream.
+
+    Statuses instead of silent absence, per the monitor family
+    contract: 'ok' when a baseline exists, 'no_baseline' when the
+    lagged hour has no rows yet (the row is PRESENT with NULL
+    deviation - a brand-new series is a fact worth alarming on, not
+    a missing key)."""
+    keys = list(by or [])
+    from datetime import timedelta
+
+    store: dict = {}
+    lag = timedelta(hours=lag_hours)
+    spark_ref = stream_df.sparkSession
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_counts = (
+            batch_df.groupBy(
+                *keys, F.date_trunc("hour", F.col(ts_col)).alias("_hour")
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()  # grid-bounded: groups x hours, never rows
+        )
+        touched = set()
+        for r in batch_counts:
+            k = tuple(r[c] for c in keys) + (r["_hour"],)
+            store[k] = store.get(k, 0) + r["_n"]
+            touched.add(k)
+            # the hour this one BASELINES must re-emit too
+            dep = k[:-1] + (k[-1] + lag,)
+            if dep in store:
+                touched.add(dep)
+        rows = []
+        for k in sorted(touched, key=lambda t: tuple(map(str, t))):
+            n = store[k]
+            prev = store.get(k[:-1] + (k[-1] - lag,))
+            if prev is None:
+                rows.append(
+                    k + (n, None, None, False, "no_baseline", batch_id)
+                )
+            else:
+                rows.append(
+                    k
+                    + (
+                        n,
+                        prev,
+                        (float(n) - float(prev)) / float(prev),
+                        bool(2 * abs(n - prev) >= prev),
+                        "ok",
+                        batch_id,
+                    )
+                )
+        dtypes = dict(batch_df.dtypes)
+        key_schema = "".join(f"{c} {dtypes[c]}, " for c in keys)
+        out = spark_ref.createDataFrame(
+            rows,
+            schema=(
+                key_schema + "hour_ts timestamp, n bigint, n_prev bigint, "
+                "deviation double, is_anomaly boolean, status string, "
+                "batch_id bigint"
+            ),
+        )
         on_result(out, batch_id)
 
     w = stream_df.writeStream.foreachBatch(on_batch).option(

@@ -849,3 +849,104 @@ def test_full_loop_scheduler_to_lake(spark, tmp_path) -> None:
         sched.stop()
         if sink is not None and sink.isActive:
             sink.stop()
+
+
+def test_seasonal_monitor_stream_equals_batch(spark, tmp_path) -> None:
+    """Streaming seasonal-naive deviation == the batch query's grid
+    arithmetic under a hostile 2-batch split: hour-level data split
+    ACROSS batches AND late baseline rows arriving after the
+    dependent hour already emitted. The monitor must (a) compare
+    cumulative counts, (b) RE-EMIT an hour whose baseline a later
+    batch updated, so last-emission-per-hour equals the batch
+    computation on the full data; hours with no lagged baseline carry
+    status='no_baseline', never silent absence."""
+    import os as _os
+    import time as _time
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_seasonal_monitor,
+    )
+
+    h = lambda d, hh: f"2024-06-0{d} {hh:02d}:15:00"  # noqa: E731
+    # day1 09h: 4 rows total, SPLIT 2+2 across the batches (late
+    # baseline); day2 09h: 2 rows in batch 0 (emits vs partial
+    # baseline, must be re-emitted by batch 1); day2 10h: batch 1,
+    # no day1 10h baseline at all -> no_baseline
+    b0 = [("x", h(1, 9)), ("x", h(1, 9)), ("x", h(2, 9)), ("x", h(2, 9))]
+    b1 = [("x", h(1, 9)), ("x", h(1, 9)), ("x", h(2, 10))]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name, rows in (("b0.json", b0), ("b1.json", b1)):
+        (in_dir / name).write_text(
+            "\n".join(
+                json.dumps({"event_type": g, "ts": t}) for g, t in rows
+            )
+        )
+    now = _time.time()
+    _os.utime(in_dir / "b0.json", (now - 10, now - 10))
+    _os.utime(in_dir / "b1.json", (now, now))
+
+    emitted: list = []
+
+    def on_result(df, batch_id):
+        emitted.append((batch_id, df.collect()))
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = start_seasonal_monitor(
+        stream,
+        "ts",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_result=on_result,
+        by=["event_type"],
+    )
+    q.awaitTermination(120)
+
+    assert len(emitted) == 2
+    rows0 = {r.hour_ts: r for r in emitted[0][1]}
+    d1h9 = datetime(2024, 6, 1, 9)
+    d2h9 = datetime(2024, 6, 2, 9)
+    d2h10 = datetime(2024, 6, 2, 10)
+    # batch 0: day1 09h has no baseline; day2 09h compares to the
+    # PARTIAL day1 count (2 vs 2 - cumulative semantics, honest at
+    # that point in time)
+    assert rows0[d1h9].status == "no_baseline"
+    assert (rows0[d2h9].n, rows0[d2h9].n_prev) == (2, 2)
+    assert rows0[d2h9].deviation == 0.0 and not rows0[d2h9].is_anomaly
+
+    # batch 1 touches day1 09h -> must RE-EMIT day2 09h with the
+    # completed baseline, plus the new day2 10h with no baseline
+    rows1 = {r.hour_ts: r for r in emitted[1][1]}
+    assert (rows1[d1h9].n, rows1[d1h9].status) == (4, "no_baseline")
+    assert (rows1[d2h9].n, rows1[d2h9].n_prev) == (2, 4)
+    assert rows1[d2h9].deviation == (2.0 - 4.0) / 4.0
+    assert rows1[d2h9].is_anomaly  # 2*|2-4| >= 4
+    assert rows1[d2h10].status == "no_baseline"
+
+    # twin: last emission per hour == the batch query's arithmetic
+    # over the FULL data
+    grid = Counter()
+    for g, t in b0 + b1:
+        dt = datetime.strptime(t, "%Y-%m-%d %H:%M:%S")
+        grid[(g, dt.replace(minute=0, second=0))] += 1
+    last = {}
+    for _bid, rows in emitted:
+        for r in rows:
+            last[(r.event_type, r.hour_ts)] = r
+    day = timedelta(hours=24)
+    for (g, hh), n in grid.items():
+        r = last[(g, hh)]
+        assert r.n == n
+        prev = grid.get((g, hh - day))
+        if prev is None:
+            assert r.status == "no_baseline" and r.n_prev is None
+        else:
+            assert r.n_prev == prev
+            assert r.deviation == (n - prev) / prev
+            assert r.is_anomaly == (2 * abs(n - prev) >= prev)
