@@ -879,3 +879,126 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rn")
     )
+
+
+@q(
+    "conversion_latency",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(epoch_us(ts)) AS signup_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+        SELECT s.user_id, s.signup_us,
+               min(epoch_us(e.ts)) AS conv_us
+        FROM s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND epoch_us(e.ts) >= s.signup_us
+        GROUP BY 1, 2
+    ),
+    lat AS (
+        SELECT s.user_id,
+               s.signup_us // 604800000000 AS signup_week,
+               (p.conv_us - p.signup_us) // 1000000 AS lat_s
+        FROM s LEFT JOIN p ON p.user_id = s.user_id
+    ),
+    d AS (
+        SELECT signup_week, lat_s, CAST(count(*) AS BIGINT) AS t
+        FROM lat WHERE lat_s IS NOT NULL GROUP BY 1, 2
+    ),
+    stepped AS (
+        SELECT signup_week, lat_s,
+               CAST(sum(t) OVER (PARTITION BY signup_week ORDER BY lat_s)
+                    AS BIGINT) AS cum,
+               CAST(sum(t) OVER (PARTITION BY signup_week) AS BIGINT) AS n
+        FROM d
+    ),
+    pct AS (
+        SELECT signup_week,
+               CAST(max(n) AS BIGINT) AS n_converted,
+               min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lat_s END)
+                 AS p50_s,
+               min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lat_s END)
+                 AS p90_s
+        FROM stepped GROUP BY 1
+    ),
+    coh AS (
+        SELECT signup_us // 604800000000 AS signup_week,
+               CAST(count(*) AS BIGINT) AS n_signups
+        FROM s GROUP BY 1
+    )
+    SELECT coh.signup_week, coh.n_signups,
+           coalesce(pct.n_converted, 0) AS n_converted,
+           CAST(coalesce(pct.n_converted, 0) AS DOUBLE)
+             / CAST(coh.n_signups AS DOUBLE) AS conv_rate,
+           pct.p50_s, pct.p90_s
+    FROM coh LEFT JOIN pct ON pct.signup_week = coh.signup_week
+    """,
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert panel per signup week: each user's FIRST
+    signup, their first purchase AT-OR-AFTER it, the latency in whole
+    seconds, then per weekly cohort the signup count, converted
+    count, conversion rate (one division) and exact positional
+    p50/p90 latency (the shared stepped-counts machinery - windows
+    over distinct-latency cardinality, which the event horizon
+    bounds). Weeks AND latencies are epoch-microsecond integer DIV
+    (never a double division + truncate, which can cross an integer
+    boundary when the quotient rounds), so the buckets replay
+    exactly. Cohorts with
+    zero conversions keep their row (LEFT join; NULL percentiles,
+    rate 0) - absence of converters is the signal, not a missing
+    key. Shape: two user-keyed aggregates + one user-keyed join, one
+    cohort aggregate; min() over the purchase join needs no window."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("signup_us"))
+    )
+    pe = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    p = (
+        s.join(pe, "user_id")
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id", "signup_us")
+        .agg(F.min("p_us").alias("conv_us"))
+    )
+    week = F.expr("signup_us DIV 604800000000")
+    lat = s.join(
+        p.select("user_id", "conv_us"), "user_id", "left"
+    ).select(
+        "user_id",
+        F.expr("signup_us DIV 604800000000").alias("signup_week"),
+        F.expr("(conv_us - signup_us) DIV 1000000").alias("lat_s"),
+    )
+    from ..operators.profile import percentile_pick, stepped_counts
+
+    d = (
+        lat.filter(F.col("lat_s").isNotNull())
+        .groupBy("signup_week", "lat_s")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    stepped = stepped_counts(d, ["signup_week"], "lat_s")
+    pct = stepped.groupBy("signup_week").agg(
+        F.max("n").alias("n_converted"),
+        percentile_pick(50, "lat_s", "p50_s"),
+        percentile_pick(90, "lat_s", "p90_s"),
+    )
+    coh = s.groupBy(week.alias("signup_week")).agg(
+        F.count(F.lit(1)).alias("n_signups")
+    )
+    return coh.join(pct, "signup_week", "left").select(
+        "signup_week",
+        "n_signups",
+        F.coalesce(F.col("n_converted"), F.lit(0)).alias("n_converted"),
+        (
+            F.coalesce(F.col("n_converted"), F.lit(0)).cast("double")
+            / F.col("n_signups").cast("double")
+        ).alias("conv_rate"),
+        "p50_s",
+        "p90_s",
+    )

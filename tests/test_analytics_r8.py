@@ -369,3 +369,55 @@ def test_tfidf_topk_vs_python(spark, sf_dir) -> None:
             (i + 1, t, c, df[t], -s) for i, (s, t, c) in enumerate(scored)
         ]
         assert sorted(got[doc_id]) == want, doc_id
+
+
+def test_conversion_latency_vs_python(spark, sf_dir) -> None:
+    """Time-to-convert panel vs a pure-python replay: first signup,
+    first at-or-after purchase, integer-DIV week/second buckets,
+    positional p50/p90 - plus the zero-conversion-cohort row rule."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        conversion_latency,
+    )
+
+    got = {
+        r.signup_week: (
+            r.n_signups, r.n_converted, r.conv_rate, r.p50_s, r.p90_s
+        )
+        for r in conversion_latency(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .collect()
+    )
+    signup: dict = {}
+    purchases: dict = defaultdict(list)
+    for r in rows:
+        if r.event_type == "signup":
+            signup[r.user_id] = min(signup.get(r.user_id, r.us), r.us)
+        elif r.event_type == "purchase":
+            purchases[r.user_id].append(r.us)
+    cohorts: dict = defaultdict(lambda: [0, []])
+    for uid, s_us in signup.items():
+        wk = s_us // 604800000000
+        cohorts[wk][0] += 1
+        after = [p for p in purchases.get(uid, []) if p >= s_us]
+        if after:
+            cohorts[wk][1].append((min(after) - s_us) // 1000000)
+    want = {}
+    for wk, (n_s, lats) in cohorts.items():
+        if not lats:
+            want[wk] = (n_s, 0, 0.0, None, None)
+            continue
+        lats.sort()
+        n = len(lats)
+
+        def pick(p):
+            return lats[-(-n * p // 100) - 1]
+
+        want[wk] = (n_s, n, n / n_s, pick(50), pick(90))
+    assert got == want

@@ -54,6 +54,14 @@ HEADLINE = [
     "auc_daily",
     "lift_deciles",
     "drift_monitor_batch",
+    # round-8 families: in-row capped pair mining, bounded tercile /
+    # quintile grids, per-doc WindowGroupLimit top-k, lead-window
+    # transitions
+    "basket_pairs",
+    "rfm_segments",
+    "tfidf_topk",
+    "markov_transitions",
+    "conversion_latency",
 ]
 
 # Round-over-round plan observations worth keeping next to the trees.
