@@ -351,3 +351,83 @@ def streaming_attribution(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_transitions(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    event: str,
+    tiebreak: str | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.sessions.event_transitions' PAIR
+    stage: emit one (from_event, to_event) row per consecutive event
+    in a user's stream, with the predecessor carried ACROSS
+    micro-batches as two scalars of state (last event time + last
+    event value) - so the pair that straddles a batch boundary is
+    emitted exactly once, by the batch that sees the successor.
+    Downstream aggregation to counts/probabilities is an ordinary
+    (streaming or foreachBatch) aggregate over this append stream;
+    the batch==stream twin holds at the pair-multiset level, which
+    the count level inherits.
+
+    Within a batch a user's rows sort by (ts, tiebreak); the first
+    sorted row pairs against the carried predecessor. Same ordering
+    caveat as streaming_sessionize/streaming_ewma: rows arriving in a
+    LATER batch than a larger timestamp fold in arrival order.
+
+    ``state_ttl_ms`` expires quiet users (continuous streams); leave
+    None under run-to-completion triggers. State is O(live users) x
+    one event value."""
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        f"{user} {in_schema[user]}, {ts} {in_schema[ts]}, "
+        f"from_event {in_schema[event]}, to_event {in_schema[event]}"
+    )
+    use_ttl = state_ttl_ms is not None
+
+    def update(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        sort_cols = [ts] + ([tiebreak] if tiebreak else [])
+        pdf = pdf.sort_values(sort_cols, ignore_index=True)
+        ev = pdf[event]
+        frm = ev.shift(1)
+        if state.exists:
+            _last_ns, last_ev = state.get
+            frm.iloc[0] = last_ev
+        t_ns = pdf[ts].astype("int64")
+        out = pd.DataFrame(
+            {
+                user: pdf[user],
+                ts: pdf[ts],
+                "from_event": frm,
+                "to_event": ev,
+            }
+        )
+        out = out[out["from_event"].notna()]
+        state.update((int(t_ns.iloc[-1]), str(ev.iloc[-1])))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield out
+
+    return df.groupBy(user).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="last_ts_ns long, last_event string",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -270,3 +270,80 @@ def test_streaming_attribution_equals_batch(spark, tmp_path) -> None:
     assert batch[33] == ("view", 31, 60)
     assert batch[42] == ("click", 40, 200)  # cross-BATCH shadow case
     assert batch[43] == ("view", 41, 50)    # pending settles next tick
+
+
+def test_streaming_transitions_equals_batch(spark, tmp_path) -> None:
+    """Pair emissions across two micro-batches equal the batch
+    transition operator's pair counts on the union - including the
+    pair that STRADDLES the batch boundary (predecessor in batch 1,
+    successor in batch 2), emitted exactly once."""
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        event_transitions,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_transitions,
+    )
+
+    b1 = [(1, 1, "view", "2024-03-01 09:00:00"),
+          (1, 2, "click", "2024-03-01 09:10:00"),
+          (2, 3, "view", "2024-03-01 09:00:00")]
+    b2 = [(1, 4, "purchase", "2024-03-01 09:20:00"),  # click->purchase straddles
+          (2, 5, "view", "2024-03-01 10:30:00"),
+          (2, 6, "error", "2024-03-01 10:31:00")]
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"user_id": u, "event_id": e, "event_type": et, "ts": t}
+                )
+                for u, e, et, t in rows
+            )
+        )
+        time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    ev = raw.select(
+        F.from_json(
+            "value",
+            "user_id LONG, event_id LONG, event_type STRING, ts TIMESTAMP",
+        ).alias("j")
+    ).select("j.*")
+    out = streaming_transitions(
+        ev, "user_id", "ts", "event_type", tiebreak="event_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trans_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = Counter(
+        (r.from_event, r.to_event)
+        for r in spark.sql("select * from trans_out").collect()
+    )
+
+    both = spark.createDataFrame(
+        b1 + b2, ["user_id", "event_id", "event_type", "ts_s"]
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    want = {
+        (r.from_event, r.to_event): r.n_pair
+        for r in event_transitions(
+            both, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert dict(streamed) == want
+    assert streamed[("click", "purchase")] == 1  # the straddling pair
