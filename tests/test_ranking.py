@@ -182,3 +182,73 @@ def test_mine_basket_pairs_max_basket_size_accounting(spark):
         df, "basket", "item", min_support=1, max_basket_size=3
     ).filter("a = 'b' and b = 'c'")
     assert kept3.count() == 1
+
+
+def test_mine_basket_pairs_randomized_vs_bruteforce(spark):
+    """Seeded randomized differential: random small corpora (dup
+    memberships, singleton/empty-ish baskets, caps that bite or
+    don't, varying min_support) - operator output must equal a
+    brute-force itertools replay in BOTH physical shapes (capped
+    in-row explosion and uncapped self-join)."""
+    import random
+    from collections import Counter
+    from itertools import combinations
+
+    from etl_marketdata_downloader_archived_spark.operators.ranking import (
+        mine_basket_pairs,
+    )
+
+    rng = random.Random(8)
+    for trial in range(8):
+        n_baskets = rng.randint(1, 12)
+        rows = []
+        contents: dict = {}
+        for b in range(n_baskets):
+            items = [
+                f"i{rng.randint(0, 9)}" for _ in range(rng.randint(1, 8))
+            ]
+            contents[b] = sorted(set(items))
+            for it in items:
+                rows.append((b, it))
+                if rng.random() < 0.3:
+                    rows.append((b, it))  # duplicate membership rows
+        cap = rng.choice([None, 2, 3, 5])
+        sup = rng.randint(1, 3)
+
+        kept = {
+            b: its
+            for b, its in contents.items()
+            if cap is None or len(its) <= cap
+        }
+        pair_c: Counter = Counter()
+        item_c: Counter = Counter()
+        for its in kept.values():
+            for it in its:
+                item_c[it] += 1
+            for a, bb in combinations(its, 2):
+                pair_c[(a, bb)] += 1
+        n = len(kept)
+        want = {}
+        for (a, bb), ab in pair_c.items():
+            if ab < sup:
+                continue
+            want[(a, bb)] = (
+                ab,
+                ab / n,
+                ab / item_c[a],
+                (n * ab) / (item_c[a] * item_c[bb]),
+            )
+
+        got = {
+            (r["a"], r["b"]): (
+                r["ab"], r["support"], r["confidence"], r["lift"]
+            )
+            for r in mine_basket_pairs(
+                spark.createDataFrame(rows, ["basket", "item"]),
+                "basket",
+                "item",
+                min_support=sup,
+                max_basket_size=cap,
+            ).collect()
+        }
+        assert got == want, (trial, cap, sup)

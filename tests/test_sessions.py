@@ -389,3 +389,60 @@ def test_interval_coverage_clamps_negative_duration(spark):
     df = spark.createDataFrame(rows, "g string, s long, e long")
     r = interval_coverage(df, ["g"], "s", "e").collect()[0]
     assert (r.n_intervals, r.n_blocks, r.covered) == (3, 2, 10)
+
+
+def test_event_transitions_randomized_vs_bruteforce(spark):
+    """Seeded randomized differential for the transition operator:
+    random user streams with same-instant ties (broken by the unique
+    id) - counts, outgoing totals, and probabilities must equal a
+    sorted-replay Counter."""
+    import random
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        event_transitions,
+    )
+
+    rng = random.Random(88)
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    for trial in range(5):
+        rows = []
+        eid = 0
+        for u in range(rng.randint(1, 6)):
+            t = base
+            for _ in range(rng.randint(0, 10)):
+                # ~30% same-instant steps: the (ts, id) tie-break path
+                if rng.random() > 0.3:
+                    t = t + timedelta(seconds=rng.randint(1, 500))
+                eid += 1
+                rows.append(
+                    (u, eid, rng.choice(["a", "b", "c"]), t)
+                )
+        if not rows:
+            continue
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_id", "event_type", "ts"]
+        )
+        got = {
+            (r.from_event, r.to_event): (r.n_pair, r.n_from, r.p)
+            for r in event_transitions(
+                df, "user_id", "ts", "event_type", "event_id"
+            ).collect()
+        }
+        streams: dict = {}
+        for u, e, et, t in rows:
+            streams.setdefault(u, []).append((t, e, et))
+        pairs: Counter = Counter()
+        for evs in streams.values():
+            evs.sort()
+            for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+                pairs[(a, b)] += 1
+        outs: Counter = Counter()
+        for (a, _b), n in pairs.items():
+            outs[a] += n
+        want = {
+            (a, b): (n, outs[a], n / outs[a])
+            for (a, b), n in pairs.items()
+        }
+        assert got == want, trial
