@@ -101,6 +101,22 @@ NOTES = """\
   iteration is one scheduled job of join+combine layers over the
   single-partition 25-node transition table; no per-round one-row
   aggregate/broadcast, no dangling term (conserved mass).
+
+- **basket_pairs** (round 8): the capped plan has NO self-join - the
+  tree is Scan -> HashAggregate(collect_set per order) -> in-row
+  Generate(explode of the upper-triangle pair array) ->
+  HashAggregate((a,b) counts) with the support tables broadcast
+  back; the cap bounds the Generate at cap^2/2 structs per row. The
+  operator falls back to the bucketed self-join when called
+  UNCAPPED, because an unbounded flattened pair array concentrates a
+  mega-basket's whole quadratic mass in one task (measured 101 s vs
+  the join's 15 s on a 10k-item basket).
+
+- **tfidf_topk / markov_transitions** (round 8): both show the
+  partial `WindowGroupLimit`/running-lead frame BELOW the exchange -
+  per-doc top-3 forwards at most 3 rows per doc from each map task,
+  and the transition lead is a streaming frame, linear per user
+  partition.
 """
 
 RED_FLAGS = ["CartesianProduct", "BatchEvalPython"]  # row-at-a-time Python
