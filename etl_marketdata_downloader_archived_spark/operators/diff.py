@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_diff", "apply_changes"]
+__all__ = ["table_diff", "apply_changes", "schema_diff"]
 
 
 def table_diff(
@@ -121,3 +121,67 @@ def apply_changes(
     survivors = base.join(latest.select(*keys), keys, "left_anti")
     upserts = latest.filter(F.col(op_col) == "upsert").select(*data_cols)
     return survivors.unionByName(upserts)
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Structural drift between two table versions - the SCHEMA half
+    of the compare surface (table_diff answers "which rows changed";
+    this answers "did the SHAPE change", which is what breaks
+    downstream consumers silently when an upstream producer deploys).
+    Returns a driver-side list of change records (schemas are
+    metadata - no job runs):
+
+    ``{"column", "change", "old", "new"}`` with change one of
+    ``added`` / ``removed`` / ``type_changed`` / ``nullability_changed``
+    (a column reported type_changed is not also reported for
+    nullability - the type change subsumes it). Column order changes
+    are NOT reported: columnar formats and the engine address columns
+    by name, so order is presentation, not shape.
+
+    Use it as a write-path gate (refuse or alert before publishing a
+    frame whose shape drifted from the landed table) or a read-path
+    preflight next to io.read_with_evolution, which MERGES compatible
+    drift - this reports it."""
+    old_f = {f.name: f for f in old.schema.fields}
+    new_f = {f.name: f for f in new.schema.fields}
+    out: list[dict] = []
+    for name in old_f:
+        if name not in new_f:
+            out.append(
+                {
+                    "column": name,
+                    "change": "removed",
+                    "old": old_f[name].dataType.simpleString(),
+                    "new": None,
+                }
+            )
+    for name, nf in new_f.items():
+        of = old_f.get(name)
+        if of is None:
+            out.append(
+                {
+                    "column": name,
+                    "change": "added",
+                    "old": None,
+                    "new": nf.dataType.simpleString(),
+                }
+            )
+        elif of.dataType != nf.dataType:
+            out.append(
+                {
+                    "column": name,
+                    "change": "type_changed",
+                    "old": of.dataType.simpleString(),
+                    "new": nf.dataType.simpleString(),
+                }
+            )
+        elif of.nullable != nf.nullable:
+            out.append(
+                {
+                    "column": name,
+                    "change": "nullability_changed",
+                    "old": "nullable" if of.nullable else "required",
+                    "new": "nullable" if nf.nullable else "required",
+                }
+            )
+    return out

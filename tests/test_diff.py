@@ -122,3 +122,51 @@ def test_apply_changes_equals_sequential_replay(spark) -> None:
     changes = spark.createDataFrame(feed, "id long, v double, op string, seq long")
     got = {r.id: r.v for r in apply_changes(base, changes, ["id"]).collect()}
     assert got == state
+
+
+def test_schema_diff_reports_all_change_classes(spark) -> None:
+    """added/removed/type_changed/nullability_changed each surface
+    exactly once; unchanged columns and column ORDER changes are
+    silent (columns are addressed by name)."""
+    from pyspark.sql import types as T
+
+    from etl_marketdata_downloader_archived_spark.operators.diff import (
+        schema_diff,
+    )
+
+    old = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("gone", T.StringType(), True),
+                T.StructField("widened", T.IntegerType(), True),
+                T.StructField("tightened", T.DoubleType(), True),
+                T.StructField("same", T.StringType(), True),
+            ]
+        ),
+    )
+    new = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("same", T.StringType(), True),  # moved: silent
+                T.StructField("id", T.LongType(), False),
+                T.StructField("widened", T.LongType(), True),
+                T.StructField("tightened", T.DoubleType(), False),
+                T.StructField("fresh", T.DateType(), True),
+            ]
+        ),
+    )
+    got = {d["column"]: d for d in schema_diff(old, new)}
+    assert set(got) == {"gone", "widened", "tightened", "fresh"}
+    assert got["gone"]["change"] == "removed" and got["gone"]["old"] == "string"
+    assert got["fresh"]["change"] == "added" and got["fresh"]["new"] == "date"
+    assert got["widened"]["change"] == "type_changed"
+    assert (got["widened"]["old"], got["widened"]["new"]) == ("int", "bigint")
+    assert got["tightened"]["change"] == "nullability_changed"
+    assert (got["tightened"]["old"], got["tightened"]["new"]) == (
+        "nullable",
+        "required",
+    )
+    assert schema_diff(old, old) == []
