@@ -1002,3 +1002,226 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_s",
         "p90_s",
     )
+
+
+@q(
+    "cohort_ltv_triangle",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               epoch_us(o_orderdate) // 604800000000 AS wk,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    ),
+    first_wk AS (
+        SELECT o_custkey, min(wk) AS cohort_wk FROM o GROUP BY 1
+    ),
+    sized AS (
+        SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
+        FROM first_wk GROUP BY 1
+    ),
+    cell AS (
+        SELECT f.cohort_wk, o.wk - f.cohort_wk AS age_wk,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+               CAST(sum(o.price_c) AS BIGINT) AS revenue_c
+        FROM o JOIN first_wk f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT cohort_wk, age_wk, n_active, revenue_c,
+               CAST(sum(revenue_c) OVER (PARTITION BY cohort_wk
+                                         ORDER BY age_wk)
+                    AS BIGINT) AS cum_revenue_c
+        FROM cell
+    )
+    SELECT t.cohort_wk, t.age_wk, t.n_active, t.revenue_c,
+           t.cum_revenue_c,
+           CAST(t.cum_revenue_c AS DOUBLE) / CAST(s.cohort_n AS DOUBLE)
+             / 100.0 AS cum_ltv_per_customer
+    FROM tri t JOIN sized s ON s.cohort_wk = t.cohort_wk
+    """,
+)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV development triangle - the subscription-analytics
+    staple behind payback-period curves: customers cohort by FIRST
+    order week, every order lands in the (cohort, age-in-weeks) cell,
+    and each cohort's cumulative revenue develops along the age axis.
+    Week buckets are epoch-microsecond integer DIV (the
+    conversion_latency rule), revenue is int cents, the development
+    window is partitioned per cohort over the AGE GRID (weeks since
+    first order - calendar-bounded, never order rows), and cumulative
+    LTV per cohort customer is one IEEE division at the end. Shape:
+    one customer-keyed first-order aggregate joined back (AQE
+    broadcasts the dim-sized cohort map), one (cohort, age) cell
+    aggregate, one grid-bounded window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp))"
+            " DIV 604800000000"
+        ).alias("wk"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    first_wk = o.groupBy("o_custkey").agg(F.min("wk").alias("cohort_wk"))
+    sized = first_wk.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    cell = (
+        o.join(first_wk, "o_custkey")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("price_c").alias("revenue_c"),
+        )
+    )
+    wv = W.partitionBy("cohort_wk").orderBy("age_wk")
+    tri = cell.select(
+        "cohort_wk",
+        "age_wk",
+        "n_active",
+        "revenue_c",
+        F.sum("revenue_c").over(wv).alias("cum_revenue_c"),
+    )
+    return tri.join(F.broadcast(sized), "cohort_wk").select(
+        "cohort_wk",
+        "age_wk",
+        "n_active",
+        "revenue_c",
+        "cum_revenue_c",
+        (
+            F.col("cum_revenue_c").cast("double")
+            / F.col("cohort_n").cast("double")
+            / 100.0
+        ).alias("cum_ltv_per_customer"),
+    )
+
+
+@q(
+    "share_shift",
+    oracle="""
+    WITH b AS (
+        SELECT s.s_nationkey AS nation,
+               CASE WHEN epoch_us(o.o_orderdate)
+                         < epoch_us(TIMESTAMP '1998-01-01') THEN 0
+                    ELSE 1 END AS period,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS rev_c
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    per AS (
+        SELECT nation, period, CAST(sum(rev_c) AS BIGINT) AS rev_c
+        FROM b GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT period, CAST(sum(rev_c) AS BIGINT) AS tot_c
+        FROM per GROUP BY 1
+    ),
+    wide AS (
+        SELECT n.nation,
+               coalesce(p0.rev_c, 0) AS rev0_c,
+               coalesce(p1.rev_c, 0) AS rev1_c
+        FROM (SELECT DISTINCT nation FROM per) n
+        LEFT JOIN per p0 ON p0.nation = n.nation AND p0.period = 0
+        LEFT JOIN per p1 ON p1.nation = n.nation AND p1.period = 1
+    )
+    SELECT w.nation, w.rev0_c, w.rev1_c,
+           CAST(w.rev0_c AS DOUBLE) / CAST(t0.tot_c AS DOUBLE) AS share0,
+           CAST(w.rev1_c AS DOUBLE) / CAST(t1.tot_c AS DOUBLE) AS share1,
+           CAST(w.rev1_c AS DOUBLE) / CAST(t1.tot_c AS DOUBLE)
+             - CAST(w.rev0_c AS DOUBLE) / CAST(t0.tot_c AS DOUBLE)
+             AS share_delta,
+           CAST(w.rev1_c AS HUGEINT) * CAST(t0.tot_c AS HUGEINT)
+             > CAST(w.rev0_c AS HUGEINT) * CAST(t1.tot_c AS HUGEINT)
+             AS gained
+    FROM wide w
+    CROSS JOIN (SELECT tot_c FROM tot WHERE period = 0) t0
+    CROSS JOIN (SELECT tot_c FROM tot WHERE period = 1) t1
+    """,
+)
+def share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period market-share shift by supplier nation:
+    discounted revenue split at the pinned 1998-01-01 boundary, each
+    nation's share in both periods, the share delta, and a GAINED
+    flag computed as a pure integer cross-multiplication
+    (rev1*tot0 > rev0*tot1 in decimal(38,0) - no float threshold and
+    no int64 wrap, so the movers set replays exactly even when the
+    share delta is at float noise scale). Nations absent from a period keep a zero row (LEFT joins
+    from the nation spine). Shape: one fact join tree collapsed to
+    the 25 x 2 (nation, period) table, everything after runs on that
+    - the two period totals broadcast back as scalars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            < F.unix_micros(F.lit("1998-01-01").cast("timestamp")),
+            0,
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("nation")
+    )
+    b = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .select(
+            "nation",
+            "period",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+    )
+    per = b.groupBy("nation", "period").agg(F.sum("rev_c").alias("rev_c"))
+    tot = per.groupBy("period").agg(F.sum("rev_c").alias("tot_c"))
+    spine = per.select("nation").distinct()
+    p0 = per.filter(F.col("period") == 0).select(
+        "nation", F.col("rev_c").alias("rev0_c")
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "nation", F.col("rev_c").alias("rev1_c")
+    )
+    t0 = tot.filter(F.col("period") == 0).select(
+        F.col("tot_c").alias("tot0_c")
+    )
+    t1 = tot.filter(F.col("period") == 1).select(
+        F.col("tot_c").alias("tot1_c")
+    )
+    wide = (
+        spine.join(p0, "nation", "left")
+        .join(p1, "nation", "left")
+        .select(
+            "nation",
+            F.coalesce(F.col("rev0_c"), F.lit(0)).alias("rev0_c"),
+            F.coalesce(F.col("rev1_c"), F.lit(0)).alias("rev1_c"),
+        )
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+    )
+    share0 = F.col("rev0_c").cast("double") / F.col("tot0_c").cast("double")
+    share1 = F.col("rev1_c").cast("double") / F.col("tot1_c").cast("double")
+    return wide.select(
+        "nation",
+        "rev0_c",
+        "rev1_c",
+        share0.alias("share0"),
+        share1.alias("share1"),
+        (share1 - share0).alias("share_delta"),
+        # decimal(38,0) products: cent-sums reach ~1e12 at sf0.1, so
+        # the cross-multiplication tops 1e24 - far past int64 (DuckDB
+        # auto-promotes to int128; Spark must be told)
+        (
+            F.col("rev1_c").cast("decimal(38,0)")
+            * F.col("tot0_c").cast("decimal(38,0)")
+            > F.col("rev0_c").cast("decimal(38,0)")
+            * F.col("tot1_c").cast("decimal(38,0)")
+        ).alias("gained"),
+    )

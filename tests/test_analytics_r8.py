@@ -421,3 +421,113 @@ def test_conversion_latency_vs_python(spark, sf_dir) -> None:
 
         want[wk] = (n_s, n, n / n_s, pick(50), pick(90))
     assert got == want
+
+
+def test_cohort_ltv_triangle_vs_python(spark, sf_dir) -> None:
+    """Development triangle vs a dict replay: first-order-week
+    cohorts, integer-DIV week buckets, cumulative development along
+    the age axis, per-customer LTV division - plus triangle
+    invariants (age 0 exists for every cohort and carries >= 1
+    active customer; cumulative is non-decreasing)."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        cohort_ltv_triangle,
+    )
+
+    got = {
+        (r.cohort_wk, r.age_wk): (
+            r.n_active, r.revenue_c, r.cum_revenue_c,
+            r.cum_ltv_per_customer,
+        )
+        for r in cohort_ltv_triangle(spark, sf_dir).collect()
+    }
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " DIV 604800000000"
+            ).alias("wk"),
+            "o_totalprice",
+        )
+        .collect()
+    )
+    first: dict = {}
+    for r in o:
+        first[r.o_custkey] = min(first.get(r.o_custkey, r.wk), r.wk)
+    cohort_n: Counter = Counter(first.values())
+    cells: dict = defaultdict(lambda: [set(), 0])
+    for r in o:
+        c = first[r.o_custkey]
+        cell = cells[(c, r.wk - c)]
+        cell[0].add(r.o_custkey)
+        cell[1] += _half_up(r.o_totalprice * 100)
+    want = {}
+    for c in cohort_n:
+        cum = 0
+        for (cc, age) in sorted(k for k in cells if k[0] == c):
+            users, rev = cells[(cc, age)]
+            cum += rev
+            want[(c, age)] = (
+                len(users), rev, cum, cum / cohort_n[c] / 100.0
+            )
+    assert got == want
+    for c, n in cohort_n.items():
+        assert (c, 0) in got and got[(c, 0)][0] >= 1
+        ages = sorted(a for (cc, a) in got if cc == c)
+        cums = [got[(c, a)][2] for a in ages]
+        assert cums == sorted(cums)
+
+
+def test_share_shift_vs_python(spark, sf_dir) -> None:
+    """Share-shift panel vs a dict replay; the integer
+    cross-multiplied 'gained' flag must agree with exact Fraction
+    share comparison (no float threshold), and deltas sum to ~0."""
+    from fractions import Fraction
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        share_shift,
+    )
+
+    got = {
+        r.nation: (r.rev0_c, r.rev1_c, r.share0, r.share1, r.share_delta,
+                   r.gained)
+        for r in share_shift(spark, sf_dir).collect()
+    }
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    o = {
+        r.o_orderkey: r.o_orderdate
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    sup = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .collect()
+    }
+    from datetime import datetime
+
+    cut = datetime(1998, 1, 1)
+    rev: dict = defaultdict(lambda: [0, 0])
+    for r in li:
+        p = 0 if o[r.l_orderkey] < cut else 1
+        rev[sup[r.l_suppkey]][p] += _half_up(
+            r.l_extendedprice * (1 - r.l_discount) * 100
+        )
+    tot0 = sum(v[0] for v in rev.values())
+    tot1 = sum(v[1] for v in rev.values())
+    assert set(got) == set(rev)
+    for n, (r0, r1) in rev.items():
+        g = got[n]
+        assert (g[0], g[1]) == (r0, r1)
+        assert g[2] == r0 / tot0 and g[3] == r1 / tot1
+        assert g[5] == (
+            Fraction(r1, tot1) > Fraction(r0, tot0)
+        )
+    assert abs(sum(g[4] for g in got.values())) < 1e-9
