@@ -401,9 +401,10 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.0,
     max_doc_freq: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within a bucket,
-    via an inverted-index join - the 100 TB formulation.
+    """Exact n-gram set-similarity pairs within a bucket, via an
+    inverted-index join - the 100 TB formulation.
 
     Instead of materializing all O(n^2) bucket pairs and intersecting
     arrays per pair (quadratic in bucket size AND per-pair array work),
@@ -413,7 +414,19 @@ def ngram_jaccard_pairs(
     |union| = |A| + |B| - |common|. A hyper-common shingle is a skew
     key - AQE skew-join splitting (enabled in session.py) spreads it;
     ``max_doc_freq`` removes it at the source (see inline note).
+
+    ``metric`` picks the similarity from the SAME (common, |A|, |B|)
+    triple - the index join is metric-agnostic:
+    - 'jaccard': |A∩B| / |A∪B| - symmetric resemblance; MISSES a
+      small doc wholly embedded in a large one (union is dominated
+      by the big doc).
+    - 'containment': |A∩B| / min(|A|, |B|) - max-containment, the
+      subset-duplication detector (a quote farm, a doc + boilerplate
+      wrapper, a page concatenating another). Column name follows
+      the metric.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric: {metric!r}")
     # persisted DISK_ONLY (the standard multi-consumer stage pattern
     # here): the shingle projection feeds the postings self-join's two
     # sides, the set-size lookup, and (with max_doc_freq) the document-
@@ -454,18 +467,20 @@ def ngram_jaccard_pairs(
     sizes = s.select(F.col(id_col), F.size("_sh").alias("_sz"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"))
+    if metric == "containment":
+        sim = F.col("_common").cast("double") / F.greatest(
+            F.least(F.col("_sz_a"), F.col("_sz_b")), F.lit(1)
+        ).cast("double")
+    else:
+        sim = F.col("_common").cast("double") / F.greatest(
+            F.col("_sz_a") + F.col("_sz_b") - F.col("_common"), F.lit(1)
+        ).cast("double")
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("_common").cast("double")
-            / F.greatest(
-                F.col("_sz_a") + F.col("_sz_b") - F.col("_common"), F.lit(1)
-            ).cast("double"),
-        )
-        .filter(F.col("jaccard") > threshold)
-        .select(F.col("_bucket").alias(bucket_col), "id_a", "id_b", "jaccard")
+        .withColumn(metric, sim)
+        .filter(F.col(metric) > threshold)
+        .select(F.col("_bucket").alias(bucket_col), "id_a", "id_b", metric)
     )
 
 

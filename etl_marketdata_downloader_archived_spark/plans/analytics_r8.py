@@ -1225,3 +1225,49 @@ def share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("tot1_c").cast("decimal(38,0)")
         ).alias("gained"),
     )
+
+
+@q(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct([
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in generate_series(1, greatest(len(w) - 2, 0))
+               ]) AS shingles
+        FROM (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS w
+              FROM documents)
+    )
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / greatest(least(len(a.shingles), len(b.shingles)), 1),
+                 6) AS containment
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / greatest(least(len(a.shingles), len(b.shingles)), 1) > 0.05
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-containment near-dup pairs (|A∩B| / min(|A|,|B|), 3-gram
+    shingles, within-source buckets) - the SUBSET-duplication
+    detector Jaccard structurally misses: a short doc wholly embedded
+    in a long one has tiny |A∩B|/|A∪B| (the union is dominated by
+    the long doc) but containment 1.0. Same inverted-index join as
+    dedup_ngram_jaccard (operators.dedup.ngram_jaccard_pairs,
+    metric='containment') - postings equi-join on (bucket, shingle),
+    never all-pairs, intersection from a count, the metric one IEEE
+    division over the same (common, |A|, |B|) triple."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", "source", n=3, threshold=0.05,
+        metric="containment",
+    )
+    return pairs.select(
+        "source",
+        "id_a",
+        "id_b",
+        F.round("containment", 6).alias("containment"),
+    )

@@ -1385,3 +1385,46 @@ def test_decode_media_real_png_and_wav(spark) -> None:
     assert got["trunc_wav"].modality_detected == "corrupt/wav"
     assert got["null_bytes"].modality_detected == "binary/null"
     assert got["null_bytes"].n_bytes is None and got["null_bytes"].checksum is None
+
+
+def test_ngram_containment_detects_subset_dup(spark) -> None:
+    """Containment catches a short doc wholly embedded in a long one
+    (containment 1.0) where Jaccard stays far below any useful
+    threshold; unrelated docs score 0 pairs; metric validation."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    longd = (
+        "intro words before the quote " + short
+        + " and a very long tail " + " ".join(f"w{i}" for i in range(60))
+    )
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short, "s"), (2, longd, "s"), (3, other, "s")],
+        ["doc_id", "text", "source"],
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", n=3, threshold=0.0,
+            metric="containment",
+        ).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", n=3, threshold=0.0
+        ).collect()
+    }
+    # the short doc's 4 shingles all appear in the long doc
+    assert cont[(1, 2)] == 1.0
+    assert jac[(1, 2)] < 0.1  # union dominated by the long doc
+    assert (1, 3) not in cont and (2, 3) not in cont
+    with _pytest.raises(ValueError, match="unknown metric"):
+        ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", metric="dice"
+        )
