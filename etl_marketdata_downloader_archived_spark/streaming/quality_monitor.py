@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.evaluation import binary_auc
@@ -25,6 +25,7 @@ __all__ = [
     "start_auc_monitor",
     "start_percentile_monitor",
     "start_seasonal_monitor",
+    "start_trending_monitor",
 ]
 
 
@@ -301,6 +302,83 @@ def start_seasonal_monitor(
                 "deviation double, is_anomaly boolean, status string, "
                 "batch_id bigint"
             ),
+        )
+        on_result(out, batch_id)
+
+    w = stream_df.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def start_trending_monitor(
+    stream_df: DataFrame,
+    value_col: str,
+    checkpoint: str,
+    on_result: Callable[[DataFrame, int], None],
+    by: list[str] | None = None,
+    k: int = 10,
+    max_items_tracked: int = 10000,
+    trigger_available_now: bool = True,
+):
+    """Streaming trending-items monitor over the MERGEABLE
+    heavy-hitter sketch family (operators.sketches): each micro-batch
+    accumulates its own per-group top-k state, which COMBINES with
+    the carried cumulative state - so every emission is the top-k
+    over the WHOLE stream so far, at sketch cost per trigger, never a
+    rescan. The online face of 'top items over any range'. Returns
+    the StreamingQuery.
+
+    Cross-batch state is the combined sketch rows themselves,
+    re-created driver-side each batch (the engine's control-table
+    rule: collect + createDataFrame, never a cached re-read of a
+    mutable source) - O(groups x max_items_tracked) and opaque to
+    this layer; merge associativity/commutativity is the sketch
+    family's contract, so the batch==stream twin holds whenever the
+    tracked-item budget covers the item universe (the exact regime
+    the pytest pins) and degrades to the sketch's usual approximation
+    beyond it. Emits (group..., item, count, rank, batch_id)."""
+    keys = list(by or [])
+    from ..operators.sketches import build_topk_sketches, estimate_topk
+
+    held: dict = {"rows": None, "schema": None}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_ref = batch_df.sparkSession
+        sb = build_topk_sketches(
+            batch_df, value_col, keys, max_items_tracked
+        )
+        if held["rows"]:
+            sb = sb.unionByName(
+                spark_ref.createDataFrame(held["rows"], held["schema"])
+            )
+        # coalesce(1): ApproxTopKCombine's partial aggregate cannot
+        # serialize the null buffer an EMPTY input partition produces
+        # (scala.MatchError in genSketchSerDe) - and the sketch frame
+        # is group-count bounded, so one partition is the right plan
+        # anyway
+        merged = (
+            sb.coalesce(1)
+            .groupBy(*keys)
+            .agg(
+                F.expr(
+                    "approx_top_k_combine(topk_state,"
+                    f" {int(max_items_tracked)})"
+                ).alias("topk_state")
+            )
+        )
+        rows = merged.collect()  # group-count bounded sketch rows
+        held["rows"], held["schema"] = rows, merged.schema
+        snap = spark_ref.createDataFrame(rows, merged.schema).coalesce(1)
+        out = estimate_topk(snap, k, group_cols=keys or None)
+        w = (
+            Window.partitionBy(*keys) if keys else Window.partitionBy()
+        ).orderBy(F.col("count").desc(), F.col("item"))
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .withColumn("batch_id", F.lit(batch_id))
         )
         on_result(out, batch_id)
 

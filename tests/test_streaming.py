@@ -950,3 +950,73 @@ def test_seasonal_monitor_stream_equals_batch(spark, tmp_path) -> None:
             assert r.n_prev == prev
             assert r.deviation == (n - prev) / prev
             assert r.is_anomaly == (2 * abs(n - prev) >= prev)
+
+
+def test_trending_monitor_stream_equals_batch(spark, tmp_path) -> None:
+    """Cumulative heavy-hitter emissions: each batch's top-k reflects
+    the WHOLE stream so far (carried combined sketch state), and the
+    final emission equals the batch sketch build+estimate over the
+    union - exact here because the tracked-item budget covers the
+    item universe."""
+    import os as _os
+    import time as _time
+
+    from etl_marketdata_downloader_archived_spark.operators.sketches import (
+        build_topk_sketches,
+        estimate_topk,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_trending_monitor,
+    )
+
+    b0 = ["a"] * 5 + ["b"] * 3 + ["c"] * 1
+    b1 = ["c"] * 6 + ["b"] * 1
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name, items in (("b0.json", b0), ("b1.json", b1)):
+        (in_dir / name).write_text(
+            "\n".join(json.dumps({"item_id": it}) for it in items)
+        )
+    now = _time.time()
+    _os.utime(in_dir / "b0.json", (now - 10, now - 10))
+    _os.utime(in_dir / "b1.json", (now, now))
+
+    emitted: dict = {}
+
+    def on_result(df, batch_id):
+        emitted[batch_id] = {
+            r.item: (r["count"], r.rank) for r in df.collect()
+        }
+
+    stream = (
+        spark.readStream.schema("item_id string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = start_trending_monitor(
+        stream,
+        "item_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_result=on_result,
+        k=10,
+        max_items_tracked=100,
+    )
+    q.awaitTermination(120)
+
+    assert len(emitted) == 2
+    # batch 0: stream-so-far counts
+    assert emitted[0] == {"a": (5, 1), "b": (3, 2), "c": (1, 3)}
+    # batch 1: CUMULATIVE - c overtakes via the carried state
+    assert emitted[1] == {"c": (7, 1), "a": (5, 2), "b": (4, 3)}
+
+    # twin vs the batch sketch path over the union
+    full = spark.createDataFrame(
+        [(it,) for it in b0 + b1], "item_id string"
+    )
+    want = {
+        r.item: r["count"]
+        for r in estimate_topk(
+            build_topk_sketches(full, "item_id", [], 100), 10
+        ).collect()
+    }
+    assert {i: c for i, (c, _r) in emitted[1].items()} == want
