@@ -1020,3 +1020,63 @@ def test_trending_monitor_stream_equals_batch(spark, tmp_path) -> None:
         ).collect()
     }
     assert {i: c for i, (c, _r) in emitted[1].items()} == want
+
+
+def test_trending_monitor_grouped_keeps_groups_separate(spark, tmp_path) -> None:
+    """Grouped mode: per-group cumulative top-k with independent
+    rank sequences; a group absent from a batch still carries its
+    state into later emissions."""
+    import os as _os
+    import time as _time
+
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_trending_monitor,
+    )
+
+    b0 = [("us", "a"), ("us", "a"), ("eu", "x")]
+    b1 = [("us", "b"), ("us", "b"), ("us", "b")]  # eu absent this batch
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name, rows in (("b0.json", b0), ("b1.json", b1)):
+        (in_dir / name).write_text(
+            "\n".join(
+                json.dumps({"region": g, "item_id": it}) for g, it in rows
+            )
+        )
+    now = _time.time()
+    _os.utime(in_dir / "b0.json", (now - 10, now - 10))
+    _os.utime(in_dir / "b1.json", (now, now))
+
+    emitted: dict = {}
+
+    def on_result(df, batch_id):
+        emitted[batch_id] = {
+            (r.region, r.item): (r["count"], r.rank) for r in df.collect()
+        }
+
+    stream = (
+        spark.readStream.schema("region string, item_id string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = start_trending_monitor(
+        stream,
+        "item_id",
+        checkpoint=str(tmp_path / "ckpt"),
+        on_result=on_result,
+        by=["region"],
+        k=5,
+        max_items_tracked=100,
+    )
+    q.awaitTermination(120)
+
+    assert emitted[0] == {
+        ("us", "a"): (2, 1),
+        ("eu", "x"): (1, 1),
+    }
+    # eu state survives a batch with no eu rows; us ranks re-shuffle
+    assert emitted[1] == {
+        ("us", "b"): (3, 1),
+        ("us", "a"): (2, 2),
+        ("eu", "x"): (1, 1),
+    }
