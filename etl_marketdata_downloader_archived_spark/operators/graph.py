@@ -374,10 +374,13 @@ def degree_assortativity(
     bit-for-bit. Overflow: the moment sums are cast to decimal(38,0)
     BEFORE the n*Sxx / n*Sxy / Sx^2 products, so past the int64 bound
     (n*Sxx <= 4 m^2 d_max^2, ~10^6 edges with 10^3-degree hubs) the
-    coefficient degrades to NULL (decimal overflow) instead of a
-    silently wrapped bigint product - within the bound the
-    decimal->double cast of the exact integer is bit-identical to the
-    bigint path, so oracles replaying bigint arithmetic still match.
+    product overflows DECIMAL and the query FAILS LOUDLY (ANSI mode -
+    the engine's and the driver's default - raises
+    NUMERIC_VALUE_OUT_OF_RANGE; only a non-ANSI session would return
+    NULL) instead of silently wrapping a bigint into a wrong
+    coefficient. Within the bound the decimal->double cast of the
+    exact integer is bit-identical to the bigint path, so oracles
+    replaying bigint arithmetic still match.
 
     Scale shape: dedupe edges (one shuffle), one degree aggregate
     (map-side combinable), two broadcast-or-shuffle joins of the
@@ -413,9 +416,10 @@ def degree_assortativity(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    # decimal(38,0) products: exact integers with null-on-overflow,
-    # never a wrapped int64 (the sums themselves are degree-scale,
-    # far below the bound; only the products can overflow)
+    # decimal(38,0) products: exact integers that ERROR on overflow
+    # under ANSI (never a silently wrapped int64; the sums themselves
+    # are degree-scale, far below the bound - only the products can
+    # overflow)
     dn = F.col("n").cast("decimal(38,0)")
     dsx = F.col("sx").cast("decimal(38,0)")
     num = dn * F.col("sxy").cast("decimal(38,0)") - dsx * dsx

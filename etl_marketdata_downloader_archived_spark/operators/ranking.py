@@ -363,14 +363,22 @@ def mine_basket_pairs(
     re-aggregate collapsed membership (never the raw feed), and the
     vocabulary-sized support tables broadcast back onto the
     min_support-pruned pair groups."""
+    from pyspark import StorageLevel
+
     b = F.col(basket_col)
     i = F.col(item_col)
     if max_basket_size is not None:
+        # persisted DISK_ONLY (the multi-consumer stage pattern, same
+        # as the dedup shingle stage): the basket-array aggregate
+        # feeds THREE consumers - the basket total, the item
+        # supports, and the pair explosion - each of which would
+        # otherwise re-run the fact-table aggregate
         baskets = (
             df.select(b.alias("_basket"), i.alias("_item"))
             .groupBy("_basket")
             .agg(F.sort_array(F.collect_set("_item")).alias("_items"))
             .filter(F.size("_items") <= int(max_basket_size))
+            .persist(StorageLevel.DISK_ONLY)
         )
         n_baskets = baskets.select(F.count(F.lit(1)).alias("n"))
         member = baskets.select(F.explode("_items").alias("_item"))
@@ -393,7 +401,11 @@ def mine_basket_pairs(
             F.explode(pair_structs).alias("_p")
         ).select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
     else:
-        op = df.select(b.alias("_basket"), i.alias("_item")).distinct()
+        op = (
+            df.select(b.alias("_basket"), i.alias("_item"))
+            .distinct()
+            .persist(StorageLevel.DISK_ONLY)
+        )
         n_baskets = op.select(F.countDistinct("_basket").alias("n"))
         item = op.groupBy("_item").agg(F.count(F.lit(1)).alias("c"))
         x = op.select("_basket", F.col("_item").alias("a"))

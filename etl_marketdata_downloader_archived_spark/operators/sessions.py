@@ -371,7 +371,15 @@ def event_transitions(
     pairs = df.select(
         F.col(event_col).alias("from_event"),
         F.lead(F.col(event_col)).over(w).alias("to_event"),
-    ).filter(F.col("to_event").isNotNull())
+    ).filter(
+        # a NULL EVENT VALUE is a malformed row, not a transition
+        # state: pairs touching one drop on BOTH sides. (from_event
+        # was already implicitly dropped by the null equi-join with
+        # the totals below - made explicit so the rule is visible and
+        # the streaming twin can mirror it.) The stream-end rule is
+        # separate: lead() yields NULL to_event there too.
+        F.col("to_event").isNotNull() & F.col("from_event").isNotNull()
+    )
     c = pairs.groupBy("from_event", "to_event").agg(
         F.count(F.lit(1)).alias("n_pair")
     )

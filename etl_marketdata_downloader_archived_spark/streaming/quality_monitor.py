@@ -213,6 +213,27 @@ def start_percentile_monitor(
     return w.start()
 
 
+def _refuse_committed_checkpoint(spark, checkpoint: str, monitor: str) -> None:
+    """Cumulative monitors (seasonal, trending) carry cross-batch
+    state in the driver, NOT in the checkpoint: restarting against a
+    checkpoint with prior commits would skip the already-processed
+    batches while the store restarts empty - every cumulative count
+    silently wrong. Fail at start() instead (through the Hadoop FS
+    abstraction, so any checkpoint scheme is covered)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    p = jvm_path(checkpoint.rstrip("/") + "/commits")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p) and len(fs.listStatus(p)) > 0:
+        raise ValueError(
+            f"{monitor}: checkpoint {checkpoint!r} has committed batches, "
+            "but this monitor's cumulative state lives in the driver and "
+            "did not survive the restart - resuming would silently "
+            "under-count every bucket. Use a fresh checkpoint per monitor "
+            "run (or persist the state snapshot per batch_id to make "
+            "resume exact)."
+        )
+
+
 def start_seasonal_monitor(
     stream_df: DataFrame,
     ts_col: str,
@@ -248,35 +269,52 @@ def start_seasonal_monitor(
     contract: 'ok' when a baseline exists, 'no_baseline' when the
     lagged hour has no rows yet (the row is PRESENT with NULL
     deviation - a brand-new series is a fact worth alarming on, not
-    a missing key)."""
+    a missing key). NULL timestamps drop (the batch twin's equi-join
+    drops them too); hour keys are epoch-microsecond integers
+    internally, so the day-back pairing is DST-proof on any driver
+    timezone. The cumulative store is in-memory: restarting against
+    an already-committed checkpoint would silently drop it, so
+    start() REFUSES a checkpoint with prior commits - use a fresh
+    checkpoint per monitor run (persisting the store snapshot per
+    batch_id is the production extension)."""
     keys = list(by or [])
-    from datetime import timedelta
 
     store: dict = {}
-    lag = timedelta(hours=lag_hours)
+    # the hour keys live as EPOCH MICROSECONDS, never datetimes:
+    # collect() hands back naive session/local-time datetimes, and
+    # timedelta arithmetic on those mis-pairs buckets across DST
+    # transitions on a non-UTC driver - integer micros lag exactly
+    lag_us = int(lag_hours) * 3_600_000_000
     spark_ref = stream_df.sparkSession
+    _refuse_committed_checkpoint(
+        spark_ref, checkpoint, "start_seasonal_monitor"
+    )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_counts = (
-            batch_df.groupBy(
-                *keys, F.date_trunc("hour", F.col(ts_col)).alias("_hour")
+            batch_df.filter(F.col(ts_col).isNotNull())
+            .groupBy(
+                *keys,
+                F.unix_micros(
+                    F.date_trunc("hour", F.col(ts_col))
+                ).alias("_hour_us"),
             )
             .agg(F.count(F.lit(1)).alias("_n"))
             .collect()  # grid-bounded: groups x hours, never rows
         )
         touched = set()
         for r in batch_counts:
-            k = tuple(r[c] for c in keys) + (r["_hour"],)
+            k = tuple(r[c] for c in keys) + (r["_hour_us"],)
             store[k] = store.get(k, 0) + r["_n"]
             touched.add(k)
             # the hour this one BASELINES must re-emit too
-            dep = k[:-1] + (k[-1] + lag,)
+            dep = k[:-1] + (k[-1] + lag_us,)
             if dep in store:
                 touched.add(dep)
         rows = []
         for k in sorted(touched, key=lambda t: tuple(map(str, t))):
             n = store[k]
-            prev = store.get(k[:-1] + (k[-1] - lag,))
+            prev = store.get(k[:-1] + (k[-1] - lag_us,))
             if prev is None:
                 rows.append(
                     k + (n, None, None, False, "no_baseline", batch_id)
@@ -295,13 +333,20 @@ def start_seasonal_monitor(
                 )
         dtypes = dict(batch_df.dtypes)
         key_schema = "".join(f"{c} {dtypes[c]}, " for c in keys)
-        out = spark_ref.createDataFrame(
-            rows,
-            schema=(
-                key_schema + "hour_ts timestamp, n bigint, n_prev bigint, "
-                "deviation double, is_anomaly boolean, status string, "
-                "batch_id bigint"
-            ),
+        out = (
+            spark_ref.createDataFrame(
+                rows,
+                schema=(
+                    key_schema + "hour_us bigint, n bigint, "
+                    "n_prev bigint, deviation double, is_anomaly boolean, "
+                    "status string, batch_id bigint"
+                ),
+            )
+            .withColumn("hour_ts", F.timestamp_micros(F.col("hour_us")))
+            .select(
+                *keys, "hour_ts", "n", "n_prev", "deviation",
+                "is_anomaly", "status", "batch_id",
+            )
         )
         on_result(out, batch_id)
 
@@ -343,6 +388,9 @@ def start_trending_monitor(
     keys = list(by or [])
     from ..operators.sketches import build_topk_sketches, estimate_topk
 
+    _refuse_committed_checkpoint(
+        stream_df.sparkSession, checkpoint, "start_trending_monitor"
+    )
     held: dict = {"rows": None, "schema": None}
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -373,7 +373,9 @@ def streaming_transitions(
     the count level inherits.
 
     Within a batch a user's rows sort by (ts, tiebreak); the first
-    sorted row pairs against the carried predecessor. Same ordering
+    sorted row pairs against the carried predecessor. Pairs touching
+    a NULL event VALUE drop on both sides (the batch operator's
+    explicit rule), including across a batch boundary. Same ordering
     caveat as streaming_sessionize/streaming_ewma: rows arriving in a
     LATER batch than a larger timestamp fold in arrival order.
 
@@ -414,8 +416,21 @@ def streaming_transitions(
                 "to_event": ev,
             }
         )
-        out = out[out["from_event"].notna()]
-        state.update((int(t_ns.iloc[-1]), str(ev.iloc[-1])))
+        # the batch twin's NULL rule: pairs touching a NULL event
+        # VALUE drop on both sides, and a missing predecessor (first
+        # row ever) is the same NaN - one notna filter covers both; a
+        # NULL carried in state stays None (never the string 'None')
+        # and correctly kills the boundary pair
+        out = out[out["from_event"].notna() & out["to_event"].notna()]
+        # store the raw last value (None stays None - str() would
+        # fabricate a 'None' event); .item() denumpifies scalars so
+        # the state row round-trips for non-string event columns too
+        last = ev.iloc[-1]
+        if pd.isna(last):
+            last = None
+        elif hasattr(last, "item"):
+            last = last.item()
+        state.update((int(t_ns.iloc[-1]), last))
         if use_ttl:
             state.setTimeoutDuration(state_ttl_ms)
         yield out
@@ -423,7 +438,7 @@ def streaming_transitions(
     return df.groupBy(user).applyInPandasWithState(
         update,
         outputStructType=out_schema,
-        stateStructType="last_ts_ns long, last_event string",
+        stateStructType=f"last_ts_ns long, last_event {in_schema[event]}",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

@@ -347,3 +347,86 @@ def test_streaming_transitions_equals_batch(spark, tmp_path) -> None:
     }
     assert dict(streamed) == want
     assert streamed[("click", "purchase")] == 1  # the straddling pair
+
+
+def test_streaming_transitions_int_events_and_null_values(
+    spark, tmp_path
+) -> None:
+    """Review regressions: (a) a non-string event column must
+    round-trip through the carried state (state schema follows the
+    input dtype - the str() coercion bug); (b) pairs touching a NULL
+    event VALUE drop on both sides exactly like the batch operator -
+    including a NULL carried across the batch boundary, which must
+    not become the string 'None'."""
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        event_transitions,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_transitions,
+    )
+
+    # user 1: 10, NULL, 30 - both its pairs touch the NULL and drop
+    # (the NULL straddles the boundary via state); user 2: clean int
+    # codes with the (8 -> 9) pair straddling the boundary
+    b1 = [(1, 1, 10, "2024-03-01 09:00:00"),
+          (1, 2, None, "2024-03-01 09:10:00"),
+          (2, 3, 7, "2024-03-01 09:00:00"),
+          (2, 4, 8, "2024-03-01 09:05:00")]
+    b2 = [(1, 5, 30, "2024-03-01 09:20:00"),
+          (2, 6, 9, "2024-03-01 09:30:00")]
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"user_id": u, "event_id": e, "code": c, "ts": t}
+                )
+                for u, e, c, t in rows
+            )
+        )
+        time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    ev = raw.select(
+        F.from_json(
+            "value", "user_id LONG, event_id LONG, code LONG, ts TIMESTAMP"
+        ).alias("j")
+    ).select("j.*")
+    out = streaming_transitions(
+        ev, "user_id", "ts", "code", tiebreak="event_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trans_int_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = Counter(
+        (r.from_event, r.to_event)
+        for r in spark.sql("select * from trans_int_out").collect()
+    )
+
+    both = spark.createDataFrame(
+        b1 + b2, "user_id long, event_id long, code long, ts_s string"
+    ).select(
+        "user_id", "event_id", "code",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    want = Counter()
+    for r in event_transitions(
+        both, "user_id", "ts", "code", "event_id"
+    ).collect():
+        want[(r.from_event, r.to_event)] += r.n_pair
+    assert streamed == want
+    assert streamed == Counter({(7, 8): 1, (8, 9): 1})
+    assert (10, None) not in streamed and (None, 30) not in streamed

@@ -1080,3 +1080,43 @@ def test_trending_monitor_grouped_keeps_groups_separate(spark, tmp_path) -> None
         ("us", "a"): (2, 2),
         ("eu", "x"): (1, 1),
     }
+
+
+def test_cumulative_monitors_refuse_committed_checkpoint(
+    spark, tmp_path
+) -> None:
+    """Restart hazard made LOUD: the seasonal and trending monitors
+    carry cumulative state in the driver, so resuming an
+    already-committed checkpoint (which would skip batches while the
+    store restarts empty) must raise at start(), not silently
+    under-count."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_seasonal_monitor,
+        start_trending_monitor,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b0.json").write_text(
+        json.dumps({"event_type": "x", "ts": "2024-06-01 09:00:00"})
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("event_type string, ts timestamp").json(
+        str(in_dir)
+    )
+    q = start_seasonal_monitor(
+        stream, "ts", checkpoint=ckpt, on_result=lambda df, b: None
+    )
+    q.awaitTermination(120)
+
+    with _pytest.raises(ValueError, match="committed batches"):
+        start_seasonal_monitor(
+            stream, "ts", checkpoint=ckpt, on_result=lambda df, b: None
+        )
+    with _pytest.raises(ValueError, match="committed batches"):
+        start_trending_monitor(
+            stream, "event_type", checkpoint=ckpt,
+            on_result=lambda df, b: None,
+        )
