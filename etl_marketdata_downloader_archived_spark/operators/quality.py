@@ -63,3 +63,41 @@ def fk_violations(
     return child.filter(F.col(child_key).isNotNull()).join(
         F.broadcast(keys), child_key, "left_anti"
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant: list[str] | str,
+    dependent: str,
+) -> DataFrame:
+    """Functional-dependency checker: does ``determinant`` determine
+    ``dependent``? Returns one row per VIOLATING determinant value -
+    a key whose rows carry more than one distinct dependent value -
+    with the distinct-value count, the row count, and the two
+    extreme witnesses (min/max dependent), so the violation is
+    immediately inspectable without a second query. Empty result ==
+    the FD holds; the schema-level companion of fk_violations (keys
+    exist) and validate (rows are well-formed): COLUMNS RELATE.
+
+    The classic silent-corruption detectors: order_id -> order_date
+    after a bad merge, user_id -> signup_country after a region
+    split, sku -> unit_price inside one snapshot. NULL dependents
+    count as a distinct state (a key mapping to both a value and
+    NULL is two verdicts about the same fact, which IS a violation)
+    - count(DISTINCT x) ignores NULLs, so the null state is folded
+    in explicitly via a max-null flag.
+
+    Scale shape: one partial-combined aggregate on the determinant
+    key; output is violation-sized, never table-sized. No windows,
+    no joins."""
+    keys = [determinant] if isinstance(determinant, str) else list(determinant)
+    has_null = F.max(
+        F.when(F.col(dependent).isNull(), 1).otherwise(0)
+    )
+    agg = df.groupBy(*keys).agg(
+        (F.countDistinct(dependent) + has_null).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(dependent).alias("witness_min"),
+        F.max(dependent).alias("witness_max"),
+    )
+    return agg.filter(F.col("n_distinct") > 1)

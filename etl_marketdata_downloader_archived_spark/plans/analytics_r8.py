@@ -1271,3 +1271,104 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.round("containment", 6).alias("containment"),
     )
+
+
+def _fd_cell(df: DataFrame, label: str, det: list[str], dep: str) -> DataFrame:
+    """One fd_panel row: violation stats for a declared dependency."""
+    from ..operators.quality import fd_violations
+
+    viol = fd_violations(df, det, dep)
+    keys = df.select(*det).distinct().select(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+    v = viol.select(
+        F.count(F.lit(1)).alias("n_violating"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows_in_violation"),
+    )
+    return keys.crossJoin(F.broadcast(v)).select(
+        F.lit(label).alias("fd"),
+        "n_keys",
+        "n_violating",
+        "rows_in_violation",
+        (F.col("n_violating") == 0).alias("holds"),
+    )
+
+
+@q(
+    "fd_panel",
+    oracle="""
+    WITH allc AS (
+        SELECT 'orders: o_orderkey -> o_orderstatus' AS fd,
+               CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS d
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem: l_orderkey -> l_returnflag',
+               CAST(l_orderkey AS VARCHAR), l_returnflag
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem: l_partkey -> l_suppkey',
+               CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer: c_nationkey -> c_mktsegment',
+               CAST(c_nationkey AS VARCHAR), c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT 'part: p_brand -> p_type', p_brand, p_type
+        FROM part
+    ),
+    per_key AS (
+        SELECT fd, k,
+               CAST(count(DISTINCT d)
+                    + max(CASE WHEN d IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_distinct,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM allc GROUP BY 1, 2
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN n_distinct > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating,
+           CAST(sum(CASE WHEN n_distinct > 1 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_in_violation,
+           sum(CASE WHEN n_distinct > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM per_key GROUP BY fd
+    """,
+)
+def fd_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit panel
+    (operators.quality.fd_violations): five declared dependencies
+    checked in one report - key uniqueness FDs that must hold
+    (o_orderkey -> o_orderstatus) next to business FDs that
+    legitimately fail on TPC-H-shaped data (an order mixes return
+    flags, a part has several suppliers, a nation spans market
+    segments) - n_keys / violating keys / rows inside violations per
+    dependency, all exact bigint counts. The columns-RELATE gate
+    beside fk_integrity's keys-EXIST gate. Each check is one
+    partial-combined aggregate on its determinant; output is 5
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    cells = [
+        _fd_cell(o, "orders: o_orderkey -> o_orderstatus",
+                 ["o_orderkey"], "o_orderstatus"),
+        _fd_cell(li, "lineitem: l_orderkey -> l_returnflag",
+                 ["l_orderkey"], "l_returnflag"),
+        _fd_cell(
+            li.select(
+                "l_partkey", F.col("l_suppkey").cast("string").alias("d")
+            ),
+            "lineitem: l_partkey -> l_suppkey",
+            ["l_partkey"],
+            "d",
+        ),
+        _fd_cell(c, "customer: c_nationkey -> c_mktsegment",
+                 ["c_nationkey"], "c_mktsegment"),
+        _fd_cell(p, "part: p_brand -> p_type", ["p_brand"], "p_type"),
+    ]
+    out = cells[0]
+    for cell in cells[1:]:
+        out = out.unionByName(cell)
+    return out

@@ -531,3 +531,32 @@ def test_share_shift_vs_python(spark, sf_dir) -> None:
             Fraction(r1, tot1) > Fraction(r0, tot0)
         )
     assert abs(sum(g[4] for g in got.values())) < 1e-9
+
+
+def test_fd_violations_detects_and_clears(spark) -> None:
+    """FD checker: a key with two dependent values (or a value + a
+    NULL - two verdicts about the same fact) violates; single-valued
+    keys - including all-NULL ones - do not; composite determinants
+    work; empty result when the FD holds."""
+    from etl_marketdata_downloader_archived_spark.operators.quality import (
+        fd_violations,
+    )
+
+    rows = [
+        (1, "a", "x"), (1, "a", "x"),          # clean key
+        (2, "b", "x"), (2, "c", "x"),          # violation: b vs c
+        (3, None, "x"), (3, None, "x"),        # all-NULL: single state
+        (4, "d", "x"), (4, None, "x"),         # value + NULL: violation
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "z"])
+    got = {r.k: (r.n_distinct, r.n_rows, r.witness_min, r.witness_max)
+           for r in fd_violations(df, "k", "v").collect()}
+    assert set(got) == {2, 4}
+    assert got[2] == (2, 2, "b", "c")
+    assert got[4] == (2, 2, "d", "d")  # NULL folded in via the flag
+    # composite determinant: (k, z) -> v has the same violations
+    assert {
+        r.k for r in fd_violations(df, ["k", "z"], "v").collect()
+    } == {2, 4}
+    # an FD that holds -> empty
+    assert fd_violations(df, "k", "z").count() == 0
