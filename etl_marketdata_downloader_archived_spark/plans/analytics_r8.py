@@ -1372,3 +1372,92 @@ def fd_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cell in cells[1:]:
         out = out.unionByName(cell)
     return out
+
+
+@q(
+    "rising_parts",
+    oracle="""
+    WITH mx AS (
+        SELECT max(epoch_us(o_orderdate) // 604800000000) AS last_wk
+        FROM orders
+    ),
+    f AS (
+        SELECT l.l_partkey,
+               epoch_us(o.o_orderdate) // 604800000000 AS wk,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT p.l_partkey,
+               coalesce(cur.n, 0) AS n_cur,
+               coalesce(prev.n, 0) AS n_prev
+        FROM (SELECT DISTINCT l_partkey FROM f) p
+        CROSS JOIN mx
+        LEFT JOIN f cur ON cur.l_partkey = p.l_partkey
+                        AND cur.wk = mx.last_wk
+        LEFT JOIN f prev ON prev.l_partkey = p.l_partkey
+                         AND prev.wk = mx.last_wk - 1
+    )
+    SELECT l_partkey, n_cur, n_prev, n_cur - n_prev AS delta
+    FROM wide
+    WHERE n_cur > n_prev
+    ORDER BY n_cur - n_prev DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def rising_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 week-over-week rising parts: order-line counts in the
+    corpus's LAST full week vs the week before, risers ranked by the
+    integer delta under a deterministic (delta DESC, partkey) order -
+    the trending-SKU cut, and the batch counterpart of the streaming
+    trending monitor (that one ranks cumulative mass; this ranks
+    CHANGE). Weeks are epoch-microsecond integer DIV; the last-week
+    scalar is one aggregate broadcast back; parts absent from a week
+    count 0 (LEFT joins from the part spine), so new entrants rank by
+    their full count. Everything is bigint arithmetic - no float
+    anywhere - and the top-20 runs as TakeOrderedAndProject over the
+    (part, week)-aggregated table, never raw lines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) DIV 604800000000"
+        ).alias("wk"),
+    )
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_partkey", "wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mx = f.agg(F.max("wk").alias("last_wk"))
+    spine = f.select("l_partkey").distinct()
+    fx = f.crossJoin(F.broadcast(mx))
+    cur = fx.filter(F.col("wk") == F.col("last_wk")).select(
+        "l_partkey", F.col("n").alias("n_cur")
+    )
+    prev = fx.filter(F.col("wk") == F.col("last_wk") - 1).select(
+        "l_partkey", F.col("n").alias("n_prev")
+    )
+    wide = (
+        spine.join(cur, "l_partkey", "left")
+        .join(prev, "l_partkey", "left")
+        .select(
+            "l_partkey",
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+            F.coalesce(F.col("n_prev"), F.lit(0)).alias("n_prev"),
+        )
+    )
+    return (
+        wide.filter(F.col("n_cur") > F.col("n_prev"))
+        .select(
+            "l_partkey",
+            "n_cur",
+            "n_prev",
+            (F.col("n_cur") - F.col("n_prev")).alias("delta"),
+        )
+        .orderBy(F.col("delta").desc(), "l_partkey")
+        .limit(20)
+    )

@@ -560,3 +560,47 @@ def test_fd_violations_detects_and_clears(spark) -> None:
     } == {2, 4}
     # an FD that holds -> empty
     assert fd_violations(df, "k", "z").count() == 0
+
+
+def test_rising_parts_vs_python(spark, sf_dir) -> None:
+    """Week-over-week risers vs a dict replay: integer-DIV weeks,
+    zero-filled absentees, integer delta order with the partkey
+    tie-break, riser-only filter."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r8 import (
+        rising_parts,
+    )
+
+    got = [
+        (r.l_partkey, r.n_cur, r.n_prev, r.delta)
+        for r in rising_parts(spark, sf_dir).collect()
+    ]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_orderkey")
+        .collect()
+    )
+    o = {
+        r.o_orderkey: r.wk
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " DIV 604800000000"
+            ).alias("wk"),
+        )
+        .collect()
+    }
+    counts: Counter = Counter()
+    for r in li:
+        counts[(r.l_partkey, o[r.l_orderkey])] += 1
+    last = max(wk for _p, wk in counts)
+    parts = {p for p, _wk in counts}
+    rows = []
+    for p in parts:
+        cur = counts.get((p, last), 0)
+        prev = counts.get((p, last - 1), 0)
+        if cur > prev:
+            rows.append((p, cur, prev, cur - prev))
+    rows.sort(key=lambda t: (-t[3], t[0]))
+    assert got == rows[:20]
