@@ -332,3 +332,24 @@ def test_explain_scan_detects_forward_frames(spark) -> None:
     assert forward_frames(plan_of(ok_running)) == 0
     assert forward_frames(plan_of(ok_whole)) == 0
     assert forward_frames(plan_of(ok_bounded)) == 0
+
+
+def test_every_round8_query_has_a_scale_probe_row() -> None:
+    """Round 7's verdict flagged the one registered query that
+    shipped without a SCALE.md probe row (ltv_quintiles). Mechanized
+    like the README count: every query registered by the round-8
+    module must appear in SCALE.md, so a future query cannot ship
+    unprobed without failing here."""
+    import etl_marketdata_downloader_archived_spark.plans.analytics_r8 as r8
+    from etl_marketdata_downloader_archived_spark.plans.registry import (
+        all_queries,
+    )
+
+    r8_names = {
+        fn for fn in all_queries()
+        if getattr(r8, fn, None) is not None and callable(getattr(r8, fn))
+    }
+    assert len(r8_names) >= 13  # the round-8 battery
+    scale = open("/root/repo/SCALE.md", encoding="utf-8").read()
+    missing = sorted(n for n in r8_names if n not in scale)
+    assert missing == [], f"registered without a SCALE.md row: {missing}"
