@@ -213,25 +213,91 @@ def start_percentile_monitor(
     return w.start()
 
 
-def _refuse_committed_checkpoint(spark, checkpoint: str, monitor: str) -> None:
-    """Cumulative monitors (seasonal, trending) carry cross-batch
-    state in the driver, NOT in the checkpoint: restarting against a
-    checkpoint with prior commits would skip the already-processed
-    batches while the store restarts empty - every cumulative count
-    silently wrong. Fail at start() instead (through the Hadoop FS
-    abstraction, so any checkpoint scheme is covered)."""
+class _StateSnapshots:
+    """Per-batch snapshots of a cumulative monitor's control-table
+    state, persisted UNDER the stream checkpoint so resume is exact:
+    ``on_batch(N)`` rebuilds from snapshot ``N-1`` whenever the
+    in-memory store does not already reflect it, merges the batch,
+    and writes snapshot ``N`` BEFORE returning - and Spark commits
+    batch ``N`` only after ``foreachBatch`` returns, so every
+    committed batch has its snapshot on disk. A crash between
+    snapshot and commit replays batch ``N`` against snapshot ``N-1``
+    and overwrites snapshot ``N`` with identical content (replay is
+    idempotent; ``on_result`` re-fires for that batch_id, the normal
+    at-least-once foreachBatch contract).
+
+    Snapshots are parquet (any state the engine can frame, including
+    binary sketch structs) addressed through the Hadoop FS
+    abstraction, so any checkpoint scheme works; only the last two
+    batches are retained (``N-1`` is the replay base, older ones are
+    unreachable)."""
+
+    def __init__(self, spark, checkpoint: str):
+        self.spark = spark
+        self.base = checkpoint.rstrip("/") + "/state_snapshots"
+        self._jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jvm_path(self.base).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def path(self, batch_id: int) -> str:
+        return f"{self.base}/batch-{int(batch_id)}"
+
+    def has(self, batch_id: int) -> bool:
+        return self._fs.exists(self._jvm_path(self.path(batch_id)))
+
+    def read(self, batch_id: int) -> DataFrame:
+        return self.spark.read.parquet(self.path(batch_id))
+
+    def any_snapshot(self) -> bool:
+        p = self._jvm_path(self.base)
+        return self._fs.exists(p) and len(self._fs.listStatus(p)) > 0
+
+    def write(self, batch_id: int, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.path(batch_id))
+        # GC: N-1 stays (the replay base); everything older is
+        # unreachable by the resume protocol
+        p = self._jvm_path(self.base)
+        for st in self._fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("batch-"):
+                try:
+                    bid = int(name[len("batch-"):])
+                except ValueError:
+                    continue
+                if bid <= batch_id - 2:
+                    self._fs.delete(st.getPath(), True)
+
+
+def _check_resumable(
+    spark, checkpoint: str, monitor: str
+) -> "_StateSnapshots":
+    """Cumulative monitors carry cross-batch state in the driver; the
+    per-batch ``_StateSnapshots`` protocol makes restart exact. The
+    one unrecoverable case is a checkpoint with committed batches but
+    NO snapshot (a run from before snapshots existed, or a
+    hand-deleted state dir): resuming it would restart the store
+    empty and silently under-count every bucket - fail at start()
+    instead (through the Hadoop FS abstraction, so any checkpoint
+    scheme is covered)."""
+    snaps = _StateSnapshots(spark, checkpoint)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     p = jvm_path(checkpoint.rstrip("/") + "/commits")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(p) and len(fs.listStatus(p)) > 0:
+    if (
+        fs.exists(p)
+        and len(fs.listStatus(p)) > 0
+        and not snaps.any_snapshot()
+    ):
         raise ValueError(
-            f"{monitor}: checkpoint {checkpoint!r} has committed batches, "
-            "but this monitor's cumulative state lives in the driver and "
-            "did not survive the restart - resuming would silently "
-            "under-count every bucket. Use a fresh checkpoint per monitor "
-            "run (or persist the state snapshot per batch_id to make "
-            "resume exact)."
+            f"{monitor}: checkpoint {checkpoint!r} has committed batches "
+            "but no state snapshot - this monitor's cumulative state did "
+            "not survive the restart, and resuming would silently "
+            "under-count every bucket. Use a fresh checkpoint (snapshots "
+            "written by this version make future restarts resume "
+            "exactly)."
         )
+    return snaps
 
 
 def start_seasonal_monitor(
@@ -242,6 +308,8 @@ def start_seasonal_monitor(
     by: list[str] | None = None,
     lag_hours: int = 24,
     trigger_available_now: bool = True,
+    max_store_rows: int = 1_000_000,
+    horizon_hours: int | None = None,
 ):
     """Streaming seasonal-naive deviation monitor - the online twin of
     the ``seasonal_deviation`` batch query: per micro-batch, each
@@ -269,28 +337,88 @@ def start_seasonal_monitor(
     contract: 'ok' when a baseline exists, 'no_baseline' when the
     lagged hour has no rows yet (the row is PRESENT with NULL
     deviation - a brand-new series is a fact worth alarming on, not
-    a missing key). NULL timestamps drop (the batch twin's equi-join
-    drops them too); hour keys are epoch-microsecond integers
-    internally, so the day-back pairing is DST-proof on any driver
-    timezone. The cumulative store is in-memory: restarting against
-    an already-committed checkpoint would silently drop it, so
-    start() REFUSES a checkpoint with prior commits - use a fresh
-    checkpoint per monitor run (persisting the store snapshot per
-    batch_id is the production extension)."""
+    a missing key), 'beyond_horizon' when ``horizon_hours`` is set
+    and the hour is too old to monitor (see below). NULL timestamps
+    drop (the batch twin's equi-join drops them too); hour keys are
+    epoch-microsecond integers internally, so the day-back pairing is
+    DST-proof on any driver timezone.
+
+    Restart safety: the cumulative store is snapshotted to parquet
+    under ``<checkpoint>/state_snapshots/batch-<id>`` BEFORE each
+    batch commits, so a restart resumes EXACTLY - batch N rebuilds
+    from snapshot N-1 and replayed batches are idempotent (the
+    re-emitted rows are byte-identical; at-least-once on_result, the
+    normal foreachBatch contract). start() refuses only the
+    unrecoverable case: a checkpoint with prior commits but no
+    snapshot (a pre-snapshot run).
+
+    Store bounds (the control table is O(groups x calendar hours) -
+    bounded per batch by construction, but a years-long stream over a
+    high-cardinality group column grows it without limit):
+    ``max_store_rows`` is a hard guard - the batch that would exceed
+    it fails the stream LOUDLY (like the checkpoint refusal: a wrong
+    cap is an operator error to surface, not state to silently
+    shed). ``horizon_hours`` (>= ``lag_hours``) is the rolling
+    bound: hours older than ``max_seen_hour - horizon`` stop being
+    monitored - when touched by late data they emit
+    status='beyond_horizon' with the BATCH-LOCAL count (their
+    cumulative history may be aged out, so no cumulative claim is
+    made) - and store entries older than ``horizon + lag`` (no
+    longer anyone's baseline) are evicted after each batch. Within
+    the horizon the batch twin holds unchanged."""
     keys = list(by or [])
 
-    store: dict = {}
     # the hour keys live as EPOCH MICROSECONDS, never datetimes:
     # collect() hands back naive session/local-time datetimes, and
     # timedelta arithmetic on those mis-pairs buckets across DST
     # transitions on a non-UTC driver - integer micros lag exactly
     lag_us = int(lag_hours) * 3_600_000_000
+    horizon_us = None
+    if horizon_hours is not None:
+        if int(horizon_hours) < int(lag_hours):
+            raise ValueError(
+                f"horizon_hours={horizon_hours} < lag_hours={lag_hours}: "
+                "every monitored hour's baseline would be beyond the "
+                "horizon"
+            )
+        horizon_us = int(horizon_hours) * 3_600_000_000
     spark_ref = stream_df.sparkSession
-    _refuse_committed_checkpoint(
+    snaps = _check_resumable(
         spark_ref, checkpoint, "start_seasonal_monitor"
     )
+    # mem caches the store between batches; "last" is the batch id it
+    # reflects. On restart (or replay) the snapshot is the base.
+    mem: dict = {"store": {}, "max_hour": None, "last": -1}
+
+    def _base_state(batch_id: int) -> tuple[dict, int | None]:
+        if mem["last"] == batch_id - 1:
+            # a COPY: if this batch fails mid-merge, the retained
+            # store must still be exactly batch N-1's state, or the
+            # replay would double-merge the partial work
+            return dict(mem["store"]), mem["max_hour"]
+        if batch_id == 0:
+            return {}, None
+        if not snaps.has(batch_id - 1):
+            raise ValueError(
+                f"start_seasonal_monitor: batch {batch_id} has no base "
+                f"snapshot {snaps.path(batch_id - 1)!r} - cannot resume "
+                "exactly"
+            )
+        store: dict = {}
+        max_hour = None
+        for r in snaps.read(batch_id - 1).collect():
+            k = tuple(r[c] for c in keys) + (r["_hour_us"],)
+            store[k] = r["_n"]
+            if max_hour is None or r["_hour_us"] > max_hour:
+                max_hour = r["_hour_us"]
+        # the snapshot also pins max_seen_hour: eviction already
+        # removed anything older, so the store max IS the horizon
+        # anchor (monotonicity preserved across restart because the
+        # anchor hour itself is never evicted)
+        return store, max_hour
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store, max_hour = _base_state(batch_id)
         batch_counts = (
             batch_df.filter(F.col(ts_col).isNotNull())
             .groupBy(
@@ -302,15 +430,47 @@ def start_seasonal_monitor(
             .agg(F.count(F.lit(1)).alias("_n"))
             .collect()  # grid-bounded: groups x hours, never rows
         )
+        for r in batch_counts:
+            if max_hour is None or r["_hour_us"] > max_hour:
+                max_hour = r["_hour_us"]
+        emit_cut = (
+            None if horizon_us is None else max_hour - horizon_us
+        )
         touched = set()
+        stale = []  # (key-tuple, batch-local n) beyond the horizon
         for r in batch_counts:
             k = tuple(r[c] for c in keys) + (r["_hour_us"],)
+            if emit_cut is not None and k[-1] < emit_cut - lag_us:
+                # older than anyone's baseline: never merged (its
+                # cumulative history may already be evicted), but
+                # NEVER silent - status row with the batch count
+                stale.append((k, r["_n"]))
+                continue
             store[k] = store.get(k, 0) + r["_n"]
-            touched.add(k)
+            if emit_cut is not None and k[-1] < emit_cut:
+                # baseline band: merged (it baselines an in-horizon
+                # hour; rule (c) re-emits the dependent), emitted as
+                # beyond_horizon (its OWN baseline may be evicted)
+                stale.append((k, store[k]))
+            else:
+                touched.add(k)
             # the hour this one BASELINES must re-emit too
             dep = k[:-1] + (k[-1] + lag_us,)
             if dep in store:
                 touched.add(dep)
+        if len(store) > max_store_rows:
+            raise ValueError(
+                f"start_seasonal_monitor: cumulative store holds "
+                f"{len(store)} (group, hour) buckets > max_store_rows="
+                f"{max_store_rows}. The group column's cardinality (or "
+                "the stream's age) outgrew the control table - raise "
+                "max_store_rows deliberately, set horizon_hours to age "
+                "out old hours, or coarsen the group key."
+            )
+        if emit_cut is not None:
+            keep_cut = emit_cut - lag_us
+            for k in [k for k in store if k[-1] < keep_cut]:
+                del store[k]
         rows = []
         for k in sorted(touched, key=lambda t: tuple(map(str, t))):
             n = store[k]
@@ -331,8 +491,20 @@ def start_seasonal_monitor(
                         batch_id,
                     )
                 )
+        for k, n in sorted(stale, key=lambda t: tuple(map(str, t[0]))):
+            rows.append(
+                k + (n, None, None, False, "beyond_horizon", batch_id)
+            )
         dtypes = dict(batch_df.dtypes)
         key_schema = "".join(f"{c} {dtypes[c]}, " for c in keys)
+        snap_df = spark_ref.createDataFrame(
+            [k + (n,) for k, n in store.items()],
+            schema=key_schema + "_hour_us bigint, _n bigint",
+        )
+        snaps.write(batch_id, snap_df)
+        mem["store"], mem["max_hour"], mem["last"] = (
+            store, max_hour, batch_id,
+        )
         out = (
             spark_ref.createDataFrame(
                 rows,
@@ -384,17 +556,38 @@ def start_trending_monitor(
     family's contract, so the batch==stream twin holds whenever the
     tracked-item budget covers the item universe (the exact regime
     the pytest pins) and degrades to the sketch's usual approximation
-    beyond it. Emits (group..., item, count, rank, batch_id)."""
+    beyond it. Emits (group..., item, count, rank, batch_id).
+
+    Restart safety: the combined sketch rows are snapshotted to
+    parquet under ``<checkpoint>/state_snapshots/batch-<id>`` (the
+    sketch struct - binary state included - round-trips through
+    parquet) BEFORE each batch commits, so a restart resumes exactly:
+    batch N re-bases on snapshot N-1, replayed batches recombine to
+    identical state (at-least-once on_result). start() refuses only
+    a checkpoint with commits but no snapshot (a pre-snapshot run)."""
     keys = list(by or [])
     from ..operators.sketches import build_topk_sketches, estimate_topk
 
-    _refuse_committed_checkpoint(
+    snaps = _check_resumable(
         stream_df.sparkSession, checkpoint, "start_trending_monitor"
     )
-    held: dict = {"rows": None, "schema": None}
+    held: dict = {"rows": None, "schema": None, "last": -1}
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_ref = batch_df.sparkSession
+        if held["last"] != batch_id - 1:
+            # restart or replay: re-base on the persisted snapshot
+            if batch_id == 0:
+                held["rows"], held["schema"] = None, None
+            elif snaps.has(batch_id - 1):
+                base = snaps.read(batch_id - 1)
+                held["rows"], held["schema"] = base.collect(), base.schema
+            else:
+                raise ValueError(
+                    f"start_trending_monitor: batch {batch_id} has no "
+                    f"base snapshot {snaps.path(batch_id - 1)!r} - "
+                    "cannot resume exactly"
+                )
         sb = build_topk_sketches(
             batch_df, value_col, keys, max_items_tracked
         )
@@ -418,8 +611,11 @@ def start_trending_monitor(
             )
         )
         rows = merged.collect()  # group-count bounded sketch rows
-        held["rows"], held["schema"] = rows, merged.schema
+        held["rows"], held["schema"], held["last"] = (
+            rows, merged.schema, batch_id,
+        )
         snap = spark_ref.createDataFrame(rows, merged.schema).coalesce(1)
+        snaps.write(batch_id, snap)
         out = estimate_topk(snap, k, group_cols=keys or None)
         w = (
             Window.partitionBy(*keys) if keys else Window.partitionBy()

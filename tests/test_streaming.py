@@ -1082,14 +1082,17 @@ def test_trending_monitor_grouped_keeps_groups_separate(spark, tmp_path) -> None
     }
 
 
-def test_cumulative_monitors_refuse_committed_checkpoint(
+def test_cumulative_monitors_refuse_snapshotless_checkpoint(
     spark, tmp_path
 ) -> None:
-    """Restart hazard made LOUD: the seasonal and trending monitors
-    carry cumulative state in the driver, so resuming an
-    already-committed checkpoint (which would skip batches while the
-    store restarts empty) must raise at start(), not silently
-    under-count."""
+    """The one unrecoverable restart made LOUD: a checkpoint with
+    committed batches but NO state snapshot (a pre-snapshot run, or a
+    hand-deleted state dir) cannot resume exactly - the store would
+    restart empty and silently under-count - so start() must raise.
+    With the snapshot intact the same restart resumes (covered by the
+    resume tests)."""
+    import shutil
+
     import pytest as _pytest
 
     from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
@@ -1111,12 +1114,299 @@ def test_cumulative_monitors_refuse_committed_checkpoint(
     )
     q.awaitTermination(120)
 
-    with _pytest.raises(ValueError, match="committed batches"):
+    shutil.rmtree(tmp_path / "ckpt" / "state_snapshots")
+    with _pytest.raises(ValueError, match="no state snapshot"):
         start_seasonal_monitor(
             stream, "ts", checkpoint=ckpt, on_result=lambda df, b: None
         )
-    with _pytest.raises(ValueError, match="committed batches"):
+    with _pytest.raises(ValueError, match="no state snapshot"):
         start_trending_monitor(
             stream, "event_type", checkpoint=ckpt,
             on_result=lambda df, b: None,
         )
+
+
+def test_seasonal_monitor_resumes_exactly(spark, tmp_path) -> None:
+    """Kill/restart mid-stream: batch 0 runs, the monitor stops, and
+    a NEW start against the SAME checkpoint processes batch 1 on top
+    of the persisted state snapshot - final emissions equal the
+    uninterrupted batch computation over the full data (the same
+    cumulative-baseline arithmetic the stream==batch twin pins)."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_seasonal_monitor,
+    )
+
+    h = lambda d, hh: f"2024-06-0{d} {hh:02d}:15:00"  # noqa: E731
+    b0 = [("x", h(1, 9)), ("x", h(1, 9)), ("x", h(2, 9)), ("x", h(2, 9))]
+    b1 = [("x", h(1, 9)), ("x", h(1, 9)), ("x", h(2, 10))]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list = []
+
+    def on_result(df, batch_id):
+        emitted.append((batch_id, df.collect()))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_type string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = start_seasonal_monitor(
+            stream, "ts", checkpoint=ckpt,
+            on_result=on_result, by=["event_type"],
+        )
+        q.awaitTermination(120)
+
+    (in_dir / "b0.json").write_text(
+        "\n".join(json.dumps({"event_type": g, "ts": t}) for g, t in b0)
+    )
+    run_once()  # processes batch 0, then the query terminates
+    assert [bid for bid, _ in emitted] == [0]
+
+    (in_dir / "b1.json").write_text(
+        "\n".join(json.dumps({"event_type": g, "ts": t}) for g, t in b1)
+    )
+    run_once()  # RESTART: must resume from the snapshot, not refuse
+    assert [bid for bid, _ in emitted] == [0, 1]
+
+    # identical final-state contract as the uninterrupted twin
+    grid = Counter()
+    for g, t in b0 + b1:
+        dt = datetime.strptime(t, "%Y-%m-%d %H:%M:%S")
+        grid[(g, dt.replace(minute=0, second=0))] += 1
+    last = {}
+    for _bid, rows in emitted:
+        for r in rows:
+            last[(r.event_type, r.hour_ts)] = r
+    day = timedelta(hours=24)
+    for (g, hh), n in grid.items():
+        r = last[(g, hh)]
+        assert r.n == n
+        prev = grid.get((g, hh - day))
+        if prev is None:
+            assert r.status == "no_baseline" and r.n_prev is None
+        else:
+            assert (r.n_prev, r.deviation) == (prev, (n - prev) / prev)
+    # the re-emit rule survived the restart: batch 1's late day-1 rows
+    # must re-emit day-2 09h against the COMPLETED baseline
+    rows1 = {r.hour_ts: r for r in emitted[1][1]}
+    assert rows1[datetime(2024, 6, 2, 9)].n_prev == 4
+
+
+def test_seasonal_monitor_replay_is_idempotent(spark, tmp_path) -> None:
+    """Crash between snapshot and commit, simulated by deleting the
+    last commit marker: the restart REPLAYS that batch, which must
+    re-base on the prior snapshot and emit byte-identical rows -
+    never double-merge."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_seasonal_monitor,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+    emitted: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_type string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = start_seasonal_monitor(
+            stream, "ts", checkpoint=str(ckpt),
+            on_result=lambda df, b: emitted.append((b, df.collect())),
+            by=["event_type"],
+        )
+        q.awaitTermination(120)
+
+    (in_dir / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"event_type": "x", "ts": "2024-06-01 09:15:00"})
+            for _ in range(3)
+        )
+    )
+    run_once()
+    (in_dir / "b1.json").write_text(
+        json.dumps({"event_type": "x", "ts": "2024-06-02 09:15:00"})
+    )
+    run_once()
+    assert [bid for bid, _ in emitted] == [0, 1]
+
+    os.remove(ckpt / "commits" / "1")  # crash-before-commit twin
+    crc = ckpt / "commits" / ".1.crc"  # ChecksumFS shadow of the marker
+    if crc.exists():
+        os.remove(crc)
+    run_once()  # replays batch 1
+    assert [bid for bid, _ in emitted] == [0, 1, 1]
+    first = sorted(map(tuple, emitted[1][1]))
+    replay = sorted(map(tuple, emitted[2][1]))
+    assert replay == first  # idempotent: same cumulative counts
+    assert first[0][2:4] == (1, 3)  # n=1, n_prev = day-1 count 3 (not 6)
+
+
+def test_trending_monitor_resumes_exactly(spark, tmp_path) -> None:
+    """Kill/restart for the trending monitor: the combined sketch
+    state round-trips through the parquet snapshot, so a restarted
+    run's emission still reflects the WHOLE stream (c overtakes a
+    only if batch 0's counts survived the restart)."""
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_trending_monitor,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    emitted: dict = {}
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("item_id string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = start_trending_monitor(
+            stream, "item_id", checkpoint=ckpt,
+            on_result=lambda df, b: emitted.__setitem__(
+                b, {r.item: (r["count"], r.rank) for r in df.collect()}
+            ),
+            k=10, max_items_tracked=100,
+        )
+        q.awaitTermination(120)
+
+    (in_dir / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"item_id": it})
+            for it in ["a"] * 5 + ["b"] * 3 + ["c"]
+        )
+    )
+    run_once()
+    assert emitted[0] == {"a": (5, 1), "b": (3, 2), "c": (1, 3)}
+
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"item_id": it}) for it in ["c"] * 6 + ["b"]
+        )
+    )
+    run_once()  # restart resumes the sketch state
+    assert emitted[1] == {"c": (7, 1), "a": (5, 2), "b": (4, 3)}
+
+
+def test_seasonal_monitor_store_guard_fails_loudly(spark, tmp_path) -> None:
+    """A group column whose cardinality outgrows the control table
+    must fail the stream with the guard's message - loud, like the
+    checkpoint refusal - not silently shed state."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_seasonal_monitor,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b0.json").write_text(
+        "\n".join(
+            json.dumps(
+                {"event_type": f"g{i}", "ts": "2024-06-01 09:00:00"}
+            )
+            for i in range(8)
+        )
+    )
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp"
+    ).json(str(in_dir))
+    q = start_seasonal_monitor(
+        stream, "ts", checkpoint=str(tmp_path / "ckpt"),
+        on_result=lambda df, b: None, by=["event_type"],
+        max_store_rows=3,
+    )
+    with _pytest.raises(Exception, match="max_store_rows"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_seasonal_monitor_horizon_ages_out(spark, tmp_path) -> None:
+    """Rolling horizon bounds the store: hours older than
+    horizon+lag are EVICTED from the persisted snapshot (the
+    store's on-disk twin), late data touching them emits
+    status='beyond_horizon' with no cumulative claim, and in-horizon
+    hours keep the exact batch-twin arithmetic."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_seasonal_monitor,
+    )
+
+    with _pytest.raises(ValueError, match="horizon_hours"):
+        start_seasonal_monitor(
+            spark.readStream.schema("ts timestamp").json(str(tmp_path)),
+            "ts", checkpoint=str(tmp_path / "c0"),
+            on_result=lambda df, b: None, horizon_hours=12, lag_hours=24,
+        )
+
+    ts = lambda d, hh: f"2024-06-0{d} {hh:02d}:15:00"  # noqa: E731
+    # b0: day1 08h + day2 09h; b1 pushes max to day4 09h -> with
+    # horizon=24 and lag=24, emit cutoff = day3 09h and keep cutoff =
+    # day2 09h, so the late day1 08h row is beyond everyone's
+    # baseline: batch-local count, never merged, evicted from store
+    b0 = [ts(1, 8), ts(2, 9)]
+    b1 = [ts(3, 9), ts(4, 9), ts(1, 8)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name, rows in (("b0.json", b0), ("b1.json", b1)):
+        (in_dir / name).write_text(
+            "\n".join(json.dumps({"ts": t}) for t in rows)
+        )
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(in_dir / "b0.json", (now - 10, now - 10))
+    _os.utime(in_dir / "b1.json", (now, now))
+
+    emitted: dict = {}
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    ckpt = tmp_path / "ckpt"
+    q = start_seasonal_monitor(
+        stream, "ts", checkpoint=str(ckpt),
+        on_result=lambda df, b: emitted.__setitem__(
+            b, {r.hour_ts: r for r in df.collect()}
+        ),
+        horizon_hours=24,
+    )
+    q.awaitTermination(120)
+
+    d1h8 = datetime(2024, 6, 1, 8)
+    d3h9 = datetime(2024, 6, 3, 9)
+    d4h9 = datetime(2024, 6, 4, 9)
+    r = emitted[1][d1h8]
+    assert r.status == "beyond_horizon"
+    assert r.n == 1  # batch-local: no cumulative claim (b0's row aged out)
+    assert r.n_prev is None and r.deviation is None and not r.is_anomaly
+    # in-horizon hours keep exact arithmetic: day4 09h vs day3 09h
+    assert emitted[1][d4h9].status == "ok"
+    assert (emitted[1][d4h9].n, emitted[1][d4h9].n_prev) == (1, 1)
+    assert emitted[1][d3h9].status == "ok"  # baseline day2 09h kept
+
+    # the aged-out hour is GONE from the persisted store snapshot
+    snap = spark.read.parquet(str(ckpt / "state_snapshots" / "batch-1"))
+    held_hours = {
+        datetime.fromtimestamp(r["_hour_us"] / 1_000_000)
+        for r in snap.collect()
+    }
+    assert d1h8 not in held_hours
+    assert {datetime(2024, 6, 2, 9), d3h9, d4h9} <= held_hours
