@@ -1274,18 +1274,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fd_cell(df: DataFrame, label: str, det: list[str], dep: str) -> DataFrame:
-    """One fd_panel row: violation stats for a declared dependency."""
-    from ..operators.quality import fd_violations
-
-    viol = fd_violations(df, det, dep)
-    keys = df.select(*det).distinct().select(
-        F.count(F.lit(1)).alias("n_keys")
+    """One fd_panel row: violation stats for a declared dependency in
+    a SINGLE pass - the per-determinant distinct count (NULL folded in
+    as a distinct state, the same rule as
+    operators.quality.fd_violations) feeds one summary aggregate, so
+    each cell costs exactly one scan + one partial-combined shuffle
+    (the old shape scanned its table twice: once for violations, once
+    for the key count)."""
+    has_null = F.max(F.when(F.col(dep).isNull(), 1).otherwise(0))
+    per_key = df.groupBy(*det).agg(
+        (F.countDistinct(dep) + has_null).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
-    v = viol.select(
-        F.count(F.lit(1)).alias("n_violating"),
-        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows_in_violation"),
-    )
-    return keys.crossJoin(F.broadcast(v)).select(
+    bad = F.col("n_distinct") > 1
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.coalesce(
+            F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).alias("n_violating"),
+        F.coalesce(
+            F.sum(F.when(bad, F.col("n_rows")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("rows_in_violation"),
+    ).select(
         F.lit(label).alias("fd"),
         "n_keys",
         "n_violating",
@@ -1347,7 +1358,13 @@ def fd_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside fk_integrity's keys-EXIST gate. Each check is one
     partial-combined aggregate on its determinant; output is 5
     rows."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # one narrow lineitem scan feeds BOTH lineitem FDs (their
+    # determinants differ, so the two shuffles are inherently
+    # separate, but the 4-column projection is shared via persist -
+    # the plan shows one parquet scan + an InMemoryRelation)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_partkey", "l_suppkey"
+    ).persist()
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     p = load_table(spark, sf_dir, "part")
@@ -1408,16 +1425,23 @@ def fd_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rising_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 week-over-week rising parts: order-line counts in the
-    corpus's LAST full week vs the week before, risers ranked by the
-    integer delta under a deterministic (delta DESC, partkey) order -
-    the trending-SKU cut, and the batch counterpart of the streaming
-    trending monitor (that one ranks cumulative mass; this ranks
-    CHANGE). Weeks are epoch-microsecond integer DIV; the last-week
-    scalar is one aggregate broadcast back; parts absent from a week
-    count 0 (LEFT joins from the part spine), so new entrants rank by
-    their full count. Everything is bigint arithmetic - no float
-    anywhere - and the top-20 runs as TakeOrderedAndProject over the
-    (part, week)-aggregated table, never raw lines."""
+    corpus's LATEST week (max(wk) - typically a PARTIAL trailing
+    week, so current-week counts trend low until the week closes;
+    compare last_wk-1 vs last_wk-2 for closed-week semantics) vs the
+    week before, risers ranked by the integer delta under a
+    deterministic (delta DESC, partkey) order - the trending-SKU cut,
+    and the batch counterpart of the streaming trending monitor (that
+    one ranks cumulative mass; this ranks CHANGE). Weeks are
+    epoch-microsecond integer DIV. The (part, week) aggregate - the
+    query's dominant cost, one lineitem-orders join + one shuffle -
+    is built ONCE and persisted: the last-week scalar reads the
+    cached frame and broadcasts back, and cur/prev/spine collapse
+    into a single conditional re-aggregate over it (no self-joins, no
+    distinct-spine branch). Parts absent from a week count 0 via the
+    conditional sums, so new entrants rank by their full count.
+    Everything is bigint arithmetic - no float anywhere - and the
+    top-20 runs as TakeOrderedAndProject over the part-aggregated
+    table, never raw lines."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_orderkey"
     )
@@ -1431,23 +1455,28 @@ def rising_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_partkey", "wk")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # two consumers: the max-week scalar + the pivot
     )
     mx = f.agg(F.max("wk").alias("last_wk"))
-    spine = f.select("l_partkey").distinct()
-    fx = f.crossJoin(F.broadcast(mx))
-    cur = fx.filter(F.col("wk") == F.col("last_wk")).select(
-        "l_partkey", F.col("n").alias("n_cur")
-    )
-    prev = fx.filter(F.col("wk") == F.col("last_wk") - 1).select(
-        "l_partkey", F.col("n").alias("n_prev")
-    )
     wide = (
-        spine.join(cur, "l_partkey", "left")
-        .join(prev, "l_partkey", "left")
-        .select(
-            "l_partkey",
-            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
-            F.coalesce(F.col("n_prev"), F.lit(0)).alias("n_prev"),
+        f.crossJoin(F.broadcast(mx))
+        .groupBy("l_partkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("wk") == F.col("last_wk"), F.col("n"))
+                    .otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("n_cur"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("wk") == F.col("last_wk") - 1, F.col("n")
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("n_prev"),
         )
     )
     return (
