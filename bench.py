@@ -47,6 +47,18 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+    # local-profiling knobs (the driver sets neither): ONLY runs a
+    # comma-listed subset, EXCLUDE drops one - used e.g. to re-bench a
+    # prior round's battery subset on current code when bisecting
+    # battery-size pressure from genuine per-query regressions
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
+    excl = os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE")
+    if excl:
+        drop = {s.strip() for s in excl.split(",") if s.strip()}
+        names = [n for n in names if n not in drop]
 
     # untimed warm-up: JVM/codegen spin-up and the first parquet
     # footer reads otherwise land entirely on the first timed query

@@ -70,5 +70,6 @@ def _load_batteries() -> None:
     from . import analytics_ext  # noqa: F401  (round-4 extensions, past window)
     from . import analytics_r7  # noqa: F401  (round-7 extensions, past window)
     from . import analytics_r8  # noqa: F401  (round-8 extensions, past window)
+    from . import analytics_r9  # noqa: F401  (round-9 extensions, past window)
 
     _loaded = True

@@ -403,7 +403,10 @@ def streaming_transitions(
         sort_cols = [ts] + ([tiebreak] if tiebreak else [])
         pdf = pdf.sort_values(sort_cols, ignore_index=True)
         ev = pdf[event]
-        frm = ev.shift(1)
+        # shift through OBJECT dtype: a plain int64 shift promotes to
+        # float64 (the introduced NaN), silently corrupting integer
+        # event codes above 2^53 in the emitted from_event
+        frm = ev.astype(object).shift(1)
         if state.exists:
             _last_ns, last_ev = state.get
             frm.iloc[0] = last_ev
@@ -439,6 +442,137 @@ def streaming_transitions(
         update,
         outputStructType=out_schema,
         stateStructType=f"last_ts_ns long, last_event {in_schema[event]}",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def streaming_reconciliation(
+    lines: DataFrame,
+    orders: DataFrame,
+    tolerance_c: int = 5,
+    order_key: str = "l_orderkey",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming order-vs-lines reconciliation - the in-flight twin of
+    the ``order_reconciliation`` / ``reconcile_worklist`` batch gates:
+    line rows arrive as a stream, each micro-batch updates the
+    cumulative per-order line total, and every TOUCHED order re-emits
+    its current verdict - so a late-arriving lineitem that flips an
+    order from 'mismatch' to 'ok' (or the reverse) is caught the
+    moment it lands, not at the nightly sweep.
+
+    Arithmetic is the batch query's, exactly: per-line cents fix via
+    one rounded IEEE expression (extprice * (1-disc) * (1+tax), JVM-
+    side F.round before the stateful op), bigint sums, integer
+    tolerance compare - so last-emission-per-order == the batch
+    reconciliation over the same data, which is what the pytest twin
+    asserts under a hostile split (an order's lines scattered across
+    batches).
+
+    Scale shape: per-order state lives in the ENGINE's state store
+    (applyInPandasWithState keyed by the order key), not a driver
+    dict - order cardinality is fact-scale, the one regime the
+    seasonal/trending driver-store chassis must not be used for.
+    Restart is checkpoint-native (no snapshot protocol needed), and
+    the hot path is one stream-static LEFT join against the orders
+    reference (broadcast when small, shuffled otherwise) plus the
+    grouped state update.
+
+    Statuses, never silence: 'ok' within tolerance, 'mismatch'
+    beyond it, 'no_order' when the order key has no row in the
+    reference (the FK-break case; order_c / abs_diff_c are NULL).
+    Orders with NO lines never appear here by construction (nothing
+    arrives to trigger them) - absence detection stays with the batch
+    panel's LEFT-from-orders side.
+
+    ``state_ttl_ms`` expires settled orders on continuous streams
+    (after which a very-late line restarts that order's total from
+    zero - bound it by the book-closing window); leave None under
+    run-to-completion triggers, the family's usual trade-off."""
+    from pyspark.sql import functions as F
+
+    key_t = {f.name: f.dataType.simpleString() for f in lines.schema.fields}[
+        order_key
+    ]
+    use_ttl = state_ttl_ms is not None
+
+    o_ref = orders.select(
+        F.col("o_orderkey").alias("_o_key"),
+        F.col("o_orderstatus").alias("_o_status"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("_order_c"),
+    )
+    enriched = lines.select(
+        F.col(order_key),
+        F.round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+            * 100
+        )
+        .cast("bigint")
+        .alias("_line_c"),
+    ).join(o_ref, F.col(order_key) == F.col("_o_key"), "left")
+
+    out_schema = (
+        f"o_orderkey {key_t}, o_orderstatus string, order_c bigint, "
+        "line_c bigint, n_lines bigint, abs_diff_c bigint, status string"
+    )
+    tol = int(tolerance_c)
+
+    def update(
+        key_tuple: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        prev_c, prev_n = state.get if state.exists else (0, 0)
+        line_c = int(prev_c) + int(pdf["_line_c"].sum())
+        n = int(prev_n) + len(pdf)
+        state.update((line_c, n))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
+        have = pdf["_o_key"].notna()
+        if have.any():
+            i = have.idxmax()
+            order_c = int(pdf["_order_c"].iloc[i])
+            diff = abs(order_c - line_c)
+            row = {
+                "o_orderkey": key_tuple[0],
+                "o_orderstatus": pdf["_o_status"].iloc[i],
+                "order_c": order_c,
+                "line_c": line_c,
+                "n_lines": n,
+                "abs_diff_c": diff,
+                "status": "ok" if diff <= tol else "mismatch",
+            }
+        else:
+            row = {
+                "o_orderkey": key_tuple[0],
+                "o_orderstatus": None,
+                "order_c": None,
+                "line_c": line_c,
+                "n_lines": n,
+                "abs_diff_c": None,
+                "status": "no_order",
+            }
+        yield pd.DataFrame([row])
+
+    return enriched.groupBy(order_key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="line_c long, n_lines long",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

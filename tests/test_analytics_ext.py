@@ -12,6 +12,12 @@ import numpy as np
 import pandas as pd
 import pytest
 
+def _half_up(x: float) -> int:
+    # Spark's F.round on doubles is HALF_UP; python's round() is
+    # half-even - cent fix-points CAN land on .5 exactly
+    return math.floor(x + 0.5)
+
+
 from etl_marketdata_downloader_archived_spark.operators import text as X
 from etl_marketdata_downloader_archived_spark.operators import timeseries as TS
 from etl_marketdata_downloader_archived_spark.operators.profile import ks_statistic
@@ -742,7 +748,7 @@ def test_ltv_quintiles_vs_python(spark, sf_dir) -> None:
     for r in o:
         k = (seg[r.o_custkey], r.o_custkey)
         sp, n = per_cust.get(k, (0, 0))
-        per_cust[k] = (sp + round(r.o_totalprice * 100), n + 1)
+        per_cust[k] = (sp + _half_up(r.o_totalprice * 100), n + 1)
     by_seg: dict = {}
     for (sg, _cu), (sp, n) in per_cust.items():
         by_seg.setdefault(sg, {}).setdefault(sp, [0, 0])
@@ -802,7 +808,7 @@ def test_ltv_quintiles_binned_vs_python(spark, sf_dir) -> None:
     for r in o:
         k = (seg[r.o_custkey], r.o_custkey)
         sp, n = per_cust.get(k, (0, 0))
-        per_cust[k] = (sp + round(r.o_totalprice * 100), n + 1)
+        per_cust[k] = (sp + _half_up(r.o_totalprice * 100), n + 1)
     lo = float(min(sp for sp, _ in per_cust.values()))
     hi = float(max(sp for sp, _ in per_cust.values()))
     by_seg: dict = {}

@@ -202,7 +202,7 @@ def test_boxplot_panel_vs_python(spark, sf_dir) -> None:
     )
     vals: dict = defaultdict(list)
     for r in rows:
-        vals[r.event_type].append(round(r.value * 100))
+        vals[r.event_type].append(_half_up(r.value * 100))
     want = {}
     for et, vs in vals.items():
         vs.sort()
@@ -296,7 +296,7 @@ def test_rfm_segments_vs_python(spark, sf_dir) -> None:
         per[r.o_custkey] = (
             max(last, d),
             cnt + 1,
-            sp + round(r.o_totalprice * 100),
+            sp + _half_up(r.o_totalprice * 100),
         )
     rec = {k: (asof - v[0]).days for k, v in per.items()}
     frq = {k: v[1] for k, v in per.items()}

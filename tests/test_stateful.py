@@ -430,3 +430,119 @@ def test_streaming_transitions_int_events_and_null_values(
     assert streamed == want
     assert streamed == Counter({(7, 8): 1, (8, 9): 1})
     assert (10, None) not in streamed and (None, 30) not in streamed
+
+
+def test_streaming_reconciliation_equals_batch(spark, tmp_path) -> None:
+    """Streaming order-vs-lines reconciliation over two micro-batches:
+    every touched order re-emits its cumulative verdict, so a
+    late-arriving line FLIPS the status the moment it lands
+    (mismatch->ok for order 1, ok->mismatch for order 2), a line
+    referencing no order emits 'no_order', and the last emission per
+    order equals the batch worklist arithmetic (reconcile_worklist's
+    int-cents expression) over the concatenated lines."""
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_reconciliation,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, "F", 10.00), (2, "O", 20.00)],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    # (orderkey, extprice, disc, tax) -> cents via round(e*(1-d)*(1+t)*100)
+    b1 = [(1, 5.00, 0.0, 0.0), (2, 19.99, 0.0, 0.0)]
+    b2 = [(1, 5.00, 0.0, 0.0), (2, 1.00, 0.0, 0.0), (4, 3.33, 0.0, 0.0)]
+    src = tmp_path / "lines"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "l_orderkey": k,
+                        "l_extendedprice": e,
+                        "l_discount": d,
+                        "l_tax": t,
+                    }
+                )
+                for k, e, d, t in rows
+            )
+        )
+        time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    lines = raw.select(
+        F.from_json(
+            "value",
+            "l_orderkey bigint, l_extendedprice double, "
+            "l_discount double, l_tax double",
+        ).alias("j")
+    ).select("j.*")
+    out = streaming_reconciliation(lines, orders, tolerance_c=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("recon_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select *, 0 as _b from recon_out"
+    ).collect()
+    # memory sink appends in batch order; split emissions by n_lines
+    # progression per order instead of relying on sink metadata
+    by_order: dict = {}
+    for r in rows:
+        by_order.setdefault(r.o_orderkey, []).append(r)
+    for k in by_order:
+        by_order[k].sort(key=lambda r: r.n_lines)
+
+    # batch 1 verdicts: order 1 short by 500 (mismatch), order 2
+    # within 1 cent (ok)
+    o1 = by_order[1]
+    assert (o1[0].line_c, o1[0].abs_diff_c, o1[0].status) == (
+        500, 500, "mismatch",
+    )
+    # late line flips order 1 to ok: cumulative 1000 == order_c
+    assert (o1[1].line_c, o1[1].n_lines, o1[1].abs_diff_c, o1[1].status) == (
+        1000, 2, 0, "ok",
+    )
+    o2 = by_order[2]
+    assert (o2[0].line_c, o2[0].abs_diff_c, o2[0].status) == (
+        1999, 1, "ok",
+    )
+    assert (o2[1].line_c, o2[1].abs_diff_c, o2[1].status) == (
+        2099, 99, "mismatch",
+    )
+    o4 = by_order[4]
+    assert len(o4) == 1
+    assert (o4[0].status, o4[0].order_c, o4[0].abs_diff_c) == (
+        "no_order", None, None,
+    )
+    assert (o4[0].line_c, o4[0].n_lines) == (333, 1)
+
+    # twin: last emission per order == the batch arithmetic over ALL
+    # lines (reconcile_worklist's expression, python-replayed)
+    import math as _math
+
+    def cents(e, d, t):
+        return _math.floor(e * (1 - d) * (1 + t) * 100 + 0.5)
+
+    full: dict = {}
+    for k, e, d, t in b1 + b2:
+        c, n = full.get(k, (0, 0))
+        full[k] = (c + cents(e, d, t), n + 1)
+    order_c = {1: 1000, 2: 2000}
+    for k, (c, n) in full.items():
+        last = by_order[k][-1]
+        assert (last.line_c, last.n_lines) == (c, n)
+        if k in order_c:
+            want_diff = abs(order_c[k] - c)
+            assert last.abs_diff_c == want_diff
+            assert last.status == ("ok" if want_diff <= 5 else "mismatch")
+        else:
+            assert last.status == "no_order"
