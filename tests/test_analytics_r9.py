@@ -1,0 +1,221 @@
+"""Round-9 analytics: independent python differentials for the
+parity-verified queries in plans/analytics_r9.py - parity proves
+Spark==DuckDB, these replays prove the FORMULA is right (a wrong
+formula expressed identically on both engines passes parity)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from etl_marketdata_downloader_archived_spark.io import load_table
+from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+    above_average_orders,
+    reconcile_worklist,
+    same_day_orders,
+    seasonality_index,
+    xyz_classification,
+)
+
+
+def _half_up(x: float) -> int:
+    # Spark F.round on doubles is HALF_UP; builtin round is half-even
+    return math.floor(x + 0.5)
+
+
+def test_reconcile_worklist_vs_python(spark, sf_dir) -> None:
+    """Worklist rows vs a dict replay of the int-cents arithmetic:
+    same per-line fix expression, same tolerance, same (diff desc
+    nulls-last, orderkey) order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    lines: dict = {}
+    for r in li:
+        c, n = lines.get(r.l_orderkey, (0, 0))
+        lines[r.l_orderkey] = (
+            c
+            + _half_up(
+                r.l_extendedprice
+                * (1 - r.l_discount)
+                * (1 + r.l_tax)
+                * 100
+            ),
+            n + 1,
+        )
+    rows = []
+    for r in o:
+        oc = _half_up(r.o_totalprice * 100)
+        if r.o_orderkey not in lines:
+            rows.append(
+                (r.o_orderkey, r.o_orderstatus, oc, None, 0, None,
+                 "no_lines")
+            )
+        else:
+            lc, n = lines[r.o_orderkey]
+            d = abs(oc - lc)
+            if d > 5:
+                rows.append(
+                    (r.o_orderkey, r.o_orderstatus, oc, lc, n, d,
+                     "mismatch")
+                )
+    rows.sort(key=lambda t: (t[5] is None, -(t[5] or 0), t[0]))
+    want = rows[:50]
+    got = [
+        (
+            r.o_orderkey, r.o_orderstatus, r.order_c, r.line_c,
+            r.n_lines, r.abs_diff_c, r.status,
+        )
+        for r in reconcile_worklist(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_same_day_orders_vs_python(spark, sf_dir) -> None:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    g: dict = defaultdict(list)
+    for r in o:
+        g[(r.o_custkey, r.o_orderdate.date())].append(
+            _half_up(r.o_totalprice * 100)
+        )
+    want = sorted(
+        (
+            (-len(v), -sum(v), k[0]),
+            (k[0], k[1], len(v), sum(v), min(v), max(v),
+             min(v) == max(v)),
+        )
+        for k, v in g.items()
+        if len(v) > 1
+    )
+    want = [w[1] for w in want][:100]
+    got = [
+        (
+            r.o_custkey, r.order_day, r.n_orders, r.total_c, r.min_c,
+            r.max_c, r.same_amount,
+        )
+        for r in same_day_orders(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_seasonality_index_vs_python(spark, sf_dir) -> None:
+    """Index = rev_c * n_months / yr_rev_c with the SAME float
+    division; partial years divide by their own month count, and per
+    year the index weighted by month revenue averages to 1."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    m: dict = defaultdict(lambda: [0, 0])
+    for r in o:
+        k = (r.o_orderdate.year, r.o_orderdate.month)
+        m[k][0] += _half_up(r.o_totalprice * 100)
+        m[k][1] += 1
+    yr: dict = defaultdict(lambda: [0, 0])
+    for (y, _mo), (rev, _n) in m.items():
+        yr[y][0] += rev
+        yr[y][1] += 1
+    got = seasonality_index(spark, sf_dir).collect()
+    assert len(got) == len(m)
+    for r in got:
+        rev, n = m[(r.yr, r.mo)]
+        yrev, nm = yr[r.yr]
+        assert (r.rev_c, r.n_orders, r.yr_rev_c, r.n_months) == (
+            rev, n, yrev, nm,
+        )
+        assert r.seasonal_idx == float(rev * nm) / float(yrev)
+    # weighted mean of the index over a year == 1 exactly in rationals
+    for y, (yrev, nm) in yr.items():
+        s = sum(
+            m[(yy, mo)][0] * nm for (yy, mo) in m if yy == y
+        )  # sum(rev_c * n_months) == yr_rev_c * n_months
+        assert s == yrev * nm
+
+
+def test_xyz_classification_vs_python(spark, sf_dir) -> None:
+    """Class decisions replayed with exact integers over the yearly
+    grid, zero-demand years included via the sparse-moment identity;
+    class counts and quantity mass must match."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    ).collect()
+    per: dict = defaultdict(lambda: defaultdict(int))
+    years = set()
+    for r in li:
+        y = r.l_shipdate.year
+        years.add(y)
+        per[r.l_partkey][y] += int(r.l_quantity)
+    M = len(years)
+    agg: dict = defaultdict(lambda: [0, 0, 0.0, 1.0])
+    for pk, ys in per.items():
+        s = sum(ys.values())
+        ss = sum(q * q for q in ys.values())
+        a = M * ss - s * s
+        s2 = s * s
+        k = "X" if 4 * a <= s2 else ("Y" if a <= s2 else "Z")
+        cv2 = float(a) / float(s2)
+        row = agg[k]
+        row[0] += 1
+        row[1] += s
+        row[2] = max(row[2], cv2) if row[0] > 1 else cv2
+        row[3] = min(row[3], cv2) if row[0] > 1 else cv2
+    got = {r.klass: r for r in xyz_classification(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for k, (n, qty, mx, mn) in agg.items():
+        assert (got[k].n_parts, got[k].total_qty) == (n, qty)
+        assert got[k].max_cv2 == mx and got[k].min_cv2 == mn
+
+
+def test_above_average_orders_vs_python(spark, sf_dir) -> None:
+    """Verdicts replayed with integer cross-multiplication over each
+    customer's (date, orderkey)-ordered history; segment counts and
+    the one-division share must match."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    seg = {r.c_custkey: r.c_mktsegment for r in c}
+    hist: dict = defaultdict(list)
+    for r in o:
+        hist[r.o_custkey].append(
+            (r.o_orderdate, r.o_orderkey, _half_up(r.o_totalprice * 100))
+        )
+    counts: dict = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for cust, rows in hist.items():
+        rows.sort()
+        s = seg[cust]
+        run_sum = 0
+        for i, (_d, _k, cents) in enumerate(rows):
+            cell = counts[s]
+            cell[0] += 1
+            if i == 0:
+                cell[1] += 1
+            elif cents * i > run_sum:
+                cell[2] += 1
+            elif cents * i == run_sum:
+                cell[3] += 1
+            else:
+                cell[4] += 1
+            run_sum += cents
+    got = {
+        r.segment: r for r in above_average_orders(spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for s, (n, nf, na, nat, nb) in counts.items():
+        r = got[s]
+        assert (r.n_orders, r.n_first, r.n_above, r.n_at, r.n_below) == (
+            n, nf, na, nat, nb,
+        )
+        denom = n - nf
+        if denom == 0:
+            assert r.share_above is None
+        else:
+            assert r.share_above == float(na) / float(denom)
