@@ -470,3 +470,432 @@ def above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@q(
+    "interarrival_hist",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) // 1000000
+                 - lag(epoch_us(ts) // 1000000) OVER (
+                       PARTITION BY event_type, user_id
+                       ORDER BY ts, event_id
+                   ) AS gap_s
+        FROM events WHERE ts IS NOT NULL
+    ),
+    lab AS (
+        SELECT event_type,
+               CASE WHEN gap_s < 10 THEN '0: <10s'
+                    WHEN gap_s < 60 THEN '1: 10s-1m'
+                    WHEN gap_s < 600 THEN '2: 1m-10m'
+                    WHEN gap_s < 3600 THEN '3: 10m-1h'
+                    WHEN gap_s < 86400 THEN '4: 1h-1d'
+                    ELSE '5: >=1d' END AS bucket
+        FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER (PARTITION BY event_type)
+                    AS DOUBLE) AS share
+    FROM lab GROUP BY 1, 2 ORDER BY event_type, bucket
+    """,
+)
+def interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time histogram: per event type, the distribution
+    of gaps between a user's CONSECUTIVE events of that type, folded
+    into six fixed human-scale buckets (<10s to >=1d) - the cadence
+    fingerprint behind session-gap tuning (where does the natural
+    break sit?), bot detection (a <10s spike on a purchase event is
+    not a human), and retention modeling. Gap seconds are integer
+    epoch arithmetic (micros floor-div, never float timestamps), the
+    bucket ladder is fixed CASE compares on those integers, and the
+    share is ONE IEEE division of two exact counts - bit-for-bit
+    replay.
+
+    Shape: one lag window partitioned by (event_type, user) - fact
+    rows, but always partitioned, ordered (ts, event_id) for
+    determinism under same-instant events - then a (type, bucket)
+    aggregate (<= 6 rows per type) and a per-type share window over
+    that bounded grid."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ (nanos parquet) - unix_micros needs
+    # the cast; the tz shift cancels in the difference
+    s = F.expr("unix_micros(cast(ts as timestamp)) DIV 1000000")
+    gaps = e.select(
+        "event_type", (s - F.lag(s).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    bucket = (
+        F.when(F.col("gap_s") < 10, "0: <10s")
+        .when(F.col("gap_s") < 60, "1: 10s-1m")
+        .when(F.col("gap_s") < 600, "2: 1m-10m")
+        .when(F.col("gap_s") < 3600, "3: 10m-1h")
+        .when(F.col("gap_s") < 86400, "4: 1h-1d")
+        .otherwise("5: >=1d")
+    )
+    counts = gaps.select("event_type", bucket.alias("bucket")).groupBy(
+        "event_type", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n_gaps"))
+    tot = W.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "bucket",
+        "n_gaps",
+        (
+            F.col("n_gaps").cast("double")
+            / F.sum("n_gaps").over(tot).cast("double")
+        ).alias("share"),
+    ).orderBy("event_type", "bucket")
+
+
+@q(
+    "part_staleness",
+    oracle="""
+    WITH mx AS (
+        SELECT max(CAST(l_shipdate AS DATE)) AS corpus_max FROM lineitem
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               max(CAST(l_shipdate AS DATE)) AS last_ship,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS lifetime_qty
+        FROM lineitem GROUP BY 1
+    ),
+    aged AS (
+        SELECT p.l_partkey, p.lifetime_qty,
+               CAST(datediff('day', p.last_ship, mx.corpus_max)
+                    AS BIGINT) AS days_stale
+        FROM per_part p CROSS JOIN mx
+    )
+    SELECT CASE WHEN days_stale < 28 THEN '0: fresh (<4w)'
+                WHEN days_stale < 84 THEN '1: aging (4-12w)'
+                WHEN days_stale < 182 THEN '2: stale (12-26w)'
+                ELSE '3: dead (>=26w)' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(lifetime_qty) AS BIGINT) AS lifetime_qty,
+           CAST(min(days_stale) AS BIGINT) AS min_days,
+           CAST(max(days_stale) AS BIGINT) AS max_days
+    FROM aged GROUP BY 1 ORDER BY bucket
+    """,
+)
+def part_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock radar: per part, days since its LAST shipment
+    relative to the corpus's latest ship date, folded into the
+    4/12/26-week merchandising buckets - the inventory-health
+    companion of xyz_classification (XYZ says whether demand is
+    forecastable; this says whether it still EXISTS). Day counts are
+    integer date arithmetic; every output cell is a bigint count/sum
+    - bit-for-bit replay.
+
+    Shape: one part-level max/sum aggregate, a broadcast corpus-max
+    scalar, a 4-row bucket aggregate. Fact rows touched once,
+    window-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("lifetime_qty"),
+    )
+    mx = li.agg(F.max(F.to_date("l_shipdate")).alias("corpus_max"))
+    aged = per_part.crossJoin(F.broadcast(mx)).select(
+        "l_partkey",
+        "lifetime_qty",
+        F.datediff("corpus_max", "last_ship").cast("bigint").alias(
+            "days_stale"
+        ),
+    )
+    bucket = (
+        F.when(F.col("days_stale") < 28, "0: fresh (<4w)")
+        .when(F.col("days_stale") < 84, "1: aging (4-12w)")
+        .when(F.col("days_stale") < 182, "2: stale (12-26w)")
+        .otherwise("3: dead (>=26w)")
+    )
+    return (
+        aged.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("lifetime_qty").alias("lifetime_qty"),
+            F.min("days_stale").alias("min_days"),
+            F.max("days_stale").alias("max_days"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "activity_heatmap",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM cell)
+    SELECT c.dow, c.hr, c.n_events, c.n_users,
+           CAST(c.n_events AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM cell c CROSS JOIN tot t
+    ORDER BY dow, hr
+    """,
+)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar activity heatmap: event and distinct-user counts per
+    (ISO weekday, hour-of-day) cell - the 7x24 grid every analytics
+    UI renders first, and the load-shaping input for batch-window
+    placement. Weekday is ISO (1=Monday..7=Sunday) on BOTH engines
+    (Spark weekday()+1 == DuckDB isodow - Spark's dayofweek() is
+    1=Sunday and would silently shear the grid by one day). Counts
+    are exact bigints; share is ONE IEEE division by the broadcast
+    grand total.
+
+    Shape: one (dow, hour) aggregate - at most 168 cells at any data
+    scale - plus a broadcast 1-row total. Fact rows touched once,
+    window-free."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cell = e.groupBy(
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tot = cell.agg(F.sum("n_events").alias("total"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "dow", "hr", "n_events", "n_users",
+            (
+                F.col("n_events").cast("double")
+                / F.col("total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+@q(
+    "cohort_new_returning",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 604800000000 AS wk
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    fw AS (
+        SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY 1
+    )
+    SELECT uw.wk,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN uw.wk = fw.first_wk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN uw.wk > fw.first_wk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning,
+           CAST(sum(CASE WHEN uw.wk > fw.first_wk THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS returning_share
+    FROM uw JOIN fw ON fw.user_id = uw.user_id
+    GROUP BY 1 ORDER BY wk
+    """,
+)
+def cohort_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new-vs-returning decomposition: each week's distinct
+    active users split by whether this is their FIRST active week -
+    the growth-accounting view behind every activation dashboard
+    (user_growth charts the cumulative curve; this says whether this
+    week's activity is acquisition or retention). Weeks are
+    epoch-microsecond integer DIV (DST-proof, engine-identical);
+    counts are exact bigints over the DISTINCT (user, week) frame;
+    returning_share is ONE IEEE division per week row.
+
+    Shape: one distinct (user, week) aggregate from facts, a
+    user-level min re-aggregate of that frame, an equi-join back on
+    user (both sides are the user-week frame, not facts), and a
+    week-grid final aggregate. Window-free; the fact table is
+    touched once."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    uw = e.select(
+        "user_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) DIV 604800000000"
+        ).alias("wk"),
+    ).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    is_new = F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0)
+    is_ret = F.when(F.col("wk") > F.col("first_wk"), 1).otherwise(0)
+    return (
+        uw.join(fw, "user_id")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(is_new).alias("n_new"),
+            F.sum(is_ret).alias("n_returning"),
+        )
+        .select(
+            "wk", "n_active", "n_new", "n_returning",
+            (
+                F.col("n_returning").cast("double")
+                / F.col("n_active").cast("double")
+            ).alias("returning_share"),
+        )
+        .orderBy("wk")
+    )
+
+
+@q(
+    "return_rate_trend",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST(month(l_shipdate) AS BIGINT) AS mo,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned
+        FROM lineitem GROUP BY 1, 2
+    ),
+    lagd AS (
+        SELECT yr, mo, n_lines, n_returned,
+               lag(n_lines) OVER w AS prev_lines,
+               lag(n_returned) OVER w AS prev_returned
+        FROM m WINDOW w AS (ORDER BY yr, mo)
+    )
+    SELECT yr, mo, n_lines, n_returned,
+           CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             AS return_rate,
+           CASE WHEN prev_lines IS NULL THEN NULL
+                ELSE n_returned * prev_lines > prev_returned * n_lines
+           END AS rate_rose
+    FROM lagd ORDER BY yr, mo
+    """,
+)
+def return_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-rate trend with an EXACT month-over-month
+    direction flag: per ship month, returned-line share, and whether
+    the rate rose vs the previous month decided by integer
+    cross-multiplication (r2*n1 > r1*n2) - no float ever compares
+    two rates, so the flag replays bit-for-bit even when the rates
+    differ in the 15th decimal. First month carries NULL (no
+    predecessor), per the family's status-over-silence rule.
+    return_rate itself is ONE IEEE division per row.
+
+    Shape: one (year, month) aggregate - the fact table's only touch
+    - then a lag over the ~84-row month grid (GLOBAL window by
+    construction, value-bounded: one row per calendar month,
+    whitelisted like user_growth's day grid)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.month("l_shipdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_returned"),
+    )
+    w = W.orderBy("yr", "mo")
+    lagd = m.select(
+        "yr", "mo", "n_lines", "n_returned",
+        F.lag("n_lines").over(w).alias("prev_lines"),
+        F.lag("n_returned").over(w).alias("prev_returned"),
+    )
+    return lagd.select(
+        "yr", "mo", "n_lines", "n_returned",
+        (
+            F.col("n_returned").cast("double")
+            / F.col("n_lines").cast("double")
+        ).alias("return_rate"),
+        F.when(
+            F.col("prev_lines").isNull(), F.lit(None).cast("boolean")
+        )
+        .otherwise(
+            F.col("n_returned") * F.col("prev_lines")
+            > F.col("prev_returned") * F.col("n_lines")
+        )
+        .alias("rate_rose"),
+    ).orderBy("yr", "mo")
+
+
+@q(
+    "flesch_readability",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z'']+'))
+                    AS BIGINT) AS words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sents,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                    AS BIGINT) AS sylls
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(words) AS BIGINT) AS words,
+               CAST(sum(sents) AS BIGINT) AS sents,
+               CAST(sum(sylls) AS BIGINT) AS sylls
+        FROM d GROUP BY 1
+    )
+    SELECT lang, n_docs, words, sents, sylls,
+           206.835
+             - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+             - 84.6 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE))
+             AS flesch
+    FROM g ORDER BY lang
+    """,
+)
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus readability panel: per language, Flesch reading-ease
+    over the POOLED token counts - words as letter/apostrophe runs,
+    sentences as terminal-punctuation runs (floored at 1 per doc),
+    syllables approximated as vowel-group runs, the standard
+    library-free heuristic. A quality-gate axis the text-analysis
+    panel lacks (length and stopword ratios say a doc is
+    English-shaped; this says whether it reads like prose or legal
+    boilerplate). Counts are exact integers from engine-identical
+    regex classes (pure character classes - no \\\\w, no shorthand
+    that differs across regex dialects); the score is computed ONCE
+    per language from pooled bigints in a fixed IEEE expression -
+    never averaged over per-doc floats, so no summation-order
+    nondeterminism.
+
+    Shape: per-doc regexp counts are one narrow projection (JVM
+    regexp, no UDF), then a lang-level aggregate and a 2-row final
+    panel."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    counts = d.select(
+        "lang",
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z\\']+', 0)"))
+        .cast("bigint")
+        .alias("words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("sents"),
+        F.size(F.expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+        .cast("bigint")
+        .alias("sylls"),
+    )
+    g = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("sents").alias("sents"),
+        F.sum("sylls").alias("sylls"),
+    )
+    return g.select(
+        "lang", "n_docs", "words", "sents", "sylls",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sents").cast("double"))
+            - F.lit(84.6)
+            * (F.col("sylls").cast("double") / F.col("words").cast("double"))
+        ).alias("flesch"),
+    ).orderBy("lang")

@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 from etl_marketdata_downloader_archived_spark.io import load_table
 from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
     above_average_orders,
+    activity_heatmap,
+    cohort_new_returning,
+    flesch_readability,
+    interarrival_hist,
+    part_staleness,
     reconcile_worklist,
+    return_rate_trend,
     same_day_orders,
     seasonality_index,
     xyz_classification,
@@ -219,3 +225,208 @@ def test_above_average_orders_vs_python(spark, sf_dir) -> None:
             assert r.share_above is None
         else:
             assert r.share_above == float(na) / float(denom)
+
+
+def test_interarrival_hist_vs_python(spark, sf_dir) -> None:
+    """Bucket counts replayed from integer-second gaps over each
+    (type, user)'s (ts, event_id)-sorted stream."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select("event_type", "user_id", "ts", "event_id").collect()
+    per: dict = defaultdict(list)
+    for r in e:
+        per[(r.event_type, r.user_id)].append((r.ts, r.event_id))
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+
+    def us(ts):
+        return int((ts - epoch).total_seconds() * 1_000_000) if ts.microsecond == 0 else (
+            int((ts.replace(microsecond=0) - epoch).total_seconds()) * 1_000_000
+            + ts.microsecond
+        )
+
+    def bucket(g):
+        for lim, lab in (
+            (10, "0: <10s"), (60, "1: 10s-1m"), (600, "2: 1m-10m"),
+            (3600, "3: 10m-1h"), (86400, "4: 1h-1d"),
+        ):
+            if g < lim:
+                return lab
+        return "5: >=1d"
+
+    want: dict = defaultdict(int)
+    for (et, _u), rows in per.items():
+        rows.sort()
+        for prev, cur in zip(rows, rows[1:]):
+            gap = us(cur[0]) // 1_000_000 - us(prev[0]) // 1_000_000
+            want[(et, bucket(gap))] += 1
+    got = {
+        (r.event_type, r.bucket): (r.n_gaps, r.share)
+        for r in interarrival_hist(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    tot: dict = defaultdict(int)
+    for (et, _b), n in want.items():
+        tot[et] += n
+    for k, n in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == float(n) / float(tot[k[0]])
+
+
+def test_part_staleness_vs_python(spark, sf_dir) -> None:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    ).collect()
+    last: dict = {}
+    qty: dict = defaultdict(int)
+    mx = None
+    for r in li:
+        d = r.l_shipdate.date()
+        mx = d if mx is None or d > mx else mx
+        if r.l_partkey not in last or d > last[r.l_partkey]:
+            last[r.l_partkey] = d
+        qty[r.l_partkey] += int(r.l_quantity)
+    agg: dict = defaultdict(lambda: [0, 0, None, None])
+    for pk, d in last.items():
+        days = (mx - d).days
+        b = (
+            "0: fresh (<4w)" if days < 28
+            else "1: aging (4-12w)" if days < 84
+            else "2: stale (12-26w)" if days < 182
+            else "3: dead (>=26w)"
+        )
+        row = agg[b]
+        row[0] += 1
+        row[1] += qty[pk]
+        row[2] = days if row[2] is None else min(row[2], days)
+        row[3] = days if row[3] is None else max(row[3], days)
+    got = {r.bucket: r for r in part_staleness(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for b, (n, q, mn, mxd) in agg.items():
+        r = got[b]
+        assert (r.n_parts, r.lifetime_qty, r.min_days, r.max_days) == (
+            n, q, mn, mxd,
+        )
+
+
+def test_activity_heatmap_vs_python(spark, sf_dir) -> None:
+    """ISO weekday alignment pinned: Monday events land in dow=1."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select("ts", "user_id").collect()
+    cells: dict = defaultdict(lambda: [0, set()])
+    for r in e:
+        k = (r.ts.isoweekday(), r.ts.hour)
+        cells[k][0] += 1
+        cells[k][1].add(r.user_id)
+    total = sum(v[0] for v in cells.values())
+    got = {
+        (r.dow, r.hr): r for r in activity_heatmap(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for k, (n, users) in cells.items():
+        r = got[k]
+        assert (r.n_events, r.n_users) == (n, len(users))
+        assert r.share == float(n) / float(total)
+
+
+def test_cohort_new_returning_vs_python(spark, sf_dir) -> None:
+    """Weekly identity: n_new + n_returning == n_active, the first
+    active week of every user is 'new', and sum(n_new) over all weeks
+    == the distinct user count."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("ts", "user_id").collect()
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+    uw = {
+        (r.user_id, int((r.ts - epoch).total_seconds() * 1_000_000)
+         // 604_800_000_000)
+        for r in e
+    }
+    first: dict = {}
+    for u, w in uw:
+        if u not in first or w < first[u]:
+            first[u] = w
+    want: dict = defaultdict(lambda: [0, 0, 0])
+    for u, w in uw:
+        row = want[w]
+        row[0] += 1
+        if w == first[u]:
+            row[1] += 1
+        else:
+            row[2] += 1
+    got = {
+        r.wk: r for r in cohort_new_returning(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for w, (na, nn, nr) in want.items():
+        r = got[w]
+        assert (r.n_active, r.n_new, r.n_returning) == (na, nn, nr)
+        assert r.n_new + r.n_returning == r.n_active
+        assert r.returning_share == float(nr) / float(na)
+    assert sum(r.n_new for r in got.values()) == len(first)
+
+
+def test_return_rate_trend_vs_python(spark, sf_dir) -> None:
+    """Direction flags replayed with integer cross-multiplication;
+    the first month is NULL, every other row's flag matches the
+    Fraction compare of consecutive exact rates."""
+    from fractions import Fraction
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag"
+    ).collect()
+    m: dict = defaultdict(lambda: [0, 0])
+    for r in li:
+        k = (r.l_shipdate.year, r.l_shipdate.month)
+        m[k][0] += 1
+        if r.l_returnflag == "R":
+            m[k][1] += 1
+    keys = sorted(m)
+    got = {(r.yr, r.mo): r for r in return_rate_trend(spark, sf_dir).collect()}
+    assert set(got) == set(m)
+    for i, k in enumerate(keys):
+        n, ret = m[k]
+        r = got[k]
+        assert (r.n_lines, r.n_returned) == (n, ret)
+        assert r.return_rate == float(ret) / float(n)
+        if i == 0:
+            assert r.rate_rose is None
+        else:
+            pn, pret = m[keys[i - 1]]
+            assert r.rate_rose == (
+                Fraction(ret, n) > Fraction(pret, pn)
+            )
+
+
+def test_flesch_readability_vs_python(spark, sf_dir) -> None:
+    """Token counts replayed with python re over the same character
+    classes; the score recomputed from pooled integers in the same
+    expression order must match bit-for-bit."""
+    import re
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("lang", "text").collect()
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for r in d:
+        w = len(re.findall(r"[A-Za-z']+", r.text))
+        s = max(len(re.findall(r"[.!?]+", r.text)), 1)
+        y = len(re.findall(r"[aeiouyAEIOUY]+", r.text))
+        row = agg[r.lang]
+        row[0] += 1
+        row[1] += w
+        row[2] += s
+        row[3] += y
+    got = {r.lang: r for r in flesch_readability(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for lang, (n, w, s, y) in agg.items():
+        r = got[lang]
+        assert (r.n_docs, r.words, r.sents, r.sylls) == (n, w, s, y)
+        assert r.flesch == (
+            206.835 - 1.015 * (float(w) / float(s))
+            - 84.6 * (float(y) / float(w))
+        )

@@ -154,6 +154,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # days (calendar span), per-customer order counts (small ints),
     # and the 64+2-bucket monetary grid - never customer rows
     "rfm_segments": "tercile maps over calendar-day / order-count / 66-bucket value tables",
+    # month-over-month lag over the (year, month) aggregate - one row
+    # per calendar month (~84), bounded like user_growth's day grid
+    "return_rate_trend": "lag over one row per calendar month",
 }
 
 
