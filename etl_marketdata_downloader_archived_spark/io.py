@@ -979,3 +979,81 @@ def write_audit_publish(
         "n_violations": n_bad,
         "staging": staging,
     }
+
+
+# ------------------------------------------------ format interchange
+
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv", "avro")
+
+
+def write_formatted(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Format-interchange writer: the lake's parquet layout re-exported
+    as ORC (Hive-era lake interop - ORC carries the same columnar
+    stats/pushdown contract), JSON-lines (downstream consumers without
+    a columnar reader), or headered CSV. One code path so partitioning
+    and write options behave identically across formats; 'avro' is
+    accepted but raises a clear error unless the spark-avro package is
+    on the classpath (not bundled here - gated, not stubbed
+    silently)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(
+            f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}"
+        )
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    try:
+        w.format(fmt).save(path)
+    except Exception as e:  # pragma: no cover - no avro jar in CI
+        if fmt == "avro" and "avro" in str(e).lower():
+            raise RuntimeError(
+                "avro output needs the spark-avro package "
+                "(spark.jars.packages org.apache.spark:spark-avro_*); "
+                "it is not bundled in this environment"
+            ) from e
+        raise
+
+
+def read_formatted(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: "T.StructType | str | None" = None,
+    **options,
+):
+    """Format-interchange reader. ORC and parquet are self-describing
+    and keep column pruning + predicate pushdown (the scan shows
+    PushedFilters either way - asserted in tests, not assumed); JSON
+    and CSV REQUIRE an explicit schema (schema inference is a full
+    extra pass over the data at lake scale, and silently inferred
+    types are how a bigint becomes a double on Tuesday)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(
+            f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}"
+        )
+    r = spark.read
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(
+                f"{fmt} reads need an explicit schema (inference is a "
+                "full extra scan and a type-drift hazard)"
+            )
+        r = r.schema(schema)
+    elif schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.format(fmt).load(path)

@@ -580,3 +580,113 @@ def streaming_reconciliation(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_fd_monitor(
+    df: DataFrame,
+    determinant: str,
+    dependent: str,
+    max_tracked_values: int = 10_000,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming functional-dependency monitor - the in-flight twin of
+    operators.quality.fd_violations: rows arrive as a stream, each
+    micro-batch folds its dependent values into per-determinant state,
+    and every TOUCHED key that is (or just became) violating re-emits
+    its current violation row - so the first row that breaks
+    ``determinant -> dependent`` (the bad-merge / region-split
+    corruption class) is surfaced the batch it lands, not at the
+    nightly audit. Keys that never violate emit nothing, matching the
+    batch operator's violation-only output; last-emission-per-key ==
+    fd_violations over the concatenated stream (the pytest twin).
+
+    Semantics mirror the batch operator exactly: NULL dependents
+    count as one extra distinct state (a key mapping to a value AND
+    NULL is two verdicts about one fact), n_rows counts every row
+    including NULLs, witnesses are min/max over non-null values
+    (python min/max on the state list - code-point order for strings,
+    same as Spark's UTF8 compare).
+
+    Scale shape: per-key state is the DISTINCT dependent set - tiny
+    for a healthy dependency (one value) and violation-sized when
+    broken; ``max_tracked_values`` fails the stream LOUDLY if a key's
+    distinct set outgrows it (that is no longer a dependency check -
+    the declared FD is simply wrong - and unbounded state is the
+    failure the guard exists for). State lives in the engine's store
+    keyed by the determinant (fact-scale key cardinality is fine,
+    like streaming_reconciliation), restart is checkpoint-native.
+
+    ``state_ttl_ms`` expires quiet keys on continuous streams (after
+    which a key's history restarts - use only when the FD window is
+    naturally bounded, e.g. per-day order ids); leave None under
+    run-to-completion triggers."""
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    det_t, dep_t = in_schema[determinant], in_schema[dependent]
+    out_schema = (
+        f"{determinant} {det_t}, n_distinct long, n_rows long, "
+        f"witness_min {dep_t}, witness_max {dep_t}"
+    )
+    use_ttl = state_ttl_ms is not None
+
+    def update(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        if state.exists:
+            vals, has_null, n_rows = state.get
+            seen = set(vals)
+        else:
+            seen, has_null, n_rows = set(), False, 0
+        col = pdf[dependent]
+        nn = col[col.notna()]
+        # .item()-denumpify so int64/float64 scalars round-trip the
+        # state schema exactly
+        for v in nn.unique():
+            seen.add(v.item() if hasattr(v, "item") else v)
+        has_null = bool(has_null or col.isna().any())
+        n_rows += len(pdf)
+        if len(seen) > max_tracked_values:
+            raise ValueError(
+                f"streaming_fd_monitor: key {key_t[0]!r} accumulated "
+                f"{len(seen)} distinct {dependent!r} values > "
+                f"max_tracked_values={max_tracked_values}. This is no "
+                "longer a functional dependency - fix the declaration "
+                "or raise the cap deliberately."
+            )
+        state.update((sorted(seen), has_null, n_rows))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
+        n_distinct = len(seen) + (1 if has_null else 0)
+        if n_distinct > 1:
+            yield pd.DataFrame(
+                [
+                    {
+                        determinant: key_t[0],
+                        "n_distinct": n_distinct,
+                        "n_rows": n_rows,
+                        "witness_min": min(seen) if seen else None,
+                        "witness_max": max(seen) if seen else None,
+                    }
+                ]
+            )
+
+    return df.groupBy(determinant).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=(
+            f"vals array<{dep_t}>, has_null boolean, n_rows long"
+        ),
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -98,3 +98,72 @@ def test_driver_table_timestamps_are_micros(spark, sf_dir) -> None:
     e = load_table(spark, sf_dir, "events")
     assert dict(e.dtypes)["ts"] == "timestamp_ntz"
     assert e.select("ts").head()[0].year >= 2020
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path) -> None:
+    """ORC interchange: parquet -> ORC -> read back is value-identical,
+    the ORC scan keeps predicate pushdown (PushedFilters) and column
+    pruning, and a partitioned ORC layout prunes partitions."""
+    from etl_marketdata_downloader_archived_spark.io import (
+        load_table,
+        read_formatted,
+        write_formatted,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_orc")
+    write_formatted(o, p, fmt="orc")
+    back = read_formatted(spark, p, fmt="orc")
+    assert back.schema == o.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, o.collect())
+    )
+
+    q = back.filter(F.col("o_custkey") == 7).select("o_orderkey")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan and "o_custkey" in plan
+    assert "ReadSchema" in plan
+
+    # partitioned layout prunes: only the selected status directory
+    pp = str(tmp_path / "orders_orc_part")
+    write_formatted(o, pp, fmt="orc", partition_cols=("o_orderstatus",))
+    pr = read_formatted(spark, pp, fmt="orc").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    pplan = pr._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in pplan
+    want = o.filter(F.col("o_orderstatus") == "F").count()
+    assert pr.count() == want
+
+
+def test_json_csv_interchange_requires_schema(spark, sf_dir, tmp_path) -> None:
+    """JSON/CSV reads refuse schema inference; with the schema given,
+    a region round-trip is value-identical in both formats."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        load_table,
+        read_formatted,
+        write_formatted,
+    )
+
+    r = load_table(spark, sf_dir, "region")
+    for fmt in ("json", "csv"):
+        p = str(tmp_path / f"region_{fmt}")
+        write_formatted(r, p, fmt=fmt)
+        with _pytest.raises(ValueError, match="schema"):
+            read_formatted(spark, p, fmt=fmt)
+        back = read_formatted(spark, p, fmt=fmt, schema=r.schema)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, r.collect())
+        )
+    with _pytest.raises(ValueError, match="unsupported format"):
+        write_formatted(r, str(tmp_path / "x"), fmt="xml")

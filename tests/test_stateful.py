@@ -546,3 +546,105 @@ def test_streaming_reconciliation_equals_batch(spark, tmp_path) -> None:
             assert last.status == ("ok" if want_diff <= 5 else "mismatch")
         else:
             assert last.status == "no_order"
+
+
+def test_streaming_fd_monitor_equals_batch(spark, tmp_path) -> None:
+    """Streaming FD monitor over two micro-batches == batch
+    fd_violations on the concatenated rows: a cross-batch violation
+    (consistent in batch 1, broken by batch 2) emits the moment it
+    breaks, a within-batch violation emits immediately and does NOT
+    re-emit when untouched, a healthy key never appears, and a NULL
+    dependent counts as a distinct state."""
+    from etl_marketdata_downloader_archived_spark.operators.quality import (
+        fd_violations,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_fd_monitor,
+    )
+
+    b1 = [("X", "a"), ("Y", "ok"), ("Z", "p"), ("Z", "q"), ("W", "v")]
+    b2 = [("X", "b"), ("Y", "ok"), ("W", None)]
+    src = tmp_path / "rows"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"k": k, "v": v}) for k, v in rows
+            )
+        )
+        time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    rows_df = raw.select(
+        F.from_json("value", "k string, v string").alias("j")
+    ).select("j.*")
+    out = streaming_fd_monitor(rows_df, "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from fd_out").collect()
+
+    # Z violates within batch 1 and is untouched in batch 2 -> exactly
+    # one emission; X and W become violating in batch 2; Y never
+    per = {}
+    for r in got:
+        per.setdefault(r.k, []).append(r)
+    assert set(per) == {"X", "Z", "W"}
+    assert len(per["Z"]) == 1
+    # last emission per key == the batch operator on the full data
+    full = spark.createDataFrame(b1 + b2, "k string, v string")
+    want = {
+        r.k: (r.n_distinct, r.n_rows, r.witness_min, r.witness_max)
+        for r in fd_violations(full, "k", "v").collect()
+    }
+    last = {
+        k: max(rs, key=lambda r: r.n_rows) for k, rs in per.items()
+    }
+    assert set(last) == set(want)
+    for k, r in last.items():
+        assert (r.n_distinct, r.n_rows, r.witness_min, r.witness_max) == want[k]
+    # NULL counted as a distinct state: W has one non-null value + null
+    assert last["W"].n_distinct == 2 and last["W"].witness_min == "v"
+
+
+def test_streaming_fd_monitor_guard_fails_loudly(spark, tmp_path) -> None:
+    """A key whose distinct set outgrows the cap fails the stream with
+    the guard's message - the declared FD is simply wrong."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_fd_monitor,
+    )
+
+    src = tmp_path / "rows"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"k": "K", "v": f"v{i}"}) for i in range(10)
+        )
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    rows_df = raw.select(
+        F.from_json("value", "k string, v string").alias("j")
+    ).select("j.*")
+    out = streaming_fd_monitor(rows_df, "k", "v", max_tracked_values=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fd_guard_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="max_tracked_values"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
