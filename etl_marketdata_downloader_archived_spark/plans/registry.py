@@ -23,15 +23,49 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 
+# Canonical battery-module order. The driver certifies the FIRST 50
+# names in registration order, so that order must be a function of
+# THIS list alone - never of which module some test or notebook
+# happened to import first (a stray `import plans.analytics_r9` would
+# otherwise prepend its registrations and silently shift the certified
+# window). all_queries() re-sorts by (module rank, within-module
+# registration sequence); unknown modules (ad-hoc registrations) sort
+# last, past the window.
+_MODULE_ORDER = [
+    "relational",
+    "marketdata",
+    "llm_ops",
+    "events",
+    "dataflow_queries",
+    "tail",
+    "analytics_ext",
+    "analytics_r7",
+    "analytics_r8",
+    "analytics_r9",
+]
+_SEQ: dict[str, tuple[int, int]] = {}
+_counter = 0
+
+
+def _module_rank(fn: QueryFn) -> int:
+    mod = fn.__module__.rsplit(".", 1)[-1]
+    try:
+        return _MODULE_ORDER.index(mod)
+    except ValueError:
+        return len(_MODULE_ORDER)
+
 
 def q(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; ``oracle=None`` -> rows-only driver check
     (for genuinely non-SQL-expressible ops)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        global _counter
         if name in _QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         _QUERIES[name] = fn
+        _SEQ[name] = (_module_rank(fn), _counter)
+        _counter += 1
         if oracle is not None:
             _ORACLE[name] = oracle
         return fn
@@ -41,7 +75,9 @@ def q(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def all_queries() -> dict[str, QueryFn]:
     _load_batteries()
-    return dict(_QUERIES)
+    return {
+        n: _QUERIES[n] for n in sorted(_QUERIES, key=lambda n: _SEQ[n])
+    }
 
 
 def all_oracles() -> dict[str, str]:
