@@ -1057,3 +1057,153 @@ def read_formatted(
     for k, v in options.items():
         r = r.option(k, v)
     return r.format(fmt).load(path)
+
+
+# ------------------------------------------------- versioned tables
+# Time travel on plain parquet: each publish lands a complete
+# immutable snapshot under <root>/v=N (staged + renamed, so a reader
+# never sees a half-written version), and a _latest pointer file names
+# the current one. Reads pin a version or follow the pointer; rollback
+# is a pointer move (non-destructive); vacuum ages out old snapshots
+# but never the pointed-to one. This is the smallest useful slice of
+# the Delta/Iceberg contract - snapshot isolation for readers, instant
+# rollback - without a transaction log, suitable for
+# publish-then-read-mostly reference tables (the catalog/manifest
+# class), not high-frequency concurrent upserts (that is
+# write_audit_publish + merge_partitioned territory).
+
+
+def _vfs(spark: SparkSession, root: str):
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    p = jvm_path(root)
+    return jvm_path, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def list_versions(spark: SparkSession, root: str) -> list[int]:
+    """Version numbers present under ``root``, ascending."""
+    jvm_path, fs = _vfs(spark, root)
+    p = jvm_path(root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v=") and st.isDirectory():
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(spark: SparkSession, root: str) -> int | None:
+    """The pointed-to version; falls back to the max on-disk version
+    when the pointer is mid-swap or absent (the reader never errors on
+    the swap window)."""
+    jvm_path, fs = _vfs(spark, root)
+    ptr = jvm_path(root.rstrip("/") + "/_latest")
+    if fs.exists(ptr):
+        stream = fs.open(ptr)
+        try:
+            # byte-wise read of a <=20-byte ascii pointer; read() past
+            # EOF returns -1, which maps to 0xFF below and is stripped
+            raw = bytes(stream.read() & 0xFF for _ in range(20))
+        finally:
+            stream.close()
+        txt = raw.split(b"\n")[0].strip().rstrip(b"\xff")
+        try:
+            return int(txt)
+        except ValueError:
+            pass
+    vs = list_versions(spark, root)
+    return vs[-1] if vs else None
+
+
+def _write_pointer(spark: SparkSession, root: str, version: int) -> None:
+    jvm_path, fs = _vfs(spark, root)
+    base = root.rstrip("/")
+    tmp = jvm_path(f"{base}/_latest.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(f"{version}\n".encode()))
+    finally:
+        out.close()
+    ptr = jvm_path(f"{base}/_latest")
+    if fs.exists(ptr):
+        fs.delete(ptr, False)
+    if not fs.rename(tmp, ptr):
+        raise IOError(f"pointer swap failed for {base!r} -> v={version}")
+
+
+def publish_version(df: DataFrame, root: str) -> int:
+    """Publish ``df`` as the next version of the table and move the
+    pointer to it. The snapshot stages under ``_stage_v<N>`` and
+    renames into place, so a concurrent reader sees the previous
+    version until the pointer moves - wholly-old or wholly-new, the
+    engine's publish invariant. A crashed publish leaves only a stage
+    directory, which the next publish sweeps. Returns the new version
+    number."""
+    spark = df.sparkSession
+    jvm_path, fs = _vfs(spark, root)
+    base = root.rstrip("/")
+    # sweep crashed stages (self-recovery at entry, the mutator rule)
+    p = jvm_path(base)
+    if fs.exists(p):
+        for st in fs.listStatus(p):
+            if st.getPath().getName().startswith("_stage_v"):
+                fs.delete(st.getPath(), True)
+    vs = list_versions(spark, root)
+    n = (vs[-1] + 1) if vs else 1
+    stage = f"{base}/_stage_v{n}"
+    df.write.mode("overwrite").parquet(stage)
+    if not fs.rename(jvm_path(stage), jvm_path(f"{base}/v={n}")):
+        raise IOError(f"version rename failed for {base!r} v={n}")
+    _write_pointer(spark, root, n)
+    return n
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version, or the pointed-to latest when
+    ``version`` is None. A pinned read of a vacuumed version fails
+    with the available list, not a bare path error."""
+    v = latest_version(spark, root) if version is None else int(version)
+    if v is None:
+        raise FileNotFoundError(f"no versions published under {root!r}")
+    vs = list_versions(spark, root)
+    if v not in vs:
+        raise FileNotFoundError(
+            f"version {v} not present under {root!r}; available: {vs}"
+        )
+    return spark.read.parquet(f"{root.rstrip('/')}/v={v}")
+
+
+def rollback_version(spark: SparkSession, root: str, to_version: int) -> None:
+    """Point the table back at an older snapshot - instant and
+    non-destructive (the newer versions stay on disk for re-roll-
+    forward until vacuumed)."""
+    vs = list_versions(spark, root)
+    if to_version not in vs:
+        raise FileNotFoundError(
+            f"cannot roll back to v{to_version}; available: {vs}"
+        )
+    _write_pointer(spark, root, to_version)
+
+
+def vacuum_versions(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> list[int]:
+    """Delete all but the newest ``keep_last`` versions - but NEVER
+    the pointed-to one, even if it is old (a rolled-back table keeps
+    its live snapshot). Returns the deleted version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm_path, fs = _vfs(spark, root)
+    vs = list_versions(spark, root)
+    live = latest_version(spark, root)
+    doomed = [v for v in vs[:-keep_last] if v != live]
+    base = root.rstrip("/")
+    for v in doomed:
+        fs.delete(jvm_path(f"{base}/v={v}"), True)
+    return doomed

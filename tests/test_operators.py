@@ -1428,3 +1428,60 @@ def test_ngram_containment_detects_subset_dup(spark) -> None:
         ngram_jaccard_pairs(
             df, "doc_id", "text", "source", metric="dice"
         )
+
+
+def test_versioned_table_time_travel(spark, tmp_path) -> None:
+    """Versioned publish/read/rollback/vacuum: pinned reads see their
+    snapshot, the pointer follows publishes and rollbacks, vacuum
+    never deletes the live (pointed-to) version, and a crashed stage
+    directory is swept by the next publish."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        latest_version,
+        list_versions,
+        publish_version,
+        read_version,
+        rollback_version,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "ref_table")
+    mk = lambda n: spark.createDataFrame(  # noqa: E731
+        [(i, f"v{n}") for i in range(3)], "id bigint, tag string"
+    )
+    assert publish_version(mk(1), root) == 1
+    assert publish_version(mk(2), root) == 2
+    # crash twin: a stranded stage dir must not break the next publish
+    (tmp_path / "ref_table" / "_stage_v99").mkdir()
+    assert publish_version(mk(3), root) == 3
+    assert list_versions(spark, root) == [1, 2, 3]
+    assert latest_version(spark, root) == 3
+
+    assert {r.tag for r in read_version(spark, root).collect()} == {"v3"}
+    assert {r.tag for r in read_version(spark, root, 1).collect()} == {"v1"}
+
+    rollback_version(spark, root, 1)
+    assert latest_version(spark, root) == 1
+    assert {r.tag for r in read_version(spark, root).collect()} == {"v1"}
+    with _pytest.raises(FileNotFoundError, match="available"):
+        read_version(spark, root, 42)
+
+    # vacuum keeps the newest keep_last AND the live rolled-back v1
+    deleted = vacuum_versions(spark, root, keep_last=1)
+    assert deleted == [2]
+    assert list_versions(spark, root) == [1, 3]
+    assert {r.tag for r in read_version(spark, root).collect()} == {"v1"}
+
+    # roll forward again: v3 survived the vacuum
+    rollback_version(spark, root, 3)
+    assert {r.tag for r in read_version(spark, root).collect()} == {"v3"}
+
+    # pointer-less table (mid-swap twin): reader falls back to max
+    import os
+
+    os.remove(tmp_path / "ref_table" / "_latest")
+    crc = tmp_path / "ref_table" / "._latest.crc"
+    if crc.exists():
+        os.remove(crc)
+    assert latest_version(spark, root) == 3
