@@ -325,6 +325,77 @@ DIRECTED: list[tuple[str, str, str]] = [
         "the resulting '<a ...>' STRING is never re-tokenized into "
         "elements. Expected: only real6.",
     ),
+    # round-9 additions: six more documented-rule corners
+    (
+        "broken-tag-eof",
+        '<html><body><a href="r9a">t</a><a href="trunc',
+        "A page truncated MID-TAG (dropped connection, byte-capped "
+        "fetch): close() 'forces processing of all buffered data as "
+        "if it were followed by an end-of-file mark' (Python "
+        "html.parser docs), and an incomplete start tag at EOF "
+        "cannot be tokenized as a tag - the CPython tokenizer "
+        "(public html/parser.py goahead, end=1) emits the unfinished "
+        "'<...' buffer as DATA, so no start-tag event ever fires for "
+        "it. Expected: only r9a.",
+    ),
+    (
+        "iframe-noscript-not-rawtext",
+        '<html><body><iframe><a href="i1">x</a></iframe>'
+        '<noscript><a href="n1">y</a></noscript>'
+        '<a href="real7">t</a></body></html>',
+        "Second DELIBERATE browser-divergence pin (the textarea "
+        "corner's siblings): HTML5 parses iframe contents as raw "
+        "text and noscript likewise when scripting is on, but the "
+        "stdlib tokenizer's raw-text mode covers ONLY script/style "
+        "(public CPython source, html/parser.py "
+        "CDATA_CONTENT_ELEMENTS = ('script', 'style')) - so anchors "
+        "inside iframe/noscript ARE tokenized as start tags by bs4's "
+        "html.parser builder and by this engine. Expected: i1, n1, "
+        "real7 in document order.",
+    ),
+    (
+        "astral-charref-attr",
+        '<html><body><a href="e?&#128169;">t</a></body></html>',
+        "A numeric reference beyond the BMP resolves to its astral "
+        "code point in an attribute value - the tokenizer's entity "
+        "replacement (html.parser docs, handle_starttag) goes "
+        "through html.unescape, which 'converts all named and "
+        "numeric character references ... to the corresponding "
+        "Unicode characters' (html docs) with no BMP restriction. "
+        "Pins the fixture's own unicode round-trip too. Expected "
+        "href: 'e?' + U+1F4A9.",
+    ),
+    (
+        "invalid-charref-attr",
+        '<html><body><a href="a&#150;b&#0;c&#x110000;d">t</a>'
+        "</body></html>",
+        "Invalid numeric references follow the HTML5 numeric-"
+        "character-reference rules, which html.unescape implements "
+        "(html docs: 'rules given in the HTML 5 standard' for "
+        "invalid references): &#150; is a C1 control and maps "
+        "through the spec's windows-1252 table to U+2013, while "
+        "&#0; and out-of-range &#x110000; become U+FFFD. Expected "
+        "href: a\\u2013b\\ufffdc\\ufffdd.",
+    ),
+    (
+        "tagname-lookalikes",
+        '<html><body><a2 href="d1">x</a2><a-x href="d2">y</a-x>'
+        '<a href="real8">t</a></body></html>',
+        "find_all('a', ...) matches the tag NAME 'a' exactly "
+        "(Beautiful Soup docs, 'The name argument') - 'a2' and the "
+        "custom-element-style 'a-x' are different names even though "
+        "they share the prefix, and the tokenizer keeps digits and "
+        "dashes as part of the name. Expected: only real8.",
+    ),
+    (
+        "end-tag-attrs-ignored",
+        '<html><body></a href="e1"><a href="real9">t</a></body></html>',
+        "End tags carry NO attributes: the tokenizer's end-tag event "
+        "is handle_endtag(tag) - name only (Python html.parser "
+        "docs) - so an href written inside an end tag never reaches "
+        "any builder and cannot create an anchor. Expected: only "
+        "real9.",
+    ),
 ]
 
 
