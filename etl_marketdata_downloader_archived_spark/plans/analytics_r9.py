@@ -899,3 +899,266 @@ def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("sylls").cast("double") / F.col("words").cast("double"))
         ).alias("flesch"),
     ).orderBy("lang")
+
+
+@q(
+    "brand_cross_shopping",
+    oracle="""
+    WITH cb AS (
+        SELECT DISTINCT o.o_custkey, p.p_brand
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    per_cust AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_brands
+        FROM cb GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM per_cust)
+    SELECT p.n_brands,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) AS DOUBLE) / CAST(t.n_cust AS DOUBLE)
+             AS customer_share
+    FROM per_cust p CROSS JOIN tot t
+    GROUP BY p.n_brands, t.n_cust ORDER BY n_brands
+    """,
+)
+def brand_cross_shopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand cross-shopping histogram: how many distinct brands each
+    buying customer has EVER purchased, rolled into a distribution -
+    the assortment-breadth signal behind cross-sell targeting (a
+    1-brand customer is an expansion candidate; a 20-brand customer
+    is a marketplace regular), and the customer-side complement of
+    basket_pairs' item-side affinity. Counts are exact bigints over
+    the distinct (customer, brand) frame; customer_share is ONE IEEE
+    division by the broadcast buying-customer total.
+
+    Shape: lineitem joins orders (order->customer) and part
+    (part->brand, broadcast-sized dim), collapses to distinct
+    (customer, brand), then a per-customer count and a
+    brand-count-bounded histogram aggregate (n_brands <= |brands| =
+    25). Facts touched once."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    per_cust = cb.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_brands")
+    )
+    tot = per_cust.agg(F.count(F.lit(1)).alias("n_cust"))
+    return (
+        per_cust.crossJoin(F.broadcast(tot))
+        .groupBy("n_brands", "n_cust")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "n_brands",
+            "n_customers",
+            (
+                F.col("n_customers").cast("double")
+                / F.col("n_cust").cast("double")
+            ).alias("customer_share"),
+        )
+        .orderBy("n_brands")
+    )
+
+
+@q(
+    "daily_consistency",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS active_days,
+               CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT)
+                 AS span_days
+        FROM ud GROUP BY 1
+    ),
+    lab AS (
+        SELECT CASE WHEN span_days = 1 THEN '0: one-day'
+                    WHEN 20 * active_days >= 19 * span_days
+                      THEN '1: daily (>=95%)'
+                    WHEN 20 * active_days >= 17 * span_days
+                      THEN '2: near-daily (>=85%)'
+                    WHEN 4 * active_days >= 3 * span_days
+                      THEN '3: regular (>=75%)'
+                    ELSE '4: intermittent (<75%)' END AS consistency,
+               active_days, span_days
+        FROM per_user
+    )
+    SELECT consistency,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(active_days) AS BIGINT) AS active_days,
+           CAST(sum(span_days) AS BIGINT) AS span_days,
+           CAST(sum(active_days) AS DOUBLE)
+             / CAST(sum(span_days) AS DOUBLE) AS pooled_ratio
+    FROM lab GROUP BY 1 ORDER BY consistency
+    """,
+)
+def daily_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-consistency segmentation: each user's active DAYS over
+    their own first-to-last-day span, classed by integer
+    cross-multiplication (20*active >= 19*span for 'daily' - no
+    float ratio ever decides a class), single-day users fenced into
+    their own class rather than polluting 'daily' with trivial 100%s.
+    The engagement-regularity axis that activity_streaks'
+    consecutive-day lens and cohort_new_returning's acquisition lens
+    both miss; thresholds sit at 95/85/75% because the grid must
+    discriminate on the corpus it measures (this fixture's users
+    cluster at 73-100% daily coverage - a coarser ladder would class
+    everyone together). pooled_ratio is ONE IEEE division of two
+    exact sums per class row.
+
+    Shape: distinct (user, day) frame, a per-user count/min/max
+    aggregate of that frame, then a <=5-row class aggregate.
+    Window-free; facts touched once."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    per_user = ud.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_days"),
+        (F.datediff(F.max("d"), F.min("d")) + 1)
+        .cast("bigint")
+        .alias("span_days"),
+    )
+    consistency = (
+        F.when(F.col("span_days") == 1, "0: one-day")
+        .when(
+            20 * F.col("active_days") >= 19 * F.col("span_days"),
+            "1: daily (>=95%)",
+        )
+        .when(
+            20 * F.col("active_days") >= 17 * F.col("span_days"),
+            "2: near-daily (>=85%)",
+        )
+        .when(
+            4 * F.col("active_days") >= 3 * F.col("span_days"),
+            "3: regular (>=75%)",
+        )
+        .otherwise("4: intermittent (<75%)")
+    )
+    return (
+        per_user.groupBy(consistency.alias("consistency"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("active_days").alias("active_days"),
+            F.sum("span_days").alias("span_days"),
+        )
+        .select(
+            "consistency", "n_users", "active_days", "span_days",
+            (
+                F.col("active_days").cast("double")
+                / F.col("span_days").cast("double")
+            ).alias("pooled_ratio"),
+        )
+        .orderBy("consistency")
+    )
+
+
+@q(
+    "supplier_load_balance",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_supp,
+               CAST(sum(q) AS BIGINT) AS tot_q,
+               CAST(max(q) AS BIGINT) AS max_q
+        FROM ps GROUP BY 1
+    ),
+    lab AS (
+        SELECT CASE WHEN n_supp = 1 THEN '0: sole-source'
+                    WHEN max_q * n_supp >= 3 * tot_q
+                      THEN '1: top >=3x fair share'
+                    WHEN max_q * n_supp >= 2 * tot_q
+                      THEN '2: top >=2x fair share'
+                    WHEN 2 * max_q * n_supp >= 3 * tot_q
+                      THEN '3: top >=1.5x fair share'
+                    ELSE '4: balanced' END AS sourcing,
+               tot_q
+        FROM per_part
+    ),
+    tot AS (SELECT CAST(sum(tot_q) AS BIGINT) AS all_q FROM lab)
+    SELECT l.sourcing,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(l.tot_q) AS BIGINT) AS qty,
+           CAST(sum(l.tot_q) AS DOUBLE) / CAST(t.all_q AS DOUBLE)
+             AS qty_share
+    FROM lab l CROSS JOIN tot t
+    GROUP BY l.sourcing, t.all_q ORDER BY sourcing
+    """,
+)
+def supplier_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration gate, measured against the FAIR-SHARE
+    baseline: per part, how much the top supplier's shipped quantity
+    exceeds the equal-split expectation (max * n_supp vs multiples of
+    total - a scale-free comparison that discriminates on any
+    supplier count, where a fixed 50%-of-total test goes degenerate
+    the moment parts have dozens of suppliers). Classes decided by
+    pure integer cross-multiplication; sole-source parts are their
+    own class. Quantity mass per class shows how much volume rides
+    each concentration tier; qty_share is ONE IEEE division by the
+    broadcast total. The part-level single-point-of-failure radar
+    that the global HHI (concentration_hhi) averages away.
+
+    Shape: one (part, supplier) aggregate, a part-level count/max/sum
+    re-aggregate, a <=5-row class aggregate + broadcast total.
+    Window-free; facts touched once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("q").alias("tot_q"),
+        F.max("q").alias("max_q"),
+    )
+    sourcing = (
+        F.when(F.col("n_supp") == 1, "0: sole-source")
+        .when(
+            F.col("max_q") * F.col("n_supp") >= 3 * F.col("tot_q"),
+            "1: top >=3x fair share",
+        )
+        .when(
+            F.col("max_q") * F.col("n_supp") >= 2 * F.col("tot_q"),
+            "2: top >=2x fair share",
+        )
+        .when(
+            2 * F.col("max_q") * F.col("n_supp") >= 3 * F.col("tot_q"),
+            "3: top >=1.5x fair share",
+        )
+        .otherwise("4: balanced")
+    )
+    lab = per_part.select(sourcing.alias("sourcing"), "tot_q")
+    tot = lab.agg(F.sum("tot_q").alias("all_q"))
+    return (
+        lab.crossJoin(F.broadcast(tot))
+        .groupBy("sourcing", "all_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("tot_q").alias("qty"),
+        )
+        .select(
+            "sourcing", "n_parts", "qty",
+            (
+                F.col("qty").cast("double") / F.col("all_q").cast("double")
+            ).alias("qty_share"),
+        )
+        .orderBy("sourcing")
+    )

@@ -430,3 +430,117 @@ def test_flesch_readability_vs_python(spark, sf_dir) -> None:
             206.835 - 1.015 * (float(w) / float(s))
             - 84.6 * (float(y) / float(w))
         )
+
+
+def test_brand_cross_shopping_vs_python(spark, sf_dir) -> None:
+    """Histogram replayed from the distinct (customer, brand) set;
+    shares sum to 1 over the histogram."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    ).collect()
+    cust = {r.o_orderkey: r.o_custkey for r in o}
+    brand = {r.p_partkey: r.p_brand for r in p}
+    cb = {(cust[r.l_orderkey], brand[r.l_partkey]) for r in li}
+    per: dict = defaultdict(set)
+    for c, b in cb:
+        per[c].add(b)
+    hist: dict = defaultdict(int)
+    for c, bs in per.items():
+        hist[len(bs)] += 1
+    n_cust = len(per)
+    got = {
+        r.n_brands: r
+        for r in __import__(
+            "etl_marketdata_downloader_archived_spark.plans.analytics_r9",
+            fromlist=["brand_cross_shopping"],
+        ).brand_cross_shopping(spark, sf_dir).collect()
+    }
+    assert set(got) == set(hist)
+    for nb, n in hist.items():
+        assert got[nb].n_customers == n
+        assert got[nb].customer_share == float(n) / float(n_cust)
+    assert abs(sum(r.customer_share for r in got.values()) - 1.0) < 1e-9
+
+
+def test_daily_consistency_vs_python(spark, sf_dir) -> None:
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        daily_consistency,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "ts").collect()
+    ud: dict = defaultdict(set)
+    for r in e:
+        ud[r.user_id].add(r.ts.date())
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for _u, days in ud.items():
+        a = len(days)
+        s = (max(days) - min(days)).days + 1
+        if s == 1:
+            k = "0: one-day"
+        elif 20 * a >= 19 * s:
+            k = "1: daily (>=95%)"
+        elif 20 * a >= 17 * s:
+            k = "2: near-daily (>=85%)"
+        elif 4 * a >= 3 * s:
+            k = "3: regular (>=75%)"
+        else:
+            k = "4: intermittent (<75%)"
+        row = agg[k]
+        row[0] += 1
+        row[1] += a
+        row[2] += s
+    got = {r.consistency: r for r in daily_consistency(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for k, (n, a, s) in agg.items():
+        r = got[k]
+        assert (r.n_users, r.active_days, r.span_days) == (n, a, s)
+        assert r.pooled_ratio == float(a) / float(s)
+
+
+def test_supplier_load_balance_vs_python(spark, sf_dir) -> None:
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        supplier_load_balance,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    ).collect()
+    ps: dict = defaultdict(int)
+    for r in li:
+        ps[(r.l_partkey, r.l_suppkey)] += int(r.l_quantity)
+    per: dict = defaultdict(list)
+    for (pk, _sk), q in ps.items():
+        per[pk].append(q)
+    agg: dict = defaultdict(lambda: [0, 0])
+    all_q = 0
+    for pk, qs in per.items():
+        n, tot, mx = len(qs), sum(qs), max(qs)
+        all_q += tot
+        if n == 1:
+            k = "0: sole-source"
+        elif mx * n >= 3 * tot:
+            k = "1: top >=3x fair share"
+        elif mx * n >= 2 * tot:
+            k = "2: top >=2x fair share"
+        elif 2 * mx * n >= 3 * tot:
+            k = "3: top >=1.5x fair share"
+        else:
+            k = "4: balanced"
+        agg[k][0] += 1
+        agg[k][1] += tot
+    got = {
+        r.sourcing: r for r in supplier_load_balance(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (n, q) in agg.items():
+        r = got[k]
+        assert (r.n_parts, r.qty) == (n, q)
+        assert r.qty_share == float(q) / float(all_q)
