@@ -1056,7 +1056,16 @@ def read_formatted(
         options.setdefault("header", "true")
     for k, v in options.items():
         r = r.option(k, v)
-    return r.format(fmt).load(path)
+    try:
+        return r.format(fmt).load(path)
+    except Exception as e:  # pragma: no cover - no avro jar in CI
+        if fmt == "avro" and "avro" in str(e).lower():
+            raise RuntimeError(
+                "avro input needs the spark-avro package "
+                "(spark.jars.packages org.apache.spark:spark-avro_*); "
+                "it is not bundled in this environment"
+            ) from e
+        raise
 
 
 # ------------------------------------------------- versioned tables

@@ -1434,11 +1434,14 @@ def rising_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ranks cumulative mass; this ranks CHANGE). Weeks are
     epoch-microsecond integer DIV. The (part, week) aggregate - the
     query's dominant cost, one lineitem-orders join + one shuffle -
-    is built ONCE and persisted: the last-week scalar reads the
-    cached frame and broadcasts back, and cur/prev/spine collapse
-    into a single conditional re-aggregate over it (no self-joins, no
-    distinct-spine branch). Parts absent from a week count 0 via the
-    conditional sums, so new entrants rank by their full count.
+    runs exactly ONCE: the last-week scalar comes from the orders
+    table alone (the oracle's definition - deriving it from the
+    joined aggregate would diverge when the newest week has only
+    line-less orders) and broadcasts back, and cur/prev/spine
+    collapse into a single conditional re-aggregate (no self-joins,
+    no distinct-spine branch, no multi-consumer stage to persist).
+    Parts absent from a week count 0 via the conditional sums, so
+    new entrants rank by their full count.
     Everything is bigint arithmetic - no float anywhere - and the
     top-20 runs as TakeOrderedAndProject over the part-aggregated
     table, never raw lines."""
@@ -1455,9 +1458,14 @@ def rising_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_partkey", "wk")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # two consumers: the max-week scalar + the pivot
     )
-    mx = f.agg(F.max("wk").alias("last_wk"))
+    # last_wk from ORDERS, exactly like the oracle's mx CTE - deriving
+    # it from the joined aggregate would silently diverge the moment
+    # the newest order week contains only line-less orders (a corpus
+    # class reconcile_worklist reports as 'no_lines'); this also
+    # leaves f single-consumer, so no persist is needed - the
+    # join+aggregate runs exactly once
+    mx = o.agg(F.max("wk").alias("last_wk"))
     wide = (
         f.crossJoin(F.broadcast(mx))
         .groupBy("l_partkey")

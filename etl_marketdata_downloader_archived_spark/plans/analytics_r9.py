@@ -137,7 +137,7 @@ def reconcile_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, order_day, n_orders, total_c, min_c, max_c,
            min_c = max_c AS same_amount
     FROM g
-    ORDER BY n_orders DESC, total_c DESC, o_custkey
+    ORDER BY n_orders DESC, total_c DESC, o_custkey, order_day
     LIMIT 100
     """,
 )
@@ -176,7 +176,10 @@ def same_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("min_c") == F.col("max_c")).alias("same_amount"),
         )
         .orderBy(
-            F.col("n_orders").desc(), F.col("total_c").desc(), "o_custkey"
+            F.col("n_orders").desc(),
+            F.col("total_c").desc(),
+            "o_custkey",
+            "order_day",  # completes the group key: the cut is unique
         )
         .limit(100)
     )
@@ -296,12 +299,16 @@ def xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XYZ demand-variability classification - the forecastability
     axis that pairs with ``pareto_abc``'s value axis (ABC says what a
     part is WORTH, XYZ says whether its demand can be FORECAST): per
-    part, monthly shipped quantity over the corpus's global month
-    grid, class X when the coefficient of variation <= 0.5, Y when
-    <= 1, else Z - months with no shipments count as ZERO demand (the
-    textbook definition; classifying only on active months would call
-    an intermittent part steady). The zero months never materialize:
-    with M grid months, mean = s/M and var = (M*ss - s^2)/M^2 over
+    part, YEARLY shipped quantity over the corpus's global year grid
+    (the textbook grid is monthly, but at this corpus's ~30
+    lines/part a monthly grid is near-empty and classes every part Z
+    - the period granularity must match the demand density, so the
+    cv cutoffs below are applied to yearly variability), class X
+    when the coefficient of variation <= 0.5, Y when <= 1, else Z -
+    years with no shipments count as ZERO demand (classifying only
+    on active periods would call an intermittent part steady). The
+    zero periods never materialize: with M grid periods, mean = s/M
+    and var = (M*ss - s^2)/M^2 over
     the SPARSE period sums, so cv^2 = (M*ss - s^2)/s^2 and the class
     thresholds are pure INTEGER cross-multiplications
     (4*(M*ss - s^2) <= s^2 for X) - no float ever decides a class.

@@ -433,8 +433,13 @@ def start_seasonal_monitor(
         for r in batch_counts:
             if max_hour is None or r["_hour_us"] > max_hour:
                 max_hour = r["_hour_us"]
+        # max_hour stays None when the store is empty AND the batch
+        # had no non-null timestamps (NULL rows drop by contract) -
+        # nothing to anchor the horizon on, so nothing is beyond it
         emit_cut = (
-            None if horizon_us is None else max_hour - horizon_us
+            None
+            if horizon_us is None or max_hour is None
+            else max_hour - horizon_us
         )
         touched = set()
         stale = []  # (key-tuple, batch-local n) beyond the horizon

@@ -12,10 +12,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-def _half_up(x: float) -> int:
-    # Spark's F.round on doubles is HALF_UP; python's round() is
-    # half-even - cent fix-points CAN land on .5 exactly
-    return math.floor(x + 0.5)
+from _helpers import half_up as _half_up  # noqa: E402
 
 
 from etl_marketdata_downloader_archived_spark.operators import text as X

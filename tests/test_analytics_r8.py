@@ -13,10 +13,7 @@ from pyspark.sql import functions as F
 from etl_marketdata_downloader_archived_spark.io import load_table
 
 
-def _half_up(x: float) -> int:
-    # Spark's F.round on doubles is HALF_UP; python's round() is
-    # half-even - the discounted-price products DO land on .5 cents
-    return math.floor(x + 0.5)
+from _helpers import half_up as _half_up  # noqa: E402
 
 
 def test_markov_transitions_vs_python(spark, sf_dir) -> None:

@@ -26,9 +26,7 @@ from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
 )
 
 
-def _half_up(x: float) -> int:
-    # Spark F.round on doubles is HALF_UP; builtin round is half-even
-    return math.floor(x + 0.5)
+from _helpers import half_up as _half_up  # noqa: E402
 
 
 def test_reconcile_worklist_vs_python(spark, sf_dir) -> None:
@@ -93,7 +91,7 @@ def test_same_day_orders_vs_python(spark, sf_dir) -> None:
         )
     want = sorted(
         (
-            (-len(v), -sum(v), k[0]),
+            (-len(v), -sum(v), k[0], k[1]),  # the query's full sort key
             (k[0], k[1], len(v), sum(v), min(v), max(v),
              min(v) == max(v)),
         )

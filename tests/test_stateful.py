@@ -527,10 +527,10 @@ def test_streaming_reconciliation_equals_batch(spark, tmp_path) -> None:
 
     # twin: last emission per order == the batch arithmetic over ALL
     # lines (reconcile_worklist's expression, python-replayed)
-    import math as _math
+    from _helpers import half_up
 
     def cents(e, d, t):
-        return _math.floor(e * (1 - d) * (1 + t) * 100 + 0.5)
+        return half_up(e * (1 - d) * (1 + t) * 100)
 
     full: dict = {}
     for k, e, d, t in b1 + b2:

@@ -1410,3 +1410,46 @@ def test_seasonal_monitor_horizon_ages_out(spark, tmp_path) -> None:
     }
     assert d1h8 not in held_hours
     assert {datetime(2024, 6, 2, 9), d3h9, d4h9} <= held_hours
+
+
+def test_seasonal_monitor_horizon_all_null_first_batch(
+    spark, tmp_path
+) -> None:
+    """An all-NULL-timestamp first batch under horizon_hours must not
+    crash (NULL rows drop by contract, leaving no horizon anchor) -
+    and the next batch with real timestamps proceeds normally."""
+    import os as _os
+    import time as _time
+    from datetime import datetime
+
+    from etl_marketdata_downloader_archived_spark.streaming.quality_monitor import (
+        start_seasonal_monitor,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b0.json").write_text(json.dumps({"ts": None}))
+    (in_dir / "b1.json").write_text(
+        json.dumps({"ts": "2024-06-01 09:15:00"})
+    )
+    now = _time.time()
+    _os.utime(in_dir / "b0.json", (now - 10, now - 10))
+    _os.utime(in_dir / "b1.json", (now, now))
+
+    emitted: dict = {}
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = start_seasonal_monitor(
+        stream, "ts", checkpoint=str(tmp_path / "ckpt"),
+        on_result=lambda df, b: emitted.__setitem__(b, df.collect()),
+        horizon_hours=24,
+    )
+    q.awaitTermination(120)
+    assert emitted[0] == []  # nothing to emit, but no crash
+    assert len(emitted[1]) == 1
+    r = emitted[1][0]
+    assert r.hour_ts == datetime(2024, 6, 1, 9)
+    assert (r.n, r.status) == (1, "no_baseline")

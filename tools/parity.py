@@ -176,6 +176,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             continue
+        finally:
+            # operators that persist() multi-consumer stages would
+            # otherwise pin blocks for the rest of the 146-query
+            # battery (bench.py's cold-cache rule, applied here too)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows  {name}: rows-only ({len(s_rows)} rows)")
             n_rows_only += 1

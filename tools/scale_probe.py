@@ -163,6 +163,9 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # cold-cache rule (bench.py): persisted multi-consumer
+            # stages must not leak into the next sample or query
+            spark.catalog.clearCache()
         return best
 
     print(f"{'query':24s} {'t_sf0.1':>8s} {f't_x{k}':>8s} {'ratio':>6s}")
