@@ -33,10 +33,70 @@ from pyspark.sql import functions as F
 __all__ = [
     "degrees",
     "pagerank",
+    "bfs_hops",
     "triangle_count",
     "k_core",
     "degree_assortativity",
 ]
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+    dedup_edges: bool = True,
+) -> DataFrame:
+    """Multi-source BFS hop distances over a directed edge list ->
+    DataFrame(node, hops): the length of the shortest edge path from
+    the nearest source to each reachable node (sources themselves at
+    hops=0). Undirected graphs: pass the symmetrized edge list.
+    Nodes farther than ``max_hops`` are absent (callers that need a
+    completeness guarantee pick max_hops >= the graph diameter).
+
+    Pregel-style frontier expansion in DataFrame algebra - the layered
+    twin of `pagerank` and `dedup.connected_components`: each round
+    joins the CURRENT frontier (never the full distance table) to the
+    edge list, anti-joins already-settled nodes, and stamps the new
+    layer's hop count. Per round: one join shuffle on the node key +
+    one anti-join against the settled set - frontier-sized work, the
+    exact shape GraphX's Pregel lowers a BFS superstep to.
+
+    Lineage/action discipline (the iterative-operator rules this
+    module already follows): the distinct edge set materializes ONCE
+    up front; each layer is ``localCheckpoint(eager=True)``-ed, so the
+    settled set is a flat union of <= max_hops checkpointed layers
+    (linear plan growth) and the per-round emptiness probe reads the
+    already-materialized layer instead of scheduling a recompute.
+    Rounds are bounded by the graph DIAMETER, not the node count."""
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    if dedup_edges:
+        # materialize the distinct edge set once; callers passing an
+        # already-distinct, already-materialized list (dedup_edges=
+        # False) skip the second copy
+        e = e.distinct().localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for i in range(1, int(max_hops) + 1):
+        layer = (
+            frontier.join(e, frontier["node"] == e["_a"])
+            .select(F.col("_b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(i).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if layer.isEmpty():
+            break
+        dist = dist.unionByName(layer)
+        frontier = layer.select("node")
+    return dist
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -15,7 +15,7 @@ SURVEY.md section 7 on non-replayable expressions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,3 +73,57 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     out = f.join(d, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    top: int = 15,
+) -> DataFrame:
+    """Pre-join skew diagnostic: the "which key melts the shuffle"
+    report you run BEFORE committing a 100 TB join. Per join key:
+    row count on each side, the key's output contribution
+    ``out_rows = cnt_left * cnt_right`` (exactly what one reducer
+    must materialize in a shuffle join), and its integer
+    parts-per-million share of the TOTAL join output. The top keys
+    by contribution are what AQE's skew splitter, `salted_join`, or
+    a hot-key broadcast slice would target.
+
+    Returns the ``top`` keys as
+    (rank, key, cnt_left, cnt_right, out_rows, total_out, share_ppm)
+    ordered by contribution (key tie-break).
+
+    Scale: two partial-combined per-key aggregates + one equi-join on
+    the key (inner: keys absent from either side contribute nothing),
+    a broadcast 1-row total, and a distributed TakeOrderedAndProject
+    top-k. The rank window runs AFTER the limit, over <= ``top``
+    rows - never over key cardinality."""
+    l_cnt = left.groupBy(F.col(on).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt_left")
+    )
+    r_cnt = right.groupBy(F.col(on).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt_right")
+    )
+    per_key = l_cnt.join(r_cnt, "key").select(
+        "key",
+        "cnt_left",
+        "cnt_right",
+        (F.col("cnt_left") * F.col("cnt_right")).alias("out_rows"),
+    )
+    total = per_key.agg(F.sum("out_rows").alias("total_out"))
+    head = (
+        per_key.orderBy(F.col("out_rows").desc(), "key")
+        .limit(int(top))
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("out_rows").desc(), "key")
+    return head.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "key",
+        "cnt_left",
+        "cnt_right",
+        "out_rows",
+        "total_out",
+        F.expr("(out_rows * 1000000) DIV total_out").alias("share_ppm"),
+    )

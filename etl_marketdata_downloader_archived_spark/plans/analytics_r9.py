@@ -1169,3 +1169,181 @@ def supplier_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sourcing")
     )
+
+
+@q(
+    "join_skew_report",
+    oracle="""
+    WITH k AS (
+        SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT key, cnt AS cnt_left, cnt AS cnt_right,
+               CAST(cnt * cnt AS BIGINT) AS out_rows
+        FROM k
+    ),
+    tot AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total_out FROM j),
+    head AS (
+        SELECT j.*, t.total_out FROM j CROSS JOIN tot t
+        ORDER BY out_rows DESC, key LIMIT 15
+    )
+    SELECT CAST(row_number() OVER (ORDER BY out_rows DESC, key)
+                AS BIGINT) AS rnk,
+           key, cnt_left, cnt_right, out_rows, total_out,
+           CAST((out_rows * 1000000) // total_out AS BIGINT) AS share_ppm
+    FROM head
+    """,
+)
+def join_skew_report_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew diagnostic over the classic hot key: what a
+    lineitem-lineitem self-join on l_partkey (the co-purchase /
+    same-part pairing everybody writes) would cost PER KEY - cnt^2
+    output rows for the hottest parts, with each key's integer ppm
+    share of the total join output. This is the report you run before
+    a 100 TB join to decide between the plain shuffle, AQE skew
+    splitting, and operators.skew.salted_join; the operator
+    (join_skew_report) is generic over two frames, instantiated here
+    with both sides the same table.
+
+    Exactness: bigint counts, bigint products, integer DIV ppm (the
+    engine-agreed `DIV`/`//` pair - never round(float)). The top-15
+    cut orders by (out_rows, key), unique per row, so the LIMIT
+    boundary is deterministic. Scale shape asserted in the operator:
+    per-key partial-combined aggregates, distributed top-k
+    (TakeOrderedAndProject), rank window AFTER the limit over <= 15
+    rows."""
+    from ..operators.skew import join_skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_skew_report(li, li, on="l_partkey", top=15).select(
+        F.col("rank").alias("rnk"),
+        "key",
+        "cnt_left",
+        "cnt_right",
+        "out_rows",
+        "total_out",
+        "share_ppm",
+    )
+
+
+@q(
+    "join_salted",
+    oracle="""
+    SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_salted_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join, oracle-certified: lineitem (fact) joined
+    to supplier (dim) through operators.skew.salted_join - the fact
+    rows carry a DETERMINISTIC salt (xxhash64 of the natural line key,
+    never rand(): task retries and speculative execution must agree),
+    the dim replicates once per salt value, and the join runs on
+    (key, salt) so a hot supplier's rows land on salt_buckets
+    reducers instead of one. The oracle is the PLAIN join - the whole
+    point of the rewrite is result identity, and this query pins it
+    on real data (the pytest randomized differential covers edge
+    shapes; tests/test_joins_skew.py).
+
+    Locally AQE broadcasts the tiny replicated dim so the salt is
+    physically inert; the rewrite targets the 100 TB shape where the
+    dim exceeds the broadcast threshold but replicates salt_buckets
+    times comfortably. Quantities are integral doubles -> bigint on
+    both engines; the post-join aggregate keeps the certified output
+    nation-sized."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
+    )
+    dim = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(
+        li,
+        dim,
+        on="l_suppkey",
+        salt_buckets=8,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
+    return (
+        joined.groupBy(F.col("s_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@q(
+    "bfs_hops",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_partkey AS a, - l_suppkey AS b
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 11 = 0
+    ),
+    ud AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a, count(*) AS c FROM ud WHERE a > 0 GROUP BY a),
+    src AS (SELECT a AS s FROM deg ORDER BY c DESC, a LIMIT 1),
+    walk(node, d) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT ud.b, walk.d + 1
+        FROM walk JOIN ud ON ud.a = walk.node
+        WHERE walk.d < 19
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances over the part-supplier co-purchase graph,
+    certified against a DuckDB RECURSIVE layered-closure oracle - the
+    shortest-path companion of graph_components (same bipartite
+    node encoding: part keys positive, supplier keys NEGATED, so the
+    id spaces cannot collide at any SF). Source = the highest-degree
+    part (min key tie-break), i.e. hops from the best-connected part
+    to everything reachable: parts at even distances, suppliers odd.
+
+    The sparsifier (first line of 1-in-11 orders) keeps the oracle's
+    (node, depth) state space small while the Spark side runs the
+    production operator unchanged; 1-in-11 (vs graph_components'
+    1-in-97) leaves a giant component with real multi-hop structure
+    (hop radius 16 at sf0.01 - a meaningful certificate, not a 1-hop
+    star). Both engines cap at 19 hops, so the row SET agrees even if
+    some node sat farther than the cap.
+
+    Scale: operators.graph.bfs_hops is frontier-Pregel - per round
+    one frontier-sized join + anti-join, localCheckpoint-ed layers,
+    rounds bounded by the graph diameter. The oracle's closure is
+    nodes x depth; Spark's work is edges-touched-per-layer."""
+    from ..operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 11 == 0)
+        )
+        .select(
+            F.col("l_partkey").alias("a"), (-F.col("l_suppkey")).alias("b")
+        )
+        .distinct()
+    )
+    ud = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = (
+        ud.filter(F.col("a") > 0)
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    src = (
+        deg.orderBy(F.col("c").desc(), "a").limit(1).select(F.col("a"))
+    )
+    d = bfs_hops(ud, src, src="a", dst="b", max_hops=19, dedup_edges=False)
+    return d.select(F.col("node").cast("bigint").alias("node"), "hops")

@@ -542,3 +542,103 @@ def test_supplier_load_balance_vs_python(spark, sf_dir) -> None:
         r = got[k]
         assert (r.n_parts, r.qty) == (n, q)
         assert r.qty_share == float(q) / float(all_q)
+
+
+def test_join_skew_report_vs_python(spark, sf_dir) -> None:
+    """Skew report vs a Counter replay: cnt^2 contributions, ppm by
+    integer floor-division, (out_rows desc, key) top-15 cut."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        join_skew_report_partkey,
+    )
+
+    keys = [
+        r.l_partkey
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .collect()
+    ]
+    cnt = defaultdict(int)
+    for k in keys:
+        cnt[k] += 1
+    per_key = {k: c * c for k, c in cnt.items()}
+    total = sum(per_key.values())
+    head = sorted(per_key.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    expect = [
+        (i + 1, k, cnt[k], cnt[k], o, total, (o * 1_000_000) // total)
+        for i, (k, o) in enumerate(head)
+    ]
+    got = [
+        tuple(r)
+        for r in join_skew_report_partkey(spark, sf_dir)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_join_salted_vs_python(spark, sf_dir) -> None:
+    """Salted-join aggregate vs a plain dict join replay - result
+    identity is the operator's whole contract."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        join_salted_supplier,
+    )
+
+    nat = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_quantity")
+        .collect()
+    ):
+        if r.l_suppkey in nat:
+            a = agg[nat[r.l_suppkey]]
+            a[0] += 1
+            a[1] += int(r.l_quantity)
+    expect = sorted((k, n, q) for k, (n, q) in agg.items())
+    got = [
+        (r.nationkey, r.n_lines, r.qty)
+        for r in join_salted_supplier(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_bfs_hops_vs_python(spark, sf_dir) -> None:
+    """BFS query vs a collections.deque BFS over the same sparsified
+    edge list - independent of both engines' recursion/joins."""
+    from collections import deque
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        bfs_hops_copurchase,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 11 == 0))
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    )
+    adj: dict = defaultdict(set)
+    deg: dict = defaultdict(int)
+    edges = {(r.l_partkey, -r.l_suppkey) for r in rows}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for a, b in edges:
+        deg[a] += 1  # out-degree in the symmetrized list = degree
+        deg[b] += 1
+    src = min((k for k in deg if k > 0), key=lambda k: (-deg[k], k))
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 19:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    got = {r.node: r.hops for r in bfs_hops_copurchase(spark, sf_dir).collect()}
+    assert got == dist

@@ -302,3 +302,35 @@ def test_assortativity_degenerate_cases(spark) -> None:
     )
     row = degree_assortativity(messy).collect()[0]
     assert row.n_edges == 2 and row.n_nodes == 3
+
+
+def test_bfs_hops_layers_and_cap(spark) -> None:
+    """Chain 1-2-3-4-5 + isolated 9: multi-source layering, the
+    max_hops cap, and directedness on an asymmetric list."""
+    from etl_marketdata_downloader_archived_spark.operators.graph import bfs_hops
+
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    ud = chain + [(b, a) for a, b in chain]
+    edges = spark.createDataFrame(ud, ["src", "dst"])
+    src = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(edges, src).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    # cap: nodes past max_hops are absent, not mislabeled
+    got = {r.node: r.hops for r in bfs_hops(edges, src, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+    # multi-source: nearest source wins
+    src2 = spark.createDataFrame([(1,), (5,)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(edges, src2).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+    # directed: no back-edges -> nothing upstream of the source
+    directed = spark.createDataFrame(chain, ["src", "dst"])
+    src3 = spark.createDataFrame([(3,)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(directed, src3).collect()}
+    assert got == {3: 0, 4: 1, 5: 2}
+
+    # empty sources -> empty result
+    empty = spark.createDataFrame([], "node long")
+    assert bfs_hops(edges, empty).count() == 0

@@ -391,3 +391,27 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir) -> None:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_join_skew_report_two_sided(spark) -> None:
+    """Operator on two DIFFERENT frames: inner key semantics (keys on
+    one side only contribute nothing), exact products, ppm floor."""
+    from etl_marketdata_downloader_archived_spark.operators.skew import (
+        join_skew_report,
+    )
+
+    left = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 2 + [("c",)] * 1, ["k"]
+    )
+    right = spark.createDataFrame([("a",)] * 3 + [("b",)] * 5, ["k"])
+    got = [
+        tuple(r)
+        for r in join_skew_report(left, right, on="k", top=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # a: 4*3=12, b: 2*5=10, c absent from right -> no row; total 22
+    assert got == [
+        (1, "a", 4, 3, 12, 22, (12 * 1_000_000) // 22),
+        (2, "b", 2, 5, 10, 22, (10 * 1_000_000) // 22),
+    ]

@@ -157,6 +157,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # month-over-month lag over the (year, month) aggregate - one row
     # per calendar month (~84), bounded like user_growth's day grid
     "return_rate_trend": "lag over one row per calendar month",
+    # rank stamped AFTER the top-k limit - one window pass over the
+    # <= 15-row skew-report head, never over join-key cardinality
+    "join_skew_report": "ranks the 15-row limited skew head",
 }
 
 
