@@ -1216,3 +1216,55 @@ def vacuum_versions(
     for v in doomed:
         fs.delete(jvm_path(f"{base}/v={v}"), True)
     return doomed
+
+
+def version_cdc(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    from_version: int | None = None,
+    to_version: int | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed between two published versions of a versioned
+    table: the row-level delta (added / removed / changed + which
+    columns) a downstream consumer replays to catch up from
+    ``from_version`` to ``to_version`` - Delta's table_changes /
+    Iceberg's changelog scan, re-expressed over the plain-parquet
+    snapshots this lake publishes.
+
+    Defaults walk the natural consumer step: ``to_version`` = the
+    pointed-to latest, ``from_version`` = the newest still-on-disk
+    version BELOW it (so a vacuumed gap widens the diff instead of
+    erroring - the delta is computed between SNAPSHOTS, never from a
+    log, so any two live versions compare exactly). Identical
+    versions are refused: a from==to CDC is a caller bug, not an
+    empty delta.
+
+    Output: operators.diff.table_diff rows (key_cols, change,
+    changed_cols) stamped with from_version/to_version. Scale: one
+    key-partitioned full-outer join of two snapshot scans - the diff
+    operator's posture; nothing version-specific adds work."""
+    from .operators.diff import table_diff
+
+    to_v = latest_version(spark, root) if to_version is None else int(to_version)
+    if to_v is None:
+        raise FileNotFoundError(f"no versions published under {root!r}")
+    if from_version is None:
+        below = [v for v in list_versions(spark, root) if v < to_v]
+        if not below:
+            raise FileNotFoundError(
+                f"no version below v{to_v} under {root!r} to diff from"
+            )
+        from_v = below[-1]
+    else:
+        from_v = int(from_version)
+    if from_v == to_v:
+        raise ValueError(f"from_version == to_version == v{to_v}")
+    old = read_version(spark, root, from_v)
+    new = read_version(spark, root, to_v)
+    return table_diff(old, new, key_cols, compare_cols).select(
+        F.lit(from_v).cast("bigint").alias("from_version"),
+        F.lit(to_v).cast("bigint").alias("to_version"),
+        "*",
+    )

@@ -1485,3 +1485,66 @@ def test_versioned_table_time_travel(spark, tmp_path) -> None:
     if crc.exists():
         os.remove(crc)
     assert latest_version(spark, root) == 3
+
+
+def test_version_cdc_between_snapshots(spark, tmp_path) -> None:
+    """CDC rows between published versions: defaults walk latest-1 ->
+    latest, explicit pins compare any two live versions (spanning a
+    vacuumed gap), from==to refused."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        publish_version,
+        vacuum_versions,
+        version_cdc,
+    )
+
+    root = str(tmp_path / "cdc_table")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id bigint, s string, x int"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "id bigint, s string, x int"
+    )
+    v3 = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "id bigint, s string, x int"
+    )
+    publish_version(v1, root)
+    publish_version(v2, root)
+
+    got = {
+        r.id: (r.change, list(r.changed_cols), r.from_version, r.to_version)
+        for r in version_cdc(spark, root, key_cols=["id"]).collect()
+    }
+    assert got == {
+        2: ("changed", ["s"], 1, 2),
+        3: ("removed", [], 1, 2),
+        4: ("added", [], 1, 2),
+    }
+
+    publish_version(v3, root)
+    # explicit pin across two steps
+    got = {
+        r.id: r.change
+        for r in version_cdc(
+            spark, root, key_cols=["id"], from_version=1, to_version=3
+        ).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 3: "removed", 4: "added"}
+
+    with _pytest.raises(ValueError, match="from_version == to_version"):
+        version_cdc(spark, root, key_cols=["id"], from_version=3, to_version=3)
+
+    # carve out the middle version (roll back so v1 is live, vacuum
+    # keep_last=1 deletes only v2, roll forward): the default step
+    # now spans the gap (1 -> 3 exactly)
+    from etl_marketdata_downloader_archived_spark.io import rollback_version
+
+    rollback_version(spark, root, 1)
+    assert vacuum_versions(spark, root, keep_last=1) == [2]
+    rollback_version(spark, root, 3)
+    got = {
+        (r.from_version, r.to_version, r.id): r.change
+        for r in version_cdc(spark, root, key_cols=["id"]).collect()
+    }
+    assert set(got) == {(1, 3, 1), (1, 3, 2), (1, 3, 3), (1, 3, 4)}
