@@ -1347,3 +1347,173 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = bfs_hops(ud, src, src="a", dst="b", max_hops=19, dedup_edges=False)
     return d.select(F.col("node").cast("bigint").alias("node"), "hops")
+
+
+@q(
+    "fifo_allocation",
+    oracle="""
+    WITH base AS (
+        SELECT l_partkey AS p, CAST(l_quantity AS BIGINT) AS q,
+               l_returnflag AS rf, l_shipdate AS sd,
+               l_orderkey AS ok, l_linenumber AS ln
+        FROM lineitem
+    ),
+    i2 AS (
+        SELECT p, q,
+               sum(q) OVER (PARTITION BY p ORDER BY sd, ok, ln) - q AS lo,
+               sum(q) OVER (PARTITION BY p ORDER BY sd, ok, ln) AS hi
+        FROM base WHERE rf <> 'R'
+    ),
+    o2 AS (
+        SELECT p, q,
+               sum(q) OVER (PARTITION BY p ORDER BY sd, ok, ln) - q AS lo,
+               sum(q) OVER (PARTITION BY p ORDER BY sd, ok, ln) AS hi
+        FROM base WHERE rf = 'R'
+    ),
+    m AS (
+        SELECT i2.p,
+               least(i2.hi, o2.hi) - greatest(i2.lo, o2.lo) AS alloc
+        FROM i2 JOIN o2
+          ON i2.p = o2.p AND i2.lo < o2.hi AND o2.lo < i2.hi
+    ),
+    mm AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(sum(alloc) AS BIGINT) AS matched_qty
+        FROM m WHERE alloc > 0 GROUP BY p
+    ),
+    ti AS (SELECT p, CAST(count(*) AS BIGINT) AS n_lots,
+                  CAST(sum(q) AS BIGINT) AS tot_in FROM i2 GROUP BY p),
+    tr AS (SELECT p, CAST(count(*) AS BIGINT) AS n_rets,
+                  CAST(sum(q) AS BIGINT) AS tot_out FROM o2 GROUP BY p)
+    SELECT CAST(mm.p AS BIGINT) AS part, ti.n_lots, tr.n_rets,
+           mm.n_matches, mm.matched_qty,
+           CAST(tr.tot_out - mm.matched_qty AS BIGINT)
+             AS unmatched_ret_qty
+    FROM mm JOIN ti ON ti.p = mm.p JOIN tr ON tr.p = mm.p
+    """,
+)
+def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO ledger allocation per part: returns (outflow) matched
+    against shipments (inflow lots) in ship-date order, via
+    operators.ledger.fifo_allocate - the cumulative-interval join
+    that replaces the per-key imperative lot loop. Per part with
+    both flows: lots, returns, matched pair count, matched units,
+    and the return units no shipment covers.
+
+    Exactness: integral quantities -> bigint cumsums, interval
+    intersection is pure integer min/max arithmetic; the within-key
+    order (shipdate, orderkey, linenumber) is a unique total order,
+    so both engines build identical number lines. The operator
+    invariant matched_qty == min(tot_in, tot_out) is pytest-asserted
+    per part.
+
+    Scale: per-key window cumsums (partitioned, never global); the
+    theta join evaluates n_in x n_out candidates per part but emits
+    <= n_in + n_out - 1 rows (sorted disjoint chains interleave
+    linearly) - bounded by TPC-H's ~30-line part groups, the same
+    group-size contract basket_pairs documents. The narrow 6-column
+    projection persists once and feeds both flows and both totals."""
+    from ..operators.ledger import fifo_allocate
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            "l_returnflag",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .persist()
+    )
+    inn = li.filter(F.col("l_returnflag") != "R")
+    out = li.filter(F.col("l_returnflag") == "R")
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    pairs = fifo_allocate(inn, out, ["p"], order, "q")
+    mm = pairs.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("alloc").alias("matched_qty"),
+    )
+    ti = inn.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_lots"), F.sum("q").alias("tot_in")
+    )
+    tr = out.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_rets"), F.sum("q").alias("tot_out")
+    )
+    return (
+        mm.join(ti, "p")
+        .join(tr, "p")
+        .select(
+            F.col("p").alias("part"),
+            "n_lots",
+            "n_rets",
+            "n_matches",
+            "matched_qty",
+            (F.col("tot_out") - F.col("matched_qty")).alias(
+                "unmatched_ret_qty"
+            ),
+        )
+    )
+
+
+@q(
+    "survival_tenure",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey,
+               (max(epoch_us(o_orderdate)) - min(epoch_us(o_orderdate)))
+                 // 604800000000 AS wk
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT wk, CAST(count(*) AS BIGINT) AS n_churned
+        FROM u GROUP BY wk
+    ),
+    r AS (
+        SELECT wk, n_churned,
+               CAST(sum(n_churned) OVER (ORDER BY wk DESC)
+                    AS BIGINT) AS n_at_risk
+        FROM c
+    )
+    SELECT CAST(wk AS BIGINT) AS tenure_wk, n_churned, n_at_risk,
+           CAST((n_churned * 1000000) // n_at_risk AS BIGINT)
+             AS hazard_ppm
+    FROM r
+    """,
+)
+def survival_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival-analysis at-risk table over customer tenure: per
+    tenure week k (a customer's last-minus-first order span,
+    integer-DIV weeks), how many customers' observed lifetimes ended
+    at k (n_churned), how many lifetimes reached k (n_at_risk =
+    everyone with span >= k), and the discrete hazard d_k/n_k in
+    integer ppm - the Kaplan-Meier life table's exact-integer core.
+    The survival PRODUCT is a float chain (engine-divergent
+    rounding), so the query certifies the (d_k, n_k) table the
+    estimator is a deterministic local fold of.
+
+    Shape: one per-customer min/max over orders, a tenure-week
+    count, and a reverse cumulative sum over the TENURE-WEEK GRID -
+    one row per distinct week (order-calendar-span/7-bounded,
+    whitelisted global window), never customer rows. hazard_ppm =
+    churned*1e6 DIV at_risk (engine-agreed integer division)."""
+    o = load_table(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.expr(
+            "(max(unix_micros(cast(o_orderdate as timestamp)))"
+            " - min(unix_micros(cast(o_orderdate as timestamp))))"
+            " DIV 604800000000"
+        ).alias("wk")
+    )
+    c = u.groupBy("wk").agg(F.count(F.lit(1)).alias("n_churned"))
+    w = W.orderBy(F.col("wk").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = c.withColumn("n_at_risk", F.sum("n_churned").over(w))
+    return r.select(
+        F.col("wk").cast("bigint").alias("tenure_wk"),
+        "n_churned",
+        "n_at_risk",
+        F.expr("(n_churned * 1000000) DIV n_at_risk").alias("hazard_ppm"),
+    )

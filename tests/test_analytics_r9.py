@@ -642,3 +642,88 @@ def test_bfs_hops_vs_python(spark, sf_dir) -> None:
                 dq.append(v)
     got = {r.node: r.hops for r in bfs_hops_copurchase(spark, sf_dir).collect()}
     assert got == dist
+
+
+def test_fifo_allocation_vs_python(spark, sf_dir) -> None:
+    """FIFO query vs an imperative two-pointer lot loop - the exact
+    procedure the interval join replaces - plus the operator
+    invariant matched == min(tot_in, tot_out) on every part."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        fifo_allocation,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_quantity", "l_returnflag",
+            "l_shipdate", "l_orderkey", "l_linenumber",
+        )
+        .collect()
+    )
+    flows: dict = defaultdict(lambda: ([], []))
+    for r in sorted(
+        rows, key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber)
+    ):
+        ins, outs = flows[r.l_partkey]
+        (outs if r.l_returnflag == "R" else ins).append(int(r.l_quantity))
+    expect = {}
+    for p, (ins, outs) in flows.items():
+        if not ins or not outs:
+            continue
+        lots = list(ins)  # remaining units per lot, consumed in order
+        i = 0
+        n_matches = matched = 0
+        for draw in outs:
+            need = draw
+            while need > 0 and i < len(lots):
+                take = min(need, lots[i])
+                if take > 0:
+                    n_matches += 1
+                    matched += take
+                    lots[i] -= take
+                    need -= take
+                if lots[i] == 0:
+                    i += 1
+        expect[p] = (
+            len(ins), len(outs), n_matches, matched, sum(outs) - matched
+        )
+        assert matched == min(sum(ins), sum(outs))  # operator invariant
+    got = {
+        r.part: (
+            r.n_lots, r.n_rets, r.n_matches, r.matched_qty,
+            r.unmatched_ret_qty,
+        )
+        for r in fifo_allocation(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_survival_tenure_vs_python(spark, sf_dir) -> None:
+    """Life table vs a Counter replay: per-customer span weeks,
+    at-risk reverse accumulation, ppm hazard by floor division."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        survival_tenure,
+    )
+
+    spans: dict = {}
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect():
+        lo, hi = spans.get(r.o_custkey, (r.o_orderdate, r.o_orderdate))
+        spans[r.o_custkey] = (min(lo, r.o_orderdate), max(hi, r.o_orderdate))
+    churned = defaultdict(int)
+    for lo, hi in spans.values():
+        wk = int((hi - lo).total_seconds() * 1_000_000) // 604_800_000_000
+        churned[wk] += 1
+    expect = {}
+    at_risk = 0
+    for wk in sorted(churned, reverse=True):
+        at_risk += churned[wk]
+        expect[wk] = (
+            churned[wk], at_risk, (churned[wk] * 1_000_000) // at_risk
+        )
+    got = {
+        r.tenure_wk: (r.n_churned, r.n_at_risk, r.hazard_ppm)
+        for r in survival_tenure(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -1548,3 +1548,35 @@ def test_version_cdc_between_snapshots(spark, tmp_path) -> None:
         for r in version_cdc(spark, root, key_cols=["id"]).collect()
     }
     assert set(got) == {(1, 3, 1), (1, 3, 2), (1, 3, 3), (1, 3, 4)}
+
+
+def test_fifo_allocate_known_answer(spark) -> None:
+    """Interval-join FIFO on a hand-checked ledger: split draws,
+    over-demand tail, zero-quantity rows allocate nothing."""
+    from etl_marketdata_downloader_archived_spark.operators.ledger import (
+        fifo_allocate,
+    )
+
+    inflows = spark.createDataFrame(
+        [("x", 1, 5), ("x", 2, 3), ("x", 3, 0), ("y", 1, 2)],
+        "k string, seq int, q long",
+    )
+    outflows = spark.createDataFrame(
+        [("x", 1, 4), ("x", 2, 6), ("y", 1, 5)],
+        "k string, seq int, q long",
+    )
+    got = sorted(
+        (r.k, r.in_lo, r.out_lo, r.alloc)
+        for r in fifo_allocate(
+            inflows, outflows, ["k"], ["seq"], "q"
+        ).collect()
+    )
+    # x: lots [0,5),[5,8); draws [0,4),[4,10) -> 4 from lot1,
+    #    1 from lot1 + 3 from lot2 (demand 10 > supply 8: tail unmet)
+    # y: lot [0,2); draw [0,5) -> 2 matched, 3 unmet
+    assert got == [
+        ("x", 0, 0, 4),
+        ("x", 0, 4, 1),
+        ("x", 5, 4, 3),
+        ("y", 0, 0, 2),
+    ]

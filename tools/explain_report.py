@@ -160,6 +160,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # rank stamped AFTER the top-k limit - one window pass over the
     # <= 15-row skew-report head, never over join-key cardinality
     "join_skew_report": "ranks the 15-row limited skew head",
+    # reverse cumulative at-risk sum over the tenure-week grid - one
+    # row per distinct week (order-calendar-span/7), never customers
+    "survival_tenure": "reverse cumsum over one row per tenure week",
 }
 
 
