@@ -1268,3 +1268,102 @@ def version_cdc(
         F.lit(to_v).cast("bigint").alias("to_version"),
         "*",
     )
+
+
+def purge_keys(
+    spark: SparkSession,
+    path: str,
+    doomed: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> list[tuple]:
+    """Right-to-be-forgotten erasure: delete every row of the
+    partitioned lake at ``path`` whose ``key_cols`` match a row of
+    ``doomed``, rewriting ONLY the partitions that actually contain a
+    doomed key - the GDPR/CCPA deletion primitive a 100 TB lake needs,
+    where "filter and rewrite the table" is a non-starter.
+
+    Mechanics (merge_partitioned's stage-then-publish discipline):
+    self-recover at entry (vacuum_maintenance restores any stranded
+    backup BEFORE state is read), one narrow scan (keys +
+    partition column, columnar) semi-joined against the broadcast
+    erasure list finds the touched partitions, an anti-join builds
+    each touched partition's surviving rows, the stage write fully
+    materializes them before any live path moves, and
+    ``publish_partitions`` renames per partition - readers see each
+    partition wholly old or wholly new, untouched partitions keep
+    their exact files. Erasure lists are subject-sized (thousands),
+    so the join side always broadcasts.
+
+    Returns the audit manifest the deletion request is answered with:
+    [(partition_value, rows_purged)] per touched partition, computed
+    from the pre-publish state and collected BEFORE anything moves
+    (driver-side rows, never a cached read of the mutated path).
+    Empty list = no key present anywhere; nothing rewritten
+    (re-running a purge is a no-op, not a rewrite)."""
+    vacuum_maintenance(spark, path)
+    erasure = doomed.select(*key_cols).distinct()
+    # one narrow scan decides everything: per-partition total vs
+    # doomed-row counts (the left join cannot inflate - the erasure
+    # list is key-distinct). A partition whose EVERY row is doomed
+    # writes no stage output, so the swap below would silently keep
+    # it - those are deleted explicitly instead.
+    tagged = (
+        spark.read.parquet(path)
+        .select(partition_col, *key_cols)
+        .join(
+            F.broadcast(erasure.withColumn("_doom", F.lit(1))),
+            key_cols,
+            "left",
+        )
+    )
+    per_part = (
+        tagged.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("_total"),
+            F.count("_doom").alias("_purged"),
+        )
+        .filter(F.col("_purged") > 0)
+        .orderBy(partition_col)
+        .collect()
+    )
+    if not per_part:
+        return []
+    partial = [r[0] for r in per_part if r["_purged"] < r["_total"]]
+    full = [r[0] for r in per_part if r["_purged"] == r["_total"]]
+    if partial:
+        survivors = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(partial))
+            .join(F.broadcast(erasure), key_cols, "left_anti")
+        )
+        stage = path.rstrip("/") + "__stage"
+        survivors.write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(stage)
+        publish_partitions(spark, path, stage, partition_col)
+    if full:
+        # delete-by-rename so a reader never lists a half-deleted
+        # dir; a crash between rename and cleanup leaves the copy in
+        # __backup, which vacuum_maintenance RESTORES - rerunning the
+        # purge (the documented mutator recovery) re-deletes it.
+        jvm_path, fs = _vfs(spark, path)
+        root = path.rstrip("/")
+        backup = root + "__backup"
+        fs.mkdirs(jvm_path(backup))
+        try:
+            esc = (
+                spark._jvm.org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName
+            )
+        except Exception:  # pragma: no cover - jvm surface drift
+            esc = str
+        for value in full:
+            name = f"{partition_col}={esc(str(value))}"
+            live = jvm_path(root + "/" + name)
+            aside = jvm_path(backup + "/" + name)
+            fs.delete(aside, True)
+            if fs.exists(live) and not fs.rename(live, aside):
+                raise IOError(f"purge_keys: could not rename {name} aside")
+        fs.delete(jvm_path(backup), True)
+    return [(r[0], r["_purged"]) for r in per_part]

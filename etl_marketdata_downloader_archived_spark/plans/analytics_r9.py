@@ -1517,3 +1517,88 @@ def survival_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         F.expr("(n_churned * 1000000) DIV n_at_risk").alias("hazard_ppm"),
     )
+
+
+@q(
+    "boilerplate_shingles",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(
+                   string_split(
+                       regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+                       ' '),
+                   w -> len(w) > 0) AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i+1]))
+                 AS shingle
+        FROM t
+    ),
+    pg AS (
+        SELECT source, shingle, CAST(count(*) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1, 2
+    ),
+    nd AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs_src
+        FROM documents GROUP BY 1
+    )
+    SELECT pg.source, pg.shingle, pg.n_docs, nd.n_docs_src
+    FROM pg JOIN nd ON nd.source = pg.source
+    WHERE pg.n_docs * 100 >= 20 * nd.n_docs_src
+    """,
+)
+def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detector (the C4/RefinedWeb template
+    signal, shingle-based because the synthetic corpus has no line
+    structure): word bigrams present in >= 20% of a source's
+    documents - the phrases a scraper injects into everything it
+    emits (nav text, footers, disclaimers), which repetition filters
+    remove BEFORE near-dup so templates don't glue distinct docs into
+    one cluster. Presence is per-doc DISTINCT (a doc repeating its
+    own footer counts once); the threshold is integer
+    cross-multiplication (n_docs*100 >= 20*n_docs_src - chosen on the
+    corpus's discriminative band, the daily_consistency rule), and
+    tokenization is the engine-wide [^a-z]+ split the inverted_index
+    oracle certifies.
+
+    Shape: bigrams build IN-ROW (transform over the token array -
+    one generator, no join), explode -> per-doc distinct ->
+    (source, shingle) count, broadcast per-source doc totals. The
+    explode is shingle-corpus-sized, the same posture as the
+    dedup/inverted-index families; everything after the distinct is
+    vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: w != ""
+    )
+    grams = (
+        d.select("doc_id", "source", ws.alias("ws"))
+        # <2 tokens -> no bigrams. Explicit, because Spark's
+        # sequence(0, -1) is a DESCENDING sequence (not empty like
+        # DuckDB's generate_series) and would emit null shingles
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat(ws[i], ' ', ws[i+1]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    pg = grams.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nd = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_src"))
+    return (
+        pg.join(F.broadcast(nd), "source")
+        .filter(F.col("n_docs") * 100 >= 20 * F.col("n_docs_src"))
+        .select("source", "shingle", "n_docs", "n_docs_src")
+    )

@@ -727,3 +727,36 @@ def test_survival_tenure_vs_python(spark, sf_dir) -> None:
         for r in survival_tenure(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_boilerplate_shingles_vs_python(spark, sf_dir) -> None:
+    """Shingle shares vs a python re/set replay: per-doc distinct
+    bigrams, integer cross-multiplied 20% threshold."""
+    import re
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        boilerplate_shingles,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    pergram: dict = defaultdict(set)
+    ndocs = defaultdict(int)
+    for r in docs:
+        ndocs[r.source] += 1
+        w = [t for t in re.split("[^a-z]+", r.text.lower()) if t]
+        for i in range(len(w) - 1):
+            pergram[(r.source, f"{w[i]} {w[i+1]}")].add(r.doc_id)
+    expect = {
+        (src, g): (len(ds), ndocs[src])
+        for (src, g), ds in pergram.items()
+        if len(ds) * 100 >= 20 * ndocs[src]
+    }
+    got = {
+        (r.source, r.shingle): (r.n_docs, r.n_docs_src)
+        for r in boilerplate_shingles(spark, sf_dir).collect()
+    }
+    assert got == expect

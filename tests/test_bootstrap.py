@@ -968,3 +968,56 @@ def test_maintenance_lock_local_claim_is_atomic_exclusive(
             raise AssertionError("must not enter the critical section")
     # the other holder's file is untouched - no truncation, no delete
     assert open(lock).read() == "other-holder:cafe"
+
+
+def test_purge_keys_erases_and_scopes_rewrites(spark, tmp_path) -> None:
+    """Right-to-be-forgotten: doomed keys vanish, partial partitions
+    are rewritten in place, fully-doomed partitions are DELETED (the
+    swap alone would silently keep them), untouched partitions keep
+    their exact files, and re-running is a no-op."""
+    import glob
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import purge_keys
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [
+            (1, "a", 10), (2, "a", 20),      # partial: key 2 doomed
+            (3, "b x", 30),                   # fully doomed (+escaping)
+            (4, "c", 40), (5, "c", 50),       # untouched
+        ],
+        ["id", "part", "val"],
+    )
+    base.write.partitionBy("part").parquet(path)
+    before_c = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part=c/[!_]*.parquet")
+    }
+
+    doomed = spark.createDataFrame([(2,), (3,), (99,)], ["id"])
+    audit = purge_keys(spark, path, doomed, ["id"], "part")
+    assert audit == [("a", 1), ("b x", 1)]
+
+    got = {r.id: (r.part, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 4: ("c", 40), 5: ("c", 50)}
+    # the fully-doomed partition directory is gone
+    assert not glob.glob(f"{path}/part=b*")
+    # untouched partition: bit-identical files
+    after_c = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part=c/[!_]*.parquet")
+    }
+    assert after_c == before_c
+
+    # idempotent: nothing left to purge -> empty audit, zero rewrites
+    before_all = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part=*/[!_]*.parquet")
+    }
+    assert purge_keys(spark, path, doomed, ["id"], "part") == []
+    after_all = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part=*/[!_]*.parquet")
+    }
+    assert after_all == before_all
