@@ -169,3 +169,28 @@ def scd2_foreach_batch(
         )
 
     return fold
+
+
+def bitemporal_read(
+    spark,
+    root: str,
+    valid_at,
+    tx_version: int | None = None,
+) -> DataFrame:
+    """Bitemporal point read: "what did we BELIEVE at transaction
+    time T about the state that held at valid time V". Composes the
+    engine's two time dimensions - a VERSIONED table (io.publish_
+    version: immutable v=N snapshots = transaction time) whose
+    payload is an SCD2 HISTORY table (valid_from/valid_to = valid
+    time) - into the query both audits and reproducible backtests
+    need: pin the belief (``tx_version``, default the pointed-to
+    latest), then snapshot the pinned history at ``valid_at``.
+
+    A late-arriving correction lands as a NEW published version of
+    the history, so earlier tx_versions keep answering with the old
+    belief - exactly the property a versioned history has and a
+    mutable one cannot offer. Pure composition: one pinned snapshot
+    scan + snapshot_at's filter; no join, no window."""
+    from ..io import read_version
+
+    return snapshot_at(read_version(spark, root, tx_version), valid_at)

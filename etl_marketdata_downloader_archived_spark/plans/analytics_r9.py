@@ -1602,3 +1602,52 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") * 100 >= 20 * F.col("n_docs_src"))
         .select("source", "shingle", "n_docs", "n_docs_src")
     )
+
+
+@q(
+    "win_distribution",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, cents,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           CAST(ntile(8) OVER w AS BIGINT) AS octile
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY cents, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window functions the battery's rank-from-
+    counts rewrites deliberately avoid at corpus scale, certified
+    here AS window functions on a partitioned (never global) frame:
+    percent_rank, cume_dist, and ntile(8) over orders per priority
+    class, ordered by (int-cents price, orderkey) - a unique total
+    order, so every rank (and therefore every quotient) is
+    deterministic. percent_rank/cume_dist are single IEEE divisions
+    of exact integer ranks/counts (bit-equal across engines);
+    ntile follows the SQL-standard larger-buckets-first rule on both.
+
+    This completes the SQL window surface next to win_rank (ranking),
+    win_lag (analytic), win_frames (aggregate frames): the
+    distribution family was the one §2B window class certified only
+    through its scale-safe rewrites (ltv_quintiles' positional
+    tiles), never as the literal functions."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(8).over(w).cast("bigint").alias("octile"),
+    )

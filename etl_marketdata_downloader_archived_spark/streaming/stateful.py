@@ -690,3 +690,120 @@ def streaming_fd_monitor(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_fifo(
+    df: DataFrame,
+    key: str,
+    seq: str,
+    qty: str,
+    direction: str,
+    inflow_value: str = "in",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.ledger.fifo_allocate: ledger rows
+    arrive as a stream and every (inflow lot, outflow draw) match is
+    emitted by the micro-batch that completes it - open lots and
+    unmet demand carry ACROSS batches as per-key array state, so a
+    lot half-consumed in batch 1 finishes in batch 3 and a draw that
+    arrives BEFORE its supply waits as pending demand.
+
+    Equivalence to the batch operator rests on FIFO's key property:
+    the pairing (i-th inflow unit <-> i-th outflow unit) is
+    independent of how the two sides INTERLEAVE - batch computes it
+    as cumulative-interval intersection, this computes it as a
+    front-of-queue drain, and they agree exactly as long as each
+    SIDE's rows fold in ``seq`` order per key (rows sort by seq
+    within a batch; a later batch delivering a smaller seq than an
+    already-folded row of the same side diverges - the same
+    arrival-order caveat as streaming_sessionize/streaming_ewma).
+
+    Output: one append row per match - key, in_seq, out_seq, alloc
+    (each (in_seq, out_seq) pair at most once globally: every match
+    exhausts at least one side). Rows with qty <= 0 are dropped, the
+    batch operator's zero-width-interval rule. State is O(open lots
+    + pending draws) per key - bounded by the ledger's float (unsold
+    inventory / backorders), not by stream length; ``state_ttl_ms``
+    expires abandoned ledgers on continuous streams."""
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    k_t, s_t = in_schema[key], in_schema[seq]
+    out_schema = f"{key} {k_t}, in_seq {s_t}, out_seq {s_t}, alloc bigint"
+    state_schema = (
+        f"lot_seq array<{s_t}>, lot_rem array<bigint>, "
+        f"dem_seq array<{s_t}>, dem_rem array<bigint>"
+    )
+    use_ttl = state_ttl_ms is not None
+
+    def update(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        if state.exists:
+            lot_seq, lot_rem, dem_seq, dem_rem = (
+                list(x) for x in state.get
+            )
+        else:
+            lot_seq, lot_rem, dem_seq, dem_rem = [], [], [], []
+        pdf = pdf.sort_values(seq, ignore_index=True)
+        matches: list[tuple] = []
+        li = di = 0  # consumed-prefix pointers (pop-free drain)
+
+        def drain() -> None:
+            nonlocal li, di
+            while li < len(lot_rem) and di < len(dem_rem):
+                take = min(lot_rem[li], dem_rem[di])
+                matches.append((lot_seq[li], dem_seq[di], take))
+                lot_rem[li] -= take
+                dem_rem[di] -= take
+                if lot_rem[li] == 0:
+                    li += 1
+                if dem_rem[di] == 0:
+                    di += 1
+
+        for s, q, d in zip(
+            pdf[seq].tolist(), pdf[qty].tolist(), pdf[direction].tolist()
+        ):
+            q = int(q)
+            if q <= 0:
+                continue
+            if d == inflow_value:
+                lot_seq.append(s)
+                lot_rem.append(q)
+            else:
+                dem_seq.append(s)
+                dem_rem.append(q)
+            drain()
+        state.update(
+            (lot_seq[li:], lot_rem[li:], dem_seq[di:], dem_rem[di:])
+        )
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
+        if matches:
+            kv = key_t[0]
+            yield pd.DataFrame(
+                {
+                    key: [kv] * len(matches),
+                    "in_seq": [m[0] for m in matches],
+                    "out_seq": [m[1] for m in matches],
+                    "alloc": [m[2] for m in matches],
+                }
+            )
+
+    return df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

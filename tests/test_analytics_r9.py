@@ -760,3 +760,46 @@ def test_boilerplate_shingles_vs_python(spark, sf_dir) -> None:
         for r in boilerplate_shingles(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_win_distribution_vs_python(spark, sf_dir) -> None:
+    """percent_rank/cume_dist/ntile vs an index replay over the
+    sorted per-priority lists (SQL-standard definitions)."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        win_distribution,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    groups: dict = defaultdict(list)
+    for r in rows:
+        groups[r.o_orderpriority].append(
+            (_half_up(r.o_totalprice * 100), r.o_orderkey)
+        )
+    expect = {}
+    for prio, lst in groups.items():
+        lst.sort()
+        n = len(lst)
+        base, extra = divmod(n, 8)  # ntile: first `extra` buckets +1
+        bounds = []
+        acc = 0
+        for b in range(8):
+            acc += base + (1 if b < extra else 0)
+            bounds.append(acc)
+        for idx, (cents, key) in enumerate(lst):
+            octile = next(b + 1 for b, hi in enumerate(bounds) if idx < hi)
+            expect[key] = (
+                prio,
+                cents,
+                idx / (n - 1) if n > 1 else 0.0,
+                (idx + 1) / n,
+                octile,
+            )
+    got = {
+        r.o_orderkey: (r.o_orderpriority, r.cents, r.pct_rank, r.cume, r.octile)
+        for r in win_distribution(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -3,7 +3,7 @@ and the incremental-merge == full-rebuild invariant."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
@@ -286,3 +286,45 @@ def test_snapshot_at_prunes_partitions(spark, tmp_path) -> None:
     assert "vf_date" in plan.split("PartitionFilters", 1)[1][:200]
     got = {r.k: (r.status, r.score) for r in snap.collect()}
     assert got == {"A": ("X", 1), "B": ("S", None)}
+
+
+def test_bitemporal_read_pins_belief_and_validity(spark, tmp_path) -> None:
+    """Two published versions of an SCD2 history (the second carrying
+    a late correction): the same valid-time question answers
+    differently under each transaction version, and the old belief
+    stays readable after the correction."""
+    from etl_marketdata_downloader_archived_spark.io import publish_version
+    from etl_marketdata_downloader_archived_spark.operators.history import (
+        bitemporal_read,
+        scd2_history,
+    )
+
+    root = str(tmp_path / "dim_history")
+    t = lambda s: datetime(2024, 1, s, tzinfo=timezone.utc)  # noqa: E731
+
+    log_v1 = spark.createDataFrame(
+        [(1, t(1), "bronze"), (1, t(10), "silver")],
+        "id bigint, ts timestamp, tier string",
+    )
+    publish_version(scd2_history(log_v1, ["id"], "ts", ["tier"]), root)
+
+    # late correction: on Jan 5 the tier had ALREADY changed to gold
+    log_v2 = spark.createDataFrame(
+        [(1, t(1), "bronze"), (1, t(5), "gold"), (1, t(10), "silver")],
+        "id bigint, ts timestamp, tier string",
+    )
+    publish_version(scd2_history(log_v2, ["id"], "ts", ["tier"]), root)
+
+    ask = t(7)  # valid-time question: state on Jan 7
+    v1_belief = bitemporal_read(spark, root, ask, tx_version=1).collect()
+    v2_belief = bitemporal_read(spark, root, ask).collect()  # latest
+    assert [r.tier for r in v1_belief] == ["bronze"]
+    assert [r.tier for r in v2_belief] == ["gold"]
+    # and the current valid-time state agrees across beliefs
+    assert [
+        r.tier
+        for r in bitemporal_read(spark, root, t(12), tx_version=1).collect()
+    ] == ["silver"]
+    assert [
+        r.tier for r in bitemporal_read(spark, root, t(12)).collect()
+    ] == ["silver"]

@@ -648,3 +648,95 @@ def test_streaming_fd_monitor_guard_fails_loudly(spark, tmp_path) -> None:
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_streaming_fifo_equals_batch(spark, tmp_path) -> None:
+    """FIFO allocations across three micro-batches equal the batch
+    interval-join operator on the union: a lot HALF-CONSUMED in batch
+    1 finishes in batch 3, demand arriving BEFORE its supply waits as
+    pending state, rows sort by seq within a batch, and zero-qty rows
+    allocate nothing. Interval endpoints map to seqs through the
+    per-side cumsum so the two outputs compare row-for-row."""
+    from etl_marketdata_downloader_archived_spark.operators.ledger import (
+        fifo_allocate,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_fifo,
+    )
+
+    # (key, seq, qty, dir); seq totally ordered per key
+    b1 = [("x", 2, 7, "in"), ("x", 1, 3, "out"),   # in-batch disorder
+          ("y", 1, 4, "out")]                       # demand before supply
+    b2 = [("x", 3, 2, "out"), ("x", 4, 0, "in"),   # zero-qty no-op
+          ("y", 2, 3, "in")]
+    b3 = [("x", 5, 9, "out"),                       # drains lot 2's tail
+          ("x", 6, 5, "in"), ("y", 3, 6, "in")]
+
+    src = tmp_path / "ledger"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2, b3), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"k": k, "seq": s, "q": q, "dir": d})
+                for k, s, q, d in rows
+            )
+        )
+        time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    led = raw.select(
+        F.from_json("value", "k STRING, seq LONG, q LONG, dir STRING").alias(
+            "j"
+        )
+    ).select("j.*")
+    q = (
+        streaming_fifo(led, "k", "seq", "q", "dir")
+        .writeStream.format("memory")
+        .queryName("fifo_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r.k, r.in_seq, r.out_seq, r.alloc)
+        for r in spark.sql("select * from fifo_out").collect()
+    )
+
+    rows = b1 + b2 + b3
+    both = spark.createDataFrame(rows, ["k", "seq", "q", "dir"])
+    pairs = fifo_allocate(
+        both.filter("dir = 'in'"),
+        both.filter("dir = 'out'"),
+        ["k"],
+        ["seq"],
+        "q",
+    ).collect()
+    # interval lo -> seq, via the per-side running totals
+    lo2seq: dict = {}
+    for side in ("in", "out"):
+        per_key: dict = {}
+        for k, s, qt, d in sorted(rows):
+            if d != side or qt <= 0:
+                continue
+            lo = per_key.get(k, 0)
+            lo2seq[(side, k, lo)] = s
+            per_key[k] = lo + qt
+    batch = sorted(
+        (
+            r.k,
+            lo2seq[("in", r.k, r.in_lo)],
+            lo2seq[("out", r.k, r.out_lo)],
+            r.alloc,
+        )
+        for r in pairs
+    )
+    assert streamed == batch
+    # the batch-1 lot (x, seq 2) feeds draws in batches 1, 2 AND 3
+    assert [(s, o) for k, s, o, _ in streamed if k == "x" and s == 2] == [
+        (2, 1), (2, 3), (2, 5)
+    ]
