@@ -47,6 +47,8 @@ def bfs_hops(
     dst: str = "dst",
     max_hops: int = 20,
     dedup_edges: bool = True,
+    hops_per_round: int = 3,
+    small_graph_max: int = 100_000,
 ) -> DataFrame:
     """Multi-source BFS hop distances over a directed edge list ->
     DataFrame(node, hops): the length of the shortest edge path from
@@ -56,46 +58,96 @@ def bfs_hops(
     completeness guarantee pick max_hops >= the graph diameter).
 
     Pregel-style frontier expansion in DataFrame algebra - the layered
-    twin of `pagerank` and `dedup.connected_components`: each round
+    twin of `pagerank` and `dedup.connected_components`: each hop
     joins the CURRENT frontier (never the full distance table) to the
     edge list, anti-joins already-settled nodes, and stamps the new
-    layer's hop count. Per round: one join shuffle on the node key +
-    one anti-join against the settled set - frontier-sized work, the
-    exact shape GraphX's Pregel lowers a BFS superstep to.
+    layer's hop count - frontier-sized work, the exact shape GraphX's
+    Pregel lowers a BFS superstep to. Layer h+1 is exactly
+    neighbors(layer h) minus everything settled, so hops chain
+    LAZILY: ``hops_per_round`` layers build inside one logical plan
+    and materialize as ONE ``localCheckpoint`` block per round - on a
+    1000-executor cluster fewer barriers means fewer idle waves. The
+    per-round emptiness/depth probes read the already-materialized
+    block; the settled set stays a flat union of checkpointed blocks
+    (linear plan growth). Rounds are bounded by
+    diameter / hops_per_round.
 
-    Lineage/action discipline (the iterative-operator rules this
-    module already follows): the distinct edge set materializes ONCE
-    up front; each layer is ``localCheckpoint(eager=True)``-ed, so the
-    settled set is a flat union of <= max_hops checkpointed layers
-    (linear plan growth) and the per-round emptiness probe reads the
-    already-materialized layer instead of scheduling a recompute.
-    Rounds are bounded by the graph DIAMETER, not the node count."""
+    Small-graph fast path (``connected_components``' discipline, same
+    rationale): an edge list at or under ``small_graph_max`` rows
+    collects once and runs a driver deque BFS - a diameter-16 BFS
+    costs ~50 shuffle STAGES distributed (3 per hop: expand, distinct,
+    anti-join), pure scheduling overhead for a graph that fits in one
+    task. Past the bound the frontier-Pregel path runs; tests force
+    ``small_graph_max=0`` to certify it on the same fixtures."""
+    if int(hops_per_round) < 1:
+        raise ValueError(f"hops_per_round must be >= 1: {hops_per_round}")
     e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     if dedup_edges:
         # materialize the distinct edge set once; callers passing an
         # already-distinct, already-materialized list (dedup_edges=
         # False) skip the second copy
         e = e.distinct().localCheckpoint(eager=True)
+    src_nodes = sources.select(
+        F.col(sources.columns[0]).alias("node")
+    ).distinct()
+    if e.count() <= int(small_graph_max):
+        from collections import deque
+
+        from pyspark.sql import types as T
+
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r["_a"], []).append(r["_b"])
+        hops = {r["node"]: 0 for r in src_nodes.collect()}
+        dq = deque(hops)
+        while dq:
+            u = dq.popleft()
+            if hops[u] >= int(max_hops):
+                continue
+            for v in adj.get(u, ()):
+                if v not in hops:
+                    hops[v] = hops[u] + 1
+                    dq.append(v)
+        schema = T.StructType(
+            [
+                T.StructField("node", e.schema["_a"].dataType),
+                T.StructField("hops", T.LongType()),
+            ]
+        )
+        return e.sparkSession.createDataFrame(
+            list(hops.items()), schema
+        )
     dist = (
-        sources.select(F.col(sources.columns[0]).alias("node"))
-        .distinct()
-        .withColumn("hops", F.lit(0).cast("bigint"))
+        src_nodes.withColumn("hops", F.lit(0).cast("bigint"))
         .localCheckpoint(eager=True)
     )
     frontier = dist.select("node")
-    for i in range(1, int(max_hops) + 1):
-        layer = (
-            frontier.join(e, frontier["node"] == e["_a"])
-            .select(F.col("_b").alias("node"))
-            .distinct()
-            .join(dist, "node", "left_anti")
-            .withColumn("hops", F.lit(i).cast("bigint"))
-            .localCheckpoint(eager=True)
-        )
-        if layer.isEmpty():
-            break
-        dist = dist.unionByName(layer)
-        frontier = layer.select("node")
+    done = 0
+    while done < int(max_hops):
+        steps = min(int(hops_per_round), int(max_hops) - done)
+        settled = dist
+        cur = frontier
+        block = None
+        for s in range(1, steps + 1):
+            layer = (
+                cur.join(e, cur["node"] == e["_a"])
+                .select(F.col("_b").alias("node"))
+                .distinct()
+                .join(settled, "node", "left_anti")
+                .withColumn("hops", F.lit(done + s).cast("bigint"))
+            )
+            settled = settled.unionByName(layer)
+            block = layer if block is None else block.unionByName(layer)
+            cur = layer.select("node")
+        block = block.localCheckpoint(eager=True)
+        deepest = block.agg(F.max("hops")).first()[0]
+        if deepest is None:
+            break  # block empty: the frontier had no unsettled neighbor
+        dist = dist.unionByName(block)
+        if deepest < done + steps:
+            break  # a lazy layer inside the block came up empty
+        frontier = block.filter(F.col("hops") == deepest).select("node")
+        done += steps
     return dist
 
 

@@ -1318,10 +1318,14 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     star). Both engines cap at 19 hops, so the row SET agrees even if
     some node sat farther than the cap.
 
-    Scale: operators.graph.bfs_hops is frontier-Pregel - per round
-    one frontier-sized join + anti-join, localCheckpoint-ed layers,
-    rounds bounded by the graph diameter. The oracle's closure is
-    nodes x depth; Spark's work is edges-touched-per-layer."""
+    Scale: operators.graph.bfs_hops is two-tier (the
+    connected_components discipline) - the sparsified subgraph sits
+    under the small-graph bound so the collected driver BFS answers
+    here, while past 100 K edges the frontier-Pregel path runs:
+    per round hops_per_round frontier-sized join + anti-join layers
+    in one checkpointed block, rounds bounded by diameter. The
+    distributed tier is pytest-forced over the same fixtures; the
+    oracle's closure is nodes x depth either way."""
     from ..operators.graph import bfs_hops
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -306,31 +306,63 @@ def test_assortativity_degenerate_cases(spark) -> None:
 
 def test_bfs_hops_layers_and_cap(spark) -> None:
     """Chain 1-2-3-4-5 + isolated 9: multi-source layering, the
-    max_hops cap, and directedness on an asymmetric list."""
+    max_hops cap, and directedness on an asymmetric list - each case
+    on BOTH tiers (driver fast path, and the frontier-Pregel
+    distributed path forced with small_graph_max=0)."""
     from etl_marketdata_downloader_archived_spark.operators.graph import bfs_hops
 
     chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
     ud = chain + [(b, a) for a, b in chain]
     edges = spark.createDataFrame(ud, ["src", "dst"])
-    src = spark.createDataFrame([(1,)], ["node"])
-    got = {r.node: r.hops for r in bfs_hops(edges, src).collect()}
-    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
-
-    # cap: nodes past max_hops are absent, not mislabeled
-    got = {r.node: r.hops for r in bfs_hops(edges, src, max_hops=2).collect()}
-    assert got == {1: 0, 2: 1, 3: 2}
-
-    # multi-source: nearest source wins
-    src2 = spark.createDataFrame([(1,), (5,)], ["node"])
-    got = {r.node: r.hops for r in bfs_hops(edges, src2).collect()}
-    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
-
-    # directed: no back-edges -> nothing upstream of the source
     directed = spark.createDataFrame(chain, ["src", "dst"])
+    src = spark.createDataFrame([(1,)], ["node"])
+    src2 = spark.createDataFrame([(1,), (5,)], ["node"])
     src3 = spark.createDataFrame([(3,)], ["node"])
-    got = {r.node: r.hops for r in bfs_hops(directed, src3).collect()}
-    assert got == {3: 0, 4: 1, 5: 2}
-
-    # empty sources -> empty result
     empty = spark.createDataFrame([], "node long")
-    assert bfs_hops(edges, empty).count() == 0
+
+    for sgm in (100_000, 0):  # fast path, then distributed
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(edges, src, small_graph_max=sgm).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}, sgm
+
+        # cap: nodes past max_hops are absent, not mislabeled
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(
+                edges, src, max_hops=2, small_graph_max=sgm
+            ).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 2}, sgm
+
+        # multi-source: nearest source wins
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(edges, src2, small_graph_max=sgm).collect()
+        }
+        assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}, sgm
+
+        # directed: no back-edges -> nothing upstream of the source
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(directed, src3, small_graph_max=sgm).collect()
+        }
+        assert got == {3: 0, 4: 1, 5: 2}, sgm
+
+        # empty sources -> empty result
+        assert bfs_hops(edges, empty, small_graph_max=sgm).count() == 0, sgm
+
+    # the unroll boundary: hops_per_round > diameter, == 1, and a cap
+    # falling INSIDE an unrolled block all agree with the fast path
+    for hpr, cap in ((5, 20), (1, 20), (2, 3)):
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(
+                edges, src, max_hops=cap, small_graph_max=0,
+                hops_per_round=hpr,
+            ).collect()
+        }
+        want = {n: h for n, h in {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}.items()
+                if h <= cap}
+        assert got == want, (hpr, cap)
