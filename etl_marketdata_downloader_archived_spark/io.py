@@ -1302,6 +1302,16 @@ def purge_keys(
     Empty list = no key present anywhere; nothing rewritten
     (re-running a purge is a no-op, not a rewrite)."""
     vacuum_maintenance(spark, path)
+    # a purge that emptied the whole lake leaves a dir with no
+    # partition children; the rerun must be the documented no-op,
+    # not a schema-inference crash
+    jvm_path, fs = _vfs(spark, path)
+    prefix = partition_col + "="
+    if not fs.exists(jvm_path(path.rstrip("/"))) or not any(
+        st.getPath().getName().startswith(prefix)
+        for st in fs.listStatus(jvm_path(path.rstrip("/")))
+    ):
+        return []
     erasure = doomed.select(*key_cols).distinct()
     # one narrow scan decides everything: per-partition total vs
     # doomed-row counts (the left join cannot inflate - the erasure
@@ -1332,9 +1342,17 @@ def purge_keys(
     partial = [r[0] for r in per_part if r["_purged"] < r["_total"]]
     full = [r[0] for r in per_part if r["_purged"] == r["_total"]]
     if partial:
+        # a NULL partition value (read back from the Hive default
+        # dir) never matches isin() - it needs the explicit isNull
+        # branch or its doomed rows would survive while the audit
+        # claims them purged
+        non_null = [v for v in partial if v is not None]
+        cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in partial):
+            cond = cond | F.col(partition_col).isNull()
         survivors = (
             spark.read.parquet(path)
-            .filter(F.col(partition_col).isin(partial))
+            .filter(cond)
             .join(F.broadcast(erasure), key_cols, "left_anti")
         )
         stage = path.rstrip("/") + "__stage"
@@ -1347,7 +1365,6 @@ def purge_keys(
         # dir; a crash between rename and cleanup leaves the copy in
         # __backup, which vacuum_maintenance RESTORES - rerunning the
         # purge (the documented mutator recovery) re-deletes it.
-        jvm_path, fs = _vfs(spark, path)
         root = path.rstrip("/")
         backup = root + "__backup"
         fs.mkdirs(jvm_path(backup))
@@ -1356,10 +1373,17 @@ def purge_keys(
                 spark._jvm.org.apache.spark.sql.catalyst.catalog
                 .ExternalCatalogUtils.escapePathName
             )
+            esc("probe")  # py4j fails at CALL time, not lookup -
+            # an unreachable class returns a JavaPackage silently
         except Exception:  # pragma: no cover - jvm surface drift
             esc = str
         for value in full:
-            name = f"{partition_col}={esc(str(value))}"
+            if value is None:
+                # NULLs land in the Hive default-partition dir;
+                # escapePathName does not do that mapping
+                name = f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+            else:
+                name = f"{partition_col}={esc(str(value))}"
             live = jvm_path(root + "/" + name)
             aside = jvm_path(backup + "/" + name)
             fs.delete(aside, True)

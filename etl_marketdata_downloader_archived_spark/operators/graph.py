@@ -79,8 +79,16 @@ def bfs_hops(
     anti-join), pure scheduling overhead for a graph that fits in one
     task. Past the bound the frontier-Pregel path runs; tests force
     ``small_graph_max=0`` to certify it on the same fixtures."""
-    if int(hops_per_round) < 1:
-        raise ValueError(f"hops_per_round must be >= 1: {hops_per_round}")
+    if not 1 <= int(hops_per_round) <= 4:
+        # each lazy layer references its predecessor TWICE (as the
+        # next frontier and inside the settled anti-join), so the
+        # block's logical plan holds ~2^hops_per_round copies of the
+        # first layer's subtree - 4 caps that at 16 cheap nodes;
+        # an uncapped value would melt Catalyst analysis, not the
+        # executors
+        raise ValueError(
+            f"hops_per_round must be in 1..4: {hops_per_round}"
+        )
     e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     if dedup_edges:
         # materialize the distinct edge set once; callers passing an

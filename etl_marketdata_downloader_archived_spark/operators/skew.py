@@ -111,7 +111,11 @@ def join_skew_report(
         "cnt_right",
         (F.col("cnt_left") * F.col("cnt_right")).alias("out_rows"),
     )
-    total = per_key.agg(F.sum("out_rows").alias("total_out"))
+    # the total accumulates in DECIMAL(38,0): a sum of per-key
+    # products can pass bigint range even where each product fits
+    total = per_key.agg(
+        F.sum(F.col("out_rows").cast("decimal(38,0)")).alias("_total_dec")
+    )
     head = (
         per_key.orderBy(F.col("out_rows").desc(), "key")
         .limit(int(top))
@@ -124,6 +128,13 @@ def join_skew_report(
         "cnt_left",
         "cnt_right",
         "out_rows",
-        "total_out",
-        F.expr("(out_rows * 1000000) DIV total_out").alias("share_ppm"),
+        F.col("_total_dec").cast("bigint").alias("total_out"),
+        # ppm through DECIMAL(38,0): at the 100 TB scale this probe
+        # targets, out_rows*1e6 overflows bigint (~3M-row hot key on
+        # each side -> out_rows ~ 9e12, x1e6 > 9.22e18) and non-ANSI
+        # Spark would wrap negative with no error
+        F.expr(
+            "CAST((CAST(out_rows AS DECIMAL(38,0)) * 1000000)"
+            " DIV _total_dec AS BIGINT)"
+        ).alias("share_ppm"),
     )

@@ -1191,7 +1191,8 @@ def supplier_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(row_number() OVER (ORDER BY out_rows DESC, key)
                 AS BIGINT) AS rnk,
            key, cnt_left, cnt_right, out_rows, total_out,
-           CAST((out_rows * 1000000) // total_out AS BIGINT) AS share_ppm
+           CAST((CAST(out_rows AS HUGEINT) * 1000000) // total_out
+                AS BIGINT) AS share_ppm
     FROM head
     """,
 )

@@ -1021,3 +1021,47 @@ def test_purge_keys_erases_and_scopes_rewrites(spark, tmp_path) -> None:
         for f in glob.glob(f"{path}/part=*/[!_]*.parquet")
     }
     assert after_all == before_all
+
+
+def test_purge_keys_null_partition_and_full_wipe(spark, tmp_path) -> None:
+    """Review regressions: (a) NULL partition values (the Hive
+    default dir) must actually purge - both the partial-rewrite
+    branch (isin never matches NULL) and the full-delete branch (the
+    dir is __HIVE_DEFAULT_PARTITION__, not 'part=None'); (b) a purge
+    that empties the whole lake leaves the rerun a documented no-op,
+    not a schema-inference crash."""
+    import glob
+
+    from etl_marketdata_downloader_archived_spark.io import purge_keys
+
+    # (a) NULL partition, partial then full
+    path = str(tmp_path / "lake_null")
+    spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 30)],
+        "id bigint, part string, val int",
+    ).write.partitionBy("part").parquet(path)
+    audit = purge_keys(
+        spark, path, spark.createDataFrame([(2,)], ["id"]), ["id"], "part"
+    )
+    assert audit == [(None, 1)]
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == {1, 3}  # key 2 actually gone from the NULL partition
+    audit = purge_keys(
+        spark, path, spark.createDataFrame([(1,)], ["id"]), ["id"], "part"
+    )
+    assert audit == [(None, 1)]
+    assert not glob.glob(f"{path}/part=__HIVE_DEFAULT_PARTITION__*")
+    assert {r.id for r in spark.read.parquet(path).collect()} == {3}
+
+    # (b) wipe everything, then rerun
+    path2 = str(tmp_path / "lake_wipe")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "id bigint, part string, val int"
+    ).write.partitionBy("part").parquet(path2)
+    doomed = spark.createDataFrame([(1,), (2,)], ["id"])
+    assert purge_keys(spark, path2, doomed, ["id"], "part") == [
+        ("a", 1), ("b", 1)
+    ]
+    assert not glob.glob(f"{path2}/part=*")
+    # rerun on the emptied lake: no-op, no crash
+    assert purge_keys(spark, path2, doomed, ["id"], "part") == []

@@ -366,3 +366,16 @@ def test_bfs_hops_layers_and_cap(spark) -> None:
         want = {n: h for n, h in {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}.items()
                 if h <= cap}
         assert got == want, (hpr, cap)
+
+
+def test_bfs_hops_rejects_uncapped_unroll(spark) -> None:
+    """hops_per_round > 4 is refused: each lazy layer doubles the
+    block's plan tree, so the cap protects Catalyst, loudly."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    src = spark.createDataFrame([(1,)], ["node"])
+    with _pytest.raises(ValueError, match="1..4"):
+        bfs_hops(edges, src, hops_per_round=16)

@@ -415,3 +415,19 @@ def test_join_skew_report_two_sided(spark) -> None:
         (1, "a", 4, 3, 12, 22, (12 * 1_000_000) // 22),
         (2, "b", 2, 5, 10, 22, (10 * 1_000_000) // 22),
     ]
+
+
+def test_join_skew_report_ppm_survives_bigint_overflow(spark) -> None:
+    """Review regression: a hot key with ~3M rows per side puts
+    out_rows*1e6 past bigint range - the ppm share must come through
+    the decimal path, not wrap negative."""
+    from etl_marketdata_downloader_archived_spark.operators.skew import (
+        join_skew_report,
+    )
+
+    n = 3_000_000
+    side = spark.range(n).select(F.lit("hot").alias("k"))
+    r = join_skew_report(side, side, on="k", top=1).collect()[0]
+    assert r.out_rows == n * n            # 9e12, fits bigint
+    assert r.total_out == n * n
+    assert r.share_ppm == 1_000_000       # NOT a negative wrap
