@@ -1656,3 +1656,267 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(8).over(w).cast("bigint").alias("octile"),
     )
+
+
+@q(
+    "segment_migration",
+    oracle="""
+    WITH spend AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-05-01'
+                    THEN 0 ELSE 1 END AS period,
+               o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend_c
+        FROM orders GROUP BY 1, 2
+    ),
+    vc AS (
+        SELECT period, spend_c, count(*) AS c FROM spend GROUP BY 1, 2
+    ),
+    stepped AS (
+        SELECT period, spend_c,
+               sum(c) OVER (PARTITION BY period ORDER BY spend_c) AS cum,
+               sum(c) OVER (PARTITION BY period) AS n
+        FROM vc
+    ),
+    cuts AS (
+        SELECT period,
+               min(CASE WHEN cum >= (n + 2) // 3 THEN spend_c END) AS t1,
+               min(CASE WHEN cum >= (2 * n + 2) // 3 THEN spend_c END)
+                 AS t2
+        FROM stepped GROUP BY period
+    ),
+    seg AS (
+        SELECT s.o_custkey, s.period,
+               CASE WHEN s.spend_c <= c.t1 THEN '1: low'
+                    WHEN s.spend_c <= c.t2 THEN '2: mid'
+                    ELSE '3: high' END AS seg
+        FROM spend s JOIN cuts c ON c.period = s.period
+    )
+    SELECT coalesce(a.seg, '0: absent') AS seg_early,
+           coalesce(b.seg, '0: absent') AS seg_late,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT o_custkey, seg FROM seg WHERE period = 0) a
+    FULL OUTER JOIN (SELECT o_custkey, seg FROM seg WHERE period = 1) b
+      ON a.o_custkey = b.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-segment migration matrix: tercile each
+    customer's order spend WITHIN two halves of the corpus (pivot
+    1998-05-01, the order-calendar midpoint) and count every
+    early-segment -> late-segment move, with customers active in only
+    one half classed 'absent' on the other side - the
+    churn/upgrade/downgrade flow a retention team reads, and the
+    longitudinal companion of the single-period rfm_segments.
+
+    Exactness: int-cents spend, tercile cuts by POSITIONAL pick over
+    the per-period distinct-spend count table (rank-from-counts: the
+    window runs over value cardinality partitioned by period, never
+    customer rows; cut position k = ceil(n/3) in pure integer
+    arithmetic), class by <= on agreed integers, one full-outer join
+    on the customer key, and a <=16-row matrix. No floats anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.withColumn(
+            "period",
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-05-01").cast("timestamp"),
+                0,
+            ).otherwise(1),
+        )
+        .groupBy("period", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("spend_c")
+        )
+    )
+    vc = spend.groupBy("period", "spend_c").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        W.partitionBy("period")
+        .orderBy("spend_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("period")
+    stepped = vc.select(
+        "period",
+        "spend_c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    cuts = stepped.groupBy("period").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("spend_c"))
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("spend_c")
+            )
+        ).alias("t2"),
+    )
+    seg = spend.join(F.broadcast(cuts), "period").select(
+        "o_custkey",
+        "period",
+        F.when(F.col("spend_c") <= F.col("t1"), "1: low")
+        .when(F.col("spend_c") <= F.col("t2"), "2: mid")
+        .otherwise("3: high")
+        .alias("seg"),
+    )
+    a = seg.filter(F.col("period") == 0).select(
+        "o_custkey", F.col("seg").alias("seg_a")
+    )
+    b = seg.filter(F.col("period") == 1).select(
+        "o_custkey", F.col("seg").alias("seg_b")
+    )
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("seg_a", F.lit("0: absent")).alias("seg_early"),
+            F.coalesce("seg_b", F.lit("0: absent")).alias("seg_late"),
+        )
+        .groupBy("seg_early", "seg_late")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "repeat_purchase_gap",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               (epoch_us(o_orderdate)
+                - epoch_us(lag(o_orderdate) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)))
+                 // 86400000000 AS gap_d
+        FROM orders
+    ),
+    b AS (
+        SELECT o_custkey,
+               CASE WHEN gap_d <= 7   THEN '1: <=1wk'
+                    WHEN gap_d <= 30  THEN '2: <=1mo'
+                    WHEN gap_d <= 90  THEN '3: <=3mo'
+                    WHEN gap_d <= 180 THEN '4: <=6mo'
+                    ELSE '5: >6mo' END AS bucket
+        FROM g WHERE gap_d IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def repeat_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the gap in whole days between each
+    customer's consecutive orders, bucketed on the fixed human-scale
+    grid (week / month / quarter / half-year / longer) - the
+    order-table twin of interarrival_hist's event-gap panel, and the
+    input a replenishment or win-back campaign is timed against.
+    n_gaps counts transitions, n_customers how many distinct
+    customers exhibit each cadence at least once.
+
+    Exactness: integer epoch-microsecond difference, engine-agreed
+    DIV day fold, first-order rows drop via the NULL lag on both
+    sides. The lag window partitions per customer over fact rows
+    (the win_lag posture); the bucket aggregate is 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.select(
+        "o_custkey",
+        F.expr(
+            "(unix_micros(cast(o_orderdate as timestamp))"
+            " - lag(unix_micros(cast(o_orderdate as timestamp))) OVER ("
+            "   PARTITION BY o_custkey"
+            "   ORDER BY o_orderdate, o_orderkey)) DIV 86400000000"
+        ).alias("gap_d"),
+    ).filter(F.col("gap_d").isNotNull())
+    bucket = (
+        F.when(F.col("gap_d") <= 7, "1: <=1wk")
+        .when(F.col("gap_d") <= 30, "2: <=1mo")
+        .when(F.col("gap_d") <= 90, "3: <=3mo")
+        .when(F.col("gap_d") <= 180, "4: <=6mo")
+        .otherwise("5: >6mo")
+    )
+    return (
+        g.select("o_custkey", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "degree_histogram",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_degree
+             FROM e GROUP BY 1),
+    ind  AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_degree
+             FROM e GROUP BY 1),
+    deg AS (
+        SELECT coalesce(o.node, i.node) AS node,
+               coalesce(o.out_degree, 0) AS od,
+               coalesce(i.in_degree, 0) AS id
+        FROM outd o FULL OUTER JOIN ind i ON i.node = o.node
+    )
+    SELECT od AS out_degree, id AS in_degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1, 2
+    """,
+)
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint in/out-degree histogram of the distinct nation trade
+    graph - the exact-oracle certificate for operators.graph.degrees
+    (until now the one graph primitive certified only through its
+    consumers: pagerank's differentials, assortativity's moments).
+    The degree distribution is also the first thing read off a graph
+    before choosing an algorithm tier (hub-dominated -> salt /
+    orient by degree, flat -> plain Pregel).
+
+    Shape: the corpus-sized work is the same distinct-edge build the
+    other trade-graph queries share (4-way join, dimension sides
+    broadcast); degrees() is a union + one partial-combined
+    aggregate; the histogram collapses 25 nodes to a handful of
+    (out, in) cells. Exact bigints throughout."""
+    from ..operators.graph import degrees
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "supplier", "customer")
+    }
+    e = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        degrees(e)
+        .groupBy(
+            F.col("out_degree"), F.col("in_degree")
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select("out_degree", "in_degree", "n_nodes")
+    )

@@ -803,3 +803,113 @@ def test_win_distribution_vs_python(spark, sf_dir) -> None:
         for r in win_distribution(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_segment_migration_vs_python(spark, sf_dir) -> None:
+    """Migration matrix vs a dict replay: per-period cent spends,
+    positional tercile cuts over the sorted distinct-value list,
+    full-outer 'absent' classes."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        segment_migration,
+    )
+    from datetime import datetime
+
+    pivot = datetime(1998, 5, 1)
+    spend: dict = defaultdict(int)
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect():
+        period = 0 if r.o_orderdate < pivot else 1
+        spend[(period, r.o_custkey)] += _half_up(r.o_totalprice * 100)
+    cuts = {}
+    for period in (0, 1):
+        vals = sorted(v for (p, _), v in spend.items() if p == period)
+        n = len(vals)
+        cuts[period] = (vals[(n + 2) // 3 - 1], vals[(2 * n + 2) // 3 - 1])
+    def seg(period, v):
+        t1, t2 = cuts[period]
+        return "1: low" if v <= t1 else ("2: mid" if v <= t2 else "3: high")
+    custs = {c for (_, c) in spend}
+    matrix = defaultdict(int)
+    for c in custs:
+        a = seg(0, spend[(0, c)]) if (0, c) in spend else "0: absent"
+        b = seg(1, spend[(1, c)]) if (1, c) in spend else "0: absent"
+        matrix[(a, b)] += 1
+    got = {
+        (r.seg_early, r.seg_late): r.n_customers
+        for r in segment_migration(spark, sf_dir).collect()
+    }
+    assert got == dict(matrix)
+
+
+def test_repeat_purchase_gap_vs_python(spark, sf_dir) -> None:
+    """Gap buckets vs a sorted-list replay: whole-day floor division,
+    first orders dropped, per-bucket distinct customers."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        repeat_purchase_gap,
+    )
+
+    per_cust: dict = defaultdict(list)
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect():
+        per_cust[r.o_custkey].append((r.o_orderdate, r.o_orderkey))
+    n_gaps = defaultdict(int)
+    custs = defaultdict(set)
+    for c, lst in per_cust.items():
+        lst.sort()
+        for (d0, _), (d1, _) in zip(lst, lst[1:]):
+            gap = int((d1 - d0).total_seconds() * 1_000_000) // 86_400_000_000
+            b = ("1: <=1wk" if gap <= 7 else
+                 "2: <=1mo" if gap <= 30 else
+                 "3: <=3mo" if gap <= 90 else
+                 "4: <=6mo" if gap <= 180 else "5: >6mo")
+            n_gaps[b] += 1
+            custs[b].add(c)
+    got = {
+        r.bucket: (r.n_gaps, r.n_customers)
+        for r in repeat_purchase_gap(spark, sf_dir).collect()
+    }
+    assert got == {b: (n, len(custs[b])) for b, n in n_gaps.items()}
+
+
+def test_degree_histogram_vs_python(spark, sf_dir) -> None:
+    """Joint degree histogram vs a set/Counter replay over the same
+    distinct nation edge list."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        degree_histogram,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    c = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    o_cust = {r.o_orderkey: r.o_custkey for r in o.collect()}
+    edges = set()
+    for r in li.collect():
+        a, b = s[r.l_suppkey], c[o_cust[r.l_orderkey]]
+        if a != b:
+            edges.add((a, b))
+    outd = defaultdict(int)
+    ind = defaultdict(int)
+    nodes = set()
+    for a, b in edges:
+        outd[a] += 1
+        ind[b] += 1
+        nodes.update((a, b))
+    hist = defaultdict(int)
+    for n in nodes:
+        hist[(outd[n], ind[n])] += 1
+    got = {
+        (r.out_degree, r.in_degree): r.n_nodes
+        for r in degree_histogram(spark, sf_dir).collect()
+    }
+    assert got == dict(hist)

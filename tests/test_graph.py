@@ -353,9 +353,10 @@ def test_bfs_hops_layers_and_cap(spark) -> None:
         # empty sources -> empty result
         assert bfs_hops(edges, empty, small_graph_max=sgm).count() == 0, sgm
 
-    # the unroll boundary: hops_per_round > diameter, == 1, and a cap
+    # the unroll boundary: hops_per_round == the chain length (the
+    # last block's deepest layer comes up empty), == 1, and a cap
     # falling INSIDE an unrolled block all agree with the fast path
-    for hpr, cap in ((5, 20), (1, 20), (2, 3)):
+    for hpr, cap in ((4, 20), (1, 20), (2, 3)):
         got = {
             r.node: r.hops
             for r in bfs_hops(
