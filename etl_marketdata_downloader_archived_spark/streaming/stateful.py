@@ -807,3 +807,74 @@ def streaming_fifo(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_purge_filter(
+    df: DataFrame,
+    key: str,
+    kind: str,
+    ts: str,
+    purge_value: str = "purge",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """In-flight right-to-be-forgotten: the streaming companion of
+    io.purge_keys (that one sweeps the lake AT REST; this stops a
+    doomed subject's rows from entering it in the first place). One
+    unioned stream carries data rows and purge directives
+    (``kind`` == ``purge_value``), keyed by the subject; a purge
+    flips one boolean of per-key state, and from that row on -
+    including later micro-batches - the subject's data rows are
+    dropped at the operator, never reaching the sink.
+
+    Ordering contract (the family's arrival-order rule): rows sort by
+    ``ts`` within a batch, so a purge directive suppresses same-batch
+    data rows stamped at-or-after it; data rows the sink already took
+    in EARLIER batches are purge_keys' job - the two operators
+    together are the complete GDPR story (stop the tap, then drain
+    the tank). Emits data rows only (the directive is consumed, not
+    forwarded); re-purging an already-doomed key is a no-op. State is
+    ONE boolean per doomed subject - never a row buffer;
+    ``state_ttl_ms`` ages it out once the retention window passes on
+    continuous streams."""
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(f"{f.name} {in_schema[f.name]}" for f in df.schema.fields)
+    use_ttl = state_ttl_ms is not None
+
+    def update(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(ts, ignore_index=True)
+        doomed = bool(state.get[0]) if state.exists else False
+        keep = []
+        for i, k in enumerate(pdf[kind].tolist()):
+            if k == purge_value:
+                doomed = True
+                keep.append(False)  # the directive itself never emits
+            else:
+                keep.append(not doomed)
+        state.update((doomed,))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        if len(out):
+            yield out
+
+    return df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="doomed boolean",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -740,3 +740,64 @@ def test_streaming_fifo_equals_batch(spark, tmp_path) -> None:
     assert [(s, o) for k, s, o, _ in streamed if k == "x" and s == 2] == [
         (2, 1), (2, 3), (2, 5)
     ]
+
+
+def test_streaming_purge_filter_suppresses_across_batches(
+    spark, tmp_path
+) -> None:
+    """The doomed flag carries across micro-batches: rows before a
+    purge directive pass, the directive and everything at-or-after
+    it (same batch AND later batches) drop, untouched subjects flow,
+    and a re-purge is a no-op."""
+    rows_b1 = [
+        ("u1", "data", 1), ("u1", "data", 2),
+        ("u2", "data", 1),
+    ]
+    rows_b2 = [
+        ("u1", "data", 3), ("u1", "purge", 4), ("u1", "data", 5),
+        ("u2", "data", 2),
+    ]
+    rows_b3 = [
+        ("u1", "data", 6), ("u1", "purge", 7),  # re-purge: no-op
+        ("u2", "data", 3),
+    ]
+    src = tmp_path / "gdpr"
+    src.mkdir()
+    for i, rows in enumerate((rows_b1, rows_b2, rows_b3), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"user": u, "kind": k, "ts": t})
+                for u, k, t in rows
+            )
+        )
+        time.sleep(1.1)
+
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_purge_filter,
+    )
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    ev = raw.select(
+        F.from_json("value", "user STRING, kind STRING, ts LONG").alias("j")
+    ).select("j.*")
+    q = (
+        streaming_purge_filter(ev, "user", "kind", "ts")
+        .writeStream.format("memory")
+        .queryName("gdpr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user, r.kind, r.ts)
+        for r in spark.sql("select * from gdpr_out").collect()
+    )
+    assert got == [
+        ("u1", "data", 1), ("u1", "data", 2), ("u1", "data", 3),
+        ("u2", "data", 1), ("u2", "data", 2), ("u2", "data", 3),
+    ]
