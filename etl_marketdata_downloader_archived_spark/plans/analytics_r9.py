@@ -1920,3 +1920,53 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .select("out_degree", "in_degree", "n_nodes")
     )
+
+
+@q(
+    "agg_salted",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS ext_c
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase salted aggregation, oracle-certified (closing
+    the skew toolkit next to join_salted): lineitem's pricing-summary
+    measures grouped on the classic 6-value hot key through
+    operators.skew.salted_agg - phase 1 aggregates per
+    (key, deterministic salt) so a hot group's rows spread over
+    salt_buckets reducers, phase 2 combines salt_buckets partial rows
+    per key. The oracle is the PLAIN GROUP BY: result identity is
+    the rewrite's whole contract. AQE cannot split a hash-aggregate
+    group (its skew handling is join-side), so at 100 TB this
+    rewrite - not a conf knob - is what breaks a mega-group.
+
+    Exactness: bigint counts and quantity sums, int-cents price sums
+    (one rounded IEEE expression per row), partials combined by sum -
+    integer addition is associative, so the salted regroup cannot
+    drift."""
+    from ..operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return salted_agg(
+        li.withColumn("ext_cents", cents),
+        group_cols=["l_returnflag", "l_linestatus"],
+        salt_buckets=8,
+        salt_from=["l_orderkey", "l_linenumber"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("pq"),
+            F.sum("ext_cents").alias("pe"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n_lines"),
+            F.sum("pq").alias("qty"),
+            F.sum("pe").alias("ext_c"),
+        ],
+    ).orderBy("l_returnflag", "l_linestatus")

@@ -913,3 +913,28 @@ def test_degree_histogram_vs_python(spark, sf_dir) -> None:
         for r in degree_histogram(spark, sf_dir).collect()
     }
     assert got == dict(hist)
+
+
+def test_agg_salted_vs_python(spark, sf_dir) -> None:
+    """Salted two-phase aggregate vs a plain dict accumulation -
+    result identity across the salt regroup."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        agg_salted,
+    )
+
+    acc: dict = defaultdict(lambda: [0, 0, 0])
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    ).collect():
+        a = acc[(r.l_returnflag, r.l_linestatus)]
+        a[0] += 1
+        a[1] += int(r.l_quantity)
+        a[2] += _half_up(r.l_extendedprice * 100)
+    got = [
+        (r.l_returnflag, r.l_linestatus, r.n_lines, r.qty, r.ext_c)
+        for r in agg_salted(spark, sf_dir).collect()
+    ]
+    assert got == [
+        (rf, ls, n, q, e)
+        for (rf, ls), (n, q, e) in sorted(acc.items())
+    ]

@@ -62,6 +62,12 @@ HEADLINE = [
     "tfidf_topk",
     "markov_transitions",
     "conversion_latency",
+    # round-9 families: skew toolkit, interval-join ledger matching,
+    # rank-from-counts migration terciles
+    "join_skew_report",
+    "join_salted",
+    "fifo_allocation",
+    "segment_migration",
 ]
 
 # Round-over-round plan observations worth keeping next to the trees.
