@@ -1391,3 +1391,117 @@ def purge_keys(
                 raise IOError(f"purge_keys: could not rename {name} aside")
         fs.delete(jvm_path(backup), True)
     return [(r[0], r["_purged"]) for r in per_part]
+
+
+def build_join_view(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    view_path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the inner equi-join of two keyed tables as a
+    bucket-partitioned parquet view (``_bucket = pmod(xxhash64(key),
+    n_buckets)``) - the layout `refresh_join_view` repairs in
+    O(delta). One full join, one partitioned write; pick n_buckets so
+    a bucket's rows rewrite comfortably (buckets are the view's
+    repair granularity, not its read parallelism - readers see an
+    ordinary partitioned table and prune nothing on _bucket)."""
+    j = left.join(right, on)
+    j.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(on)), F.lit(int(n_buckets)))
+    ).write.mode("overwrite").partitionBy("_bucket").parquet(view_path)
+
+
+def refresh_join_view(
+    spark: SparkSession,
+    view_path: str,
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    changed_keys: DataFrame,
+    n_buckets: int = 64,
+) -> list[int]:
+    """Incrementally repair a `build_join_view` materialization after
+    either input changed: given the join keys whose rows were added /
+    updated / removed on EITHER side (e.g. `version_cdc` output, a
+    CDC feed, or the upsert batch itself), rewrite ONLY the buckets
+    holding those keys - the incremental VIEW maintenance move
+    (Delta Live Tables' enzyme, materialized-view delta repair)
+    on plain parquet, costing O(changed keys + their bucket rows),
+    never O(view).
+
+    Per affected bucket: current rows for UNCHANGED keys pass through
+    (anti-join against the broadcast key list), changed keys' rows
+    rebuild fresh from the CURRENT inputs (both sides semi-filtered
+    to the key list first, so the repair join is delta-sized), and
+    the bucket publishes by rename (stage-then-publish, the
+    engine-wide mutator discipline - readers see each bucket wholly
+    old or wholly new). A bucket whose repair comes out EMPTY (every
+    key in it changed and now joins to nothing) is deleted
+    explicitly - the swap alone would keep its stale files
+    (purge_keys' lesson). Returns the repaired bucket ids;
+    `n_buckets` must match the build. Correct under all change
+    classes because changed keys rebuild from scratch: an
+    added/updated/removed row on either side lands as the fresh
+    join's output for that key, whatever the old view held."""
+    vacuum_maintenance(spark, view_path)
+    keys = changed_keys.select(on).distinct()
+    buckets = sorted(
+        r[0]
+        for r in keys.select(
+            F.pmod(F.xxhash64(F.col(on)), F.lit(int(n_buckets))).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not buckets:
+        return []
+    fresh = (
+        left.join(F.broadcast(keys), on, "semi")
+        .join(right.join(F.broadcast(keys), on, "semi"), on)
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col(on)), F.lit(int(n_buckets)))
+        )
+    )
+    jvm_path, fs = _vfs(spark, view_path)
+    has_live = fs.exists(jvm_path(view_path.rstrip("/"))) and any(
+        st.getPath().getName().startswith("_bucket=")
+        for st in fs.listStatus(jvm_path(view_path.rstrip("/")))
+    )
+    if has_live:
+        cur = spark.read.parquet(view_path).filter(
+            F.col("_bucket").isin(buckets)
+        )
+        keep = cur.join(F.broadcast(keys), on, "left_anti")
+        out = keep.unionByName(fresh.select(keep.columns))
+    else:
+        # a refresh against a fully-emptied view (every bucket was
+        # deleted) rebuilds the affected keys from scratch - the
+        # empty dir has no parquet schema to read
+        out = fresh
+    stage = view_path.rstrip("/") + "__stage"
+    out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+    # publish what staged, then delete affected buckets the stage
+    # came out EMPTY for (no dir staged -> rename swaps nothing)
+    staged = {
+        st.getPath().getName()
+        for st in fs.listStatus(jvm_path(stage))
+        if st.getPath().getName().startswith("_bucket=")
+    }
+    publish_partitions(spark, view_path, stage, "_bucket")
+    root = view_path.rstrip("/")
+    backup = root + "__backup"
+    emptied = [b for b in buckets if f"_bucket={b}" not in staged]
+    if emptied:
+        fs.mkdirs(jvm_path(backup))
+        for b in emptied:
+            live = jvm_path(f"{root}/_bucket={b}")
+            aside = jvm_path(f"{backup}/_bucket={b}")
+            fs.delete(aside, True)
+            if fs.exists(live) and not fs.rename(live, aside):
+                raise IOError(
+                    f"refresh_join_view: could not rename _bucket={b} aside"
+                )
+        fs.delete(jvm_path(backup), True)
+    return buckets

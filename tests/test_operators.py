@@ -1580,3 +1580,93 @@ def test_fifo_allocate_known_answer(spark) -> None:
         ("x", 5, 4, 3),
         ("y", 0, 0, 2),
     ]
+
+
+def test_join_view_incremental_refresh(spark, tmp_path) -> None:
+    """Incremental join-view repair: after updates/inserts/deletes on
+    both inputs, refreshing ONLY the changed keys reproduces the
+    from-scratch join, untouched buckets keep their exact files, a
+    fully-emptied bucket is deleted, and an empty delta is a no-op."""
+    import glob
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        build_join_view,
+        refresh_join_view,
+    )
+
+    nb = 4
+    left0 = spark.createDataFrame(
+        [(k, f"L{k}") for k in range(1, 9)], "k bigint, lval string"
+    )
+    right0 = spark.createDataFrame(
+        [(k, f"R{k}") for k in range(1, 9) if k != 7],  # 7: left-only
+        "k bigint, rval string",
+    )
+    view = str(tmp_path / "jview")
+    build_join_view(left0, right0, "k", view, n_buckets=nb)
+
+    # mutate: update right 2, delete left 3, insert both-side 9,
+    # delete right 5 (key joins to nothing now)
+    left1 = spark.createDataFrame(
+        [(k, f"L{k}") for k in range(1, 10) if k != 3],
+        "k bigint, lval string",
+    )
+    right1 = spark.createDataFrame(
+        [(k, "R2x" if k == 2 else f"R{k}")
+         for k in range(1, 10) if k not in (5, 7)],
+        "k bigint, rval string",
+    )
+    changed = spark.createDataFrame([(2,), (3,), (5,), (9,)], ["k"])
+
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{view}/_bucket=*/[!_]*.parquet")
+    }
+    touched = refresh_join_view(
+        spark, view, left1, right1, "k", changed, n_buckets=nb
+    )
+    got = sorted(
+        (r.k, r.lval, r.rval)
+        for r in spark.read.parquet(view).drop("_bucket").collect()
+    )
+    want = sorted(
+        (r.k, r.lval, r.rval) for r in left1.join(right1, "k").collect()
+    )
+    assert got == want
+    # buckets not in the returned list kept their exact files
+    untouched = {
+        f: m
+        for f, m in before.items()
+        if not any(f"_bucket={b}/" in f for b in touched)
+    }
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{view}/_bucket=*/[!_]*.parquet")
+    }
+    for f, m in untouched.items():
+        assert after.get(f) == m, f
+
+    # empty the whole view bucket-by-bucket: every key changes and
+    # joins to nothing -> all buckets explicitly deleted
+    allkeys = spark.createDataFrame([(k,) for k in range(1, 10)], ["k"])
+    empty_l = spark.createDataFrame([], "k bigint, lval string")
+    refresh_join_view(spark, view, empty_l, right1, "k", allkeys, n_buckets=nb)
+    assert not glob.glob(f"{view}/_bucket=*")
+
+    # empty delta: no-op, nothing listed, nothing touched
+    assert refresh_join_view(
+        spark, view, left1, right1, "k",
+        spark.createDataFrame([], "k bigint"), n_buckets=nb,
+    ) == []
+
+    # a NON-empty delta against the emptied view rebuilds from
+    # scratch instead of crashing on the schema-less directory
+    refresh_join_view(spark, view, left1, right1, "k", allkeys, n_buckets=nb)
+    got = sorted(
+        (r.k, r.lval, r.rval)
+        for r in spark.read.parquet(view).drop("_bucket").collect()
+    )
+    assert got == sorted(
+        (r.k, r.lval, r.rval) for r in left1.join(right1, "k").collect()
+    )
