@@ -1476,9 +1476,11 @@ def refresh_join_view(
         keep = cur.join(F.broadcast(keys), on, "left_anti")
         out = keep.unionByName(fresh.select(keep.columns))
     else:
-        # a refresh against a fully-emptied view (every bucket was
-        # deleted) rebuilds the affected keys from scratch - the
-        # empty dir has no parquet schema to read
+        # a refresh against a fully-emptied (or not-yet-built) view
+        # rebuilds the affected keys from scratch - an empty dir has
+        # no parquet schema to read; the rename publish below needs
+        # the root to exist
+        fs.mkdirs(jvm_path(view_path.rstrip("/")))
         out = fresh
     stage = view_path.rstrip("/") + "__stage"
     out.write.mode("overwrite").partitionBy("_bucket").parquet(stage)

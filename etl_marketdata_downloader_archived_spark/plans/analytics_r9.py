@@ -1970,3 +1970,105 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pe").alias("ext_c"),
         ],
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@q(
+    "nation_trade_balance",
+    oracle="""
+    WITH flow AS (
+        SELECT s.s_nationkey AS exp_n, c.c_nationkey AS imp_n,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS rev_c
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    ex AS (SELECT exp_n AS nk, CAST(sum(rev_c) AS BIGINT) AS exports_c,
+                  CAST(count(*) AS BIGINT) AS n_export_lines
+           FROM flow GROUP BY 1),
+    im AS (SELECT imp_n AS nk, CAST(sum(rev_c) AS BIGINT) AS imports_c,
+                  CAST(count(*) AS BIGINT) AS n_import_lines
+           FROM flow GROUP BY 1)
+    SELECT n.n_name AS nation,
+           coalesce(ex.exports_c, 0) AS exports_c,
+           coalesce(im.imports_c, 0) AS imports_c,
+           coalesce(ex.exports_c, 0) - coalesce(im.imports_c, 0)
+             AS balance_c,
+           coalesce(ex.n_export_lines, 0) AS n_export_lines,
+           coalesce(im.n_import_lines, 0) AS n_import_lines
+    FROM nation n
+    LEFT JOIN ex ON ex.nk = n.n_nationkey
+    LEFT JOIN im ON im.nk = n.n_nationkey
+    ORDER BY balance_c DESC, nation
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade balance per nation: discounted revenue on
+    lines whose supplier and customer nations DIFFER, summed as
+    exports (supplier side) and imports (customer side), with the
+    net balance - the value-weighted companion of the trade-graph
+    queries (pagerank/triangles/degrees rank the same edges by
+    structure; this prices them). Domestic lines are excluded on both
+    sides symmetrically, so the global balance sums to zero - the
+    pytest invariant.
+
+    Exactness: one rounded IEEE per-line cents fix (the engine-wide
+    discounted-price recipe), bigint sums, subtraction of agreed
+    integers. Shape: one 4-way join (dimension sides broadcast, the
+    same build the graph family shares) feeding two
+    partial-combined nation aggregates; output is nation-sized."""
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "supplier", "customer", "nation")
+    }
+    flow = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("exp_n"),
+            F.col("c_nationkey").alias("imp_n"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("rev_c"),
+        )
+    )
+    ex = flow.groupBy(F.col("exp_n").alias("nk")).agg(
+        F.sum("rev_c").alias("exports_c"),
+        F.count(F.lit(1)).alias("n_export_lines"),
+    )
+    im = flow.groupBy(F.col("imp_n").alias("nk")).agg(
+        F.sum("rev_c").alias("imports_c"),
+        F.count(F.lit(1)).alias("n_import_lines"),
+    )
+    n = t["nation"].select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    return (
+        n.join(ex, "nk", "left")
+        .join(im, "nk", "left")
+        .select(
+            "nation",
+            F.coalesce("exports_c", F.lit(0)).alias("exports_c"),
+            F.coalesce("imports_c", F.lit(0)).alias("imports_c"),
+            (
+                F.coalesce("exports_c", F.lit(0))
+                - F.coalesce("imports_c", F.lit(0))
+            ).alias("balance_c"),
+            F.coalesce("n_export_lines", F.lit(0)).alias("n_export_lines"),
+            F.coalesce("n_import_lines", F.lit(0)).alias("n_import_lines"),
+        )
+        .orderBy(F.col("balance_c").desc(), "nation")
+    )

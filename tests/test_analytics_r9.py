@@ -938,3 +938,56 @@ def test_agg_salted_vs_python(spark, sf_dir) -> None:
         (rf, ls, n, q, e)
         for (rf, ls), (n, q, e) in sorted(acc.items())
     ]
+
+
+def test_nation_trade_balance_vs_python(spark, sf_dir) -> None:
+    """Trade balance vs a dict replay of the cross-border flow, plus
+    the zero-sum invariant (every export is someone's import)."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        nation_trade_balance,
+    )
+
+    s = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    c = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    ocust = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    names = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    exp = defaultdict(lambda: [0, 0])
+    imp = defaultdict(lambda: [0, 0])
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).collect():
+        a, b = s[r.l_suppkey], c[ocust[r.l_orderkey]]
+        if a == b:
+            continue
+        cents = _half_up(r.l_extendedprice * (1 - r.l_discount) * 100)
+        exp[a][0] += cents
+        exp[a][1] += 1
+        imp[b][0] += cents
+        imp[b][1] += 1
+    got = {
+        r.nation: (
+            r.exports_c, r.imports_c, r.balance_c,
+            r.n_export_lines, r.n_import_lines,
+        )
+        for r in nation_trade_balance(spark, sf_dir).collect()
+    }
+    assert got == {
+        nm: (
+            exp[nk][0], imp[nk][0], exp[nk][0] - imp[nk][0],
+            exp[nk][1], imp[nk][1],
+        )
+        for nk, nm in names.items()
+    }
+    assert sum(v[2] for v in got.values()) == 0  # zero-sum world

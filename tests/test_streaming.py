@@ -1453,3 +1453,84 @@ def test_seasonal_monitor_horizon_all_null_first_batch(
     r = emitted[1][0]
     assert r.hour_ts == datetime(2024, 6, 1, 9)
     assert (r.n, r.status) == (1, "no_baseline")
+
+
+def test_streaming_join_view_maintenance(spark, tmp_path) -> None:
+    """A CDC stream of left-side upserts/deletes maintains BOTH the
+    keyed left store and the materialized join view; after three
+    micro-batches both equal the from-scratch fold, and the seq rule
+    (highest change ordinal per key wins within a batch) holds."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.io import build_join_view
+    from etl_marketdata_downloader_archived_spark.streaming.views import (
+        start_join_view_maintenance,
+    )
+
+    right = spark.createDataFrame(
+        [(k, f"R{k}") for k in range(1, 8)], "k bigint, rval string"
+    )
+    left0 = spark.createDataFrame(
+        [(1, "a0"), (2, "b0")], "k bigint, lval string"
+    )
+    left_path = str(tmp_path / "left")
+    view = str(tmp_path / "view")
+    left0.coalesce(1).write.parquet(left_path)
+    build_join_view(left0, right, "k", view, n_buckets=4)
+
+    batches = [
+        # upsert new key 3; update key 2 twice in-batch (seq 11 wins)
+        [(3, "c1", "upsert", 10), (2, "b1", "upsert", 9),
+         (2, "b2", "upsert", 11)],
+        # delete key 1; upsert key 4
+        [(1, None, "delete", 20), (4, "d1", "upsert", 21)],
+        # re-upsert the deleted key 1
+        [(1, "a2", "upsert", 30)],
+    ]
+    src = tmp_path / "cdc"
+    src.mkdir()
+    for i, rows in enumerate(batches, 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"k": k, "lval": v, "op": op, "ts": ts})
+                for k, v, op, ts in rows
+            )
+        )
+        _time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    upd = raw.select(
+        F.from_json(
+            "value", "k LONG, lval STRING, op STRING, ts LONG"
+        ).alias("j")
+    ).select("j.*")
+    q = start_join_view_maintenance(
+        upd,
+        left_path=left_path,
+        right=right,
+        on="k",
+        view_path=view,
+        checkpoint=str(tmp_path / "ckpt"),
+        n_buckets=4,
+    )
+    q.awaitTermination(180)
+
+    want_left = {1: "a2", 2: "b2", 3: "c1", 4: "d1"}
+    got_left = {
+        r.k: r.lval for r in spark.read.parquet(left_path).collect()
+    }
+    assert got_left == want_left
+    got_view = sorted(
+        (r.k, r.lval, r.rval)
+        for r in spark.read.parquet(view).drop("_bucket").collect()
+    )
+    assert got_view == sorted(
+        (k, v, f"R{k}") for k, v in want_left.items()
+    )
