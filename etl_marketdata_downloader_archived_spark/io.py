@@ -1361,13 +1361,6 @@ def purge_keys(
         ).parquet(stage)
         publish_partitions(spark, path, stage, partition_col)
     if full:
-        # delete-by-rename so a reader never lists a half-deleted
-        # dir; a crash between rename and cleanup leaves the copy in
-        # __backup, which vacuum_maintenance RESTORES - rerunning the
-        # purge (the documented mutator recovery) re-deletes it.
-        root = path.rstrip("/")
-        backup = root + "__backup"
-        fs.mkdirs(jvm_path(backup))
         try:
             esc = (
                 spark._jvm.org.apache.spark.sql.catalyst.catalog
@@ -1377,20 +1370,38 @@ def purge_keys(
             # an unreachable class returns a JavaPackage silently
         except Exception:  # pragma: no cover - jvm surface drift
             esc = str
-        for value in full:
-            if value is None:
-                # NULLs land in the Hive default-partition dir;
-                # escapePathName does not do that mapping
-                name = f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
-            else:
-                name = f"{partition_col}={esc(str(value))}"
-            live = jvm_path(root + "/" + name)
-            aside = jvm_path(backup + "/" + name)
-            fs.delete(aside, True)
-            if fs.exists(live) and not fs.rename(live, aside):
-                raise IOError(f"purge_keys: could not rename {name} aside")
-        fs.delete(jvm_path(backup), True)
+        names = [
+            # NULLs land in the Hive default-partition dir;
+            # escapePathName does not do that mapping
+            f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+            if value is None
+            else f"{partition_col}={esc(str(value))}"
+            for value in full
+        ]
+        _delete_partitions_by_rename(spark, path, names, "purge_keys")
     return [(r[0], r["_purged"]) for r in per_part]
+
+
+def _delete_partitions_by_rename(
+    spark: SparkSession, path: str, names: list[str], who: str
+) -> None:
+    """Crash-safe whole-partition deletion, shared by purge_keys and
+    refresh_join_view: rename each live dir aside into ``__backup``
+    (a reader never lists a half-deleted dir), then drop the backup.
+    A crash between rename and cleanup leaves the copy in __backup,
+    which vacuum_maintenance RESTORES - rerunning the mutation (the
+    documented recovery) re-deletes it."""
+    jvm_path, fs = _vfs(spark, path)
+    root = path.rstrip("/")
+    backup = root + "__backup"
+    fs.mkdirs(jvm_path(backup))
+    for name in names:
+        live = jvm_path(root + "/" + name)
+        aside = jvm_path(backup + "/" + name)
+        fs.delete(aside, True)
+        if fs.exists(live) and not fs.rename(live, aside):
+            raise IOError(f"{who}: could not rename {name} aside")
+    fs.delete(jvm_path(backup), True)
 
 
 def build_join_view(
@@ -1446,7 +1457,15 @@ def refresh_join_view(
     added/updated/removed row on either side lands as the fresh
     join's output for that key, whatever the old view held."""
     vacuum_maintenance(spark, view_path)
-    keys = changed_keys.select(on).distinct()
+    # xxhash64 is TYPE-sensitive: a changed-keys frame carrying the
+    # key under a narrower dtype (int vs the view's bigint) would
+    # hash to the WRONG buckets - cur would miss the real rows and
+    # the publish would replace live buckets with fresh-only dirs.
+    # The left input's key dtype is the view's key dtype by
+    # construction, so pin the delta to it.
+    keys = changed_keys.select(
+        F.col(on).cast(left.schema[on].dataType).alias(on)
+    ).distinct()
     buckets = sorted(
         r[0]
         for r in keys.select(
@@ -1492,18 +1511,12 @@ def refresh_join_view(
         if st.getPath().getName().startswith("_bucket=")
     }
     publish_partitions(spark, view_path, stage, "_bucket")
-    root = view_path.rstrip("/")
-    backup = root + "__backup"
     emptied = [b for b in buckets if f"_bucket={b}" not in staged]
     if emptied:
-        fs.mkdirs(jvm_path(backup))
-        for b in emptied:
-            live = jvm_path(f"{root}/_bucket={b}")
-            aside = jvm_path(f"{backup}/_bucket={b}")
-            fs.delete(aside, True)
-            if fs.exists(live) and not fs.rename(live, aside):
-                raise IOError(
-                    f"refresh_join_view: could not rename _bucket={b} aside"
-                )
-        fs.delete(jvm_path(backup), True)
+        _delete_partitions_by_rename(
+            spark,
+            view_path,
+            [f"_bucket={b}" for b in emptied],
+            "refresh_join_view",
+        )
     return buckets

@@ -851,19 +851,33 @@ def streaming_purge_filter(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf) == 0:
             return
-        pdf = pdf.sort_values(ts, ignore_index=True)
+        # STABLE sort with the directive ordered BEFORE data at an
+        # equal timestamp: an unstable single-key sort could emit a
+        # data row stamped at the directive's exact ts - a leak that
+        # would also flip between retries
+        pdf = pdf.assign(
+            _is_data=(pdf[kind] != purge_value).astype(int)
+        ).sort_values(
+            [ts, "_is_data"], kind="mergesort", ignore_index=True
+        )
         doomed = bool(state.get[0]) if state.exists else False
         keep = []
-        for i, k in enumerate(pdf[kind].tolist()):
+        for k in pdf[kind].tolist():
             if k == purge_value:
                 doomed = True
                 keep.append(False)  # the directive itself never emits
             else:
                 keep.append(not doomed)
-        state.update((doomed,))
-        if use_ttl:
-            state.setTimeoutDuration(state_ttl_ms)
-        out = pdf[pd.Series(keep, index=pdf.index)]
+        # state rows exist ONLY for doomed subjects - updating
+        # (False,) for every key ever seen would grow the store with
+        # total subjects, not purged ones
+        if doomed:
+            state.update((True,))
+            if use_ttl:
+                state.setTimeoutDuration(state_ttl_ms)
+        out = pdf[pd.Series(keep, index=pdf.index)].drop(
+            columns=["_is_data"]
+        )
         if len(out):
             yield out
 

@@ -1670,3 +1670,39 @@ def test_join_view_incremental_refresh(spark, tmp_path) -> None:
     assert got == sorted(
         (r.k, r.lval, r.rval) for r in left1.join(right1, "k").collect()
     )
+
+
+def test_refresh_join_view_casts_delta_key_dtype(spark, tmp_path) -> None:
+    """Review regression: xxhash64 is type-sensitive - a changed-keys
+    frame carrying the key as INT against a BIGINT view must repair
+    the RIGHT buckets (an uncast delta hashed to wrong buckets and
+    the publish replaced live buckets with fresh-only dirs)."""
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        build_join_view,
+        refresh_join_view,
+    )
+
+    left = spark.createDataFrame(
+        [(k, f"L{k}") for k in range(1, 9)], "k bigint, lval string"
+    )
+    right = spark.createDataFrame(
+        [(k, f"R{k}") for k in range(1, 9)], "k bigint, rval string"
+    )
+    view = str(tmp_path / "dview")
+    build_join_view(left, right, "k", view, n_buckets=4)
+
+    left2 = left.withColumn(
+        "lval", F.when(F.col("k") == 2, "L2x").otherwise(F.col("lval"))
+    )
+    # the delta arrives as INT - would hash to different buckets raw
+    changed_int = spark.createDataFrame([(2,)], "k int")
+    refresh_join_view(spark, view, left2, right, "k", changed_int, n_buckets=4)
+    got = sorted(
+        (r.k, r.lval, r.rval)
+        for r in spark.read.parquet(view).drop("_bucket").collect()
+    )
+    assert got == sorted(
+        (r.k, r.lval, r.rval) for r in left2.join(right, "k").collect()
+    )

@@ -801,3 +801,46 @@ def test_streaming_purge_filter_suppresses_across_batches(
         ("u1", "data", 1), ("u1", "data", 2), ("u1", "data", 3),
         ("u2", "data", 1), ("u2", "data", 2), ("u2", "data", 3),
     ]
+
+
+def test_streaming_purge_filter_equal_ts_and_state_scope(
+    spark, tmp_path
+) -> None:
+    """Review regressions: (a) a data row stamped at the purge
+    directive's EXACT timestamp is suppressed (stable sort +
+    directive-first tie-break - an unstable sort could leak it);
+    (b) clean subjects leave NO state row (the store holds doomed
+    subjects only)."""
+    rows = [
+        ("u1", "data", 5), ("u1", "purge", 5),  # equal-ts pair
+        ("u2", "data", 5),
+    ]
+    src = tmp_path / "gdpr2"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"user": u, "kind": k, "ts": t}) for u, k, t in rows
+        )
+    )
+
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_purge_filter,
+    )
+
+    raw = spark.readStream.format("text").load(str(src))
+    ev = raw.select(
+        F.from_json("value", "user STRING, kind STRING, ts LONG").alias("j")
+    ).select("j.*")
+    q = (
+        streaming_purge_filter(ev, "user", "kind", "ts")
+        .writeStream.format("memory")
+        .queryName("gdpr_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user, r.ts) for r in spark.sql("select * from gdpr_eq").collect()
+    )
+    assert got == [("u2", 5)]  # u1's equal-ts data row suppressed

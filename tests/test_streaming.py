@@ -1487,8 +1487,9 @@ def test_streaming_join_view_maintenance(spark, tmp_path) -> None:
          (2, "b2", "upsert", 11)],
         # delete key 1; upsert key 4
         [(1, None, "delete", 20), (4, "d1", "upsert", 21)],
-        # re-upsert the deleted key 1
-        [(1, "a2", "upsert", 30)],
+        # re-upsert the deleted key 1; STALE redelivery of key 2's
+        # seq-9 change in a LATER batch must lose to the stored seq-11
+        [(1, "a2", "upsert", 30), (2, "b1", "upsert", 9)],
     ]
     src = tmp_path / "cdc"
     src.mkdir()
@@ -1523,10 +1524,11 @@ def test_streaming_join_view_maintenance(spark, tmp_path) -> None:
     q.awaitTermination(180)
 
     want_left = {1: "a2", 2: "b2", 3: "c1", 4: "d1"}
+    store = spark.read.parquet(left_path)
     got_left = {
-        r.k: r.lval for r in spark.read.parquet(left_path).collect()
+        r.k: r.lval for r in store.filter("NOT _deleted").collect()
     }
-    assert got_left == want_left
+    assert got_left == want_left  # incl. b2 surviving the stale replay
     got_view = sorted(
         (r.k, r.lval, r.rval)
         for r in spark.read.parquet(view).drop("_bucket").collect()
