@@ -1706,3 +1706,71 @@ def test_refresh_join_view_casts_delta_key_dtype(spark, tmp_path) -> None:
     assert got == sorted(
         (r.k, r.lval, r.rval) for r in left2.join(right, "k").collect()
     )
+
+
+def test_fifo_allocate_randomized_differential(spark) -> None:
+    """Seeded randomized differential (the scd2/cdc_apply pattern):
+    40 random ledgers - mixed inflow/outflow balance, zero
+    quantities, one-sided keys, mega-draws - matched PAIR-FOR-PAIR
+    against the imperative two-pointer loop, plus the
+    matched == min(total_in, total_out) invariant per key."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.ledger import (
+        fifo_allocate,
+    )
+
+    rng = random.Random(0xF1F0)
+    in_rows, out_rows = [], []
+    ledgers: dict = {}
+    for k in range(40):
+        key = f"k{k}"
+        n_in = rng.randint(0, 8)
+        n_out = rng.randint(0, 8)
+        ins = [rng.choice([0, 1, 2, 3, 5, 50]) for _ in range(n_in)]
+        outs = [rng.choice([0, 1, 2, 4, 7, 100]) for _ in range(n_out)]
+        ledgers[key] = (ins, outs)
+        for i, q in enumerate(ins):
+            in_rows.append((key, i, q))
+        for i, q in enumerate(outs):
+            out_rows.append((key, i, q))
+    inflows = spark.createDataFrame(
+        in_rows or [("zz", 0, 0)], "k string, seq int, q long"
+    )
+    outflows = spark.createDataFrame(
+        out_rows or [("zz", 0, 0)], "k string, seq int, q long"
+    )
+    got = sorted(
+        (r.k, r.in_lo, r.in_hi, r.out_lo, r.out_hi, r.alloc)
+        for r in fifo_allocate(
+            inflows, outflows, ["k"], ["seq"], "q"
+        ).collect()
+    )
+    expect = []
+    for key, (ins, outs) in ledgers.items():
+        # two-pointer over positive-quantity intervals
+        in_iv, lo = [], 0
+        for q in ins:
+            if q > 0:
+                in_iv.append((lo, lo + q))
+                lo += q
+        out_iv, lo = [], 0
+        for q in outs:
+            if q > 0:
+                out_iv.append((lo, lo + q))
+                lo += q
+        i = j = 0
+        while i < len(in_iv) and j < len(out_iv):
+            a, b = in_iv[i], out_iv[j]
+            take = min(a[1], b[1]) - max(a[0], b[0])
+            if take > 0:
+                expect.append((key, a[0], a[1], b[0], b[1], take))
+            if a[1] <= b[1]:
+                i += 1
+            if b[1] <= a[1]:
+                j += 1
+        tot_in = sum(q for q in ins if q > 0)
+        tot_out = sum(q for q in outs if q > 0)
+        matched = sum(e[5] for e in expect if e[0] == key)
+        assert matched == min(tot_in, tot_out), key
+    assert got == sorted(expect)
