@@ -396,6 +396,52 @@ DIRECTED: list[tuple[str, str, str]] = [
         "any builder and cannot create an anchor. Expected: only "
         "real9.",
     ),
+    (
+        "slash-in-unquoted-value",
+        "<html><body><a href=/p/x/>t</a><a href=y/>s</a></body></html>",
+        "An UNQUOTED attribute value swallows '/' up to whitespace or "
+        "'>': CPython Lib/html/parser.py attrfind_tolerant matches "
+        "the unquoted value as [^>\\s]* (slash included), so "
+        "<a href=y/> parses as href='y/' and is NOT a self-closing "
+        "startendtag (contrast the quoted form, where a trailing / "
+        "before > is XHTML-style minimization - the self-closing-"
+        "anchor corner). Expected: /p/x/ then y/.",
+    ),
+    (
+        "namespaced-attr-decoy",
+        '<html><body><a XLINK:href="n1">t</a>'
+        '<a xlink:href="n2" href="n3">s</a></body></html>',
+        "Attribute-name lowercasing (Python html.parser docs) maps "
+        "XLINK:href to the literal key 'xlink:href' - a DIFFERENT "
+        "attribute from 'href'; html.parser does no namespace "
+        "splitting (that is lxml-builder territory, Beautiful Soup "
+        "docs 'Differences between parsers'). find_all('a', "
+        "href=True) needs the exact 'href' key, so the first anchor "
+        "has no href at all and the second matches via n3 only. "
+        "Expected: n3.",
+    ),
+    (
+        "multi-equals-attr",
+        '<html><body><a href==v1>t</a><a href = "v2">s</a></body></html>',
+        "Runs of '=' between name and value collapse: CPython "
+        "Lib/html/parser.py attrfind_tolerant spells the separator "
+        "\\s*=+\\s* (one OR MORE equals, whitespace tolerated on "
+        "both sides - the 'tolerant' in its name), so href==v1 "
+        "yields value 'v1', not '=v1', and a spaced 'href = \"v2\"' "
+        "binds normally. Expected: v1, v2.",
+    ),
+    (
+        "comment-unclosed-eof",
+        '<html><body><a href="c1">t</a><!-- open comment <a href="c2">x',
+        "An unclosed comment runs to EOF: once inside '<!--' the "
+        "tokenizer stays in comment state until '-->', and close() "
+        "ends the feed with the comment still open - html.parser "
+        "emits no start-tag events from inside comment data "
+        "(comment opacity, Python html.parser docs handle_comment), "
+        "so the anchor written inside the unterminated comment never "
+        "exists. The COMMENT sibling of broken-tag-eof (which pins "
+        "the incomplete START TAG at EOF). Expected: c1.",
+    ),
 ]
 
 
