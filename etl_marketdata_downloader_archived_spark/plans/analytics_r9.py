@@ -2072,3 +2072,80 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("balance_c").desc(), "nation")
     )
+
+
+@q(
+    "debounce_events",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    walk(user_id, event_type, rn, us, anchor, kept) AS (
+        SELECT user_id, event_type, rn, us, us, true FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_type, e.rn, e.us,
+               CASE WHEN e.us - w.anchor > 86400000000
+                    THEN e.us ELSE w.anchor END,
+               e.us - w.anchor > 86400000000
+        FROM walk w JOIN e ON e.user_id = w.user_id
+         AND e.event_type = w.event_type AND e.rn = w.rn + 1
+    ),
+    k AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+        FROM walk WHERE kept GROUP BY 1
+    ),
+    r AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT r.event_type, r.n_raw, coalesce(k.n_kept, 0) AS n_kept
+    FROM r LEFT JOIN k ON k.event_type = r.event_type
+    ORDER BY r.event_type
+    """,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE debounce census per event type: events kept under a
+    1-day per-(user, type) throttle where the anchor advances only on
+    KEPT rows - certified against a DuckDB RECURSIVE anchor-walk
+    oracle. The distinction this query exists to pin: the lag filter
+    ('gap from the previous RAW event') is NOT debounce - under a
+    steady burst it suppresses everything after the first row
+    forever, while the anchor recursion re-emits once per gap window.
+    Sessionize/activity_streaks cover the islands family; this is the
+    throttle family, the one gap semantics in the battery that is
+    inherently SEQUENTIAL per key.
+
+    Shape: operators.sessions.debounce runs the recursion as
+    Arrow-batched applyInPandas per (user, type) group (the EWMA
+    discipline - parallel across keys, vectorized within; never a
+    row-at-a-time UDF), then one type-sized count joins against the
+    raw counts. The oracle's recursion is rows x depth; Spark's work
+    is one shuffle on the key + a linear scan per group."""
+    from ..operators.sessions import debounce
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    kept = debounce(
+        e,
+        ["user_id", "event_type"],
+        "ts",
+        86_400_000_000,
+        tiebreak="event_id",
+    )
+    k = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+    r = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_raw"))
+    return (
+        r.join(k, "event_type", "left")
+        .select(
+            "event_type",
+            "n_raw",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )

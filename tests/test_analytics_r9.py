@@ -991,3 +991,35 @@ def test_nation_trade_balance_vs_python(spark, sf_dir) -> None:
         for nk, nm in names.items()
     }
     assert sum(v[2] for v in got.values()) == 0  # zero-sum world
+
+
+def test_debounce_events_vs_python(spark, sf_dir) -> None:
+    """Debounce census vs a python anchor-walk over the same
+    (user, type) streams."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        debounce_events,
+    )
+
+    per_key: dict = defaultdict(list)
+    raw = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    ).collect():
+        if r.ts is None:
+            continue
+        per_key[(r.user_id, r.event_type)].append((r.ts, r.event_id))
+        raw[r.event_type] += 1
+    kept = defaultdict(int)
+    for (u, et), lst in per_key.items():
+        lst.sort()
+        anchor = None
+        for ts, _ in lst:
+            us = int(ts.timestamp() * 1_000_000)
+            if anchor is None or us - anchor > 86_400_000_000:
+                kept[et] += 1
+                anchor = us
+    got = {
+        r.event_type: (r.n_raw, r.n_kept)
+        for r in debounce_events(spark, sf_dir).collect()
+    }
+    assert got == {et: (n, kept[et]) for et, n in raw.items()}

@@ -446,3 +446,36 @@ def test_event_transitions_randomized_vs_bruteforce(spark):
             for (a, b), n in pairs.items()
         }
         assert got == want, trial
+
+
+def test_debounce_anchor_semantics(spark) -> None:
+    """TRUE debounce vs the lag-filter trap: a steady burst 1s apart
+    under a 5s gap re-emits every 6th event (anchor advances on KEPT
+    rows), where the lag filter would keep only the first. Plus:
+    per-key independence and the exact-gap boundary (strictly
+    greater-than keeps the anchor)."""
+    from datetime import datetime
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        debounce,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u1", "e", i, datetime(2024, 1, 1, 0, 0, i)) for i in range(13)
+    ] + [
+        ("u2", "e", 100, t0),
+        ("u2", "e", 101, datetime(2024, 1, 1, 0, 0, 5)),   # == gap: drop
+        ("u2", "e", 102, datetime(2024, 1, 1, 0, 0, 5, 1)),  # > gap: keep
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, event_id long, ts timestamp"
+    )
+    kept = debounce(
+        df, ["user_id", "event_type"], "ts", 5_000_000, tiebreak="event_id"
+    ).collect()
+    got = sorted((r.user_id, r.event_id) for r in kept)
+    # u1: 0s kept (anchor 0), 1..5 dropped, 6s kept (anchor 6), ... 12s
+    assert got == [
+        ("u1", 0), ("u1", 6), ("u1", 12), ("u2", 100), ("u2", 102)
+    ]
