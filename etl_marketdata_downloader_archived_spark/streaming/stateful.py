@@ -892,3 +892,74 @@ def streaming_purge_filter(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_debounce(
+    df: DataFrame,
+    key_cols: list[str],
+    ts: str,
+    gap_us: int,
+    tiebreak: str | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.sessions.debounce: emit an event
+    only if it is more than ``gap_us`` after the last KEPT event of
+    its key, with the anchor carried ACROSS micro-batches as ONE
+    int64 of state - so a throttle window that spans a batch
+    boundary keeps suppressing, and the first event of a new batch
+    re-emits exactly when the batch operator would have kept it.
+    batch==stream holds under the family's arrival-order rule (rows
+    sort by (ts, tiebreak) within a batch; later-batch rows fold in
+    arrival order).
+
+    State is one anchor per key ever seen - debounce NEEDS an anchor
+    for clean keys (unlike the purge filter's doomed-only store), so
+    on continuous streams set ``state_ttl_ms`` >= the gap to age out
+    quiet keys (an expired anchor re-emits the next event, exactly
+    what a gap-long silence means)."""
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        f"{f.name} {in_schema[f.name]}" for f in df.schema.fields
+    )
+    use_ttl = state_ttl_ms is not None
+
+    def update(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        sort_cols = [ts] + ([tiebreak] if tiebreak else [])
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        anchor = state.get[0] if state.exists else None
+        us = (pdf[ts].astype("int64") // 1000).tolist()  # ns -> us
+        keep = []
+        for v in us:
+            if anchor is None or v - anchor > gap_us:
+                keep.append(True)
+                anchor = v
+            else:
+                keep.append(False)
+        state.update((int(anchor),))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        if len(out):
+            yield out
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="anchor_us long",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -844,3 +844,80 @@ def test_streaming_purge_filter_equal_ts_and_state_scope(
         (r.user, r.ts) for r in spark.sql("select * from gdpr_eq").collect()
     )
     assert got == [("u2", 5)]  # u1's equal-ts data row suppressed
+
+
+def test_streaming_debounce_equals_batch(spark, tmp_path) -> None:
+    """Debounce emissions across three micro-batches equal the batch
+    operator on the union - including a throttle window that SPANS a
+    batch boundary (the anchor carries) and a re-emission exactly
+    past the gap in a later batch."""
+    from datetime import datetime
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        debounce,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_debounce,
+    )
+
+    t = lambda s: f"2024-03-01 00:00:{s:02d}"  # noqa: E731
+    b1 = [("u1", 1, t(0)), ("u1", 2, t(3)),   # 3s after anchor: drop
+          ("u2", 3, t(0))]
+    b2 = [("u1", 4, t(5)), ("u1", 5, t(6)),   # 5s == gap: drop; 6s: keep
+          ("u2", 6, t(10))]
+    b3 = [("u1", 7, t(9)),                     # 3s after new anchor: drop
+          ("u1", 8, t(13))]                    # 7s after anchor 6: keep
+
+    src = tmp_path / "deb"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2, b3), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "event_id": e, "ts": s})
+                for u, e, s in rows
+            )
+        )
+        time.sleep(1.1)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    ev = raw.select(
+        F.from_json(
+            "value", "user_id STRING, event_id LONG, ts TIMESTAMP"
+        ).alias("j")
+    ).select("j.*")
+    q = (
+        streaming_debounce(
+            ev, ["user_id"], "ts", 5_000_000, tiebreak="event_id"
+        )
+        .writeStream.format("memory")
+        .queryName("deb_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.sql("select * from deb_out").collect()
+    )
+
+    both = spark.createDataFrame(
+        [
+            (u, e, datetime.strptime(s, "%Y-%m-%d %H:%M:%S"))
+            for u, e, s in b1 + b2 + b3
+        ],
+        "user_id string, event_id long, ts timestamp",
+    )
+    batch = sorted(
+        (r.user_id, r.event_id)
+        for r in debounce(
+            both, ["user_id"], "ts", 5_000_000, tiebreak="event_id"
+        ).collect()
+    )
+    assert streamed == batch
+    assert ("u1", 5) in streamed and ("u1", 4) not in streamed
+    assert ("u1", 8) in streamed and ("u1", 7) not in streamed
