@@ -123,6 +123,31 @@ NOTES = """\
   per-doc top-3 forwards at most 3 rows per doc from each map task,
   and the transition lead is a streaming frame, linear per user
   partition.
+
+- **fifo_allocation** (round 9): the ledger match is a per-key theta
+  join over cumulative-quantity intervals - candidates are bounded by
+  ledger group size while the OUTPUT is provably <= n_in + n_out - 1
+  per key (the 30x probe grows candidate mass ~900x, wall 9x). The
+  per-key window cumsums partition by part, never globally; the
+  narrow projection persists once and feeds both flows and both
+  totals.
+
+- **debounce_events** (round 9): the one inherently sequential gap
+  analysis in the battery (anchor advances on KEPT rows) runs as
+  FlatMapGroupsInPandas with the repartition width PINNED - grouped
+  Python costs one Arrow round-trip PER GROUP, so it is
+  group-count-bound, and AQE's byte-based coalescing would fold the
+  small shuffle into 1-2 tasks and serialize 7.5 K round-trips
+  (measured 26 s -> 2.7 s at sf0.1). The general rule: pin width for
+  many-tiny-group grouped-Python stages; few-big-group stages (the
+  bucketed BLAS kernels) are byte-bound and stay size-coalesced.
+
+- **bfs_hops** (round 9): two-tier like connected_components - the
+  distributed frontier-Pregel tier costs ~3 shuffle stages per hop
+  (expand, distinct, anti-join), pure scheduling on a graph one task
+  holds, so edge lists at or under 100 K rows take a collected driver
+  BFS (5.2 s -> 1.4 s on the certified subgraph); the distributed
+  tier is pytest-forced over the same fixtures.
 """
 
 RED_FLAGS = ["CartesianProduct", "BatchEvalPython"]  # row-at-a-time Python
