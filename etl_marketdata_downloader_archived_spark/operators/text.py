@@ -642,3 +642,70 @@ def sentiment_score(
     return total.cast("double") / F.greatest(F.size(t), F.lit(1)).cast(
         "double"
     )
+
+
+def pps_systematic(
+    df,
+    id_col: str,
+    stratum_col: str,
+    weight_col: str,
+    k: int,
+):
+    """Probability-proportional-to-size SYSTEMATIC sampling, exact and
+    replayable: per stratum, lay every row's integer weight end to end
+    on a number line (cumulative sum over a deterministic id order),
+    drop k evenly spaced selection points (multiples of
+    ``step = total DIV k``), and a row is drawn once per point inside
+    its interval - the survey-sampling classic, with inclusion
+    probability proportional to weight and heavy rows drawn with
+    MULTIPLICITY (weight > step spans several points). Pure integer
+    arithmetic end to end: no rand() (task retries and reruns must
+    agree - the engine-wide sampling rule hash_split set), no float
+    priorities (the A-ES exponential-key formulation would rank on
+    transcendentals, the tfidf_topk 1-ulp hazard). The multiplicity
+    count is two integer divisions: points in (cum-w, cum] =
+    min(cum DIV step, k) - min((cum-w) DIV step, k).
+
+    Returns rows with multiplicity >= 1: stratum, id, weight,
+    multiplicity; per stratum sum(multiplicity) == k exactly (pytest
+    invariant). Requires positive integer weights and stratum totals
+    >= k (step >= 1); rows with weight <= 0 never draw.
+
+    Scale: one per-stratum window cumsum over fact rows (partitioned,
+    never global), a broadcast per-stratum total, and an in-row
+    count - no shuffle beyond the window's, output k rows per
+    stratum."""
+    from pyspark.sql import Window as W
+
+    w_cum = (
+        W.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = df.select(
+        stratum_col,
+        id_col,
+        F.col(weight_col).cast("bigint").alias("_w"),
+    ).filter(F.col("_w") > 0)
+    cum = base.withColumn("_cum", F.sum("_w").over(w_cum))
+    tot = cum.groupBy(stratum_col).agg(F.max("_cum").alias("_total"))
+    kk = int(k)
+    return (
+        cum.join(F.broadcast(tot), stratum_col)
+        .withColumn("_step", F.expr(f"_total DIV {kk}"))
+        .filter(F.col("_step") >= 1)
+        .withColumn(
+            "multiplicity",
+            F.expr(
+                f"least(_cum DIV _step, {kk})"
+                f" - least((_cum - _w) DIV _step, {kk})"
+            ),
+        )
+        .filter(F.col("multiplicity") >= 1)
+        .select(
+            stratum_col,
+            id_col,
+            F.col("_w").alias("weight"),
+            F.col("multiplicity").cast("bigint").alias("multiplicity"),
+        )
+    )

@@ -2149,3 +2149,52 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "pps_sample_docs",
+    oracle="""
+    WITH base AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w
+        FROM documents WHERE n_chars > 0
+    ),
+    c AS (
+        SELECT source, doc_id, w,
+               sum(w) OVER (PARTITION BY source
+                            ORDER BY doc_id) AS cum
+        FROM base
+    ),
+    t AS (SELECT source, CAST(max(cum) AS BIGINT) AS total
+          FROM c GROUP BY 1),
+    m AS (
+        SELECT c.source, c.doc_id, c.w,
+               least(c.cum // (t.total // 10), 10)
+                 - least((c.cum - c.w) // (t.total // 10), 10)
+                 AS multiplicity
+        FROM c JOIN t ON t.source = c.source
+        WHERE t.total // 10 >= 1
+    )
+    SELECT source, doc_id, w AS weight,
+           CAST(multiplicity AS BIGINT) AS multiplicity
+    FROM m WHERE multiplicity >= 1
+    """,
+)
+def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS systematic sample of 10 documents per source, weighted by
+    byte size (n_chars) - the replayable weighted sampler a mixing
+    pipeline draws with when longer documents should be
+    proportionally likelier (token-budget-aware sampling), next to
+    the uniform md5 hash_split and the exact-k stratified sampler.
+    Selection is operators.text.pps_systematic: integer cumulative
+    intervals, k evenly spaced points, multiplicity = two integer
+    divisions - no rand() (reruns agree), no float priorities (the
+    A-ES exponential-key ranking would sit on transcendentals, the
+    tfidf 1-ulp hazard this battery quarantines to one query).
+    Per-source sum(multiplicity) == 10 exactly; the python replay
+    asserts it."""
+    from ..operators.text import pps_systematic
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return pps_systematic(d, "doc_id", "source", "n_chars", k=10)

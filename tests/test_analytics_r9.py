@@ -1023,3 +1023,37 @@ def test_debounce_events_vs_python(spark, sf_dir) -> None:
         for r in debounce_events(spark, sf_dir).collect()
     }
     assert got == {et: (n, kept[et]) for et, n in raw.items()}
+
+
+def test_pps_sample_docs_vs_python(spark, sf_dir) -> None:
+    """PPS sample vs an integer number-line replay, plus the
+    per-source sum(multiplicity) == k invariant."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r9 import (
+        pps_sample_docs,
+    )
+
+    docs = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect():
+        if r.n_chars > 0:
+            docs[r.source].append((r.doc_id, int(r.n_chars)))
+    expect = {}
+    for src, lst in docs.items():
+        lst.sort()
+        total = sum(w for _, w in lst)
+        step = total // 10
+        if step < 1:
+            continue
+        cum = 0
+        for did, w in lst:
+            lo, cum = cum, cum + w
+            m = min(cum // step, 10) - min(lo // step, 10)
+            if m >= 1:
+                expect[(src, did)] = (w, m)
+        assert sum(m for (s, _), (_, m) in expect.items() if s == src) == 10
+    got = {
+        (r.source, r.doc_id): (r.weight, r.multiplicity)
+        for r in pps_sample_docs(spark, sf_dir).collect()
+    }
+    assert got == expect

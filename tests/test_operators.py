@@ -1774,3 +1774,36 @@ def test_fifo_allocate_randomized_differential(spark) -> None:
         matched = sum(e[5] for e in expect if e[0] == key)
         assert matched == min(tot_in, tot_out), key
     assert got == sorted(expect)
+
+
+def test_pps_systematic_known_answer_and_invariant(spark) -> None:
+    """Hand-checked PPS draw: a heavy row draws with multiplicity,
+    zero/negative weights never draw, per-stratum multiplicity sums
+    to exactly k."""
+    from etl_marketdata_downloader_archived_spark.operators.text import (
+        pps_systematic,
+    )
+
+    rows = [
+        ("s1", 1, 10), ("s1", 2, 70), ("s1", 3, 0), ("s1", 4, 20),
+        ("s2", 5, 1), ("s2", 6, 1), ("s2", 7, 1), ("s2", 8, 1),
+    ]
+    df = spark.createDataFrame(rows, "src string, id int, w long")
+    got = {
+        (r.src, r.id): r.multiplicity
+        for r in pps_systematic(df, "id", "src", "w", k=4).collect()
+    }
+    # s1: total 100, step 25, points 25/50/75/100.
+    #   id1 (0,10]: none; id2 (10,80]: 25,50,75 -> 3; id3 zero-width:
+    #   never; id4 (80,100]: 100 -> 1
+    # s2: total 4, step 1, points 1..4 -> every unit row once
+    assert got == {
+        ("s1", 2): 3, ("s1", 4): 1,
+        ("s2", 5): 1, ("s2", 6): 1, ("s2", 7): 1, ("s2", 8): 1,
+    }
+    from collections import Counter
+
+    per_stratum = Counter()
+    for (src, _), m in got.items():
+        per_stratum[src] += m
+    assert per_stratum == {"s1": 4, "s2": 4}
