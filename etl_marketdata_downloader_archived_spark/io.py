@@ -266,6 +266,52 @@ def overwrite_small_table(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
+def recover_small_table(spark: SparkSession, path: str) -> bool:
+    """Self-recovery half of ``publish_small_table``: if a prior swap
+    crashed between its two renames (live dir missing, ``__old``
+    intact), restore the previous snapshot; a superseded ``__old``
+    next to a live dir is deleted. Callers that READ the table before
+    publishing must run this first - the mutator self-recovery rule.
+    Returns True if a restore happened."""
+    jvm_path, fs = _vfs(spark, path)
+    root = path.rstrip("/")
+    old = jvm_path(root + "__old")
+    if not fs.exists(old):
+        return False
+    if not fs.exists(jvm_path(root)):
+        if not fs.rename(old, jvm_path(root)):
+            raise IOError(f"crash recovery rename failed for {root!r}")
+        return True
+    fs.delete(old, True)
+    return False
+
+
+def publish_small_table(df: DataFrame, path: str) -> None:
+    """Crash-safe ``overwrite_small_table``: Spark's overwrite mode is
+    delete-then-write, so a crash mid-overwrite removes the table
+    entirely - and a caller that treats absence as "first write" (the
+    streaming view-maintenance fold) would then silently rebuild from
+    partial state. This variant stages the new snapshot to
+    ``<path>__stage`` and swaps via rename (live -> ``__old``, stage
+    -> live, drop ``__old``), so the previous snapshot survives a
+    crash at ANY point and absence is genuinely distinguishable from
+    loss. Recovery is ``recover_small_table`` (also folded into
+    ``vacuum_maintenance``'s ``__old`` handling convention)."""
+    spark = df.sparkSession
+    recover_small_table(spark, path)
+    jvm_path, fs = _vfs(spark, path)
+    root = path.rstrip("/")
+    stage = root + "__stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    old = jvm_path(root + "__old")
+    live = jvm_path(root)
+    if fs.exists(live) and not fs.rename(live, old):
+        raise IOError(f"stage swap (live -> __old) failed for {root!r}")
+    if not fs.rename(jvm_path(stage), live):
+        raise IOError(f"stage swap (stage -> live) failed for {root!r}")
+    fs.delete(old, True)
+
+
 def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
     """Compute table + column statistics for the CBO (row count, size,
     per-column NDV/min/max/null counts). Stats are what turn the
@@ -1105,25 +1151,44 @@ def list_versions(spark: SparkSession, root: str) -> list[int]:
     return sorted(out)
 
 
+def _read_pointer_file(fs, p) -> int | None:
+    stream = fs.open(p)
+    try:
+        # byte-wise read of a <=20-byte ascii pointer; read() past
+        # EOF returns -1, which maps to 0xFF below and is stripped
+        raw = bytes(stream.read() & 0xFF for _ in range(20))
+    finally:
+        stream.close()
+    txt = raw.split(b"\n")[0].strip().rstrip(b"\xff")
+    try:
+        return int(txt)
+    except ValueError:
+        return None
+
+
 def latest_version(spark: SparkSession, root: str) -> int | None:
-    """The pointed-to version; falls back to the max on-disk version
-    when the pointer is mid-swap or absent (the reader never errors on
-    the swap window)."""
+    """The pointed-to version. When the pointer is absent, first
+    recover the intended version from ``_latest.tmp`` - a crashed
+    ``_write_pointer`` dies in the delete-then-rename window with no
+    pointer but an intact tmp, and falling straight back to the
+    on-disk MAX would, after a rollback, silently re-point the table
+    at the newer rolled-back-away snapshot. Only with neither file
+    does the reader fall back to the max on-disk version (first-ever
+    publish mid-flight)."""
     jvm_path, fs = _vfs(spark, root)
-    ptr = jvm_path(root.rstrip("/") + "/_latest")
+    base = root.rstrip("/")
+    ptr = jvm_path(base + "/_latest")
     if fs.exists(ptr):
-        stream = fs.open(ptr)
-        try:
-            # byte-wise read of a <=20-byte ascii pointer; read() past
-            # EOF returns -1, which maps to 0xFF below and is stripped
-            raw = bytes(stream.read() & 0xFF for _ in range(20))
-        finally:
-            stream.close()
-        txt = raw.split(b"\n")[0].strip().rstrip(b"\xff")
-        try:
-            return int(txt)
-        except ValueError:
-            pass
+        v = _read_pointer_file(fs, ptr)
+        if v is not None:
+            return v
+    else:
+        tmp = jvm_path(base + "/_latest.tmp")
+        if fs.exists(tmp):
+            v = _read_pointer_file(fs, tmp)
+            if v is not None and fs.exists(jvm_path(f"{base}/v={v}")):
+                fs.rename(tmp, ptr)  # finish the crashed swap
+                return v
     vs = list_versions(spark, root)
     return vs[-1] if vs else None
 
@@ -1276,6 +1341,7 @@ def purge_keys(
     doomed: DataFrame,
     key_cols: list[str],
     partition_col: str,
+    audit_path: str | None = None,
 ) -> list[tuple]:
     """Right-to-be-forgotten erasure: delete every row of the
     partitioned lake at ``path`` whose ``key_cols`` match a row of
@@ -1300,7 +1366,18 @@ def purge_keys(
     from the pre-publish state and collected BEFORE anything moves
     (driver-side rows, never a cached read of the mutated path).
     Empty list = no key present anywhere; nothing rewritten
-    (re-running a purge is a no-op, not a rewrite)."""
+    (re-running a purge is a no-op, not a rewrite).
+
+    ``audit_path``: a production GDPR story wants the evidence IN the
+    lake, not in a driver return value - when set, one row per
+    (doomed key, partition) with its purged-row count is APPENDED to
+    a parquet audit table there (key_cols + partition_col +
+    rows_purged + source='batch_purge'), the durable half the
+    streaming twin (streaming.erasure.start_purge_with_audit) matches
+    with per-batch rows_suppressed. Counts come from the SAME
+    pre-publish scan as the manifest; the append happens only after a
+    successful publish, so a crash in between under-reports (never
+    over-reports) and the rerun - a no-op purge - appends nothing."""
     vacuum_maintenance(spark, path)
     # a purge that emptied the whole lake leaves a dir with no
     # partition children; the rerun must be the documented no-op,
@@ -1339,6 +1416,17 @@ def purge_keys(
     )
     if not per_part:
         return []
+    audit_rows = None
+    if audit_path is not None:
+        # per-(key, partition) purge counts from the same pre-publish
+        # scan, collected driver-side BEFORE anything moves (erasure
+        # lists are subject-sized, so this is thousands of rows)
+        audit_rows = (
+            tagged.filter(F.col("_doom").isNotNull())
+            .groupBy(*key_cols, partition_col)
+            .agg(F.count(F.lit(1)).alias("rows_purged"))
+            .collect()
+        )
     partial = [r[0] for r in per_part if r["_purged"] < r["_total"]]
     full = [r[0] for r in per_part if r["_purged"] == r["_total"]]
     if partial:
@@ -1379,6 +1467,14 @@ def purge_keys(
             for value in full
         ]
         _delete_partitions_by_rename(spark, path, names, "purge_keys")
+    if audit_rows:
+        audit_df = spark.createDataFrame(
+            [tuple(r) for r in audit_rows],
+            tagged.select(*key_cols, partition_col).schema.add(
+                "rows_purged", "long", False
+            ),
+        ).withColumn("source", F.lit("batch_purge"))
+        audit_df.coalesce(1).write.mode("append").parquet(audit_path)
     return [(r[0], r["_purged"]) for r in per_part]
 
 

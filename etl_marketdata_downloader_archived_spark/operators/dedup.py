@@ -434,6 +434,11 @@ def ngram_jaccard_pairs(
     # the whole corpus otherwise.
     from pyspark import StorageLevel
 
+    # lifecycle contract (engine-wide for lazy-return operators):
+    # the return value is a view over this stage, so there is no
+    # in-function release point; callers that invoke the operator
+    # repeatedly in one session release via spark.catalog.clearCache()
+    # (the harnesses do) or by materializing + unpersisting.
     s = _spread(df).select(
         F.col(id_col), F.col(bucket_col).alias("_bucket"),
         word_shingles(text_col, n).alias("_sh"),

@@ -5,14 +5,18 @@ typed metadata struct (schemas.ASSET). The Spark-side plumbing -
 schema, partitioning, Arrow batch shape, UDF signatures - is real and
 tested. Codecs come in two tiers:
 
-- ``decode_media``: REAL decode for the formats stdlib can handle -
-  PNG (chunk walk + inflate + scanline unfilter + pixel mean) and
-  WAV/PCM (channels, rate, duration, RMS) - differentially tested
-  against an independent encoder written from the format specs.
+- ``decode_media``: REAL decode for what a stdlib-only environment
+  can handle - PNG (chunk walk + inflate + scanline unfilter + pixel
+  mean) and WAV/PCM (channels, rate, duration, RMS) in full, plus
+  JPEG HEADER-ONLY (SOF segment walk: dimensions, channels,
+  progressive-ness; pixel fields stay NULL - the honest
+  pixels-not-decoded signal). All differentially tested against
+  independent encoders written from the format specs.
 - ``decode_assets``: the deterministic stub for everything a codec
-  LIBRARY would be needed for (JPEG, MP4, ...; none are installed in
-  this environment); its fake fields are SQL-recomputable so the full
-  binary pipeline stays oracle-checkable.
+  LIBRARY would be needed for (JPEG pixels, MP4, ...; none are
+  installed in this environment); its fake fields are
+  SQL-recomputable so the full binary pipeline stays
+  oracle-checkable.
 
 Extends the reference's raw-bytes landing (reference:
 data-downloader/data_downloader.py:69-70 stores fetched bytes with no
@@ -97,6 +101,76 @@ MEDIA_SCHEMA = (
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# JPEG SOF (start-of-frame) markers that carry the dimension header:
+# baseline (C0), extended sequential (C1), progressive (C2), lossless
+# (C3), plus the differential/arithmetic variants - everything in
+# C0-CF EXCEPT C4 (DHT), C8 (JPG extension) and CC (DAC), per
+# ITU-T T.81 table B.1.
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def _decode_jpeg_header(b: bytes) -> dict | None:
+    """HEADER-ONLY JPEG decode: a pure-stdlib segment walk to the SOF
+    marker (ITU-T T.81 B.2.2) for dimensions, channel count and
+    progressive-ness. Returns None if not a JPEG (no FFD8 SOI).
+
+    This is deliberately the METADATA tier: width/height/channels are
+    what a corpus pipeline gates on (aspect filters, thumbnail
+    routing, decode-cost estimation), and they live in a plain
+    length-prefixed segment list - no Huffman tables, no IDCT. Pixel
+    decode (``mean_value``) genuinely needs a codec library and stays
+    NULL here: a NULL mean_value on an ``image/jpeg`` row IS the
+    honest pixels_decoded=false signal (the docstring contract
+    ``decode_media`` states). A malformed segment list (truncated
+    length, missing SOF before SOS/EOF) raises ValueError so the
+    caller's quarantine path stamps ``corrupt/jpeg``."""
+    if len(b) < 2 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    pos = 2
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG: no SOF before EOF")
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        # fill bytes: any number of FFs may pad before a marker
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1
+        if pos >= len(b):
+            raise ValueError("truncated JPEG: trailing fill bytes")
+        marker = b[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # stand-alone markers: SOI, TEM, RSTn
+        if marker == 0xD9:  # EOI before any SOF
+            raise ValueError("JPEG ended with no frame header")
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG segment length")
+        seg_len = int.from_bytes(b[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > len(b):
+            raise ValueError("truncated JPEG segment")
+        if marker in _JPEG_SOF:
+            seg = b[pos + 2 : pos + seg_len]
+            if len(seg) < 6:
+                raise ValueError("short SOF segment")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            n_components = seg[5]
+            return {
+                "modality_detected": (
+                    "image/jpeg;progressive"
+                    if marker == 0xC2
+                    else "image/jpeg"
+                ),
+                "width": width,
+                "height": height,
+                "n_channels": int(n_components),
+            }
+        if marker == 0xDA:  # SOS with no prior SOF: not a valid frame
+            raise ValueError("JPEG SOS before SOF")
+        pos += seg_len
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, channels: int):
@@ -222,8 +296,13 @@ def decode_media(assets: DataFrame) -> DataFrame:
     """REAL media decode for the formats a stdlib-only environment can
     handle - PNG (struct+zlib chunk walk, inflate, scanline unfilter,
     pixel mean) and WAV/PCM (wave module: channels, rate, duration,
-    RMS) - dispatched on magic bytes per asset; anything else passes
-    through with byte length + checksum and NULL media fields.
+    RMS) - dispatched on magic bytes per asset - plus JPEG
+    HEADER-ONLY (SOF segment walk, ITU-T T.81: width/height/channels
+    and the baseline-vs-progressive distinction; ``mean_value`` stays
+    NULL because pixel decode genuinely needs Huffman+IDCT - a NULL
+    mean_value on an image/jpeg row IS pixels_decoded=false).
+    Anything else passes through with byte length + checksum and NULL
+    media fields.
 
     This replaces the ``fake=True`` stub for these two formats: the
     emitted width/height/pixel-mean/RMS are decoded from the actual
@@ -275,11 +354,16 @@ def decode_media(assets: DataFrame) -> DataFrame:
                 rec["n_bytes"] = len(b)
                 rec["checksum"] = hashlib.sha256(b).hexdigest()
                 try:
-                    dec = _decode_png(b) or _decode_wav(b)
+                    dec = (
+                        _decode_png(b)
+                        or _decode_wav(b)
+                        or _decode_jpeg_header(b)
+                    )
                 except Exception:
                     kind = (
                         "png" if b.startswith(_PNG_SIG) else
-                        "wav" if b[:4] == b"RIFF" else "unknown"
+                        "wav" if b[:4] == b"RIFF" else
+                        "jpeg" if b[:2] == b"\xff\xd8" else "unknown"
                     )
                     dec = {"modality_detected": f"corrupt/{kind}"}
                 if dec:

@@ -56,12 +56,14 @@ def fk_violations(
     """Child rows whose key has no parent (referential integrity as an
     anti join). NULL child keys are excluded - they are ``validate``'s
     not-null rule's job, and an anti join would report every NULL as
-    an orphan. Only the parent KEY column ships; dimension-sized
-    parents broadcast."""
+    an orphan. Only the parent KEY column ships, unhinted: parent key
+    domains scale with the corpus (orders/customer parents), so AQE
+    picks the broadcast anti join while the key set is genuinely below
+    the threshold and falls back to shuffle when it is not."""
     pk = parent_key or child_key
     keys = parent.select(F.col(pk).alias(child_key)).distinct()
     return child.filter(F.col(child_key).isNotNull()).join(
-        F.broadcast(keys), child_key, "left_anti"
+        keys, child_key, "left_anti"
     )
 
 

@@ -378,6 +378,8 @@ def mine_basket_pairs(
             .groupBy("_basket")
             .agg(F.sort_array(F.collect_set("_item")).alias("_items"))
             .filter(F.size("_items") <= int(max_basket_size))
+            # lazy return -> no in-function release point; repeated
+            # library calls release via spark.catalog.clearCache()
             .persist(StorageLevel.DISK_ONLY)
         )
         n_baskets = baskets.select(F.count(F.lit(1)).alias("n"))
@@ -404,6 +406,7 @@ def mine_basket_pairs(
         op = (
             df.select(b.alias("_basket"), i.alias("_item"))
             .distinct()
+            # same release contract as the capped branch above
             .persist(StorageLevel.DISK_ONLY)
         )
         n_baskets = op.select(F.countDistinct("_basket").alias("n"))
@@ -419,8 +422,11 @@ def mine_basket_pairs(
     ia = item.select(F.col("_item").alias("a"), F.col("c").alias("ca"))
     ib = item.select(F.col("_item").alias("b"), F.col("c").alias("cb"))
     return (
-        pair.join(F.broadcast(ia), "a")
-        .join(F.broadcast(ib), "b")
+        # per-item supports scale with the item domain (part keys) -
+        # unhinted: AQE broadcasts while genuinely small, a hard hint
+        # would crash at the 8 GB ceiling on a 100x catalog
+        pair.join(ia, "a")
+        .join(ib, "b")
         .crossJoin(F.broadcast(n_baskets))
         .select(
             "a",

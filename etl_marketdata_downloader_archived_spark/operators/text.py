@@ -536,6 +536,8 @@ def clean_corpus(
         # strictly cheaper than recomputing it at any corpus size.
         from pyspark import StorageLevel
 
+        # lazy return -> no in-function release point; repeated
+        # library calls release via spark.catalog.clearCache()
         gated = gated.persist(StorageLevel.DISK_ONLY)
         overlap = benchmark_ngram_overlap(
             gated, benchmark, id_col=id_col, text_col=text_col, n=decontam_ngram
@@ -669,7 +671,11 @@ def pps_systematic(
     Returns rows with multiplicity >= 1: stratum, id, weight,
     multiplicity; per stratum sum(multiplicity) == k exactly (pytest
     invariant). Requires positive integer weights and stratum totals
-    >= k (step >= 1); rows with weight <= 0 never draw.
+    >= k (step >= 1); rows with weight <= 0 never draw. A stratum
+    whose total weight is BELOW k fails the job loudly
+    (``raise_error`` names the stratum) - silently dropping it would
+    break the per-stratum sum(multiplicity) == k contract, against
+    the engine's loud-failure rule for violated preconditions.
 
     Scale: one per-stratum window cumsum over fact rows (partitioned,
     never global), a broadcast per-stratum total, and an in-row
@@ -693,7 +699,25 @@ def pps_systematic(
     return (
         cum.join(F.broadcast(tot), stratum_col)
         .withColumn("_step", F.expr(f"_total DIV {kk}"))
-        .filter(F.col("_step") >= 1)
+        # total < k makes step 0: no valid k-point systematic draw
+        # exists. Fail loudly (per-row when-branch, zero extra jobs)
+        # instead of silently dropping the stratum and breaking the
+        # sum(multiplicity) == k invariant.
+        .withColumn(
+            "_step",
+            F.when(F.col("_step") >= 1, F.col("_step")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("pps_systematic: stratum "),
+                        F.col(stratum_col).cast("string"),
+                        F.lit(
+                            f" has total weight < k={kk}"
+                            " - cannot place k selection points"
+                        ),
+                    )
+                )
+            ),
+        )
         .withColumn(
             "multiplicity",
             F.expr(

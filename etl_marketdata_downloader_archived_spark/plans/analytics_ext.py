@@ -404,8 +404,10 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        # supplier/customer scale with SF - unhinted (AQE broadcasts
+        # while genuinely small; a hard hint crashes at ~100x data)
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.col("s_nationkey").alias("src"),
             F.col("c_nationkey").alias("dst"),
@@ -819,8 +821,10 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        # supplier/customer scale with SF - unhinted (AQE broadcasts
+        # while genuinely small; a hard hint crashes at ~100x data)
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .select(
             F.col("s_nationkey").alias("src"),

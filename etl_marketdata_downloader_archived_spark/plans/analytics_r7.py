@@ -971,7 +971,7 @@ def ltv_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
     cust = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("segment", "o_custkey")
         .agg(
             F.sum(

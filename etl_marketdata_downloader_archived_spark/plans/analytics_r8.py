@@ -101,7 +101,7 @@ def ltv_quintiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
     cust = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("segment", "o_custkey")
         .agg(
             F.sum(
@@ -290,7 +290,7 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey"), F.col("p_brand").alias("brand")
     )
     rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("brand")
         .agg(
             F.sum(
@@ -1169,7 +1169,7 @@ def share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .select(
             "nation",
             "period",
@@ -1388,7 +1388,16 @@ def fd_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cells[0]
     for cell in cells[1:]:
         out = out.unionByName(cell)
-    return out
+    # the panel is 5 summary rows: materialize eagerly so the shared
+    # lineitem projection can be unpersisted HERE instead of leaking a
+    # pinned InMemoryRelation into the caller's session (the r9
+    # persist-lifecycle finding - harnesses clearCache between queries
+    # but a library consumer calling fd_panel repeatedly would
+    # accumulate). Same driver-side-result posture as the graph
+    # operators' bounded fast paths.
+    rows = out.collect()
+    li.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @q(

@@ -75,6 +75,9 @@ def reference_counts(
         .withColumn("_cb", F.lit(0).cast("long"))
     )
     if cache:
+        # stream-lifetime cache BY DESIGN: the reference histogram is
+        # re-read every micro-batch; it is released with the session
+        # (or spark.catalog.clearCache() after query.stop())
         counts = counts.persist()
         counts.count()  # materialize the cache before the stream starts
     return counts, float(lo), float(hi)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -646,10 +647,20 @@ def streaming_fd_monitor(
             seen, has_null, n_rows = set(), False, 0
         col = pdf[dependent]
         nn = col[col.notna()]
-        # .item()-denumpify so int64/float64 scalars round-trip the
-        # state schema exactly
+        # denumpify so scalars round-trip the state schema exactly.
+        # datetime64[ns] must NOT go through .item() - numpy returns
+        # epoch NANOSECONDS as a plain int, which corrupts an
+        # array<timestamp> state field and emits int witnesses;
+        # pd.Timestamp.to_pydatetime() keeps the type.
         for v in nn.unique():
-            seen.add(v.item() if hasattr(v, "item") else v)
+            if isinstance(v, np.datetime64):
+                seen.add(pd.Timestamp(v).to_pydatetime())
+            elif hasattr(v, "to_pydatetime"):  # pd.Timestamp scalar
+                seen.add(v.to_pydatetime())
+            elif hasattr(v, "item"):
+                seen.add(v.item())
+            else:
+                seen.add(v)
         has_null = bool(has_null or col.isna().any())
         n_rows += len(pdf)
         if len(seen) > max_tracked_values:
@@ -721,7 +732,10 @@ def streaming_fifo(
     Output: one append row per match - key, in_seq, out_seq, alloc
     (each (in_seq, out_seq) pair at most once globally: every match
     exhausts at least one side). Rows with qty <= 0 are dropped, the
-    batch operator's zero-width-interval rule. State is O(open lots
+    batch operator's zero-width-interval rule. Quantities must be
+    INTEGRAL (the ledger state is array<bigint>): a fractional qty
+    fails the stream loudly rather than silently truncating away from
+    the batch twin's native-type arithmetic. State is O(open lots
     + pending draws) per key - bounded by the ledger's float (unsold
     inventory / backorders), not by stream length; ``state_ttl_ms``
     expires abandoned ledgers on continuous streams."""
@@ -770,6 +784,19 @@ def streaming_fifo(
         for s, q, d in zip(
             pdf[seq].tolist(), pdf[qty].tolist(), pdf[direction].tolist()
         ):
+            # bigint state demands integral quantities; the batch twin
+            # sums at the column's native type, so silently truncating
+            # a fractional qty here would diverge the documented
+            # batch/stream pair - fail loudly instead
+            if q != int(q):
+                raise ValueError(
+                    f"streaming_fifo: non-integral quantity {q!r} for "
+                    f"key {key_t[0]!r} seq {s!r} - the array<bigint> "
+                    "ledger state requires integer quantities (the "
+                    "batch twin fifo_allocate handles fractional "
+                    "ledgers; scale fractional units to integers "
+                    "before streaming)"
+                )
             q = int(q)
             if q <= 0:
                 continue

@@ -48,7 +48,7 @@ def start_join_view_maintenance(
     without the ordinal columns (a pre-existing plain snapshot)
     participates as older-than-everything.
 
-    Each batch: fold the winners into the store (atomic overwrite -
+    Each batch: fold the winners into the store (staged rename swap -
     the store is dimension-sized; a fact-sized left pairs the same
     refresh call with io.merge_partitioned instead), then repair the
     view for exactly the batch's keys via io.refresh_join_view
@@ -59,8 +59,17 @@ def start_join_view_maintenance(
     retention sweep once past the CDC redelivery horizon. Missing
     store reads FAIL the stream - only verified absence counts as
     first-batch (a blanket except would turn a transient read error
-    into silent store truncation). Returns the StreamingQuery."""
-    from ..io import _vfs, overwrite_small_table, refresh_join_view
+    into silent store truncation), and the store publish is
+    stage-then-rename (io.publish_small_table): a crash mid-publish
+    leaves the previous snapshot restorable, never an absent dir that
+    a replay would mistake for first-batch. Returns the
+    StreamingQuery."""
+    from ..io import (
+        _vfs,
+        publish_small_table,
+        recover_small_table,
+        refresh_join_view,
+    )
 
     left_cols = [c for c in updates.columns if c not in (op_col, seq_col)]
 
@@ -85,6 +94,10 @@ def start_join_view_maintenance(
             .localCheckpoint(eager=True)
         )
         keys = winners.select(on).distinct()
+        # self-recover a crashed swap BEFORE the existence probe: with
+        # __old intact and live missing, absence means mid-swap crash,
+        # not first-batch (the mutator self-recovery rule)
+        recover_small_table(spark, left_path)
         jvm_path, fs = _vfs(spark, left_path)
         store_exists = fs.exists(jvm_path(left_path.rstrip("/")))
         if store_exists:
@@ -124,7 +137,7 @@ def start_join_view_maintenance(
         new_store = spark.createDataFrame(
             new_store.collect(), new_store.schema
         )
-        overwrite_small_table(new_store, left_path)
+        publish_small_table(new_store, left_path)
         left_now = (
             spark.read.parquet(left_path)
             .filter(~F.col("_deleted"))

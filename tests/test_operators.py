@@ -1387,6 +1387,94 @@ def test_decode_media_real_png_and_wav(spark) -> None:
     assert got["null_bytes"].n_bytes is None and got["null_bytes"].checksum is None
 
 
+def _encode_jpeg_header(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+    extra_app_bytes: bytes = b"JFIF\x00",
+) -> bytes:
+    """Independent spec-written JPEG header builder (ITU-T T.81
+    B.2.2): SOI + APP0 + DQT filler + SOF0/SOF2 + SOS stub + EOI.
+    Only the segment framing matters - the entropy-coded data is a
+    placeholder, because the decoder under test is header-only."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, extra_app_bytes)  # APP0
+    out += seg(0xDB, bytes(65))  # DQT filler (1 table id + 64 entries)
+    sof = struct.pack(">BHHB", 8, height, width, n_components)
+    for i in range(n_components):
+        sof += bytes([i + 1, 0x11, 0])  # id, sampling 1x1, quant table
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    sos = bytes([n_components])
+    for i in range(n_components):
+        sos += bytes([i + 1, 0])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += b"\x12\x34\x56"  # fake entropy-coded bytes
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def test_decode_media_jpeg_header_tier(spark) -> None:
+    """JPEG header-only decode: baseline and progressive headers
+    written by an independent spec encoder come back with exact
+    dimensions + channel count, pixel fields stay NULL (the honest
+    pixels_decoded=false signal), a restart marker between segments
+    is skipped, and truncated/SOF-less payloads degrade to
+    corrupt/jpeg without failing the job."""
+    import hashlib
+
+    from etl_marketdata_downloader_archived_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    base = _encode_jpeg_header(640, 480, 3)
+    prog = _encode_jpeg_header(31, 17, 1, progressive=True)
+    gray = _encode_jpeg_header(2000, 3000, 1)
+    cmyk = _encode_jpeg_header(12, 34, 4)
+    # RST marker (stand-alone, no length) between APP0 and the rest
+    with_rst = base[:2] + b"\xff\xd0" + base[2:]
+    trunc = base[: base.index(b"\xff\xc0") + 5]  # cut inside the SOF
+    no_sof = b"\xff\xd8" + b"\xff\xd9"  # SOI straight to EOI
+    rows = [
+        ("base", "image", bytearray(base)),
+        ("prog", "image", bytearray(prog)),
+        ("gray", "image", bytearray(gray)),
+        ("cmyk", "image", bytearray(cmyk)),
+        ("rst", "image", bytearray(with_rst)),
+        ("trunc", "image", bytearray(trunc)),
+        ("no_sof", "image", bytearray(no_sof)),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id string, modality string, content binary"
+    )
+    got = {r.asset_id: r for r in decode_media(assets).collect()}
+    for k, (w, h, c) in {
+        "base": (640, 480, 3),
+        "gray": (2000, 3000, 1),
+        "cmyk": (12, 34, 4),
+        "rst": (640, 480, 3),
+    }.items():
+        r = got[k]
+        assert r.modality_detected == "image/jpeg", k
+        assert (r.width, r.height, r.n_channels) == (w, h, c), k
+        # pixels are NOT decoded at this tier - NULL, never fabricated
+        assert r.mean_value is None and r.sample_rate is None, k
+    r = got["prog"]
+    assert r.modality_detected == "image/jpeg;progressive"
+    assert (r.width, r.height, r.n_channels) == (31, 17, 1)
+    assert got["trunc"].modality_detected == "corrupt/jpeg"
+    assert got["no_sof"].modality_detected == "corrupt/jpeg"
+    # bytes + checksum survive even for the corrupt ones
+    assert got["trunc"].n_bytes == len(trunc)
+    assert got["trunc"].checksum == hashlib.sha256(trunc).hexdigest()
+
+
 def test_ngram_containment_detects_subset_dup(spark) -> None:
     """Containment catches a short doc wholly embedded in a long one
     (containment 1.0) where Jaccard stays far below any useful
@@ -1485,6 +1573,81 @@ def test_versioned_table_time_travel(spark, tmp_path) -> None:
     if crc.exists():
         os.remove(crc)
     assert latest_version(spark, root) == 3
+
+
+def test_latest_version_recovers_crashed_pointer_swap(spark, tmp_path) -> None:
+    """_write_pointer dies in its delete-then-rename window: no
+    pointer, intact _latest.tmp. The reader must recover the INTENDED
+    version from the tmp (and repair the pointer) - falling back to
+    the on-disk max would, after a rollback, silently re-point the
+    table at the rolled-back-away snapshot (ADVICE r9)."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        latest_version,
+        publish_version,
+        rollback_version,
+    )
+
+    root = str(tmp_path / "t")
+    mk = lambda n: spark.createDataFrame(  # noqa: E731
+        [(i, f"v{n}") for i in range(2)], "id bigint, tag string"
+    )
+    for n in (1, 2, 3):
+        publish_version(mk(n), root)
+    rollback_version(spark, root, 2)
+    # simulate the crash window of a rollback to v1: tmp written,
+    # pointer deleted, rename never happened
+    (tmp_path / "t" / "_latest.tmp").write_text("1\n")
+    os.remove(tmp_path / "t" / "_latest")
+    for crc in ("._latest.crc", "._latest.tmp.crc"):
+        p = tmp_path / "t" / crc
+        if p.exists():
+            os.remove(p)
+    assert latest_version(spark, root) == 1  # intent, NOT max (3)
+    # and the pointer was repaired: tmp gone, plain read returns 1
+    assert not (tmp_path / "t" / "_latest.tmp").exists()
+    assert (tmp_path / "t" / "_latest").exists()
+    assert latest_version(spark, root) == 1
+    # a tmp naming a version that never landed is ignored -> max
+    (tmp_path / "t" / "_latest.tmp").write_text("42\n")
+    os.remove(tmp_path / "t" / "_latest")
+    assert latest_version(spark, root) == 3
+
+
+def test_publish_small_table_crash_recovery(spark, tmp_path) -> None:
+    """publish_small_table survives a crash at any point: the live
+    snapshot is never deleted-before-replaced (Spark overwrite's
+    failure mode), a mid-swap crash (live renamed aside, stage not
+    yet moved) restores the previous snapshot on the next entry, and
+    a superseded __old next to a live dir is cleaned."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        publish_small_table,
+        recover_small_table,
+    )
+
+    path = str(tmp_path / "store")
+    mk = lambda tag: spark.createDataFrame(  # noqa: E731
+        [(1, tag), (2, tag)], "id bigint, tag string"
+    )
+    publish_small_table(mk("a"), path)
+    assert {r.tag for r in spark.read.parquet(path).collect()} == {"a"}
+    publish_small_table(mk("b"), path)
+    assert {r.tag for r in spark.read.parquet(path).collect()} == {"b"}
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__stage")
+    # crash twin: live renamed to __old, stage rename never happened
+    os.rename(path, path + "__old")
+    assert recover_small_table(spark, path) is True
+    assert {r.tag for r in spark.read.parquet(path).collect()} == {"b"}
+    # crash twin: swap completed but __old cleanup didn't run - the
+    # next publish must treat live as current and drop the leftover
+    os.makedirs(path + "__old")
+    publish_small_table(mk("c"), path)
+    assert {r.tag for r in spark.read.parquet(path).collect()} == {"c"}
+    assert not os.path.exists(path + "__old")
 
 
 def test_version_cdc_between_snapshots(spark, tmp_path) -> None:
@@ -1776,6 +1939,102 @@ def test_fifo_allocate_randomized_differential(spark) -> None:
     assert got == sorted(expect)
 
 
+def test_fifo_allocate_tiers_identical(spark) -> None:
+    """The grouped sort-merge tier (mega-ledger escape) emits exactly
+    the interval-join tier's rows AND schema over mixed ledgers
+    (split draws, zero quantities, one-sided keys, over-demand), and
+    the measured default actually selects each tier by the largest
+    per-key ledger side."""
+    from etl_marketdata_downloader_archived_spark.operators.ledger import (
+        fifo_allocate,
+    )
+
+    inflows = spark.createDataFrame(
+        [("x", 1, 5), ("x", 2, 3), ("x", 3, 0), ("y", 1, 2), ("z", 1, 9)],
+        "k string, seq int, q long",
+    )
+    outflows = spark.createDataFrame(
+        [("x", 1, 4), ("x", 2, 6), ("y", 1, 5), ("w", 1, 3)],
+        "k string, seq int, q long",
+    )
+    args = (inflows, outflows, ["k"], ["seq"], "q")
+    join_df = fifo_allocate(*args, max_ledger_rows=None)
+    grouped_df = fifo_allocate(*args, max_ledger_rows=0)
+    assert grouped_df.schema == join_df.schema
+    key = lambda r: (r.k, r.in_lo, r.out_lo)  # noqa: E731
+    assert sorted(grouped_df.collect(), key=key) == sorted(
+        join_df.collect(), key=key
+    )
+    # tier selection: FlatMapCoGroupsInPandas appears only when the
+    # measured max per-key side exceeds the bound (x has 3 inflows)
+    plan_of = lambda df: df._jdf.queryExecution().executedPlan().toString()  # noqa: E731
+    picked_join = fifo_allocate(*args, max_ledger_rows=3)
+    assert "FlatMapCoGroupsInPandas" not in plan_of(picked_join)
+    picked_grouped = fifo_allocate(*args, max_ledger_rows=2)
+    assert "FlatMapCoGroupsInPandas" in plan_of(picked_grouped)
+    assert sorted(picked_grouped.collect(), key=key) == sorted(
+        join_df.collect(), key=key
+    )
+
+
+def test_fifo_allocate_grouped_tier_randomized(spark) -> None:
+    """The forced grouped tier reproduces the seeded imperative
+    replay pair-for-pair on adversarial ledgers, including a
+    single mega-key that dwarfs the others."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.ledger import (
+        fifo_allocate,
+    )
+
+    rng = random.Random(0xB16)
+    in_rows, out_rows = [], []
+    for k in range(12):
+        key = f"k{k}"
+        n = 120 if k == 0 else rng.randint(0, 6)
+        for i in range(n):
+            in_rows.append((key, i, rng.choice([0, 1, 2, 5])))
+        m = 150 if k == 0 else rng.randint(0, 6)
+        for i in range(m):
+            out_rows.append((key, i, rng.choice([0, 1, 3, 4])))
+    inflows = spark.createDataFrame(in_rows, "k string, seq int, q long")
+    outflows = spark.createDataFrame(out_rows, "k string, seq int, q long")
+    got = sorted(
+        (r.k, r.in_lo, r.in_hi, r.out_lo, r.out_hi, r.alloc)
+        for r in fifo_allocate(
+            inflows, outflows, ["k"], ["seq"], "q", max_ledger_rows=0
+        ).collect()
+    )
+    expect = []
+    per_key: dict = {}
+    for key, seq, q in in_rows:
+        per_key.setdefault(key, ([], []))[0].append(q)
+    for key, seq, q in out_rows:
+        per_key.setdefault(key, ([], []))[1].append(q)
+    for key, (ins, outs) in per_key.items():
+        in_iv, lo = [], 0
+        for q in ins:
+            if q > 0:
+                in_iv.append((lo, lo + q))
+                lo += q
+        out_iv, lo = [], 0
+        for q in outs:
+            if q > 0:
+                out_iv.append((lo, lo + q))
+                lo += q
+        i = j = 0
+        while i < len(in_iv) and j < len(out_iv):
+            a, b = in_iv[i], out_iv[j]
+            take = min(a[1], b[1]) - max(a[0], b[0])
+            if take > 0:
+                expect.append((key, a[0], a[1], b[0], b[1], take))
+            if a[1] <= b[1]:
+                i += 1
+            if b[1] <= a[1]:
+                j += 1
+    assert got == sorted(expect)
+
+
 def test_pps_systematic_known_answer_and_invariant(spark) -> None:
     """Hand-checked PPS draw: a heavy row draws with multiplicity,
     zero/negative weights never draw, per-stratum multiplicity sums
@@ -1807,3 +2066,20 @@ def test_pps_systematic_known_answer_and_invariant(spark) -> None:
     for (src, _), m in got.items():
         per_stratum[src] += m
     assert per_stratum == {"s1": 4, "s2": 4}
+
+
+def test_pps_systematic_small_stratum_fails_loudly(spark) -> None:
+    """A stratum whose total weight is below k cannot place k
+    selection points - the operator must FAIL naming the stratum, not
+    silently drop it and break the sum(multiplicity) == k invariant
+    (ADVICE r9)."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.operators.text import (
+        pps_systematic,
+    )
+
+    rows = [("big", 1, 50), ("big", 2, 50), ("tiny", 3, 2)]
+    df = spark.createDataFrame(rows, "src string, id int, w long")
+    with _pytest.raises(Exception, match="stratum tiny has total weight < k"):
+        pps_systematic(df, "id", "src", "w", k=4).collect()

@@ -742,6 +742,105 @@ def test_streaming_fifo_equals_batch(spark, tmp_path) -> None:
     ]
 
 
+def test_streaming_fifo_rejects_fractional_qty(spark, tmp_path) -> None:
+    """A fractional quantity fails the stream loudly instead of
+    silently truncating away from the batch twin's native-type
+    arithmetic (ADVICE r9: int(q) truncation divergence)."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_fifo,
+    )
+
+    src = tmp_path / "ledger"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": "x", "seq": 1, "q": 2.0, "dir": "in"},
+                {"k": "x", "seq": 2, "q": 1.5, "dir": "out"},
+            ]
+        )
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    led = raw.select(
+        F.from_json(
+            "value", "k STRING, seq LONG, q DOUBLE, dir STRING"
+        ).alias("j")
+    ).select("j.*")
+    q = (
+        streaming_fifo(led, "k", "seq", "q", "dir")
+        .writeStream.format("memory")
+        .queryName("fifo_frac_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="non-integral quantity"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_streaming_fd_monitor_timestamp_dependent(spark, tmp_path) -> None:
+    """A timestamp-typed dependent round-trips the array<timestamp>
+    state intact and emits TIMESTAMP witnesses (ADVICE r9: numpy
+    datetime64 .item() returns epoch nanoseconds as int, corrupting
+    the state) - cross-batch, so batch 2 must re-read batch 1's
+    folded timestamps from state."""
+    import datetime as dt
+
+    from etl_marketdata_downloader_archived_spark.operators.quality import (
+        fd_violations,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_fd_monitor,
+    )
+
+    b1 = [("X", "2024-01-02T03:04:05"), ("Y", "2024-06-01T00:00:00")]
+    b2 = [("X", "2024-05-06T07:08:09"), ("Y", "2024-06-01T00:00:00")]
+    src = tmp_path / "rows"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps({"k": k, "v": v}) for k, v in rows)
+        )
+        time.sleep(1.1)
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    rows_df = raw.select(
+        F.from_json("value", "k string, v timestamp").alias("j")
+    ).select("j.*")
+    out = streaming_fd_monitor(rows_df, "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fd_ts_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from fd_ts_out").collect()
+    # only X violates (across the two batches); witnesses are real
+    # timestamps, not epoch-nanosecond ints
+    assert [r.k for r in got] == ["X"]
+    r = got[0]
+    assert isinstance(r.witness_min, dt.datetime)
+    assert r.witness_min == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert r.witness_max == dt.datetime(2024, 5, 6, 7, 8, 9)
+    full = spark.createDataFrame(b1 + b2, "k string, v string").select(
+        "k", F.col("v").cast("timestamp").alias("v")
+    )
+    want = fd_violations(full, "k", "v").collect()
+    assert [(w.k, w.n_distinct, w.witness_min, w.witness_max) for w in want] == [
+        ("X", r.n_distinct, r.witness_min, r.witness_max)
+    ]
+
+
 def test_streaming_purge_filter_suppresses_across_batches(
     spark, tmp_path
 ) -> None:
@@ -921,3 +1020,127 @@ def test_streaming_debounce_equals_batch(spark, tmp_path) -> None:
     assert streamed == batch
     assert ("u1", 5) in streamed and ("u1", 4) not in streamed
     assert ("u1", 8) in streamed and ("u1", 7) not in streamed
+
+
+def test_purge_audit_twins_reconcile(spark, tmp_path) -> None:
+    """The GDPR audit story end to end: the streaming purge twin
+    (start_purge_with_audit) forwards survivors, appends per-(key,
+    batch) rows_suppressed audit rows, and matches the stateful
+    filter's survivor set exactly; the batch purge
+    (io.purge_keys(audit_path=...)) on a lake of the SAME data rows
+    appends per-(key, partition) rows_purged audit rows; and the two
+    audits reconcile against the ground truth:
+    batch_purged[k] == stream_suppressed[k] + stream_survivors[k]."""
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.io import purge_keys
+    from etl_marketdata_downloader_archived_spark.streaming.erasure import (
+        start_purge_with_audit,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_purge_filter,
+    )
+
+    b1 = [("k1", "data", 1), ("k1", "data", 2), ("k1", "purge", 3),
+          ("k1", "data", 3), ("k1", "data", 4), ("k2", "data", 1)]
+    b2 = [("k1", "data", 5), ("k3", "data", 1), ("k3", "purge", 1),
+          ("k2", "data", 2)]
+    b3 = [("k1", "data", 6), ("k3", "data", 2), ("k2", "data", 3),
+          ("k1", "purge", 7)]  # re-purge: no-op
+    src = tmp_path / "gdpr_src"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2, b3), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"k": k, "kind": kd, "ts": t})
+                for k, kd, t in rows
+            )
+        )
+        time.sleep(1.1)
+
+    def stream_src():
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        return raw.select(
+            F.from_json("value", "k STRING, kind STRING, ts LONG").alias("j")
+        ).select("j.*")
+
+    q = start_purge_with_audit(
+        stream_src(),
+        key="k",
+        kind="kind",
+        ts="ts",
+        out_path=str(tmp_path / "out"),
+        audit_path=str(tmp_path / "audit"),
+        store_path=str(tmp_path / "doomed"),
+        checkpoint=str(tmp_path / "ckpt_a"),
+    )
+    q.awaitTermination(180)
+
+    survivors = sorted(
+        (r.k, r.ts)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    # hand-derived: k1 passes ts1,2 (before the directive; ts3 ties
+    # and drops), k2 everything, k3 nothing (directive ties its row)
+    assert survivors == [
+        ("k1", 1), ("k1", 2), ("k2", 1), ("k2", 2), ("k2", 3)
+    ]
+
+    audit = spark.read.parquet(str(tmp_path / "audit")).collect()
+    per_batch = {(r.k, r.batch): r.rows_suppressed for r in audit}
+    assert per_batch == {
+        ("k1", 0): 2,  # ts 3 (tie) + ts 4
+        ("k1", 1): 1, ("k3", 1): 1,  # store carry + same-batch tie
+        ("k1", 2): 1, ("k3", 2): 1,
+    }
+    assert all(r.source == "stream_filter" for r in audit)
+    stream_suppressed = Counter()
+    for r in audit:
+        stream_suppressed[r.k] += r.rows_suppressed
+
+    # twin check: identical survivor set to the stateful filter
+    q2 = (
+        streaming_purge_filter(stream_src(), "k", "kind", "ts")
+        .writeStream.format("memory")
+        .queryName("gdpr_twin_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    twin = sorted(
+        (r.k, r.ts)
+        for r in spark.sql("select * from gdpr_twin_out").collect()
+    )
+    assert twin == survivors
+
+    # batch half: lake of ALL data rows, partitioned; purge k1+k3
+    data_rows = [r for r in b1 + b2 + b3 if r[1] == "data"]
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(k, t, t % 2) for k, _, t in data_rows], "k string, ts long, p int"
+    ).write.partitionBy("p").parquet(lake)
+    doomed = spark.createDataFrame([("k1",), ("k3",)], "k string")
+    manifest = purge_keys(
+        spark, lake, doomed, ["k"], "p",
+        audit_path=str(tmp_path / "audit_batch"),
+    )
+    assert sum(n for _, n in manifest) == 8  # 6 k1 + 2 k3 data rows
+    batch_audit = spark.read.parquet(str(tmp_path / "audit_batch")).collect()
+    assert all(r.source == "batch_purge" for r in batch_audit)
+    batch_purged = Counter()
+    for r in batch_audit:
+        batch_purged[r.k] += r.rows_purged
+    assert batch_purged == {"k1": 6, "k3": 2}
+
+    # the reconciliation: everything the batch purge erased is either
+    # a row the stream suppressed or a survivor that predates the
+    # directive (erased later by the batch purge)
+    surv_count = Counter(k for k, _ in survivors)
+    for k in ("k1", "k3"):
+        assert batch_purged[k] == stream_suppressed[k] + surv_count[k]
+    assert "k2" not in batch_purged and "k2" not in stream_suppressed

@@ -1548,3 +1548,77 @@ def test_streaming_join_view_maintenance(spark, tmp_path) -> None:
     assert got_view == sorted(
         (k, v, f"R{k}") for k, v in want_left.items()
     )
+
+
+def test_streaming_join_view_survives_crashed_store_swap(
+    spark, tmp_path
+) -> None:
+    """A publish crash between the store swap's two renames (live dir
+    renamed aside to __old, stage never moved in) must NOT read as
+    first-batch on the next trigger: the fold self-recovers the
+    previous snapshot, so previously-folded keys survive (ADVICE r9:
+    a delete-then-write overwrite here silently truncated the store
+    to the replayed batch's winners)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.io import build_join_view
+    from etl_marketdata_downloader_archived_spark.streaming.views import (
+        start_join_view_maintenance,
+    )
+
+    right = spark.createDataFrame(
+        [(k, f"R{k}") for k in range(1, 6)], "k bigint, rval string"
+    )
+    left0 = spark.createDataFrame([(1, "a0")], "k bigint, lval string")
+    left_path = str(tmp_path / "left")
+    view = str(tmp_path / "view")
+    left0.coalesce(1).write.parquet(left_path)
+    build_join_view(left0, right, "k", view, n_buckets=2)
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def run(name: str, rows) -> None:
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"k": k, "lval": v, "op": "upsert", "ts": ts})
+                for k, v, ts in rows
+            )
+        )
+        raw = spark.readStream.format("text").load(str(src))
+        upd = raw.select(
+            F.from_json(
+                "value", "k LONG, lval STRING, op STRING, ts LONG"
+            ).alias("j")
+        ).select("j.*")
+        q = start_join_view_maintenance(
+            upd,
+            left_path=left_path,
+            right=right,
+            on="k",
+            view_path=view,
+            checkpoint=str(tmp_path / "ckpt"),
+            n_buckets=2,
+        )
+        q.awaitTermination(120)
+
+    run("b1.json", [(2, "b1", 10)])
+    _time.sleep(1.1)
+    # crash twin: the NEXT publish died after renaming live aside
+    _os.rename(left_path, left_path + "__old")
+    run("b2.json", [(3, "c1", 20)])
+    store = spark.read.parquet(left_path)
+    got = {r.k: r.lval for r in store.filter("NOT _deleted").collect()}
+    # key 1 (initial snapshot) and key 2 (batch 1) both survive the
+    # crashed swap; a truncating rebuild would have left only key 3
+    assert got == {1: "a0", 2: "b1", 3: "c1"}
+    assert not _os.path.exists(left_path + "__old")
+    got_view = sorted(
+        (r.k, r.lval, r.rval)
+        for r in spark.read.parquet(view).drop("_bucket").collect()
+    )
+    assert got_view == [(1, "a0", "R1"), (2, "b1", "R2"), (3, "c1", "R3")]

@@ -151,9 +151,127 @@ NOTES = """\
 """
 
 RED_FLAGS = ["CartesianProduct", "BatchEvalPython"]  # row-at-a-time Python
-# plus two structural scans applied per plan: global_windows() (empty
-# partition spec, whitelist below) and forward_frames() (running-start
-# unboundedfollowing frames - Spark re-scans the tail per row, O(n^2))
+# plus three structural scans applied per plan: global_windows() (empty
+# partition spec, whitelist below), forward_frames() (running-start
+# unboundedfollowing frames - Spark re-scans the tail per row, O(n^2)),
+# and broadcast_hints() on the ANALYZED plan (forced F.broadcast of an
+# SF-scaling base table - a hard hint overrides
+# autoBroadcastJoinThreshold, so at ~100x data Spark attempts the build
+# anyway and dies at the 8 GB broadcast ceiling; VERDICT r9 "what's
+# wrong #1". Dropping the hint costs nothing at bench scale: AQE still
+# picks BHJ whenever the side is actually below the threshold.)
+
+# Base tables whose row count grows with the scale factor, keyed by a
+# signature column that identifies the relation in an analyzed-plan
+# ``Relation [cols...]`` line. nation (25 rows) and region (5) are the
+# only dimensions bounded forever; everything else scales.
+SCALING_TABLE_SIGNATURES = {
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "l_orderkey": "lineitem",
+    "event_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+# Broadcast hints whose input DERIVES from a scaling table but is
+# bounded by construction before the exchange. Global (no-grouping)
+# aggregates are auto-exempt - they emit exactly one row - so this
+# whitelist only carries GROUPED aggregates whose group-key domain is
+# bounded (calendar grids, enum-valued columns, capped heads), keyed by
+# query name. A raw (never-aggregated) scaling relation under a hint
+# can NOT be whitelisted - that is the crash class.
+BROADCAST_HINT_WHITELIST = {
+    # per-event_type stats / cut tables: event_type is an enum (~6
+    # values in the corpus, bounded by product surface, never rows)
+    "anomaly_zscore": "per-event_type mean/variance stats (bounded enum)",
+    "anomaly_mad": "per-event_type median/MAD cut tables (bounded enum)",
+    "winsorized_stats": "per-event_type rank-cut table (bounded enum)",
+    "benford_panel": "per-event_type digit distribution (bounded enum)",
+    "chi2_cells": "per-event_type / per-hour marginals (enum x 24-hour grid)",
+    "boxplot_panel": "per-event_type quartile rows (bounded enum)",
+    # calendar-bounded group keys: one row per year / month / week /
+    # period, never fact rows
+    "seasonality_index": "per-year revenue means (calendar-bounded)",
+    "cohort_ltv_triangle": "per-cohort-week size table (calendar-bounded)",
+    "share_shift": "two single-row period totals (grouped by a 2-value period flag)",
+    "segment_migration": "per-period tercile cuts (2 periods x 2 cut rows)",
+    # bounded value/count grids built by rank-from-counts rewrites
+    "rfm_segments": "tercile maps over day/count/66-bucket grids",
+    # bounded enums on the documents corpus: source/stratum labels
+    "boilerplate_shingles": "per-source doc totals (source is a bounded label set)",
+    "pps_sample_docs": "per-stratum weight totals (stratum = source label set)",
+    # eval benchmarks are fixed-size by contract, not SF-scaling: the
+    # decontamination index is the distinct n-grams of the held-out
+    # eval source (operators/text.py:284 documents the posture)
+    "corpus_clean": "distinct n-grams of the fixed-size eval benchmark",
+}
+
+
+def broadcast_hints(analyzed: str) -> list[tuple[str, str]]:
+    """Scan an ANALYZED logical plan for ``ResolvedHint
+    (strategy=broadcast)`` subtrees that contain an SF-scaling base
+    table. Returns (table, kind) pairs where kind is:
+
+    - ``raw``: no aggregate bounds the relation on its path to the
+      hint - broadcasting a frame that scales 1:1 with the corpus.
+      Always a red flag (the 8 GB-ceiling crash class).
+    - ``grouped``: a grouped aggregate sits between hint and relation;
+      bounded only if the group-key domain is - requires a
+      BROADCAST_HINT_WHITELIST entry naming the bound.
+
+    Relations bounded by a GLOBAL aggregate (``Aggregate [exprs]`` with
+    a single top-level bracket group emits one row) are exempt and not
+    returned. The analyzed plan is used because optimization folds
+    ResolvedHint into join-node hints."""
+    import re
+
+    info = []
+    for ln in analyzed.splitlines():
+        m = re.match(r"^([ :|+-]*)([A-Za-z].*)$", ln)
+        if m:
+            info.append((len(m.group(1)), m.group(2)))
+    results = []
+    for i, (d, txt) in enumerate(info):
+        if not (txt.startswith("ResolvedHint") and "broadcast" in txt):
+            continue
+        # walk the hint's subtree keeping an ancestor stack so each
+        # Relation knows which Aggregate nodes sit on its path up
+        stack: list[tuple[int, bool, bool]] = []  # (depth, global_agg, grouped_agg)
+        j = i + 1
+        while j < len(info) and info[j][0] > d:
+            dj, tj = info[j]
+            while stack and stack[-1][0] >= dj:
+                stack.pop()
+            is_global = is_grouped = False
+            if tj.startswith("Aggregate"):
+                groups = _arg_groups(tj[len("Aggregate"):])
+                is_global = len(groups) == 1 or (
+                    len(groups) >= 2 and groups[0].strip() == ""
+                )
+                is_grouped = not is_global
+                # grouping-sets prints 3 groups; treated like grouped
+            elif tj.startswith("Deduplicate"):
+                # .distinct()/.dropDuplicates() prints as Deduplicate
+                # in the ANALYZED plan (becomes Aggregate only under
+                # the optimizer) - value-domain-bounded, i.e. grouped
+                is_grouped = True
+            elif tj.startswith("Relation"):
+                for sig, table in SCALING_TABLE_SIGNATURES.items():
+                    if sig + "#" not in tj:
+                        continue
+                    if any(g for _, g, _ in stack):
+                        pass  # one-row global aggregate bounds it
+                    elif any(ga for _, _, ga in stack):
+                        results.append((table, "grouped"))
+                    else:
+                        results.append((table, "raw"))
+                    break
+            stack.append((dj, is_global, is_grouped))
+            j += 1
+    return results
 
 # Queries whose plans contain a Window with NO partition spec
 # (single-partition WindowExec) ON PURPOSE: each one's window input is
@@ -287,6 +405,7 @@ def main() -> int:
     ]
     flagged = []
     seen_global: dict[str, int] = {}
+    seen_bhint: dict[str, list[tuple[str, str]]] = {}
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -303,6 +422,17 @@ def main() -> int:
             flags.append(f"unlisted global Window x{gw}")
         if gw:
             seen_global[name] = gw
+        bh = broadcast_hints(df._jdf.queryExecution().analyzed().toString())
+        raw = sorted({t for t, k in bh if k == "raw"})
+        if raw:
+            flags.append(f"forced broadcast of scaling table(s): {', '.join(raw)}")
+        grouped = sorted({t for t, k in bh if k == "grouped"})
+        if grouped and name not in BROADCAST_HINT_WHITELIST:
+            flags.append(
+                f"unlisted grouped-aggregate broadcast of scaling table(s): {', '.join(grouped)}"
+            )
+        if bh:
+            seen_bhint[name] = bh
         if flags:
             flagged.append((name, flags))
         if name not in HEADLINE:
@@ -346,11 +476,41 @@ def main() -> int:
             f" (kept for documentation): {', '.join(sorted(stale))}."
         )
 
+    stale_bh = sorted(set(BROADCAST_HINT_WHITELIST) - set(seen_bhint))
+    out.append("\n## Broadcast-hint whitelist (asserted by the scan)\n")
+    out.append(
+        "A hard `F.broadcast` on a frame derived from an SF-scaling base"
+        " table overrides `autoBroadcastJoinThreshold`, so at ~100x data"
+        " Spark attempts the build anyway and dies at the 8 GB broadcast"
+        " ceiling. The scan walks every query's ANALYZED plan: a"
+        " never-aggregated scaling relation under a broadcast hint FAILS"
+        " outright (no whitelist possible - drop the hint, AQE still"
+        " picks BHJ while the side is genuinely small); a"
+        " grouped-aggregate frame must appear here with its bounded"
+        " group-domain justification; global one-row aggregates are"
+        " auto-exempt.\n"
+    )
+    out.append("| query | hinted scaling-derived frames | bounded because |")
+    out.append("|---|---|---|")
+    for name in sorted(seen_bhint):
+        kinds = ", ".join(f"{t} ({k})" for t, k in sorted(set(seen_bhint[name])))
+        out.append(
+            f"| `{name}` | {kinds} | "
+            f"{BROADCAST_HINT_WHITELIST.get(name, '**UNLISTED - FAILING**')} |"
+        )
+    if stale_bh:
+        out.append("")
+        out.append(
+            "Broadcast-whitelist entries with no flagged hint in the"
+            f" current plans (kept for documentation): {', '.join(stale_bh)}."
+        )
+
     with open("/root/repo/EXPLAIN.md", "w") as f:
         f.write("\n".join(out))
     print(
         f"wrote EXPLAIN.md ({len(out)} lines); red-flagged: {flagged or 'none'}; "
-        f"global-window queries: {seen_global or 'none'}; stale whitelist: {stale or 'none'}"
+        f"global-window queries: {seen_global or 'none'}; stale whitelist: {stale or 'none'}; "
+        f"broadcast-hint queries: {seen_bhint or 'none'}; stale broadcast whitelist: {stale_bh or 'none'}"
     )
     return 1 if flagged else 0
 
