@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "edit_distance_join"]
+__all__ = [
+    "deletion_variants",
+    "edit_distance_join",
+    "sorted_neighborhood_pairs",
+]
 
 
 def deletion_variants(s):
@@ -107,3 +111,73 @@ def edit_distance_join(
         )
     )
     return exact.unionByName(near)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+    max_distance: int | None = None,
+    block_len: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood method (SNM, the Hernandez/Stolfo merge-
+    purge classic): rank rows by ``key_col`` inside prefix blocks and
+    compare each row only to its next ``window`` neighbors in that
+    order - the OTHER standard blocking family next to
+    edit_distance_join's deletion variants (SNM trades the distance-1
+    exactness guarantee for arbitrary-distance candidate generation;
+    production entity resolution runs several passes with different
+    sort keys and unions the candidates).
+
+    Returns (id_a, key_a, id_b, key_b, dist) for every in-window
+    ordered pair, where a precedes b in the (key, id) sort;
+    ``max_distance`` adds the levenshtein verify (rows kept iff dist
+    <= max_distance). Pairs across block boundaries are not generated
+    - the documented SNM recall trade (choose ``block_len`` so a
+    candidate pair cannot disagree in its first characters, or run a
+    second pass on a reversed key).
+
+    Scale shape: the neighbor set builds IN-ROW (explode of
+    sequence(rank+1, rank+window)) and joins back equi on (block,
+    rank), so candidates are EXACTLY n x window - never the n^2 of a
+    block self-join with a rank-range filter; the rank window
+    partitions by block (never global), and the levenshtein verify is
+    candidate-bound. Memory per task is row-sized throughout."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_key"),
+        F.substring(F.lower(F.col(key_col)), 1, block_len).alias("_blk"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("_blk").orderBy("_key", "_id")
+    )
+    ranked = base.withColumn("_rn", rn)
+    left = ranked.select(
+        "_blk",
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.explode(
+            F.expr(f"sequence(_rn + 1, _rn + {int(window)})")
+        ).alias("_rnb"),
+    )
+    right = ranked.select(
+        "_blk",
+        F.col("_rn").alias("_rnb"),
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+    )
+    out = left.join(right, ["_blk", "_rnb"]).select(
+        "id_a",
+        "key_a",
+        "id_b",
+        "key_b",
+        F.levenshtein("key_a", "key_b").alias("dist"),
+    )
+    if max_distance is not None:
+        out = out.filter(F.col("dist") <= int(max_distance))
+    return out

@@ -1,0 +1,297 @@
+"""Round-10 analytics: independent python differentials for the
+parity-verified queries in plans/analytics_r10.py - parity proves
+Spark==DuckDB, these replays prove the FORMULA is right (a wrong
+formula expressed identically on both engines passes parity)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from etl_marketdata_downloader_archived_spark.io import load_table
+from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+    distinctive_tokens,
+    inventory_balance,
+    new_product_adoption,
+    share_tree,
+    snm_pairs,
+    topn_with_other,
+)
+
+from _helpers import half_up as _half_up  # noqa: E402
+
+WEEK_US = 604_800_000_000
+
+
+def _line_cents(r) -> int:
+    return _half_up(r.l_extendedprice * (1 - r.l_discount) * 100)
+
+
+def test_topn_with_other_vs_python(spark, sf_dir) -> None:
+    """Top-5 + OTHER vs a dict replay: same int-cents revenue, same
+    (rev desc, brand) rank order, same fold of ranks > 5."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).collect()
+    parts = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    rev: dict = defaultdict(int)
+    for r in li:
+        rev[parts[r.l_partkey]] += _line_cents(r)
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    want: dict = defaultdict(lambda: [0, 0])
+    for i, (brand, c) in enumerate(ranked, 1):
+        label = brand if i <= 5 else "OTHER"
+        want[label][0] += c
+        want[label][1] += 1
+    got = {
+        r.label: [r.rev_c, r.n_brands]
+        for r in topn_with_other(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert got["OTHER"][1] == len(ranked) - 5
+
+
+def test_share_tree_vs_python(spark, sf_dir) -> None:
+    """Nation/region shares vs an integer replay: per-nation cents,
+    region and grand totals, truncating ppm division; per-region
+    nation shares sum to <= 1e6 and within 25 ppm of it (truncation
+    loses < 1 ppm per nation)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    nat = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    reg = {
+        r.r_regionkey: r.r_name
+        for r in load_table(spark, sf_dir, "region").collect()
+    }
+    rev: dict = defaultdict(int)
+    for r in o:
+        name, rk = nat[cust[r.o_custkey]]
+        rev[(reg[rk], name)] += _half_up(r.o_totalprice * 100)
+    region_tot: dict = defaultdict(int)
+    for (rg, _), c in rev.items():
+        region_tot[rg] += c
+    total = sum(rev.values())
+    want = {
+        (rg, n): (
+            c,
+            region_tot[rg],
+            total,
+            c * 1_000_000 // region_tot[rg],
+            c * 1_000_000 // total,
+        )
+        for (rg, n), c in rev.items()
+    }
+    rows = share_tree(spark, sf_dir).collect()
+    got = {
+        (r.region, r.nation): (
+            r.rev_c, r.region_c, r.total_c,
+            r.share_region_ppm, r.share_total_ppm,
+        )
+        for r in rows
+    }
+    assert got == want
+    per_region: dict = defaultdict(int)
+    for r in rows:
+        per_region[r.region] += r.share_region_ppm
+    for rg, s in per_region.items():
+        n_nations = sum(1 for k in got if k[0] == rg)
+        assert 1_000_000 - n_nations < s <= 1_000_000, rg
+
+
+def test_distinctive_tokens_vs_python(spark, sf_dir) -> None:
+    """Smoothed rate-ratio score and per-source top-8 vs a pure
+    python replay of the same counts and the same three IEEE ops."""
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    c_st: dict = defaultdict(int)
+    for r in docs:
+        for t in re.split(r"[^a-z]+", r.text.lower()):
+            if t:
+                c_st[(r.source, t)] += 1
+    c_t: dict = defaultdict(int)
+    n_s: dict = defaultdict(int)
+    for (s, t), c in c_st.items():
+        c_t[t] += c
+        n_s[s] += c
+    v = len(c_t)
+    n = sum(c_t.values())
+    scored: dict = defaultdict(list)
+    for (s, t), c in c_st.items():
+        score = (float(c + 1) / float(n_s[s] + v)) * (
+            float(n - n_s[s] + v) / float(c_t[t] - c + 1)
+        )
+        scored[s].append((t, c, c_t[t] - c, score))
+    want = set()
+    for s, rows in scored.items():
+        rows.sort(key=lambda x: (-x[3], x[0]))
+        for t, cs, crest, score in rows[:8]:
+            want.add((s, t, cs, crest, score))
+    got = {
+        (r.source, r.token, r.c_s, r.c_rest, r.score)
+        for r in distinctive_tokens(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-equal scores: same bigints, same IEEE ops
+
+
+def test_snm_pairs_vs_python(spark, sf_dir) -> None:
+    """The registered SNM walk vs a python replay: same first-letter
+    blocks, same (name, id) sort, same 4-neighbor window, same
+    levenshtein cut."""
+    parts = sorted(
+        (r.p_name, r.p_partkey)
+        for r in load_table(spark, sf_dir, "part").collect()
+    )
+    blocks: dict = defaultdict(list)
+    for name, pid in parts:
+        blocks[name.lower()[:1]].append((name, pid))
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for rows in blocks.values():
+        for i, (ka, ia) in enumerate(rows):
+            for kb, ib in rows[i + 1 : i + 5]:
+                d = lev(ka, kb)
+                if d <= 3:
+                    want.add((ia, ka, ib, kb, d))
+    got = {
+        (r.id_a, r.key_a, r.id_b, r.key_b, r.dist)
+        for r in snm_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_new_product_adoption_vs_python(spark, sf_dir) -> None:
+    """Launch-aligned weekly revenue vs a dict replay: same epoch-week
+    integer division, same min-launch anchor, same 9-week cut."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    ).collect()
+    parts = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    wk = lambda d: int(d.timestamp() * 1_000_000) // WEEK_US  # noqa: E731
+    launch: dict = {}
+    for r in li:
+        w = wk(r.l_shipdate)
+        launch[r.l_partkey] = min(launch.get(r.l_partkey, w), w)
+    agg: dict = defaultdict(lambda: [0, set()])
+    for r in li:
+        off = wk(r.l_shipdate) - launch[r.l_partkey]
+        if off <= 8:
+            cell = agg[(parts[r.l_partkey], off)]
+            cell[0] += _line_cents(r)
+            cell[1].add(r.l_partkey)
+    want = {
+        k: (c, len(ps)) for k, (c, ps) in agg.items()
+    }
+    got = {
+        (r.brand, r.week_offset): (r.rev_c, r.n_parts)
+        for r in new_product_adoption(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_inventory_balance_vs_python(spark, sf_dir) -> None:
+    """Running balance panel vs an ordered replay: returns negate
+    quantity, the (shipdate, orderkey, linenumber) total order pins
+    the path, min/max track the running sum, end equals the total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_returnflag",
+        "l_shipdate", "l_orderkey", "l_linenumber",
+    ).collect()
+    per_part: dict = defaultdict(list)
+    for r in li:
+        d = int(r.l_quantity)
+        if r.l_returnflag == "R":
+            d = -d
+        per_part[r.l_partkey].append(
+            (r.l_shipdate, r.l_orderkey, r.l_linenumber, d)
+        )
+    want = {}
+    for pk, moves in per_part.items():
+        moves.sort()
+        bal = 0
+        lo = hi = None
+        for _, _, _, d in moves:
+            bal += d
+            lo = bal if lo is None else min(lo, bal)
+            hi = bal if hi is None else max(hi, bal)
+        want[pk] = (len(moves), lo, hi, bal)
+    got = {
+        r.part: (r.n_moves, r.min_bal, r.max_bal, r.end_bal)
+        for r in inventory_balance(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs_semantics(spark) -> None:
+    """Operator unit semantics on a hand-built frame: in-window pairs
+    only (rank distance <= window), no cross-block pairs, ordered
+    (a before b in the sort), distance filter applied, and the
+    window=1 adjacent-only edge."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alpha"), (2, "alphb"), (3, "alzzz"), (4, "amkkk"),
+        (5, "beta"),  # different block: never pairs with a*
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=2, block_len=1
+        ).collect()
+    }
+    # sort order in block 'a': alpha(1), alphb(2), alzzz(3), amkkk(4)
+    assert got == {
+        (1, 2, 1), (1, 3, 3),
+        (2, 3, 3), (2, 4, 4),
+        (3, 4, 4),  # alzzz -> amkkk: 4 substitutions
+    }
+    # distance cut
+    close = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=2, max_distance=3, block_len=1
+        ).collect()
+    }
+    assert close == {(1, 2), (1, 3), (2, 3)}
+    # window=1: adjacent only
+    adj = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=1, block_len=1
+        ).collect()
+    }
+    assert adj == {(1, 2), (2, 3), (3, 4)}
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "id", "name", window=0)

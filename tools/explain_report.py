@@ -312,6 +312,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # reverse cumulative at-risk sum over the tenure-week grid - one
     # row per distinct week (order-calendar-span/7), never customers
     "survival_tenure": "reverse cumsum over one row per tenure week",
+    # top-5 + OTHER rollup: ranks the 25-row brand aggregate (brand
+    # is an enum, bounded at every SF)
+    "topn_with_other": "ranks the 25-row brand aggregate",
 }
 
 
