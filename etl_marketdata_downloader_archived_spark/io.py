@@ -1167,28 +1167,46 @@ def _read_pointer_file(fs, p) -> int | None:
 
 
 def latest_version(spark: SparkSession, root: str) -> int | None:
-    """The pointed-to version. When the pointer is absent, first
-    recover the intended version from ``_latest.tmp`` - a crashed
+    """The pointed-to version. When the pointer is absent, read the
+    intended version from ``_latest.tmp`` - a crashed
     ``_write_pointer`` dies in the delete-then-rename window with no
     pointer but an intact tmp, and falling straight back to the
     on-disk MAX would, after a rollback, silently re-point the table
-    at the newer rolled-back-away snapshot. Only with neither file
+    at the newer rolled-back-away snapshot. The reader NEVER mutates:
+    renaming the tmp into place here would race a healthy writer's
+    own delete-then-rename and fail its swap spuriously - the next
+    ``_write_pointer`` overwrites the tmp and completes normally, so
+    read-only recovery is enough. Only with neither file readable
     does the reader fall back to the max on-disk version (first-ever
     publish mid-flight)."""
     jvm_path, fs = _vfs(spark, root)
     base = root.rstrip("/")
     ptr = jvm_path(base + "/_latest")
-    if fs.exists(ptr):
-        v = _read_pointer_file(fs, ptr)
-        if v is not None:
-            return v
-    else:
-        tmp = jvm_path(base + "/_latest.tmp")
+    # both probes tolerate the file vanishing between exists() and
+    # open() - a concurrent writer's swap window
+    try:
+        if fs.exists(ptr):
+            v = _read_pointer_file(fs, ptr)
+            if v is not None:
+                return v
+    except IOError:
+        pass
+    tmp = jvm_path(base + "/_latest.tmp")
+    try:
         if fs.exists(tmp):
             v = _read_pointer_file(fs, tmp)
             if v is not None and fs.exists(jvm_path(f"{base}/v={v}")):
-                fs.rename(tmp, ptr)  # finish the crashed swap
                 return v
+    except IOError:
+        pass
+    # the writer may have completed between the two probes
+    try:
+        if fs.exists(ptr):
+            v = _read_pointer_file(fs, ptr)
+            if v is not None:
+                return v
+    except IOError:
+        pass
     vs = list_versions(spark, root)
     return vs[-1] if vs else None
 
@@ -1374,10 +1392,12 @@ def purge_keys(
     a parquet audit table there (key_cols + partition_col +
     rows_purged + source='batch_purge'), the durable half the
     streaming twin (streaming.erasure.start_purge_with_audit) matches
-    with per-batch rows_suppressed. Counts come from the SAME
-    pre-publish scan as the manifest; the append happens only after a
-    successful publish, so a crash in between under-reports (never
-    over-reports) and the rerun - a no-op purge - appends nothing."""
+    with per-batch rows_suppressed. Both pre-publish aggregates (the
+    per-partition manifest and the per-key audit) read ONE persisted
+    pass of the narrow tagged projection (DISK_ONLY, released before
+    anything moves); the audit append happens only after a successful
+    publish, so a crash in between under-reports (never over-reports)
+    and the rerun - a no-op purge - appends nothing."""
     vacuum_maintenance(spark, path)
     # a purge that emptied the whole lake leaves a dir with no
     # partition children; the rerun must be the documented no-op,
@@ -1404,6 +1424,13 @@ def purge_keys(
             "left",
         )
     )
+    if audit_path is not None:
+        # the audit aggregate below re-reads the same narrow
+        # projection: stage it once (disk - the projection is
+        # lake-row-count sized) and release it before any publish
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.DISK_ONLY)
     per_part = (
         tagged.groupBy(partition_col)
         .agg(
@@ -1414,19 +1441,21 @@ def purge_keys(
         .orderBy(partition_col)
         .collect()
     )
-    if not per_part:
-        return []
     audit_rows = None
     if audit_path is not None:
-        # per-(key, partition) purge counts from the same pre-publish
-        # scan, collected driver-side BEFORE anything moves (erasure
-        # lists are subject-sized, so this is thousands of rows)
-        audit_rows = (
-            tagged.filter(F.col("_doom").isNotNull())
-            .groupBy(*key_cols, partition_col)
-            .agg(F.count(F.lit(1)).alias("rows_purged"))
-            .collect()
-        )
+        # per-(key, partition) purge counts from the same persisted
+        # pre-publish pass, collected driver-side BEFORE anything
+        # moves (erasure lists are subject-sized: thousands of rows)
+        if per_part:
+            audit_rows = (
+                tagged.filter(F.col("_doom").isNotNull())
+                .groupBy(*key_cols, partition_col)
+                .agg(F.count(F.lit(1)).alias("rows_purged"))
+                .collect()
+            )
+        tagged.unpersist()
+    if not per_part:
+        return []
     partial = [r[0] for r in per_part if r["_purged"] < r["_total"]]
     full = [r[0] for r in per_part if r["_purged"] == r["_total"]]
     if partial:

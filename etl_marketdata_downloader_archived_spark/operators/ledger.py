@@ -89,7 +89,6 @@ def _grouped_tier(i: DataFrame, o: DataFrame, key_cols: list[str]) -> DataFrame:
     # identical output schema by construction: borrow it from the
     # (never-executed) join-tier plan
     schema = _join_tier(i, o, key_cols).schema
-    n_keys = len(key_cols)
 
     def merge(left, right):
         import pandas as pd

@@ -160,8 +160,11 @@ def _decode_jpeg_header(b: bytes) -> dict | None:
             n_components = seg[5]
             return {
                 "modality_detected": (
+                    # all four progressive-DCT SOF variants (T.81
+                    # table B.1): plain/differential x Huffman/
+                    # arithmetic
                     "image/jpeg;progressive"
-                    if marker == 0xC2
+                    if marker in (0xC2, 0xC6, 0xCA, 0xCE)
                     else "image/jpeg"
                 ),
                 "width": width,

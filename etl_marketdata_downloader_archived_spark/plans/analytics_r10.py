@@ -420,3 +420,161 @@ def inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # last-row lookup needed
         F.sum("delta").alias("end_bal"),
     )
+
+
+@q(
+    "price_dispersion",
+    oracle="""
+    WITH x AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS HUGEINT) AS c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS n,
+               sum(c) AS s, sum(c * c) AS ss
+        FROM x GROUP BY 1
+    )
+    SELECT brand, n,
+           CAST(s // n AS BIGINT) AS mean_c,
+           CAST((n * ss - s * s) // (n * (n - 1)) AS BIGINT) AS var_c2
+    FROM m WHERE n > 1
+    """,
+)
+def price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price dispersion by EXACT integer moments: variance
+    of the discounted line price in cents^2 as
+
+        var = (n * sum(x^2) - sum(x)^2) / (n * (n - 1))
+
+    with every term held in DECIMAL(38,0)/HUGEINT (sum(x^2) passes
+    bigint range at ~1e19 on a 100 TB fact table; sum(x)^2 reaches
+    ~1e26) and the final division integer-truncating - the second-
+    moment extension of the engine's integer-moments recipe, zero
+    float accumulation anywhere. Single-line brands drop (variance
+    undefined at n=1).
+
+    Scale shape: one partial-combined brand aggregate over the fact
+    join (part UNHINTED); the moment algebra runs on 25 brand
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.expr(_CENTS).cast("decimal(38,0)").alias("c"),
+    )
+    m = x.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.expr("c * c")).alias("ss"),
+    )
+    return m.filter(F.col("n") > 1).select(
+        "brand",
+        "n",
+        F.expr("CAST(s DIV n AS BIGINT)").alias("mean_c"),
+        F.expr(
+            "CAST((n * ss - s * s) DIV (CAST(n AS DECIMAL(38,0))"
+            " * (n - 1)) AS BIGINT)"
+        ).alias("var_c2"),
+    )
+
+
+@q(
+    "order_lines_histogram",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               CAST(count(l.l_orderkey) AS BIGINT) AS n_lines
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    )
+    SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY 1
+    """,
+)
+def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order histogram INCLUDING the zero bucket: orders
+    with no line rows count at n_lines = 0 (a left join + count of
+    the nullable side - an inner-join histogram silently hides
+    exactly the orders most worth investigating). Exact bigints.
+
+    Scale shape: one key-partitioned left join + two partial-combined
+    aggregates; output bounded by the max basket size."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@q(
+    "weekly_active_overlap",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT o_custkey,
+               epoch_us(o_orderdate) // 604800000000 AS wk
+        FROM orders
+    ),
+    per_wk AS (
+        SELECT wk, CAST(count(*) AS BIGINT) AS n_active
+        FROM act GROUP BY 1
+    ),
+    ret AS (
+        SELECT a.wk, CAST(count(*) AS BIGINT) AS n_retained
+        FROM act a JOIN act b
+          ON a.o_custkey = b.o_custkey AND b.wk = a.wk + 1
+        GROUP BY 1
+    )
+    SELECT p.wk, p.n_active,
+           CAST(coalesce(nx.n_active, 0) AS BIGINT) AS n_active_next,
+           CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_retained
+    FROM per_wk p
+    LEFT JOIN per_wk nx ON nx.wk = p.wk + 1
+    LEFT JOIN ret r ON r.wk = p.wk
+    """,
+)
+def weekly_active_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week active-customer retention: per week, the exact
+    count of customers active that week, the next week, and in BOTH
+    (the set intersection a sketch would approximate - theta sketches
+    estimate this panel; this is its exact certificate). All bigint
+    set cardinalities, epoch-week integer division.
+
+    Scale shape: one distinct (customer, week) reduction, one
+    key-partitioned self-join shifted by a week, calendar-bounded
+    aggregates and output."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) DIV 604800000000"
+    )
+    act = o.select("o_custkey", wk.alias("wk")).distinct()
+    per_wk = act.groupBy("wk").agg(F.count(F.lit(1)).alias("n_active"))
+    b = act.select(
+        F.col("o_custkey"), (F.col("wk") - 1).alias("wk")
+    )
+    ret = (
+        act.join(b, ["o_custkey", "wk"])
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    nx = per_wk.select(
+        (F.col("wk") - 1).alias("wk"),
+        F.col("n_active").alias("n_active_next"),
+    )
+    return (
+        per_wk.join(nx, "wk", "left")
+        .join(ret, "wk", "left")
+        .select(
+            "wk",
+            "n_active",
+            F.coalesce("n_active_next", F.lit(0)).alias("n_active_next"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+        )
+    )

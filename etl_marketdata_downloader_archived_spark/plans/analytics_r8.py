@@ -1358,13 +1358,16 @@ def fd_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside fk_integrity's keys-EXIST gate. Each check is one
     partial-combined aggregate on its determinant; output is 5
     rows."""
-    # one narrow lineitem scan feeds BOTH lineitem FDs (their
-    # determinants differ, so the two shuffles are inherently
-    # separate, but the 4-column projection is shared via persist -
-    # the plan shows one parquet scan + an InMemoryRelation)
+    # the two lineitem FDs each scan their own NARROW projection (2
+    # columns, columnar): the r9 persist that shared the 4-column
+    # projection leaked a pinned InMemoryRelation into the caller's
+    # session (no lazy-return release point), and the r10 eager
+    # collect-and-rewrap that fixed the leak exempted the query from
+    # the explain scanner (a LocalRelation has no plan to scan). Two
+    # column-pruned scans cost less than either problem.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_partkey", "l_suppkey"
-    ).persist()
+    )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     p = load_table(spark, sf_dir, "part")
@@ -1388,16 +1391,7 @@ def fd_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cells[0]
     for cell in cells[1:]:
         out = out.unionByName(cell)
-    # the panel is 5 summary rows: materialize eagerly so the shared
-    # lineitem projection can be unpersisted HERE instead of leaking a
-    # pinned InMemoryRelation into the caller's session (the r9
-    # persist-lifecycle finding - harnesses clearCache between queries
-    # but a library consumer calling fd_panel repeatedly would
-    # accumulate). Same driver-side-result posture as the graph
-    # operators' bounded fast paths.
-    rows = out.collect()
-    li.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out
 
 
 @q(

@@ -21,8 +21,14 @@ forwards, and re-purging an already-doomed key is a no-op.
 Idempotent replay: both the data and audit sinks write to a
 ``batch=<id>`` subdirectory with overwrite, so an at-least-once
 ``foreachBatch`` replay rewrites the same files instead of
-double-appending (the file-sink replay rule). The doomed-key store
-fold is idempotent by construction (set union).
+double-appending (the file-sink replay rule) - and the store carries
+(key, doom_ts, doom_batch), not bare keys, so a replay of the batch
+that DOOMED a key (crash after the store publish, before the
+checkpoint commit) judges that batch's rows by timestamp exactly as
+the first run did instead of blanket-suppressing them under the
+carried doom; later batches suppress on the carried doom alone (the
+stateful twin's boolean). The store fold itself is idempotent
+(earliest doom wins; re-purges never update it).
 """
 
 from __future__ import annotations
@@ -72,30 +78,57 @@ def start_purge_with_audit(
             stored = spark.read.parquet(store_path)
         else:
             stored = spark.createDataFrame(
-                [], batch.select(F.col(key)).schema
+                [],
+                batch.select(
+                    F.col(key),
+                    F.col(ts).alias("_doom_ts"),
+                    F.lit(0).cast("long").alias("_doom_batch"),
+                ).schema,
             )
-        data = batch.filter(F.col(kind) != purge_value)
-        # suppressed = already-doomed keys (any ts) OR rows at/after
-        # this batch's first directive for the key (equal ts counts:
-        # the directive orders before data at a tie, matching the
-        # stateful twin's stable sort)
+        # a NULL kind is DATA (the stateful twin's pandas compare is
+        # null-false too); SQL `kind != 'purge'` alone would silently
+        # drop NULL-kind rows under three-valued logic
+        data = batch.filter(
+            F.col(kind).isNull() | (F.col(kind) != purge_value)
+        )
+        # suppressed = keys doomed in an EARLIER batch (any ts - the
+        # stateful twin's carried boolean) OR rows at/after the key's
+        # doom timestamp from THIS batch (equal ts counts: the
+        # directive orders before data at a tie). The store carries
+        # (_doom_ts, _doom_batch) precisely so a REPLAY of the batch
+        # that doomed a key - after a crash between the store publish
+        # and the checkpoint commit - recomputes the same _drop as the
+        # first run: rows of the dooming batch are judged by ts, rows
+        # of later batches by the carried doom.
         tagged = (
             data.join(
-                stored.select(F.col(key)).withColumn("_old", F.lit(1)),
+                F.broadcast(
+                    stored.select(
+                        F.col(key),
+                        F.col("_doom_ts").alias("_old_ts"),
+                        F.col("_doom_batch").alias("_old_batch"),
+                    )
+                ),
                 key,
                 "left",
             )
             .join(F.broadcast(directives), key, "left")
             .withColumn(
                 "_drop",
-                F.col("_old").isNotNull()
+                (F.col("_old_batch") < F.lit(batch_id))
+                | (
+                    (F.col("_old_batch") == F.lit(batch_id))
+                    & (F.col(ts) >= F.col("_old_ts"))
+                )
                 | (
                     F.col("_doom_ts").isNotNull()
                     & (F.col(ts) >= F.col("_doom_ts"))
                 ),
             )
         )
-        survivors = tagged.filter(~F.col("_drop")).select(*data_cols)
+        survivors = tagged.filter(
+            ~F.coalesce(F.col("_drop"), F.lit(False))
+        ).select(*data_cols)
         audit = (
             tagged.filter(F.col("_drop"))
             .groupBy(key)
@@ -114,16 +147,25 @@ def start_purge_with_audit(
             ).write.mode("overwrite").parquet(
                 f"{audit_path.rstrip('/')}/batch={batch_id}"
             )
-        # fold the new dooms into the store LAST: a crash before this
-        # point replays the batch against the old store and rewrites
-        # identical outputs (set-union idempotence)
-        new_keys = directives.select(key).join(
-            stored.select(key), key, "left_anti"
+        # fold the new dooms into the store LAST, stamped with the
+        # dooming batch + first directive ts: a crash before this
+        # point replays against the old store, a crash AFTER it
+        # replays against the new store - both recompute identical
+        # outputs (see the _drop derivation above). Re-purges of an
+        # already-doomed key never update the store (earliest doom
+        # wins), so they stay no-ops.
+        new_keys = (
+            directives.join(stored.select(key), key, "left_anti")
+            .select(
+                F.col(key),
+                F.col("_doom_ts"),
+                F.lit(batch_id).cast("long").alias("_doom_batch"),
+            )
         )
         if new_keys.limit(1).count() > 0:
             new_store = spark.createDataFrame(
-                stored.select(key).unionByName(new_keys).collect(),
-                stored.select(key).schema,
+                stored.unionByName(new_keys).collect(),
+                stored.schema,
             )
             publish_small_table(new_store, store_path)
 

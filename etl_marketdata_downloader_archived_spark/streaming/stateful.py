@@ -921,6 +921,93 @@ def streaming_purge_filter(
     )
 
 
+def streaming_running_balance(
+    df: DataFrame,
+    key: str,
+    seq: str,
+    delta: str,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the running-balance panel
+    (plans.analytics_r10.inventory_balance's core): signed movement
+    rows fold into per-key state (balance, running min/max, move
+    count) and every TOUCHED key re-emits its current panel row per
+    micro-batch - the live stock-out / overstock radar, where the
+    batch query is the nightly one.
+
+    Rows fold in ``seq`` order within each batch; like
+    streaming_fifo/streaming_ewma, a later batch delivering a smaller
+    seq than an already-folded row of the same key diverges from the
+    batch operator (the arrival-order caveat). Deltas must be
+    integral (bigint state; the loud-failure rule streaming_fifo
+    sets). Last emission per key == the batch panel over the
+    concatenated stream (the pytest twin). State is four scalars per
+    key; ``state_ttl_ms`` ages out idle keys on continuous streams
+    (after which a key's balance restarts from zero - use only when
+    the ledger is naturally windowed)."""
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    k_t = in_schema[key]
+    out_schema = (
+        f"{key} {k_t}, n_moves long, min_bal long, max_bal long, "
+        "end_bal long"
+    )
+    use_ttl = state_ttl_ms is not None
+
+    def update(
+        key_t: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        if state.exists:
+            bal, mn, mx, n = state.get
+        else:
+            bal, mn, mx, n = 0, None, None, 0
+        pdf = pdf.sort_values(seq, ignore_index=True)
+        for d in pdf[delta].tolist():
+            if d != int(d):
+                raise ValueError(
+                    f"streaming_running_balance: non-integral delta "
+                    f"{d!r} for key {key_t[0]!r} - bigint state "
+                    "requires integer movements"
+                )
+            bal += int(d)
+            mn = bal if mn is None else min(mn, bal)
+            mx = bal if mx is None else max(mx, bal)
+            n += 1
+        state.update((bal, mn, mx, n))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    key: key_t[0],
+                    "n_moves": n,
+                    "min_bal": mn,
+                    "max_bal": mx,
+                    "end_bal": bal,
+                }
+            ]
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="bal long, mn long, mx long, n long",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def streaming_debounce(
     df: DataFrame,
     key_cols: list[str],

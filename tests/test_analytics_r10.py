@@ -295,3 +295,94 @@ def test_sorted_neighborhood_pairs_semantics(spark) -> None:
     assert adj == {(1, 2), (2, 3), (3, 4)}
     with _pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, "id", "name", window=0)
+
+
+def test_price_dispersion_vs_python(spark, sf_dir) -> None:
+    """Integer-moment variance vs a pure python replay: same cents
+    fix-point, same n*ss - s^2 numerator, same truncating division
+    (python ints are arbitrary-precision - the replay is exact by
+    construction, so any Spark/DuckDB overflow would surface here)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).collect()
+    brand_of = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        price_dispersion,
+    )
+
+    mom: dict = defaultdict(lambda: [0, 0, 0])  # n, s, ss
+    for r in li:
+        c = _line_cents(r)
+        m = mom[brand_of[r.l_partkey]]
+        m[0] += 1
+        m[1] += c
+        m[2] += c * c
+    want = {}
+    for b, (n, s, ss) in mom.items():
+        if n > 1:
+            want[b] = (n, s // n, (n * ss - s * s) // (n * (n - 1)))
+    got = {
+        r.brand: (r.n, r.mean_c, r.var_c2)
+        for r in price_dispersion(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_order_lines_histogram_vs_python(spark, sf_dir) -> None:
+    """Histogram vs a Counter replay - including that lineless orders
+    land in the zero bucket rather than vanishing."""
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        order_lines_histogram,
+    )
+
+    per_order: dict = Counter()
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey"
+    ).collect():
+        per_order[r.l_orderkey] += 1
+    orders = [
+        r.o_orderkey
+        for r in load_table(spark, sf_dir, "orders").collect()
+    ]
+    want = Counter(per_order.get(ok, 0) for ok in orders)
+    got = {
+        r.n_lines: r.n_orders
+        for r in order_lines_histogram(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    # the panel covers every order exactly once
+    assert sum(got.values()) == len(orders)
+
+
+def test_weekly_active_overlap_vs_python(spark, sf_dir) -> None:
+    """Retention panel vs a set replay: per-week active sets, their
+    next-week cardinality, and the exact intersection count."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        weekly_active_overlap,
+    )
+
+    act: dict = defaultdict(set)
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect():
+        act[
+            int(r.o_orderdate.timestamp() * 1_000_000) // WEEK_US
+        ].add(r.o_custkey)
+    want = {
+        wk: (
+            len(s),
+            len(act.get(wk + 1, ())),
+            len(s & act.get(wk + 1, set())),
+        )
+        for wk, s in act.items()
+    }
+    got = {
+        r.wk: (r.n_active, r.n_active_next, r.n_retained)
+        for r in weekly_active_overlap(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -1393,6 +1393,7 @@ def _encode_jpeg_header(
     n_components: int = 3,
     progressive: bool = False,
     extra_app_bytes: bytes = b"JFIF\x00",
+    sof_marker: int | None = None,
 ) -> bytes:
     """Independent spec-written JPEG header builder (ITU-T T.81
     B.2.2): SOI + APP0 + DQT filler + SOF0/SOF2 + SOS stub + EOI.
@@ -1409,7 +1410,10 @@ def _encode_jpeg_header(
     sof = struct.pack(">BHHB", 8, height, width, n_components)
     for i in range(n_components):
         sof += bytes([i + 1, 0x11, 0])  # id, sampling 1x1, quant table
-    out += seg(0xC2 if progressive else 0xC0, sof)
+    marker = sof_marker if sof_marker is not None else (
+        0xC2 if progressive else 0xC0
+    )
+    out += seg(marker, sof)
     sos = bytes([n_components])
     for i in range(n_components):
         sos += bytes([i + 1, 0])
@@ -1441,9 +1445,11 @@ def test_decode_media_jpeg_header_tier(spark) -> None:
     with_rst = base[:2] + b"\xff\xd0" + base[2:]
     trunc = base[: base.index(b"\xff\xc0") + 5]  # cut inside the SOF
     no_sof = b"\xff\xd8" + b"\xff\xd9"  # SOI straight to EOI
+    prog_arith = _encode_jpeg_header(9, 9, 1, sof_marker=0xCA)
     rows = [
         ("base", "image", bytearray(base)),
         ("prog", "image", bytearray(prog)),
+        ("prog_arith", "image", bytearray(prog_arith)),
         ("gray", "image", bytearray(gray)),
         ("cmyk", "image", bytearray(cmyk)),
         ("rst", "image", bytearray(with_rst)),
@@ -1468,6 +1474,8 @@ def test_decode_media_jpeg_header_tier(spark) -> None:
     r = got["prog"]
     assert r.modality_detected == "image/jpeg;progressive"
     assert (r.width, r.height, r.n_channels) == (31, 17, 1)
+    assert got["prog_arith"].modality_detected == "image/jpeg;progressive"
+    assert (got["prog_arith"].width, got["prog_arith"].height) == (9, 9)
     assert got["trunc"].modality_detected == "corrupt/jpeg"
     assert got["no_sof"].modality_detected == "corrupt/jpeg"
     # bytes + checksum survive even for the corrupt ones
@@ -1605,13 +1613,23 @@ def test_latest_version_recovers_crashed_pointer_swap(spark, tmp_path) -> None:
         if p.exists():
             os.remove(p)
     assert latest_version(spark, root) == 1  # intent, NOT max (3)
-    # and the pointer was repaired: tmp gone, plain read returns 1
+    # the reader NEVER mutates (a repair rename would race a healthy
+    # writer's swap): the tmp stays, reads stay consistent, and the
+    # next pointer write completes the swap normally
+    assert (tmp_path / "t" / "_latest.tmp").exists()
+    assert not (tmp_path / "t" / "_latest").exists()
+    assert latest_version(spark, root) == 1
+    rollback_version(spark, root, 1)
     assert not (tmp_path / "t" / "_latest.tmp").exists()
     assert (tmp_path / "t" / "_latest").exists()
     assert latest_version(spark, root) == 1
     # a tmp naming a version that never landed is ignored -> max
     (tmp_path / "t" / "_latest.tmp").write_text("42\n")
     os.remove(tmp_path / "t" / "_latest")
+    for crc in ("._latest.crc",):
+        p = tmp_path / "t" / crc
+        if p.exists():
+            os.remove(p)
     assert latest_version(spark, root) == 3
 
 

@@ -1044,7 +1044,7 @@ def test_purge_audit_twins_reconcile(spark, tmp_path) -> None:
     b1 = [("k1", "data", 1), ("k1", "data", 2), ("k1", "purge", 3),
           ("k1", "data", 3), ("k1", "data", 4), ("k2", "data", 1)]
     b2 = [("k1", "data", 5), ("k3", "data", 1), ("k3", "purge", 1),
-          ("k2", "data", 2)]
+          ("k2", "data", 2), ("k2", None, 6)]  # NULL kind = data
     b3 = [("k1", "data", 6), ("k3", "data", 2), ("k2", "data", 3),
           ("k1", "purge", 7)]  # re-purge: no-op
     src = tmp_path / "gdpr_src"
@@ -1085,9 +1085,12 @@ def test_purge_audit_twins_reconcile(spark, tmp_path) -> None:
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     # hand-derived: k1 passes ts1,2 (before the directive; ts3 ties
-    # and drops), k2 everything, k3 nothing (directive ties its row)
+    # and drops), k2 everything incl. the NULL-kind row (SQL
+    # kind != 'purge' alone would null-drop it; the stateful twin
+    # forwards it), k3 nothing (directive ties its row)
     assert survivors == [
-        ("k1", 1), ("k1", 2), ("k2", 1), ("k2", 2), ("k2", 3)
+        ("k1", 1), ("k1", 2), ("k2", 1), ("k2", 2), ("k2", 3),
+        ("k2", 6),
     ]
 
     audit = spark.read.parquet(str(tmp_path / "audit")).collect()
@@ -1144,3 +1147,132 @@ def test_purge_audit_twins_reconcile(spark, tmp_path) -> None:
     for k in ("k1", "k3"):
         assert batch_purged[k] == stream_suppressed[k] + surv_count[k]
     assert "k2" not in batch_purged and "k2" not in stream_suppressed
+
+    # crash-replay idempotence for the POST-store-publish window: the
+    # store already carries k1's doom (stamped with its dooming batch
+    # + directive ts), the batch-0 checkpoint is gone - replaying
+    # batch 0 against the doomed store must rewrite IDENTICAL batch-0
+    # outputs (survivors judged by ts within the dooming batch, not
+    # blanket-suppressed by the carried doom), not truncate them
+    import shutil
+
+    b0_out = spark.read.parquet(str(tmp_path / "out" / "batch=0"))
+    before = sorted((r.k, r.ts) for r in b0_out.collect())
+    only_b1 = tmp_path / "gdpr_replay"
+    only_b1.mkdir()
+    shutil.copy(src / "b1.json", only_b1 / "b1.json")
+    q3 = start_purge_with_audit(
+        spark.readStream.format("text").load(str(only_b1)).select(
+            F.from_json(
+                "value", "k STRING, kind STRING, ts LONG"
+            ).alias("j")
+        ).select("j.*"),
+        key="k",
+        kind="kind",
+        ts="ts",
+        out_path=str(tmp_path / "out"),
+        audit_path=str(tmp_path / "audit"),
+        store_path=str(tmp_path / "doomed"),
+        checkpoint=str(tmp_path / "ckpt_replay"),
+    )
+    q3.awaitTermination(120)
+    after = sorted(
+        (r.k, r.ts)
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "batch=0")
+        ).collect()
+    )
+    assert after == before == [("k1", 1), ("k1", 2), ("k2", 1)]
+    replay_audit = {
+        (r.k, r.rows_suppressed)
+        for r in spark.read.parquet(
+            str(tmp_path / "audit" / "batch=0")
+        ).collect()
+    }
+    assert replay_audit == {("k1", 2)}
+
+
+def test_streaming_running_balance_equals_batch(spark, tmp_path) -> None:
+    """Running-balance panels across three micro-batches: last
+    emission per key == the batch panel over the concatenated
+    movements (min/max track the running path, not the per-batch
+    paths), negatives dip below zero, and a fractional delta fails
+    loudly."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.streaming.stateful import (
+        streaming_running_balance,
+    )
+
+    b1 = [("p1", 1, 5), ("p1", 2, -3), ("p2", 1, 4)]
+    b2 = [("p1", 3, -4), ("p2", 2, -1)]   # p1 dips to -2
+    b3 = [("p1", 4, 10), ("p2", 3, 2)]
+    src = tmp_path / "moves"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2, b3), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"k": k, "seq": s, "d": d}) for k, s, d in rows
+            )
+        )
+        time.sleep(1.1)
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    mv = raw.select(
+        F.from_json("value", "k STRING, seq LONG, d LONG").alias("j")
+    ).select("j.*")
+    q = (
+        streaming_running_balance(mv, "k", "seq", "d")
+        .writeStream.format("memory")
+        .queryName("bal_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from bal_out").collect()
+    last = {}
+    for r in sorted(rows, key=lambda r: r.n_moves):
+        last[r.k] = (r.n_moves, r.min_bal, r.max_bal, r.end_bal)
+    # batch replay over the concatenated movements, per key in seq order
+    want = {}
+    per_key: dict = {}
+    for k, s, d in b1 + b2 + b3:
+        per_key.setdefault(k, []).append((s, d))
+    for k, moves in per_key.items():
+        moves.sort()
+        bal, mn, mx = 0, None, None
+        for _, d in moves:
+            bal += d
+            mn = bal if mn is None else min(mn, bal)
+            mx = bal if mx is None else max(mx, bal)
+        want[k] = (len(moves), mn, mx, bal)
+    assert last == want
+    assert last["p1"] == (4, -2, 8, 8)  # the cross-batch dip
+
+    # fractional delta -> loud failure (the streaming_fifo rule)
+    (src / "b4.json").write_text(json.dumps({"k": "p1", "seq": 9, "d": 1}))
+    frac_src = tmp_path / "fracmoves"
+    frac_src.mkdir()
+    (frac_src / "b1.json").write_text(
+        json.dumps({"k": "p9", "seq": 1, "d": 2.5})
+    )
+    raw2 = spark.readStream.format("text").load(str(frac_src))
+    mv2 = raw2.select(
+        F.from_json("value", "k STRING, seq LONG, d DOUBLE").alias("j")
+    ).select("j.*")
+    q2 = (
+        streaming_running_balance(mv2, "k", "seq", "d")
+        .writeStream.format("memory")
+        .queryName("bal_frac_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="non-integral delta"):
+        q2.awaitTermination(120)
+        if q2.exception() is not None:
+            raise q2.exception()
