@@ -442,6 +442,76 @@ DIRECTED: list[tuple[str, str, str]] = [
         "exists. The COMMENT sibling of broken-tag-eof (which pins "
         "the incomplete START TAG at EOF). Expected: c1.",
     ),
+    # round-10 additions: six more documented-rule corners
+    (
+        "pi-ends-at-first-gt",
+        '<?x junk <a href="pi1">'
+        '<a href="real10">t</a></body></html>',
+        "A processing instruction ends at the FIRST '>' (CPython "
+        "Lib/html/parser.py parse_pi searches piclose = "
+        "re.compile('>'), NOT the XML '?>'), and handle_pi content "
+        "is opaque (Python html.parser docs) - so an anchor whose "
+        "'<' falls inside the PI is swallowed up to that first '>', "
+        "which here is the '>' closing the pi1 tag itself; the "
+        "parser resumes in DATA after it and the next anchor "
+        "tokenizes normally. Expected: only real10.",
+    ),
+    (
+        "attr-value-newline-preserved",
+        '<html><body><a href="li\nne?a\tb">t</a></body></html>',
+        "Third DELIBERATE browser-divergence pin: HTML5 URL "
+        "processing strips tabs and newlines inside attribute "
+        "values used as URLs, but the tokenizer's quoted-value "
+        "pattern (CPython Lib/html/parser.py attrfind_tolerant, "
+        "'[^\"]*' for double quotes) is a character CLASS - it "
+        "matches newline and tab verbatim and no normalization "
+        "pass follows (Python html.parser docs list none). "
+        "Expected href: 'li\\nne?a\\tb' byte-for-byte.",
+    ),
+    (
+        "semicolonless-entity-attr",
+        '<html><body><a href="q?a&ampb&ltc">t</a></body></html>',
+        "Fourth browser-divergence pin: html.unescape 'converts all "
+        "named ... character references' including the HTML5 table's "
+        "semicolon-less forms (html docs; the table maps '&amp' and "
+        "'&lt' without ';'), and parse_starttag unescapes attribute "
+        "values through it - whereas the HTML5 ATTRIBUTE rule "
+        "suppresses the conversion when an alphanumeric follows. "
+        "'&ampb' -> '&b', '&ltc' -> '<c'. Expected href: 'q?a&b<c'.",
+    ),
+    (
+        "uppercase-rawtext-end",
+        '<html><body><script><a href="s1">x</SCRIPT>'
+        '<a href="real11">t</a></body></html>',
+        "Raw-text mode ends case-insensitively: set_cdata_mode "
+        "compiles its closing pattern with re.IGNORECASE (CPython "
+        "Lib/html/parser.py), so </SCRIPT> terminates the script "
+        "raw-text state opened by <script> - the anchor INSIDE the "
+        "raw text never tokenizes, the one after the uppercase end "
+        "tag does. Expected: only real11.",
+    ),
+    (
+        "nested-anchors-both-found",
+        '<html><body><a href="o1"><a href="o2">t</a></a></body></html>',
+        "Fifth browser-divergence pin: HTML5 tree construction "
+        "auto-closes an open <a> when a new one starts (the 'active "
+        "formatting elements' rules), but html.parser is a TOKENIZER "
+        "with no implied-end-tag pass (Python html.parser docs: 'is "
+        "not based on the DOM') and bs4's html.parser builder keeps "
+        "both start-tag events - find_all sees two anchors. "
+        "Expected: o1, o2.",
+    ),
+    (
+        "bare-lt-is-data",
+        '<html><body>3 < 4 <a href="real12">t</a></body></html>',
+        "A '<' NOT followed by a tag-opening character is literal "
+        "data: the tokenizer's goahead loop only enters tag state "
+        "when the '<' prefix matches a start tag, end tag, "
+        "declaration, comment, or PI opening (CPython "
+        "Lib/html/parser.py goahead; the docs' tolerance for "
+        "'invalid markup') - '< 4 ' is emitted as text and the "
+        "following real tag tokenizes normally. Expected: real12.",
+    ),
 ]
 
 
