@@ -1301,6 +1301,73 @@ def vacuum_versions(
     return doomed
 
 
+def merge_version(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: list[str],
+    op_col: str | None = None,
+    delete_value: str = "delete",
+) -> int:
+    """MERGE INTO for a versioned table: read the pointed-to snapshot,
+    apply ``updates`` (update rows replace their key's current row,
+    new keys insert, and - with ``op_col`` - rows whose op equals
+    ``delete_value`` remove the key), publish the result as the next
+    version, and move the pointer. Returns the new version number.
+
+    This is the composition that makes the plain-parquet versioned
+    table behave like a Delta/Iceberg MERGE + time travel pair: the
+    previous snapshot stays pinned-readable, ``version_cdc`` yields
+    exactly the applied row delta, and ``rollback_version`` undoes the
+    merge without data movement. Intra-batch duplicates on a key are
+    refused (a MERGE whose source matches a target row twice is
+    ambiguous - the ANSI MERGE cardinality error, enforced here the
+    loud way).
+
+    Scale note: versioned tables snapshot WHOLE tables, so this is the
+    dimension/control-table tier (the docstring contract
+    publish_version sets); fact-scale mutation is merge_partitioned's
+    partition-scoped job."""
+    data_cols = [c for c in updates.columns if c != op_col]
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_version: updates contain multiple rows for key "
+            f"{tuple(dup[0][k] for k in keys)!r} - MERGE cardinality "
+            "is ambiguous (collapse the batch to one row per key "
+            "first, e.g. io.latest_per_key)"
+        )
+    current = read_version(spark, root) if list_versions(spark, root) else None
+    if op_col is not None:
+        deletes = updates.filter(F.col(op_col) == delete_value).select(*keys)
+        upserts = updates.filter(
+            F.col(op_col).isNull() | (F.col(op_col) != delete_value)
+        ).select(*data_cols)
+    else:
+        deletes = None
+        upserts = updates.select(*data_cols)
+    if current is None:
+        merged = upserts
+    else:
+        kept = current.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        )
+        merged = kept.unionByName(upserts)
+    # driver-side materialization before the publish would be wrong
+    # here (snapshots can be larger than control tables); the stage
+    # write inside publish_version is itself the barrier - it fully
+    # executes the read of the CURRENT version into _stage_v<N+1>
+    # before the pointer moves, and the old snapshot's files are
+    # never touched.
+    return publish_version(merged, root)
+
+
 def version_cdc(
     spark: SparkSession,
     root: str,

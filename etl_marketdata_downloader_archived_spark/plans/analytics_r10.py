@@ -578,3 +578,60 @@ def weekly_active_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
         )
     )
+
+
+@q(
+    "win_navigation",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderdate
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, cents,
+           first_value(cents) OVER w AS first_c,
+           last_value(cents) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS last_c,
+           nth_value(cents, 2) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS second_c
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The navigation window functions certified as the LITERAL SQL
+    functions (the same completion win_distribution gave the
+    distribution family): per customer ordered by (orderdate,
+    orderkey) - a unique total order - first_value on the default
+    running frame, and last_value / nth_value(2) on an explicit
+    whole-partition frame (the default frame's last_value is the
+    CURRENT row, the classic SQL footgun; the whole-partition frame
+    is computed once per partition, so the engine-wide quadratic
+    forward-frame ban does not apply). All exact int-cents values.
+
+    Scale shape: one partitioned window sort shared by all three
+    functions; no global window, no forward running frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderdate",
+    )
+    running = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    whole = running.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.first("cents").over(running).alias("first_c"),
+        F.last("cents").over(whole).alias("last_c"),
+        F.nth_value("cents", 2).over(whole).alias("second_c"),
+    )

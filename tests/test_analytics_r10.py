@@ -386,3 +386,35 @@ def test_weekly_active_overlap_vs_python(spark, sf_dir) -> None:
         for r in weekly_active_overlap(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_win_navigation_vs_python(spark, sf_dir) -> None:
+    """first/last/nth window navigation vs an ordered replay: the
+    running frame's first_value, the whole-partition frame's
+    last_value and nth_value(2) (NULL for single-order customers)."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        win_navigation,
+    )
+
+    per_cust: dict = defaultdict(list)
+    for r in load_table(spark, sf_dir, "orders").collect():
+        per_cust[r.o_custkey].append(
+            (r.o_orderdate, r.o_orderkey, _half_up(r.o_totalprice * 100))
+        )
+    want = {}
+    for ck, rows in per_cust.items():
+        rows.sort()
+        cents = [c for _, _, c in rows]
+        for _, ok, c in rows:
+            want[ok] = (
+                ck,
+                c,
+                cents[0],
+                cents[-1],
+                cents[1] if len(cents) > 1 else None,
+            )
+    got = {
+        r.o_orderkey: (r.o_custkey, r.cents, r.first_c, r.last_c, r.second_c)
+        for r in win_navigation(spark, sf_dir).collect()
+    }
+    assert got == want

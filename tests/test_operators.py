@@ -2101,3 +2101,54 @@ def test_pps_systematic_small_stratum_fails_loudly(spark) -> None:
     df = spark.createDataFrame(rows, "src string, id int, w long")
     with _pytest.raises(Exception, match="stratum tiny has total weight < k"):
         pps_systematic(df, "id", "src", "w", k=4).collect()
+
+
+def test_merge_version_time_travel_and_cdc(spark, tmp_path) -> None:
+    """MERGE on a versioned table: upserts replace, inserts add,
+    deletes remove, the pre-merge snapshot stays pinned-readable,
+    version_cdc reports exactly the applied delta, rollback undoes the
+    merge, duplicate-key update batches are refused, and a first
+    merge on an empty root bootstraps version 1."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        merge_version,
+        read_version,
+        rollback_version,
+        version_cdc,
+    )
+
+    root = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", None)],
+        "id bigint, tag string, op string",
+    )
+    # bootstrap on empty root (op column present but all upserts)
+    assert merge_version(spark, root, base, ["id"], op_col="op") == 1
+    upd = spark.createDataFrame(
+        [(2, "B2", None), (4, "d", None), (3, None, "delete")],
+        "id bigint, tag string, op string",
+    )
+    assert merge_version(spark, root, upd, ["id"], op_col="op") == 2
+    got = {r.id: r.tag for r in read_version(spark, root).collect()}
+    assert got == {1: "a", 2: "B2", 4: "d"}
+    # the previous snapshot is still pinned-readable
+    v1 = {r.id: r.tag for r in read_version(spark, root, 1).collect()}
+    assert v1 == {1: "a", 2: "b", 3: "c"}
+    # CDC between the snapshots is exactly the applied delta
+    cdc = {
+        (r.id, r.change)
+        for r in version_cdc(spark, root, key_cols=["id"]).collect()
+    }
+    assert cdc == {(2, "changed"), (3, "removed"), (4, "added")}
+    # rollback undoes the merge without data movement
+    rollback_version(spark, root, 1)
+    assert {
+        r.id for r in read_version(spark, root).collect()
+    } == {1, 2, 3}
+    # ambiguous batch: two rows for one key -> loud refusal
+    dup = spark.createDataFrame(
+        [(5, "x", None), (5, "y", None)], "id bigint, tag string, op string"
+    )
+    with _pytest.raises(ValueError, match="MERGE cardinality"):
+        merge_version(spark, root, dup, ["id"], op_col="op")
