@@ -635,3 +635,195 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("cents").over(whole).alias("last_c"),
         F.nth_value("cents", 2).over(whole).alias("second_c"),
     )
+
+
+@q(
+    "skipgram_transitions",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events
+    ),
+    nxt AS (
+        SELECT user_id, event_type AS src,
+               lead(event_type, 1) OVER w AS n1,
+               lead(event_type, 2) OVER w AS n2,
+               lead(event_type, 3) OVER w AS n3
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+        SELECT user_id, src, 1 AS gap, n1 AS dst FROM nxt WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT user_id, src, 2, n2 FROM nxt WHERE n2 IS NOT NULL
+        UNION ALL
+        SELECT user_id, src, 3, n3 FROM nxt WHERE n3 IS NOT NULL
+    )
+    SELECT src, dst, CAST(gap AS INT) AS gap,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1, 2, 3
+    """,
+)
+def skipgram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram event transitions: (src, dst) counts at forward
+    offsets 1..3 within each user's timeline - the context-window
+    generalization of markov_transitions' adjacent-only pairs (the
+    co-occurrence statistic sequence-embedding pipelines train on,
+    and a funnel diagnostic that sees A->...->B through one
+    interleaved step). Deterministic (ts, event_id) order.
+
+    Scale shape: the three leads share ONE window sort per user
+    (three offsets of the same frame - the indicator_panel collapsed-
+    window discipline); the pair fan-out is exactly 3x events, and
+    the aggregate is partial-combined with a (types^2 x 3)-bounded
+    output."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("n1"),
+        F.lead("event_type", 2).over(w).alias("n2"),
+        F.lead("event_type", 3).over(w).alias("n3"),
+    )
+    pairs = None
+    for gap in (1, 2, 3):
+        part = nxt.filter(F.col(f"n{gap}").isNotNull()).select(
+            "src",
+            F.col(f"n{gap}").alias("dst"),
+            F.lit(gap).cast("int").alias("gap"),
+        )
+        pairs = part if pairs is None else pairs.unionByName(part)
+    return pairs.groupBy("src", "dst", "gap").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@q(
+    "segment_brand_diversity",
+    oracle="""
+    WITH b AS (
+        SELECT c.c_mktsegment AS segment, p.p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT segment, CAST(sum(n) AS BIGINT) AS total,
+               CAST(sum(n * n) AS BIGINT) AS ss,
+               CAST(count(*) AS BIGINT) AS n_brands
+        FROM b GROUP BY 1
+    )
+    SELECT segment, total, n_brands,
+           1.0 - CAST(ss AS DOUBLE) / (CAST(total AS DOUBLE)
+                                       * CAST(total AS DOUBLE))
+               AS simpson_diversity
+    FROM m
+    """,
+)
+def segment_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-mix diversity per market segment by the Gini-Simpson
+    index 1 - sum(p_b^2) - the transcendental-free diversity measure
+    (Shannon entropy needs logs; Simpson is pure integer moments +
+    one IEEE division/multiplication chain, so it replays bit-equal:
+    the distinctive_tokens design rule applied to concentration).
+    Complements concentration_hhi (which reports the same moment as
+    market concentration) with the segment x brand purchase mix.
+
+    Scale shape: fact join (dims UNHINTED where they scale), one
+    partial-combined (segment, brand) count, 5-row moment algebra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = b.groupBy("segment").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.count(F.lit(1)).alias("n_brands"),
+    )
+    return m.select(
+        "segment",
+        "total",
+        "n_brands",
+        (
+            F.lit(1.0)
+            - F.col("ss").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("simpson_diversity"),
+    )
+
+
+@q(
+    "backlog_aging",
+    oracle="""
+    WITH mx AS (
+        SELECT max(o_orderdate) AS now FROM orders
+    ),
+    open_orders AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(mx.now AS DATE)) AS BIGINT) AS age_d,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o CROSS JOIN mx
+        WHERE o.o_orderstatus <> 'F'
+    )
+    SELECT priority,
+           CASE WHEN age_d <= 30 THEN '0-30'
+                WHEN age_d <= 90 THEN '31-90'
+                WHEN age_d <= 365 THEN '91-365'
+                ELSE '365+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS value_c
+    FROM open_orders GROUP BY 1, 2
+    """,
+)
+def backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: non-finalized orders (o_orderstatus
+    <> 'F') bucketed by whole days outstanding at the corpus's latest
+    order date, by priority - the operations AR-aging staple. Integer
+    day diffs against a one-row anchor (broadcast global aggregate,
+    auto-exempt), exact cents.
+
+    Scale shape: one filter + one-row anchor crossJoin + one
+    partial-combined aggregate; output is priority x 4 buckets."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("now"))
+    age = F.datediff(
+        F.col("now").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("bigint")
+    bucket = (
+        F.when(F.col("age_d") <= 30, "0-30")
+        .when(F.col("age_d") <= 90, "31-90")
+        .when(F.col("age_d") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            age.alias("age_d"),
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("priority", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("value_c"),
+        )
+    )

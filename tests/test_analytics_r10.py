@@ -418,3 +418,104 @@ def test_win_navigation_vs_python(spark, sf_dir) -> None:
         for r in win_navigation(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_skipgram_transitions_vs_python(spark, sf_dir) -> None:
+    """Skip-gram pair counts vs an ordered replay at offsets 1..3."""
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        skipgram_transitions,
+    )
+
+    per_user: dict = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect():
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want: Counter = Counter()
+    for rows in per_user.values():
+        rows.sort()
+        types = [t for _, _, t in rows]
+        for i, src in enumerate(types):
+            for gap in (1, 2, 3):
+                if i + gap < len(types):
+                    want[(src, types[i + gap], gap)] += 1
+    got = {
+        (r.src, r.dst, r.gap): r.n_pairs
+        for r in skipgram_transitions(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+
+
+def test_segment_brand_diversity_vs_python(spark, sf_dir) -> None:
+    """Gini-Simpson index vs an integer-moment replay (same single
+    IEEE expression over exact bigints - scores compare equal)."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        segment_brand_diversity,
+    )
+
+    seg_of = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    cust_of = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    brand_of = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    counts: dict = defaultdict(int)
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        seg = seg_of[cust_of[r.l_orderkey]]
+        counts[(seg, brand_of[r.l_partkey])] += 1
+    mom: dict = defaultdict(lambda: [0, 0, 0])
+    for (seg, _), n in counts.items():
+        m = mom[seg]
+        m[0] += n
+        m[1] += n * n
+        m[2] += 1
+    want = {
+        seg: (t, nb, 1.0 - float(ss) / (float(t) * float(t)))
+        for seg, (t, ss, nb) in mom.items()
+    }
+    got = {
+        r.segment: (r.total, r.n_brands, r.simpson_diversity)
+        for r in segment_brand_diversity(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_backlog_aging_vs_python(spark, sf_dir) -> None:
+    """Aging buckets vs a date replay: whole-day diffs against the
+    corpus max order date, non-finalized orders only."""
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        backlog_aging,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    now = max(r.o_orderdate for r in orders).date()
+    want_n: Counter = Counter()
+    want_c: Counter = Counter()
+    for r in orders:
+        if r.o_orderstatus == "F":
+            continue
+        age = (now - r.o_orderdate.date()).days
+        b = (
+            "0-30" if age <= 30 else
+            "31-90" if age <= 90 else
+            "91-365" if age <= 365 else "365+"
+        )
+        want_n[(r.o_orderpriority, b)] += 1
+        want_c[(r.o_orderpriority, b)] += _half_up(r.o_totalprice * 100)
+    got = {
+        (r.priority, r.age_bucket): (r.n_orders, r.value_c)
+        for r in backlog_aging(spark, sf_dir).collect()
+    }
+    assert got == {k: (want_n[k], want_c[k]) for k in want_n}

@@ -68,6 +68,14 @@ HEADLINE = [
     "join_salted",
     "fifo_allocation",
     "segment_migration",
+    # round-10 families: bounded-window topn fold, in-row SNM
+    # neighbor join, shared-sort skip-grams, per-part running balance,
+    # corpus-vs-rest vocabulary scores
+    "topn_with_other",
+    "snm_pairs",
+    "skipgram_transitions",
+    "inventory_balance",
+    "distinctive_tokens",
 ]
 
 # Round-over-round plan observations worth keeping next to the trees.
@@ -141,6 +149,36 @@ NOTES = """\
   (measured 26 s -> 2.7 s at sf0.1). The general rule: pin width for
   many-tiny-group grouped-Python stages; few-big-group stages (the
   bucketed BLAS kernels) are byte-bound and stay size-coalesced.
+
+- **round-10 broadcast-hint scan**: the analyzed-plan walk added this
+  round (see the scan header) exists because a hard `F.broadcast` on
+  an SF-scaling input is a CRASH class at ~100x, not a slowdown - the
+  hint overrides autoBroadcastJoinThreshold and the build dies at the
+  8 GB ceiling. All such hints were removed (plans at bench scale are
+  unchanged: AQE still picks BHJ while the side is genuinely small -
+  `brand_cross_shopping` actually got FASTER de-pinned, 1.39 ->
+  1.21 s) and the scan fails any reintroduction.
+
+- **fifo_allocation** (round 10): now two-tier - the interval join
+  stays the default regime (TPC-H part ledgers are ~30 rows/key at
+  every SF), and a measured per-key bound switches mega-ledgers to a
+  cogrouped two-pointer merge (single-key probe: join tier 62 s vs
+  merge 3.1 s at 100 K rows/side, SCALE.md). The visible plan below
+  is the join tier; the extra narrow count job that measures the
+  bound does not appear in it.
+
+- **fd_panel** (round 10): the shared persisted lineitem projection
+  is GONE - two column-pruned scans beat the InMemoryRelation
+  (2.46 -> 1.74 s at sf0.1) AND a lazy return keeps the query inside
+  this scan's coverage (the r10 eager-collect fix had silently
+  exempted it - a LocalRelation has no plan to scan).
+
+- **skipgram_transitions / win_navigation** (round 10): both show ONE
+  Window per partition key with several functions sharing the sort
+  (three leads; first/last/nth) - the indicator_panel collapsed-
+  window discipline; the whole-partition frames in win_navigation
+  compute once per partition and are exempt from the forward-frame
+  ban by construction.
 
 - **bfs_hops** (round 9): two-tier like connected_components - the
   distributed frontier-Pregel tier costs ~3 shuffle stages per hop
