@@ -1317,12 +1317,18 @@ def merge_version(
 
     This is the composition that makes the plain-parquet versioned
     table behave like a Delta/Iceberg MERGE + time travel pair: the
-    previous snapshot stays pinned-readable, ``version_cdc`` yields
-    exactly the applied row delta, and ``rollback_version`` undoes the
-    merge without data movement. Intra-batch duplicates on a key are
-    refused (a MERGE whose source matches a target row twice is
-    ambiguous - the ANSI MERGE cardinality error, enforced here the
-    loud way).
+    previous snapshot stays pinned-readable, ``version_cdc`` between
+    the base and the new version yields exactly the applied row
+    delta, and ``rollback_version`` undoes the merge without data
+    movement. CDC caveat after a rollback: merging from a rolled-back
+    pointer publishes past the on-disk MAX (v1 rolled back from v2
+    merges to v3), so version_cdc's DEFAULT latest-1 -> latest walk
+    would span the undone snapshot (v2 -> v3) - pin
+    ``from_version=latest_version(...)`` read BEFORE the merge to get
+    the applied delta (Delta/Iceberg RESTORE history behaves the same
+    way). Intra-batch duplicates on a key are refused (a MERGE whose
+    source matches a target row twice is ambiguous - the ANSI MERGE
+    cardinality error, enforced here the loud way).
 
     Scale note: versioned tables snapshot WHOLE tables, so this is the
     dimension/control-table tier (the docstring contract
@@ -1344,20 +1350,20 @@ def merge_version(
             "first, e.g. io.latest_per_key)"
         )
     current = read_version(spark, root) if list_versions(spark, root) else None
+    # the delete path is the DIFFERENCE between these two frames:
+    # every updated key leaves the current snapshot via the anti
+    # join, and only non-delete rows come back through upserts
     if op_col is not None:
-        deletes = updates.filter(F.col(op_col) == delete_value).select(*keys)
         upserts = updates.filter(
             F.col(op_col).isNull() | (F.col(op_col) != delete_value)
         ).select(*data_cols)
     else:
-        deletes = None
         upserts = updates.select(*data_cols)
     if current is None:
         merged = upserts
     else:
-        kept = current.join(
-            updates.select(*keys).distinct(), keys, "left_anti"
-        )
+        # keys are unique past the cardinality guard - no distinct
+        kept = current.join(updates.select(*keys), keys, "left_anti")
         merged = kept.unionByName(upserts)
     # driver-side materialization before the publish would be wrong
     # here (snapshots can be larger than control tables); the stage

@@ -679,23 +679,35 @@ def skipgram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     output."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # STAGE the window columns in their own select (window exprs
+    # cannot sit inside generators, and referencing nxt three times
+    # in a union would duplicate the scan+sort subtree - the first
+    # cut's plan showed THREE Window branches under a Union), then
+    # explode an in-row (gap, dst) struct array: one scan, one
+    # shuffle, one sort, one Generate.
     nxt = e.select(
         F.col("event_type").alias("src"),
         F.lead("event_type", 1).over(w).alias("n1"),
         F.lead("event_type", 2).over(w).alias("n2"),
         F.lead("event_type", 3).over(w).alias("n3"),
     )
-    pairs = None
-    for gap in (1, 2, 3):
-        part = nxt.filter(F.col(f"n{gap}").isNotNull()).select(
-            "src",
-            F.col(f"n{gap}").alias("dst"),
-            F.lit(gap).cast("int").alias("gap"),
-        )
-        pairs = part if pairs is None else pairs.unionByName(part)
-    return pairs.groupBy("src", "dst", "gap").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
+    pair = nxt.select(
+        "src",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).cast("int").alias("gap"),
+                        F.col(f"n{g}").alias("dst"),
+                    )
+                    for g in (1, 2, 3)
+                ]
+            )
+        ).alias("p"),
+    ).filter(F.col("p.dst").isNotNull())
+    return pair.groupBy(
+        "src", F.col("p.dst").alias("dst"), F.col("p.gap").alias("gap")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 @q(
@@ -712,25 +724,27 @@ def skipgram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT segment, CAST(sum(n) AS BIGINT) AS total,
-               CAST(sum(n * n) AS BIGINT) AS ss,
+               sum(CAST(n AS HUGEINT) * n) AS ss,
                CAST(count(*) AS BIGINT) AS n_brands
         FROM b GROUP BY 1
     )
     SELECT segment, total, n_brands,
-           1.0 - CAST(ss AS DOUBLE) / (CAST(total AS DOUBLE)
-                                       * CAST(total AS DOUBLE))
-               AS simpson_diversity
+           CAST(((CAST(total AS HUGEINT) * total - ss) * 1000000000)
+                // (CAST(total AS HUGEINT) * total) AS BIGINT)
+               AS simpson_ppb
     FROM m
     """,
 )
 def segment_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brand-mix diversity per market segment by the Gini-Simpson
-    index 1 - sum(p_b^2) - the transcendental-free diversity measure
-    (Shannon entropy needs logs; Simpson is pure integer moments +
-    one IEEE division/multiplication chain, so it replays bit-equal:
-    the distinctive_tokens design rule applied to concentration).
-    Complements concentration_hhi (which reports the same moment as
-    market concentration) with the segment x brand purchase mix.
+    index 1 - sum(p_b^2), reported as EXACT integer parts-per-billion:
+    (total^2 - sum(n^2)) * 1e9 DIV total^2 with every term held in
+    DECIMAL(38,0)/HUGEINT - at ~100x scale a per-(segment, brand)
+    count reaches ~5e9 and its bigint square wraps silently under
+    non-ANSI Spark (the price_dispersion overflow rule; the review
+    caught this query squaring bigints). Transcendental-free by
+    design (Shannon needs logs); complements concentration_hhi with
+    the segment x brand purchase mix.
 
     Scale shape: fact join (dims UNHINTED where they scale), one
     partial-combined (segment, brand) count, 5-row moment algebra."""
@@ -752,18 +766,20 @@ def segment_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = b.groupBy("segment").agg(
         F.sum("n").alias("total"),
-        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("n")
+        ).alias("ss"),
         F.count(F.lit(1)).alias("n_brands"),
     )
     return m.select(
         "segment",
         "total",
         "n_brands",
-        (
-            F.lit(1.0)
-            - F.col("ss").cast("double")
-            / (F.col("total").cast("double") * F.col("total").cast("double"))
-        ).alias("simpson_diversity"),
+        F.expr(
+            "CAST(((CAST(total AS DECIMAL(38,0)) * total - ss)"
+            " * 1000000000)"
+            " DIV (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
+        ).alias("simpson_ppb"),
     )
 
 
@@ -779,7 +795,7 @@ def segment_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                               CAST(mx.now AS DATE)) AS BIGINT) AS age_d,
                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
         FROM orders o CROSS JOIN mx
-        WHERE o.o_orderstatus <> 'F'
+        WHERE o.o_orderstatus IS NULL OR o.o_orderstatus <> 'F'
     )
     SELECT priority,
            CASE WHEN age_d <= 30 THEN '0-30'
@@ -793,7 +809,9 @@ def segment_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order backlog aging: non-finalized orders (o_orderstatus
-    <> 'F') bucketed by whole days outstanding at the corpus's latest
+    <> 'F', with NULL counting as open - unknown is not finalized, and
+    the bare != would 3VL-drop it silently) bucketed by whole days
+    outstanding at the corpus's latest
     order date, by priority - the operations AR-aging staple. Integer
     day diffs against a one-row anchor (broadcast global aggregate,
     auto-exempt), exact cents.
@@ -812,7 +830,12 @@ def backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("365+")
     )
     return (
-        o.filter(F.col("o_orderstatus") != "F")
+        # NULL status counts as OPEN (unknown is not finalized) - the
+        # explicit isNull arm the bare != would silently 3VL-drop
+        o.filter(
+            F.col("o_orderstatus").isNull()
+            | (F.col("o_orderstatus") != "F")
+        )
         .crossJoin(F.broadcast(mx))
         .select(
             F.col("o_orderpriority").alias("priority"),

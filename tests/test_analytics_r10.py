@@ -428,6 +428,12 @@ def test_skipgram_transitions_vs_python(spark, sf_dir) -> None:
         skipgram_transitions,
     )
 
+    # plan assert: the three leads must share ONE window sort (the
+    # first cut's union referenced the frame three times and the plan
+    # grew three Scan+Sort+Window branches)
+    df = skipgram_transitions(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan
     per_user: dict = defaultdict(list)
     for r in load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
@@ -442,15 +448,15 @@ def test_skipgram_transitions_vs_python(spark, sf_dir) -> None:
                 if i + gap < len(types):
                     want[(src, types[i + gap], gap)] += 1
     got = {
-        (r.src, r.dst, r.gap): r.n_pairs
-        for r in skipgram_transitions(spark, sf_dir).collect()
+        (r.src, r.dst, r.gap): r.n_pairs for r in df.collect()
     }
     assert got == dict(want)
 
 
 def test_segment_brand_diversity_vs_python(spark, sf_dir) -> None:
-    """Gini-Simpson index vs an integer-moment replay (same single
-    IEEE expression over exact bigints - scores compare equal)."""
+    """Gini-Simpson ppb vs an arbitrary-precision integer replay
+    (python ints cannot overflow, so a Spark/DuckDB wrap in the
+    squared moments would surface here)."""
     from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
         segment_brand_diversity,
     )
@@ -480,11 +486,11 @@ def test_segment_brand_diversity_vs_python(spark, sf_dir) -> None:
         m[1] += n * n
         m[2] += 1
     want = {
-        seg: (t, nb, 1.0 - float(ss) / (float(t) * float(t)))
+        seg: (t, nb, (t * t - ss) * 1_000_000_000 // (t * t))
         for seg, (t, ss, nb) in mom.items()
     }
     got = {
-        r.segment: (r.total, r.n_brands, r.simpson_diversity)
+        r.segment: (r.total, r.n_brands, r.simpson_ppb)
         for r in segment_brand_diversity(spark, sf_dir).collect()
     }
     assert got == want
@@ -504,6 +510,7 @@ def test_backlog_aging_vs_python(spark, sf_dir) -> None:
     want_n: Counter = Counter()
     want_c: Counter = Counter()
     for r in orders:
+        # NULL status counts as OPEN, matching the query's isNull arm
         if r.o_orderstatus == "F":
             continue
         age = (now - r.o_orderdate.date()).days

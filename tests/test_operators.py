@@ -2152,3 +2152,23 @@ def test_merge_version_time_travel_and_cdc(spark, tmp_path) -> None:
     )
     with _pytest.raises(ValueError, match="MERGE cardinality"):
         merge_version(spark, root, dup, ["id"], op_col="op")
+    # merging from a rolled-back pointer BRANCHES: the new version
+    # numbers past the on-disk max (v1 + delta -> v3), the default
+    # latest-1 -> latest CDC walk spans the undone v2, and pinning
+    # from_version to the pre-merge pointer recovers exactly the
+    # applied delta (the documented composition)
+    from etl_marketdata_downloader_archived_spark.io import latest_version
+
+    base = latest_version(spark, root)
+    assert base == 1
+    branch = spark.createDataFrame(
+        [(9, "z", None)], "id bigint, tag string, op string"
+    )
+    assert merge_version(spark, root, branch, ["id"], op_col="op") == 3
+    pinned = {
+        (r.id, r.change)
+        for r in version_cdc(
+            spark, root, key_cols=["id"], from_version=base, to_version=3
+        ).collect()
+    }
+    assert pinned == {(9, "added")}
