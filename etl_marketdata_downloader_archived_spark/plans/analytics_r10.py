@@ -850,3 +850,84 @@ def backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("value_c"),
         )
     )
+
+
+@q(
+    "equidepth_histogram",
+    oracle="""
+    WITH vc AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM vc
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+    bounds AS (
+        SELECT b.b AS bucket,
+               min(cum.v) AS hi
+        FROM cum CROSS JOIN n, range(1, 11) AS b(b)
+        WHERE cum.cum >= (b.b * n.n + 9) // 10
+        GROUP BY 1
+    ),
+    lohi AS (
+        SELECT bucket, hi,
+               lag(hi) OVER (ORDER BY bucket) AS lo
+        FROM bounds
+    )
+    SELECT l.bucket,
+           l.lo AS lo_c,
+           l.hi AS hi_c,
+           CAST(sum(cum.c) AS BIGINT) AS n_orders
+    FROM lohi l JOIN cum
+      ON cum.v <= l.hi AND (l.lo IS NULL OR cum.v > l.lo)
+    GROUP BY 1, 2, 3
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (equal-count) histogram of order value: ten buckets
+    whose boundaries are EXACT positional picks - boundary i is the
+    value whose cumulative count first reaches ceil(i*n/10) - built
+    rank-from-counts (collapse to per-distinct-value counts first;
+    the cumulative window runs over VALUE cardinality, never rows,
+    the round-5 discipline). Counts per bucket differ from n/10 only
+    where duplicate values straddle a boundary - the honest exact
+    semantics, vs an interpolating approx_percentile. Complements
+    value_histogram (equi-WIDTH).
+
+    Scale shape: one partial-combined value-count aggregate, a
+    value-cardinality cumulative window, an 11-row boundary table
+    joined back to the value-count table (bounded range join), and a
+    10-row regroup."""
+    o = load_table(spark, sf_dir, "orders")
+    vc = o.groupBy(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = vc.withColumn("cum", F.sum("c").over(w))
+    n = vc.agg(F.sum("c").alias("n"))
+    buckets = spark.range(1, 11).select(F.col("id").alias("bucket"))
+    bounds = (
+        cum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(buckets))
+        .filter(F.col("cum") >= F.expr("(bucket * n + 9) DIV 10"))
+        .groupBy("bucket")
+        .agg(F.min("v").alias("hi"))
+    )
+    lohi = bounds.withColumn(
+        "lo", F.lag("hi").over(W.orderBy("bucket"))
+    )
+    return (
+        cum.join(
+            F.broadcast(lohi),
+            (F.col("v") <= F.col("hi"))
+            & (F.col("lo").isNull() | (F.col("v") > F.col("lo"))),
+        )
+        .groupBy("bucket", F.col("lo").alias("lo_c"), F.col("hi").alias("hi_c"))
+        .agg(F.sum("c").alias("n_orders"))
+    )

@@ -526,3 +526,36 @@ def test_backlog_aging_vs_python(spark, sf_dir) -> None:
         for r in backlog_aging(spark, sf_dir).collect()
     }
     assert got == {k: (want_n[k], want_c[k]) for k in want_n}
+
+
+def test_equidepth_histogram_vs_python(spark, sf_dir) -> None:
+    """Equi-depth buckets vs a sorted replay: boundaries are the
+    values whose cumulative count first reaches ceil(i*n/10), bucket
+    membership is (lo, hi], and per-bucket counts sum to n."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        equidepth_histogram,
+    )
+
+    vals = sorted(
+        _half_up(r.o_totalprice * 100)
+        for r in load_table(spark, sf_dir, "orders").collect()
+    )
+    n = len(vals)
+    bounds = []
+    for b in range(1, 11):
+        k = (b * n + 9) // 10  # ceil(b*n/10)
+        bounds.append(vals[k - 1])  # 1-indexed positional pick
+    want = {}
+    lo = None
+    for b, hi in enumerate(bounds, 1):
+        cnt = sum(
+            1 for v in vals if v <= hi and (lo is None or v > lo)
+        )
+        want[b] = (lo, hi, cnt)
+        lo = hi
+    got = {
+        r.bucket: (r.lo_c, r.hi_c, r.n_orders)
+        for r in equidepth_histogram(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(c for _, _, c in got.values()) == n
