@@ -879,37 +879,82 @@ def backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT bucket, hi,
                lag(hi) OVER (ORDER BY bucket) AS lo
         FROM bounds
+    ),
+    counts AS (
+        SELECT l.bucket, CAST(sum(cum.c) AS BIGINT) AS n_orders
+        FROM lohi l JOIN cum
+          ON cum.v <= l.hi AND (l.lo IS NULL OR cum.v > l.lo)
+        GROUP BY 1
     )
-    SELECT l.bucket,
-           l.lo AS lo_c,
-           l.hi AS hi_c,
-           CAST(sum(cum.c) AS BIGINT) AS n_orders
-    FROM lohi l JOIN cum
-      ON cum.v <= l.hi AND (l.lo IS NULL OR cum.v > l.lo)
-    GROUP BY 1, 2, 3
+    SELECT l.bucket, l.lo AS lo_c, l.hi AS hi_c,
+           CAST(coalesce(k.n_orders, 0) AS BIGINT) AS n_orders
+    FROM lohi l LEFT JOIN counts k ON l.bucket = k.bucket
     """,
 )
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH (equal-count) histogram of order value: ten buckets
     whose boundaries are EXACT positional picks - boundary i is the
-    value whose cumulative count first reaches ceil(i*n/10) - built
-    rank-from-counts (collapse to per-distinct-value counts first;
-    the cumulative window runs over VALUE cardinality, never rows,
-    the round-5 discipline). Counts per bucket differ from n/10 only
-    where duplicate values straddle a boundary - the honest exact
-    semantics, vs an interpolating approx_percentile. Complements
-    value_histogram (equi-WIDTH).
+    value whose cumulative count first reaches ceil(i*n/10) - with
+    honest duplicate-straddle semantics (counts differ from n/10 only
+    where duplicate values cross a boundary, vs an interpolating
+    approx_percentile), and EVERY bucket emitted: a boundary
+    collision (one value spanning a whole decile, or n < 10) yields
+    its (lo == hi) bucket with n_orders = 0 rather than silently
+    dropping the row. Complements value_histogram (equi-WIDTH).
 
-    Scale shape: one partial-combined value-count aggregate, a
-    value-cardinality cumulative window, an 11-row boundary table
-    joined back to the value-count table (bounded range join), and a
-    10-row regroup."""
+    Scale shape - the cumulative count is a TWO-PHASE distributed
+    prefix sum, because order-value CENTS are nearly distinct (the
+    value-count table tracks order cardinality, so a single global
+    cumulative window here would funnel the fact scale through one
+    task - the r10 review catch): values hash into a fixed 1024-cell
+    range grid, the only global window runs over the 1024 per-cell
+    subtotals, and per-value cumulatives are cell-partitioned local
+    windows plus the cell offset. Boundary pick, 10-row lag, and the
+    bucket-count join-back are all <= 10-row frames."""
     o = load_table(spark, sf_dir, "orders")
     vc = o.groupBy(
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v")
     ).agg(F.count(F.lit(1)).alias("c"))
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = vc.withColumn("cum", F.sum("c").over(w))
+    # phase 1: fixed range grid; per-cell subtotals; cumulative OVER
+    # CELLS (1024-row bounded global window) gives each cell the
+    # count of everything before it
+    lohi_v = vc.agg(
+        F.min("v").alias("vlo"), F.max("v").alias("vhi")
+    )
+    cells = 1024
+    cell = F.least(
+        F.greatest(
+            F.width_bucket(
+                F.col("v"), F.col("vlo"), F.col("vhi") + 1, F.lit(cells)
+            )
+            - 1,
+            F.lit(0),
+        ),
+        F.lit(cells - 1),
+    )
+    vcell = vc.crossJoin(F.broadcast(lohi_v)).select(
+        "v", "c", cell.alias("_cell")
+    )
+    per_cell = vcell.groupBy("_cell").agg(F.sum("c").alias("_cc"))
+    w_cells = W.orderBy("_cell").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    offsets = per_cell.select(
+        "_cell",
+        (F.sum("_cc").over(w_cells) - F.col("_cc")).alias("_before"),
+    )
+    # phase 2: local per-cell cumsum + the cell offset = exact global
+    # cumulative count per distinct value, with NO fact-scale window
+    w_local = (
+        W.partitionBy("_cell")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = vcell.join(offsets, "_cell").select(
+        "v",
+        "c",
+        (F.sum("c").over(w_local) + F.col("_before")).alias("cum"),
+    )
     n = vc.agg(F.sum("c").alias("n"))
     buckets = spark.range(1, 11).select(F.col("id").alias("bucket"))
     bounds = (
@@ -922,12 +967,19 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lohi = bounds.withColumn(
         "lo", F.lag("hi").over(W.orderBy("bucket"))
     )
-    return (
+    counts = (
         cum.join(
             F.broadcast(lohi),
             (F.col("v") <= F.col("hi"))
             & (F.col("lo").isNull() | (F.col("v") > F.col("lo"))),
         )
-        .groupBy("bucket", F.col("lo").alias("lo_c"), F.col("hi").alias("hi_c"))
+        .groupBy("bucket")
         .agg(F.sum("c").alias("n_orders"))
+    )
+    # every bucket emits, collision buckets with 0 (both <= 10 rows)
+    return lohi.join(counts, "bucket", "left").select(
+        "bucket",
+        F.col("lo").alias("lo_c"),
+        F.col("hi").alias("hi_c"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )

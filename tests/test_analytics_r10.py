@@ -559,3 +559,44 @@ def test_equidepth_histogram_vs_python(spark, sf_dir) -> None:
     }
     assert got == want
     assert sum(c for _, _, c in got.values()) == n
+
+
+def test_equidepth_histogram_collision_buckets(spark, tmp_path) -> None:
+    """Boundary collisions must EMIT their buckets with n_orders = 0,
+    not drop them (review catch): a fake orders table where one value
+    spans several deciles (and n < 10) still yields all ten buckets,
+    zero-count collision rows, and full coverage."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, 1, "O", 7.00, "1995-01-0%d" % (i % 9 + 1), "1-URGENT")
+            for i in range(6)]
+    rows += [(10, 1, "O", 99.00, "1995-01-02", "1-URGENT")]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    sf = tmp_path / "mini"
+    sf.mkdir()
+    df.write.parquet(str(sf / "orders.parquet"))
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        equidepth_histogram,
+    )
+
+    got = {
+        r.bucket: (r.lo_c, r.hi_c, r.n_orders)
+        for r in equidepth_histogram(spark, str(sf)).collect()
+    }
+    assert set(got) == set(range(1, 11))  # ALL buckets present
+    # n = 7: value 700 (x6 rows) spans deciles 1..6 -> buckets 2..6
+    # collide at hi == 700 with zero counts; 9900 fills the tail
+    assert got[1] == (None, 700, 6)
+    for b in range(2, 7):
+        assert got[b] == (700, 700, 0), b
+    assert got[10][1] == 9900
+    assert sum(c for _, _, c in got.values()) == 7

@@ -241,9 +241,9 @@ BROADCAST_HINT_WHITELIST = {
     # bounded enums on the documents corpus: source/stratum labels
     "boilerplate_shingles": "per-source doc totals (source is a bounded label set)",
     "pps_sample_docs": "per-stratum weight totals (stratum = source label set)",
-    # 10-bucket boundary table: grouped by the range(1,11) bucket id,
-    # so the hinted frame is <= 10 rows at any SF
-    "equidepth_histogram": "11-row boundary table (grouped by 10-value bucket id)",
+    # boundary table: grouped by the range(1,11) bucket id, so the
+    # hinted frame is <= 10 rows at any SF
+    "equidepth_histogram": "10-row boundary table (one row per bucket id)",
     # eval benchmarks are fixed-size by contract, not SF-scaling: the
     # decontamination index is the distinct n-grams of the held-out
     # eval source (operators/text.py:284 documents the posture)
@@ -356,10 +356,11 @@ GLOBAL_WINDOW_WHITELIST = {
     # top-5 + OTHER rollup: ranks the 25-row brand aggregate (brand
     # is an enum, bounded at every SF)
     "topn_with_other": "ranks the 25-row brand aggregate",
-    # rank-from-counts equi-depth buckets: the cumulative window runs
-    # over the distinct-VALUE count table (round-5 discipline), the
-    # lag over the 10-row boundary table
-    "equidepth_histogram": "value-cardinality cumsum + 10-row boundary lag",
+    # two-phase distributed prefix sum: the only global window runs
+    # over the fixed 1024-cell range grid's subtotals (per-value
+    # cumulatives are cell-partitioned local windows); plus the lag
+    # over the 10-row boundary table
+    "equidepth_histogram": "1024-cell grid cumsum + 10-row boundary lag",
 }
 
 
