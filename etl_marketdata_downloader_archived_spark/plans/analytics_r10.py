@@ -983,3 +983,87 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").alias("hi_c"),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+@q(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr,
+               CAST(count(*) AS BIGINT) AS n_even
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+        SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr,
+               CAST(count(*) AS BIGINT) AS n_odd
+        FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+    )
+    SELECT a.pr, a.n_even, b.n_odd
+    FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join certified as the LITERAL operator (`<=>` /
+    IS NOT DISTINCT FROM): a plain equi join silently drops the NULL
+    group (NULL = NULL is NULL under 3VL), while the null-safe
+    comparison matches the two NULL keys - the semantics every
+    dimension join with an 'unknown' bucket needs, and a §2B corner
+    previously certified only through the null_semantics expression
+    family. The NULL key is DERIVED (nullif on an enum) so both
+    engines build identical nullable inputs.
+
+    Scale shape: two partial-combined 5-row priority aggregates, then
+    a null-safe join of two bounded frames. Spark plans `<=>` as a
+    regular hash-join key (null-safe equality is sort/hash-joinable -
+    no fallback to nested loops)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.expr("nullif(o_orderpriority, '3-MEDIUM')")
+    a = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy(key.alias("pr"))
+        .agg(F.count(F.lit(1)).alias("n_even"))
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .groupBy(key.alias("pr"))
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    return a.join(b, a["pr"].eqNullSafe(b["pr"])).select(
+        a["pr"].alias("pr"), "n_even", "n_odd"
+    )
+
+
+@q(
+    "lateral_posexplode",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '')[1:5] AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+           unnest(toks) AS token
+    FROM d
+    """,
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode / LATERAL position-preserving array expansion
+    certified as the literal generator: the first five tokens of each
+    document with their 0-based positions - the ordinal contract
+    every chunker and sequence-packing step relies on (position is
+    ARRAY ORDER, not a row_number over an unordered explode, which
+    task-level ordering would make nondeterministic). Empty token
+    lists emit nothing on both engines.
+
+    Scale shape: one narrow scan, an in-row slice bounding the
+    generator at 5 structs per document, no shuffle at all."""
+    from ..operators.ranking import word_tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(word_tokens("text"), 1, 5).alias("toks")
+    )
+    return d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")

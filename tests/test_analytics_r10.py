@@ -600,3 +600,53 @@ def test_equidepth_histogram_collision_buckets(spark, tmp_path) -> None:
         assert got[b] == (700, 700, 0), b
     assert got[10][1] == 9900
     assert sum(c for _, _, c in got.values()) == 7
+
+
+def test_join_null_safe_vs_python(spark, sf_dir) -> None:
+    """Null-safe join vs a dict replay: the NULL group matches itself
+    (a plain equi join would drop it)."""
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        join_null_safe,
+    )
+
+    even: Counter = Counter()
+    odd: Counter = Counter()
+    for r in load_table(spark, sf_dir, "orders").collect():
+        pr = None if r.o_orderpriority == "3-MEDIUM" else r.o_orderpriority
+        (even if r.o_orderkey % 2 == 0 else odd)[pr] += 1
+    want = {
+        pr: (even[pr], odd[pr])
+        for pr in set(even) & set(odd)
+    }
+    got = {
+        r.pr: (r.n_even, r.n_odd)
+        for r in join_null_safe(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert None in got  # the null-safe match the plain join drops
+
+
+def test_lateral_posexplode_vs_python(spark, sf_dir) -> None:
+    """Position-preserving expansion vs a python replay: 0-based
+    positions follow ARRAY order, capped at 5 tokens, empty docs
+    emit nothing."""
+    import re
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r10 import (
+        lateral_posexplode,
+    )
+
+    want = set()
+    for r in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        toks = [t for t in re.split(r"[^a-z]+", r.text.lower()) if t][:5]
+        for i, t in enumerate(toks):
+            want.add((r.doc_id, i, t))
+    got = {
+        (r.doc_id, r.pos, r.token)
+        for r in lateral_posexplode(spark, sf_dir).collect()
+    }
+    assert got == want
