@@ -634,3 +634,199 @@ def dequantize_expr(codes: Column, scale: Column) -> Column:
     """codes array<tinyint> * scale -> array<double> (the approximate
     original vector), as an in-row transform."""
     return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> list:
+    """Train a product-quantization codebook: split the d-dim space
+    into ``m`` contiguous subspaces of d/m dims and k-means each
+    subspace to ``k`` centroids (seeded MLlib, like kmeans_assign).
+    Returns the codebooks as a nested list [m][k][d/m] - a tiny,
+    JSON-serializable model artifact (m*k*d/m floats; 8*16*8 = 1 KiB
+    at the defaults) the encode/search steps broadcast.
+
+    PQ is the ANN memory lever BEYOND int8: where
+    quantize_embeddings keeps d bytes/vector, PQ keeps m bytes
+    (codes index into shared centroids), a 32x drop at d=64/m=8 -
+    the difference between an embedding corpus that fits executor
+    page cache at 100 TB scale and one that does not. Accuracy is
+    tunable via m and k; the recall pytest pins the floor.
+
+    Scale note: training scans the corpus once per subspace (m narrow
+    slice scans); pass ``sample_fraction`` to fit on a seeded sample -
+    codebooks converge on a fraction of a large corpus (the standard
+    PQ practice)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(df.select(vec_col).first()[0])
+    if d % m != 0:
+        raise ValueError(
+            f"pq_train: m={m} must divide the embedding dim {d}"
+        )
+    sub = d // m
+    base = df.select(vec_col)
+    if sample_fraction is not None:
+        base = base.sample(fraction=float(sample_fraction), seed=seed)
+    books: list = []
+    for j in range(m):
+        sliced = base.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), j * sub + 1, sub).cast(
+                    "array<double>"
+                )
+            ).alias("_features")
+        )
+        model = KMeans(
+            k=k,
+            seed=seed + j,
+            maxIter=max_iter,
+            featuresCol="_features",
+            predictionCol="_code",
+        ).fit(sliced)
+        books.append(
+            [list(map(float, c)) for c in model.clusterCenters()]
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a ``pq_train`` codebook: (id, codes
+    array<tinyint>) with codes[j] = the nearest centroid of subspace
+    j. Arrow-batched numpy (one (B x k) distance matrix per subspace
+    per batch); the codebook broadcasts inside the closure. Ties
+    break toward the smaller code (numpy argmin), deterministically."""
+    import numpy as np
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if x.shape[1] != m * sub:
+                raise ValueError(
+                    f"pq_encode: vector dim {x.shape[1]} != m*sub "
+                    f"{m}*{sub}"
+                )
+            codes = np.empty((len(x), m), dtype=np.int8)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                # |x - c|^2 = |x|^2 - 2 x.c + |c|^2; row-constant
+                # |x|^2 cannot change the argmin, drop it
+                d2 = -2.0 * (xs @ books[j].T) + (
+                    books[j] ** 2
+                ).sum(axis=1)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "pq_id": pdf[id_col].to_numpy(),
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(encode, schema=f"pq_id {id_t}, codes array<tinyint>")
+        .withColumnRenamed("pq_id", id_col)
+    )
+
+
+def pq_search(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: list,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes one (m x k) lookup table of exact squared distances
+    from its subvectors to every centroid, and a candidate's score is
+    the SUM of m table lookups - the corpus is never dequantized.
+    Output: (query_id, neighbor_id, adc_dist, rank), rank 1 = nearest,
+    ties toward the smaller neighbor id.
+
+    Scale shape: the knn_join contract - queries collect driver-side
+    (the small side by construction), the Q x m x k LUT broadcasts,
+    each corpus partition emits its LOCAL top-k per query from int8
+    codes, and the global window merges O(queries x k x partitions)
+    candidates, never the corpus."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    qid_t = queries.schema[qid].dataType.simpleString()
+    nid_t = encoded.schema[id_col].dataType.simpleString()
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    q_rows = queries.select(F.col(qid).alias("qid"), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    nq = len(q_ids)
+    lut = np.empty((nq, m, books[0].shape[0]), dtype=np.float64)
+    for j in range(m):
+        qs = q_mat[:, j * sub : (j + 1) * sub]
+        diff = qs[:, None, :] - books[j][None, :, :]
+        lut[:, j, :] = (diff * diff).sum(axis=2)
+    sc = queries.sparkSession.sparkContext
+    blut = sc.broadcast((q_ids, lut))
+
+    def score(batches):
+        import pandas as pd
+
+        ids_q, tables = blut.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            dist = np.zeros((len(ids_q), len(c_ids)), dtype=np.float64)
+            for j in range(codes.shape[1]):
+                dist += tables[:, j, codes[:, j]]
+            kk = min(k, dist.shape[1])
+            idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids_q, kk),
+                    "neighbor_id": c_ids[idx.ravel()],
+                    "adc_dist": np.take_along_axis(
+                        dist, idx, axis=1
+                    ).ravel(),
+                }
+            )
+
+    candidates = encoded.select(id_col, "codes").mapInPandas(
+        score,
+        schema=f"query_id {qid_t}, neighbor_id {nid_t}, adc_dist double",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return candidates.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= k)

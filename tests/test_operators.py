@@ -2172,3 +2172,101 @@ def test_merge_version_time_travel_and_cdc(spark, tmp_path) -> None:
         ).collect()
     }
     assert pinned == {(9, "added")}
+
+
+def test_pq_exact_on_lattice_vectors(spark) -> None:
+    """PQ is LOSSLESS when every subvector sits exactly on a centroid:
+    vectors built from a small per-subspace value set encode with zero
+    quantization error, so ADC distances equal exact squared L2 and
+    pq_search's top-k matches numpy brute force row-for-row. Also
+    pins: m must divide d (loud), codes are the nearest centroids."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    m, sub, kcent = 4, 2, 4
+    # per-subspace vocabulary of 4 well-separated 2-d points
+    vocab = [rng.normal(0, 10, (kcent, sub)).round(0) for _ in range(m)]
+    rows = []
+    for i in range(60):
+        vec = np.concatenate(
+            [vocab[j][rng.integers(kcent)] for j in range(m)]
+        )
+        rows.append((i, [float(x) for x in vec]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(corpus, m=m, k=kcent, vec_col="embedding")
+    enc = pq_encode(corpus, books)
+    assert enc.count() == 60
+    # lossless: decode(code) == original subvectors
+    import numpy as _np
+
+    code_rows = {r.vec_id: r.codes for r in enc.collect()}
+    for i, vec in rows[:10]:
+        rebuilt = _np.concatenate(
+            [_np.asarray(books[j][code_rows[i][j]]) for j in range(m)]
+        )
+        assert _np.allclose(rebuilt, _np.asarray(vec)), i
+    # ADC top-5 == numpy brute force (exact because lossless)
+    queries = spark.createDataFrame(rows[:7], "vec_id long, embedding array<double>")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in pq_search(queries, enc, books, k=5).collect()
+    }
+    mat = _np.stack([_np.asarray(v) for _, v in rows])
+    for qi, (qid, qv) in enumerate(rows[:7]):
+        d2 = ((mat - _np.asarray(qv)) ** 2).sum(axis=1)
+        order = sorted(range(len(rows)), key=lambda i: (d2[i], i))[:5]
+        for rank, i in enumerate(order, 1):
+            nid, adc = got[(qid, rank)]
+            assert nid == i, (qid, rank)
+            assert abs(adc - d2[i]) < 1e-9
+    with _pytest.raises(ValueError, match="must divide"):
+        pq_train(corpus, m=3, k=4)
+
+
+def test_pq_recall_on_embeddings_table(spark, sf_dir) -> None:
+    """On the real embeddings table PQ is lossy: pin an ADC recall@10
+    floor vs exact L2 brute force, and the 32x storage contract
+    (m int8 codes per vector vs d doubles)."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    # the synthetic embeddings are near-isotropic (the adversarial
+    # case for PQ - no cluster structure to exploit): m=16 subspaces
+    # of 4 dims with 32 centroids holds recall@10 at ~0.57 while
+    # storing 16 int8 codes vs 64 doubles (32x)
+    books = pq_train(emb, m=16, k=32)
+    enc = pq_encode(emb, books)
+    first = enc.first()
+    assert len(first.codes) == 16  # 16 bytes vs 512 at rest
+    queries = emb.limit(12)
+    got: dict = {}
+    for r in pq_search(queries, enc, books, k=10).collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    rows = emb.collect()
+    ids = [r.vec_id for r in rows]
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    hits = total = 0
+    for r in queries.collect():
+        q = np.asarray(r.embedding, dtype=np.float64)
+        d2 = ((mat - q) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))[:10]
+        truth = {ids[i] for i in order}
+        hits += len(truth & set(got[r.vec_id]))
+        total += 10
+    recall = hits / total
+    # deterministic (seeded k-means, tie-broken merge): measured 0.567
+    assert recall >= 0.5, recall  # far above the 0.025 random floor
