@@ -456,13 +456,23 @@ def knn_join(
             n[n == 0.0] = 1.0
             sims = mat_q @ (c / n).T  # Q x B
             kk = min(k, sims.shape[1])
-            # local top-k per query (argpartition: O(B) per query)
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows_q = np.repeat(ids_q, kk)
-            rows_c = c_ids[idx.ravel()]
-            rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+            # local top-k per query with the id tie-break applied
+            # LOCALLY: a boundary tie dropped by plain argpartition
+            # could be the smallest-id candidate, which the global
+            # (cos_sim, neighbor_id) merge can then never restore
+            id_rank = np.argsort(np.argsort(c_ids, kind="stable"))
+            rq, rc, rs = [], [], []
+            for qi in range(sims.shape[0]):
+                order = np.lexsort((id_rank, -sims[qi]))[:kk]
+                rq.append(np.repeat(ids_q[qi], kk))
+                rc.append(c_ids[order])
+                rs.append(sims[qi][order])
             yield pd.DataFrame(
-                {"query_id": rows_q, "neighbor_id": rows_c, "cos_sim": rows_s}
+                {
+                    "query_id": np.concatenate(rq),
+                    "neighbor_id": np.concatenate(rc),
+                    "cos_sim": np.concatenate(rs),
+                }
             )
 
     candidates = corpus.select(id_col, vec_col).mapInPandas(
@@ -649,25 +659,40 @@ def pq_train(
     into ``m`` contiguous subspaces of d/m dims and k-means each
     subspace to ``k`` centroids (seeded MLlib, like kmeans_assign).
     Returns the codebooks as a nested list [m][k][d/m] - a tiny,
-    JSON-serializable model artifact (m*k*d/m floats; 8*16*8 = 1 KiB
-    at the defaults) the encode/search steps broadcast.
+    JSON-serializable model artifact (m*k*(d/m) = d*k floats - 1024
+    doubles / 8 KiB at the defaults) the encode/search steps
+    broadcast.
 
     PQ is the ANN memory lever BEYOND int8: where
     quantize_embeddings keeps d bytes/vector, PQ keeps m bytes
-    (codes index into shared centroids), a 32x drop at d=64/m=8 -
-    the difference between an embedding corpus that fits executor
-    page cache at 100 TB scale and one that does not. Accuracy is
-    tunable via m and k; the recall pytest pins the floor.
+    (codes index into shared centroids) - 8x smaller than int8 and
+    32x smaller than float32 at d=64/m=8 (the recall test's
+    d=64/m=16 stores 16 bytes vs 512 bytes of Spark float64 arrays,
+    32x) - the difference between an embedding corpus that fits
+    executor page cache at 100 TB scale and one that does not.
+    Accuracy is tunable via m and k (k <= 128, the tinyint code
+    range); the recall pytest pins the floor.
 
     Scale note: training scans the corpus once per subspace (m narrow
     slice scans); pass ``sample_fraction`` to fit on a seeded sample -
     codebooks converge on a fraction of a large corpus (the standard
     PQ practice)."""
-    import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    d = len(df.select(vec_col).first()[0])
+    if not 2 <= k <= 128:
+        raise ValueError(
+            f"pq_train: k={k} out of range - codes are stored as "
+            "tinyint (0..127); k=256-style codebooks need a wider "
+            "code type"
+        )
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"pq_train: no non-null {vec_col!r} vector to size the "
+            "codebook from"
+        )
+    d = len(row[0])
     if d % m != 0:
         raise ValueError(
             f"pq_train: m={m} must divide the embedding dim {d}"
@@ -692,9 +717,17 @@ def pq_train(
             featuresCol="_features",
             predictionCol="_code",
         ).fit(sliced)
-        books.append(
-            [list(map(float, c)) for c in model.clusterCenters()]
-        )
+        centers = [list(map(float, c)) for c in model.clusterCenters()]
+        if len(centers) != k:
+            # KMeans can converge to fewer clusters on low-cardinality
+            # subspaces; a ragged codebook would desync pq_search's
+            # (m x k) LUT - fail loudly, the caller lowers k
+            raise ValueError(
+                f"pq_train: subspace {j} converged to {len(centers)} "
+                f"< k={k} centroids (low-cardinality dims or too "
+                "small a sample) - lower k or widen the sample"
+            )
+        books.append(centers)
     return books
 
 
@@ -809,14 +842,23 @@ def pq_search(
             for j in range(codes.shape[1]):
                 dist += tables[:, j, codes[:, j]]
             kk = min(k, dist.shape[1])
-            idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            # LOCAL selection must already tie-break on id: identical
+            # codes tie exactly on ADC distance, and argpartition at
+            # the kk-th boundary could drop the smallest-id candidate
+            # - a candidate never emitted cannot be restored by the
+            # global (adc_dist, neighbor_id) merge (review catch)
+            id_rank = np.argsort(np.argsort(c_ids, kind="stable"))
+            rows_q, rows_c, rows_d = [], [], []
+            for qi in range(dist.shape[0]):
+                order = np.lexsort((id_rank, dist[qi]))[:kk]
+                rows_q.append(np.repeat(ids_q[qi], kk))
+                rows_c.append(c_ids[order])
+                rows_d.append(dist[qi][order])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids_q, kk),
-                    "neighbor_id": c_ids[idx.ravel()],
-                    "adc_dist": np.take_along_axis(
-                        dist, idx, axis=1
-                    ).ravel(),
+                    "query_id": np.concatenate(rows_q),
+                    "neighbor_id": np.concatenate(rows_c),
+                    "adc_dist": np.concatenate(rows_d),
                 }
             )
 

@@ -593,12 +593,16 @@ def test_equidepth_histogram_collision_buckets(spark, tmp_path) -> None:
         for r in equidepth_histogram(spark, str(sf)).collect()
     }
     assert set(got) == set(range(1, 11))  # ALL buckets present
-    # n = 7: value 700 (x6 rows) spans deciles 1..6 -> buckets 2..6
-    # collide at hi == 700 with zero counts; 9900 fills the tail
-    assert got[1] == (None, 700, 6)
-    for b in range(2, 7):
-        assert got[b] == (700, 700, 0), b
-    assert got[10][1] == 9900
+    # n = 7: boundary pick b has ceil(b*7/10) <= 6 for b <= 8, so the
+    # six 700s own buckets 1..8 (2..8 collide at hi == 700 with zero
+    # counts); bucket 9 picks 9900 and holds the one remaining row,
+    # bucket 10 collides at 9900 - assert the FULL panel
+    assert got == {
+        1: (None, 700, 6),
+        **{b: (700, 700, 0) for b in range(2, 9)},
+        9: (700, 9900, 1),
+        10: (9900, 9900, 0),
+    }
     assert sum(c for _, _, c in got.values()) == 7
 
 
