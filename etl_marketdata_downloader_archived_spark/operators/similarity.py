@@ -872,3 +872,187 @@ def pq_search(
     return candidates.withColumn(
         "rank", F.row_number().over(w)
     ).filter(F.col("rank") <= k)
+
+
+def ivfpq_build(
+    df: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> tuple:
+    """IVF-PQ index build - the FAISS-classic composition and the
+    100 TB ANN production shape: k-means routes every vector to one
+    of ``nlist`` coarse cells, and PQ encodes the RESIDUAL (vector
+    minus its cell centroid) into m int8 codes. Residual encoding is
+    what makes the composition better than either piece alone: the
+    coarse quantizer removes the between-cell variance, so the same
+    m x k code budget spends entirely on within-cell detail.
+
+    Returns (encoded, centroids, codebooks): ``encoded`` = (id,
+    cluster, codes) - at lake scale written PARTITIONED BY cluster so
+    a probe reads nprobe/nlist of the data (ivf_build_index's
+    contract); ``centroids`` = [(cluster_id, [d])] pairs (populated
+    cells only) and ``codebooks`` = [m][k][d/m], both tiny
+    driver-side lists the search broadcasts.
+
+    Scale shape: one k-means fit + assignment, one centroid
+    aggregate, a broadcast-join residual projection (pure Catalyst
+    zip_with - no Python in the residual path), one PQ train (m
+    narrow slice fits) and one Arrow-batched encode."""
+    assigned = kmeans_assign(df, k=nlist, vec_col=vec_col, seed=seed)
+    cents_df = ivf_centroids(assigned, "cluster", vec_col=vec_col)
+    residuals = assigned.join(F.broadcast(cents_df), "cluster").select(
+        id_col,
+        "cluster",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda x, c: x - c,
+        ).alias("_residual"),
+    )
+    books = pq_train(
+        residuals.select(F.col("_residual").alias(vec_col)),
+        m=m,
+        k=k,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    encoded = pq_encode(
+        residuals, books, id_col=id_col, vec_col="_residual"
+    ).join(residuals.select(id_col, "cluster"), id_col)
+    # centroids as (cluster_id, vector) PAIRS, not a plain array:
+    # k-means can leave a cell empty, and ivf_centroids only emits
+    # populated cells - positional indexing would silently shift
+    # every id after a gap
+    cents = sorted(
+        (int(r["cluster"]), list(map(float, r["centroid"])))
+        for r in cents_df.collect()
+    )
+    return encoded, cents, books
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k: each query probes its ``nprobe`` nearest coarse
+    cells and scores ONLY those cells' codes by asymmetric distance
+    against a per-(query, cell) lookup table built from the query's
+    RESIDUAL to that cell's centroid - candidates are never
+    dequantized and never leave their partition before the k-bounded
+    merge. nprobe=nlist is exhaustive-PQ (equals pq_search on the
+    residual index, pytest-pinned); recall rises with nprobe.
+
+    Output: (query_id, neighbor_id, adc_dist, rank), ADC approximates
+    squared L2; ties toward the smaller neighbor id, applied in the
+    LOCAL selection (the pq_search/knn_join rule).
+
+    Scale shape: queries collect driver-side (the small side); the
+    broadcast is Q x nprobe x m x k doubles of LUT plus the probe
+    lists. At lake scale ``encoded`` is read PARTITIONED BY cluster,
+    so the scan itself prunes to the union of probed cells
+    (PartitionFilters - the ivf_search_indexed contract); here the
+    kernel masks per batch, which is the same candidate bound without
+    the I/O pruning."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    qid_t = queries.schema[qid].dataType.simpleString()
+    nid_t = encoded.schema[id_col].dataType.simpleString()
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    kcent = books[0].shape[0]
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    nlist = len(cmat)
+    npb = min(nprobe, nlist)
+    q_rows = queries.select(F.col(qid).alias("qid"), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    nq = len(q_ids)
+    # coarse routing: nprobe nearest centroids per query (ties toward
+    # the smaller cluster id via stable argsort on (dist, id))
+    cd = ((q_mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    # positions into the (possibly gappy) centroid list; the kernel
+    # compares against the ACTUAL cluster ids
+    probes = cids[np.argsort(cd, axis=1, kind="stable")[:, :npb]]
+    probe_pos = np.argsort(cd, axis=1, kind="stable")[:, :npb]
+    # per-(query, probed cell) LUT over the query RESIDUAL
+    lut = np.empty((nq, npb, m, kcent), dtype=np.float64)
+    for qi in range(nq):
+        for pi in range(npb):
+            r = q_mat[qi] - cmat[probe_pos[qi, pi]]
+            for j in range(m):
+                diff = r[j * sub : (j + 1) * sub][None, :] - books[j]
+                lut[qi, pi, j, :] = (diff * diff).sum(axis=1)
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, probes, lut))
+
+    def score(batches):
+        import pandas as pd
+
+        ids_q, prb, tables = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            clusters = pdf["cluster"].to_numpy()
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            id_rank = np.argsort(np.argsort(c_ids, kind="stable"))
+            rq, rc, rd = [], [], []
+            for qi in range(len(ids_q)):
+                dists, keeps = [], []
+                for pi in range(prb.shape[1]):
+                    mask = clusters == prb[qi, pi]
+                    if not mask.any():
+                        continue
+                    sel = codes[mask]
+                    d = np.zeros(len(sel), dtype=np.float64)
+                    for j in range(sel.shape[1]):
+                        d += tables[qi, pi, j, sel[:, j]]
+                    dists.append(d)
+                    keeps.append(np.flatnonzero(mask))
+                if not dists:
+                    continue
+                d_all = np.concatenate(dists)
+                rows = np.concatenate(keeps)
+                kk = min(k, len(d_all))
+                order = np.lexsort((id_rank[rows], d_all))[:kk]
+                rq.append(np.repeat(ids_q[qi], kk))
+                rc.append(c_ids[rows[order]])
+                rd.append(d_all[order])
+            if not rq:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(rq),
+                    "neighbor_id": np.concatenate(rc),
+                    "adc_dist": np.concatenate(rd),
+                }
+            )
+
+    candidates = encoded.select(id_col, "cluster", "codes").mapInPandas(
+        score,
+        schema=f"query_id {qid_t}, neighbor_id {nid_t}, adc_dist double",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return candidates.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= k)

@@ -2270,3 +2270,82 @@ def test_pq_recall_on_embeddings_table(spark, sf_dir) -> None:
     recall = hits / total
     # deterministic (seeded k-means, tie-broken merge): measured 0.567
     assert recall >= 0.5, recall  # far above the 0.025 random floor
+
+
+def test_ivfpq_recall_and_exhaustive_probe(spark, sf_dir) -> None:
+    """IVF-PQ end to end: (a) nprobe=nlist (exhaustive) matches plain
+    residual-PQ quality - recall@10 floor vs exact brute force; (b)
+    recall is monotone in nprobe (more cells probed never hurts the
+    floor); (c) every returned neighbor comes from a probed cell; (d)
+    deterministic across two runs (seeded k-means, id tie-breaks)."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    encoded, cents, books = ivfpq_build(emb, nlist=8, m=16, k=32)
+    enc_rows = encoded.collect()
+    assert {len(r.codes) for r in enc_rows} == {16}
+    cluster_of = {r.vec_id: r.cluster for r in enc_rows}
+    queries = emb.limit(10)
+
+    rows = emb.collect()
+    ids = [r.vec_id for r in rows]
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+    def recall(nprobe: int) -> float:
+        got: dict = {}
+        for r in ivfpq_search(
+            queries, encoded, cents, books, k=10, nprobe=nprobe
+        ).collect():
+            got.setdefault(r.query_id, []).append(r.neighbor_id)
+        hits = total = 0
+        for r in queries.collect():
+            q = np.asarray(r.embedding, dtype=np.float64)
+            d2 = ((mat - q) ** 2).sum(axis=1)
+            order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))[:10]
+            hits += len({ids[i] for i in order} & set(got.get(r.vec_id, [])))
+            total += 10
+        return hits / total
+
+    r_exh = recall(8)
+    r_low = recall(2)
+    assert r_exh >= 0.5, r_exh   # residual-PQ exhaustive floor
+    assert r_exh >= r_low - 1e-9  # probing every cell never loses
+    # (c) partial probes only return rows from the probed cells: the
+    # query's OWN cell is always its nearest centroid's cell, so its
+    # own id must be reachable at nprobe=1... but quantization may
+    # outrank it; assert membership instead: all neighbors at
+    # nprobe=1 share the query's routed cell
+    one = ivfpq_search(
+        queries, encoded, cents, books, k=10, nprobe=1
+    ).collect()
+    import numpy as _np
+
+    cmat = _np.asarray([v for _, v in cents])
+    cids = _np.asarray([c for c, _ in cents])
+    for r in queries.collect():
+        q = _np.asarray(r.embedding, dtype=_np.float64)
+        cd = ((cmat - q) ** 2).sum(axis=1)
+        routed = int(cids[_np.lexsort((cids, cd))[0]])
+        for row in one:
+            if row.query_id == r.vec_id:
+                assert cluster_of[row.neighbor_id] == routed
+    # (d) determinism
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivfpq_search(
+            queries, encoded, cents, books, k=5, nprobe=3
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivfpq_search(
+            queries, encoded, cents, books, k=5, nprobe=3
+        ).collect()
+    )
+    assert a == b
