@@ -15,6 +15,7 @@ from .windows import (
     session_agg,
     sliding_agg,
     tumbling_agg,
+    watermark_replay,
     watermarked_dedup,
 )
 from .file_source import file_task_stream, start_lake_sink
@@ -34,6 +35,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "interval_join",
+    "watermark_replay",
     "watermarked_dedup",
     "file_task_stream",
     "kafka_task_stream",

@@ -711,6 +711,7 @@ def streaming_fifo(
     direction: str,
     inflow_value: str = "in",
     state_ttl_ms: int | None = None,
+    max_open_rows: int = 100_000,
 ) -> DataFrame:
     """Streaming twin of operators.ledger.fifo_allocate: ledger rows
     arrive as a stream and every (inflow lot, outflow draw) match is
@@ -738,7 +739,18 @@ def streaming_fifo(
     the batch twin's native-type arithmetic. State is O(open lots
     + pending draws) per key - bounded by the ledger's float (unsold
     inventory / backorders), not by stream length; ``state_ttl_ms``
-    expires abandoned ledgers on continuous streams."""
+    expires abandoned ledgers on continuous streams.
+
+    ``max_open_rows`` is the loud state guard every sibling store in
+    this module carries (streaming_fd_monitor's max_tracked_values,
+    the seasonal monitor's max_store_rows): a HEALTHY ledger's open
+    rows are bounded by its float, but a pathological feed - demand
+    with no supply, or supply no one draws - grows a key's arrays
+    without limit until TTL. When a key's open lots + pending draws
+    exceed the cap after a batch folds, the stream fails with the key
+    and both side-counts named rather than silently OOMing an
+    executor; raise the cap deliberately for ledgers whose genuine
+    float is larger."""
     in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     k_t, s_t = in_schema[key], in_schema[seq]
     out_schema = f"{key} {k_t}, in_seq {s_t}, out_seq {s_t}, alloc bigint"
@@ -807,6 +819,17 @@ def streaming_fifo(
                 dem_seq.append(s)
                 dem_rem.append(q)
             drain()
+        n_open_lots = len(lot_rem) - li
+        n_pending = len(dem_rem) - di
+        if n_open_lots + n_pending > max_open_rows:
+            raise ValueError(
+                f"streaming_fifo: key {key_t[0]!r} carries "
+                f"{n_open_lots} open lots + {n_pending} pending draws "
+                f"> max_open_rows={max_open_rows}. One side of the "
+                "ledger is starved (demand without supply, or supply "
+                "no one draws) - fix the feed or raise the cap "
+                "deliberately."
+            )
         state.update(
             (lot_seq[li:], lot_rem[li:], dem_seq[di:], dem_rem[di:])
         )

@@ -7,7 +7,7 @@ drive them through a real ``readStream`` with ``processAllAvailable``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,3 +105,76 @@ def watermarked_dedup(
     streaming path: keys older than the watermark age out of state
     instead of accumulating forever."""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def watermark_replay(
+    df: DataFrame,
+    ts_col: str,
+    batch_col: str,
+    delay_ms: int,
+    width_ms: int,
+) -> DataFrame:
+    """Deterministic BATCH replay of an append-mode watermarked
+    tumbling aggregation - the oracle-checkable twin of
+    ``tumbling_agg(..., watermark=...)`` on a stream whose arrival
+    order is recorded in ``batch_col`` (micro-batch index).
+
+    Spark's semantics, pinned empirically (probe in
+    tests/test_streaming.py::test_watermark_replay_matches_stream)
+    and replayed here arithmetic-for-arithmetic:
+
+    - the watermark in effect DURING batch b is the running max of
+      per-batch max event time over batches STRICTLY BEFORE b, minus
+      ``delay_ms`` (watermark updates at end-of-batch; first batch
+      runs unwatermarked);
+    - a row is late-dropped iff its tumbling window's END is <= that
+      watermark (equality DROPS - the state for that window was
+      already evicted);
+    - a window reaches the append-mode output iff it has >= 1 kept
+      row and its end is <= the FINAL watermark (max event time over
+      the whole feed minus delay); later windows stay open in state.
+
+    Returns the input rows plus ``w_start_ms`` / ``w_end_ms`` (epoch
+    millis of the row's window), ``wm_ms`` (watermark in effect, null
+    for the earliest batch), ``late_dropped`` and ``emitted`` flags.
+    All arithmetic is bigint epoch-millis, so a SQL oracle replays it
+    bit-for-bit.
+
+    Scale shape: the watermark table is ONE ROW PER ARRIVAL BATCH
+    (bounded by wall-clock trigger count, never event rows), so its
+    running-max global window and the batch-keyed join back to the
+    fact stay calendar-sized at any SF."""
+    with_ms = df.withColumn(
+        "_ts_ms", F.unix_millis(F.col(ts_col).cast("timestamp"))
+    ).filter(F.col(ts_col).isNotNull())
+    bm = with_ms.groupBy(batch_col).agg(F.max("_ts_ms").alias("_bmax"))
+    run = Window.orderBy(batch_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = bm.select(
+        batch_col,
+        (F.max("_bmax").over(run) - F.lit(delay_ms)).alias("wm_ms"),
+    )
+    final_wm = bm.agg(
+        (F.max("_bmax") - F.lit(delay_ms)).alias("_final_wm_ms")
+    )
+    flagged = (
+        with_ms.join(wm, batch_col)  # wm is batch-count-sized; AQE decides
+        .crossJoin(F.broadcast(final_wm))  # single-row global aggregate
+        .withColumn(
+            "w_start_ms",
+            F.expr(f"_ts_ms div {width_ms} * {width_ms}"),
+        )
+        .withColumn("w_end_ms", F.col("w_start_ms") + F.lit(width_ms))
+        .withColumn(
+            "late_dropped",
+            F.col("wm_ms").isNotNull()
+            & (F.col("w_end_ms") <= F.col("wm_ms")),
+        )
+        .withColumn(
+            "emitted",
+            ~F.col("late_dropped")
+            & (F.col("w_end_ms") <= F.col("_final_wm_ms")),
+        )
+    )
+    return flagged.drop("_ts_ms", "_final_wm_ms")

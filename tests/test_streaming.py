@@ -633,6 +633,105 @@ def test_kafka_task_stream_fails_with_actionable_error(spark) -> None:
         assert df.isStreaming
 
 
+def test_kafka_adapter_contract_double(spark, tmp_path, monkeypatch) -> None:
+    """Drive the Kafka adapter's OWN code path minus the socket
+    (VERDICT r10 item 4): a source double presents the exact Kafka
+    wire schema (key/value binary, topic/partition/offset metadata)
+    as a real streaming DataFrame, so kafka_task_stream's
+    binary-value -> task_json decode executes in a live micro-batch
+    and feeds start_lake_sink end-to-end. Also pins the option
+    wiring the broker would see (bootstrap.servers, subscribe,
+    startingOffsets, maxOffsetsPerTrigger, extra passthrough)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.streaming import DataStreamReader
+
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        kafka_task_stream,
+    )
+
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    (remote / "k_data.csv").write_text("x\n1\n")
+    src = tmp_path / "topic_msgs"
+    src.mkdir()
+    task = {
+        "ID": "k1",
+        "URL": f"file://{remote}/k_data.csv",
+        "TYPE": "DIRECT",
+        "PATTERN": "k_data.csv",
+        "UTC": "0",
+    }
+    (src / "m1.json").write_text(json.dumps(task))
+
+    captured: dict[str, str] = {}
+
+    class _FakeKafkaReader:
+        """DataStreamReader double: records options, and load() emits
+        the spark-sql-kafka source's documented output schema from a
+        real file stream (value is BINARY, exactly what the adapter
+        must decode)."""
+
+        def __init__(self, session: SparkSession) -> None:
+            self._spark = session
+            self._fmt: str | None = None
+
+        def format(self, fmt: str) -> "_FakeKafkaReader":
+            self._fmt = fmt
+            return self
+
+        def option(self, k: str, v: str) -> "_FakeKafkaReader":
+            captured[k] = v
+            return self
+
+        def load(self):
+            assert self._fmt == "kafka"
+            raw = (
+                DataStreamReader(self._spark)
+                .format("text")
+                .load(str(src))
+            )
+            return raw.select(
+                F.lit(None).cast("binary").alias("key"),
+                F.encode("value", "UTF-8").alias("value"),
+                F.lit(captured.get("subscribe")).alias("topic"),
+                F.lit(0).alias("partition"),
+                F.lit(0).cast("long").alias("offset"),
+                F.current_timestamp().alias("timestamp"),
+                F.lit(0).alias("timestampType"),
+            )
+
+    monkeypatch.setattr(
+        SparkSession,
+        "readStream",
+        property(lambda self: _FakeKafkaReader(self)),
+    )
+
+    tasks = kafka_task_stream(
+        spark,
+        "broker-1:9092,broker-2:9092",
+        "tasks",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=5,
+        extra_options={"kafka.group.id": "etl-tasks"},
+    )
+    assert captured["kafka.bootstrap.servers"] == "broker-1:9092,broker-2:9092"
+    assert captured["subscribe"] == "tasks"
+    assert captured["startingOffsets"] == "earliest"
+    assert captured["maxOffsetsPerTrigger"] == "5"
+    assert captured["kafka.group.id"] == "etl-tasks"
+    assert tasks.columns == ["task_json"]
+    assert tasks.isStreaming
+
+    lake = str(tmp_path / "lake")
+    q = start_lake_sink(
+        tasks, lake, str(tmp_path / "manifest"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    landed = spark.read.parquet(lake)
+    assert [r.file_name for r in landed.collect()] == ["k_data.csv"]
+
+
 def test_scheduled_harvest_ticks_and_sees_catalog_updates(spark, tmp_path) -> None:
     """The CloudWatch-schedule analogue: a processing-time trigger
     re-reads the MUTABLE catalog each tick and lands a whole task file
@@ -1622,3 +1721,110 @@ def test_streaming_join_view_survives_crashed_store_swap(
         for r in spark.read.parquet(view).drop("_bucket").collect()
     )
     assert got_view == [(1, "a0", "R1"), (2, "b1", "R2"), (3, "c1", "R3")]
+
+
+def test_watermark_replay_matches_stream(spark, tmp_path) -> None:
+    """The batch replay model (streaming.windows.watermark_replay) must
+    reproduce a REAL append-mode watermarked stream row-for-row: same
+    late-drop set (window end <= watermark drops, equality included),
+    same emitted windows (closed under the final watermark). The feed
+    deliberately exercises the equality edge: a row whose window end
+    lands exactly ON the in-effect watermark."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        tumbling_agg,
+        watermark_replay,
+    )
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+    batches = [
+        # batch 0: on-time rows, max ts 00:25 -> wm after = 00:20
+        [
+            {"ts": "2024-01-01 00:00:30", "v": 1},
+            {"ts": "2024-01-01 00:05:00", "v": 2},
+            {"ts": "2024-01-01 00:25:00", "v": 4},
+        ],
+        # batch 1 (wm = 00:20): 00:07 -> window end 00:10 <= wm DROP;
+        # 00:15 -> end 00:20 == wm DROP (equality edge); 00:21 keeps;
+        # 00:45 advances wm to 00:40
+        [
+            {"ts": "2024-01-01 00:07:00", "v": 8},
+            {"ts": "2024-01-01 00:15:00", "v": 16},
+            {"ts": "2024-01-01 00:21:00", "v": 32},
+            {"ts": "2024-01-01 00:45:00", "v": 64},
+        ],
+        # batch 2: flush + one more open window
+        [{"ts": "2024-01-01 01:30:00", "v": 128}],
+        # batch 3: far-future row closes everything before it
+        [{"ts": "2024-01-01 03:00:00", "v": 256}],
+    ]
+
+    emitted: list[tuple] = []
+
+    def sink(b, bid: int) -> None:
+        emitted.extend(
+            (r["start"], r["n"], r["s"])
+            for r in b.select("w.start", "n", "s").collect()
+        )
+
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+        raw = spark.readStream.format("text").load(str(src))
+        parsed = raw.select(
+            F.from_json("value", "ts TIMESTAMP, v LONG").alias("j")
+        ).select("j.*")
+        agg = tumbling_agg(
+            parsed,
+            "ts",
+            "10 minutes",
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            watermark="5 minutes",
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    flat = [
+        dict(r, batch_id=i)
+        for i, rows in enumerate(batches)
+        for r in rows
+    ]
+    feed = spark.createDataFrame(
+        [(r["ts"], r["v"], r["batch_id"]) for r in flat],
+        "ts STRING, v LONG, batch_id INT",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    flagged = watermark_replay(
+        feed, "ts", "batch_id", delay_ms=300_000, width_ms=600_000
+    )
+    replay = {
+        (r["w_start_ms"]): (r["n"], r["s"])
+        for r in flagged.filter("emitted")
+        .groupBy("w_start_ms")
+        .agg(
+            F.count(F.when(~F.col("late_dropped"), 1)).alias("n"),
+            F.sum(F.when(~F.col("late_dropped"), F.col("v"))).alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        int(s.timestamp() * 1000): (n, v) for s, n, v in emitted
+    }
+    assert got == replay
+    # the equality-edge row (end == wm) and the fully-late row are the
+    # ONLY drops, and the replay flags exactly them
+    drops = sorted(
+        r["v"] for r in flagged.filter("late_dropped").collect()
+    )
+    assert drops == [8, 16]

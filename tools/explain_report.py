@@ -361,6 +361,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # cumulatives are cell-partitioned local windows); plus the lag
     # over the 10-row boundary table
     "equidepth_histogram": "1024-cell grid cumsum + 10-row boundary lag",
+    # watermark running max over the per-arrival-batch max table - one
+    # row per micro-batch (calendar-day-bounded feed), never events
+    "stream_late_drop": "running max over one row per arrival batch",
 }
 
 
