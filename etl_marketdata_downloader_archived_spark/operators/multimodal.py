@@ -7,16 +7,18 @@ tested. Codecs come in two tiers:
 
 - ``decode_media``: REAL decode for what a stdlib-only environment
   can handle - PNG (chunk walk + inflate + scanline unfilter + pixel
-  mean) and WAV/PCM (channels, rate, duration, RMS) in full, plus
-  JPEG HEADER-ONLY (SOF segment walk: dimensions, channels,
-  progressive-ness; pixel fields stay NULL - the honest
-  pixels-not-decoded signal). All differentially tested against
-  independent encoders written from the format specs.
+  mean), WAV/PCM (channels, rate, duration, RMS), and baseline/
+  extended-sequential JPEG (full T.81 Huffman + dequant + IDCT +
+  chroma upsample + YCbCr->RGB pixel mean) in full; JPEG tiers
+  beyond sequential-Huffman-8-bit (progressive, 12-bit, CMYK) get
+  the HEADER-ONLY SOF walk (dimensions, channels, progressive-ness;
+  pixel fields stay NULL - the honest pixels-not-decoded signal).
+  All differentially tested against independent encoders written
+  from the format specs.
 - ``decode_assets``: the deterministic stub for everything a codec
-  LIBRARY would be needed for (JPEG pixels, MP4, ...; none are
-  installed in this environment); its fake fields are
-  SQL-recomputable so the full binary pipeline stays
-  oracle-checkable.
+  LIBRARY would be needed for (MP4, ...; none are installed in this
+  environment); its fake fields are SQL-recomputable so the full
+  binary pipeline stays oracle-checkable.
 
 Extends the reference's raw-bytes landing (reference:
 data-downloader/data_downloader.py:69-70 stores fetched bytes with no
@@ -176,6 +178,352 @@ def _decode_jpeg_header(b: bytes) -> dict | None:
         pos += seg_len
 
 
+def _build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """DHT -> decode table: (code_length, code_value) -> symbol, built
+    by the canonical-code assignment of ITU-T T.81 annex C (codes of
+    each length are consecutive; lengthening shifts left)."""
+    lut: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                raise ValueError("JPEG DHT: fewer symbols than counts")
+            lut[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over one de-stuffed entropy interval."""
+
+    __slots__ = ("d", "i", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.i = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.i >= len(self.d):
+            raise ValueError("truncated JPEG entropy data")
+        b = (self.d[self.i] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.i += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, lut: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG Huffman code longer than 16 bits")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t magnitude bits to the signed
+    coefficient value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _split_entropy(b: bytes, pos: int) -> list[bytes]:
+    """Slice the scan's entropy-coded bytes into restart intervals:
+    de-stuff FF00 -> FF, split on RSTn, stop at any other marker
+    (normally EOI). Returns the de-stuffed interval list."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            if i + 1 >= len(b):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = b[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            segments.append(bytes(cur))
+            return segments
+        cur.append(byte)
+        i += 1
+    raise ValueError("truncated JPEG: entropy stream ran past EOF")
+
+
+def _idct_matrix():
+    """8-point DCT-III basis: A[u, x] = C(u)/2 * cos((2x+1)u*pi/16),
+    so an 8x8 coefficient block F inverts as A.T @ F @ A."""
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+# zig-zag index -> (row, col) of the 8x8 block, T.81 figure A.6
+_ZIGZAG = [
+    (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),(0,3),(1,2),
+    (2,1),(3,0),(4,0),(3,1),(2,2),(1,3),(0,4),(0,5),
+    (1,4),(2,3),(3,2),(4,1),(5,0),(6,0),(5,1),(4,2),
+    (3,3),(2,4),(1,5),(0,6),(0,7),(1,6),(2,5),(3,4),
+    (4,3),(5,2),(6,1),(7,0),(7,1),(6,2),(5,3),(4,4),
+    (3,5),(2,6),(1,7),(2,7),(3,6),(4,5),(5,4),(6,3),
+    (7,2),(7,3),(6,4),(5,5),(4,6),(3,7),(4,7),(5,6),
+    (6,5),(7,4),(7,5),(6,6),(5,7),(6,7),(7,6),(7,7),
+]
+
+
+def _decode_jpeg_pixels(b: bytes) -> dict | None:
+    """REAL baseline-JPEG pixel decode, pure stdlib+numpy (ITU-T T.81
+    annexes B/F): segment walk collecting DQT/DHT/DRI, sequential-DCT
+    Huffman SOF (C0 baseline / C1 extended, 8-bit), then per-MCU
+    entropy decode (DC prediction + EXTEND, AC run/size with EOB/ZRL),
+    dequantize, de-zigzag, separable float64 IDCT, +128 level shift,
+    nearest-neighbor chroma upsampling and JFIF YCbCr->RGB. Returns
+    the header dict with ``mean_value`` = mean over all pixels and
+    channels - the pixels_decoded=true signal.
+
+    Returns None when the frame is eligible-looking JPEG but outside
+    this tier (progressive/lossless/arithmetic, 12-bit precision,
+    CMYK) so the caller falls back to the honest header-only decode;
+    raises ValueError on malformed structure (quarantine path).
+    Differentially tested against an independent spec-written ENCODER
+    (tests/test_operators.py): DC-only images must round-trip exactly,
+    textured images within the T.83-style +/-1 per-pixel envelope."""
+    import numpy as np
+
+    if len(b) < 2 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    qtables: dict[int, list[int]] = {}
+    dc_luts: dict[int, dict] = {}
+    ac_luts: dict[int, dict] = {}
+    frame = None  # (marker, precision, H, W, comps)
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG: no SOS before EOF")
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1
+        if pos >= len(b):
+            raise ValueError("truncated JPEG: trailing fill bytes")
+        marker = b[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            raise ValueError("JPEG ended with no scan")
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG segment length")
+        seg_len = int.from_bytes(b[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > len(b):
+            raise ValueError("truncated JPEG segment")
+        seg = b[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            j = 0
+            while j < len(seg):
+                prec = seg[j] >> 4
+                tid = seg[j] & 0x0F
+                j += 1
+                n = 64 * (2 if prec else 1)
+                if j + n > len(seg):
+                    raise ValueError("short DQT segment")
+                if prec:
+                    qtables[tid] = [
+                        int.from_bytes(seg[j + 2 * k : j + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                else:
+                    qtables[tid] = list(seg[j : j + 64])
+                j += n
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            j = 0
+            while j < len(seg):
+                cls = seg[j] >> 4
+                tid = seg[j] & 0x0F
+                j += 1
+                if j + 16 > len(seg):
+                    raise ValueError("short DHT segment")
+                counts = seg[j : j + 16]
+                j += 16
+                nsym = sum(counts)
+                if j + nsym > len(seg):
+                    raise ValueError("short DHT symbol list")
+                lut = _build_huffman(counts, seg[j : j + nsym])
+                j += nsym
+                (ac_luts if cls else dc_luts)[tid] = lut
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("short DRI segment")
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker in _JPEG_SOF:
+            if marker not in (0xC0, 0xC1):
+                return None  # progressive / lossless / arithmetic tier
+            if len(seg) < 6:
+                raise ValueError("short SOF segment")
+            precision = seg[0]
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("short SOF component list")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = (marker, precision, height, width, comps)
+            if precision != 8 or ncomp not in (1, 3):
+                return None  # 12-bit / CMYK tier: header-only
+            if height == 0 or width == 0:
+                raise ValueError("JPEG zero dimension")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("short SOS segment")
+            ns = seg[0]
+            scan_tables = {}
+            for s in range(ns):
+                cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
+                scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+            _, _, H, W, comps = frame
+            if ns != len(comps):
+                return None  # multi-scan sequential: out of tier
+            entropy_pos = pos + seg_len
+            break
+        pos += seg_len
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("JPEG zero sampling factor")
+    if any(
+        c["h"] <= 0 or c["v"] <= 0 or hmax % c["h"] or vmax % c["v"]
+        for c in comps
+    ):
+        return None  # non-divisible sampling grid: out of tier
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG component references missing DQT")
+        if c["id"] not in scan_tables:
+            raise ValueError("JPEG scan omits a frame component")
+        td, ta = scan_tables[c["id"]]
+        if td not in dc_luts or ta not in ac_luts:
+            raise ValueError("JPEG scan references missing DHT")
+        c["dc"] = dc_luts[td]
+        c["ac"] = ac_luts[ta]
+        c["q"] = qtables[c["tq"]]
+
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    idct = _idct_matrix()
+    planes = {
+        c["id"]: np.zeros(
+            (mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64
+        )
+        for c in comps
+    }
+    segments = _split_entropy(b, entropy_pos)
+    seg_idx = 0
+    bits = _JpegBits(segments[0])
+    preds = {c["id"]: 0 for c in comps}
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart marker")
+            bits = _JpegBits(segments[seg_idx])
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coeffs = np.zeros(64, dtype=np.float64)
+                    t = bits.read_symbol(c["dc"])
+                    if t > 11:
+                        raise ValueError("JPEG DC category out of range")
+                    diff = _extend(bits.read_bits(t), t)
+                    preds[c["id"]] += diff
+                    coeffs[0] = preds[c["id"]] * c["q"][0]
+                    k = 1
+                    while k < 64:
+                        rs = bits.read_symbol(c["ac"])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: skip 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coeffs[k] = _extend(bits.read_bits(s), s) * c["q"][k]
+                        k += 1
+                    block = np.zeros((8, 8), dtype=np.float64)
+                    for k in range(64):
+                        r_, c_ = _ZIGZAG[k]
+                        block[r_, c_] = coeffs[k]
+                    px = idct.T @ block @ idct + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    def full_res(c) -> "np.ndarray":
+        p = planes[c["id"]]
+        p = np.repeat(p, vmax // c["v"], axis=0)
+        p = np.repeat(p, hmax // c["h"], axis=1)
+        return p[:H, :W]
+
+    if len(comps) == 1:
+        out = np.clip(np.round(full_res(comps[0])), 0, 255)
+        mean = float(out.mean())
+    else:
+        y, cb, cr = (full_res(c) for c in comps)
+        cb = cb - 128.0
+        cr = cr - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ]
+        )
+        mean = float(np.clip(np.round(rgb), 0, 255).mean())
+    return {
+        "modality_detected": "image/jpeg",
+        "width": int(W),
+        "height": int(H),
+        "n_channels": len(comps),
+        "mean_value": mean,
+    }
+
+
 def _png_unfilter(raw: bytes, w: int, h: int, channels: int):
     """Reverse PNG scanline filtering (types 0-4, 8-bit samples) into
     an (h, w*channels) uint8 array. Pure stdlib+numpy; the sequential
@@ -298,14 +646,17 @@ def _decode_wav(b: bytes) -> dict | None:
 def decode_media(assets: DataFrame) -> DataFrame:
     """REAL media decode for the formats a stdlib-only environment can
     handle - PNG (struct+zlib chunk walk, inflate, scanline unfilter,
-    pixel mean) and WAV/PCM (wave module: channels, rate, duration,
-    RMS) - dispatched on magic bytes per asset - plus JPEG
-    HEADER-ONLY (SOF segment walk, ITU-T T.81: width/height/channels
-    and the baseline-vs-progressive distinction; ``mean_value`` stays
-    NULL because pixel decode genuinely needs Huffman+IDCT - a NULL
-    mean_value on an image/jpeg row IS pixels_decoded=false).
-    Anything else passes through with byte length + checksum and NULL
-    media fields.
+    pixel mean), WAV/PCM (wave module: channels, rate, duration,
+    RMS), and BASELINE/extended-sequential JPEG (full T.81 pixel
+    decode: DQT/DHT/DRI walk, per-MCU Huffman entropy decode,
+    dequant, float64 IDCT, chroma upsampling, JFIF YCbCr->RGB -
+    ``mean_value`` is the real pixel mean) - dispatched on magic
+    bytes per asset. JPEG tiers outside sequential-Huffman-8-bit
+    (progressive, lossless, arithmetic, 12-bit, CMYK) fall back to
+    the HEADER-ONLY SOF walk: width/height/channels real,
+    ``mean_value`` NULL - a NULL mean_value on an image row IS
+    pixels_decoded=false. Anything else passes through with byte
+    length + checksum and NULL media fields.
 
     This replaces the ``fake=True`` stub for these two formats: the
     emitted width/height/pixel-mean/RMS are decoded from the actual
@@ -357,11 +708,21 @@ def decode_media(assets: DataFrame) -> DataFrame:
                 rec["n_bytes"] = len(b)
                 rec["checksum"] = hashlib.sha256(b).hexdigest()
                 try:
-                    dec = (
-                        _decode_png(b)
-                        or _decode_wav(b)
-                        or _decode_jpeg_header(b)
-                    )
+                    dec = _decode_png(b) or _decode_wav(b)
+                    if dec is None:
+                        # JPEG pixel tier first (baseline/extended
+                        # sequential Huffman). A PIXEL-stage failure
+                        # (bad entropy data, missing DHT) downgrades
+                        # to the header walk - the metadata is still
+                        # real and mean_value=NULL is the honest
+                        # pixels_decoded=false; only a segment-FRAMING
+                        # failure (the header walk re-raising) lands
+                        # in quarantine.
+                        try:
+                            dec = _decode_jpeg_pixels(b)
+                        except ValueError:
+                            dec = None
+                        dec = dec or _decode_jpeg_header(b)
                 except Exception:
                     kind = (
                         "png" if b.startswith(_PNG_SIG) else

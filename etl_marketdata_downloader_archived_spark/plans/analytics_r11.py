@@ -133,3 +133,75 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "emitted",
         )
     )
+
+
+@q(
+    "approx_percentile_cert",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def approx_percentile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-error certificate for the built-in percentile_approx
+    (VERDICT r10 stretch item: the quantile function users reach for
+    first had no oracle row - the battery certified only exact
+    positional quantiles and mergeable KLL-style sketches).
+
+    Differential form, the agg_approx_distinct pattern: Spark computes
+    the sketch quantiles AND each returned value's exact rank interval
+    (percentile_approx returns actual data points, so the value's
+    ranks occupy (count_lt, count_le]), then asserts that interval
+    intersects [(q - tol)*N - 2, (q + tol)*N + 2] with tol = 5x the
+    documented relative rank error (1/accuracy, accuracy=1000). The
+    oracle expects TRUE per group alongside the exact group size - the
+    accuracy CONTRACT is the cross-checkable artifact (GK-summary
+    internals have no DuckDB twin). Production plans use the sketch
+    alone; the rank counts here are the certificate, not the plan.
+
+    Scale shape: one partial-combined quantile aggregate over the fact
+    (GK summaries merge map-side, bounded memory - that is WHY this
+    function is the 100 TB substitute for exact quantiles), one 3-row
+    enum-keyed join back (unhinted; AQE broadcasts), one conditional
+    count aggregate. No sort, no global window."""
+    eps = 1.0 / 1000
+    tol = 5 * eps
+    qs = [0.25, 0.50, 0.75]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(*[F.lit(p) for p in qs]),
+            F.lit(1000),
+        ).alias("vs")
+    )
+    joined = li.join(ap, "l_returnflag")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(3):
+        aggs.append(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("vs")[i]).cast("long")
+            ).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("vs")[i]).cast("long")
+            ).alias(f"_le{i}")
+        )
+    stats = joined.groupBy("l_returnflag").agg(*aggs)
+    cols = [F.col("l_returnflag"), F.col("n").cast("bigint").alias("n")]
+    for i, (p, name) in enumerate(zip(qs, ["q25_ok", "q50_ok", "q75_ok"])):
+        lo = (F.lit(p - tol) * F.col("n")) - F.lit(2.0)
+        hi = (F.lit(p + tol) * F.col("n")) + F.lit(2.0)
+        cols.append(
+            (
+                (F.col(f"_lt{i}") + F.lit(1) <= hi)
+                & (F.col(f"_le{i}") >= lo)
+                # the returned quantile must be a member value
+                & (F.col(f"_le{i}") > F.col(f"_lt{i}"))
+            ).alias(name)
+        )
+    return stats.select(*cols)
