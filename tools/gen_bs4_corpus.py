@@ -512,6 +512,87 @@ DIRECTED: list[tuple[str, str, str]] = [
         "'invalid markup') - '< 4 ' is emitted as text and the "
         "following real tag tokenizes normally. Expected: real12.",
     ),
+    # round-11 additions: six more documented-rule corners, targeted
+    # at the fallback's residual risk areas named by VERDICT r10
+    # (entity edge cases + malformed-nesting/raw-text recovery)
+    (
+        "charref-hex-uppercase-x",
+        '<html><body><a href="u?&#X26;v=&#X2F;">t</a></body></html>',
+        "Hex numeric references accept an UPPERCASE X: the HTML5 "
+        "numeric-reference grammar that html.unescape implements "
+        "(html docs: 'rules given in the HTML 5 standard') admits "
+        "both 0x66 'f' and 0x58 'X' prefixes, and attribute values "
+        "unescape through it (html.parser docs, handle_starttag). "
+        "The round-7 corner pinned lowercase &#x26; only. Expected "
+        "href: 'u?&v=/'.",
+    ),
+    (
+        "entity-longest-match-backtrack",
+        '<html><body><a href="m?&notit;x&notin;y">t</a></body></html>',
+        "Entity matching is LONGEST-KNOWN-NAME with backtracking: "
+        "html.unescape 'converts all named ... character references' "
+        "via the HTML5 table, where '&notin;' is a complete name but "
+        "'&notit;' is not - the match falls back to the longest "
+        "legacy semicolon-less prefix '&not' (in the spec's "
+        "no-semicolon list), leaving 'it;' literal. So '&notit;' -> "
+        "'\\u00acit;' while '&notin;' -> '\\u2209'. Pins the "
+        "table-prefix backtracking path the no-semicolon corner "
+        "(round 7) only brushed. Expected href: 'm?\\u00acit;x"
+        "\\u2209y'.",
+    ),
+    (
+        "unclosed-script-eof",
+        '<html><body><a href="s0">t</a>'
+        "<script>var x=\"<a href='s1'>\"",
+        "Raw-text mode left open at EOF swallows the rest of the "
+        "page: after <script> the tokenizer is in CDATA content mode "
+        "(html.parser docs: script/style contents are not parsed as "
+        "markup) and only an explicit closing tag exits it (CPython "
+        "Lib/html/parser.py set_cdata_mode / goahead) - close() at "
+        "EOF emits the unterminated buffer as DATA, never as tags. "
+        "The RAW-TEXT sibling of comment-unclosed-eof (round 9) and "
+        "broken-tag-eof. Expected: only s0.",
+    ),
+    (
+        "cr-crlf-attr-preserved",
+        '<html><body><a href="a\r\nb\rc">t</a></body></html>',
+        "Sixth DELIBERATE browser-divergence pin: the HTML5 input "
+        "stream preprocessor normalizes CR and CRLF to LF before "
+        "tokenizing, but html.parser has no preprocessing stage - "
+        "the quoted-value pattern (CPython Lib/html/parser.py "
+        "attrfind_tolerant, a character class) matches \\r and "
+        "\\r\\n verbatim and the docs list no normalization pass. "
+        "Byte-for-byte CR retention is exactly the kind of "
+        "difference that silently corrupts URL joins, so it is "
+        "pinned. Expected href: 'a\\r\\nb\\rc' verbatim.",
+    ),
+    (
+        "quote-entities-inside-value",
+        '<html><body><a href="a&quot;b&#39;c">t</a></body></html>',
+        "An entity-encoded quote inside a QUOTED value resolves to "
+        "the literal quote character WITHOUT terminating the value: "
+        "the quoted-value scan ends only at the matching RAW quote "
+        "(CPython Lib/html/parser.py attrfind_tolerant), and entity "
+        "replacement happens AFTER the value is delimited "
+        "(parse_starttag unescapes the captured value). So "
+        "'a&quot;b&#39;c' -> a\"b'c as one href - the ordering "
+        "(delimit THEN unescape) is the rule this corner pins. "
+        "Expected href: a\"b'c.",
+    ),
+    (
+        "slash-between-attrs",
+        '<html><body><a / href="sl1">t</a><a/href="sl2">u</a>'
+        "</body></html>",
+        "Stray '/' characters between attributes are tolerated "
+        "separators: CPython Lib/html/parser.py attrfind_tolerant "
+        "allows an attribute name to start after whitespace OR '/' "
+        "(the lookbehind [\\'\\\"\\s/] and the tolerant junk-skip in "
+        "parse_starttag), so both '<a / href=..>' and the "
+        "space-less '<a/href=..>' carry their href - neither is a "
+        "self-closing tag (that requires the '/' immediately before "
+        "'>'; see self-closing-anchor, round 7). Expected: sl1, "
+        "sl2.",
+    ),
 ]
 
 
