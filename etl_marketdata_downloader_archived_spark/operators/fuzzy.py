@@ -181,3 +181,95 @@ def sorted_neighborhood_pairs(
     if max_distance is not None:
         out = out.filter(F.col("dist") <= int(max_distance))
     return out
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    PPJoin/AllPairs family, Chaudhuri/Ganti/Kaushik's SSJoin line):
+    every unordered pair of rows whose token sets have Jaccard
+    similarity >= ``threshold``, with NO false negatives - the exact
+    complement to the probabilistic MinHash-band candidates in
+    operators.dedup (LSH trades recall for speed; this trades a
+    tunable candidate bound for recall = 1).
+
+    The filter: order every set by GLOBAL token frequency (rarest
+    first, ties by token), keep each row's first
+    n - ceil(threshold * n) + 1 tokens as its prefix. Two sets with
+    Jaccard >= t must share at least one PREFIX token (if they shared
+    none, the overlap is at most the suffix length, and
+    |intersection| <= n - prefix_len < ceil(t * n) <= the overlap a
+    Jaccard of t requires) - so the equi-join on prefix tokens
+    generates every qualifying pair, and an exact in-row
+    array_intersect verify removes the false positives.
+
+    Returns (id_a, id_b, inter, union_n, jaccard) with id_a < id_b,
+    jaccard = inter / union_n (one IEEE division of exact bigints).
+
+    Scale shape: candidates are bounded by the posting lists of RARE
+    tokens only (a token in many prefixes is by construction frequent
+    and so sorts OUT of prefixes as sets grow); the frequency table
+    and the per-row prefix rank are grouped/partitioned aggregations,
+    never global; the verify is in-row on the candidate pairs. The
+    known hot spot is a token that is both rare corpus-wide and
+    shared by a near-duplicate CLUSTER - exactly the pairs the join
+    must emit, so output size, not skew, is the bound."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(tokens_col)).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    flat = tok.select(
+        "_id", F.size("_t").alias("_n"), F.explode("_t").alias("_tk")
+    )
+    freq = flat.groupBy("_tk").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = flat.join(freq, "_tk").withColumn(
+        "_rn",
+        F.row_number().over(W.partitionBy("_id").orderBy("_f", "_tk")),
+    )
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select("_id", "_tk")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_tk")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            tok.select(
+                F.col("_id").alias("id_a"), F.col("_t").alias("_ta")
+            ),
+            "id_a",
+        )
+        .join(
+            tok.select(
+                F.col("_id").alias("id_b"), F.col("_t").alias("_tb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("_ta", "_tb")).cast("bigint"),
+        )
+        .withColumn(
+            "union_n",
+            (F.size("_ta") + F.size("_tb")).cast("bigint")
+            - F.col("inter"),
+        )
+        .withColumn("jaccard", F.col("inter") / F.col("union_n"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "inter", "union_n", "jaccard")

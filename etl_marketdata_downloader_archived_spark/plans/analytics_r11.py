@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from .registry import q
 
+_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
 
 @q(
     "stream_late_drop",
@@ -205,3 +207,275 @@ def approx_percentile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(name)
         )
     return stats.select(*cols)
+
+
+@q(
+    "jaccard_prefix_join",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   x -> x <> '')) AS t
+        FROM documents
+    ),
+    nz AS (SELECT * FROM tok WHERE len(t) > 0),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+               CAST(len(a.t) AS BIGINT) + CAST(len(b.t) AS BIGINT)
+                   - CAST(len(list_intersect(a.t, b.t)) AS BIGINT)
+                   AS union_n
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, inter, union_n,
+           CAST(inter AS DOUBLE) / union_n AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / union_n >= 0.5
+    """,
+)
+def jaccard_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join over the documents corpus
+    (operators.fuzzy.jaccard_prefix_join, the PPJoin/AllPairs prefix
+    filter): every doc pair with token-set Jaccard >= 0.5, recall
+    guaranteed 1.0 - the deterministic twin the MinHash band panel
+    (dedup_near_panel, rows-only by nature) cannot be: the ORACLE here
+    is the brute-force all-pairs join, so the prefix filter's
+    no-false-negative claim is replayed pair for pair at parity
+    scale.
+
+    Exactness: inter/union are bigint set sizes on identically
+    tokenized text (the battery's [^a-z]+ convention); jaccard is the
+    one IEEE division of those bigints, compared against the same
+    division in DuckDB.
+
+    Scale shape: the Spark side NEVER builds all pairs - candidates
+    come from the equi-join on rare prefix tokens (posting lists of
+    frequent tokens sort out of prefixes by construction), the
+    frequency table and per-doc prefix ranks are grouped/partitioned
+    (no global window), and the verify is in-row array_intersect on
+    candidates only. The all-pairs shape lives exclusively in the
+    sf0.01 oracle."""
+    from ..operators.fuzzy import jaccard_prefix_join
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+        ).alias("toks"),
+    )
+    out = jaccard_prefix_join(d, "doc_id", "toks", threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "inter",
+        "union_n",
+        "jaccard",
+    )
+
+
+@q(
+    "rolling_active_users",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    cover AS (
+        SELECT DISTINCT user_id,
+               CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM act
+    ),
+    wau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS wau_7d
+        FROM cover GROUP BY 1
+    ),
+    dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau_7d,
+           CAST(d.dau AS DOUBLE) / w.wau_7d AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (the DAU/WAU panel every product
+    dashboard opens with) computed EXACTLY without a sliding
+    count-distinct: a distinct (user, day) activity grid explodes
+    each active day to the 7 trailing window positions it covers, a
+    second distinct collapses multi-active users per window, and a
+    plain count per cover day IS the exact trailing distinct. The
+    stickiness ratio (DAU/WAU) is one IEEE division of the two bigint
+    counts. Output: one row per day WITH same-day activity.
+
+    Scale shape: this is the map-side-combinable rewrite of the
+    classic unpartitionable window-COUNT-DISTINCT - every stage is a
+    hash aggregate (two dedups, two counts) over at most 7x the
+    distinct user-day grid, which is already << events; no window
+    function at all, no per-day re-scan. The 7x explode factor is
+    the window length, a constant - at 100 TB the grid shuffles on
+    (user, day) with no skew beyond genuine heavy days."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    act = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cover = act.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+    ).distinct()
+    wau = cover.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau_7d")
+    )
+    dau = act.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau_7d",
+        (F.col("dau") / F.col("wau_7d")).alias("stickiness"),
+    )
+
+
+@q(
+    "win_ntile",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority,
+               ntile(7) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey)
+                   AS tile,
+               o_totalprice
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(tile AS INT) AS tile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo_price,
+           round(max(o_totalprice), 2) AS hi_price
+    FROM t GROUP BY 1, 2
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile certification - the one ranking-family window function
+    without a literal-operator oracle row (the LTV/RFM queries
+    deliberately compute quantile buckets POSITIONALLY instead;
+    SURVEY 2B's ranking row deserves the built-in users actually
+    write). Semantics pinned cross-engine: ntile(k) deals
+    ceil-then-floor bucket sizes in ORDER BY order - deterministic
+    here because (o_totalprice, o_orderkey) is a total order.
+    Output: bucket sizes and price spans per (priority, tile).
+
+    Scale shape: the window partitions by o_orderpriority (an enum) -
+    ntile needs each partition's total count before assigning, so a
+    LOW-cardinality partition key concentrates fact rows on few tasks
+    (the documented ntile trade; the positional rank-from-counts
+    rewrite in ltv_quintiles is the 100 TB escape when partitions are
+    fact-scale). The final regroup is 5 x 7 rows."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(7)
+        .over(
+            W.partitionBy("o_orderpriority").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .alias("tile"),
+    )
+    return t.groupBy("o_orderpriority", F.col("tile").cast("int").alias("tile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+        F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+    )
+
+
+@q(
+    "brand_transitions",
+    oracle="""
+    WITH order_brand AS (
+        SELECT l_orderkey AS okey, p_brand AS brand,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY sum(CAST(round(l_extendedprice
+                                           * (1 - l_discount) * 100)
+                                     AS BIGINT)) DESC, p_brand
+               ) AS rn
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_orderkey, p_brand
+    ),
+    seq AS (
+        SELECT o.o_custkey,
+               ob.brand,
+               lag(ob.brand) OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey
+               ) AS prev_brand
+        FROM orders o JOIN order_brand ob
+          ON ob.okey = o.o_orderkey AND ob.rn = 1
+    )
+    SELECT prev_brand AS brand_from, brand AS brand_to,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_brand IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def brand_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-order brand transition matrix (the cross-sell path
+    the merchandising team reads next to brand_cross_shopping's
+    unordered overlap): each order is represented by its
+    highest-revenue brand (int-cents argmax, ties by brand), orders
+    sequence per customer by (date, key), and transitions count
+    (previous brand -> this brand) pairs. Deterministic end to end:
+    integer-cents revenue, total tie-break orders in both windows.
+
+    Scale shape: the argmax runs in a window PARTITIONED by orderkey
+    over the (order, brand) aggregate (fact-scale but fully
+    partitioned, no skew beyond genuine giant orders), the lag window
+    partitions by customer, and the output regroup is <= 25x25
+    brand-pair rows."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cents = F.expr(_CENTS)
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(cents).alias("_rev"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("okey").orderBy(
+                    F.col("_rev").desc(), "brand"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    seq = o.join(ob, o.o_orderkey == ob.okey).select(
+        "o_custkey",
+        "brand",
+        F.lag("brand")
+        .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("prev_brand"),
+    )
+    return (
+        seq.filter(F.col("prev_brand").isNotNull())
+        .groupBy(
+            F.col("prev_brand").alias("brand_from"),
+            F.col("brand").alias("brand_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )

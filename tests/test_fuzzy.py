@@ -57,3 +57,65 @@ def test_rejects_unsupported_distance(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError):
         edit_distance_join(df, "id", "s", max_dist=2)
+
+
+def test_jaccard_prefix_join_known_answer(spark) -> None:
+    """Exact set-similarity join: known pairs at/above threshold come
+    back with exact intersection/union counts, pairs below do not,
+    ids are ordered a < b, and empty token sets never pair."""
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        jaccard_prefix_join,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "e"]),   # J(1,2) = 3/5 = 0.6
+        (3, ["a", "b", "x", "y"]),   # J(1,3) = 2/6 = 1/3
+        (4, ["q", "r"]),             # disjoint from all
+        (5, ["a", "b", "c", "d"]),   # J(1,5) = 1.0
+        (6, []),                     # empty: never pairs
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.union_n, r.jaccard)
+        for r in jaccard_prefix_join(df, "id", "toks", 0.5).collect()
+    }
+    assert got == {
+        (1, 2): (3, 5, 0.6),
+        (1, 5): (4, 4, 1.0),
+        (2, 5): (3, 5, 0.6),
+    }
+
+
+def test_jaccard_prefix_join_matches_brute_force(spark) -> None:
+    """No-false-negative property of the prefix filter: on random
+    token sets the join's output equals the brute-force all-pairs
+    Jaccard computation exactly (pairs, counts, and similarity),
+    across thresholds including one that ceil-rounds awkwardly."""
+    import itertools
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        jaccard_prefix_join,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [
+        (i, rng.sample(vocab, rng.randint(1, 12))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    for thr in (0.34, 0.5, 0.75):
+        expected = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            sa, sb = set(ta), set(tb)
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union and inter / union >= thr:
+                a, b = sorted((ia, ib))
+                expected[(a, b)] = (inter, union)
+        got = {
+            (r.id_a, r.id_b): (r.inter, r.union_n)
+            for r in jaccard_prefix_join(df, "id", "toks", thr).collect()
+        }
+        assert got == expected, thr
