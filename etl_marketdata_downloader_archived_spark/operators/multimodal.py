@@ -13,12 +13,15 @@ tested. Codecs come in two tiers:
   beyond sequential-Huffman-8-bit (progressive, 12-bit, CMYK) get
   the HEADER-ONLY SOF walk (dimensions, channels, progressive-ness;
   pixel fields stay NULL - the honest pixels-not-decoded signal).
-  All differentially tested against independent encoders written
-  from the format specs.
+  MP4/ISO-BMFF gets the same header tier (box walk: mvhd duration,
+  tkhd dimensions; frame pixels genuinely need a codec). All
+  differentially tested against independent encoders written from
+  the format specs.
 - ``decode_assets``: the deterministic stub for everything a codec
-  LIBRARY would be needed for (MP4, ...; none are installed in this
-  environment); its fake fields are SQL-recomputable so the full
-  binary pipeline stays oracle-checkable.
+  LIBRARY would be needed for (JPEG-progressive pixels, MP4 frames,
+  ...; none are installed in this environment); its fake fields are
+  SQL-recomputable so the full binary pipeline stays
+  oracle-checkable.
 
 Extends the reference's raw-bytes landing (reference:
 data-downloader/data_downloader.py:69-70 stores fetched bytes with no
@@ -643,6 +646,100 @@ def _decode_wav(b: bytes) -> dict | None:
     return out
 
 
+def _decode_mp4(b: bytes) -> dict | None:
+    """HEADER-TIER MP4/ISO-BMFF decode, pure stdlib (ISO/IEC 14496-12
+    box grammar): walk the length-prefixed box tree - 32-bit sizes,
+    the size==1 64-bit largesize escape, size==0 runs-to-EOF - into
+    ``moov`` for the movie header (``mvhd`` v0/v1: timescale +
+    duration -> real ``duration_s``) and the first visually-sized
+    track header (``tkhd`` v0/v1: 16.16 fixed-point width/height).
+    Returns None when the payload is not BMFF (no ftyp as the first
+    box); raises ValueError on malformed box structure (undersized or
+    overrunning box, short header payload) so the caller's quarantine
+    path stamps ``corrupt/mp4``.
+
+    This upgrades the former MP4 stub to the same honest tier
+    baseline-JPEG held before r11: duration/dimensions are decoded
+    from the actual payload bytes (differentially tested against an
+    independent spec-written box builder in tests/test_operators.py),
+    while frame pixels genuinely need a codec library - mean_value
+    stays NULL, the pixels_decoded=false signal."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int):
+        """Yield (type, body_lo, body_hi) for each box in [lo, hi)."""
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("truncated MP4 box header")
+            size = int.from_bytes(b[pos : pos + 4], "big")
+            typ = b[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("truncated MP4 largesize")
+                size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+                body = pos + 16
+                if size < 16:
+                    raise ValueError("MP4 largesize smaller than header")
+            elif size == 0:
+                size = hi - pos
+            elif size < 8:
+                raise ValueError("MP4 box size smaller than header")
+            if pos + size > hi:
+                raise ValueError("MP4 box overruns its container")
+            yield typ, body, pos + size
+            pos += size
+
+    out = {
+        "modality_detected": "video/mp4",
+        "duration_s": None,
+        "width": None,
+        "height": None,
+    }
+    for typ, lo, hi in walk(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, lo2, hi2 in walk(lo, hi):
+            if t2 == b"mvhd":
+                if hi2 - lo2 < 4:
+                    raise ValueError("short mvhd box")
+                ver = b[lo2]
+                # after the 4 version/flags bytes: v0 has 32-bit
+                # creation+modification (8 bytes) before timescale,
+                # v1 has 64-bit ones (16 bytes) and a 64-bit duration
+                off, dur_w = (16, 8) if ver == 1 else (8, 4)
+                if hi2 - lo2 < 4 + off + 4 + dur_w:
+                    raise ValueError("short mvhd box")
+                p = lo2 + 4 + off
+                timescale = int.from_bytes(b[p : p + 4], "big")
+                duration = int.from_bytes(
+                    b[p + 4 : p + 4 + dur_w], "big"
+                )
+                if timescale:
+                    out["duration_s"] = duration / timescale
+            elif t2 == b"trak" and out["width"] is None:
+                for t3, lo3, hi3 in walk(lo2, hi2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = b[lo3]
+                    # full payload incl. version/flags: 84 (v0) / 96
+                    # (v1) bytes, width/height the last 8
+                    need = 96 if ver == 1 else 84
+                    if hi3 - lo3 < need:
+                        raise ValueError("short tkhd box")
+                    # width/height: 16.16 fixed point, the box's
+                    # last 8 payload bytes
+                    p = lo3 + need - 8
+                    w = int.from_bytes(b[p : p + 4], "big") >> 16
+                    h = int.from_bytes(b[p + 4 : p + 8], "big") >> 16
+                    if w and h:
+                        out["width"] = int(w)
+                        out["height"] = int(h)
+    return out
+
+
 def decode_media(assets: DataFrame) -> DataFrame:
     """REAL media decode for the formats a stdlib-only environment can
     handle - PNG (struct+zlib chunk walk, inflate, scanline unfilter,
@@ -708,7 +805,11 @@ def decode_media(assets: DataFrame) -> DataFrame:
                 rec["n_bytes"] = len(b)
                 rec["checksum"] = hashlib.sha256(b).hexdigest()
                 try:
-                    dec = _decode_png(b) or _decode_wav(b)
+                    dec = (
+                        _decode_png(b)
+                        or _decode_wav(b)
+                        or _decode_mp4(b)
+                    )
                     if dec is None:
                         # JPEG pixel tier first (baseline/extended
                         # sequential Huffman). A PIXEL-stage failure
@@ -727,7 +828,8 @@ def decode_media(assets: DataFrame) -> DataFrame:
                     kind = (
                         "png" if b.startswith(_PNG_SIG) else
                         "wav" if b[:4] == b"RIFF" else
-                        "jpeg" if b[:2] == b"\xff\xd8" else "unknown"
+                        "jpeg" if b[:2] == b"\xff\xd8" else
+                        "mp4" if b[4:8] == b"ftyp" else "unknown"
                     )
                     dec = {"modality_detected": f"corrupt/{kind}"}
                 if dec:

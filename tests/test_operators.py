@@ -2729,3 +2729,104 @@ def test_decode_media_jpeg_baseline_pixels(spark) -> None:
     assert r.modality_detected == "image/jpeg"
     assert (r.width, r.height) == (13, 21)
     assert r.mean_value is None
+
+
+def _mp4_box(typ: bytes, payload: bytes, large: bool = False) -> bytes:
+    """Independent spec-written ISO-BMFF box builder (ISO/IEC 14496-12
+    4.2): 32-bit size + type, or the size==1 + 64-bit largesize
+    escape."""
+    import struct
+
+    if large:
+        return (
+            struct.pack(">I", 1) + typ + struct.pack(">Q", len(payload) + 16)
+            + payload
+        )
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def test_decode_media_mp4_header_tier(spark) -> None:
+    """MP4 box-walk decode: duration (mvhd v0 AND v1) and track
+    dimensions (tkhd 16.16 fixed point) come back exactly from
+    payloads written by an independent spec box builder, the 64-bit
+    largesize escape works, audio-only files yield duration with NULL
+    dimensions, frame pixels stay honestly NULL, and malformed box
+    trees quarantine as corrupt/mp4."""
+    import struct
+
+    from etl_marketdata_downloader_archived_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    def mvhd(version: int, timescale: int, duration: int) -> bytes:
+        if version:
+            body = bytes([1, 0, 0, 0]) + struct.pack(
+                ">QQIQ", 0, 0, timescale, duration
+            )
+        else:
+            body = bytes([0, 0, 0, 0]) + struct.pack(
+                ">IIII", 0, 0, timescale, duration
+            )
+        return _mp4_box(b"mvhd", body)
+
+    def tkhd(version: int, w: int, h: int) -> bytes:
+        head = bytes([version, 0, 0, 0])
+        if version:
+            head += struct.pack(">QQI", 0, 0, 1) + bytes(4) + struct.pack(">Q", 0)
+        else:
+            head += struct.pack(">III", 0, 0, 1) + bytes(4) + struct.pack(">I", 0)
+        head += bytes(8)  # reserved
+        head += struct.pack(">hhhh", 0, 0, 0, 0)  # layer/alt/volume/pad
+        head += bytes(36)  # identity matrix slot (values irrelevant)
+        head += struct.pack(">II", w << 16, h << 16)
+        return _mp4_box(b"tkhd", head)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    v0 = ftyp + _mp4_box(
+        b"moov",
+        mvhd(0, 1000, 7500) + _mp4_box(b"trak", tkhd(0, 640, 360)),
+    )
+    v1 = ftyp + _mp4_box(
+        b"moov",
+        mvhd(1, 90000, 90000 * 3) + _mp4_box(b"trak", tkhd(1, 1920, 1080)),
+        large=True,
+    )
+    audio = ftyp + _mp4_box(
+        b"moov", mvhd(0, 44100, 44100 * 2) + _mp4_box(b"trak", tkhd(0, 0, 0))
+    )
+    # free box between ftyp and moov must be skipped
+    skipped = ftyp + _mp4_box(b"free", bytes(11)) + _mp4_box(
+        b"moov", mvhd(0, 10, 25) + _mp4_box(b"trak", tkhd(0, 12, 34))
+    )
+    bad = ftyp + struct.pack(">I", 3) + b"moov"  # size < header
+    overrun = ftyp + struct.pack(">I", 10_000) + b"moov" + bytes(4)
+
+    rows = [
+        ("v0", "video", bytearray(v0)),
+        ("v1", "video", bytearray(v1)),
+        ("audio", "video", bytearray(audio)),
+        ("skipped", "video", bytearray(skipped)),
+        ("bad", "video", bytearray(bad)),
+        ("overrun", "video", bytearray(overrun)),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id string, modality string, content binary"
+    )
+    got = {r.asset_id: r for r in decode_media(assets).collect()}
+
+    r = got["v0"]
+    assert r.modality_detected == "video/mp4"
+    assert (r.width, r.height) == (640, 360)
+    assert r.duration_s == 7.5
+    assert r.mean_value is None  # pixels honestly not decoded
+    r = got["v1"]
+    assert (r.width, r.height) == (1920, 1080)
+    assert r.duration_s == 3.0
+    r = got["audio"]
+    assert r.duration_s == 2.0
+    assert r.width is None and r.height is None
+    r = got["skipped"]
+    assert (r.width, r.height, r.duration_s) == (12, 34, 2.5)
+    assert got["bad"].modality_detected == "corrupt/mp4"
+    assert got["overrun"].modality_detected == "corrupt/mp4"
+    assert got["bad"].checksum is not None
