@@ -2830,3 +2830,79 @@ def test_decode_media_mp4_header_tier(spark) -> None:
     assert got["bad"].modality_detected == "corrupt/mp4"
     assert got["overrun"].modality_detected == "corrupt/mp4"
     assert got["bad"].checksum is not None
+
+
+def test_pq_ivfpq_recall_on_clustered_mixture(spark) -> None:
+    """ANN recall floors on CLUSTERED data (VERDICT r10 item 5: the
+    r10 floors were measured only on the near-isotropic table, PQ's
+    hardest but least representative case). Fixture: seeded 20-
+    component Gaussian mixture (d=64, std 0.5, n=1000). Pins the
+    measured r11 curve (SCALE.md 'PQ / IVF-PQ recall@10 vs code
+    budget'): 16-byte codes are a ~0.5-recall shortlist tier on every
+    fixture, doubling the code budget to m=32/k=64 lifts plain-PQ ADC
+    to >= 0.78 (measured 0.825 here) and residual IVF-PQ at nprobe=1
+    to >= 0.85 (measured 0.903 here; recall moves a few hundredths
+    with input partitioning via the seeded k-means init, so floors
+    sit a margin under the measured point) - and the budget ordering
+    itself is asserted (m32k64 strictly beats m16k32)."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_search,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(12)
+    centers = rng.normal(0, 1, size=(20, 64))
+    labels = rng.integers(0, 20, size=1000)
+    x = (centers[labels] + rng.normal(0, 0.5, size=(1000, 64))).astype(
+        np.float32
+    )
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(1000)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = emb.limit(12)
+    ids = list(range(1000))
+    mat = x.astype(np.float64)
+    truth = {}
+    for r in queries.collect():
+        q = np.asarray(r.embedding, dtype=np.float64)
+        d2 = ((mat - q) ** 2).sum(axis=1)
+        order = sorted(ids, key=lambda i: (d2[i], i))[:10]
+        truth[r.vec_id] = set(order)
+
+    def recall_of(result_rows) -> float:
+        got: dict = {}
+        for r in result_rows:
+            got.setdefault(r.query_id, []).append(r.neighbor_id)
+        hits = sum(
+            len(truth[qid] & set(got.get(qid, []))) for qid in truth
+        )
+        return hits / (10 * len(truth))
+
+    recalls = {}
+    for m, k in ((16, 32), (32, 64)):
+        books = pq_train(emb, m=m, k=k)
+        enc = pq_encode(emb, books)
+        recalls[(m, k)] = recall_of(
+            pq_search(queries, enc, books, k=10).collect()
+        )
+    # 16-byte shortlist tier (measured 0.492 on this fixture's
+    # partitioning - the ~0.5 band every fixture lands in)
+    assert recalls[(16, 32)] >= 0.45, recalls
+    # 32-byte production tier (measured 0.833)
+    assert recalls[(32, 64)] >= 0.78, recalls
+    assert recalls[(32, 64)] > recalls[(16, 32)], recalls
+
+    encoded, cents, books = ivfpq_build(emb, nlist=20, m=32, k=64)
+    r_ivf = recall_of(
+        ivfpq_search(
+            queries, encoded, cents, books, k=10, nprobe=1
+        ).collect()
+    )
+    # residual coding + easy routing on clustered data (measured 0.900)
+    assert r_ivf >= 0.85, r_ivf
