@@ -10,9 +10,10 @@ tested. Codecs come in two tiers:
   mean), WAV/PCM (channels, rate, duration, RMS), and baseline/
   extended-sequential JPEG (full T.81 Huffman + dequant + IDCT +
   chroma upsample + YCbCr->RGB pixel mean) in full; JPEG tiers
-  beyond sequential-Huffman-8-bit (progressive, 12-bit, CMYK) get
-  the HEADER-ONLY SOF walk (dimensions, channels, progressive-ness;
-  pixel fields stay NULL - the honest pixels-not-decoded signal).
+  beyond sequential-Huffman-8-bit YCbCr/gray (progressive, 12-bit,
+  CMYK, Adobe transform=0 RGB) get the HEADER-ONLY SOF walk
+  (dimensions, channels, progressive-ness; pixel fields stay NULL -
+  the honest pixels-not-decoded signal).
   MP4/ISO-BMFF gets the same header tier (box walk: mvhd duration,
   tkhd dimensions; frame pixels genuinely need a codec). All
   differentially tested against independent encoders written from
@@ -323,6 +324,7 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
     ac_luts: dict[int, dict] = {}
     frame = None  # (marker, precision, H, W, comps)
     restart_interval = 0
+    adobe_transform: int | None = None
     pos = 2
     while True:
         if pos + 2 > len(b):
@@ -382,6 +384,11 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
             if len(seg) < 2:
                 raise ValueError("short DRI segment")
             restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            # transform byte: 0 = components are literal RGB,
+            # 1 = YCbCr, 2 = YCCK (T-REC-T.872 / Adobe tech note)
+            if len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker in _JPEG_SOF:
             if marker not in (0xC0, 0xC1):
                 return None  # progressive / lossless / arithmetic tier
@@ -421,6 +428,19 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
             break
         pos += seg_len
 
+    if len(comps) == 3:
+        # color-space honesty: apply the YCbCr transform only when
+        # the file SAYS so - Adobe APP14 transform=1, or no APP14 and
+        # the JFIF-conventional component ids 1,2,3. An Adobe
+        # transform=0 file stores literal RGB; guessing would emit a
+        # confidently wrong mean_value, so those fall back to the
+        # header tier (mean NULL) instead.
+        ycbcr = (adobe_transform == 1) or (
+            adobe_transform is None
+            and [c["id"] for c in comps] == [1, 2, 3]
+        )
+        if not ycbcr:
+            return None
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax == 0 or vmax == 0:
@@ -748,20 +768,24 @@ def decode_media(assets: DataFrame) -> DataFrame:
     decode: DQT/DHT/DRI walk, per-MCU Huffman entropy decode,
     dequant, float64 IDCT, chroma upsampling, JFIF YCbCr->RGB -
     ``mean_value`` is the real pixel mean) - dispatched on magic
-    bytes per asset. JPEG tiers outside sequential-Huffman-8-bit
-    (progressive, lossless, arithmetic, 12-bit, CMYK) fall back to
+    bytes per asset, and MP4/ISO-BMFF box trees decode the header
+    tier (mvhd duration, tkhd dimensions). JPEG tiers outside
+    sequential-Huffman-8-bit YCbCr/grayscale (progressive, lossless,
+    arithmetic, 12-bit, CMYK, Adobe transform=0 RGB) fall back to
     the HEADER-ONLY SOF walk: width/height/channels real,
     ``mean_value`` NULL - a NULL mean_value on an image row IS
     pixels_decoded=false. Anything else passes through with byte
     length + checksum and NULL media fields.
 
-    This replaces the ``fake=True`` stub for these two formats: the
-    emitted width/height/pixel-mean/RMS are decoded from the actual
-    payload bytes, differentially tested against an independent
-    encoder (tests/test_operators.py writes PNGs/WAVs from known
-    pixels/samples from first principles). Formats beyond PNG/WAV
-    (JPEG, MP4, ...) still require a codec library and stay behind
-    the documented stub. Arrow-batched mapInPandas; the per-asset
+    This replaces the ``fake=True`` stub for all four formats: the
+    emitted width/height/duration/pixel-mean/RMS are decoded from the
+    actual payload bytes, differentially tested against independent
+    spec-written encoders (tests/test_operators.py writes PNGs, WAVs,
+    baseline JPEGs, and ISO-BMFF box trees from first principles).
+    Only the tiers a codec LIBRARY genuinely owns remain out: JPEG
+    progressive/12-bit/CMYK/Adobe-RGB pixels and MP4 frame data (both
+    yield real metadata with NULL mean_value). Arrow-batched
+    mapInPandas; the per-asset
     Python codec is the honest cost of decoding in this environment -
     swap in a vectorized binding (pillow/pyav) behind the same batch
     interface in production.

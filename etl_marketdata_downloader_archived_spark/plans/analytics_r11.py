@@ -103,8 +103,14 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
         )
         .withColumn(
+            # floor-aligned day index (pmod, not div: the oracle's //
+            # floors, and div truncates toward zero pre-epoch)
             "batch_id",
-            F.expr("unix_millis(cast(ts as timestamp)) div 86400000")
+            F.expr(
+                "(unix_millis(cast(ts as timestamp))"
+                " - pmod(unix_millis(cast(ts as timestamp)), 86400000))"
+                " div 86400000"
+            )
             + F.when(F.col("event_id") % 17 == 0, F.lit(3)).otherwise(
                 F.lit(0)
             ),

@@ -162,8 +162,11 @@ def watermark_replay(
         with_ms.join(wm, batch_col)  # wm is batch-count-sized; AQE decides
         .crossJoin(F.broadcast(final_wm))  # single-row global aggregate
         .withColumn(
+            # FLOOR-aligned start (pmod is nonnegative), matching
+            # F.window and SQL // - `div` truncates toward zero and
+            # would misalign pre-epoch event times
             "w_start_ms",
-            F.expr(f"_ts_ms div {width_ms} * {width_ms}"),
+            F.col("_ts_ms") - F.pmod(F.col("_ts_ms"), F.lit(width_ms)),
         )
         .withColumn("w_end_ms", F.col("w_start_ms") + F.lit(width_ms))
         .withColumn(

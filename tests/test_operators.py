@@ -2528,10 +2528,11 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
             syms.append((0x00, 0, 0))  # EOB
         return syms
 
-    streams = []  # (comp_idx, kind, symbol, extra, nbits) in MCU order
     preds = [0] * len(comps)
-    mcu_syms = []
+    mcu_syms = []  # per MCU: (comp_idx, kind, symbol, extra, nbits)
     for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            preds = [0] * len(comps)  # RSTn resets DC prediction
         my, mx = divmod(m, mcus_x)
         cur = []
         for ci, c in enumerate(comps):
@@ -2545,28 +2546,6 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
                     for sym, ex, nb in ac_syms(qz):
                         cur.append((ci, "ac", sym, ex, nb))
         mcu_syms.append(cur)
-    # restart intervals reset DC prediction: re-walk with resets
-    if restart_interval:
-        preds = [0] * len(comps)
-        mcu_syms = []
-        for m in range(mcus_x * mcus_y):
-            if m and m % restart_interval == 0:
-                preds = [0] * len(comps)
-            my, mx = divmod(m, mcus_x)
-            cur = []
-            for ci, c in enumerate(comps):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        qz = c["blocks"][
-                            (my * c["v"] + by, mx * c["h"] + bx)
-                        ]
-                        diff = int(qz[0]) - preds[ci]
-                        preds[ci] = int(qz[0])
-                        t, extra = dc_sym(diff)
-                        cur.append((ci, "dc", t, extra, t))
-                        for sym, ex, nb in ac_syms(qz):
-                            cur.append((ci, "ac", sym, ex, nb))
-            mcu_syms.append(cur)
 
     # ---- canonical Huffman tables: all symbols get length L where
     # 2^L > n_distinct, so the all-ones code stays unused (T.81 C.2)
@@ -2906,3 +2885,46 @@ def test_pq_ivfpq_recall_on_clustered_mixture(spark) -> None:
     )
     # residual coding + easy routing on clustered data (measured 0.900)
     assert r_ivf >= 0.85, r_ivf
+
+
+def test_decode_media_jpeg_adobe_rgb_falls_back(spark) -> None:
+    """Color-space honesty (code-review finding): an Adobe APP14
+    transform=0 baseline JPEG stores literal RGB components - applying
+    the JFIF YCbCr transform would emit a confidently WRONG
+    mean_value, so such files (and 3-component files with
+    non-JFIF-conventional ids and no APP14) fall back to the header
+    tier: real dimensions, NULL mean. transform=1 stays in the pixel
+    tier."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    base, pred = _encode_jpeg_baseline(img)
+
+    def with_app14(payload: bytes, transform: int) -> bytes:
+        seg = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+        app14 = bytes([0xFF, 0xEE]) + (len(seg) + 2).to_bytes(2, "big") + seg
+        # insert right after SOI
+        return payload[:2] + app14 + payload[2:]
+
+    rows = [
+        ("plain", "image", bytearray(base)),
+        ("adobe_rgb", "image", bytearray(with_app14(base, 0))),
+        ("adobe_ycc", "image", bytearray(with_app14(base, 1))),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id string, modality string, content binary"
+    )
+    got = {r.asset_id: r for r in decode_media(assets).collect()}
+    assert got["plain"].mean_value is not None
+    assert abs(got["plain"].mean_value - float(pred.mean())) < 1e-9
+    r = got["adobe_rgb"]
+    assert r.modality_detected == "image/jpeg"
+    assert (r.width, r.height, r.n_channels) == (16, 16, 3)
+    assert r.mean_value is None  # honest: no transform guess
+    assert got["adobe_ycc"].mean_value is not None
+    assert abs(got["adobe_ycc"].mean_value - float(pred.mean())) < 1e-9
