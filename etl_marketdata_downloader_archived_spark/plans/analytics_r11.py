@@ -485,3 +485,80 @@ def brand_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
     )
+
+
+@q(
+    "win_range_frames",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                    AS INT) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS day_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day, day_cents, n_orders,
+           CAST(sum(day_cents) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_cents,
+           CAST(sum(day_cents) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trail7_cents
+    FROM d
+    """,
+)
+def win_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frames certified as the literal frame type - the
+    battery's frame row (win_frames) covers only ROWS frames, and the
+    two differ exactly where real time series bite: a RANGE 6
+    PRECEDING frame over a day-valued sort key is the gap-correct
+    trailing week (days with no orders silently shorten a ROWS frame;
+    RANGE measures VALUE distance, so calendar gaps are handled), and
+    RANGE's peer rule (all rows at the current sort value join the
+    frame) is what makes the cumulative well-defined on ties.
+
+    Exactness: int-cents sums over a per-(priority, day) aggregate;
+    day = integer date difference from a fixed epoch on both engines.
+
+    Scale shape: the fact reduces to the (priority, day) grid FIRST
+    (partial-combined hash aggregate), so the RANGE windows run over
+    calendar-bounded partitions (one row per day per enum value) -
+    the literal-function certification without the fact-scale
+    enum-partition window ntile's row documents."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("int")
+            .alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_c"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(
+            F.sum("_c").cast("bigint").alias("day_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    w_cum = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tr = (
+        W.partitionBy("o_orderpriority").orderBy("day").rangeBetween(-6, 0)
+    )
+    return d.select(
+        "o_orderpriority",
+        "day",
+        "day_cents",
+        "n_orders",
+        F.sum("day_cents").over(w_cum).cast("bigint").alias("cum_cents"),
+        F.sum("day_cents").over(w_tr).cast("bigint").alias("trail7_cents"),
+    )

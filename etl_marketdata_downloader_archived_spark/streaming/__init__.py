@@ -14,6 +14,7 @@ from .windows import (
     interval_join,
     session_agg,
     sliding_agg,
+    streaming_trailing_distinct,
     tumbling_agg,
     watermark_replay,
     watermarked_dedup,
@@ -35,6 +36,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "interval_join",
+    "streaming_trailing_distinct",
     "watermark_replay",
     "watermarked_dedup",
     "file_task_stream",

@@ -181,3 +181,61 @@ def watermark_replay(
         )
     )
     return flagged.drop("_ts_ms", "_final_wm_ms")
+
+
+def streaming_trailing_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    watermark: str = "1 day",
+    window_days: int = 7,
+) -> DataFrame:
+    """Streaming twin of the rolling_active_users panel: trailing
+    ``window_days``-day distinct keys per day over an unbounded
+    stream, with bounded state - the composition of the two
+    watermark-safe primitives rather than a custom stateful operator:
+
+    1. ``dropDuplicatesWithinWatermark`` collapses the stream to the
+       first-seen (key, day) row (state = one entry per distinct
+       key-day inside the watermark horizon, aged out past it);
+    2. each surviving activity day explodes IN-ROW to the
+       ``window_days`` trailing window positions it covers (the same
+       cover-day rewrite the batch query certifies against DuckDB -
+       no sliding count-distinct state anywhere);
+    3. a watermarked count per cover-day window emits the exact
+       trailing distinct.
+
+    Update-mode counts revise upward as a window's days keep
+    arriving; a day's count is FINAL once the watermark passes the
+    end of its 7-day cover source (late activity beyond the
+    watermark is dropped by step 1, the documented trade).
+
+    The stream==batch differential (tests/test_streaming.py) replays
+    the same feed through the batch cover-day query."""
+    deduped = (
+        df.select(F.col(key_col).alias("_k"), F.col(ts_col).alias("_ts"))
+        .withColumn("_day", F.col("_ts").cast("date"))
+        .withWatermark("_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_k", "_day"])
+    )
+    cover = deduped.select(
+        "_k",
+        "_ts",
+        F.explode(
+            F.expr(
+                f"sequence(_day, date_add(_day, {int(window_days) - 1}),"
+                " interval 1 day)"
+            )
+        ).alias("cover_day"),
+    )
+    # second dedup: consecutive activity days cover OVERLAPPING window
+    # positions, so the same (key, cover_day) arrives once per source
+    # day - the batch twin's second distinct. Chained stateful ops:
+    # dedup -> dedup -> agg (Spark supports multiple stateful
+    # operators when the intermediate event-time column survives).
+    # (the step-1 watermark on _ts propagates through the explode;
+    # re-declaring it on a chained stateful operator is disallowed)
+    cover = cover.dropDuplicatesWithinWatermark(["_k", "cover_day"])
+    return cover.groupBy("cover_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_keys")
+    )

@@ -1828,3 +1828,78 @@ def test_watermark_replay_matches_stream(spark, tmp_path) -> None:
         r["v"] for r in flagged.filter("late_dropped").collect()
     )
     assert drops == [8, 16]
+
+
+def test_streaming_trailing_distinct_matches_batch(spark, tmp_path) -> None:
+    """The streaming trailing-7-day distinct panel must converge to
+    the batch cover-day query on the same feed: multi-batch arrival
+    (users repeating within and across days), update-mode counts read
+    at the end, duplicates collapsed exactly once per (user, day)."""
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        streaming_trailing_distinct,
+    )
+
+    src = tmp_path / "act_src"
+    src.mkdir()
+    batches = [
+        [
+            {"u": 1, "ts": "2024-03-01 10:00:00"},
+            {"u": 2, "ts": "2024-03-01 11:00:00"},
+            {"u": 1, "ts": "2024-03-01 12:00:00"},  # same-day dup
+        ],
+        [
+            {"u": 1, "ts": "2024-03-02 09:00:00"},
+            {"u": 3, "ts": "2024-03-04 09:00:00"},
+            {"u": 2, "ts": "2024-03-09 09:00:00"},
+        ],
+        [{"u": 1, "ts": "2024-03-01 13:00:00"}],  # cross-batch dup
+    ]
+    results: dict = {}
+
+    def sink(b, bid: int) -> None:
+        for r in b.collect():
+            results[r.cover_day] = r.active_keys  # update mode: last wins
+
+    ckpt = str(tmp_path / "act_ckpt")
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+        raw = spark.readStream.format("text").load(str(src))
+        parsed = raw.select(
+            F.from_json("value", "u LONG, ts TIMESTAMP").alias("j")
+        ).select("j.*")
+        q = (
+            streaming_trailing_distinct(parsed, "ts", "u", watermark="10 days")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    flat = [r for rows in batches for r in rows]
+    feed = spark.createDataFrame(
+        [(r["u"], r["ts"]) for r in flat], "u LONG, ts STRING"
+    ).select("u", F.to_timestamp("ts").alias("ts"))
+    act = feed.select("u", F.col("ts").cast("date").alias("day")).distinct()
+    batch = {
+        r.cover_day: r.n
+        for r in act.select(
+            "u",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ).alias("cover_day"),
+        )
+        .distinct()
+        .groupBy("cover_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert results == batch
+    # spot-check: March 2 window covers Mar 1 + Mar 2 activity = users {1,2}
+    import datetime as dt
+
+    assert results[dt.date(2024, 3, 2)] == 2
