@@ -226,22 +226,40 @@ def jaccard_prefix_join(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.col(tokens_col)).alias("_t"),
     ).filter(F.size("_t") > 0)
+    # candidate generation runs on xxhash64 keys (8-byte shuffle and
+    # compare instead of full token strings); the VERIFY below uses
+    # the original arrays, so a hash collision can only add a
+    # candidate, never a wrong pair - exactness holds. The global
+    # order is (freq, hash, token): total and identical across sets,
+    # which is all the prefix lemma requires.
     flat = tok.select(
         "_id", F.size("_t").alias("_n"), F.explode("_t").alias("_tk")
-    )
-    freq = flat.groupBy("_tk").agg(F.count(F.lit(1)).alias("_f"))
-    ranked = flat.join(freq, "_tk").withColumn(
+    ).withColumn("_hk", F.xxhash64("_tk"))
+    freq = flat.groupBy("_hk").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = flat.join(freq, "_hk").withColumn(
         "_rn",
-        F.row_number().over(W.partitionBy("_id").orderBy("_f", "_tk")),
+        F.row_number().over(
+            W.partitionBy("_id").orderBy("_f", "_hk", "_tk")
+        ),
     )
     prefix = ranked.filter(
         F.col("_rn")
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    ).select("_id", "_tk")
+    ).select("_id", "_n", "_hk")
+    # AllPairs LENGTH filter, applied INSIDE the candidate join before
+    # the distinct shuffle: Jaccard >= t forces t*|a| <= |b| <= |a|/t
+    # (intersection <= min size, union >= max size), so size-
+    # incompatible postings never become pair rows - the filter that
+    # keeps a frequent-ish prefix token's posting list from going
+    # quadratic across the whole size spectrum
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "_tk")
-        .filter(F.col("a._id") < F.col("b._id"))
+        .join(prefix.alias("b"), "_hk")
+        .filter(
+            (F.col("a._id") < F.col("b._id"))
+            & (F.col("b._n") * F.lit(float(threshold)) <= F.col("a._n"))
+            & (F.col("a._n") * F.lit(float(threshold)) <= F.col("b._n"))
+        )
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )

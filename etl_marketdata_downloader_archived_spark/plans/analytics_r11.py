@@ -218,12 +218,19 @@ def approx_percentile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "jaccard_prefix_join",
     oracle="""
-    WITH tok AS (
+    WITH w AS (
         SELECT doc_id,
-               list_distinct(list_filter(
-                   string_split_regex(lower(text), '[^a-z]+'),
-                   x -> x <> '')) AS t
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ws
         FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               )) AS t
+        FROM w WHERE len(ws) >= 3
     ),
     nz AS (SELECT * FROM tok WHERE len(t) > 0),
     pairs AS (
@@ -237,40 +244,62 @@ def approx_percentile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, inter, union_n,
            CAST(inter AS DOUBLE) / union_n AS jaccard
     FROM pairs
-    WHERE CAST(inter AS DOUBLE) / union_n >= 0.5
+    WHERE CAST(inter AS DOUBLE) / union_n >= 0.7
     """,
 )
 def jaccard_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join over the documents corpus
     (operators.fuzzy.jaccard_prefix_join, the PPJoin/AllPairs prefix
-    filter): every doc pair with token-set Jaccard >= 0.5, recall
-    guaranteed 1.0 - the deterministic twin the MinHash band panel
-    (dedup_near_panel, rows-only by nature) cannot be: the ORACLE here
-    is the brute-force all-pairs join, so the prefix filter's
-    no-false-negative claim is replayed pair for pair at parity
-    scale.
+    filter) on word-TRIGRAM shingle sets at Jaccard >= 0.7: every
+    near-duplicate pair, recall guaranteed 1.0 - the deterministic
+    twin the MinHash band panel (dedup_near_panel, rows-only by
+    nature) cannot be: the ORACLE here is the brute-force all-pairs
+    join, so the prefix filter's no-false-negative claim is replayed
+    pair for pair at parity scale.
 
-    Exactness: inter/union are bigint set sizes on identically
-    tokenized text (the battery's [^a-z]+ convention); jaccard is the
-    one IEEE division of those bigints, compared against the same
-    division in DuckDB.
+    Shingles, not unigram token sets, are the similarity domain: the
+    corpus shares a template vocabulary, so TOKEN-set Jaccard >= 0.5
+    marks ~70% of all pairs "similar" (measured at sf0.1 - a
+    quadratic output, not an operator problem); word trigrams are
+    order-sensitive and drop that to the true near-dup set (256
+    pairs at sf0.1). Same [^a-z]+ tokenization as the text battery;
+    docs under 3 words have no shingles and never pair.
+
+    Exactness: inter/union are bigint set sizes; jaccard is the one
+    IEEE division of those bigints, identical in DuckDB.
 
     Scale shape: the Spark side NEVER builds all pairs - candidates
-    come from the equi-join on rare prefix tokens (posting lists of
-    frequent tokens sort out of prefixes by construction), the
-    frequency table and per-doc prefix ranks are grouped/partitioned
-    (no global window), and the verify is in-row array_intersect on
-    candidates only. The all-pairs shape lives exclusively in the
-    sf0.01 oracle."""
+    come from the equi-join on rare prefix shingles with the AllPairs
+    LENGTH filter applied inside the join (size-incompatible postings
+    never materialize), the frequency table and per-doc prefix ranks
+    are grouped/partitioned (no global window), and the verify is
+    in-row array_intersect on candidates only. The all-pairs shape
+    lives exclusively in the sf0.01 oracle."""
     from ..operators.fuzzy import jaccard_prefix_join
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
-        ).alias("toks"),
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            ).alias("ws"),
+        )
+        .filter(F.size("ws") >= 3)
+        # slice+zip, NOT per-index lambda access: projection collapse
+        # inlines the ws expression into every ws[i], re-running the
+        # split per shingle element (measured 3.5x slower); the three
+        # slices evaluate ws O(1) times per row
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(arrays_zip(slice(ws, 1, size(ws)-2),"
+                " slice(ws, 2, size(ws)-2), slice(ws, 3, size(ws)-2)),"
+                " s -> concat_ws(' ', s['0'], s['1'], s['2']))"
+            ).alias("toks"),
+        )
     )
-    out = jaccard_prefix_join(d, "doc_id", "toks", threshold=0.5)
+    out = jaccard_prefix_join(d, "doc_id", "toks", threshold=0.7)
     return out.select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
