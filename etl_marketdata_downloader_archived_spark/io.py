@@ -1718,3 +1718,103 @@ def refresh_join_view(
             "refresh_join_view",
         )
     return buckets
+
+
+def build_skipping_index(
+    spark: SparkSession, table_dir: str, index_dir: str, columns: list[str]
+) -> int:
+    """Build a per-FILE min/max statistics index over a plain-parquet
+    table - the data-skipping half of a Delta/Iceberg manifest on the
+    lake this engine already has: one index row per data file with
+    (min, max, null-present) per indexed column, published crash-safe
+    via the small-table swap. Returns the number of files indexed.
+
+    Why this exists next to partition pruning and Z-order
+    (operators.layout.write_zordered): partitioning prunes only on
+    the partition key, and parquet row-group stats prune only AFTER a
+    task has been scheduled per file - at 100 TB the scheduler
+    itself is the cost (a million-file table means a million task
+    launches for a point lookup). A driver-side file index turns a
+    selective scan into reading ONLY the matching files; its size is
+    one row per file, which is what makes it driver-safe (file count,
+    never row count). Clustering (Z-order or a sort on write) is what
+    makes the min/max ranges TIGHT - the index composes with
+    write_zordered exactly like Delta's OPTIMIZE ZORDER + stats.
+
+    The index stores every stat as a STRING rendering of the value
+    alongside its Spark type name, so one schema serves all column
+    types; read_with_skipping casts back before comparing."""
+    df = spark.read.parquet(table_dir)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in columns if c not in types]
+    if missing:
+        raise ValueError(f"skipping index: unknown columns {missing}")
+    aggs = []
+    for c in columns:
+        aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+        aggs.append(
+            F.max(F.col(c).isNull().cast("int")).alias(f"_hasnull_{c}")
+        )
+    stats = (
+        df.groupBy(F.input_file_name().alias("_file"))
+        .agg(*aggs)
+        .withColumn("_cols", F.lit(",".join(columns)))
+        .withColumn(
+            "_types", F.lit(",".join(types[c] for c in columns))
+        )
+    )
+    publish_small_table(stats, index_dir)
+    return spark.read.parquet(index_dir).count()
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    column: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Range-scan a plain-parquet table through its min/max file index:
+    read ONLY files whose [min, max] for ``column`` intersects
+    [lo, hi] (files with any NULL in the column are kept - NULLs
+    carry no range evidence), then apply the exact predicate. The
+    result equals the full scan's ``column BETWEEN lo AND hi`` row
+    for row (tests assert both that identity and that fewer files
+    were opened).
+
+    The file list is collected DRIVER-SIDE: bounded by file count (the
+    index's cardinality), the same bound Delta/Iceberg manifests
+    accept. A file added after the index build is invisible - rebuild
+    the index on publish (the incremental_rollup pattern); this is the
+    standard staleness contract of any secondary index."""
+    idx = spark.read.parquet(index_dir)
+    if f"_min_{column}" not in idx.columns:
+        raise ValueError(
+            f"skipping index at {index_dir} does not cover {column!r}"
+        )
+    typ = None
+    first = idx.select("_cols", "_types").first()
+    for c, t in zip(first["_cols"].split(","), first["_types"].split(",")):
+        if c == column:
+            typ = t
+    mn = F.col(f"_min_{column}").cast(typ)
+    mx = F.col(f"_max_{column}").cast(typ)
+    lo_c = F.lit(lo).cast(typ)
+    hi_c = F.lit(hi).cast(typ)
+    keep = idx.filter(
+        (F.col(f"_hasnull_{column}") == 1)
+        | (mn.isNull())
+        | ((mx >= lo_c) & (mn <= hi_c))
+    )
+    files = [r["_file"] for r in keep.select("_file").collect()]
+    if not files:
+        return (
+            spark.read.parquet(table_dir)
+            .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
+            .limit(0)
+        )
+    return spark.read.parquet(*files).filter(
+        F.col(column).between(F.lit(lo), F.lit(hi))
+    )

@@ -2928,3 +2928,53 @@ def test_decode_media_jpeg_adobe_rgb_falls_back(spark) -> None:
     assert r.mean_value is None  # honest: no transform guess
     assert got["adobe_ycc"].mean_value is not None
     assert abs(got["adobe_ycc"].mean_value - float(pred.mean())) < 1e-9
+
+
+def test_skipping_index_prunes_files_exactly(spark, tmp_path) -> None:
+    """Min/max file-skipping index: a range read through the index
+    opens strictly fewer files than the table holds (the data was
+    written clustered, so ranges are tight), returns EXACTLY the full
+    scan's rows, keeps files with NULLs in the indexed column (no
+    range evidence), and an uncovered column fails loudly."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        build_skipping_index,
+        read_with_skipping,
+    )
+
+    table = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    # 8 files, each a tight disjoint range of k (clustered write);
+    # file 7 carries a NULL in k
+    rows = []
+    for f in range(8):
+        for i in range(50):
+            rows.append((f * 100 + i, f"v{f}_{i}"))
+    df = spark.createDataFrame(rows, "k long, v string")
+    df.repartitionByRange(8, "k").write.mode("overwrite").parquet(table)
+    extra = spark.createDataFrame([(None, "nullrow")], "k long, v string")
+    extra.coalesce(1).write.mode("append").parquet(table)
+
+    n_files = build_skipping_index(spark, table, idx, ["k"])
+    assert n_files >= 9
+
+    got = read_with_skipping(spark, table, idx, "k", 210, 240)
+    full = (
+        spark.read.parquet(table).filter(F.col("k").between(210, 240))
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+    # pruning really happened: opened files < table files, and the
+    # NULL-carrying file is among the kept ones by contract
+    import re
+
+    opened = {f for f in got.inputFiles()}
+    all_files = {f for f in spark.read.parquet(table).inputFiles()}
+    assert len(opened) < len(all_files)
+    # an empty range still returns a well-formed empty frame
+    empty = read_with_skipping(spark, table, idx, "k", 10_000, 20_000)
+    assert empty.count() == 0
+    with _pytest.raises(ValueError, match="does not cover"):
+        read_with_skipping(spark, table, idx, "v", "a", "b")
