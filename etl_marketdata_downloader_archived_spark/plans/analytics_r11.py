@@ -591,3 +591,55 @@ def win_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_cents").over(w_cum).cast("bigint").alias("cum_cents"),
         F.sum("day_cents").over(w_tr).cast("bigint").alias("trail7_cents"),
     )
+
+
+@q(
+    "discount_quantity_response",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+               l_returnflag,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT disc_pct, l_returnflag, qty, n_lines, rev_c,
+           CAST(qty AS DOUBLE) / n_lines AS avg_qty
+    FROM t
+    """,
+)
+def discount_quantity_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response panel: per (discount percent, return flag)
+    cell, line volume, total quantity, discounted revenue, and the
+    average quantity per line - the does-discounting-move-volume /
+    do-discounted-lines-return-more matrix pricing teams read next to
+    price_dispersion. Exact: TPC-H
+    discounts are hundredths, so round(d*100) is a lossless integer
+    band; quantities are integral doubles summed as bigint; avg_qty
+    is the one IEEE division of two exact bigints.
+
+    Scale shape: ONE partial-combined hash aggregate over the fact,
+    output bounded at 11 discount bands x 3 return flags - nothing
+    else.
+    The cheapest query in the battery by design: it certifies that a
+    banded two-key rollup needs no window, no join, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc_pct"),
+        "l_returnflag",
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.expr(_CENTS)).cast("bigint").alias("rev_c"),
+    )
+    return t.select(
+        "disc_pct",
+        "l_returnflag",
+        "qty",
+        "n_lines",
+        "rev_c",
+        (F.col("qty") / F.col("n_lines")).alias("avg_qty"),
+    )
