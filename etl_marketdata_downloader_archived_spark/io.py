@@ -1756,14 +1756,11 @@ def build_skipping_index(
         aggs.append(
             F.max(F.col(c).isNull().cast("int")).alias(f"_hasnull_{c}")
         )
-    stats = (
-        df.groupBy(F.input_file_name().alias("_file"))
-        .agg(*aggs)
-        .withColumn("_cols", F.lit(",".join(columns)))
-        .withColumn(
-            "_types", F.lit(",".join(types[c] for c in columns))
-        )
-    )
+    # one literal type column PER indexed column: type names like
+    # decimal(10,2) contain commas, so a joined-CSV encoding shears
+    stats = df.groupBy(F.input_file_name().alias("_file")).agg(*aggs)
+    for c in columns:
+        stats = stats.withColumn(f"_type_{c}", F.lit(types[c]))
     publish_small_table(stats, index_dir)
     return spark.read.parquet(index_dir).count()
 
@@ -1778,11 +1775,14 @@ def read_with_skipping(
 ) -> DataFrame:
     """Range-scan a plain-parquet table through its min/max file index:
     read ONLY files whose [min, max] for ``column`` intersects
-    [lo, hi] (files with any NULL in the column are kept - NULLs
-    carry no range evidence), then apply the exact predicate. The
-    result equals the full scan's ``column BETWEEN lo AND hi`` row
-    for row (tests assert both that identity and that fewer files
-    were opened).
+    [lo, hi], then apply the exact predicate. min/max ignore NULLs,
+    so the range is complete evidence for a file's non-NULL values,
+    and a NULL row can never satisfy BETWEEN (SQL 3VL) - files whose
+    only relevance is NULLs (including all-NULL files, min NULL)
+    prune too. The result equals the full scan's ``column BETWEEN lo
+    AND hi`` row for row (tests assert both that identity and that
+    fewer files were opened), including on PARTITIONED tables (leaf
+    files read under ``basePath`` so partition columns survive).
 
     The file list is collected DRIVER-SIDE: bounded by file count (the
     index's cardinality), the same bound Delta/Iceberg manifests
@@ -1794,20 +1794,19 @@ def read_with_skipping(
         raise ValueError(
             f"skipping index at {index_dir} does not cover {column!r}"
         )
-    typ = None
-    first = idx.select("_cols", "_types").first()
-    for c, t in zip(first["_cols"].split(","), first["_types"].split(",")):
-        if c == column:
-            typ = t
+    first = idx.select(f"_type_{column}").first()
+    if first is None:  # index over an empty table: nothing can match
+        return (
+            spark.read.parquet(table_dir)
+            .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
+            .limit(0)
+        )
+    typ = first[f"_type_{column}"]
     mn = F.col(f"_min_{column}").cast(typ)
     mx = F.col(f"_max_{column}").cast(typ)
     lo_c = F.lit(lo).cast(typ)
     hi_c = F.lit(hi).cast(typ)
-    keep = idx.filter(
-        (F.col(f"_hasnull_{column}") == 1)
-        | (mn.isNull())
-        | ((mx >= lo_c) & (mn <= hi_c))
-    )
+    keep = idx.filter((mx >= lo_c) & (mn <= hi_c))
     files = [r["_file"] for r in keep.select("_file").collect()]
     if not files:
         return (
@@ -1815,6 +1814,8 @@ def read_with_skipping(
             .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
             .limit(0)
         )
-    return spark.read.parquet(*files).filter(
-        F.col(column).between(F.lit(lo), F.lit(hi))
+    return (
+        spark.read.option("basePath", table_dir)
+        .parquet(*files)
+        .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
     )

@@ -197,18 +197,32 @@ def jaccard_prefix_join(
     operators.dedup (LSH trades recall for speed; this trades a
     tunable candidate bound for recall = 1).
 
+    The threshold is quantized to an exact rational p / 1e6
+    (round(threshold * 1e6)), and EVERY comparison - the final
+    similarity cut, the prefix lengths, the length filter - runs in
+    bigint cross-multiplied arithmetic on that rational: no float
+    ever decides membership, so there is no rounding boundary where
+    t*n lands an ulp above an integer and silently drops an
+    exact-boundary true pair (a review-caught failure of the float
+    form: t=0.55, |a|=55, |b|=100).
+
     The filter: order every set by GLOBAL token frequency (rarest
     first, ties by token), keep each row's first
-    n - ceil(threshold * n) + 1 tokens as its prefix. Two sets with
-    Jaccard >= t must share at least one PREFIX token (if they shared
-    none, the overlap is at most the suffix length, and
-    |intersection| <= n - prefix_len < ceil(t * n) <= the overlap a
-    Jaccard of t requires) - so the equi-join on prefix tokens
+    n - ceil(p*n/q) + 1 tokens as its prefix (ceil as the exact
+    integer (p*n + q - 1) div q). Two sets with q*inter >= p*union
+    must share at least one PREFIX token (if they shared none, the
+    overlap is at most the suffix length < ceil(p*n/q) <= the overlap
+    the threshold requires) - so the equi-join on prefix tokens
     generates every qualifying pair, and an exact in-row
     array_intersect verify removes the false positives.
 
-    Returns (id_a, id_b, inter, union_n, jaccard) with id_a < id_b,
-    jaccard = inter / union_n (one IEEE division of exact bigints).
+    Returns (id_a, id_b, inter, union_n, jaccard) with id_a < id_b;
+    the membership cut is the exact integer test q*inter >= p*union;
+    the ``jaccard`` column is one IEEE division of the exact bigints,
+    for display/downstream use.
+
+    Set sizes are capped at 1e9 tokens (p*n must fit bigint); a
+    larger set fails loudly rather than overflowing.
 
     Scale shape: candidates are bounded by the posting lists of RARE
     tokens only (a token in many prefixes is by construction frequent
@@ -220,12 +234,30 @@ def jaccard_prefix_join(
     must emit, so output size, not skew, is the bound."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    q_den = 1_000_000
+    p_num = round(threshold * q_den)
+    if p_num == 0:
+        raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
     from pyspark.sql import Window as W
 
     tok = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.col(tokens_col)).alias("_t"),
     ).filter(F.size("_t") > 0)
+    tok = tok.withColumn(
+        "_t",
+        F.when(
+            F.size("_t") <= F.lit(1_000_000_000), F.col("_t")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("jaccard_prefix_join: set of size "),
+                    F.size("_t").cast("string"),
+                    F.lit(" exceeds the 1e9 exact-arithmetic cap"),
+                )
+            )
+        ),
+    )
     # candidate generation runs on xxhash64 keys (8-byte shuffle and
     # compare instead of full token strings); the VERIFY below uses
     # the original arrays, so a hash collision can only add a
@@ -242,9 +274,12 @@ def jaccard_prefix_join(
             W.partitionBy("_id").orderBy("_f", "_hk", "_tk")
         ),
     )
+    # exact integer ceil(p*n/q) = (p*n + q - 1) div q
+    min_overlap = F.expr(
+        f"(CAST({p_num} AS BIGINT) * _n + {q_den - 1}) div {q_den}"
+    )
     prefix = ranked.filter(
-        F.col("_rn")
-        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        F.col("_rn") <= F.col("_n") - min_overlap + 1
     ).select("_id", "_n", "_hk")
     # AllPairs LENGTH filter, applied INSIDE the candidate join before
     # the distinct shuffle: Jaccard >= t forces t*|a| <= |b| <= |a|/t
@@ -257,8 +292,14 @@ def jaccard_prefix_join(
         .join(prefix.alias("b"), "_hk")
         .filter(
             (F.col("a._id") < F.col("b._id"))
-            & (F.col("b._n") * F.lit(float(threshold)) <= F.col("a._n"))
-            & (F.col("a._n") * F.lit(float(threshold)) <= F.col("b._n"))
+            # exact cross-multiplied length filter: J <= min/max, so
+            # qualifying needs q*min >= p*max
+            & (
+                F.lit(q_den).cast("bigint")
+                * F.least(F.col("a._n"), F.col("b._n"))
+                >= F.lit(p_num).cast("bigint")
+                * F.greatest(F.col("a._n"), F.col("b._n"))
+            )
         )
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
@@ -288,6 +329,10 @@ def jaccard_prefix_join(
             - F.col("inter"),
         )
         .withColumn("jaccard", F.col("inter") / F.col("union_n"))
-        .filter(F.col("jaccard") >= threshold)
+        # exact membership: q*inter >= p*union, never a float compare
+        .filter(
+            F.lit(q_den).cast("bigint") * F.col("inter")
+            >= F.lit(p_num).cast("bigint") * F.col("union_n")
+        )
     )
     return pairs.select("id_a", "id_b", "inter", "union_n", "jaccard")

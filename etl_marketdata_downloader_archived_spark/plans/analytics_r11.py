@@ -244,7 +244,7 @@ def approx_percentile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, inter, union_n,
            CAST(inter AS DOUBLE) / union_n AS jaccard
     FROM pairs
-    WHERE CAST(inter AS DOUBLE) / union_n >= 0.7
+    WHERE inter * 1000000 >= 700000 * union_n
     """,
 )
 def jaccard_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,7 +265,9 @@ def jaccard_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs at sf0.1). Same [^a-z]+ tokenization as the text battery;
     docs under 3 words have no shingles and never pair.
 
-    Exactness: inter/union are bigint set sizes; jaccard is the one
+    Exactness: inter/union are bigint set sizes; the membership cut
+    is the exact integer test inter*1e6 >= 700000*union on BOTH
+    engines (no float decides a pair); the jaccard column is the one
     IEEE division of those bigints, identical in DuckDB.
 
     Scale shape: the Spark side NEVER builds all pairs - candidates

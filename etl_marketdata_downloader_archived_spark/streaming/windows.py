@@ -187,35 +187,51 @@ def streaming_trailing_distinct(
     df: DataFrame,
     ts_col: str,
     key_col: str,
-    watermark: str = "1 day",
+    late_days: int = 1,
     window_days: int = 7,
 ) -> DataFrame:
     """Streaming twin of the rolling_active_users panel: trailing
     ``window_days``-day distinct keys per day over an unbounded
-    stream, with bounded state - the composition of the two
-    watermark-safe primitives rather than a custom stateful operator:
+    stream - the composition of watermark-safe primitives rather
+    than a custom stateful operator:
 
     1. ``dropDuplicatesWithinWatermark`` collapses the stream to the
-       first-seen (key, day) row (state = one entry per distinct
-       key-day inside the watermark horizon, aged out past it);
+       first-seen (key, day) row;
     2. each surviving activity day explodes IN-ROW to the
        ``window_days`` trailing window positions it covers (the same
        cover-day rewrite the batch query certifies against DuckDB -
        no sliding count-distinct state anywhere);
-    3. a watermarked count per cover-day window emits the exact
-       trailing distinct.
+    3. a second dedup collapses (key, cover_day) - consecutive
+       activity days cover OVERLAPPING positions - and a count per
+       cover day emits the exact trailing distinct.
+
+    The DECLARED watermark is ``late_days + window_days`` days: the
+    second dedup sees duplicates of (key, cover_day) whose event
+    times spread up to ``window_days`` apart (one per source day in
+    the cover), and dropDuplicatesWithinWatermark only guarantees
+    dedup for duplicates within the watermark delay - a horizon of
+    just the late-data tolerance would evict the first occurrence
+    and silently OVERCOUNT (review-caught). ``late_days`` is the
+    user-facing late-data knob; events later than the full horizon
+    are dropped by step 1, the documented trade.
+
+    State: both dedups are watermark-bounded (entries age out past
+    the horizon); the final per-day count state grows one row per
+    CALENDAR day - calendar-rate, not data-rate, but not evicted
+    (the group key is a derived date, not an event-time window) -
+    an operational note for multi-year uptimes, not a data-volume
+    risk.
 
     Update-mode counts revise upward as a window's days keep
     arriving; a day's count is FINAL once the watermark passes the
-    end of its 7-day cover source (late activity beyond the
-    watermark is dropped by step 1, the documented trade).
-
-    The stream==batch differential (tests/test_streaming.py) replays
-    the same feed through the batch cover-day query."""
+    end of its cover source. The stream==batch differential
+    (tests/test_streaming.py) replays the same feed through the
+    batch cover-day query."""
+    horizon = f"{int(late_days) + int(window_days)} days"
     deduped = (
         df.select(F.col(key_col).alias("_k"), F.col(ts_col).alias("_ts"))
         .withColumn("_day", F.col("_ts").cast("date"))
-        .withWatermark("_ts", watermark)
+        .withWatermark("_ts", horizon)
         .dropDuplicatesWithinWatermark(["_k", "_day"])
     )
     cover = deduped.select(

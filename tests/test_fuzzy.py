@@ -104,14 +104,21 @@ def test_jaccard_prefix_join_matches_brute_force(spark) -> None:
     rows = [
         (i, rng.sample(vocab, rng.randint(1, 12))) for i in range(40)
     ]
+    # exact-boundary regression (review finding): at t=0.55 the float
+    # length filter computed 100*0.55 = 55.000000000000007 and dropped
+    # the |a|=55-subset-of-|b|=100 TRUE pair; the integer-rational
+    # arithmetic must keep it
+    rows.append((100, [f"b{i}" for i in range(55)]))
+    rows.append((101, [f"b{i}" for i in range(100)]))
     df = spark.createDataFrame(rows, "id long, toks array<string>")
-    for thr in (0.34, 0.5, 0.75):
+    for thr in (0.34, 0.5, 0.55, 0.75):
+        p = round(thr * 1_000_000)
         expected = {}
         for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
             sa, sb = set(ta), set(tb)
             inter = len(sa & sb)
             union = len(sa | sb)
-            if union and inter / union >= thr:
+            if union and inter * 1_000_000 >= p * union:
                 a, b = sorted((ia, ib))
                 expected[(a, b)] = (inter, union)
         got = {
@@ -119,3 +126,5 @@ def test_jaccard_prefix_join_matches_brute_force(spark) -> None:
             for r in jaccard_prefix_join(df, "id", "toks", thr).collect()
         }
         assert got == expected, thr
+        if thr == 0.55:
+            assert (100, 101) in got  # the boundary pair survives

@@ -2934,8 +2934,9 @@ def test_skipping_index_prunes_files_exactly(spark, tmp_path) -> None:
     """Min/max file-skipping index: a range read through the index
     opens strictly fewer files than the table holds (the data was
     written clustered, so ranges are tight), returns EXACTLY the full
-    scan's rows, keeps files with NULLs in the indexed column (no
-    range evidence), and an uncovered column fails loudly."""
+    scan's rows, PRUNES the all-NULL file (a NULL can never satisfy
+    BETWEEN, so NULLs carry no keep-obligation - review finding), and
+    an uncovered column fails loudly."""
     import pytest as _pytest
 
     from etl_marketdata_downloader_archived_spark.io import (
@@ -2946,7 +2947,7 @@ def test_skipping_index_prunes_files_exactly(spark, tmp_path) -> None:
     table = str(tmp_path / "tbl")
     idx = str(tmp_path / "idx")
     # 8 files, each a tight disjoint range of k (clustered write);
-    # file 7 carries a NULL in k
+    # one extra file holds only a NULL k
     rows = []
     for f in range(8):
         for i in range(50):
@@ -2966,15 +2967,69 @@ def test_skipping_index_prunes_files_exactly(spark, tmp_path) -> None:
     assert sorted(r.k for r in got.collect()) == sorted(
         r.k for r in full.collect()
     )
-    # pruning really happened: opened files < table files, and the
-    # NULL-carrying file is among the kept ones by contract
-    import re
-
-    opened = {f for f in got.inputFiles()}
-    all_files = {f for f in spark.read.parquet(table).inputFiles()}
+    opened = set(got.inputFiles())
+    all_files = set(spark.read.parquet(table).inputFiles())
     assert len(opened) < len(all_files)
+    # the all-NULL file is PRUNED: no opened file contains the null row
+    null_rows = [
+        r for r in spark.read.parquet(*opened).collect() if r.k is None
+    ]
+    assert null_rows == []
     # an empty range still returns a well-formed empty frame
     empty = read_with_skipping(spark, table, idx, "k", 10_000, 20_000)
     assert empty.count() == 0
     with _pytest.raises(ValueError, match="does not cover"):
         read_with_skipping(spark, table, idx, "v", "a", "b")
+
+
+def test_skipping_index_partitioned_and_decimal(spark, tmp_path) -> None:
+    """Review findings: (a) a PARTITIONED table keeps its partition
+    columns through the index read (leaf files are read under
+    basePath) and can even be indexed ON the partition column; (b) a
+    decimal column's type name contains commas and must survive the
+    index round trip; (c) an empty table's index yields a well-formed
+    empty read, not a NoneType crash."""
+    from decimal import Decimal
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        build_skipping_index,
+        read_with_skipping,
+    )
+
+    table = str(tmp_path / "ptbl")
+    idx = str(tmp_path / "pidx")
+    rows = [
+        (d, i, Decimal(f"{d * 10 + i}.25"))
+        for d in range(4)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "dt int, i int, price decimal(10,2)")
+    df.write.mode("overwrite").partitionBy("dt").parquet(table)
+    build_skipping_index(spark, table, idx, ["dt", "price"])
+
+    got = read_with_skipping(spark, table, idx, "dt", 2, 2)
+    assert set(got.columns) == {"dt", "i", "price"}  # partition col kept
+    full = spark.read.parquet(table).filter("dt = 2")
+    assert sorted((r.dt, r.i) for r in got.collect()) == sorted(
+        (r.dt, r.i) for r in full.collect()
+    )
+    assert len(set(got.inputFiles())) < len(
+        set(spark.read.parquet(table).inputFiles())
+    )
+
+    got2 = read_with_skipping(
+        spark, table, idx, "price", Decimal("10.00"), Decimal("15.00")
+    )
+    full2 = spark.read.parquet(table).filter(
+        F.col("price").between(Decimal("10.00"), Decimal("15.00"))
+    )
+    assert sorted(str(r.price) for r in got2.collect()) == sorted(
+        str(r.price) for r in full2.collect()
+    )
+
+    # empty table: index builds, reads return empty frames
+    etable = str(tmp_path / "etbl")
+    eidx = str(tmp_path / "eidx")
+    spark.createDataFrame([], "k long, v string").write.parquet(etable)
+    build_skipping_index(spark, etable, eidx, ["k"])
+    assert read_with_skipping(spark, etable, eidx, "k", 0, 10).count() == 0

@@ -1870,7 +1870,7 @@ def test_streaming_trailing_distinct_matches_batch(spark, tmp_path) -> None:
             F.from_json("value", "u LONG, ts TIMESTAMP").alias("j")
         ).select("j.*")
         q = (
-            streaming_trailing_distinct(parsed, "ts", "u", watermark="10 days")
+            streaming_trailing_distinct(parsed, "ts", "u", late_days=3)
             .writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", ckpt)
@@ -1900,6 +1900,9 @@ def test_streaming_trailing_distinct_matches_batch(spark, tmp_path) -> None:
     }
     assert results == batch
     # spot-check: March 2 window covers Mar 1 + Mar 2 activity = users {1,2}
+    # (u1 contributes via BOTH days - the second dedup must collapse it
+    # even though the two source events are a day apart, the horizon
+    # bug the review caught)
     import datetime as dt
 
     assert results[dt.date(2024, 3, 2)] == 2
