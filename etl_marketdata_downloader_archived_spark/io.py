@@ -1819,3 +1819,61 @@ def read_with_skipping(
         .parquet(*files)
         .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
     )
+
+
+def refresh_skipping_index(
+    spark: SparkSession, table_dir: str, index_dir: str
+) -> dict:
+    """Incrementally maintain a min/max file index after appends: scan
+    ONLY files present in the table but absent from the index (the
+    staleness the build-time docstring documents), compute their
+    stats, and republish index = old rows for still-live files + new
+    rows. Files deleted from the table (compaction, purge) drop out
+    of the index in the same pass. Returns {"added": n, "removed": n,
+    "total": n}.
+
+    This is the incremental_rollup discipline applied to the index:
+    maintenance cost tracks the DELTA (new files), not table size -
+    the property that makes a million-file index affordable to keep
+    fresh on every publish. The indexed column set and types are
+    inherited from the existing index."""
+    idx = spark.read.parquet(index_dir)
+    idx_cols = [c[5:] for c in idx.columns if c.startswith("_min_")]
+    if not idx_cols:
+        raise ValueError(f"no skipping index at {index_dir}")
+    live = {
+        r["f"]
+        for r in spark.read.parquet(table_dir)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    old_rows = idx.filter(F.col("_file").isin(list(live)))
+    known = {r["_file"] for r in idx.select("_file").collect()}
+    new_files = sorted(live - known)
+    removed = len(known - live)
+    if new_files:
+        df = spark.read.option("basePath", table_dir).parquet(*new_files)
+        types = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        aggs = []
+        for c in idx_cols:
+            if c not in types:
+                raise ValueError(
+                    f"appended files lack indexed column {c!r}"
+                )
+            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+            aggs.append(
+                F.max(F.col(c).isNull().cast("int")).alias(f"_hasnull_{c}")
+            )
+        add = df.groupBy(F.input_file_name().alias("_file")).agg(*aggs)
+        for c in idx_cols:
+            add = add.withColumn(f"_type_{c}", F.lit(types[c]))
+        merged = old_rows.unionByName(add)
+    else:
+        merged = old_rows
+    publish_small_table(merged, index_dir)
+    total = spark.read.parquet(index_dir).count()
+    return {"added": len(new_files), "removed": removed, "total": total}

@@ -645,3 +645,51 @@ def discount_quantity_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_c",
         (F.col("qty") / F.col("n_lines")).alias("avg_qty"),
     )
+
+
+@q(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+               AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """,
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS certified as the literal clause - the
+    battery's multi-dimensional row (agg_cube_sets) covers CUBE,
+    whose set list is IMPLIED; real reports routinely need an
+    irregular list (here: the full cross, the priority margin, and
+    the grand total - but NOT the status margin), which only the
+    explicit clause expresses. The grouping-bit column distinguishes
+    aggregated-away from data NULL, same encoding as the CUBE row.
+
+    Scale shape: one Expand (x3, the set count) over the fact into a
+    partial-combined hash aggregate - output bounded by the union of
+    the set cardinalities (|status x priority| + |priority| + 1)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2
+                + F.grouping("o_orderpriority")
+            )
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_c"),
+        )
+    )

@@ -3033,3 +3033,49 @@ def test_skipping_index_partitioned_and_decimal(spark, tmp_path) -> None:
     spark.createDataFrame([], "k long, v string").write.parquet(etable)
     build_skipping_index(spark, etable, eidx, ["k"])
     assert read_with_skipping(spark, etable, eidx, "k", 0, 10).count() == 0
+
+
+def test_skipping_index_incremental_refresh(spark, tmp_path) -> None:
+    """refresh_skipping_index scans only the DELTA: appended files
+    gain index rows, compacted-away files drop out, untouched files'
+    rows survive verbatim, and a post-refresh range read prunes with
+    the new file visible."""
+    from etl_marketdata_downloader_archived_spark.io import (
+        build_skipping_index,
+        read_with_skipping,
+        refresh_skipping_index,
+    )
+
+    table = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    base.repartitionByRange(4, "k").write.mode("overwrite").parquet(table)
+    build_skipping_index(spark, table, idx, ["k"])
+    before = {
+        r["_file"]: r["_min_k"]
+        for r in spark.read.parquet(idx).collect()
+    }
+
+    # append a new file far outside the existing range
+    spark.createDataFrame(
+        [(1000 + i, f"n{i}") for i in range(10)], "k long, v string"
+    ).coalesce(1).write.mode("append").parquet(table)
+    out = refresh_skipping_index(spark, table, idx)
+    assert out["added"] == 1 and out["removed"] == 0
+    assert out["total"] == len(before) + 1
+    after = {
+        r["_file"]: r["_min_k"]
+        for r in spark.read.parquet(idx).collect()
+    }
+    for f, mn in before.items():
+        assert after[f] == mn  # untouched rows verbatim
+
+    got = read_with_skipping(spark, table, idx, "k", 1002, 1005)
+    assert sorted(r.k for r in got.collect()) == [1002, 1003, 1004, 1005]
+    assert len(set(got.inputFiles())) == 1  # only the appended file
+
+    # no-op refresh is stable
+    out2 = refresh_skipping_index(spark, table, idx)
+    assert out2 == {"added": 0, "removed": 0, "total": out["total"]}
