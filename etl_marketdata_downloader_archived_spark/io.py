@@ -1720,6 +1720,34 @@ def refresh_join_view(
     return buckets
 
 
+_INDEXABLE_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "decimal", "string", "date", "boolean",
+)
+
+
+def _check_indexable(types: dict, columns: list[str]) -> None:
+    """Reject column types whose cast-to-string stats do not
+    round-trip safely: timestamp renderings parse under the READER
+    session's timezone (a UTC-built index mispruned under
+    Asia/Tokyo - review finding), and binary-to-string is a lossy
+    UTF-8 reinterpretation. Index an epoch-derived bigint column
+    instead of a raw timestamp."""
+    bad = [
+        c
+        for c in columns
+        if not types[c].startswith(_INDEXABLE_PREFIXES)
+    ]
+    if bad:
+        raise ValueError(
+            "skipping index: unsupported column types "
+            f"{ {c: types[c] for c in bad} } - stats are stored as "
+            "strings and timestamp/binary renderings do not "
+            "round-trip safely across sessions; index an "
+            "epoch-bigint derivation instead"
+        )
+
+
 def build_skipping_index(
     spark: SparkSession, table_dir: str, index_dir: str, columns: list[str]
 ) -> int:
@@ -1749,6 +1777,7 @@ def build_skipping_index(
     missing = [c for c in columns if c not in types]
     if missing:
         raise ValueError(f"skipping index: unknown columns {missing}")
+    _check_indexable(types, columns)
     aggs = []
     for c in columns:
         aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
@@ -1814,10 +1843,58 @@ def read_with_skipping(
             .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
             .limit(0)
         )
+    # staleness guard: a file deleted since the build (compaction,
+    # purge) means its rows were rewritten into files the index does
+    # NOT know - reading the survivors alone could MISS rows, so any
+    # missing file degrades this read to the full scan (correct,
+    # merely unpruned) instead of crashing or silently dropping rows
+    jvm_path, fs = _vfs(spark, table_dir)
+    if not all(fs.exists(jvm_path(f)) for f in files):
+        return spark.read.parquet(table_dir).filter(
+            F.col(column).between(F.lit(lo), F.lit(hi))
+        )
     return (
         spark.read.option("basePath", table_dir)
         .parquet(*files)
         .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
+    )
+
+
+def read_null_files(
+    spark: SparkSession, table_dir: str, index_dir: str, column: str
+) -> DataFrame:
+    """IS NULL scan through the file index: read only files whose
+    ``_hasnull_{column}`` stat is set, then apply the exact IS NULL
+    predicate - the consumer of the has-null stat (BETWEEN reads
+    ignore it: a NULL never satisfies a range, so min/max alone
+    decide those). Same staleness contract as read_with_skipping:
+    a missing file degrades to the full scan."""
+    idx = spark.read.parquet(index_dir)
+    if f"_hasnull_{column}" not in idx.columns:
+        raise ValueError(
+            f"skipping index at {index_dir} does not cover {column!r}"
+        )
+    files = [
+        r["_file"]
+        for r in idx.filter(F.col(f"_hasnull_{column}") == 1)
+        .select("_file")
+        .collect()
+    ]
+    if not files:
+        return (
+            spark.read.parquet(table_dir)
+            .filter(F.col(column).isNull())
+            .limit(0)
+        )
+    jvm_path, fs = _vfs(spark, table_dir)
+    if not all(fs.exists(jvm_path(f)) for f in files):
+        return spark.read.parquet(table_dir).filter(
+            F.col(column).isNull()
+        )
+    return (
+        spark.read.option("basePath", table_dir)
+        .parquet(*files)
+        .filter(F.col(column).isNull())
     )
 
 
@@ -1833,44 +1910,64 @@ def refresh_skipping_index(
     "total": n}.
 
     This is the incremental_rollup discipline applied to the index:
-    maintenance cost tracks the DELTA (new files), not table size -
-    the property that makes a million-file index affordable to keep
-    fresh on every publish. The indexed column set and types are
-    inherited from the existing index."""
+    the live file set comes from a FILESYSTEM listing (metadata cost,
+    zero scan tasks - a Spark scan just to enumerate names would pay
+    the very per-file scheduling the index exists to avoid), only the
+    missing files are scanned, and the stored per-column TYPES are
+    authoritative: new files' stats are computed after casting to the
+    index's types, so an appended file with a narrower column type
+    cannot stamp rows whose min/max strings disagree with the rest of
+    the index (the read path takes one row's type for all rows)."""
     idx = spark.read.parquet(index_dir)
     idx_cols = [c[5:] for c in idx.columns if c.startswith("_min_")]
     if not idx_cols:
         raise ValueError(f"no skipping index at {index_dir}")
-    live = {
-        r["f"]
-        for r in spark.read.parquet(table_dir)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    }
-    old_rows = idx.filter(F.col("_file").isin(list(live)))
+    first = idx.select(*[f"_type_{c}" for c in idx_cols]).first()
+    if first is None:  # index over a then-empty table: full rebuild
+        n = build_skipping_index(spark, table_dir, index_dir, idx_cols)
+        return {"added": n, "removed": 0, "total": n}
+    stored_types = {c: first[f"_type_{c}"] for c in idx_cols}
+
+    jvm_path, fs = _vfs(spark, table_dir)
+    live = set()
+    it = fs.listFiles(jvm_path(table_dir), True)
+    while it.hasNext():
+        f = it.next().getPath().toString()
+        name = f.rsplit("/", 1)[-1]
+        if name.endswith(".parquet") and not name.startswith((
+            "_", "."
+        )):
+            # normalize to input_file_name()'s rendering (the form
+            # the index stores): Hadoop Path prints file:/x, Spark
+            # prints file:///x - same URI, different slash count
+            if f.startswith("file:/") and not f.startswith("file:///"):
+                f = "file:///" + f[len("file:/") :].lstrip("/")
+            live.add(f)
+    live_df = spark.createDataFrame(
+        [(f,) for f in sorted(live)] or [("",)], "_file string"
+    )
+    old_rows = idx.join(live_df, "_file")
     known = {r["_file"] for r in idx.select("_file").collect()}
     new_files = sorted(live - known)
     removed = len(known - live)
     if new_files:
         df = spark.read.option("basePath", table_dir).parquet(*new_files)
-        types = {
-            f.name: f.dataType.simpleString() for f in df.schema.fields
-        }
+        have = {f.name for f in df.schema.fields}
         aggs = []
         for c in idx_cols:
-            if c not in types:
+            if c not in have:
                 raise ValueError(
                     f"appended files lack indexed column {c!r}"
                 )
-            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+            typed = F.col(c).cast(stored_types[c])
+            aggs.append(F.min(typed).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(typed).cast("string").alias(f"_max_{c}"))
             aggs.append(
-                F.max(F.col(c).isNull().cast("int")).alias(f"_hasnull_{c}")
+                F.max(typed.isNull().cast("int")).alias(f"_hasnull_{c}")
             )
         add = df.groupBy(F.input_file_name().alias("_file")).agg(*aggs)
         for c in idx_cols:
-            add = add.withColumn(f"_type_{c}", F.lit(types[c]))
+            add = add.withColumn(f"_type_{c}", F.lit(stored_types[c]))
         merged = old_rows.unionByName(add)
     else:
         merged = old_rows

@@ -3079,3 +3079,68 @@ def test_skipping_index_incremental_refresh(spark, tmp_path) -> None:
     # no-op refresh is stable
     out2 = refresh_skipping_index(spark, table, idx)
     assert out2 == {"added": 0, "removed": 0, "total": out["total"]}
+
+
+def test_skipping_index_type_safety_and_staleness(spark, tmp_path) -> None:
+    """Third-review findings: (a) a timestamp column is REJECTED at
+    build (string stats parse under the reader's timezone - index an
+    epoch bigint instead); (b) refresh stamps appended files with the
+    INDEX's stored type even when the new files carry a narrower one;
+    (c) a read through an index whose files were compacted away
+    degrades to the full scan - correct rows, never a crash or a
+    silent miss; (d) the has-null stat has a consumer: an IS NULL
+    read opens only flagged files."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        build_skipping_index,
+        read_null_files,
+        read_with_skipping,
+        refresh_skipping_index,
+    )
+
+    # (a) timestamp rejection
+    ttab = str(tmp_path / "ts_tbl")
+    spark.sql(
+        "SELECT timestamp'2024-01-01 10:00:00' AS ts, 1 AS k"
+    ).write.parquet(ttab)
+    with _pytest.raises(ValueError, match="round-trip"):
+        build_skipping_index(spark, ttab, str(tmp_path / "ts_idx"), ["ts"])
+
+    # (b) + (c) + (d) on a numeric table
+    table = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(i, i) for i in range(100)], "k bigint, v int"
+    ).repartitionByRange(4, "k").write.parquet(table)
+    build_skipping_index(spark, table, idx, ["k"])
+    # append one more file (with a NULL row); refresh must see
+    # EXACTLY it as the delta and stamp it with the index's stored
+    # type (type authority - a refresh must never re-infer per-file)
+    spark.createDataFrame(
+        [(1000, 0), (None, 1)], "k bigint, v int"
+    ).coalesce(1).write.mode("append").parquet(table)
+    out = refresh_skipping_index(spark, table, idx)
+    assert out["added"] == 1 and out["removed"] == 0
+    types = {
+        r["_type_k"] for r in spark.read.parquet(idx).collect()
+    }
+    assert types == {"bigint"}  # stored type is authoritative
+    got = read_with_skipping(spark, table, idx, "k", 999, 1001)
+    assert [r.k for r in got.collect()] == [1000]
+
+    # (d) IS NULL read opens only the flagged file
+    nulls = read_null_files(spark, table, idx, "k")
+    assert [r.v for r in nulls.collect()] == [1]
+    assert len(set(nulls.inputFiles())) == 1
+
+    # (c) compaction: rewrite the table, leave the index stale
+    full_before = sorted(
+        r.k for r in spark.read.parquet(table).filter("k between 10 and 60").collect()
+    )
+    df_all = spark.read.parquet(table).cache()
+    df_all.count()
+    df_all.coalesce(2).write.mode("overwrite").parquet(table)
+    df_all.unpersist()
+    stale = read_with_skipping(spark, table, idx, "k", 10, 60)
+    assert sorted(r.k for r in stale.collect()) == full_before
