@@ -815,6 +815,7 @@ def compact_files(
     path: str,
     partition_col: str,
     target_mb: int = 128,
+    index_dir: str | None = None,
 ) -> dict:
     """Small-file compaction: rewrite only the partitions whose file
     count exceeds what their bytes need at ``target_mb``/file, leaving
@@ -831,6 +832,14 @@ def compact_files(
 
     Returns {"partitions_compacted": n, "files_before": a, "files_after": b}.
     Single maintenance writer per lake assumed (as compact_lake).
+
+    ``index_dir``: the table's min/max skipping index, when it has
+    one - compaction replaces files, which would otherwise degrade
+    every indexed read to the stale-fallback full scan until someone
+    remembered to refresh; passing it here runs
+    ``refresh_skipping_index`` after the publish (and after the
+    no-op early return too, so a maintenance pass always leaves the
+    index current with whatever appends preceded it).
     """
     import math
 
@@ -869,6 +878,8 @@ def compact_files(
             else:
                 todo.append((name, unquote(raw)))
     if not todo and not null_part:
+        if index_dir is not None:
+            refresh_skipping_index(spark, path, index_dir)
         return {
             "partitions_compacted": 0,
             "files_before": files_before,
@@ -912,6 +923,8 @@ def compact_files(
         for f in fs.listStatus(st.getPath())
         if f.getPath().getName().endswith(".parquet")
     )
+    if index_dir is not None:
+        refresh_skipping_index(spark, path, index_dir)
     return {
         "partitions_compacted": len(todo) + (1 if null_part else 0),
         "files_before": files_before,
@@ -1433,6 +1446,7 @@ def purge_keys(
     key_cols: list[str],
     partition_col: str,
     audit_path: str | None = None,
+    index_dir: str | None = None,
 ) -> list[tuple]:
     """Right-to-be-forgotten erasure: delete every row of the
     partitioned lake at ``path`` whose ``key_cols`` match a row of
@@ -1470,7 +1484,14 @@ def purge_keys(
     pass of the narrow tagged projection (DISK_ONLY, released before
     anything moves); the audit append happens only after a successful
     publish, so a crash in between under-reports (never over-reports)
-    and the rerun - a no-op purge - appends nothing."""
+    and the rerun - a no-op purge - appends nothing.
+
+    ``index_dir``: the table's min/max skipping index, when it has
+    one - a purge rewrites (or deletes) partitions, so indexed reads
+    would degrade to the stale-fallback full scan until a manual
+    refresh; passing it here runs ``refresh_skipping_index`` after
+    the mutation publishes (including the no-op path, keeping the
+    index current with preceding appends)."""
     vacuum_maintenance(spark, path)
     # a purge that emptied the whole lake leaves a dir with no
     # partition children; the rerun must be the documented no-op,
@@ -1528,6 +1549,8 @@ def purge_keys(
             )
         tagged.unpersist()
     if not per_part:
+        if index_dir is not None:
+            refresh_skipping_index(spark, path, index_dir)
         return []
     partial = [r[0] for r in per_part if r["_purged"] < r["_total"]]
     full = [r[0] for r in per_part if r["_purged"] == r["_total"]]
@@ -1577,6 +1600,8 @@ def purge_keys(
             ),
         ).withColumn("source", F.lit("batch_purge"))
         audit_df.coalesce(1).write.mode("append").parquet(audit_path)
+    if index_dir is not None:
+        refresh_skipping_index(spark, path, index_dir)
     return [(r[0], r["_purged"]) for r in per_part]
 
 
@@ -1720,10 +1745,10 @@ def refresh_join_view(
     return buckets
 
 
-_INDEXABLE_PREFIXES = (
+_INDEXABLE_TYPES = frozenset({
     "tinyint", "smallint", "int", "bigint", "float", "double",
-    "decimal", "string", "date", "boolean",
-)
+    "string", "date", "boolean",
+})
 
 
 def _check_indexable(types: dict, columns: list[str]) -> None:
@@ -1732,12 +1757,18 @@ def _check_indexable(types: dict, columns: list[str]) -> None:
     session's timezone (a UTC-built index mispruned under
     Asia/Tokyo - review finding), and binary-to-string is a lossy
     UTF-8 reinterpretation. Index an epoch-derived bigint column
-    instead of a raw timestamp."""
-    bad = [
-        c
-        for c in columns
-        if not types[c].startswith(_INDEXABLE_PREFIXES)
-    ]
+    instead of a raw timestamp. The allowlist matches EXACT type
+    names plus an anchored decimal(p,s) pattern - prefix matching
+    let 'interval day to second' slip through via 'int' (ADVICE
+    r11)."""
+    import re
+
+    def _ok(t: str) -> bool:
+        return t in _INDEXABLE_TYPES or bool(
+            re.fullmatch(r"decimal\(\d+,\d+\)", t)
+        )
+
+    bad = [c for c in columns if not _ok(types[c])]
     if bad:
         raise ValueError(
             "skipping index: unsupported column types "
@@ -1746,6 +1777,51 @@ def _check_indexable(types: dict, columns: list[str]) -> None:
             "round-trip safely across sessions; index an "
             "epoch-bigint derivation instead"
         )
+
+
+def _canon_file_uri(u: str) -> str:
+    """Canonical rendering for file-IDENTITY comparison (never for
+    reading): decode the percent-escaping ``input_file_name()``
+    applies (space -> %20) and normalize the ``file:/`` vs
+    ``file:///`` slash-count divergence between Hadoop
+    ``Path.toString()`` and Spark, so the same physical file compares
+    equal regardless of which side rendered it. Without the unquote,
+    a special-character partition value made refresh misclassify
+    live files as removed and silently drop their index rows
+    (ADVICE r11)."""
+    from urllib.parse import unquote
+
+    if u.startswith("file:/") and not u.startswith("file:///"):
+        u = "file:///" + u[len("file:/") :].lstrip("/")
+    return unquote(u)
+
+
+def _list_live_files(spark: SparkSession, table_dir: str) -> dict:
+    """One recursive listing of the table's COMMITTED parquet files:
+    {canonical URI -> raw path string}. A file whose table-relative
+    path contains ANY hidden component ('_'/'.'-prefixed directory
+    or basename - `_temporary/` from an in-flight append,
+    `.hive-staging`, `_SUCCESS`) is excluded, mirroring the
+    hidden-path filter ``spark.read.parquet`` applies; filtering only
+    the basename treated files under such dirs as live data the full
+    scan never sees (ADVICE r11 medium). One listing stream replaces
+    the per-file exists() RPCs the read-path staleness guard used to
+    issue (O(N) namenode round trips at million-file scale)."""
+    jvm_path, fs = _vfs(spark, table_dir)
+    root = table_dir.rstrip("/")
+    qroot = fs.makeQualified(jvm_path(root)).toString().rstrip("/")
+    live = {}
+    it = fs.listFiles(jvm_path(root), True)
+    while it.hasNext():
+        f = it.next().getPath().toString()
+        rel = f[len(qroot) :].lstrip("/") if f.startswith(qroot) else f
+        parts = rel.split("/")
+        if not parts[-1].endswith(".parquet"):
+            continue
+        if any(p.startswith(("_", ".")) for p in parts):
+            continue
+        live[_canon_file_uri(f)] = f
+    return live
 
 
 def build_skipping_index(
@@ -1794,6 +1870,95 @@ def build_skipping_index(
     return spark.read.parquet(index_dir).count()
 
 
+def read_with_predicates(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    ranges: dict | None = None,
+    null_cols: list[str] | None = None,
+) -> DataFrame:
+    """CONJUNCTIVE pruned read through the min/max file index: open
+    only files that can satisfy every predicate at once, then apply
+    the exact conjunction. ``ranges`` maps column -> (lo, hi) BETWEEN
+    bounds; ``null_cols`` lists columns constrained IS NULL - the
+    shape of a real lake scan (day range AND type AND orphan-flag IS
+    NULL), where a single-predicate read (the r11 surface) had to
+    pick ONE column and scan every file the others could have pruned.
+
+    Per-column evidence, intersected in ONE index pass: a file
+    survives a range predicate iff [min, max] intersects [lo, hi]
+    (min/max ignore NULLs, and a NULL row never satisfies BETWEEN -
+    SQL 3VL - so NULL-only files prune); it survives an IS NULL
+    predicate iff its has-null stat is set. The result equals the
+    full scan's conjunctive filter row for row, including on
+    PARTITIONED tables (leaf files read under ``basePath`` so
+    partition columns survive).
+
+    The file list is collected DRIVER-SIDE: bounded by file count
+    (the index's cardinality), the same bound Delta/Iceberg manifests
+    accept. Staleness guard: ONE recursive listing (not one exists()
+    RPC per file - ADVICE r11) is diffed against the matched set; a
+    file deleted since the build (compaction, purge) means its rows
+    were rewritten into files the index does not know, so ANY missing
+    file degrades the read to the full scan - correct, merely
+    unpruned - never a crash or a silent miss. The listing-to-read
+    race window remains (a concurrent compaction can still win it);
+    the maintenance entry points accept ``index_dir`` and refresh the
+    index themselves, which is the supported posture."""
+    ranges = dict(ranges or {})
+    null_cols = list(null_cols or [])
+    if not ranges and not null_cols:
+        raise ValueError("read_with_predicates: no predicates given")
+    idx = spark.read.parquet(index_dir)
+    for c in list(ranges) + null_cols:
+        if f"_min_{c}" not in idx.columns:
+            raise ValueError(
+                f"skipping index at {index_dir} does not cover {c!r}"
+            )
+    pred = None
+    for c, (lo, hi) in ranges.items():
+        p = F.col(c).between(F.lit(lo), F.lit(hi))
+        pred = p if pred is None else pred & p
+    for c in null_cols:
+        p = F.col(c).isNull()
+        pred = p if pred is None else pred & p
+
+    first = idx.select(
+        *[f"_type_{c}" for c in ranges] or ["_file"]
+    ).first()
+    if first is None:  # index over an empty table: nothing can match
+        return spark.read.parquet(table_dir).filter(pred).limit(0)
+    keep = idx
+    for c, (lo, hi) in ranges.items():
+        typ = first[f"_type_{c}"]
+        mn = F.col(f"_min_{c}").cast(typ)
+        mx = F.col(f"_max_{c}").cast(typ)
+        keep = keep.filter(
+            (mx >= F.lit(lo).cast(typ)) & (mn <= F.lit(hi).cast(typ))
+        )
+    for c in null_cols:
+        keep = keep.filter(F.col(f"_hasnull_{c}") == 1)
+    files = [r["_file"] for r in keep.select("_file").collect()]
+    if not files:
+        return spark.read.parquet(table_dir).filter(pred).limit(0)
+    live = _list_live_files(spark, table_dir)
+    try:
+        # read by the LISTING's own rendering, not the stored
+        # input_file_name() string: the index stores percent-escaped
+        # URIs (space -> %20) that DataFrameReader.parquet would
+        # fail to resolve against the literal on-disk path - the
+        # canonical-URI map translates identity back to a readable
+        # path (latent crash exposed by the ADVICE-r11 escaping test)
+        paths = [live[_canon_file_uri(f)] for f in files]
+    except KeyError:
+        return spark.read.parquet(table_dir).filter(pred)
+    return (
+        spark.read.option("basePath", table_dir)
+        .parquet(*paths)
+        .filter(pred)
+    )
+
+
 def read_with_skipping(
     spark: SparkSession,
     table_dir: str,
@@ -1802,61 +1967,11 @@ def read_with_skipping(
     lo,
     hi,
 ) -> DataFrame:
-    """Range-scan a plain-parquet table through its min/max file index:
-    read ONLY files whose [min, max] for ``column`` intersects
-    [lo, hi], then apply the exact predicate. min/max ignore NULLs,
-    so the range is complete evidence for a file's non-NULL values,
-    and a NULL row can never satisfy BETWEEN (SQL 3VL) - files whose
-    only relevance is NULLs (including all-NULL files, min NULL)
-    prune too. The result equals the full scan's ``column BETWEEN lo
-    AND hi`` row for row (tests assert both that identity and that
-    fewer files were opened), including on PARTITIONED tables (leaf
-    files read under ``basePath`` so partition columns survive).
-
-    The file list is collected DRIVER-SIDE: bounded by file count (the
-    index's cardinality), the same bound Delta/Iceberg manifests
-    accept. A file added after the index build is invisible - rebuild
-    the index on publish (the incremental_rollup pattern); this is the
-    standard staleness contract of any secondary index."""
-    idx = spark.read.parquet(index_dir)
-    if f"_min_{column}" not in idx.columns:
-        raise ValueError(
-            f"skipping index at {index_dir} does not cover {column!r}"
-        )
-    first = idx.select(f"_type_{column}").first()
-    if first is None:  # index over an empty table: nothing can match
-        return (
-            spark.read.parquet(table_dir)
-            .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
-            .limit(0)
-        )
-    typ = first[f"_type_{column}"]
-    mn = F.col(f"_min_{column}").cast(typ)
-    mx = F.col(f"_max_{column}").cast(typ)
-    lo_c = F.lit(lo).cast(typ)
-    hi_c = F.lit(hi).cast(typ)
-    keep = idx.filter((mx >= lo_c) & (mn <= hi_c))
-    files = [r["_file"] for r in keep.select("_file").collect()]
-    if not files:
-        return (
-            spark.read.parquet(table_dir)
-            .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
-            .limit(0)
-        )
-    # staleness guard: a file deleted since the build (compaction,
-    # purge) means its rows were rewritten into files the index does
-    # NOT know - reading the survivors alone could MISS rows, so any
-    # missing file degrades this read to the full scan (correct,
-    # merely unpruned) instead of crashing or silently dropping rows
-    jvm_path, fs = _vfs(spark, table_dir)
-    if not all(fs.exists(jvm_path(f)) for f in files):
-        return spark.read.parquet(table_dir).filter(
-            F.col(column).between(F.lit(lo), F.lit(hi))
-        )
-    return (
-        spark.read.option("basePath", table_dir)
-        .parquet(*files)
-        .filter(F.col(column).between(F.lit(lo), F.lit(hi)))
+    """Single-range convenience wrapper over ``read_with_predicates``
+    (see it for the pruning evidence, driver-side bound, and the
+    stale-index degrade-to-full-scan contract)."""
+    return read_with_predicates(
+        spark, table_dir, index_dir, ranges={column: (lo, hi)}
     )
 
 
@@ -1864,37 +1979,12 @@ def read_null_files(
     spark: SparkSession, table_dir: str, index_dir: str, column: str
 ) -> DataFrame:
     """IS NULL scan through the file index: read only files whose
-    ``_hasnull_{column}`` stat is set, then apply the exact IS NULL
-    predicate - the consumer of the has-null stat (BETWEEN reads
-    ignore it: a NULL never satisfies a range, so min/max alone
-    decide those). Same staleness contract as read_with_skipping:
-    a missing file degrades to the full scan."""
-    idx = spark.read.parquet(index_dir)
-    if f"_hasnull_{column}" not in idx.columns:
-        raise ValueError(
-            f"skipping index at {index_dir} does not cover {column!r}"
-        )
-    files = [
-        r["_file"]
-        for r in idx.filter(F.col(f"_hasnull_{column}") == 1)
-        .select("_file")
-        .collect()
-    ]
-    if not files:
-        return (
-            spark.read.parquet(table_dir)
-            .filter(F.col(column).isNull())
-            .limit(0)
-        )
-    jvm_path, fs = _vfs(spark, table_dir)
-    if not all(fs.exists(jvm_path(f)) for f in files):
-        return spark.read.parquet(table_dir).filter(
-            F.col(column).isNull()
-        )
-    return (
-        spark.read.option("basePath", table_dir)
-        .parquet(*files)
-        .filter(F.col(column).isNull())
+    ``_hasnull_{column}`` stat is set - the consumer of the has-null
+    stat (BETWEEN reads ignore it: a NULL never satisfies a range, so
+    min/max alone decide those). Wrapper over
+    ``read_with_predicates``; same staleness contract."""
+    return read_with_predicates(
+        spark, table_dir, index_dir, null_cols=[column]
     )
 
 
@@ -1928,28 +2018,24 @@ def refresh_skipping_index(
         return {"added": n, "removed": 0, "total": n}
     stored_types = {c: first[f"_type_{c}"] for c in idx_cols}
 
-    jvm_path, fs = _vfs(spark, table_dir)
-    live = set()
-    it = fs.listFiles(jvm_path(table_dir), True)
-    while it.hasNext():
-        f = it.next().getPath().toString()
-        name = f.rsplit("/", 1)[-1]
-        if name.endswith(".parquet") and not name.startswith((
-            "_", "."
-        )):
-            # normalize to input_file_name()'s rendering (the form
-            # the index stores): Hadoop Path prints file:/x, Spark
-            # prints file:///x - same URI, different slash count
-            if f.startswith("file:/") and not f.startswith("file:///"):
-                f = "file:///" + f[len("file:/") :].lstrip("/")
-            live.add(f)
+    # live set from ONE hidden-path-filtered recursive listing,
+    # compared in canonical-URI space: the index stores
+    # input_file_name() renderings (percent-escaped), the listing
+    # yields Hadoop Path renderings - comparing raw strings dropped
+    # index rows for special-character partition values and indexed
+    # files under _temporary/ as committed data (ADVICE r11)
+    live = _list_live_files(spark, table_dir)
+    known = {
+        _canon_file_uri(r["_file"]): r["_file"]
+        for r in idx.select("_file").collect()
+    }
+    kept = sorted(known[c] for c in known.keys() & live.keys())
     live_df = spark.createDataFrame(
-        [(f,) for f in sorted(live)] or [("",)], "_file string"
+        [(f,) for f in kept] or [("",)], "_file string"
     )
     old_rows = idx.join(live_df, "_file")
-    known = {r["_file"] for r in idx.select("_file").collect()}
-    new_files = sorted(live - known)
-    removed = len(known - live)
+    new_files = sorted(live[c] for c in live.keys() - known.keys())
+    removed = len(known.keys() - live.keys())
     if new_files:
         df = spark.read.option("basePath", table_dir).parquet(*new_files)
         have = {f.name for f in df.schema.fields}

@@ -183,81 +183,14 @@ def sorted_neighborhood_pairs(
     return out
 
 
-def jaccard_prefix_join(
-    df: DataFrame,
-    id_col: str,
-    tokens_col: str,
-    threshold: float,
-) -> DataFrame:
-    """EXACT set-similarity self-join with prefix filtering (the
-    PPJoin/AllPairs family, Chaudhuri/Ganti/Kaushik's SSJoin line):
-    every unordered pair of rows whose token sets have Jaccard
-    similarity >= ``threshold``, with NO false negatives - the exact
-    complement to the probabilistic MinHash-band candidates in
-    operators.dedup (LSH trades recall for speed; this trades a
-    tunable candidate bound for recall = 1).
-
-    The threshold is quantized to an exact rational p / 1e6
-    (round(threshold * 1e6)), and EVERY comparison - the final
-    similarity cut, the prefix lengths, the length filter - runs in
-    bigint cross-multiplied arithmetic on that rational: no float
-    ever decides membership, so there is no rounding boundary where
-    t*n lands an ulp above an integer and silently drops an
-    exact-boundary true pair (a review-caught failure of the float
-    form: t=0.55, |a|=55, |b|=100).
-
-    The filter: order every set by GLOBAL token frequency (rarest
-    first, ties by token), keep each row's first
-    n - ceil(p*n/q) + 1 tokens as its prefix (ceil as the exact
-    integer (p*n + q - 1) div q). Two sets with q*inter >= p*union
-    must share at least one PREFIX token (if they shared none, the
-    overlap is at most the suffix length < ceil(p*n/q) <= the overlap
-    the threshold requires) - so the equi-join on prefix tokens
-    generates every qualifying pair, and an exact in-row
-    array_intersect verify removes the false positives.
-
-    Returns (id_a, id_b, inter, union_n, jaccard) with id_a < id_b;
-    the membership cut is the exact integer test q*inter >= p*union;
-    the ``jaccard`` column is one IEEE division of the exact bigints,
-    for display/downstream use.
-
-    Set sizes are capped at 1e9 tokens (p*n must fit bigint); a
-    larger set fails loudly rather than overflowing.
-
-    Scale shape: candidates are bounded by the posting lists of RARE
-    tokens only (a token in many prefixes is by construction frequent
-    and so sorts OUT of prefixes as sets grow); the frequency table
-    and the per-row prefix rank are grouped/partitioned aggregations,
-    never global; the verify is in-row on the candidate pairs. The
-    known hot spot is a token that is both rare corpus-wide and
-    shared by a near-duplicate CLUSTER - exactly the pairs the join
-    must emit, so output size, not skew, is the bound."""
-    if not (0.0 < threshold <= 1.0):
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    q_den = 1_000_000
-    p_num = round(threshold * q_den)
-    if p_num == 0:
-        raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
+def _prefix_filter_pairs(tok: DataFrame, p_num: int, q_den: int) -> DataFrame:
+    """PPJoin/AllPairs kernel over a frame of (_id, _t) with DISTINCT
+    non-empty token arrays per row assumed bounded: candidates from
+    rare-prefix postings with the length filter inside the join,
+    exact in-row verify. Shared by both tiers of
+    ``jaccard_prefix_join``; see it for the filter proof."""
     from pyspark.sql import Window as W
 
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(F.col(tokens_col)).alias("_t"),
-    ).filter(F.size("_t") > 0)
-    tok = tok.withColumn(
-        "_t",
-        F.when(
-            F.size("_t") <= F.lit(1_000_000_000), F.col("_t")
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("jaccard_prefix_join: set of size "),
-                    F.size("_t").cast("string"),
-                    F.lit(" exceeds the 1e9 exact-arithmetic cap"),
-                )
-            )
-        ),
-    )
     # candidate generation runs on xxhash64 keys (8-byte shuffle and
     # compare instead of full token strings); the VERIFY below uses
     # the original arrays, so a hash collision can only add a
@@ -336,3 +269,154 @@ def jaccard_prefix_join(
         )
     )
     return pairs.select("id_a", "id_b", "inter", "union_n", "jaccard")
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    collapse_duplicates: bool = True,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    PPJoin/AllPairs family, Chaudhuri/Ganti/Kaushik's SSJoin line):
+    every unordered pair of rows whose token sets have Jaccard
+    similarity >= ``threshold``, with NO false negatives - the exact
+    complement to the probabilistic MinHash-band candidates in
+    operators.dedup (LSH trades recall for speed; this trades a
+    tunable candidate bound for recall = 1).
+
+    The threshold is quantized to an exact rational p / 1e6
+    (round(threshold * 1e6)), and EVERY comparison - the final
+    similarity cut, the prefix lengths, the length filter - runs in
+    bigint cross-multiplied arithmetic on that rational: no float
+    ever decides membership, so there is no rounding boundary where
+    t*n lands an ulp above an integer and silently drops an
+    exact-boundary true pair (a review-caught failure of the float
+    form: t=0.55, |a|=55, |b|=100).
+
+    The filter: order every set by GLOBAL token frequency (rarest
+    first, ties by token), keep each row's first
+    n - ceil(p*n/q) + 1 tokens as its prefix (ceil as the exact
+    integer (p*n + q - 1) div q). Two sets with q*inter >= p*union
+    must share at least one PREFIX token (if they shared none, the
+    overlap is at most the suffix length < ceil(p*n/q) <= the overlap
+    the threshold requires) - so the equi-join on prefix tokens
+    generates every qualifying pair, and an exact in-row
+    array_intersect verify removes the false positives.
+
+    Returns (id_a, id_b, inter, union_n, jaccard) with id_a < id_b;
+    the membership cut is the exact integer test q*inter >= p*union;
+    the ``jaccard`` column is one IEEE division of the exact bigints,
+    for display/downstream use.
+
+    Set sizes are capped at 1e9 tokens (p*n must fit bigint); a
+    larger set fails loudly rather than overflowing.
+
+    ``collapse_duplicates`` (default True) is the dedup-first tier -
+    the edit_distance_join two-tier lesson applied one level up, and
+    the implemented form of the reference's own named missing piece
+    (the four dedup-before-write TODOs,
+    data-downloader/data_downloader.py:106,131,169,194): rows with
+    IDENTICAL token sets (compared as sorted arrays - set equality,
+    never a hash whose collision could merge distinct sets) collapse
+    to one representative before the prefix join, so the candidate
+    kernel is bounded by DISTINCT sets; identical-set pairs
+    (jaccard exactly 1) and cross-group pairs then re-expand by
+    membership joins, both output-bound. Without it, a
+    duplicate-heavy corpus (the normal near-dup input) made the
+    CANDIDATE stage - not just the output - quadratic in duplicate
+    multiplicity: the r11 30x probe measured a C(30,2)-shaped pair
+    set at 46x wall. The output contract is still quadratic in
+    multiplicity - that is what pairwise similarity means - but the
+    compute now pays distinct-set cost plus output size, nothing
+    more. Set False only to exercise the raw kernel (tests compare
+    the two tiers for identity).
+
+    Scale shape: candidates are bounded by the posting lists of RARE
+    tokens over DISTINCT sets only; the frequency table and the
+    per-row prefix rank are grouped/partitioned aggregations, never
+    global; the verify is in-row on the candidate pairs; re-expansion
+    is two equi-joins sized by the output. The remaining hot spot is
+    a token both rare corpus-wide and shared by a NEAR-duplicate
+    (not identical) cluster - exactly the pairs the join must emit,
+    so output size, not skew, is the bound."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    q_den = 1_000_000
+    p_num = round(threshold * q_den)
+    if p_num == 0:
+        raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(tokens_col)).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    tok = tok.withColumn(
+        "_t",
+        F.when(
+            F.size("_t") <= F.lit(1_000_000_000), F.col("_t")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("jaccard_prefix_join: set of size "),
+                    F.size("_t").cast("string"),
+                    F.lit(" exceeds the 1e9 exact-arithmetic cap"),
+                )
+            )
+        ),
+    )
+    if not collapse_duplicates:
+        return _prefix_filter_pairs(tok, p_num, q_den)
+
+    # tier 1: group identical token SETS (sorted array = canonical
+    # set form; array equality keeps this exact - an xxhash group key
+    # could merge distinct sets on collision and emit wrong pairs)
+    keyed = tok.withColumn("_key", F.array_sort("_t"))
+    groups = keyed.groupBy("_key").agg(F.min("_id").alias("_rid"))
+    members = keyed.join(groups, "_key").select("_rid", "_id", "_key")
+
+    # within-group pairs: identical sets, jaccard exactly 1 (>= any
+    # threshold in (0, 1]); output-bound by contract
+    m_a = members.select("_rid", F.col("_id").alias("id_a"), "_key")
+    m_b = members.select("_rid", F.col("_id").alias("id_b"))
+    within = (
+        m_a.join(m_b, "_rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size("_key").cast("bigint").alias("inter"),
+            F.size("_key").cast("bigint").alias("union_n"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    # tier 2: the prefix kernel over DISTINCT sets only, then
+    # re-expand each representative pair to its members' id pairs
+    rep = groups.select(
+        F.col("_rid").alias("_id"), F.col("_key").alias("_t")
+    )
+    rep_pairs = _prefix_filter_pairs(rep, p_num, q_den)
+    cross = (
+        rep_pairs.join(
+            members.select(
+                F.col("_rid").alias("id_a"), F.col("_id").alias("_ma")
+            ),
+            "id_a",
+        )
+        .join(
+            members.select(
+                F.col("_rid").alias("id_b"), F.col("_id").alias("_mb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "inter",
+            "union_n",
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)

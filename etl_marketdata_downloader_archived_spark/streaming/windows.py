@@ -215,12 +215,17 @@ def streaming_trailing_distinct(
     user-facing late-data knob; events later than the full horizon
     are dropped by step 1, the documented trade.
 
-    State: both dedups are watermark-bounded (entries age out past
-    the horizon); the final per-day count state grows one row per
-    CALENDAR day - calendar-rate, not data-rate, but not evicted
-    (the group key is a derived date, not an event-time window) -
-    an operational note for multi-year uptimes, not a data-volume
-    risk.
+    State: FULLY watermark-bounded. The explode runs STATELESS on
+    the raw stream and the watermark is declared on the cover
+    position's own timestamp, so the dedup entries age out past the
+    horizon AND the final per-day count state is an event-time
+    window the watermark closes and EVICTS - the r11 shape grouped
+    on a derived date column, which accumulated one state row per
+    calendar day forever (ADVICE r11: unsuitable for the
+    unbounded-uptime use the operator is named for). The trade:
+    duplicate events explode ``window_days``-fold BEFORE the dedup
+    collapses them (stateless row inflation, constant factor) -
+    bought is bounded state at any uptime.
 
     Update-mode counts revise upward as a window's days keep
     arriving; a day's count is FINAL once the watermark passes the
@@ -228,30 +233,33 @@ def streaming_trailing_distinct(
     (tests/test_streaming.py) replays the same feed through the
     batch cover-day query."""
     horizon = f"{int(late_days) + int(window_days)} days"
-    deduped = (
+    cover = (
         df.select(F.col(key_col).alias("_k"), F.col(ts_col).alias("_ts"))
         .withColumn("_day", F.col("_ts").cast("date"))
-        .withWatermark("_ts", horizon)
-        .dropDuplicatesWithinWatermark(["_k", "_day"])
+        .select(
+            "_k",
+            F.explode(
+                F.expr(
+                    f"sequence(_day, date_add(_day,"
+                    f" {int(window_days) - 1}), interval 1 day)"
+                )
+            ).alias("cover_day"),
+        )
+        .withColumn("_cover_ts", F.col("cover_day").cast("timestamp"))
+        .withWatermark("_cover_ts", horizon)
     )
-    cover = deduped.select(
-        "_k",
-        "_ts",
-        F.explode(
-            F.expr(
-                f"sequence(_day, date_add(_day, {int(window_days) - 1}),"
-                " interval 1 day)"
-            )
-        ).alias("cover_day"),
-    )
-    # second dedup: consecutive activity days cover OVERLAPPING window
-    # positions, so the same (key, cover_day) arrives once per source
-    # day - the batch twin's second distinct. Chained stateful ops:
-    # dedup -> dedup -> agg (Spark supports multiple stateful
-    # operators when the intermediate event-time column survives).
-    # (the step-1 watermark on _ts propagates through the explode;
-    # re-declaring it on a chained stateful operator is disallowed)
-    cover = cover.dropDuplicatesWithinWatermark(["_k", "cover_day"])
-    return cover.groupBy("cover_day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("active_keys")
+    # one dedup does both of r11's: same-day duplicates and
+    # overlapping cover positions from consecutive activity days land
+    # on the SAME (key, cover_day) row. Chained stateful ops (dedup
+    # -> windowed agg) are safe because the aggregation windows on
+    # the watermarked column itself, so every finalized day's state
+    # row is evicted once the watermark passes its window end.
+    deduped = cover.dropDuplicatesWithinWatermark(["_k", "cover_day"])
+    return (
+        deduped.groupBy(F.window("_cover_ts", "1 day").alias("_w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_keys"))
+        .select(
+            F.col("_w.start").cast("date").alias("cover_day"),
+            "active_keys",
+        )
     )

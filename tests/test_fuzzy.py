@@ -128,3 +128,64 @@ def test_jaccard_prefix_join_matches_brute_force(spark) -> None:
         assert got == expected, thr
         if thr == 0.55:
             assert (100, 101) in got  # the boundary pair survives
+
+def test_jaccard_prefix_join_dedup_first_tier(spark) -> None:
+    """The collapse_duplicates tier (VERDICT r11 item 1): on a
+    duplicate-heavy corpus (every text replicated, the normal
+    near-dup input) the dedup-first plan must equal both the raw
+    kernel and brute force EXACTLY - identical sets pair at jaccard
+    1 regardless of token order/multiplicity in the input arrays,
+    cross-group pairs re-expand with the representative pair's exact
+    counts, and the kernel itself only ever sees distinct sets."""
+    import itertools
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        jaccard_prefix_join,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(20)]
+    base = [rng.sample(vocab, rng.randint(2, 8)) for _ in range(12)]
+    rows = []
+    rid = 0
+    for toks in base:
+        for k in range(5):  # 5x replica multiplicity
+            jumbled = list(toks)
+            rng.shuffle(jumbled)
+            if k % 2:  # token-array duplicates: same SET, longer array
+                jumbled.append(jumbled[0])
+            rows.append((rid, jumbled))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+
+    thr = 0.5
+    p = round(thr * 1_000_000)
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = set(ta), set(tb)
+        inter, union = len(sa & sb), len(sa | sb)
+        if union and inter * 1_000_000 >= p * union:
+            a, b = sorted((ia, ib))
+            expected[(a, b)] = (inter, union)
+
+    collapsed = {
+        (r.id_a, r.id_b): (r.inter, r.union_n)
+        for r in jaccard_prefix_join(df, "id", "toks", thr).collect()
+    }
+    raw = {
+        (r.id_a, r.id_b): (r.inter, r.union_n)
+        for r in jaccard_prefix_join(
+            df, "id", "toks", thr, collapse_duplicates=False
+        ).collect()
+    }
+    assert collapsed == expected
+    assert raw == expected
+    # every replica group contributes its full C(5,2) identical-set
+    # pairs at jaccard exactly 1
+    ones = [
+        k
+        for k, (i, u) in collapsed.items()
+        if i == u
+    ]
+    assert len(ones) >= len(base) * 10  # 12 groups x C(5,2)

@@ -3144,3 +3144,170 @@ def test_skipping_index_type_safety_and_staleness(spark, tmp_path) -> None:
     df_all.unpersist()
     stale = read_with_skipping(spark, table, idx, "k", 10, 60)
     assert sorted(r.k for r in stale.collect()) == full_before
+
+def test_skipping_index_hidden_dirs_and_type_allowlist(
+    spark, tmp_path
+) -> None:
+    """ADVICE r11: (a) refresh must ignore files under HIDDEN
+    directory components (_temporary/ from a crashed append,
+    .hive-staging) - spark.read.parquet never serves them, so
+    indexing them would let a pruned read return uncommitted rows a
+    full scan never sees; (b) the indexable-type guard is an EXACT
+    allowlist - 'interval day to second' must not slip through via
+    the 'int' prefix."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        _check_indexable,
+        build_skipping_index,
+        read_with_skipping,
+        refresh_skipping_index,
+    )
+
+    table = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"
+    ).repartitionByRange(2, "k").write.parquet(table)
+    build_skipping_index(spark, table, idx, ["k"])
+
+    # a crashed in-flight append leaves files under _temporary/ and a
+    # .hive-staging dir; both must be invisible to the refresh
+    for hidden in ("_temporary/0/task_1", ".hive-staging/x"):
+        d = tmp_path / "tbl" / hidden
+        d.mkdir(parents=True)
+        spark.createDataFrame(
+            [(9999, "uncommitted")], "k long, v string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / "p"))
+    out = refresh_skipping_index(spark, table, idx)
+    assert out["added"] == 0 and out["removed"] == 0
+
+    # pruned-read == full-scan identity survives: the hidden rows
+    # appear in NEITHER side
+    got = read_with_skipping(spark, table, idx, "k", 0, 100_000)
+    full = spark.read.parquet(table)
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+    assert 9999 not in {r.k for r in got.collect()}
+
+    # (b) exact allowlist: the interval type name starts with 'int'
+    with _pytest.raises(ValueError, match="round-trip"):
+        _check_indexable({"d": "interval day to second"}, ["d"])
+    with _pytest.raises(ValueError, match="round-trip"):
+        _check_indexable({"d": "integer_like_future_type"}, ["d"])
+    _check_indexable({"d": "decimal(10,2)", "k": "bigint"}, ["d", "k"])
+
+
+def test_skipping_index_multi_predicate_read(spark, tmp_path) -> None:
+    """read_with_predicates intersects per-column file sets: a
+    2-column conjunctive BETWEEN read opens strictly fewer files than
+    either single-column read, equals the full scan row for row, and
+    composes with IS NULL predicates; compact_files(index_dir=...)
+    auto-refreshes so the post-compaction read is pruned (not the
+    stale-fallback full scan)."""
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        build_skipping_index,
+        compact_files,
+        read_with_predicates,
+    )
+
+    table = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    # day-partitioned, k clustered within each day; one file carries a
+    # NULL flag column
+    rows = [
+        (d, d * 1000 + i, (d * 1000 + i) if (d + i) % 3 else None)
+        for d in range(4)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "day int, k long, flag long")
+    (
+        df.repartitionByRange(8, "day", "k")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(table)
+    )
+    build_skipping_index(spark, table, idx, ["day", "k", "flag"])
+
+    # fragment one partition so the compaction has work, then compact
+    # WITH the index wired - the read below must see a fresh index
+    for _ in range(3):
+        spark.createDataFrame(
+            [(2, 2500 + _, None)], "day int, k long, flag long"
+        ).coalesce(1).write.mode("append").partitionBy("day").parquet(
+            table
+        )
+    # refresh the index for the appends, then compact (which rewrites
+    # partition day=2 and must re-refresh on its own)
+    from etl_marketdata_downloader_archived_spark.io import (
+        refresh_skipping_index,
+    )
+
+    refresh_skipping_index(spark, table, idx)
+    out = compact_files(spark, table, "day", index_dir=idx)
+    assert out["partitions_compacted"] >= 1
+
+    all_files = set(spark.read.parquet(table).inputFiles())
+    got = read_with_predicates(
+        spark, table, idx, ranges={"day": (1, 2), "k": (2000, 2010)}
+    )
+    full = spark.read.parquet(table).filter(
+        F.col("day").between(1, 2) & F.col("k").between(2000, 2010)
+    )
+    assert sorted((r.day, r.k) for r in got.collect()) == sorted(
+        (r.day, r.k) for r in full.collect()
+    )
+    opened = set(got.inputFiles())
+    assert len(opened) < len(all_files)
+    # the conjunction prunes at least as hard as either predicate alone
+    day_only = set(
+        read_with_predicates(
+            spark, table, idx, ranges={"day": (1, 2)}
+        ).inputFiles()
+    )
+    assert opened <= day_only
+
+    # BETWEEN + IS NULL conjunction
+    got2 = read_with_predicates(
+        spark, table, idx, ranges={"day": (2, 2)}, null_cols=["flag"]
+    )
+    full2 = spark.read.parquet(table).filter(
+        (F.col("day") == 2) & F.col("flag").isNull()
+    )
+    assert sorted(r.k for r in got2.collect()) == sorted(
+        r.k for r in full2.collect()
+    )
+    with _pytest.raises(ValueError, match="no predicates"):
+        read_with_predicates(spark, table, idx)
+
+
+def test_skipping_index_escaped_partition_values(spark, tmp_path) -> None:
+    """ADVICE r11: input_file_name() percent-escapes paths (space ->
+    %20) while the Hadoop listing may not - refresh must compare
+    CANONICAL URIs or it silently drops live escaped-path files from
+    the index (pruned reads then miss their rows)."""
+    from etl_marketdata_downloader_archived_spark.io import (
+        build_skipping_index,
+        read_with_skipping,
+        refresh_skipping_index,
+    )
+
+    table = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    rows = [(f"grp {g}", g * 100 + i) for g in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "p string, k long")
+    df.repartition("p").write.partitionBy("p").parquet(table)
+    n = build_skipping_index(spark, table, idx, ["k"])
+
+    # a no-op refresh must classify every escaped-path file as LIVE
+    out = refresh_skipping_index(spark, table, idx)
+    assert out == {"added": 0, "removed": 0, "total": n}
+
+    got = read_with_skipping(spark, table, idx, "k", 100, 150)
+    full = spark.read.parquet(table).filter(F.col("k").between(100, 150))
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in full.collect()
+    )

@@ -1906,3 +1906,55 @@ def test_streaming_trailing_distinct_matches_batch(spark, tmp_path) -> None:
     import datetime as dt
 
     assert results[dt.date(2024, 3, 2)] == 2
+
+def test_streaming_trailing_distinct_state_evicts(spark, tmp_path) -> None:
+    """ADVICE r11: the trailing-distinct aggregation must window on
+    the watermarked event-time column so finalized days EVICT - the
+    derived-date group key accumulated one state row per calendar
+    day forever. Feed activity 60 days apart (horizon 8 days): after
+    the watermark passes January, the total state row count must be
+    bounded by the RECENT horizon, not by every day ever seen."""
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        streaming_trailing_distinct,
+    )
+
+    src = tmp_path / "evict_src"
+    src.mkdir()
+    batches = [
+        [{"u": u, "ts": "2024-01-01 10:00:00"} for u in range(5)],
+        [{"u": u, "ts": "2024-03-01 10:00:00"} for u in range(5)],
+        # third batch pushes the watermark past March 1's cover too
+        [{"u": 1, "ts": "2024-03-20 10:00:00"}],
+    ]
+    ckpt = str(tmp_path / "evict_ckpt")
+    state_rows = []
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+        raw = spark.readStream.format("text").load(str(src))
+        parsed = raw.select(
+            F.from_json("value", "u LONG, ts TIMESTAMP").alias("j")
+        ).select("j.*")
+        q = (
+            streaming_trailing_distinct(parsed, "ts", "u", late_days=1)
+            .writeStream.foreachBatch(lambda b, bid: b.count())
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        prog = q.lastProgress
+        if prog and prog.get("stateOperators"):
+            state_rows.append(
+                sum(op["numRowsTotal"] for op in prog["stateOperators"])
+            )
+    # January: 5 users x 7 cover days = 35 dedup rows + 7 agg rows.
+    # If nothing evicted, the final batch would still hold >= 84 rows
+    # (Jan 42 + Mar 42); with eviction only the March-20 tail remains.
+    assert state_rows, "no state metrics captured"
+    assert state_rows[-1] < 30, (
+        f"state not evicted: {state_rows} rows across batches"
+    )
