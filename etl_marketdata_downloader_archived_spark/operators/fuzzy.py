@@ -371,45 +371,70 @@ def jaccard_prefix_join(
 
     # tier 1: group identical token SETS (sorted array = canonical
     # set form; array equality keeps this exact - an xxhash group key
-    # could merge distinct sets on collision and emit wrong pairs)
-    keyed = tok.withColumn("_key", F.array_sort("_t"))
-    groups = keyed.groupBy("_key").agg(F.min("_id").alias("_rid"))
-    members = keyed.join(groups, "_key").select("_rid", "_id", "_key")
+    # could merge distinct sets on collision and emit wrong pairs).
+    # ONE aggregation carries the representative id AND the member-id
+    # list, so every downstream branch (the kernel's three uses, the
+    # within-pairs, both cross expansions) hangs off the SAME
+    # exchange - the first cut of this tier joined a members table
+    # back against the groups and re-evaluated the upstream
+    # tokenization per branch, which cost more than the collapse
+    # saved (measured: the shingle transform alone was ~9 s/pass at
+    # the 10x probe scale).
+    groups = tok.groupBy(F.array_sort("_t").alias("_key")).agg(
+        F.min("_id").alias("_rid"),
+        F.sort_array(F.collect_list("_id")).alias("_ids"),
+    )
 
     # within-group pairs: identical sets, jaccard exactly 1 (>= any
-    # threshold in (0, 1]); output-bound by contract
-    m_a = members.select("_rid", F.col("_id").alias("id_a"), "_key")
-    m_b = members.select("_rid", F.col("_id").alias("id_b"))
+    # threshold in (0, 1]); two chained explodes stream the m^2
+    # candidate rows (never an in-row pair ARRAY, whose C(m,2) bytes
+    # would concentrate a hot group's whole output in one row);
+    # output-bound by contract
     within = (
-        m_a.join(m_b, "_rid")
+        groups.filter(F.size("_ids") >= 2)
+        .select(
+            F.size("_key").cast("bigint").alias("inter"),
+            F.explode("_ids").alias("id_a"),
+            "_ids",
+        )
+        .select("inter", "id_a", F.explode("_ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.size("_key").cast("bigint").alias("inter"),
-            F.size("_key").cast("bigint").alias("union_n"),
+            "inter",
+            F.col("inter").alias("union_n"),
             F.lit(1.0).alias("jaccard"),
         )
     )
 
     # tier 2: the prefix kernel over DISTINCT sets only, then
     # re-expand each representative pair to its members' id pairs
+    # (two equi-joins on the pair-count-sized frame, two explodes)
     rep = groups.select(
         F.col("_rid").alias("_id"), F.col("_key").alias("_t")
     )
     rep_pairs = _prefix_filter_pairs(rep, p_num, q_den)
     cross = (
         rep_pairs.join(
-            members.select(
-                F.col("_rid").alias("id_a"), F.col("_id").alias("_ma")
+            groups.select(
+                F.col("_rid").alias("id_a"), F.col("_ids").alias("_ia")
             ),
             "id_a",
         )
         .join(
-            members.select(
-                F.col("_rid").alias("id_b"), F.col("_id").alias("_mb")
+            groups.select(
+                F.col("_rid").alias("id_b"), F.col("_ids").alias("_ib")
             ),
             "id_b",
+        )
+        .select(
+            "inter", "union_n", "jaccard",
+            F.explode("_ia").alias("_ma"), "_ib",
+        )
+        .select(
+            "inter", "union_n", "jaccard",
+            "_ma", F.explode("_ib").alias("_mb"),
         )
         .select(
             F.least("_ma", "_mb").alias("id_a"),

@@ -7,19 +7,21 @@ tested. Codecs come in two tiers:
 
 - ``decode_media``: REAL decode for what a stdlib-only environment
   can handle - PNG (chunk walk + inflate + scanline unfilter + pixel
-  mean), WAV/PCM (channels, rate, duration, RMS), and baseline/
+  mean), WAV/PCM (channels, rate, duration, RMS), baseline/
   extended-sequential JPEG (full T.81 Huffman + dequant + IDCT +
-  chroma upsample + YCbCr->RGB pixel mean) in full; JPEG tiers
-  beyond sequential-Huffman-8-bit YCbCr/gray (progressive, 12-bit,
-  CMYK, Adobe transform=0 RGB) get the HEADER-ONLY SOF walk
-  (dimensions, channels, progressive-ness; pixel fields stay NULL -
+  chroma upsample + YCbCr->RGB pixel mean), and PROGRESSIVE-DCT
+  Huffman JPEG (T.81 annex G multi-scan coefficient accumulator:
+  spectral selection, successive approximation, EOB runs) in full;
+  JPEG tiers beyond Huffman-8-bit YCbCr/gray (12-bit, CMYK,
+  arithmetic, Adobe transform=0 RGB) get the HEADER-ONLY SOF walk
+  (dimensions, channels; pixel fields stay NULL -
   the honest pixels-not-decoded signal).
   MP4/ISO-BMFF gets the same header tier (box walk: mvhd duration,
   tkhd dimensions; frame pixels genuinely need a codec). All
   differentially tested against independent encoders written from
   the format specs.
 - ``decode_assets``: the deterministic stub for everything a codec
-  LIBRARY would be needed for (JPEG-progressive pixels, MP4 frames,
+  LIBRARY would be needed for (12-bit/CMYK JPEG pixels, MP4 frames,
   ...; none are installed in this environment); its fake fields are
   SQL-recomputable so the full binary pipeline stays
   oracle-checkable.
@@ -248,6 +250,13 @@ def _split_entropy(b: bytes, pos: int) -> list[bytes]:
     """Slice the scan's entropy-coded bytes into restart intervals:
     de-stuff FF00 -> FF, split on RSTn, stop at any other marker
     (normally EOI). Returns the de-stuffed interval list."""
+    return _split_entropy_pos(b, pos)[0]
+
+
+def _split_entropy_pos(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """As ``_split_entropy``, but also returns the offset of the 0xFF
+    that terminates the scan - the progressive walker resumes its
+    marker loop there (a progressive stream holds MANY scans)."""
     segments: list[bytes] = []
     cur = bytearray()
     i = pos
@@ -267,7 +276,7 @@ def _split_entropy(b: bytes, pos: int) -> list[bytes]:
                 i += 2
                 continue
             segments.append(bytes(cur))
-            return segments
+            return segments, i
         cur.append(byte)
         i += 1
     raise ValueError("truncated JPEG: entropy stream ran past EOF")
@@ -299,22 +308,25 @@ _ZIGZAG = [
 
 
 def _decode_jpeg_pixels(b: bytes) -> dict | None:
-    """REAL baseline-JPEG pixel decode, pure stdlib+numpy (ITU-T T.81
-    annexes B/F): segment walk collecting DQT/DHT/DRI, sequential-DCT
-    Huffman SOF (C0 baseline / C1 extended, 8-bit), then per-MCU
-    entropy decode (DC prediction + EXTEND, AC run/size with EOB/ZRL),
-    dequantize, de-zigzag, separable float64 IDCT, +128 level shift,
+    """REAL JPEG pixel decode, pure stdlib+numpy (ITU-T T.81
+    annexes B/F/G): segment walk collecting DQT/DHT/DRI, then either
+    the sequential-DCT path (C0 baseline / C1 extended, 8-bit:
+    per-MCU entropy decode - DC prediction + EXTEND, AC run/size with
+    EOB/ZRL) or the PROGRESSIVE path (C2: the multi-scan coefficient
+    accumulator in ``_decode_jpeg_progressive``), then dequantize,
+    de-zigzag, separable float64 IDCT, +128 level shift,
     nearest-neighbor chroma upsampling and JFIF YCbCr->RGB. Returns
     the header dict with ``mean_value`` = mean over all pixels and
     channels - the pixels_decoded=true signal.
 
     Returns None when the frame is eligible-looking JPEG but outside
-    this tier (progressive/lossless/arithmetic, 12-bit precision,
-    CMYK) so the caller falls back to the honest header-only decode;
-    raises ValueError on malformed structure (quarantine path).
+    this tier (lossless/arithmetic, 12-bit precision, CMYK) so the
+    caller falls back to the honest header-only decode; raises
+    ValueError on malformed structure (quarantine path).
     Differentially tested against an independent spec-written ENCODER
-    (tests/test_operators.py): DC-only images must round-trip exactly,
-    textured images within the T.83-style +/-1 per-pixel envelope."""
+    (tests/test_operators.py, baseline AND progressive emission):
+    DC-only images must round-trip exactly, textured images must
+    reproduce the encoder's own predicted reconstruction to 1e-9."""
     import numpy as np
 
     if len(b) < 2 or b[0] != 0xFF or b[1] != 0xD8:
@@ -390,8 +402,8 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
             if len(seg) >= 12:
                 adobe_transform = seg[11]
         elif marker in _JPEG_SOF:
-            if marker not in (0xC0, 0xC1):
-                return None  # progressive / lossless / arithmetic tier
+            if marker not in (0xC0, 0xC1, 0xC2):
+                return None  # lossless / arithmetic / differential tier
             if len(seg) < 6:
                 raise ValueError("short SOF segment")
             precision = seg[0]
@@ -416,18 +428,13 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
                 raise ValueError("JPEG SOS before SOF")
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
                 raise ValueError("short SOS segment")
-            ns = seg[0]
-            scan_tables = {}
-            for s in range(ns):
-                cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
-                scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+            sos_seg = seg
             _, _, H, W, comps = frame
-            if ns != len(comps):
-                return None  # multi-scan sequential: out of tier
             entropy_pos = pos + seg_len
             break
         pos += seg_len
 
+    progressive = frame[0] == 0xC2
     if len(comps) == 3:
         # color-space honesty: apply the YCbCr transform only when
         # the file SAYS so - Adobe APP14 transform=1, or no APP14 and
@@ -453,6 +460,32 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
     for c in comps:
         if c["tq"] not in qtables:
             raise ValueError("JPEG component references missing DQT")
+        c["q"] = qtables[c["tq"]]
+
+    if progressive:
+        planes = _decode_jpeg_progressive(
+            b,
+            sos_seg,
+            entropy_pos,
+            frame,
+            hmax,
+            vmax,
+            dc_luts,
+            ac_luts,
+            restart_interval,
+        )
+        return _jpeg_mean(
+            comps, planes, H, W, hmax, vmax, "image/jpeg;progressive"
+        )
+
+    ns = sos_seg[0]
+    scan_tables = {}
+    for s in range(ns):
+        cs, tdta = sos_seg[1 + 2 * s], sos_seg[2 + 2 * s]
+        scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+    if ns != len(comps):
+        return None  # multi-scan sequential: out of tier
+    for c in comps:
         if c["id"] not in scan_tables:
             raise ValueError("JPEG scan omits a frame component")
         td, ta = scan_tables[c["id"]]
@@ -460,7 +493,6 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
             raise ValueError("JPEG scan references missing DHT")
         c["dc"] = dc_luts[td]
         c["ac"] = ac_luts[ta]
-        c["q"] = qtables[c["tq"]]
 
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
@@ -517,6 +549,286 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
                     x0 = (mx * c["h"] + bx) * 8
                     planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
 
+    return _jpeg_mean(comps, planes, H, W, hmax, vmax, "image/jpeg")
+
+
+def _decode_jpeg_progressive(
+    b: bytes,
+    first_sos_seg: bytes,
+    entropy_pos: int,
+    frame,
+    hmax: int,
+    vmax: int,
+    dc_luts: dict,
+    ac_luts: dict,
+    restart_interval: int,
+) -> dict:
+    """Progressive-DCT scan accumulator (ITU-T T.81 annex G, Huffman):
+    walk every scan of the frame, updating per-block QUANTIZED
+    coefficient arrays - spectral selection (each AC scan carries one
+    component's [Ss, Se] band), successive approximation (first scans
+    deliver coefficients at point transform Al, refinement scans the
+    next lower bit), DC scans interleaved or single-component, AC
+    scans single-component raster over the component's own block
+    grid, EOB runs spanning blocks, restart intervals resetting
+    DC predictions and the EOB run. Tables (DHT) and DRI may be
+    redefined between scans. Returns the reconstructed float planes
+    keyed by component id (dequantize + IDCT at the end - exactly
+    once, after all scans landed their bits).
+
+    Refinement follows the G.1.2.3 control flow: a correction bit is
+    read for every NONZERO-HISTORY coefficient crossed (its magnitude
+    grows by 1 << Al when the bit is set - history values are
+    multiples of 1 << (Al+1), so the bit position is always vacant),
+    zero-history runs consume the symbol's run length, and an EOB run
+    still reads the tail correction bits of every block it covers."""
+    import numpy as np
+
+    _, _, H, W, comps = frame
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    coefs = {
+        c["id"]: np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+        )
+        for c in comps
+    }
+    for c in comps:
+        # non-interleaved scans raster over the component's CEIL block
+        # grid (T.81 A.2.2), which can be smaller than the padded
+        # interleaved grid
+        c["bw"] = -(-(-(-W * c["h"] // hmax)) // 8)
+        c["bh"] = -(-(-(-H * c["v"] // vmax)) // 8)
+
+    def do_scan(seg: bytes, epos: int, rst: int) -> int:
+        ns = seg[0]
+        if len(seg) < 4 + 2 * ns:
+            raise ValueError("short progressive SOS segment")
+        scomps = []
+        for s in range(ns):
+            cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
+            if cs not in by_id:
+                raise ValueError("progressive scan names unknown component")
+            scomps.append((by_id[cs], tdta >> 4, tdta & 0x0F))
+        ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        ahal = seg[3 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 0x0F
+        if se > 63 or ss > se:
+            raise ValueError("progressive spectral band out of range")
+        segments, endpos = _split_entropy_pos(b, epos)
+        seg_idx = 0
+        bits = _JpegBits(segments[0])
+        if ss == 0:
+            # ---- DC scan (first or refinement), MCU- or raster-order
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            preds = {c["id"]: 0 for c, _, _ in scomps}
+            luts = {}
+            if ah == 0:
+                for c, td, _ in scomps:
+                    if td not in dc_luts:
+                        raise ValueError("progressive scan missing DC DHT")
+                    luts[c["id"]] = dc_luts[td]
+            if ns > 1:
+                units = mcus_y * mcus_x
+            else:
+                c0 = scomps[0][0]
+                units = c0["bh"] * c0["bw"]
+
+            def dc_unit(c, block) -> None:
+                if ah == 0:
+                    t = bits.read_symbol(luts[c["id"]])
+                    if t > 11:
+                        raise ValueError("JPEG DC category out of range")
+                    preds[c["id"]] += _extend(bits.read_bits(t), t)
+                    block[0] = preds[c["id"]] << al
+                elif bits.read_bit():
+                    block[0] = int(block[0]) | (1 << al)
+
+            for m in range(units):
+                if rst and m and m % rst == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG missing restart marker")
+                    bits = _JpegBits(segments[seg_idx])
+                    preds = {c["id"]: 0 for c, _, _ in scomps}
+                if ns > 1:
+                    my, mx = divmod(m, mcus_x)
+                    for c, _, _ in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(
+                                    c,
+                                    coefs[c["id"]][
+                                        my * c["v"] + by, mx * c["h"] + bx
+                                    ],
+                                )
+                else:
+                    c0 = scomps[0][0]
+                    by, bx = divmod(m, c0["bw"])
+                    dc_unit(c0, coefs[c0["id"]][by, bx])
+            return endpos
+
+        # ---- AC scan: single component, raster order, EOB runs
+        if ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c, _, ta = scomps[0]
+        if ta not in ac_luts:
+            raise ValueError("progressive scan missing AC DHT")
+        ac = ac_luts[ta]
+        arr = coefs[c["id"]]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for m in range(c["bh"] * c["bw"]):
+            if rst and m and m % rst == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG missing restart marker")
+                bits = _JpegBits(segments[seg_idx])
+                eobrun = 0
+            by, bx = divmod(m, c["bw"])
+            block = arr[by, bx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = bits.read_symbol(ac)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (
+                            bits.read_bits(r) if r else 0
+                        )
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC band overflow")
+                    block[k] = _extend(bits.read_bits(s), s) << al
+                    k += 1
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = bits.read_symbol(ac)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + (
+                                    bits.read_bits(r) if r else 0
+                                )
+                                break
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "progressive AC refinement size != 1"
+                                )
+                            val = p1 if bits.read_bit() else m1
+                        while k <= se:
+                            if block[k] != 0:
+                                if bits.read_bit():
+                                    block[k] += p1 if block[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG refinement placement overflow"
+                                )
+                            block[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if block[k] != 0 and bits.read_bit():
+                            block[k] += p1 if block[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+        return endpos
+
+    # first scan, then the continuing marker walk until EOI
+    pos = do_scan(first_sos_seg, entropy_pos, restart_interval)
+    while True:
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1
+        if pos >= len(b):
+            raise ValueError("truncated progressive JPEG: no EOI")
+        marker = b[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            continue
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG segment length")
+        seg_len = int.from_bytes(b[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > len(b):
+            raise ValueError("truncated JPEG segment")
+        seg = b[pos + 2 : pos + seg_len]
+        if marker == 0xC4:  # DHT between scans
+            j = 0
+            while j < len(seg):
+                cls = seg[j] >> 4
+                tid = seg[j] & 0x0F
+                j += 1
+                if j + 16 > len(seg):
+                    raise ValueError("short DHT segment")
+                counts = seg[j : j + 16]
+                j += 16
+                nsym = sum(counts)
+                if j + nsym > len(seg):
+                    raise ValueError("short DHT symbol list")
+                lut = _build_huffman(counts, seg[j : j + nsym])
+                j += nsym
+                (ac_luts if cls else dc_luts)[tid] = lut
+            pos += seg_len
+        elif marker == 0xDD:  # DRI between scans
+            if len(seg) < 2:
+                raise ValueError("short DRI segment")
+            restart_interval = int.from_bytes(seg[:2], "big")
+            pos += seg_len
+        elif marker == 0xDA:
+            pos = do_scan(seg, pos + seg_len, restart_interval)
+        else:  # APPn / COM / DQT redefinitions: skip
+            pos += seg_len
+
+    idct = _idct_matrix()
+    planes = {}
+    for c in comps:
+        arr = coefs[c["id"]]
+        q = np.array(c["q"], dtype=np.float64)
+        p = np.zeros((arr.shape[0] * 8, arr.shape[1] * 8))
+        for by in range(arr.shape[0]):
+            for bx in range(arr.shape[1]):
+                cvec = arr[by, bx].astype(np.float64) * q
+                block = np.zeros((8, 8))
+                for k in range(64):
+                    r_, c_ = _ZIGZAG[k]
+                    block[r_, c_] = cvec[k]
+                p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idct.T @ block @ idct + 128.0
+                )
+        planes[c["id"]] = p
+    return planes
+
+
+def _jpeg_mean(
+    comps, planes, H: int, W: int, hmax: int, vmax: int, modality: str
+) -> dict:
+    """Shared reconstruction tail: nearest-neighbor upsample each
+    component plane to full resolution, apply the JFIF YCbCr->RGB
+    transform for 3-component frames, and fold to the mean_value
+    pixel signal. Used by both the baseline MCU loop and the
+    progressive coefficient accumulator."""
+    import numpy as np
+
     def full_res(c) -> "np.ndarray":
         p = planes[c["id"]]
         p = np.repeat(p, vmax // c["v"], axis=0)
@@ -539,7 +851,7 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
         )
         mean = float(np.clip(np.round(rgb), 0, 255).mean())
     return {
-        "modality_detected": "image/jpeg",
+        "modality_detected": modality,
         "width": int(W),
         "height": int(H),
         "n_channels": len(comps),
@@ -769,13 +1081,16 @@ def decode_media(assets: DataFrame) -> DataFrame:
     dequant, float64 IDCT, chroma upsampling, JFIF YCbCr->RGB -
     ``mean_value`` is the real pixel mean) - dispatched on magic
     bytes per asset, and MP4/ISO-BMFF box trees decode the header
-    tier (mvhd duration, tkhd dimensions). JPEG tiers outside
-    sequential-Huffman-8-bit YCbCr/grayscale (progressive, lossless,
-    arithmetic, 12-bit, CMYK, Adobe transform=0 RGB) fall back to
-    the HEADER-ONLY SOF walk: width/height/channels real,
-    ``mean_value`` NULL - a NULL mean_value on an image row IS
-    pixels_decoded=false. Anything else passes through with byte
-    length + checksum and NULL media fields.
+    tier (mvhd duration, tkhd dimensions). PROGRESSIVE-DCT Huffman
+    JPEG decodes real pixels too (T.81 annex G: spectral selection,
+    successive approximation, EOB runs - the multi-scan coefficient
+    accumulator in ``_decode_jpeg_progressive``). JPEG tiers outside
+    Huffman-8-bit YCbCr/grayscale (lossless, arithmetic, 12-bit,
+    CMYK, Adobe transform=0 RGB) fall back to the HEADER-ONLY SOF
+    walk: width/height/channels real, ``mean_value`` NULL - a NULL
+    mean_value on an image row IS pixels_decoded=false. Anything
+    else passes through with byte length + checksum and NULL media
+    fields.
 
     This replaces the ``fake=True`` stub for all four formats: the
     emitted width/height/duration/pixel-mean/RMS are decoded from the
@@ -783,7 +1098,7 @@ def decode_media(assets: DataFrame) -> DataFrame:
     spec-written encoders (tests/test_operators.py writes PNGs, WAVs,
     baseline JPEGs, and ISO-BMFF box trees from first principles).
     Only the tiers a codec LIBRARY genuinely owns remain out: JPEG
-    progressive/12-bit/CMYK/Adobe-RGB pixels and MP4 frame data (both
+    12-bit/CMYK/arithmetic/Adobe-RGB pixels and MP4 frame data (both
     yield real metadata with NULL mean_value). Arrow-batched
     mapInPandas; the per-asset
     Python codec is the honest cost of decoding in this environment -

@@ -54,9 +54,17 @@ ROUTE_FTP_FILE = "FTP_FILE"
 ROUTE_FTP_FILES = "FTP_FILES"
 
 def decode_tasks(messages: DataFrame, body_col: str = "task_json") -> DataFrame:
-    """JSON task decode (reference: data-downloader/data_downloader.py:216)."""
+    """JSON task decode (reference: data-downloader/data_downloader.py:216).
+
+    Carries the raw body through as ``_task_body`` so a message that
+    fails to parse (from_json -> all-NULL struct) can be quarantined
+    with the offending payload named, instead of a NULL reason - the
+    reference would throw inside the lambda and redrive the message
+    blind; here the malformed message is evidence, not an exception."""
     parsed = F.from_json(F.col(body_col), TASK)
-    return messages.select(parsed.alias("t")).select("t.*")
+    return messages.select(
+        parsed.alias("t"), F.col(body_col).alias("_task_body")
+    ).select("t.*", "_task_body")
 
 
 def route_tasks(tasks: DataFrame) -> DataFrame:
@@ -552,7 +560,30 @@ def run_downloader(
         _q(link_errs, "URL", F.col("error"))
         .unionByName(_q(ftp_errs, "URL", F.col("error")))
         .unionByName(_q(failed, "file_url", F.col("error")))
-        .unionByName(_q(unknown, "URL", F.concat(F.lit("unknown TYPE: "), F.col("TYPE"))))
+        .unionByName(
+            _q(
+                unknown,
+                "URL",
+                # a parse failure leaves TYPE (and every field) NULL;
+                # name the malformed payload instead of emitting a
+                # NULL reason (concat with NULL TYPE was NULL)
+                F.when(
+                    F.col("TYPE").isNotNull(),
+                    F.concat(F.lit("unknown TYPE: "), F.col("TYPE")),
+                ).otherwise(
+                    F.concat(
+                        F.lit("malformed or TYPE-less task JSON: "),
+                        F.substring(
+                            F.coalesce(
+                                F.col("_task_body"), F.lit("<null body>")
+                            ),
+                            1,
+                            120,
+                        ),
+                    )
+                ),
+            )
+        )
     )
 
     lake = landed.select(

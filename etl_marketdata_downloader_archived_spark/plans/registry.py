@@ -44,6 +44,7 @@ _MODULE_ORDER = [
     "analytics_r9",
     "analytics_r10",
     "analytics_r11",
+    "analytics_r12",
 ]
 _SEQ: dict[str, tuple[int, int]] = {}
 _counter = 0
@@ -111,5 +112,6 @@ def _load_batteries() -> None:
     from . import analytics_r9  # noqa: F401  (round-9 extensions, past window)
     from . import analytics_r10  # noqa: F401  (round-10 extensions, past window)
     from . import analytics_r11  # noqa: F401  (round-11 extensions, past window)
+    from . import analytics_r12  # noqa: F401  (round-12 extensions, past window)
 
     _loaded = True

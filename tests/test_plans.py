@@ -353,3 +353,60 @@ def test_every_round8_query_has_a_scale_probe_row() -> None:
     scale = open("/root/repo/SCALE.md", encoding="utf-8").read()
     missing = sorted(n for n in r8_names if n not in scale)
     assert missing == [], f"registered without a SCALE.md row: {missing}"
+
+def test_sentence_udtf_oracle_regex_model(spark) -> None:
+    """The sentence_udtf oracle replays the Python scanner with ONE
+    regex plus window sums - this differential drives the scanner
+    class itself and the oracle's regex model over adversarial
+    quote-free corners (terminator runs, leading spaces, tail with no
+    terminator, terminator-only text, text ending mid-run) and
+    asserts identical (pos, start_char, sentence) triples; the
+    QUOTE-aware branch the oracle cannot see is pinned separately."""
+    import re
+
+    from etl_marketdata_downloader_archived_spark.operators.text import (
+        register_sentence_udtf,
+    )
+
+    handle = register_sentence_udtf(spark, "split_sentences_model_test")
+    cls = getattr(handle, "func", handle)
+
+    def scanner(text):
+        return list(cls().eval(text))
+
+    def oracle_model(text):
+        segs = re.findall(r'[^.!?]*[.!?][.!?" ]*|[^.!?]+$', text)
+        out, pos, off = [], 0, 0
+        for seg in segs:
+            s = seg.strip(" ")  # DuckDB trim(): spaces only
+            if s:
+                out.append((pos, off, s))
+                pos += 1
+            off += len(seg)
+        return out
+
+    corners = [
+        "plain words no terminator",
+        "one. two! three? tail",
+        "runs... and !! more ?. done",
+        "  leading spaces. then tail",
+        "ends with terminator.",
+        "ends with run.!? ",
+        ". . hi",
+        "...",
+        "a.b.c",
+        "x. ",
+        "",
+        "   ",
+        "word table. fast! scan? mix",
+    ]
+    for t in corners:
+        assert scanner(t) == oracle_model(t), t
+
+    # quote-awareness (pytest-only by design: the oracle filters
+    # quoted docs out): a terminator INSIDE quotes does not split
+    got = scanner('he said "stop. now" and left. done')
+    assert [s for _, _, s in got] == [
+        'he said "stop. now" and left.',
+        "done",
+    ]

