@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "deletion_variants",
     "edit_distance_join",
+    "jaccard_prefix_join",
+    "jaccard_prefix_join_rs",
     "sorted_neighborhood_pairs",
 ]
 
@@ -445,3 +447,204 @@ def jaccard_prefix_join(
         )
     )
     return within.unionByName(cross)
+
+
+def _prefix_filter_pairs_rs(
+    tok_l: DataFrame, tok_r: DataFrame, p_num: int, q_den: int
+) -> DataFrame:
+    """Two-corpus PPJoin/AllPairs kernel: same prefix lemma as the
+    self-join kernel, but the GLOBAL token order is computed over the
+    UNION of both sides (the lemma only requires one total order
+    shared by every set; frequency over the union is the standard
+    rarest-first heuristic), postings join LEFT x RIGHT (no id
+    ordering - the sides are distinct corpora and ids may collide
+    across them), and the verify pulls each side's own array."""
+    from pyspark.sql import Window as W
+
+    def flat(tok):
+        return tok.select(
+            "_id", F.size("_t").alias("_n"), F.explode("_t").alias("_tk")
+        ).withColumn("_hk", F.xxhash64("_tk"))
+
+    fl, fr = flat(tok_l), flat(tok_r)
+    freq = (
+        fl.select("_hk")
+        .unionAll(fr.select("_hk"))
+        .groupBy("_hk")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    min_overlap = F.expr(
+        f"(CAST({p_num} AS BIGINT) * _n + {q_den - 1}) div {q_den}"
+    )
+
+    def prefix(fd):
+        ranked = fd.join(freq, "_hk").withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("_id").orderBy("_f", "_hk", "_tk")
+            ),
+        )
+        return ranked.filter(
+            F.col("_rn") <= F.col("_n") - min_overlap + 1
+        ).select("_id", "_n", "_hk")
+
+    cand = (
+        prefix(fl)
+        .alias("a")
+        .join(prefix(fr).alias("b"), "_hk")
+        .filter(
+            F.lit(q_den).cast("bigint")
+            * F.least(F.col("a._n"), F.col("b._n"))
+            >= F.lit(p_num).cast("bigint")
+            * F.greatest(F.col("a._n"), F.col("b._n"))
+        )
+        .select(
+            F.col("a._id").alias("left_id"),
+            F.col("b._id").alias("right_id"),
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            tok_l.select(
+                F.col("_id").alias("left_id"), F.col("_t").alias("_ta")
+            ),
+            "left_id",
+        )
+        .join(
+            tok_r.select(
+                F.col("_id").alias("right_id"), F.col("_t").alias("_tb")
+            ),
+            "right_id",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("_ta", "_tb")).cast("bigint"),
+        )
+        .withColumn(
+            "union_n",
+            (F.size("_ta") + F.size("_tb")).cast("bigint")
+            - F.col("inter"),
+        )
+        .withColumn("jaccard", F.col("inter") / F.col("union_n"))
+        .filter(
+            F.lit(q_den).cast("bigint") * F.col("inter")
+            >= F.lit(p_num).cast("bigint") * F.col("union_n")
+        )
+    )
+    return pairs.select(
+        "left_id", "right_id", "inter", "union_n", "jaccard"
+    )
+
+
+def jaccard_prefix_join_rs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    collapse_duplicates: bool = True,
+) -> DataFrame:
+    """EXACT two-corpus (R-S) set-similarity join: every pair
+    (left_id, right_id) with Jaccard >= ``threshold`` between a row
+    of ``left`` and a row of ``right``, recall 1.0 - the
+    incoming-batch-vs-existing-corpus admission shape (the exact tier
+    of the reference's dedup-before-write TODOs,
+    data-downloader/data_downloader.py:106,131,169,194, and the
+    deterministic complement of the probabilistic
+    operators.dedup.neardup_incremental): score a new batch against
+    the accepted corpus without ever joining the corpus to itself.
+
+    Same exact-rational arithmetic as ``jaccard_prefix_join`` (see it
+    for the prefix-lemma proof and the no-float-decides-membership
+    contract); the shared global token order is frequency over the
+    UNION of both sides. Ids may collide across sides (they are
+    different tables); output columns are left_id / right_id.
+
+    ``collapse_duplicates`` applies the dedup-first tier PER SIDE:
+    identical token sets collapse to representatives before the
+    kernel, and pairs re-expand left-members x right-members,
+    output-bound - identical-set pairs ACROSS sides come out of the
+    kernel itself (J = 1 passes any threshold), so no within tier
+    exists here.
+
+    Scale shape: candidates are bounded by rare-prefix posting lists
+    of the union order with the AllPairs length filter inside the
+    join; when ``right`` is a small incoming batch its posting side
+    is batch-sized, so the join cost tracks the BATCH, not the
+    corpus (the corpus side contributes only postings whose token
+    appears in some batch prefix)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    q_den = 1_000_000
+    p_num = round(threshold * q_den)
+    if p_num == 0:
+        raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
+
+    def tokify(df):
+        t = df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(tokens_col)).alias("_t"),
+        ).filter(F.size("_t") > 0)
+        return t.withColumn(
+            "_t",
+            F.when(
+                F.size("_t") <= F.lit(1_000_000_000), F.col("_t")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("jaccard_prefix_join_rs: set of size "),
+                        F.size("_t").cast("string"),
+                        F.lit(" exceeds the 1e9 exact-arithmetic cap"),
+                    )
+                )
+            ),
+        )
+
+    tok_l, tok_r = tokify(left), tokify(right)
+    if not collapse_duplicates:
+        return _prefix_filter_pairs_rs(tok_l, tok_r, p_num, q_den)
+
+    def group(tok):
+        return tok.groupBy(F.array_sort("_t").alias("_key")).agg(
+            F.min("_id").alias("_rid"),
+            F.sort_array(F.collect_list("_id")).alias("_ids"),
+        )
+
+    gl, gr = group(tok_l), group(tok_r)
+    rep_pairs = _prefix_filter_pairs_rs(
+        gl.select(F.col("_rid").alias("_id"), F.col("_key").alias("_t")),
+        gr.select(F.col("_rid").alias("_id"), F.col("_key").alias("_t")),
+        p_num,
+        q_den,
+    )
+    return (
+        rep_pairs.join(
+            gl.select(
+                F.col("_rid").alias("left_id"), F.col("_ids").alias("_il")
+            ),
+            "left_id",
+        )
+        .join(
+            gr.select(
+                F.col("_rid").alias("right_id"),
+                F.col("_ids").alias("_ir"),
+            ),
+            "right_id",
+        )
+        .select(
+            "inter", "union_n", "jaccard",
+            F.explode("_il").alias("_ml"), "_ir",
+        )
+        .select(
+            "inter", "union_n", "jaccard",
+            "_ml", F.explode("_ir").alias("_mr"),
+        )
+        .select(
+            F.col("_ml").alias("left_id"),
+            F.col("_mr").alias("right_id"),
+            "inter",
+            "union_n",
+            "jaccard",
+        )
+    )

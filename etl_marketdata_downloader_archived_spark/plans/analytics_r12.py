@@ -286,3 +286,230 @@ def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a_words"
         ),
     )
+
+
+@q(
+    "variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.k')                  AS k_str,
+           CAST(NULL AS INTEGER)                              AS missing,
+           props IS NOT NULL AND json_valid(props)            AS is_obj
+    FROM events
+    """,
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-type certification (the Spark 4 semi-structured
+    column type - a binary-encoded JSON supertype that replaces
+    schema-on-read string JSON in modern lakehouse tables):
+    parse_json into a VariantType column, typed path extraction via
+    variant_get (int and string casts of the same path), the
+    NULL-not-throw try_variant_get on a missing path, and an
+    is-object check. The oracle replays each extraction with
+    DuckDB's JSON functions - the point of the certification is that
+    variant path semantics on this corpus equal plain-JSON
+    semantics, so a pipeline can migrate string-JSON props to
+    VARIANT without a behavior change. (The VARIANT binary encoding
+    itself has no cross-engine twin; what is certified is the
+    extraction surface.)"""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.nope", "int").alias("missing"),
+        v.isNotNull().alias("is_obj"),
+    )
+
+
+@q(
+    "collation_cert",
+    oracle="""
+    WITH m AS (
+        SELECT CASE
+                   WHEN event_id % 3 = 0 THEN upper(event_type)
+                   WHEN event_id % 3 = 1 THEN lower(event_type)
+                   ELSE upper(substr(event_type, 1, 2))
+                        || substr(event_type, 3)
+               END AS mixed
+        FROM events
+    )
+    SELECT lower(mixed)                 AS key_lc,
+           CAST(count(*) AS BIGINT)     AS n,
+           min(mixed)                   AS rep_min,
+           CAST(count(DISTINCT mixed) AS BIGINT) AS n_raw_forms
+    FROM m GROUP BY lower(mixed)
+    """,
+)
+def collation_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-collation certification (Spark 4 collations): grouping
+    under UTF8_LCASE must merge case variants exactly as lower()
+    grouping does on this ASCII corpus. Mixed-case forms are
+    synthesized DETERMINISTICALLY (same CASE expression both
+    engines), grouped by the COLLATED column on Spark vs lower() in
+    DuckDB; outputs are collation-independent deterministic reps
+    (lower-cased key, binary min of raw forms, counts) because the
+    collated group's first-seen representative is order-dependent
+    and would never hash-match. ASCII scope note: UTF8_LCASE is full
+    Unicode lowercase mapping - on non-ASCII data (dotted I, final
+    sigma) it is NOT lower()-equivalent; this corpus is ASCII, which
+    is exactly the subset the oracle certifies."""
+    e = load_table(spark, sf_dir, "events")
+    mixed = (
+        F.when(
+            F.col("event_id") % 3 == 0, F.upper("event_type")
+        )
+        .when(F.col("event_id") % 3 == 1, F.lower("event_type"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("event_type", 1, 2)),
+                F.expr("substr(event_type, 3)"),
+            )
+        )
+        .alias("mixed")
+    )
+    m = e.select(mixed)
+    return (
+        m.groupBy(F.expr("collate(mixed, 'UTF8_LCASE')").alias("_ck"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("mixed").alias("rep_min"),
+            F.countDistinct("mixed").alias("n_raw_forms"),
+        )
+        .select(
+            # the collated key's surface form is first-seen (order-
+            # dependent): project the deterministic lowercase form
+            F.lower(F.col("_ck").cast("string")).alias("key_lc"),
+            "n",
+            "rep_min",
+            "n_raw_forms",
+        )
+    )
+
+
+@q(
+    "unpivot_sql",
+    oracle="""
+    WITH agg AS (
+        SELECT o_orderpriority,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS max_cents
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'sum_cents' AS metric, sum_cents AS val
+    FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'n_orders', n_orders FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'max_cents', max_cents FROM agg
+    """,
+)
+def unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal SQL UNPIVOT clause certified (pivot_status covers
+    pivot + the stack() unpivot idiom; this is the ANSI syntax
+    Spark 3.4 added): a per-priority measure matrix unpivots to
+    (priority, metric, value) rows. All measures are bigint cents so
+    the wide-to-long reshape is exact; the oracle replays as the
+    UNION ALL the clause desugars to (engine-neutral, no reliance on
+    DuckDB's own UNPIVOT variant). Plan shape: UNPIVOT is an Expand
+    over the 5-row aggregate - row count x measure count, never a
+    join."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr(f"sum({cents})").cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(f"max({cents})").cast("bigint").alias("max_cents"),
+    )
+    agg.createOrReplaceTempView("_unpivot_src_r12")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, metric, val
+        FROM _unpivot_src_r12
+        UNPIVOT (val FOR metric IN (sum_cents, n_orders, max_cents))
+        """
+    )
+
+
+@q(
+    "jaccard_join_rs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               )) AS t
+        FROM w WHERE len(ws) >= 3
+    ),
+    nz AS (SELECT * FROM tok WHERE len(t) > 0),
+    l AS (SELECT * FROM nz WHERE doc_id % 2 = 0),
+    r AS (SELECT * FROM nz WHERE doc_id % 2 = 1),
+    pairs AS (
+        SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+               CAST(len(list_intersect(l.t, r.t)) AS BIGINT) AS inter,
+               CAST(len(l.t) AS BIGINT) + CAST(len(r.t) AS BIGINT)
+                   - CAST(len(list_intersect(l.t, r.t)) AS BIGINT)
+                   AS union_n
+        FROM l JOIN r ON true
+    )
+    SELECT left_id, right_id, inter, union_n,
+           CAST(inter AS DOUBLE) / union_n AS jaccard
+    FROM pairs
+    WHERE inter * 1000000 >= 650000 * union_n
+    """,
+)
+def jaccard_join_rs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-corpus set-similarity join certification
+    (operators.fuzzy.jaccard_prefix_join_rs): the documents corpus
+    split into an even-id 'accepted corpus' and an odd-id 'incoming
+    batch', joined on word-trigram shingles at Jaccard >= 0.65 -
+    the admission-dedup shape (score every incoming doc against the
+    corpus, never the corpus against itself; the exact tier of the
+    reference's dedup-before-write TODOs,
+    data-downloader/data_downloader.py:106,131). Recall 1.0 replayed
+    pair for pair against the brute-force LEFT x RIGHT oracle; same
+    exact-rational membership arithmetic as the self-join row, and
+    the threshold (0.65 vs the self-join's 0.7) exercises a distinct
+    prefix-length regime. Spark side never builds the cross product:
+    candidates come from shared rare-prefix postings over the UNION
+    token order with the AllPairs length filter inside the join."""
+    from ..operators.fuzzy import jaccard_prefix_join_rs
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            ).alias("ws"),
+        )
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(arrays_zip(slice(ws, 1, size(ws)-2),"
+                " slice(ws, 2, size(ws)-2), slice(ws, 3, size(ws)-2)),"
+                " s -> concat_ws(' ', s['0'], s['1'], s['2']))"
+            ).alias("toks"),
+        )
+    )
+    left = d.filter(F.col("doc_id") % 2 == 0)
+    right = d.filter(F.col("doc_id") % 2 == 1)
+    out = jaccard_prefix_join_rs(
+        left, right, "doc_id", "toks", threshold=0.65
+    )
+    return out.select(
+        "left_id", "right_id", "inter", "union_n", "jaccard"
+    )

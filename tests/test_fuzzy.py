@@ -189,3 +189,51 @@ def test_jaccard_prefix_join_dedup_first_tier(spark) -> None:
         if i == u
     ]
     assert len(ones) >= len(base) * 10  # 12 groups x C(5,2)
+
+def test_jaccard_prefix_join_rs_matches_brute_force(spark) -> None:
+    """Two-corpus (R-S) exact Jaccard join: output equals the
+    brute-force left x right computation exactly across thresholds,
+    with ids that COLLIDE across sides (different tables), duplicate
+    sets on both sides (the collapse tier re-expands output-bound),
+    identical sets ACROSS sides pairing at jaccard exactly 1, and the
+    collapse and raw tiers identical."""
+    import itertools
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        jaccard_prefix_join_rs,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(25)]
+    lrows = [(i, rng.sample(vocab, rng.randint(1, 10))) for i in range(30)]
+    rrows = [(i, rng.sample(vocab, rng.randint(1, 10))) for i in range(25)]
+    # duplicates on each side + an identical set across sides
+    lrows.append((100, list(lrows[0][1])))
+    lrows.append((101, list(lrows[0][1])))
+    rrows.append((100, list(lrows[0][1])))  # id collides with left 100
+    rrows.append((50, []))  # empty: never pairs
+    left = spark.createDataFrame(lrows, "id long, toks array<string>")
+    right = spark.createDataFrame(rrows, "id long, toks array<string>")
+
+    for thr in (0.4, 0.5, 0.75):
+        p = round(thr * 1_000_000)
+        expected = {}
+        for (il, tl), (ir, tr) in itertools.product(lrows, rrows):
+            sl, sr = set(tl), set(tr)
+            inter, union = len(sl & sr), len(sl | sr)
+            if union and inter * 1_000_000 >= p * union:
+                expected[(il, ir)] = (inter, union)
+        for collapse in (True, False):
+            got = {
+                (r.left_id, r.right_id): (r.inter, r.union_n)
+                for r in jaccard_prefix_join_rs(
+                    left, right, "id", "toks", thr,
+                    collapse_duplicates=collapse,
+                ).collect()
+            }
+            assert got == expected, (thr, collapse)
+        # the cross-side identical set pairs at jaccard exactly 1
+        n0 = len(set(lrows[0][1]))
+        assert expected[(100, 100)] == (n0, n0)
+        assert expected[(101, 100)] == (n0, n0)
