@@ -513,3 +513,95 @@ def jaccard_join_rs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "left_id", "right_id", "inter", "union_n", "jaccard"
     )
+
+
+@q(
+    "lateral_topn",
+    oracle="""
+    WITH ranked AS (
+        SELECT c.c_custkey, c.c_name,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+               o.o_orderkey,
+               row_number() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY round(o.o_totalprice * 100) DESC,
+                            o.o_orderkey
+               ) AS rn
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey < 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, cents
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-LATERAL certification: the per-row top-N subquery
+    (ORDER BY ... LIMIT inside a LATERAL correlated on the outer row)
+    - the literal SQL shape analysts write for 'each customer's two
+    biggest orders', complementing the topk row (which certifies the
+    window/WindowGroupLimit form). Ties broken by orderkey on both
+    engines so the row set is deterministic; the oracle replays with
+    the row_number desugaring (engine-neutral - the point is that
+    Spark's LATERAL + LIMIT equals the windowed form exactly).
+    Scale note: Spark plans the correlated LIMIT as a partitioned
+    rank under the hood (no per-row re-scan), so the lateral form
+    inherits the window form's scale shape."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 300
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_lat_cust_r12")
+    o.createOrReplaceTempView("_lat_orders_r12")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.cents
+        FROM _lat_cust_r12 c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM _lat_orders_r12 o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+@q(
+    "bit_bool_aggs",
+    oracle="""
+    SELECT event_type,
+           bit_and(CAST(round(value * 100) AS BIGINT))  AS v_and,
+           bit_or(CAST(round(value * 100) AS BIGINT))   AS v_or,
+           bit_xor(CAST(round(value * 100) AS BIGINT))  AS v_xor,
+           bool_and(value >= 0)                         AS all_nonneg,
+           bool_or(value > 99)                          AS any_big,
+           CAST(count(*) FILTER (WHERE event_id % 7 = 0) AS BIGINT)
+                                                        AS n_sevens
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise + boolean aggregate certification: bit_and / bit_or /
+    bit_xor over exact bigint cents (the flag-mask rollup idiom:
+    which bits are set in EVERY row vs ANY row vs an odd number of
+    rows - a permissions/feature-flag audit in one aggregate),
+    bool_and / bool_or (the ANSI EVERY / ANY), and count_if (the
+    FILTER-clause count). All integer/boolean-exact; single
+    partial-combined hash aggregate, output bounded by the
+    event-type enum."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = F.expr(_V_CENTS)
+    return e.groupBy("event_type").agg(
+        F.bit_and(cents).alias("v_and"),
+        F.bit_or(cents).alias("v_or"),
+        F.bit_xor(cents).alias("v_xor"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_big"),
+        F.count_if(F.col("event_id") % 7 == 0).alias("n_sevens"),
+    )

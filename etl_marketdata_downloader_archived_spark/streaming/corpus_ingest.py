@@ -191,3 +191,99 @@ def start_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_corpus_ingest_exact(
+    docs: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    shingle_n: int = 3,
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en",),
+    max_stopword_ratio: float = 0.9,
+) -> StreamingQuery:
+    """Streaming ingest with EXACT Jaccard admission - the
+    deterministic twin of ``start_corpus_ingest_neardup`` (LSH bands
+    trade recall for speed; this tier guarantees NO qualifying
+    duplicate is ever admitted, the recall-1.0 contract of
+    operators.fuzzy). Per micro-batch:
+
+    1. gate (language/quality/stopword - identical narrow stages);
+    2. intra-batch exact self-join (``jaccard_prefix_join``) and keep
+       each duplicate group's min-id representative;
+    3. screen survivors against the persistent corpus with the
+       two-corpus ``jaccard_prefix_join_rs`` - the batch is the
+       posting-bounded side, so the screen's cost tracks the BATCH,
+       not the corpus;
+    4. id-level anti-join for crash-replay idempotence (foreachBatch
+       is at-least-once; same manifest-check role as the neardup
+       twin), then append the admitted docs.
+
+    Similarity domain is word ``shingle_n``-gram sets
+    (operators.dedup.word_shingles, pure Catalyst); docs too short to
+    shingle cannot match anything and are admitted. Admission is
+    ORDER-DEPENDENT across batches by design (first arrival wins) -
+    the same contract every sequential admission policy has."""
+    from ..operators.dedup import word_shingles
+    from ..operators.fuzzy import jaccard_prefix_join, jaccard_prefix_join_rs
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        gated = batch.withColumn("lang_guess", lang_id(text_col)).filter(
+            F.col("lang_guess").isin(*languages)
+            & (F.round(quality_score(text_col), 6) >= min_quality)
+            & (F.round(stopword_ratio(text_col), 6) <= max_stopword_ratio)
+        )
+        if gated.isEmpty():
+            return
+        toks = gated.withColumn(
+            "_toks", word_shingles(text_col, shingle_n)
+        ).localCheckpoint()
+        # intra-batch: min-id representative per exact-duplicate group
+        pairs = jaccard_prefix_join(
+            toks, id_col, "_toks", jaccard_threshold
+        )
+        doomed = pairs.select(
+            F.greatest("id_a", "id_b").alias(id_col)
+        ).distinct()
+        batch_unique = toks.join(doomed, id_col, "left_anti")
+        try:
+            corpus = spark.read.parquet(corpus_dir)
+            corpus.head(1)
+        except Exception:  # noqa: BLE001 - first batch: no corpus yet
+            corpus = None
+        if corpus is not None:
+            corpus_toks = corpus.select(
+                id_col, word_shingles(text_col, shingle_n).alias("_toks")
+            )
+            hits = jaccard_prefix_join_rs(
+                corpus_toks,
+                batch_unique.select(id_col, "_toks"),
+                id_col,
+                "_toks",
+                jaccard_threshold,
+            )
+            batch_unique = batch_unique.join(
+                hits.select(F.col("right_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+            # replay idempotence: ids already in the corpus never
+            # re-append even if the similarity screen would admit
+            batch_unique = batch_unique.join(
+                corpus.select(id_col), id_col, "left_anti"
+            )
+        admitted = batch_unique.drop("_toks").localCheckpoint()
+        admitted.write.mode("append").parquet(corpus_dir)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

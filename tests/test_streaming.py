@@ -2077,3 +2077,74 @@ def test_kafka_double_malformed_json_quarantine(
     assert len(malformed) == 1
     assert "malformed or TYPE-less task JSON" in malformed[0]
     assert "{this is not json at all" in malformed[0]
+
+def test_streaming_exact_admission_ingest(spark, tmp_path) -> None:
+    """EXACT Jaccard admission on a live stream (the recall-1.0 twin
+    of the near-dup ingest): batch 1 seeds the corpus and collapses
+    an intra-batch duplicate to its min-id representative; batch 2's
+    high-overlap doc is rejected against the PERSISTED corpus via the
+    two-corpus join while a below-threshold doc sharing a prefix of
+    words is ADMITTED (exactness cuts both ways - no false
+    rejections); batch 3 rejects against a batch-2 admission (the
+    corpus grew)."""
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_exact,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single day without fail in all weather")
+    novel = ("entirely new english words the gate accepts with plenty of "
+             "variety about the spark operators that clean the corpus")
+    half = ("the quick brown fox jumps over the lazy dog near small "
+            "green engines that sort tables and merge batches quickly")
+    src = tmp_path / "ex_src"
+    src.mkdir()
+
+    def run() -> None:
+        raw = spark.readStream.format("text").load(str(src))
+        docs = raw.select(
+            F.from_json("value", "doc_id LONG, text STRING").alias("j")
+        ).select("j.*")
+        q = start_corpus_ingest_exact(
+            docs,
+            corpus_dir=str(tmp_path / "ex_corpus"),
+            checkpoint_dir=str(tmp_path / "ex_ckpt"),
+            jaccard_threshold=0.7,
+        )
+        q.awaitTermination(180)
+
+    (src / "b1.json").write_text(
+        json.dumps({"doc_id": 2, "text": base})
+        + "\n"
+        + json.dumps({"doc_id": 1, "text": base})  # intra-batch dup
+    )
+    run()
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "ex_corpus")).collect()
+    )
+    assert ids == [1]  # min-id representative
+
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 10, "text": base + " indeed"})  # ~0.95: reject
+        + "\n"
+        + json.dumps({"doc_id": 11, "text": novel})           # novel: admit
+        + "\n"
+        + json.dumps({"doc_id": 12, "text": half})            # ~0.3: ADMIT
+    )
+    run()
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "ex_corpus")).collect()
+    )
+    assert ids == [1, 11, 12]
+
+    (src / "b3.json").write_text(
+        json.dumps({"doc_id": 20, "text": novel + " again"})  # vs batch 2
+    )
+    run()
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "ex_corpus")).collect()
+    )
+    assert ids == [1, 11, 12]
