@@ -1820,7 +1820,21 @@ def _list_live_files(spark: SparkSession, table_dir: str) -> dict:
             continue
         if any(p.startswith(("_", ".")) for p in parts):
             continue
-        live[_canon_file_uri(f)] = f
+        canon = _canon_file_uri(f)
+        if canon in live and live[canon] != f:
+            # two distinct on-disk files collapsing to one canonical
+            # key (a literal 'a%20b' next to 'a b') would silently
+            # shadow one file's index row and make pruned reads MISS
+            # its rows - fail loud instead (review finding); a table
+            # with percent-ambiguous filenames is outside the index's
+            # identity contract
+            raise ValueError(
+                "skipping index: percent-ambiguous file names "
+                f"collide after URI canonicalization: {live[canon]!r} "
+                f"vs {f!r} - rename one; the index cannot tell them "
+                "apart"
+            )
+        live[canon] = f
     return live
 
 

@@ -37,6 +37,8 @@ __all__ = [
     "edit_distance_join",
     "jaccard_prefix_join",
     "jaccard_prefix_join_rs",
+    "jaccard_prefix_postings",
+    "jaccard_screen_vs_postings",
     "sorted_neighborhood_pairs",
 ]
 
@@ -183,6 +185,33 @@ def sorted_neighborhood_pairs(
     if max_distance is not None:
         out = out.filter(F.col("dist") <= int(max_distance))
     return out
+
+
+def _tokenize_sets(
+    df: DataFrame, id_col: str, tokens_col: str, op_name: str
+) -> DataFrame:
+    """Shared input canonicalization for both Jaccard joins: distinct
+    the token array (set semantics), drop empty sets (they can never
+    pair), and fail loud past the 1e9 exact-arithmetic cap (p*n must
+    fit a bigint)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(tokens_col)).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    return tok.withColumn(
+        "_t",
+        F.when(
+            F.size("_t") <= F.lit(1_000_000_000), F.col("_t")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op_name}: set of size "),
+                    F.size("_t").cast("string"),
+                    F.lit(" exceeds the 1e9 exact-arithmetic cap"),
+                )
+            )
+        ),
+    )
 
 
 def _prefix_filter_pairs(tok: DataFrame, p_num: int, q_den: int) -> DataFrame:
@@ -350,24 +379,7 @@ def jaccard_prefix_join(
     if p_num == 0:
         raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
 
-    tok = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(F.col(tokens_col)).alias("_t"),
-    ).filter(F.size("_t") > 0)
-    tok = tok.withColumn(
-        "_t",
-        F.when(
-            F.size("_t") <= F.lit(1_000_000_000), F.col("_t")
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("jaccard_prefix_join: set of size "),
-                    F.size("_t").cast("string"),
-                    F.lit(" exceeds the 1e9 exact-arithmetic cap"),
-                )
-            )
-        ),
-    )
+    tok = _tokenize_sets(df, id_col, tokens_col, "jaccard_prefix_join")
     if not collapse_duplicates:
         return _prefix_filter_pairs(tok, p_num, q_den)
 
@@ -581,27 +593,8 @@ def jaccard_prefix_join_rs(
     if p_num == 0:
         raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
 
-    def tokify(df):
-        t = df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(F.col(tokens_col)).alias("_t"),
-        ).filter(F.size("_t") > 0)
-        return t.withColumn(
-            "_t",
-            F.when(
-                F.size("_t") <= F.lit(1_000_000_000), F.col("_t")
-            ).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit("jaccard_prefix_join_rs: set of size "),
-                        F.size("_t").cast("string"),
-                        F.lit(" exceeds the 1e9 exact-arithmetic cap"),
-                    )
-                )
-            ),
-        )
-
-    tok_l, tok_r = tokify(left), tokify(right)
+    tok_l = _tokenize_sets(left, id_col, tokens_col, "jaccard_prefix_join_rs")
+    tok_r = _tokenize_sets(right, id_col, tokens_col, "jaccard_prefix_join_rs")
     if not collapse_duplicates:
         return _prefix_filter_pairs_rs(tok_l, tok_r, p_num, q_den)
 
@@ -647,4 +640,146 @@ def jaccard_prefix_join_rs(
             "union_n",
             "jaccard",
         )
+    )
+
+
+def jaccard_prefix_postings(
+    df: DataFrame, id_col: str, tokens_col: str, threshold: float
+) -> DataFrame:
+    """PERSISTABLE prefix postings for incremental exact-Jaccard
+    screening: one row per (set id, prefix-token hash) with the set
+    size, under the corpus-INDEPENDENT total order (xxhash64(token),
+    token). The in-memory joins order by global token frequency
+    (rarest first - the AllPairs performance heuristic), but a
+    frequency order shifts as a corpus grows, which would invalidate
+    stored prefixes; the hash order is fixed forever, so postings of
+    admitted documents can be APPENDED to a store and never
+    recomputed. The prefix lemma only requires that both sides share
+    one total order and the threshold-derived per-set prefix length -
+    both hold - so recall stays 1.0; the trade is larger candidate
+    lists (no rarest-first shrinkage), still bounded by the AllPairs
+    length filter at screen time.
+
+    Columns: _id, _n (set size), _hk (prefix-token hash), _p (the
+    quantized threshold numerator - a store built at one threshold
+    must not silently screen at another; the consumer checks it)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window as W
+
+    q_den = 1_000_000
+    p_num = round(threshold * q_den)
+    tok = _tokenize_sets(df, id_col, tokens_col, "jaccard_prefix_postings")
+    flat = tok.select(
+        "_id", F.size("_t").alias("_n"), F.explode("_t").alias("_tk")
+    ).withColumn("_hk", F.xxhash64("_tk"))
+    ranked = flat.withColumn(
+        "_rn",
+        F.row_number().over(W.partitionBy("_id").orderBy("_hk", "_tk")),
+    )
+    min_overlap = F.expr(
+        f"(CAST({p_num} AS BIGINT) * _n + {q_den - 1}) div {q_den}"
+    )
+    return (
+        ranked.filter(F.col("_rn") <= F.col("_n") - min_overlap + 1)
+        .select("_id", "_n", "_hk")
+        .withColumn("_p", F.lit(p_num))
+    )
+
+
+def jaccard_screen_vs_postings(
+    batch: DataFrame,
+    store_postings: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Screen an incoming batch against a PERSISTED posting store
+    (built by ``jaccard_prefix_postings`` over previously admitted
+    sets) without recomputing anything corpus-wide: batch prefixes
+    under the same hash order join the store on the 8-byte posting
+    key with the AllPairs length filter inside the join; only the
+    CANDIDATE corpus rows are re-tokenized for the exact verify
+    (semi-join by candidate id - candidate-bounded, never a corpus
+    pass). Returns (left_id = corpus id, right_id = batch id, inter,
+    union_n, jaccard) for every qualifying pair, recall 1.0.
+
+    Per-batch cost: batch tokenize + batch postings + ONE columnar
+    scan of the store's 8-byte keys (the batch side broadcasts) +
+    candidate-bounded verify. At the 100 TB tier the store scan is
+    the remaining linear term - bucket the store by pmod(_hk) or
+    range-partition and index it (io.build_skipping_index on _hk) to
+    prune it too.
+
+    Raises if the store was built at a different threshold (stored
+    ``_p``): prefixes are threshold-derived, so screening a store at
+    a different cut would silently lose recall."""
+    q_den = 1_000_000
+    p_num = round(threshold * q_den)
+    first = store_postings.select("_p").first()
+    if first is not None and first["_p"] != p_num:
+        raise ValueError(
+            "jaccard_screen_vs_postings: store built at threshold "
+            f"p={first['_p']}/1e6, screen requested p={p_num}/1e6 - "
+            "rebuild the store or screen at its threshold"
+        )
+    bp = jaccard_prefix_postings(batch, id_col, tokens_col, threshold)
+    cand = (
+        store_postings.alias("a")
+        .join(bp.alias("b"), "_hk")
+        .filter(
+            F.lit(q_den).cast("bigint")
+            * F.least(F.col("a._n"), F.col("b._n"))
+            >= F.lit(p_num).cast("bigint")
+            * F.greatest(F.col("a._n"), F.col("b._n"))
+        )
+        .select(
+            F.col("a._id").alias("left_id"),
+            F.col("b._id").alias("right_id"),
+        )
+        .distinct()
+    )
+    corpus_tok = _tokenize_sets(
+        corpus, id_col, tokens_col, "jaccard_screen_vs_postings"
+    )
+    # candidate-bounded corpus read: only matched ids re-tokenize
+    corpus_cand = corpus_tok.join(
+        cand.select(F.col("left_id").alias("_id")).distinct(),
+        "_id",
+        "left_semi",
+    )
+    batch_tok = _tokenize_sets(
+        batch, id_col, tokens_col, "jaccard_screen_vs_postings"
+    )
+    pairs = (
+        cand.join(
+            corpus_cand.select(
+                F.col("_id").alias("left_id"), F.col("_t").alias("_ta")
+            ),
+            "left_id",
+        )
+        .join(
+            batch_tok.select(
+                F.col("_id").alias("right_id"), F.col("_t").alias("_tb")
+            ),
+            "right_id",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("_ta", "_tb")).cast("bigint"),
+        )
+        .withColumn(
+            "union_n",
+            (F.size("_ta") + F.size("_tb")).cast("bigint")
+            - F.col("inter"),
+        )
+        .withColumn("jaccard", F.col("inter") / F.col("union_n"))
+        .filter(
+            F.lit(q_den).cast("bigint") * F.col("inter")
+            >= F.lit(p_num).cast("bigint") * F.col("union_n")
+        )
+    )
+    return pairs.select(
+        "left_id", "right_id", "inter", "union_n", "jaccard"
     )

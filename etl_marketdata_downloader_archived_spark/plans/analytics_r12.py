@@ -605,3 +605,44 @@ def bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 99).alias("any_big"),
         F.count_if(F.col("event_id") % 7 == 0).alias("n_sevens"),
     )
+
+
+@q(
+    "pipe_syntax",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-operator certification (the Spark 4 |> surface, the
+    GoogleSQL pipe-syntax lineage): a filter -> join -> aggregate
+    chain written as sequential pipe stages must plan and evaluate
+    exactly as its classic-SQL desugaring - same Catalyst plan space,
+    so every optimization (pushdown, join strategy, partial
+    aggregation) applies unchanged. The oracle IS the classic
+    spelling; the certification is that the new syntax is pure
+    surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_pipe_orders_r12"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_pipe_cust_r12"
+    )
+    return spark.sql(
+        """
+        FROM _pipe_orders_r12 AS o
+        |> WHERE o.o_orderstatus = 'F'
+        |> JOIN _pipe_cust_r12 AS c ON o.o_custkey = c.c_custkey
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+           GROUP BY c.c_mktsegment
+        |> SELECT c_mktsegment, n_orders, cents
+        """
+    )

@@ -472,6 +472,23 @@ def run_downloader(
     )
 
     tasks = route_tasks(decode_tasks(messages, body_col))
+    # retry-identity for keyless failures: a malformed-JSON (or
+    # field-less) message decodes to NULL ID/URL, and every join in
+    # the retry machinery - the attempts lookup, the DLQ gate - is
+    # NULL-unsafe equality, so such a message would be re-quarantined
+    # at attempts=1 FOREVER instead of dead-lettering after
+    # max_attempts (review finding). A deterministic body-hash
+    # sentinel gives the redelivered message a stable key the
+    # maxReceiveCount semantics can count.
+    _body_key = F.concat(
+        F.lit("malformed:"),
+        F.substring(
+            F.sha2(F.coalesce(F.col("_task_body"), F.lit("")), 256), 1, 16
+        ),
+    )
+    tasks = tasks.withColumn(
+        "ID", F.coalesce(F.col("ID"), _body_key)
+    ).withColumn("URL", F.coalesce(F.col("URL"), _body_key))
 
     # attempts so far per failing unit (task URL or file URL), from the
     # quarantine log - the cross-run retry memory

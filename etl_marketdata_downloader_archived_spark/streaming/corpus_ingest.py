@@ -196,6 +196,7 @@ def start_corpus_ingest(
 def start_corpus_ingest_exact(
     docs: DataFrame,
     corpus_dir: str,
+    postings_dir: str,
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -214,13 +215,25 @@ def start_corpus_ingest_exact(
     1. gate (language/quality/stopword - identical narrow stages);
     2. intra-batch exact self-join (``jaccard_prefix_join``) and keep
        each duplicate group's min-id representative;
-    3. screen survivors against the persistent corpus with the
-       two-corpus ``jaccard_prefix_join_rs`` - the batch is the
-       posting-bounded side, so the screen's cost tracks the BATCH,
-       not the corpus;
-    4. id-level anti-join for crash-replay idempotence (foreachBatch
-       is at-least-once; same manifest-check role as the neardup
-       twin), then append the admitted docs.
+    3. screen survivors against the PERSISTED POSTING STORE
+       (``jaccard_screen_vs_postings``): admitted docs' hash-order
+       prefix postings were appended at their own admission and are
+       NEVER recomputed - the corpus itself is read only for the
+       candidate rows the posting join surfaces (the first cut of
+       this function re-shingled and re-windowed the whole corpus
+       every batch, an O(corpus) recompute per trigger - review
+       finding; the remaining linear term is one columnar scan of
+       the store's 8-byte keys, pruneable by bucketing/indexing the
+       store);
+    4. id-level anti-join for crash-replay idempotence, then append
+       the POSTINGS FIRST and the corpus rows second: a crash
+       between the appends leaves orphan postings, which are
+       harmless (the verify joins candidates back to CORPUS rows, so
+       a posting with no corpus row can never reject anything, and a
+       replay merely appends duplicate postings - deduped by the
+       screen's candidate distinct). The reverse order would leave
+       admitted docs WITHOUT postings after a crash: invisible to
+       every future screen, a silent recall hole.
 
     Similarity domain is word ``shingle_n``-gram sets
     (operators.dedup.word_shingles, pure Catalyst); docs too short to
@@ -228,7 +241,11 @@ def start_corpus_ingest_exact(
     ORDER-DEPENDENT across batches by design (first arrival wins) -
     the same contract every sequential admission policy has."""
     from ..operators.dedup import word_shingles
-    from ..operators.fuzzy import jaccard_prefix_join, jaccard_prefix_join_rs
+    from ..operators.fuzzy import (
+        jaccard_prefix_join,
+        jaccard_prefix_postings,
+        jaccard_screen_vs_postings,
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -253,17 +270,19 @@ def start_corpus_ingest_exact(
         ).distinct()
         batch_unique = toks.join(doomed, id_col, "left_anti")
         try:
+            store = spark.read.parquet(postings_dir)
             corpus = spark.read.parquet(corpus_dir)
             corpus.head(1)
-        except Exception:  # noqa: BLE001 - first batch: no corpus yet
-            corpus = None
-        if corpus is not None:
+        except Exception:  # noqa: BLE001 - first batch: no store yet
+            store = corpus = None
+        if store is not None:
             corpus_toks = corpus.select(
                 id_col, word_shingles(text_col, shingle_n).alias("_toks")
             )
-            hits = jaccard_prefix_join_rs(
-                corpus_toks,
+            hits = jaccard_screen_vs_postings(
                 batch_unique.select(id_col, "_toks"),
+                store,
+                corpus_toks,
                 id_col,
                 "_toks",
                 jaccard_threshold,
@@ -278,8 +297,14 @@ def start_corpus_ingest_exact(
             batch_unique = batch_unique.join(
                 corpus.select(id_col), id_col, "left_anti"
             )
-        admitted = batch_unique.drop("_toks").localCheckpoint()
-        admitted.write.mode("append").parquet(corpus_dir)
+        admitted = batch_unique.localCheckpoint()
+        jaccard_prefix_postings(
+            admitted.select(id_col, "_toks"),
+            id_col,
+            "_toks",
+            jaccard_threshold,
+        ).write.mode("append").parquet(postings_dir)
+        admitted.drop("_toks").write.mode("append").parquet(corpus_dir)
 
     return (
         docs.writeStream.foreachBatch(process)

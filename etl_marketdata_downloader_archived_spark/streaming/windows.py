@@ -227,12 +227,23 @@ def streaming_trailing_distinct(
     collapses them (stateless row inflation, constant factor) -
     bought is bounded state at any uptime.
 
+    Late-data contract: the watermark is declared on the COVER
+    timestamp, which runs up to window_days - 1 days ahead of the
+    event day, so the horizon is late_days + window_days - 1 days -
+    an event arriving within ``late_days`` of the stream frontier is
+    counted in FULL (every cover position still open); an event later
+    than that may be PARTIALLY counted (its oldest cover positions
+    are already finalized and stay dropped - revising a closed day
+    is exactly what a watermark forbids) and beyond the horizon it
+    drops entirely. The r11 shape dropped such an event atomically;
+    partial counting is strictly closer to the batch answer.
+
     Update-mode counts revise upward as a window's days keep
     arriving; a day's count is FINAL once the watermark passes the
     end of its cover source. The stream==batch differential
     (tests/test_streaming.py) replays the same feed through the
     batch cover-day query."""
-    horizon = f"{int(late_days) + int(window_days)} days"
+    horizon = f"{int(late_days) + int(window_days) - 1} days"
     cover = (
         df.select(F.col(key_col).alias("_k"), F.col(ts_col).alias("_ts"))
         .withColumn("_day", F.col("_ts").cast("date"))
@@ -255,11 +266,18 @@ def streaming_trailing_distinct(
     # the watermarked column itself, so every finalized day's state
     # row is evicted once the watermark passes its window end.
     deduped = cover.dropDuplicatesWithinWatermark(["_k", "cover_day"])
+    # group by the event-time window AND the date column: the window
+    # is what lets the watermark close and EVICT a finalized day's
+    # state row, while cover_day itself is the emitted key - deriving
+    # the date from _w.start would shift a day under any non-UTC
+    # session timezone (F.window aligns to UTC-epoch midnights, the
+    # cast to timestamp used the SESSION zone - review finding). Two
+    # distinct local midnights are >= 24 h apart, so each window
+    # holds exactly one cover_day and the extra key changes no counts.
     return (
-        deduped.groupBy(F.window("_cover_ts", "1 day").alias("_w"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("active_keys"))
-        .select(
-            F.col("_w.start").cast("date").alias("cover_day"),
-            "active_keys",
+        deduped.groupBy(
+            F.window("_cover_ts", "1 day").alias("_w"), "cover_day"
         )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_keys"))
+        .select("cover_day", "active_keys")
     )

@@ -237,3 +237,64 @@ def test_jaccard_prefix_join_rs_matches_brute_force(spark) -> None:
         n0 = len(set(lrows[0][1]))
         assert expected[(100, 100)] == (n0, n0)
         assert expected[(101, 100)] == (n0, n0)
+
+def test_jaccard_screen_vs_postings_matches_rs_join(spark, tmp_path) -> None:
+    """The persisted-posting screen must equal the in-memory R-S join
+    exactly (the hash total order replaces the frequency order - the
+    prefix lemma holds for any shared order, so recall stays 1.0):
+    postings built ONCE from the corpus, screened against two
+    different batches without touching corpus-wide state; a store
+    built at another threshold is rejected loudly."""
+    import itertools
+    import random
+
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        jaccard_prefix_postings,
+        jaccard_screen_vs_postings,
+    )
+
+    rng = random.Random(53)
+    vocab = [f"t{i}" for i in range(22)]
+    corpus_rows = [
+        (i, rng.sample(vocab, rng.randint(2, 9))) for i in range(28)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "id long, toks array<string>"
+    )
+    pdir = str(tmp_path / "postings")
+    jaccard_prefix_postings(corpus, "id", "toks", 0.5).write.parquet(pdir)
+    store = spark.read.parquet(pdir)
+
+    for seed in (1, 2):
+        brng = random.Random(seed)
+        batch_rows = [
+            (1000 + i, brng.sample(vocab, brng.randint(2, 9)))
+            for i in range(12)
+        ] + [(2000, list(corpus_rows[3][1]))]  # identical to a corpus set
+        batch = spark.createDataFrame(
+            batch_rows, "id long, toks array<string>"
+        )
+        expected = {}
+        for (ic, tc), (ib, tb) in itertools.product(
+            corpus_rows, batch_rows
+        ):
+            sc_, sb = set(tc), set(tb)
+            inter, union = len(sc_ & sb), len(sc_ | sb)
+            if union and inter * 1_000_000 >= 500000 * union:
+                expected[(ic, ib)] = (inter, union)
+        got = {
+            (r.left_id, r.right_id): (r.inter, r.union_n)
+            for r in jaccard_screen_vs_postings(
+                batch, store, corpus, "id", "toks", 0.5
+            ).collect()
+        }
+        assert got == expected, seed
+        n3 = len(set(corpus_rows[3][1]))
+        assert got[(3, 2000)] == (n3, n3)
+
+    with _pytest.raises(ValueError, match="threshold"):
+        jaccard_screen_vs_postings(
+            batch, store, corpus, "id", "toks", 0.7
+        )

@@ -555,3 +555,29 @@ def test_lenient_pipeline_matches_local_parser_property(spark, data) -> None:
         got[r.ID].append(r.href)
     want = {str(i): _hrefs_lenient(p) for i, p in enumerate(pages)}
     assert got == want
+
+def test_malformed_json_accumulates_and_dead_letters(spark, tmp_path) -> None:
+    """Review finding: a malformed-JSON message decodes to NULL
+    ID/URL, and the NULL-unsafe attempt/DLQ joins re-quarantined it
+    at attempts=1 forever. The body-hash sentinel key gives the
+    redelivered message a stable retry identity: attempts accumulate
+    across runs and the message dead-letters at max_attempts exactly
+    like a keyed failure."""
+    lake = str(tmp_path / "lake")
+    qdir = str(tmp_path / "quarantine")
+    msgs = spark.createDataFrame([("{this is not json",)], ["task_json"])
+
+    out1 = run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=2)
+    q1 = out1["quarantine"].collect()
+    assert [r.attempts for r in q1] == [1]
+    assert q1[0].ID.startswith("malformed:")
+    assert "malformed or TYPE-less task JSON" in q1[0].REASON
+
+    out2 = run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=2)
+    assert [r.attempts for r in out2["quarantine"].collect()] == [2]
+
+    out3 = run_downloader(spark, msgs, lake, quarantine_dir=qdir, max_attempts=2)
+    assert out3["quarantine"].count() == 0
+    dlq = out3["dead_letter"].collect()
+    assert dlq and all(r.ID.startswith("malformed:") for r in dlq)
+    assert max(r.attempts for r in dlq) == 2

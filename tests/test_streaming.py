@@ -2070,13 +2070,14 @@ def test_kafka_double_malformed_json_quarantine(
     }
     assert ("b1", "unknown TYPE: CARRIER_PIGEON") in quarantined
     malformed = [
-        reason
-        for _id, reason in quarantined
-        if _id is None and reason is not None
+        (i, reason)
+        for i, reason in quarantined
+        if i is not None and i.startswith("malformed:")
     ]
     assert len(malformed) == 1
-    assert "malformed or TYPE-less task JSON" in malformed[0]
-    assert "{this is not json at all" in malformed[0]
+    # the sentinel key is the retry identity the DLQ gate counts on
+    assert "malformed or TYPE-less task JSON" in malformed[0][1]
+    assert "{this is not json at all" in malformed[0][1]
 
 def test_streaming_exact_admission_ingest(spark, tmp_path) -> None:
     """EXACT Jaccard admission on a live stream (the recall-1.0 twin
@@ -2108,6 +2109,7 @@ def test_streaming_exact_admission_ingest(spark, tmp_path) -> None:
         q = start_corpus_ingest_exact(
             docs,
             corpus_dir=str(tmp_path / "ex_corpus"),
+            postings_dir=str(tmp_path / "ex_postings"),
             checkpoint_dir=str(tmp_path / "ex_ckpt"),
             jaccard_threshold=0.7,
         )
@@ -2148,3 +2150,64 @@ def test_streaming_exact_admission_ingest(spark, tmp_path) -> None:
         for r in spark.read.parquet(str(tmp_path / "ex_corpus")).collect()
     )
     assert ids == [1, 11, 12]
+    # the posting store carries exactly the admitted docs (batch 3's
+    # rejection came from batch 2's PERSISTED postings - the corpus
+    # was only read for the candidate rows)
+    post_ids = {
+        r._id
+        for r in spark.read.parquet(
+            str(tmp_path / "ex_postings")
+        ).collect()
+    }
+    assert post_ids == {1, 11, 12}
+
+def test_streaming_trailing_distinct_non_utc_timezone(spark, tmp_path) -> None:
+    """Review finding: F.window aligns to UTC-epoch midnights while
+    cover_day casts to timestamp under the SESSION zone - deriving
+    the output day from the window start shifted every label one day
+    under non-UTC zones. The emitted key is now the cover_day column
+    itself; under Asia/Tokyo the labels must be the literal calendar
+    days the batch twin computes."""
+    from etl_marketdata_downloader_archived_spark.streaming import (
+        streaming_trailing_distinct,
+    )
+
+    src = tmp_path / "tz_src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        json.dumps({"u": 1, "ts": "2024-03-01 10:00:00"})
+        + "\n"
+        + json.dumps({"u": 2, "ts": "2024-03-02 11:00:00"})
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        results: dict = {}
+
+        def sink(b, bid: int) -> None:
+            for r in b.collect():
+                results[r.cover_day] = r.active_keys
+
+        raw = spark.readStream.format("text").load(str(src))
+        parsed = raw.select(
+            F.from_json("value", "u LONG, ts TIMESTAMP").alias("j")
+        ).select("j.*")
+        q = (
+            streaming_trailing_distinct(parsed, "ts", "u", late_days=1)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tz_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        import datetime as dt
+
+        # March 1 activity covers Mar 1-7; Mar 2 covers Mar 2-8
+        assert results[dt.date(2024, 3, 1)] == 1
+        assert results[dt.date(2024, 3, 2)] == 2
+        assert results[dt.date(2024, 3, 8)] == 1
+        assert dt.date(2024, 2, 29) not in results
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
