@@ -516,6 +516,23 @@ def _prefix_filter_pairs_rs(
         )
         .distinct()
     )
+    return _verify_rs_pairs(cand, tok_l, tok_r, p_num, q_den)
+
+
+def _verify_rs_pairs(
+    cand: DataFrame,
+    tok_l: DataFrame,
+    tok_r: DataFrame,
+    p_num: int,
+    q_den: int,
+) -> DataFrame:
+    """Exact verify shared by the in-memory R-S kernel and the
+    posting-store screen (the two MUST stay bit-identical - the
+    store-screen == rs-join test asserts it): join each candidate
+    (left_id, right_id) back to its side's token array, compute the
+    exact bigint intersection/union, keep pairs passing the
+    cross-multiplied rational cut; the jaccard column is the one IEEE
+    division of the exact bigints."""
     pairs = (
         cand.join(
             tok_l.select(
@@ -669,6 +686,8 @@ def jaccard_prefix_postings(
 
     q_den = 1_000_000
     p_num = round(threshold * q_den)
+    if p_num == 0:
+        raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
     tok = _tokenize_sets(df, id_col, tokens_col, "jaccard_prefix_postings")
     flat = tok.select(
         "_id", F.size("_t").alias("_n"), F.explode("_t").alias("_tk")
@@ -712,17 +731,27 @@ def jaccard_screen_vs_postings(
     range-partition and index it (io.build_skipping_index on _hk) to
     prune it too.
 
-    Raises if the store was built at a different threshold (stored
-    ``_p``): prefixes are threshold-derived, so screening a store at
-    a different cut would silently lose recall."""
+    Raises if ANY store row was built at a different threshold
+    (stored ``_p``, checked over the DISTINCT values - one arbitrary
+    row would pass a mixed-threshold store nondeterministically,
+    review-caught): prefixes are threshold-derived, so screening a
+    store at a different cut would silently lose recall."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     q_den = 1_000_000
     p_num = round(threshold * q_den)
-    first = store_postings.select("_p").first()
-    if first is not None and first["_p"] != p_num:
+    if p_num == 0:
+        raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
+    stored_ps = [
+        r["_p"] for r in store_postings.select("_p").distinct().collect()
+    ]
+    wrong = sorted(p for p in stored_ps if p != p_num)
+    if wrong:
         raise ValueError(
-            "jaccard_screen_vs_postings: store built at threshold "
-            f"p={first['_p']}/1e6, screen requested p={p_num}/1e6 - "
-            "rebuild the store or screen at its threshold"
+            "jaccard_screen_vs_postings: store holds postings built "
+            f"at threshold p={wrong}/1e6, screen requested "
+            f"p={p_num}/1e6 - rebuild the store or screen at its "
+            "threshold"
         )
     bp = jaccard_prefix_postings(batch, id_col, tokens_col, threshold)
     cand = (
@@ -752,34 +781,4 @@ def jaccard_screen_vs_postings(
     batch_tok = _tokenize_sets(
         batch, id_col, tokens_col, "jaccard_screen_vs_postings"
     )
-    pairs = (
-        cand.join(
-            corpus_cand.select(
-                F.col("_id").alias("left_id"), F.col("_t").alias("_ta")
-            ),
-            "left_id",
-        )
-        .join(
-            batch_tok.select(
-                F.col("_id").alias("right_id"), F.col("_t").alias("_tb")
-            ),
-            "right_id",
-        )
-        .withColumn(
-            "inter",
-            F.size(F.array_intersect("_ta", "_tb")).cast("bigint"),
-        )
-        .withColumn(
-            "union_n",
-            (F.size("_ta") + F.size("_tb")).cast("bigint")
-            - F.col("inter"),
-        )
-        .withColumn("jaccard", F.col("inter") / F.col("union_n"))
-        .filter(
-            F.lit(q_den).cast("bigint") * F.col("inter")
-            >= F.lit(p_num).cast("bigint") * F.col("union_n")
-        )
-    )
-    return pairs.select(
-        "left_id", "right_id", "inter", "union_n", "jaccard"
-    )
+    return _verify_rs_pairs(cand, corpus_cand, batch_tok, p_num, q_den)

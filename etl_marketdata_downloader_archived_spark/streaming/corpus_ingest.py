@@ -268,16 +268,47 @@ def start_corpus_ingest_exact(
         doomed = pairs.select(
             F.greatest("id_a", "id_b").alias(id_col)
         ).distinct()
-        batch_unique = toks.join(doomed, id_col, "left_anti")
+        # materialize ONCE: the screen references the batch three
+        # times (its postings, its token arrays, the anti-join) and
+        # each reference would otherwise re-run the intra-batch
+        # prefix self-join - the branch-count-vs-recompute regression
+        # the dedup-first tier's first cut already paid for
+        # (review-caught)
+        batch_unique = toks.join(doomed, id_col, "left_anti").localCheckpoint()
+        # the corpus and store reads are INDEPENDENT (review finding:
+        # coupling them in one try/except let a missing or
+        # zero-part-file store silently disable the corpus anti-join
+        # too, re-admitting duplicate ids on crash replay)
         try:
-            store = spark.read.parquet(postings_dir)
             corpus = spark.read.parquet(corpus_dir)
             corpus.head(1)
-        except Exception:  # noqa: BLE001 - first batch: no store yet
-            store = corpus = None
-        if store is not None:
+        except Exception:  # noqa: BLE001 - first batch: no corpus yet
+            corpus = None
+        if corpus is not None:
+            # explicit schema: a store holding only unshingleable
+            # admissions has zero part files, which is a LEGITIMATE
+            # state (nothing to screen against), not an inference
+            # error; a MISSING store next to an existing corpus is
+            # corruption/migration and must fail loud, never screen
+            # nothing silently
+            probe = spark._jvm.org.apache.hadoop.fs.Path(postings_dir)
+            fs = probe.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(probe):
+                raise ValueError(
+                    "start_corpus_ingest_exact: corpus exists at "
+                    f"{corpus_dir} but the posting store "
+                    f"{postings_dir} is missing - rebuild it with "
+                    "jaccard_prefix_postings over the corpus before "
+                    "resuming (screening without it would silently "
+                    "admit duplicates)"
+                )
+            idt = batch_unique.schema[id_col].dataType.simpleString()
+            store = spark.read.schema(
+                f"_id {idt}, _n int, _hk bigint, _p int"
+            ).parquet(postings_dir)
             corpus_toks = corpus.select(
-                id_col, word_shingles(text_col, shingle_n).alias("_toks")
+                id_col,
+                word_shingles(text_col, shingle_n).alias("_toks"),
             )
             hits = jaccard_screen_vs_postings(
                 batch_unique.select(id_col, "_toks"),
@@ -293,7 +324,9 @@ def start_corpus_ingest_exact(
                 "left_anti",
             )
             # replay idempotence: ids already in the corpus never
-            # re-append even if the similarity screen would admit
+            # re-append even if the similarity screen would admit -
+            # this anti-join runs whenever the CORPUS exists,
+            # independent of the store's state
             batch_unique = batch_unique.join(
                 corpus.select(id_col), id_col, "left_anti"
             )

@@ -195,25 +195,22 @@ def streaming_trailing_distinct(
     stream - the composition of watermark-safe primitives rather
     than a custom stateful operator:
 
-    1. ``dropDuplicatesWithinWatermark`` collapses the stream to the
-       first-seen (key, day) row;
-    2. each surviving activity day explodes IN-ROW to the
+    1. each event's activity day explodes IN-ROW (stateless) to the
        ``window_days`` trailing window positions it covers (the same
        cover-day rewrite the batch query certifies against DuckDB -
        no sliding count-distinct state anywhere);
-    3. a second dedup collapses (key, cover_day) - consecutive
-       activity days cover OVERLAPPING positions - and a count per
-       cover day emits the exact trailing distinct.
+    2. ONE ``dropDuplicatesWithinWatermark`` collapses (key,
+       cover_day) - same-day duplicates and overlapping covers from
+       consecutive activity days land on the SAME row, and all
+       duplicates of a pair carry the IDENTICAL cover timestamp, so
+       the single dedup is overcount-safe: once a pair's state
+       evicts, any late duplicate is itself below the watermark;
+    3. a count per cover day emits the exact trailing distinct.
 
-    The DECLARED watermark is ``late_days + window_days`` days: the
-    second dedup sees duplicates of (key, cover_day) whose event
-    times spread up to ``window_days`` apart (one per source day in
-    the cover), and dropDuplicatesWithinWatermark only guarantees
-    dedup for duplicates within the watermark delay - a horizon of
-    just the late-data tolerance would evict the first occurrence
-    and silently OVERCOUNT (review-caught). ``late_days`` is the
-    user-facing late-data knob; events later than the full horizon
-    are dropped by step 1, the documented trade.
+    The DECLARED watermark delay is ``late_days + window_days - 1``
+    days ON THE COVER TIMESTAMP (see the late-data contract below
+    for why the -1; the r11 two-dedup shape needed late+window on
+    the raw event time for its second dedup's spread).
 
     State: FULLY watermark-bounded. The explode runs STATELESS on
     the raw stream and the watermark is declared on the cover
@@ -271,9 +268,12 @@ def streaming_trailing_distinct(
     # state row, while cover_day itself is the emitted key - deriving
     # the date from _w.start would shift a day under any non-UTC
     # session timezone (F.window aligns to UTC-epoch midnights, the
-    # cast to timestamp used the SESSION zone - review finding). Two
-    # distinct local midnights are >= 24 h apart, so each window
-    # holds exactly one cover_day and the extra key changes no counts.
+    # cast to timestamp used the SESSION zone - review finding).
+    # cover_day MUST stay in the group key: counts are correct
+    # because the date column itself partitions them, NOT because a
+    # window holds one date (a DST spring-forward puts two local
+    # midnights 23 h apart inside one UTC-aligned window - dropping
+    # cover_day from the key would merge those two days' counts).
     return (
         deduped.groupBy(
             F.window("_cover_ts", "1 day").alias("_w"), "cover_day"

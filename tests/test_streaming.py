@@ -2211,3 +2211,44 @@ def test_streaming_trailing_distinct_non_utc_timezone(spark, tmp_path) -> None:
         assert dt.date(2024, 2, 29) not in results
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+def test_exact_admission_missing_store_fails_loud(spark, tmp_path) -> None:
+    """Review finding: a corpus WITHOUT its posting store (deleted,
+    migrated, corrupted) must fail loud - silently screening against
+    nothing would admit duplicates of the whole corpus. A zero-row
+    store (legitimate: only unshingleable docs admitted) still
+    screens fine."""
+    import pyspark.sql.utils  # noqa: F401
+
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_exact,
+    )
+
+    # seed a corpus WITHOUT a posting store
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near here")],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "ms_corpus"))
+
+    src = tmp_path / "ms_src"
+    src.mkdir()
+    (src / "b.json").write_text(
+        json.dumps({"doc_id": 2, "text": "entirely new english words "
+                    "about the spark operators that clean the corpus"})
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    docs = raw.select(
+        F.from_json("value", "doc_id LONG, text STRING").alias("j")
+    ).select("j.*")
+    q = start_corpus_ingest_exact(
+        docs,
+        corpus_dir=str(tmp_path / "ms_corpus"),
+        postings_dir=str(tmp_path / "ms_postings"),
+        checkpoint_dir=str(tmp_path / "ms_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:  # noqa: BLE001 - surfaced via exception() below
+        pass
+    exc = q.exception()
+    assert exc is not None and "posting store" in str(exc)
