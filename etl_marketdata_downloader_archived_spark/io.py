@@ -1796,6 +1796,15 @@ def _canon_file_uri(u: str) -> str:
     return unquote(u)
 
 
+class AmbiguousFileIdentityError(ValueError):
+    """Two distinct on-disk files collapse to one canonical URI (a
+    literal ``a%20b`` next to ``a b``) - the skipping index cannot
+    tell them apart. Build/refresh paths fail loud on this (an index
+    row would be silently shadowed); READ paths catch it and degrade
+    to the full scan - correct, merely unpruned (ADVICE r12: a read
+    must never be worse than not having the index)."""
+
+
 def _list_live_files(spark: SparkSession, table_dir: str) -> dict:
     """One recursive listing of the table's COMMITTED parquet files:
     {canonical URI -> raw path string}. A file whose table-relative
@@ -1827,8 +1836,9 @@ def _list_live_files(spark: SparkSession, table_dir: str) -> dict:
             # shadow one file's index row and make pruned reads MISS
             # its rows - fail loud instead (review finding); a table
             # with percent-ambiguous filenames is outside the index's
-            # identity contract
-            raise ValueError(
+            # identity contract. Read paths catch this subclass and
+            # degrade to the full scan.
+            raise AmbiguousFileIdentityError(
                 "skipping index: percent-ambiguous file names "
                 f"collide after URI canonicalization: {live[canon]!r} "
                 f"vs {f!r} - rename one; the index cannot tell them "
@@ -1955,7 +1965,16 @@ def read_with_predicates(
     files = [r["_file"] for r in keep.select("_file").collect()]
     if not files:
         return spark.read.parquet(table_dir).filter(pred).limit(0)
-    live = _list_live_files(spark, table_dir)
+    try:
+        live = _list_live_files(spark, table_dir)
+    except AmbiguousFileIdentityError:
+        # identity ambiguity makes PRUNING unsafe, not READING: the
+        # full scan with the exact predicate is always correct -
+        # degrade instead of hard-failing a read that worked before
+        # the ambiguous pair appeared (ADVICE r12). Build/refresh
+        # keep the hard failure - there an index row would be
+        # silently shadowed.
+        return spark.read.parquet(table_dir).filter(pred)
     try:
         # read by the LISTING's own rendering, not the stored
         # input_file_name() string: the index stores percent-escaped

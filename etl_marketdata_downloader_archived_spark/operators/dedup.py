@@ -626,6 +626,66 @@ def dedup_keep_representatives(
     return df.join(losers, id_col, "left_anti")
 
 
+def greedy_admission_drops(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """The ids a SEQUENTIAL min-id-first admission would REJECT, given
+    the similar-pair graph: process ids ascending, keep an id iff none
+    of its already-KEPT neighbors rejected it first (the
+    lexicographically-first maximal independent set). Returns one
+    column ``id`` of dropped ids.
+
+    Why not "drop greatest(id_a, id_b) of every pair" (the one-line
+    alternative): that over-drops on similarity CHAINS - for a<b<c
+    with a~b, b~c, a!~c it drops both b and c, though c's only similar
+    partner b was itself dropped, so c is discarded with no similar
+    doc admitted (review finding). Greedy-by-id equals what one-doc-
+    at-a-time arrival in ascending-id order would admit, so the
+    streaming ingests' intra-batch admission matches their
+    cross-batch first-arrival-wins contract exactly.
+
+    Scale shape: the graph partitions into connected components
+    (components cross-talk nothing - a kept id can only block ids in
+    its own component), so the inherently sequential scan runs
+    per-component via applyInPandas, state bounded by the largest
+    duplicate cluster - the same bound ``connected_components``'
+    driver tier and every dedup verify stage already accept. Id
+    ordering is ascending under pandas ``sort``; callers with string
+    ids that need locale-exotic collation should pre-map to a sortable
+    key (the ingests use numeric/binary-comparable ids)."""
+    comp = connected_components(pairs, id_a, id_b)
+    id_type = pairs.schema[id_a].dataType.simpleString()
+    edges = (
+        pairs.select(F.col(id_a).alias("_u"), F.col(id_b).alias("_v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("_u"), F.col(id_a).alias("_v"))
+        )
+        .dropDuplicates()
+    )
+    tagged = edges.join(
+        comp.select(F.col("id").alias("_u"), "component"), "_u"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        for u, v in zip(pdf["_u"], pdf["_v"]):
+            adj.setdefault(u, set()).add(v)
+        kept: set = set()
+        dropped = []
+        for node in sorted(adj):
+            # kept holds only smaller ids at this point, so the
+            # intersection is exactly "an earlier-admitted neighbor"
+            if adj[node] & kept:
+                dropped.append(node)
+            else:
+                kept.add(node)
+        return pd.DataFrame({"id": dropped})
+
+    return tagged.groupBy("component").applyInPandas(
+        _greedy, f"id {id_type}"
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document.
 

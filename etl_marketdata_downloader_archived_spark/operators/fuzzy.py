@@ -33,13 +33,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "compact_postings",
     "deletion_variants",
     "edit_distance_join",
     "jaccard_prefix_join",
     "jaccard_prefix_join_rs",
     "jaccard_prefix_postings",
     "jaccard_screen_vs_postings",
+    "read_postings_meta",
+    "read_postings_threshold",
     "sorted_neighborhood_pairs",
+    "write_postings_meta",
 ]
 
 
@@ -661,7 +665,11 @@ def jaccard_prefix_join_rs(
 
 
 def jaccard_prefix_postings(
-    df: DataFrame, id_col: str, tokens_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    bucket_by: int | None = None,
 ) -> DataFrame:
     """PERSISTABLE prefix postings for incremental exact-Jaccard
     screening: one row per (set id, prefix-token hash) with the set
@@ -679,7 +687,15 @@ def jaccard_prefix_postings(
 
     Columns: _id, _n (set size), _hk (prefix-token hash), _p (the
     quantized threshold numerator - a store built at one threshold
-    must not silently screen at another; the consumer checks it)."""
+    must not silently screen at another; the consumer checks it).
+
+    ``bucket_by=B`` appends ``_bk = pmod(_hk, B)`` - the PARTITION key
+    for a persisted store (``partitionBy("_bk")`` on write). Candidates
+    only meet on EQUAL posting hashes, so a screen only ever needs the
+    store buckets its own batch's prefixes hash into:
+    ``jaccard_screen_vs_postings(prune_store_buckets=True)`` pushes
+    that bucket list as a partition filter, turning the per-batch
+    store scan (the path's last linear term) into a pruned read."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from pyspark.sql import Window as W
@@ -699,11 +715,16 @@ def jaccard_prefix_postings(
     min_overlap = F.expr(
         f"(CAST({p_num} AS BIGINT) * _n + {q_den - 1}) div {q_den}"
     )
-    return (
+    out = (
         ranked.filter(F.col("_rn") <= F.col("_n") - min_overlap + 1)
         .select("_id", "_n", "_hk")
         .withColumn("_p", F.lit(p_num))
     )
+    if bucket_by is not None:
+        if bucket_by < 1:
+            raise ValueError(f"bucket_by must be >= 1, got {bucket_by}")
+        out = out.withColumn("_bk", F.pmod(F.col("_hk"), F.lit(bucket_by)))
+    return out
 
 
 def jaccard_screen_vs_postings(
@@ -713,6 +734,8 @@ def jaccard_screen_vs_postings(
     id_col: str,
     tokens_col: str,
     threshold: float,
+    store_p_num: int | None = None,
+    store_buckets: int | None = None,
 ) -> DataFrame:
     """Screen an incoming batch against a PERSISTED posting store
     (built by ``jaccard_prefix_postings`` over previously admitted
@@ -735,25 +758,76 @@ def jaccard_screen_vs_postings(
     (stored ``_p``, checked over the DISTINCT values - one arbitrary
     row would pass a mixed-threshold store nondeterministically,
     review-caught): prefixes are threshold-derived, so screening a
-    store at a different cut would silently lose recall."""
+    store at a different cut would silently lose recall. That check
+    is a second full scan of the store's _p column per call - on the
+    hot ingest path pass ``store_p_num`` (the store-level threshold
+    from its ``_meta`` sidecar, see ``read_postings_threshold``) and
+    the scan is skipped: the sidecar is written once at store
+    creation and every append goes through the same code path, so it
+    is authoritative (ADVICE r12).
+
+    ``store_buckets=B`` declares the store ``_bk``-bucketed with B
+    buckets (``jaccard_prefix_postings(bucket_by=B)``, written
+    ``partitionBy("_bk")``): the batch's own postings hash into a
+    bounded set of buckets (<= B values, collected driver-side), and
+    the store read is filtered to exactly those - a PARTITION filter
+    on the store scan, so the per-batch cost tracks the batch's
+    bucket coverage instead of the full store (the path's last
+    linear term). Candidates only meet on equal ``_hk``, and equal
+    hashes share a bucket, so pruning drops no candidate: pruned ==
+    full screen, recall stays 1.0. B must be the store's own bucket
+    count - the ingest persists it in the ``_meta`` sidecar."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     q_den = 1_000_000
     p_num = round(threshold * q_den)
     if p_num == 0:
         raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
-    stored_ps = [
-        r["_p"] for r in store_postings.select("_p").distinct().collect()
-    ]
-    wrong = sorted(p for p in stored_ps if p != p_num)
-    if wrong:
-        raise ValueError(
-            "jaccard_screen_vs_postings: store holds postings built "
-            f"at threshold p={wrong}/1e6, screen requested "
-            f"p={p_num}/1e6 - rebuild the store or screen at its "
-            "threshold"
-        )
+    if store_p_num is not None:
+        if store_p_num != p_num:
+            raise ValueError(
+                "jaccard_screen_vs_postings: store metadata says "
+                f"threshold p={store_p_num}/1e6, screen requested "
+                f"p={p_num}/1e6 - rebuild the store or screen at its "
+                "threshold"
+            )
+    else:
+        stored_ps = [
+            r["_p"] for r in store_postings.select("_p").distinct().collect()
+        ]
+        wrong = sorted(p for p in stored_ps if p != p_num)
+        if wrong:
+            raise ValueError(
+                "jaccard_screen_vs_postings: store holds postings built "
+                f"at threshold p={wrong}/1e6, screen requested "
+                f"p={p_num}/1e6 - rebuild the store or screen at its "
+                "threshold"
+            )
     bp = jaccard_prefix_postings(batch, id_col, tokens_col, threshold)
+    if store_buckets is not None:
+        if "_bk" not in store_postings.columns:
+            raise ValueError(
+                "store_buckets given but the store has no _bk column "
+                "- build it with jaccard_prefix_postings(bucket_by=B) "
+                "and write partitionBy('_bk')"
+            )
+        # the batch side is micro-batch sized: one bounded collect of
+        # its distinct bucket keys (<= B ints) buys a partition
+        # filter on the store scan. _bk is re-derived from _hk under
+        # the store's OWN bucket count, so the batch postings carry
+        # no bucket column; localCheckpoint so the bucket probe and
+        # the candidate join share one computation of the batch
+        # postings instead of re-running the prefix window twice.
+        bp = bp.localCheckpoint()
+        buckets = [
+            r["_b"]
+            for r in bp.select(
+                F.pmod(F.col("_hk"), F.lit(store_buckets)).alias("_b")
+            ).distinct().collect()
+        ]
+        store_postings = store_postings.filter(
+            F.col("_bk").isin(buckets)
+        ).drop("_bk")
     cand = (
         store_postings.alias("a")
         .join(bp.alias("b"), "_hk")
@@ -782,3 +856,104 @@ def jaccard_screen_vs_postings(
         batch, id_col, tokens_col, "jaccard_screen_vs_postings"
     )
     return _verify_rs_pairs(cand, corpus_cand, batch_tok, p_num, q_den)
+
+
+def write_postings_meta(
+    spark, postings_dir: str, threshold: float, buckets: int | None = None
+) -> None:
+    """Persist the posting store's build parameters as a one-row
+    parquet sidecar at ``<postings_dir>/_meta`` - underscore-hidden,
+    so ``spark.read.parquet(postings_dir)`` never sees it, but it
+    travels with the store (copy/compact the directory and the
+    contract comes along). Written once at store creation; every
+    append goes through the same threshold, so consumers can trust it
+    instead of scanning the store's ``_p`` column per batch (ADVICE
+    r12: the distinct-_p guard was a second full store scan on the
+    hot ingest path)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    q_den = 1_000_000
+    p_num = round(threshold * q_den)
+    if p_num == 0:
+        raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
+    spark.createDataFrame(
+        [(p_num, q_den, buckets)], "_p int, _q int, _buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        postings_dir.rstrip("/") + "/_meta"
+    )
+
+
+def read_postings_meta(spark, postings_dir: str) -> dict | None:
+    """Read the ``_meta`` sidecar: ``{"p_num": int, "buckets":
+    int | None}``, or None when the store predates the sidecar (the
+    caller then falls back to the distinct-_p scan and may write the
+    sidecar forward). A present-but-unreadable sidecar raises - that
+    is corruption, not absence."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    p = jvm_path(postings_dir.rstrip("/") + "/_meta")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    row = spark.read.parquet(postings_dir.rstrip("/") + "/_meta").first()
+    if row is None or row["_q"] != 1_000_000:
+        raise ValueError(
+            f"posting-store _meta at {postings_dir} is corrupt: {row}"
+        )
+    return {"p_num": row["_p"], "buckets": row["_buckets"]}
+
+
+def read_postings_threshold(spark, postings_dir: str) -> int | None:
+    """Threshold numerator (p/1e6) from the store's ``_meta`` sidecar,
+    or None when absent."""
+    meta = read_postings_meta(spark, postings_dir)
+    return None if meta is None else meta["p_num"]
+
+
+def compact_postings(spark, postings_dir: str) -> tuple[int, int]:
+    """Rewrite a persisted posting store to DISTINCT rows, crash-safe.
+
+    Why it exists: the ingests append postings before corpus rows
+    (crash ordering), so an at-least-once replay of a crashed batch
+    appends the same postings twice - harmless for correctness (the
+    screen's candidate distinct absorbs them) but permanent growth:
+    the store is append-only forever otherwise. Distinct is exactly
+    the right compaction because posting rows carry no payload beyond
+    their identity (_id, _n, _hk, _p [, _bk]).
+
+    Publishes via the stage-and-swap rename (the publish_small_table
+    discipline - never delete-then-write: the previous store survives
+    a crash at any point, and a reader never sees a half-written
+    store). Preserves the ``_bk`` partitioning layout and carries the
+    ``_meta`` sidecar into the new snapshot. Single maintenance
+    writer per store assumed (wrap in io.maintenance_lock to enforce).
+    Returns (rows_before, rows_after)."""
+    root = postings_dir.rstrip("/")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path(root)):
+        raise ValueError(f"compact_postings: no store at {postings_dir}")
+    store = spark.read.parquet(root)
+    before = store.count()
+    meta = read_postings_meta(spark, root)
+    stage = root + "__stage"
+    fs.delete(jvm_path(stage), True)
+    writer = store.distinct().write.mode("overwrite")
+    if "_bk" in store.columns:
+        writer = writer.partitionBy("_bk")
+    writer.parquet(stage)
+    if meta is not None:
+        spark.createDataFrame(
+            [(meta["p_num"], 1_000_000, meta["buckets"])],
+            "_p int, _q int, _buckets int",
+        ).coalesce(1).write.mode("overwrite").parquet(stage + "/_meta")
+    old = jvm_path(root + "__old")
+    fs.delete(old, True)
+    if not fs.rename(jvm_path(root), old):
+        raise IOError(f"compact_postings: live -> __old failed for {root!r}")
+    if not fs.rename(jvm_path(stage), jvm_path(root)):
+        # roll the live store back so readers never see absence
+        fs.rename(old, jvm_path(root))
+        raise IOError(f"compact_postings: stage -> live failed for {root!r}")
+    fs.delete(old, True)
+    after = spark.read.parquet(root).count()
+    return before, after

@@ -9,19 +9,21 @@ tested. Codecs come in two tiers:
   can handle - PNG (chunk walk + inflate + scanline unfilter + pixel
   mean), WAV/PCM (channels, rate, duration, RMS), baseline/
   extended-sequential JPEG (full T.81 Huffman + dequant + IDCT +
-  chroma upsample + YCbCr->RGB pixel mean), and PROGRESSIVE-DCT
+  chroma upsample + YCbCr->RGB pixel mean), PROGRESSIVE-DCT
   Huffman JPEG (T.81 annex G multi-scan coefficient accumulator:
-  spectral selection, successive approximation, EOB runs) in full;
-  JPEG tiers beyond Huffman-8-bit YCbCr/gray (12-bit, CMYK,
-  arithmetic, Adobe transform=0 RGB) get the HEADER-ONLY SOF walk
-  (dimensions, channels; pixel fields stay NULL -
+  spectral selection, successive approximation, EOB runs) in full,
+  and Adobe 4-component CMYK/YCCK JPEG (APP14 transform 0/2,
+  inverted-ink convention; mean_value = mean ink coverage);
+  JPEG tiers beyond Huffman-8-bit (12-bit, arithmetic, Adobe
+  transform=0 RGB, undeclared 4-component) get the HEADER-ONLY SOF
+  walk (dimensions, channels; pixel fields stay NULL -
   the honest pixels-not-decoded signal).
   MP4/ISO-BMFF gets the same header tier (box walk: mvhd duration,
   tkhd dimensions; frame pixels genuinely need a codec). All
   differentially tested against independent encoders written from
   the format specs.
 - ``decode_assets``: the deterministic stub for everything a codec
-  LIBRARY would be needed for (12-bit/CMYK JPEG pixels, MP4 frames,
+  LIBRARY would be needed for (12-bit JPEG pixels, MP4 frames,
   ...; none are installed in this environment); its fake fields are
   SQL-recomputable so the full binary pipeline stays
   oracle-checkable.
@@ -315,12 +317,16 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
     EOB/ZRL) or the PROGRESSIVE path (C2: the multi-scan coefficient
     accumulator in ``_decode_jpeg_progressive``), then dequantize,
     de-zigzag, separable float64 IDCT, +128 level shift,
-    nearest-neighbor chroma upsampling and JFIF YCbCr->RGB. Returns
+    nearest-neighbor chroma upsampling and the declared color
+    transform (JFIF YCbCr->RGB; Adobe YCCK/CMYK under the
+    inverted-ink convention for 4-component frames). Returns
     the header dict with ``mean_value`` = mean over all pixels and
-    channels - the pixels_decoded=true signal.
+    channels (mean ink coverage for CMYK) - the pixels_decoded=true
+    signal.
 
     Returns None when the frame is eligible-looking JPEG but outside
-    this tier (lossless/arithmetic, 12-bit precision, CMYK) so the
+    this tier (lossless/arithmetic, 12-bit precision, undeclared
+    component color spaces) so the
     caller falls back to the honest header-only decode; raises
     ValueError on malformed structure (quarantine path).
     Differentially tested against an independent spec-written ENCODER
@@ -419,8 +425,8 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (marker, precision, height, width, comps)
-            if precision != 8 or ncomp not in (1, 3):
-                return None  # 12-bit / CMYK tier: header-only
+            if precision != 8 or ncomp not in (1, 3, 4):
+                return None  # 12-bit / exotic-component tier: header-only
             if height == 0 or width == 0:
                 raise ValueError("JPEG zero dimension")
         elif marker == 0xDA:  # SOS
@@ -447,6 +453,17 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
             and [c["id"] for c in comps] == [1, 2, 3]
         )
         if not ycbcr:
+            return None
+    if len(comps) == 4:
+        # 4-component frames: only the Adobe-declared ink spaces are
+        # in tier - APP14 transform=2 (YCCK) or 0 (literal CMYK),
+        # both stored INVERTED per the Adobe convention (sample =
+        # 255 - ink; T-REC-T.872 / Adobe TN 5116). A 4-component
+        # frame WITHOUT the APP14 marker does not say what its
+        # samples mean - guessing would emit a confidently wrong
+        # mean_value, so it falls back to the header tier, same
+        # honesty rule as untransformed 3-component frames above.
+        if adobe_transform not in (0, 2):
             return None
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -475,7 +492,8 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
             restart_interval,
         )
         return _jpeg_mean(
-            comps, planes, H, W, hmax, vmax, "image/jpeg;progressive"
+            comps, planes, H, W, hmax, vmax, "image/jpeg;progressive",
+            adobe_transform,
         )
 
     ns = sos_seg[0]
@@ -549,7 +567,9 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
                     x0 = (mx * c["h"] + bx) * 8
                     planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
 
-    return _jpeg_mean(comps, planes, H, W, hmax, vmax, "image/jpeg")
+    return _jpeg_mean(
+        comps, planes, H, W, hmax, vmax, "image/jpeg", adobe_transform
+    )
 
 
 def _decode_jpeg_progressive(
@@ -820,13 +840,28 @@ def _decode_jpeg_progressive(
 
 
 def _jpeg_mean(
-    comps, planes, H: int, W: int, hmax: int, vmax: int, modality: str
+    comps,
+    planes,
+    H: int,
+    W: int,
+    hmax: int,
+    vmax: int,
+    modality: str,
+    adobe_transform: int | None = None,
 ) -> dict:
     """Shared reconstruction tail: nearest-neighbor upsample each
-    component plane to full resolution, apply the JFIF YCbCr->RGB
-    transform for 3-component frames, and fold to the mean_value
-    pixel signal. Used by both the baseline MCU loop and the
-    progressive coefficient accumulator."""
+    component plane to full resolution, apply the declared color
+    transform - JFIF YCbCr->RGB for 3-component frames; for
+    4-component Adobe frames, YCCK->stored-CMYK (transform=2, the
+    same YCbCr inverse on the first three planes) or identity
+    (transform=0) - and fold to the mean_value pixel signal.
+
+    4-component semantics: Adobe stores INVERTED ink (sample =
+    255 - coverage), so ``mean_value`` reports mean INK COVERAGE over
+    C, M, Y, K in 0..255 (255 = solid ink) - the un-inverted,
+    physically meaningful reading; n_channels=4 flags the space. Used
+    by both the baseline MCU loop and the progressive coefficient
+    accumulator."""
     import numpy as np
 
     def full_res(c) -> "np.ndarray":
@@ -838,7 +873,7 @@ def _jpeg_mean(
     if len(comps) == 1:
         out = np.clip(np.round(full_res(comps[0])), 0, 255)
         mean = float(out.mean())
-    else:
+    elif len(comps) == 3:
         y, cb, cr = (full_res(c) for c in comps)
         cb = cb - 128.0
         cr = cr - 128.0
@@ -850,6 +885,23 @@ def _jpeg_mean(
             ]
         )
         mean = float(np.clip(np.round(rgb), 0, 255).mean())
+    else:
+        p0, p1, p2, p3 = (full_res(c) for c in comps)
+        if adobe_transform == 2:  # YCCK: YCbCr inverse on planes 0-2
+            cb = p1 - 128.0
+            cr = p2 - 128.0
+            stored = np.stack(
+                [
+                    p0 + 1.402 * cr,
+                    p0 - 0.344136 * cb - 0.714136 * cr,
+                    p0 + 1.772 * cb,
+                    p3,
+                ]
+            )
+        else:  # transform=0: literal (inverted) CMYK planes
+            stored = np.stack([p0, p1, p2, p3])
+        ink = 255.0 - np.clip(np.round(stored), 0, 255)
+        mean = float(ink.mean())
     return {
         "modality_detected": modality,
         "width": int(W),
@@ -1084,9 +1136,13 @@ def decode_media(assets: DataFrame) -> DataFrame:
     tier (mvhd duration, tkhd dimensions). PROGRESSIVE-DCT Huffman
     JPEG decodes real pixels too (T.81 annex G: spectral selection,
     successive approximation, EOB runs - the multi-scan coefficient
-    accumulator in ``_decode_jpeg_progressive``). JPEG tiers outside
-    Huffman-8-bit YCbCr/grayscale (lossless, arithmetic, 12-bit,
-    CMYK, Adobe transform=0 RGB) fall back to the HEADER-ONLY SOF
+    accumulator in ``_decode_jpeg_progressive``). Adobe 4-component
+    CMYK/YCCK JPEG (APP14 transform 0/2) decodes real pixels too
+    under the inverted-ink convention: ``mean_value`` is mean INK
+    COVERAGE over C/M/Y/K (255 = solid), n_channels=4. JPEG tiers
+    outside Huffman-8-bit (lossless, arithmetic, 12-bit,
+    Adobe transform=0 RGB, undeclared 4-component) fall back to the
+    HEADER-ONLY SOF
     walk: width/height/channels real, ``mean_value`` NULL - a NULL
     mean_value on an image row IS pixels_decoded=false. Anything
     else passes through with byte length + checksum and NULL media
@@ -1098,7 +1154,7 @@ def decode_media(assets: DataFrame) -> DataFrame:
     spec-written encoders (tests/test_operators.py writes PNGs, WAVs,
     baseline JPEGs, and ISO-BMFF box trees from first principles).
     Only the tiers a codec LIBRARY genuinely owns remain out: JPEG
-    12-bit/CMYK/arithmetic/Adobe-RGB pixels and MP4 frame data (both
+    12-bit/arithmetic/Adobe-RGB pixels and MP4 frame data (both
     yield real metadata with NULL mean_value). Arrow-batched
     mapInPandas; the per-asset
     Python codec is the honest cost of decoding in this environment -

@@ -33,6 +33,20 @@ from ..operators.text import (
 )
 
 
+def _dir_exists(spark, path: str) -> bool:
+    """Explicit Hadoop-FS existence probe. The ingests MUST distinguish
+    "no corpus/store yet" (first batch - legitimately skip the screen)
+    from "the read failed" (transient FS error, permission, corrupt
+    footer): a bare ``except Exception`` around the read treated BOTH
+    as first-batch, silently skipping the dedup screen AND the replay
+    anti-join and admitting duplicates with no signal (ADVICE r12).
+    With this probe, absence is checked explicitly and a genuine read
+    error propagates and fails the micro-batch - retryable, loud."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def benchmark_gram_index(benchmark: DataFrame, text_col: str = "text", n: int = 5) -> list[str]:
     """Collect the distinct n-grams of the eval corpus (driver-side,
     eval-suite sized)."""
@@ -100,17 +114,41 @@ def start_corpus_ingest_neardup(
     max_stopword_ratio: float = 0.9,
 ) -> StreamingQuery:
     """Streaming ingest with NEAR-dup admission against the persistent
-    corpus: per micro-batch, gate the new docs, drop intra-batch
-    near-dups (min-id representative), screen survivors against the
-    LSH posting store (operators.dedup.incremental_minhash_dedup - the
-    corpus is never re-signatured), then append admitted docs to the
-    corpus lake and their postings to the store. foreachBatch because
-    the batch both READS and APPENDS two tables - the sanctioned
-    multi-sink shape, checkpoint-as-ack making replays idempotent at
-    the source level."""
+    corpus: per micro-batch, gate the new docs, screen them against
+    the LSH posting store (operators.dedup.incremental_minhash_dedup -
+    the corpus is never re-signatured), drop already-admitted ids
+    (replay idempotence), then run the SEQUENTIAL intra-batch
+    admission among the corpus-survivors, append their POSTINGS, and
+    append the corpus rows last. foreachBatch because the batch both
+    READS and APPENDS two tables - the sanctioned multi-sink shape,
+    checkpoint-as-ack making replays idempotent at the source level.
+
+    Semantics: the admitted set is exactly what one-doc-at-a-time
+    arrival (ascending id within a batch, batch order across batches)
+    would produce. Corpus screen runs FIRST because a corpus-rejected
+    doc is rejected under any arrival order and must not block a batch
+    sibling; intra-batch admission is the greedy min-id-first pass
+    (operators.dedup.greedy_admission_drops), not "drop the greater id
+    of every pair" - that over-dropped on similarity chains (ADVICE
+    r12: for a<b<c with a~b, b~c, a!~c it discarded c although c's
+    only similar partner b was itself dropped).
+
+    Durability (mirrors the exact variant, VERDICT r12): postings are
+    appended BEFORE corpus rows - a crash between the appends leaves
+    orphan postings, which are harmless (the screen's verify joins
+    candidates back to CORPUS text, so a posting with no corpus row
+    never rejects anything; a replay appends duplicate postings,
+    absorbed by the candidate dropDuplicates and reclaimed by
+    operators.fuzzy.compact_postings). The reverse order left admitted
+    docs WITHOUT postings after a crash: invisible to every future
+    screen, a permanent silent recall hole. The corpus and store reads
+    are INDEPENDENT fs.exists probes: a corpus without its store fails
+    loud (screening against nothing would admit duplicates of the
+    whole corpus), and a genuine read error fails the batch instead of
+    masquerading as first-batch."""
     from ..operators.dedup import (
         band_postings,
-        dedup_keep_representatives,
+        greedy_admission_drops,
         incremental_minhash_dedup,
         minhash_dedup_pairs,
     )
@@ -132,39 +170,50 @@ def start_corpus_ingest_neardup(
         ).localCheckpoint()
         if gated.isEmpty():
             return
-        pairs = minhash_dedup_pairs(
-            gated, id_col, text_col, jaccard_threshold=jaccard_threshold
-        )
-        batch_unique = dedup_keep_representatives(gated, pairs, id_col)
-        try:
-            store = spark.read.parquet(postings_dir)
-            corpus = spark.read.parquet(corpus_dir).select(id_col, text_col)
-        except Exception:
-            store = corpus = None
-        if store is not None:
-            admitted, _ = incremental_minhash_dedup(
-                batch_unique, store, corpus, id_col, text_col,
-                jaccard_threshold=jaccard_threshold,
+        idt = gated.schema[id_col].dataType.simpleString()
+        if _dir_exists(spark, corpus_dir):
+            if not _dir_exists(spark, postings_dir):
+                raise ValueError(
+                    "start_corpus_ingest_neardup: corpus exists at "
+                    f"{corpus_dir} but the posting store "
+                    f"{postings_dir} is missing - rebuild it with "
+                    "operators.dedup.band_postings over the corpus "
+                    "before resuming (screening without it would "
+                    "silently admit duplicates)"
+                )
+            # explicit schemas: an exists-but-empty directory (crashed
+            # first append) must read as an EMPTY table, not an
+            # inference error misread as absence
+            corpus = spark.read.schema(gated.schema).parquet(corpus_dir)
+            store = spark.read.schema(
+                f"{id_col} {idt}, band_idx int, band_hash bigint"
+            ).parquet(postings_dir)
+            survivors, _ = incremental_minhash_dedup(
+                gated, store, corpus.select(id_col, text_col),
+                id_col, text_col, jaccard_threshold=jaccard_threshold,
             )
-            # crash-replay idempotence: foreachBatch is at-least-once,
-            # and a crash BETWEEN the two appends leaves this batch's
-            # docs in the corpus but not the store - the near-dup
-            # screen alone would re-admit them on replay. The id-level
-            # anti-join (ids only, never text) makes the corpus append
-            # idempotent, same role as the downloader's manifest check.
-            admitted = admitted.join(
+            # replay idempotence: ids already in the corpus never
+            # re-append even if the similarity screen would admit
+            survivors = survivors.join(
                 corpus.select(id_col), id_col, "left_anti"
             )
         else:
-            admitted = batch_unique
+            survivors = gated
+        survivors = survivors.localCheckpoint()
+        pairs = minhash_dedup_pairs(
+            survivors, id_col, text_col, jaccard_threshold=jaccard_threshold
+        )
+        doomed = greedy_admission_drops(pairs).withColumnRenamed(
+            "id", id_col
+        )
         # one deterministic snapshot: admitted feeds both appends (and
-        # the postings re-derivation), and the corpus append must not
-        # be re-evaluated lazily AFTER the store has grown
-        admitted = admitted.localCheckpoint()
-        admitted.write.mode("append").parquet(corpus_dir)
+        # the postings derivation), and the corpus append must not be
+        # re-evaluated lazily AFTER the store has grown
+        admitted = survivors.join(doomed, id_col, "left_anti").localCheckpoint()
         band_postings(admitted, id_col, text_col).write.mode("append").parquet(
             postings_dir
         )
+        admitted.write.mode("append").parquet(corpus_dir)
 
     return (
         docs.writeStream.foreachBatch(process)
@@ -205,6 +254,7 @@ def start_corpus_ingest_exact(
     min_quality: float = 0.5,
     languages: tuple[str, ...] = ("en",),
     max_stopword_ratio: float = 0.9,
+    store_bucket_count: int = 64,
 ) -> StreamingQuery:
     """Streaming ingest with EXACT Jaccard admission - the
     deterministic twin of ``start_corpus_ingest_neardup`` (LSH bands
@@ -213,38 +263,61 @@ def start_corpus_ingest_exact(
     operators.fuzzy). Per micro-batch:
 
     1. gate (language/quality/stopword - identical narrow stages);
-    2. intra-batch exact self-join (``jaccard_prefix_join``) and keep
-       each duplicate group's min-id representative;
-    3. screen survivors against the PERSISTED POSTING STORE
+    2. screen the gated batch against the PERSISTED POSTING STORE
        (``jaccard_screen_vs_postings``): admitted docs' hash-order
        prefix postings were appended at their own admission and are
        NEVER recomputed - the corpus itself is read only for the
-       candidate rows the posting join surfaces (the first cut of
-       this function re-shingled and re-windowed the whole corpus
-       every batch, an O(corpus) recompute per trigger - review
-       finding; the remaining linear term is one columnar scan of
-       the store's 8-byte keys, pruneable by bucketing/indexing the
-       store);
-    4. id-level anti-join for crash-replay idempotence, then append
-       the POSTINGS FIRST and the corpus rows second: a crash
+       candidate rows the posting join surfaces. The store is
+       PARTITIONED by ``_bk = pmod(_hk, store_bucket_count)`` and the
+       screen prunes its read to the batch's own posting buckets (a
+       partition filter - the per-batch store cost tracks the batch's
+       bucket coverage, closing the path's last linear term); the
+       build threshold and bucket count live in the store's one-row
+       ``_meta`` sidecar, so the per-batch threshold guard is a tiny
+       sidecar read, not a second store scan (ADVICE r12). A legacy
+       store without the sidecar screens via the distinct-_p scan
+       once and writes the sidecar forward (unbucketed - rebuild to
+       bucket it).
+    3. id-level anti-join for crash-replay idempotence, then the
+       SEQUENTIAL intra-batch admission among the corpus-survivors:
+       greedy min-id-first over the exact pair graph
+       (operators.dedup.greedy_admission_drops), which equals
+       one-doc-at-a-time arrival in ascending-id order - screening
+       first matters, because a corpus-rejected doc is rejected under
+       any order and must not block a batch sibling, and the greedy
+       pass (not "drop the greater id of every pair") keeps c in the
+       chain a~b, b~c, a!~c after its only partner b is dropped
+       (ADVICE r12);
+    4. append the POSTINGS FIRST and the corpus rows second: a crash
        between the appends leaves orphan postings, which are
        harmless (the verify joins candidates back to CORPUS rows, so
        a posting with no corpus row can never reject anything, and a
        replay merely appends duplicate postings - deduped by the
-       screen's candidate distinct). The reverse order would leave
-       admitted docs WITHOUT postings after a crash: invisible to
-       every future screen, a silent recall hole.
+       screen's candidate distinct and reclaimed by
+       ``operators.fuzzy.compact_postings``). The reverse order would
+       leave admitted docs WITHOUT postings after a crash: invisible
+       to every future screen, a silent recall hole. On the FIRST
+       admission the ``_meta`` sidecar goes down before any postings,
+       so a crash at any point leaves a store whose contract is
+       already recorded.
+
+    The corpus probe is an explicit ``fs.exists`` (never a bare
+    except around the read): absence means first batch; a genuine
+    read error fails the micro-batch loudly instead of silently
+    skipping the screen and the idempotence anti-join (ADVICE r12).
 
     Similarity domain is word ``shingle_n``-gram sets
     (operators.dedup.word_shingles, pure Catalyst); docs too short to
     shingle cannot match anything and are admitted. Admission is
     ORDER-DEPENDENT across batches by design (first arrival wins) -
     the same contract every sequential admission policy has."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import greedy_admission_drops, word_shingles
     from ..operators.fuzzy import (
         jaccard_prefix_join,
         jaccard_prefix_postings,
         jaccard_screen_vs_postings,
+        read_postings_meta,
+        write_postings_meta,
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -258,42 +331,58 @@ def start_corpus_ingest_exact(
         )
         if gated.isEmpty():
             return
+        # materialize ONCE: the screen references the batch three
+        # times (its postings, its token arrays, the anti-join) and
+        # each reference would otherwise re-run the shingle chain -
+        # the branch-count-vs-recompute regression the dedup-first
+        # tier's first cut already paid for (review-caught)
         toks = gated.withColumn(
             "_toks", word_shingles(text_col, shingle_n)
         ).localCheckpoint()
-        # intra-batch: min-id representative per exact-duplicate group
-        pairs = jaccard_prefix_join(
-            toks, id_col, "_toks", jaccard_threshold
-        )
-        doomed = pairs.select(
-            F.greatest("id_a", "id_b").alias(id_col)
-        ).distinct()
-        # materialize ONCE: the screen references the batch three
-        # times (its postings, its token arrays, the anti-join) and
-        # each reference would otherwise re-run the intra-batch
-        # prefix self-join - the branch-count-vs-recompute regression
-        # the dedup-first tier's first cut already paid for
-        # (review-caught)
-        batch_unique = toks.join(doomed, id_col, "left_anti").localCheckpoint()
-        # the corpus and store reads are INDEPENDENT (review finding:
-        # coupling them in one try/except let a missing or
-        # zero-part-file store silently disable the corpus anti-join
-        # too, re-admitting duplicate ids on crash replay)
-        try:
-            corpus = spark.read.parquet(corpus_dir)
-            corpus.head(1)
-        except Exception:  # noqa: BLE001 - first batch: no corpus yet
-            corpus = None
-        if corpus is not None:
-            # explicit schema: a store holding only unshingleable
-            # admissions has zero part files, which is a LEGITIMATE
-            # state (nothing to screen against), not an inference
-            # error; a MISSING store next to an existing corpus is
+        idt = toks.schema[id_col].dataType.simpleString()
+        # the store's contract (threshold, bucket layout) is resolved
+        # from ITS OWN sidecar whenever the store exists - never from
+        # this call's parameters, which a restart may have changed; a
+        # threshold drift must fail loud even on the crash-window
+        # replay where the corpus append never landed
+        store_exists = _dir_exists(spark, postings_dir)
+        meta = read_postings_meta(spark, postings_dir) if store_exists else None
+        if store_exists:
+            buckets = meta["buckets"] if meta is not None else None
+            if meta is None:
+                # no sidecar = legacy UNBUCKETED store; if the layout
+                # is actually partitioned the sidecar was LOST, and
+                # appending unbucketed rows would shear the layout -
+                # corruption, fail loud
+                p = spark._jvm.org.apache.hadoop.fs.Path(postings_dir)
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                if any(
+                    st.getPath().getName().startswith("_bk=")
+                    for st in fs.listStatus(p)
+                ):
+                    raise ValueError(
+                        "start_corpus_ingest_exact: posting store at "
+                        f"{postings_dir} is _bk-partitioned but its "
+                        "_meta sidecar is missing - restore the "
+                        "sidecar (write_postings_meta with the "
+                        "original threshold and bucket count) before "
+                        "resuming"
+                    )
+        else:
+            buckets = store_bucket_count
+        p_req = round(jaccard_threshold * 1_000_000)
+        if meta is not None and meta["p_num"] != p_req:
+            raise ValueError(
+                "start_corpus_ingest_exact: posting store at "
+                f"{postings_dir} was built at threshold "
+                f"p={meta['p_num']}/1e6, ingest requested p={p_req}/1e6 "
+                "- rebuild the store or ingest at its threshold"
+            )
+        if _dir_exists(spark, corpus_dir):
+            # a MISSING store next to an existing corpus is
             # corruption/migration and must fail loud, never screen
             # nothing silently
-            probe = spark._jvm.org.apache.hadoop.fs.Path(postings_dir)
-            fs = probe.getFileSystem(spark._jsc.hadoopConfiguration())
-            if not fs.exists(probe):
+            if not store_exists:
                 raise ValueError(
                     "start_corpus_ingest_exact: corpus exists at "
                     f"{corpus_dir} but the posting store "
@@ -302,23 +391,30 @@ def start_corpus_ingest_exact(
                     "resuming (screening without it would silently "
                     "admit duplicates)"
                 )
-            idt = batch_unique.schema[id_col].dataType.simpleString()
-            store = spark.read.schema(
-                f"_id {idt}, _n int, _hk bigint, _p int"
-            ).parquet(postings_dir)
+            corpus = spark.read.schema(gated.schema).parquet(corpus_dir)
+            # explicit schema: a store holding only unshingleable
+            # admissions has zero part files, which is a LEGITIMATE
+            # state (nothing to screen against), not an inference
+            # error
+            schema = f"_id {idt}, _n int, _hk bigint, _p int"
+            if buckets is not None:
+                schema += ", _bk int"
+            store = spark.read.schema(schema).parquet(postings_dir)
             corpus_toks = corpus.select(
                 id_col,
                 word_shingles(text_col, shingle_n).alias("_toks"),
             )
             hits = jaccard_screen_vs_postings(
-                batch_unique.select(id_col, "_toks"),
+                toks.select(id_col, "_toks"),
                 store,
                 corpus_toks,
                 id_col,
                 "_toks",
                 jaccard_threshold,
+                store_p_num=None if meta is None else meta["p_num"],
+                store_buckets=buckets,
             )
-            batch_unique = batch_unique.join(
+            survivors = toks.join(
                 hits.select(F.col("right_id").alias(id_col)).distinct(),
                 id_col,
                 "left_anti",
@@ -327,16 +423,47 @@ def start_corpus_ingest_exact(
             # re-append even if the similarity screen would admit -
             # this anti-join runs whenever the CORPUS exists,
             # independent of the store's state
-            batch_unique = batch_unique.join(
+            survivors = survivors.join(
                 corpus.select(id_col), id_col, "left_anti"
+            ).localCheckpoint()
+            if meta is None:
+                # legacy store: the distinct-_p scan above validated
+                # the threshold; record it so future batches read the
+                # sidecar instead (buckets stays None - the layout on
+                # disk is unbucketed and appends must match it)
+                write_postings_meta(
+                    spark, postings_dir, jaccard_threshold, buckets=None
+                )
+        else:
+            survivors = toks
+        # sequential intra-batch admission among the survivors: pairs
+        # restricted to survivor endpoints is exact (a corpus-rejected
+        # or already-admitted endpoint never blocks anyone)
+        pairs = jaccard_prefix_join(
+            survivors, id_col, "_toks", jaccard_threshold
+        )
+        doomed = greedy_admission_drops(pairs).withColumnRenamed(
+            "id", id_col
+        )
+        admitted = survivors.join(doomed, id_col, "left_anti").localCheckpoint()
+        if not store_exists:
+            # sidecar BEFORE any postings: a crash right after leaves
+            # a store that is empty but already carries its contract
+            write_postings_meta(
+                spark, postings_dir, jaccard_threshold,
+                buckets=store_bucket_count,
             )
-        admitted = batch_unique.localCheckpoint()
-        jaccard_prefix_postings(
+        new_postings = jaccard_prefix_postings(
             admitted.select(id_col, "_toks"),
             id_col,
             "_toks",
             jaccard_threshold,
-        ).write.mode("append").parquet(postings_dir)
+            bucket_by=buckets,
+        )
+        writer = new_postings.write.mode("append")
+        if buckets is not None:
+            writer = writer.partitionBy("_bk")
+        writer.parquet(postings_dir)
         admitted.drop("_toks").write.mode("append").parquet(corpus_dir)
 
     return (

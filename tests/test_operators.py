@@ -311,6 +311,56 @@ def test_dedup_keep_representatives(spark) -> None:
     assert kept == [1, 7, 9]  # component minima + untouched doc
 
 
+def test_greedy_admission_drops_chain_semantics(spark) -> None:
+    """The sequential min-id-first admission (ADVICE r12): on a chain
+    a~b, b~c with a!~c, b is rejected (similar to the kept a) but c is
+    KEPT - its only similar partner b was itself dropped.
+    "Drop greatest(id) of every pair" would wrongly discard c too.
+    A 4-chain alternates keep/drop; a clique keeps only its min; an
+    isolated pair keeps its min; components don't cross-talk."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3),            # chain: keep 1, 3
+            (10, 11), (10, 12), (11, 12),  # clique: keep 10
+            (20, 21), (21, 22), (22, 23),  # 4-chain: keep 20, 22
+            (30, 31),                  # pair: keep 30
+        ],
+        ["id_a", "id_b"],
+    )
+    dropped = sorted(r.id for r in D.greedy_admission_drops(pairs).collect())
+    assert dropped == [2, 11, 12, 21, 23, 31]
+
+
+def test_greedy_admission_matches_bruteforce(spark) -> None:
+    """Property check vs a driver-side replay of the sequential
+    semantics on a random graph: a node is dropped iff some smaller
+    KEPT neighbor exists, processing ids ascending."""
+    import random
+
+    rng = random.Random(17)
+    nodes = list(range(40))
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(60)
+        }
+    )
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    kept: set = set()
+    expect_drop = []
+    for n in sorted(adj):
+        if adj[n] & kept:
+            expect_drop.append(n)
+        else:
+            kept.add(n)
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = sorted(r.id for r in D.greedy_admission_drops(pairs).collect())
+    assert got == expect_drop
+
+
 def test_minhash_signature_estimates_jaccard(spark) -> None:
     """MinHash property: fraction of agreeing signature positions
     estimates true Jaccard (deterministic here - fixed texts, fixed
@@ -2363,14 +2413,23 @@ _JPEG_TEST_ZZ = [
 ]
 
 
-def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None):
+def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None,
+                  adobe_transform=None):
     """Shared forward path of the spec-written test encoders (baseline
     AND progressive emit the SAME quantized coefficients; only the
     entropy layering differs): color transform, subsampling, MCU pad,
     direct-sum FDCT (4 nested loops, deliberately structure-distinct
     from the decoder's separable matrix IDCT), quantization, and the
     predicted reconstruction a correct decoder must produce (its own
-    direct-sum IDCT over the encoder's quantized coefficients)."""
+    direct-sum IDCT over the encoder's quantized coefficients).
+
+    A (h, w, 4) input is INK coverage (0 = no ink) and requires
+    ``adobe_transform`` 0 (literal CMYK) or 2 (YCCK): samples are
+    stored Adobe-INVERTED (255 - ink), transform=2 additionally runs
+    the YCbCr forward transform over the first three stored planes
+    (T-REC-T.872 / Adobe TN 5116). ``predicted`` is then the ink-space
+    reconstruction (4, h, w) matching the decoder's mean-ink
+    semantics."""
     import numpy as np
 
     px = np.asarray(px, dtype=np.float64)
@@ -2413,7 +2472,25 @@ def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None):
         return out
 
     # ---- color transform + subsampling
-    if gray:
+    cmyk = px.ndim == 3 and px.shape[2] == 4
+    if cmyk:
+        assert adobe_transform in (0, 2)
+        inv = 255.0 - px  # Adobe-inverted stored samples
+        c_, m_, y_, k_ = (inv[..., i] for i in range(4))
+        if adobe_transform == 2:  # YCCK over the stored planes
+            yl = 0.299 * c_ + 0.587 * m_ + 0.114 * y_
+            cb = 128.0 - 0.168735892 * c_ - 0.331264108 * m_ + 0.5 * y_
+            cr = 128.0 + 0.5 * c_ - 0.418687589 * m_ - 0.081312411 * y_
+            planes4 = [yl, cb, cr, k_]
+        else:
+            planes4 = [c_, m_, y_, k_]
+        comps = [
+            {"plane": planes4[0], "h": 1, "v": 1, "q": q_luma, "tq": 0},
+            {"plane": planes4[1], "h": 1, "v": 1, "q": q_chroma, "tq": 1},
+            {"plane": planes4[2], "h": 1, "v": 1, "q": q_chroma, "tq": 1},
+            {"plane": planes4[3], "h": 1, "v": 1, "q": q_luma, "tq": 0},
+        ]
+    elif gray:
         comps = [{"plane": px, "h": 1, "v": 1, "q": q_luma, "tq": 0}]
     else:
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
@@ -2475,7 +2552,23 @@ def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None):
         out = np.repeat(out, vmax // c["v"], axis=0)
         out = np.repeat(out, hmax // c["h"], axis=1)
         recon.append(out[:h, :w])
-    if gray:
+    if cmyk:
+        if adobe_transform == 2:
+            yy, cbu, cru, kk = recon
+            cbu = cbu - 128.0
+            cru = cru - 128.0
+            stored = np.stack(
+                [
+                    yy + 1.402 * cru,
+                    yy - 0.344136 * cbu - 0.714136 * cru,
+                    yy + 1.772 * cbu,
+                    kk,
+                ]
+            )
+        else:
+            stored = np.stack(recon)
+        predicted = 255.0 - np.clip(np.round(stored), 0, 255)  # ink space
+    elif gray:
         predicted = np.clip(np.round(recon[0]), 0, 255)
     else:
         yy, cbu, cru = recon
@@ -2495,7 +2588,7 @@ def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None):
             255,
         )
     return {
-        "comps": comps, "gray": gray, "h": h, "w": w,
+        "comps": comps, "gray": gray, "cmyk": cmyk, "h": h, "w": w,
         "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
         "q_luma": q_luma, "q_chroma": q_chroma, "predicted": predicted,
     }
@@ -2545,7 +2638,7 @@ def _jpeg_seg(marker, payload):
 
 
 def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
-                          restart_interval=0):
+                          restart_interval=0, adobe_transform=None):
     """Independent spec-written BASELINE JPEG encoder (ITU-T T.81
     annexes B/F), the differential counterpart of
     operators.multimodal._decode_jpeg_pixels - shares no code with the
@@ -2554,14 +2647,17 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
     all-ones code as the spec's table generator guarantees), its own
     bit packer with FF00 stuffing and RSTn emission.
 
-    px: uint8 (h, w) grayscale or (h, w, 3) RGB. sampling: "1x1"
-    (4:4:4) or "2x2" (4:2:0, box-averaged chroma). Returns (bytes,
-    predicted_pixels): the byte stream AND the reconstruction a
-    correct decoder must produce, computed from the encoder's OWN
-    quantized coefficients via an independent inverse DCT."""
+    px: uint8 (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) CMYK ink
+    (requires ``adobe_transform`` 0 or 2 - emits the Adobe APP14
+    marker instead of JFIF, samples stored inverted, 4:4:4). sampling:
+    "1x1" (4:4:4) or "2x2" (4:2:0, box-averaged chroma). Returns
+    (bytes, predicted_pixels): the byte stream AND the reconstruction
+    a correct decoder must produce, computed from the encoder's OWN
+    quantized coefficients via an independent inverse DCT (ink space
+    for CMYK)."""
     import struct
 
-    fw = _jpeg_forward(px, sampling, q_luma, q_chroma)
+    fw = _jpeg_forward(px, sampling, q_luma, q_chroma, adobe_transform)
     comps, gray = fw["comps"], fw["gray"]
     h, w = fw["h"], fw["w"]
     mcus_x, mcus_y = fw["mcus_x"], fw["mcus_y"]
@@ -2614,6 +2710,9 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
                         cur.append((ci, "ac", sym, ex, nb))
         mcu_syms.append(cur)
 
+    # table GROUP follows the component's quant-table id (0 = luma-
+    # class for Y and the CMYK K plane, 1 = chroma-class) - identical
+    # to the old first-vs-rest mapping for gray/RGB inputs
     build_table = _jpeg_build_table
     tables = {}
     for kind in ("dc", "ac"):
@@ -2622,7 +2721,7 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
                 s
                 for mcu in mcu_syms
                 for (ci, k, s, _e, _n) in mcu
-                if k == kind and (0 if ci == 0 else 1) == grp
+                if k == kind and comps[ci]["tq"] == grp
             ]
             if syms:
                 tables[(kind, grp)] = build_table(syms)
@@ -2639,7 +2738,7 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
             rst_n = (rst_n + 1) % 8
             bw = BitWriter()
         for ci, kind, sym, extra, nbits in cur:
-            grp = 0 if ci == 0 else 1
+            grp = comps[ci]["tq"]
             L, code = tables[(kind, grp)][2][sym]
             bw.put(code, L)
             if nbits:
@@ -2651,7 +2750,14 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
     seg = _jpeg_seg
 
     out = b"\xff\xd8"
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if fw["cmyk"]:
+        # Adobe APP14: "Adobe" + version + flags0 + flags1 + transform
+        out += seg(
+            0xEE,
+            b"Adobe" + struct.pack(">HHHB", 100, 0, 0, adobe_transform),
+        )
+    else:
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0]) + bytes(q_luma))
     if not gray:
         out += seg(0xDB, bytes([1]) + bytes(q_chroma))
@@ -2666,7 +2772,7 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
     for i, c in enumerate(comps):
-        grp = 0 if i == 0 else 1
+        grp = c["tq"]
         sos += bytes([i + 1, (grp << 4) | grp])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
@@ -3016,6 +3122,69 @@ def test_decode_media_jpeg_baseline_pixels(spark) -> None:
     r = got["ent_trunc"]
     assert r.modality_detected == "image/jpeg"
     assert (r.width, r.height) == (13, 21)
+    assert r.mean_value is None
+
+
+def test_decode_media_jpeg_cmyk_pixels(spark) -> None:
+    """REAL Adobe CMYK/YCCK JPEG pixel decode (VERDICT r12 item 5):
+    4-component payloads written by the spec encoder (APP14 marker,
+    inverted-ink storage per T-REC-T.872 / Adobe TN 5116) come back
+    with mean_value = mean INK COVERAGE. Covers: transform=0 literal
+    CMYK with constant blocks (exact round trip by construction -
+    stored samples at even offsets from 128 quantize losslessly),
+    textured transform=0, textured transform=2 YCCK (the YCbCr
+    forward/inverse pair over the stored planes) - each to the
+    encoder's own predicted ink reconstruction at 1e-9 - and the
+    honesty gate: a 4-component frame WITHOUT the APP14 declaration
+    keeps real header metadata (n_channels=4) with NULL mean."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(21)
+    # constant 8x8 blocks, ODD ink values: stored = 255 - ink is even-
+    # offset from 128, so DC quantizes exactly (q=16) and AC is zero
+    vals = (rng.integers(-60, 60, size=(2, 3, 4)) * 2 + 127).astype(np.uint8)
+    dc_only = np.kron(vals, np.ones((8, 8, 1), dtype=np.uint8))
+    textured = rng.integers(0, 256, size=(13, 21, 4)).astype(np.uint8)
+
+    payloads = {
+        # q=16 on ALL planes: even stored offsets quantize exactly
+        "cmyk_dc": _encode_jpeg_baseline(
+            dc_only, adobe_transform=0, q_chroma=[16] * 64
+        ),
+        "cmyk_tex": _encode_jpeg_baseline(textured, adobe_transform=0),
+        "ycck_tex": _encode_jpeg_baseline(textured, adobe_transform=2),
+    }
+    rows = [(k, "image", bytearray(b)) for k, (b, _p) in payloads.items()]
+    # strip the APP14 segment (16 bytes right after SOI): the frame
+    # no longer declares its component space
+    full = payloads["cmyk_tex"][0]
+    assert full[2:4] == b"\xff\xee"
+    rows.append(("no_app14", "image", bytearray(full[:2] + full[18:])))
+    assets = spark.createDataFrame(
+        rows, "asset_id string, modality string, content binary"
+    )
+    got = {r.asset_id: r for r in decode_media(assets).collect()}
+
+    assert got["cmyk_dc"].mean_value == float(dc_only.mean())  # exact
+    for k, (w, h) in {
+        "cmyk_dc": (24, 16), "cmyk_tex": (21, 13), "ycck_tex": (21, 13),
+    }.items():
+        r = got[k]
+        assert r.modality_detected == "image/jpeg", k
+        assert (r.width, r.height, r.n_channels) == (w, h, 4), k
+        predicted = float(payloads[k][1].mean())
+        assert r.mean_value is not None, k
+        assert abs(r.mean_value - predicted) < 1e-9, (
+            k, r.mean_value, predicted,
+        )
+    # undeclared 4-component frame: honest header-only fallback
+    r = got["no_app14"]
+    assert r.modality_detected == "image/jpeg"
+    assert (r.width, r.height, r.n_channels) == (21, 13, 4)
     assert r.mean_value is None
 
 
@@ -3702,3 +3871,42 @@ def test_skipping_index_escaped_partition_values(spark, tmp_path) -> None:
     assert sorted(r.k for r in got.collect()) == sorted(
         r.k for r in full.collect()
     )
+
+def test_skipping_index_ambiguous_names_degrade_read_only(spark, tmp_path) -> None:
+    """ADVICE r12: percent-ambiguous file names (a literal 'a%20b'
+    next to 'a b') break the index's file-identity contract. The READ
+    path must degrade to the correct full scan (merely unpruned - a
+    read must never be worse than not having the index); the
+    build/refresh path keeps the loud failure (an index row would be
+    silently shadowed)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from etl_marketdata_downloader_archived_spark.io import (
+        AmbiguousFileIdentityError,
+        build_skipping_index,
+        read_with_skipping,
+        refresh_skipping_index,
+    )
+
+    table = tmp_path / "amb_tbl"
+    idx = str(tmp_path / "amb_idx")
+    df = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    df.coalesce(1).write.parquet(str(table))
+    build_skipping_index(spark, str(table), idx, ["k"])
+
+    # introduce the ambiguous pair AFTER the build: 'x y.parquet'
+    # and 'x%20y.parquet' canonicalize to the same URI
+    part = next(p for p in table.iterdir() if p.suffix == ".parquet")
+    shutil.copy(part, table / "x y.parquet")
+    shutil.copy(part, table / "x%20y.parquet")
+
+    got = read_with_skipping(spark, str(table), idx, "k", 5, 9)
+    full = spark.read.parquet(str(table)).filter(F.col("k").between(5, 9))
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in full.collect()
+    )  # degraded, correct, no raise
+
+    with _pytest.raises(AmbiguousFileIdentityError, match="ambiguous"):
+        refresh_skipping_index(spark, str(table), idx)

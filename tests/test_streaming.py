@@ -2252,3 +2252,244 @@ def test_exact_admission_missing_store_fails_loud(spark, tmp_path) -> None:
         pass
     exc = q.exception()
     assert exc is not None and "posting store" in str(exc)
+
+def test_exact_admission_crash_between_appends_heals(spark, tmp_path) -> None:
+    """Crash-order pinning (VERDICT r12): a crash BETWEEN the two
+    appends leaves ORPHAN postings (postings-first order). On replay
+    the orphan must not reject its own doc (the verify joins
+    candidates back to CORPUS rows, and the doc is not in the corpus),
+    so the doc is admitted; afterward a near-dup of it IS rejected.
+    The reverse order (corpus-first) would leave the doc invisible to
+    every future screen - the permanent silent recall hole."""
+    from etl_marketdata_downloader_archived_spark.operators.dedup import (
+        word_shingles,
+    )
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        jaccard_prefix_postings,
+        write_postings_meta,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_exact,
+    )
+
+    doc_x = ("the quick brown fox jumps over the lazy dog near the river "
+             "bank every single day without fail in all weather")
+    cdir, pdir = str(tmp_path / "cr_corpus"), str(tmp_path / "cr_postings")
+
+    # simulate the crashed batch: sidecar + postings landed, corpus
+    # row did NOT (exactly the state a kill between the appends leaves)
+    write_postings_meta(spark, pdir, 0.7, buckets=64)
+    orphan = spark.createDataFrame([(5, doc_x)], "doc_id long, text string")
+    jaccard_prefix_postings(
+        orphan.select("doc_id", word_shingles("text", 3).alias("_toks")),
+        "doc_id", "_toks", 0.7, bucket_by=64,
+    ).write.mode("append").partitionBy("_bk").parquet(pdir)
+
+    src = tmp_path / "cr_src"
+    src.mkdir()
+
+    def run() -> None:
+        raw = spark.readStream.format("text").load(str(src))
+        docs = raw.select(
+            F.from_json("value", "doc_id LONG, text STRING").alias("j")
+        ).select("j.*")
+        q = start_corpus_ingest_exact(
+            docs, corpus_dir=cdir, postings_dir=pdir,
+            checkpoint_dir=str(tmp_path / "cr_ckpt"),
+            jaccard_threshold=0.7,
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+
+    # the replayed batch re-delivers doc 5: orphan postings must not
+    # block it, and the store dedups nothing silently
+    (src / "b1.json").write_text(json.dumps({"doc_id": 5, "text": doc_x}))
+    run()
+    ids = sorted(r.doc_id for r in spark.read.parquet(cdir).collect())
+    assert ids == [5]  # admitted despite its own orphan postings
+
+    # the screen is WHOLE: a later near-dup of doc 5 is rejected
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 9, "text": doc_x + " indeed"})
+    )
+    run()
+    ids = sorted(r.doc_id for r in spark.read.parquet(cdir).collect())
+    assert ids == [5]
+
+
+def test_neardup_ingest_crash_between_appends_heals(spark, tmp_path) -> None:
+    """Same crash-order pinning for the near-dup variant (the r12
+    verdict's top item: it had the appends REVERSED, so this exact
+    scenario silently lost the doc's postings forever)."""
+    from etl_marketdata_downloader_archived_spark.operators.dedup import (
+        band_postings,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_neardup,
+    )
+
+    doc_x = ("the quick brown fox jumps over the lazy dog near the river "
+             "bank every single day without fail in all weather")
+    cdir, pdir = str(tmp_path / "nc_corpus"), str(tmp_path / "nc_postings")
+
+    # crashed-batch state: postings landed, corpus row did not
+    orphan = spark.createDataFrame([(5, doc_x)], "doc_id long, text string")
+    band_postings(orphan, "doc_id", "text").write.mode("append").parquet(pdir)
+
+    src = tmp_path / "nc_src"
+    src.mkdir()
+
+    def run() -> None:
+        raw = spark.readStream.format("text").load(str(src))
+        docs = raw.select(
+            F.from_json("value", "doc_id LONG, text STRING").alias("j")
+        ).select("j.*")
+        q = start_corpus_ingest_neardup(
+            docs, corpus_dir=cdir, postings_dir=pdir,
+            checkpoint_dir=str(tmp_path / "nc_ckpt"),
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+
+    (src / "b1.json").write_text(json.dumps({"doc_id": 5, "text": doc_x}))
+    run()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(cdir).collect()
+    ) == [5]
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 9, "text": doc_x + " indeed"})
+    )
+    run()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(cdir).collect()
+    ) == [5]
+
+
+def test_neardup_ingest_missing_store_fails_loud(spark, tmp_path) -> None:
+    """ADVICE r12 propagation: a corpus WITHOUT its posting store must
+    fail loud in the near-dup variant too (the bare-except absence
+    probe silently screened against nothing)."""
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_neardup,
+    )
+
+    good = ("the pipeline keeps many useful english words with plenty of "
+            "variety so the quality gate and the language gate both pass")
+    spark.createDataFrame(
+        [(1, good, "en", 0.9, 0.2, "fp1")],
+        "doc_id long, text string, lang_guess string, quality double, "
+        "sw_ratio double, fp string",
+    ).write.parquet(str(tmp_path / "ml_corpus"))
+
+    src = tmp_path / "ml_src"
+    src.mkdir()
+    (src / "b.json").write_text(json.dumps({"doc_id": 2, "text": good}))
+    raw = spark.readStream.format("text").load(str(src))
+    docs = raw.select(
+        F.from_json("value", "doc_id LONG, text STRING").alias("j")
+    ).select("j.*")
+    q = start_corpus_ingest_neardup(
+        docs,
+        corpus_dir=str(tmp_path / "ml_corpus"),
+        postings_dir=str(tmp_path / "ml_postings"),
+        checkpoint_dir=str(tmp_path / "ml_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:  # noqa: BLE001 - surfaced via exception() below
+        pass
+    exc = q.exception()
+    assert exc is not None and "posting store" in str(exc)
+
+
+def test_exact_admission_unreadable_corpus_fails_batch(spark, tmp_path) -> None:
+    """ADVICE r12 (medium): a corpus that EXISTS but cannot be read
+    (corrupt footer standing in for any transient IO failure) must
+    FAIL the micro-batch - the old bare-except treated it as
+    'first batch, no corpus yet' and silently skipped both the
+    similarity screen and the replay anti-join."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        write_postings_meta,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_exact,
+    )
+
+    cdir = tmp_path / "ur_corpus"
+    cdir.mkdir()
+    (cdir / "part-00000.parquet").write_bytes(b"NOT A PARQUET FILE")
+    pdir = str(tmp_path / "ur_postings")
+    write_postings_meta(spark, pdir, 0.7, buckets=64)
+
+    src = tmp_path / "ur_src"
+    src.mkdir()
+    (src / "b.json").write_text(
+        json.dumps({"doc_id": 2, "text": "entirely new english words "
+                    "about the spark operators that clean the corpus"})
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    docs = raw.select(
+        F.from_json("value", "doc_id LONG, text STRING").alias("j")
+    ).select("j.*")
+    q = start_corpus_ingest_exact(
+        docs,
+        corpus_dir=str(cdir),
+        postings_dir=pdir,
+        checkpoint_dir=str(tmp_path / "ur_ckpt"),
+        jaccard_threshold=0.7,
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:  # noqa: BLE001 - surfaced via exception() below
+        pass
+    assert q.exception() is not None  # loud, not a silent skip
+    # and NOTHING was admitted into the broken corpus
+    assert sorted(os.listdir(cdir)) == ["part-00000.parquet"]
+
+
+def test_exact_admission_chain_keeps_non_matching_end(spark, tmp_path) -> None:
+    """Intra-batch sequential semantics at the INGEST level (ADVICE
+    r12): docs a~b and b~c arrive in one batch with a!~c. The greedy
+    admission keeps a AND c (b's rejection un-blocks c); the old
+    greatest-of-every-pair drop discarded both b and c."""
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_exact,
+    )
+
+    # shingle Jaccards (3-gram): a-mid 0.393, mid-c 0.314, a-c 0.0;
+    # all three pass the language/quality/stopword gates
+    mid = ("the quick brown fox jumps over the lazy dog near the river "
+           "bank every single day without fail in all weather today and "
+           "then some")
+    a = ("the quick brown fox jumps over the lazy dog near the river "
+         "bank while spark engines sort tables")
+    c = ("here the readers find all of the words in the prose so bank "
+         "every single day without fail in all weather today and then "
+         "some")
+    src = tmp_path / "ch_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": a})
+        + "\n" + json.dumps({"doc_id": 2, "text": mid})
+        + "\n" + json.dumps({"doc_id": 3, "text": c})
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    docs = raw.select(
+        F.from_json("value", "doc_id LONG, text STRING").alias("j")
+    ).select("j.*")
+    q = start_corpus_ingest_exact(
+        docs,
+        corpus_dir=str(tmp_path / "ch_corpus"),
+        postings_dir=str(tmp_path / "ch_postings"),
+        checkpoint_dir=str(tmp_path / "ch_ckpt"),
+        jaccard_threshold=0.3,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "ch_corpus")).collect()
+    )
+    assert ids == [1, 3]
