@@ -266,6 +266,56 @@ def band_postings(
     return lsh_bands(sigs, id_col, bands, num_hashes)
 
 
+def write_band_meta(
+    spark,
+    postings_dir: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    jaccard_threshold: float,
+) -> None:
+    """Persist a band-posting store's build parameters as a one-row
+    parquet sidecar at ``<postings_dir>/_meta`` (underscore-hidden
+    from store reads, travels with the directory) - the LSH twin of
+    ``operators.fuzzy.write_postings_meta``. Band postings are only
+    comparable when BOTH sides hash with the same (num_hashes, bands,
+    shingle_n): screening a store built under different parameters
+    produces near-zero band collisions and silently admits
+    duplicates of the whole corpus, which is strictly worse than
+    failing. The ingest validates this sidecar every batch (one tiny
+    parquet footer, never a store scan)."""
+    q_den = 1_000_000
+    p_num = round(jaccard_threshold * q_den)
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_n, p_num, q_den)],
+        "_num_hashes int, _bands int, _shingle_n int, _p int, _q int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        postings_dir.rstrip("/") + "/_meta"
+    )
+
+
+def read_band_meta(spark, postings_dir: str) -> dict | None:
+    """Read the band-store ``_meta`` sidecar, or None when the store
+    predates it (legacy - the caller may write it forward). A
+    present-but-unreadable sidecar raises: corruption, not absence."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    p = jvm_path(postings_dir.rstrip("/") + "/_meta")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    row = spark.read.parquet(postings_dir.rstrip("/") + "/_meta").first()
+    if row is None or row["_q"] != 1_000_000:
+        raise ValueError(
+            f"band-store _meta at {postings_dir} is corrupt: {row}"
+        )
+    return {
+        "num_hashes": row["_num_hashes"],
+        "bands": row["_bands"],
+        "shingle_n": row["_shingle_n"],
+        "p_num": row["_p"],
+    }
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     postings: DataFrame,

@@ -1,0 +1,467 @@
+"""Round-13 analytics extensions - registered past the certified
+window (parity-verified locally by tools/parity.py, the driver's
+identical check, no certificate).
+
+Same cross-engine exactness discipline as the earlier analytics
+batteries: corpus-sized reductions stay integer (gate comparisons are
+cross-multiplied integer tests, never float thresholds), selections
+instead of interpolations, and any final float is ONE fixed IEEE
+expression over exact integers, so the DuckDB oracles replay each
+query bit-for-bit with no rounding tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import q
+
+_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+@q(
+    "dup_ngram_spans",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, {_WORDS} AS ws FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, len(ws) - 4),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        || ' ' || ws[i+3] || ' ' || ws[i+4]
+               )) AS t
+        FROM w WHERE len(ws) >= 5
+    ),
+    posts AS (SELECT doc_id, source, unnest(t) AS g FROM sh),
+    df AS (SELECT g, count(*) AS d FROM posts GROUP BY 1),
+    per_doc AS (
+        SELECT p.doc_id, any_value(p.source) AS source,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(*) FILTER (WHERE df.d >= 2) AS BIGINT) AS n_dup
+        FROM posts p JOIN df ON df.g = p.g
+        GROUP BY p.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_dup) AS BIGINT) AS dup_grams,
+           CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_grams) AS BIGINT)
+               AS dup_frac
+    FROM per_doc GROUP BY source
+    """,
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection - the substring tier of the dedup
+    stack (the signal behind suffix-array substring dedup in
+    'Deduplicating Training Data Makes Language Models Better', Lee
+    et al. 2022, recast as a distributed posting aggregation): a
+    word 5-gram appearing in >= 2 distinct documents is a DUPLICATED
+    SPAN, and a document's duplicated-gram fraction measures how much
+    of it is boilerplate/copied text even when no whole-document pair
+    crosses a Jaccard threshold. Output: per-source document count,
+    total/duplicated distinct-gram counts, and the duplicated
+    fraction (the per-source "how much of this crawl is recycled"
+    panel a corpus curator cuts on).
+
+    Scale shape: per-doc DISTINCT grams explode to a posting list
+    (linear in corpus tokens - the inverted-index discipline of
+    operators.ranking, never all-pairs); the document-frequency
+    aggregate and the posting-to-df join both shuffle on the gram
+    key, partial-aggregated map-side; per-doc and per-source rollups
+    are two further hash aggregates with tiny group state. A
+    hyper-common gram is a skew key in the JOIN only (its df row is
+    one record) - AQE skew splitting covers it, and the count-based
+    join carries no payload beyond the 2-bool flag. Exactness: every
+    count is bigint; dup_frac is the single IEEE division of two
+    bigints, identical in DuckDB."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 5)
+    # slice+zip (not per-index lambda): projection collapse would
+    # re-evaluate ws per element - same measured trap as the r11
+    # trigram builder
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.expr(
+                "transform(arrays_zip("
+                " slice(ws, 1, size(ws)-4), slice(ws, 2, size(ws)-4),"
+                " slice(ws, 3, size(ws)-4), slice(ws, 4, size(ws)-4),"
+                " slice(ws, 5, size(ws)-4)),"
+                " s -> concat_ws(' ', s['0'], s['1'], s['2'], s['3'],"
+                " s['4']))"
+            )
+        ).alias("t"),
+    )
+    posts = sh.select("doc_id", "source", F.explode("t").alias("g"))
+    df = posts.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
+    per_doc = (
+        posts.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("d") >= 2).alias("n_dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_dup").alias("dup_grams"),
+        (
+            F.sum("n_dup").cast("double") / F.sum("n_grams")
+        ).alias("dup_frac"),
+    )
+
+
+@q(
+    "gopher_rules",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_WORDS} AS ws FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_aggregate(list_transform(ws, x -> strlen(x)),
+                                   'sum') AS BIGINT) AS sum_len,
+               CAST(list_aggregate(list_transform(ws, x -> strlen(x)),
+                                   'max') AS BIGINT) AS max_len
+        FROM w WHERE len(ws) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE
+               n_words BETWEEN 50 AND 100000
+               AND sum_len >= 3 * n_words
+               AND sum_len <= 10 * n_words
+               AND max_len <= 20) AS BIGINT) AS n_pass,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(sum_len) AS BIGINT) AS total_chars
+    FROM m GROUP BY lang
+    """,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates (the repetition-free rule
+    subset of Rae et al. 2021's quality filtering, the standard
+    pre-training corpus cut): word count in [50, 100000] (the
+    authentic Gopher bound - the discriminating gate on short crawl
+    fragments), MEAN word length in [3, 10], no word over 20 characters. Output per
+    language: docs, docs passing all gates, total words/chars.
+
+    Exactness: the mean-word-length gate is evaluated as the
+    cross-multiplied INTEGER comparison 3*n <= sum_len <= 10*n -
+    no float mean ever decides a gate, so both engines agree on
+    every boundary document bit-for-bit. Scale shape: one narrow
+    projection (in-row array folds - aggregate/transform, no
+    explode), one hash aggregate on the language key; linear,
+    scan-bound, partial-aggregated."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    m = d.select(
+        "lang",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform("ws", F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.array_max(F.transform("ws", F.length)).cast("bigint").alias(
+            "max_len"
+        ),
+    )
+    gate = (
+        F.col("n_words").between(50, 100000)
+        & (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (F.col("max_len") <= 20)
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(gate).alias("n_pass"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("sum_len").alias("total_chars"),
+    )
+
+
+@q(
+    "group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL certification (the Spark 4 /
+    DuckDB convenience surface): grouping on every non-aggregate
+    select item and ordering on the full select list must plan
+    exactly as the explicit spelling - the oracle runs the SAME
+    clauses on DuckDB, so the certification is that both engines
+    resolve ALL to the same column set and the aggregate is
+    unchanged. Exactness: cents as bigint of round(price*100)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_gba_orders_r13"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM _gba_orders_r13
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@q(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_discounted,
+           CAST(sum(CAST(l_quantity AS BIGINT))
+                FILTER (WHERE l_tax > 0.03) AS BIGINT) AS taxed_qty,
+           CAST(count(DISTINCT l_suppkey)
+                FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS r_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clause certification (SQL:2003
+    T612, the per-aggregate predicate surface): three aggregates over
+    three DIFFERENT row subsets in ONE grouping pass - count under
+    one predicate, sum under another, distinct-count under a third -
+    must equal the same clauses on DuckDB. The planner folds each
+    filter into the aggregate's update condition (one scan, one
+    shuffle - not three self-joined subqueries, which is what the
+    clause exists to replace). Exactness: quantities are
+    integral-valued doubles cast to bigint before summing."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_afc_lineitem_r13"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               CAST(sum(CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_tax > 0.03) AS BIGINT) AS taxed_qty,
+               count(DISTINCT l_suppkey)
+                    FILTER (WHERE l_returnflag = 'R') AS r_suppliers
+        FROM _afc_lineitem_r13 GROUP BY l_returnflag
+        """
+    )
+
+
+@q(
+    "win_ignore_nulls",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS us,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                    ELSE CAST(round(value * 100) AS BIGINT) END AS v
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT user_id, event_id, us, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried,
+           lead(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+           ) AS next_obs
+    FROM e
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window certification (SQL:2008 null treatment in
+    navigation functions): last_value(...) IGNORE NULLS over a
+    running frame is the canonical observation-carried-forward fill
+    (the gap-fill primitive under resample_ffill), and lead(...)
+    IGNORE NULLS is next-observation lookahead. Every third event's
+    value is nulled BY RULE (event_id % 3 - same derivation on both
+    engines), so the null pattern is deterministic, and the window
+    order (us, event_id) is a unique total order - no peer ambiguity.
+    Spark spells the treatment as a postfix clause, DuckDB inside the
+    call; the certification is that both compute the same
+    skip-the-nulls semantics row for row. Exactness: values become
+    bigint cents before any window touches them."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "_inw_events_r13"
+    )
+    return spark.sql(
+        """
+        WITH e AS (
+            SELECT user_id, event_id,
+                   unix_micros(cast(ts as timestamp)) AS us,
+                   CASE WHEN event_id % 3 = 0 THEN NULL
+                        ELSE CAST(round(value * 100) AS BIGINT) END AS v
+            FROM _inw_events_r13
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT user_id, event_id, us, v,
+               last_value(v) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS carried,
+               lead(v) IGNORE NULLS OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+               ) AS next_obs
+        FROM e
+        """
+    )
+
+
+@q(
+    "distinct_on_topn",
+    oracle="""
+    SELECT DISTINCT ON (user_id, event_type)
+           user_id, event_type,
+           event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id IS NOT NULL
+    ORDER BY user_id, event_type, round(value * 100) DESC, event_id
+    """,
+)
+def distinct_on_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON equivalence certification: the
+    one-row-per-group-by-explicit-order surface (PostgreSQL/DuckDB
+    DISTINCT ON) against its standard-SQL desugaring - row_number()
+    over the same (partition, order) = 1. The tie-break chain
+    (value DESC, then event_id) is a unique total order, so both
+    engines must pick the identical representative row per
+    (user, event_type). Spark has no DISTINCT ON; the desugared
+    window IS the Spark spelling, and Catalyst plans it as
+    WindowGroupLimit (rank pushdown - top-1 per group never
+    materializes full partitions)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        cents.desc(), F.col("event_id")
+    )
+    return (
+        e.select(
+            "user_id", "event_type", "event_id", cents.alias("cents"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@q(
+    "asof_native_sql",
+    oracle="""
+    WITH clicks AS (
+        SELECT DISTINCT ON (user_id, ts)
+               user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+        ORDER BY user_id, ts, event_id DESC
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+    )
+    SELECT p.user_id,
+           p.event_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS us,
+           c.event_id AS click_id,
+           c.cents AS click_cents,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_native_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join vs a NATIVE ASOF JOIN oracle: the engine's
+    operators.joins.asof_join (union -> one shuffle -> running
+    last(ignorenulls) window) replayed against DuckDB's built-in
+    ASOF LEFT JOIN - a STRONGER certification than the merge_asof
+    pytest differential, because the oracle is an independent
+    engine's dedicated join operator, not another formulation of the
+    same window idea. Backward inclusive (latest click at or before
+    each purchase, per user); right side deduplicated to one row per
+    (user, ts) by max event_id FIRST on both engines, so the as-of
+    tie-break never decides a row and the match is a pure time
+    lookup. Unmatched purchases keep NULL click columns (LEFT
+    semantics both sides)."""
+    from ..operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            "user_id", "ts", "event_id", cents.alias("cents"),
+            F.row_number()
+            .over(
+                W.partitionBy("user_id", "ts").orderBy(
+                    F.col("event_id").desc()
+                )
+            )
+            .alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["event_id", "cents", "ts"],
+        direction="backward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.col("asof_event_id").alias("click_id"),
+        F.col("asof_cents").alias("click_cents"),
+        F.expr("unix_micros(cast(asof_ts as timestamp))").alias(
+            "click_us"
+        ),
+    )

@@ -45,6 +45,7 @@ _MODULE_ORDER = [
     "analytics_r10",
     "analytics_r11",
     "analytics_r12",
+    "analytics_r13",
 ]
 _SEQ: dict[str, tuple[int, int]] = {}
 _counter = 0
@@ -113,5 +114,6 @@ def _load_batteries() -> None:
     from . import analytics_r10  # noqa: F401  (round-10 extensions, past window)
     from . import analytics_r11  # noqa: F401  (round-11 extensions, past window)
     from . import analytics_r12  # noqa: F401  (round-12 extensions, past window)
+    from . import analytics_r13  # noqa: F401  (round-13 extensions, past window)
 
     _loaded = True

@@ -112,6 +112,9 @@ def start_corpus_ingest_neardup(
     min_quality: float = 0.5,
     languages: tuple[str, ...] = ("en",),
     max_stopword_ratio: float = 0.9,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
 ) -> StreamingQuery:
     """Streaming ingest with NEAR-dup admission against the persistent
     corpus: per micro-batch, gate the new docs, screen them against
@@ -145,12 +148,24 @@ def start_corpus_ingest_neardup(
     are INDEPENDENT fs.exists probes: a corpus without its store fails
     loud (screening against nothing would admit duplicates of the
     whole corpus), and a genuine read error fails the batch instead of
-    masquerading as first-batch."""
+    masquerading as first-batch.
+
+    The store carries its LSH build parameters (num_hashes, bands,
+    shingle_n, threshold) in a one-row ``_meta`` sidecar, written
+    before the first postings append and validated every batch: band
+    hashes from mismatched parameters simply never collide, so a
+    parameter drift across restarts would not fail - it would
+    silently admit duplicates of the whole corpus, the worst failure
+    mode this module has. Legacy stores without the sidecar get it
+    written forward under the CURRENT parameters (the caller is
+    asserting continuity, exactly what resuming the ingest means)."""
     from ..operators.dedup import (
         band_postings,
         greedy_admission_drops,
         incremental_minhash_dedup,
         minhash_dedup_pairs,
+        read_band_meta,
+        write_band_meta,
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -171,8 +186,31 @@ def start_corpus_ingest_neardup(
         if gated.isEmpty():
             return
         idt = gated.schema[id_col].dataType.simpleString()
+        store_exists = _dir_exists(spark, postings_dir)
+        if store_exists:
+            meta = read_band_meta(spark, postings_dir)
+            want = {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "p_num": round(jaccard_threshold * 1_000_000),
+            }
+            if meta is not None and meta != want:
+                raise ValueError(
+                    "start_corpus_ingest_neardup: posting store at "
+                    f"{postings_dir} was built with {meta}, ingest "
+                    f"requested {want} - mismatched LSH parameters "
+                    "never collide in bands, which would silently "
+                    "admit duplicates; rebuild the store or resume "
+                    "with its parameters"
+                )
+            if meta is None:
+                write_band_meta(
+                    spark, postings_dir, num_hashes, bands, shingle_n,
+                    jaccard_threshold,
+                )
         if _dir_exists(spark, corpus_dir):
-            if not _dir_exists(spark, postings_dir):
+            if not store_exists:
                 raise ValueError(
                     "start_corpus_ingest_neardup: corpus exists at "
                     f"{corpus_dir} but the posting store "
@@ -190,7 +228,8 @@ def start_corpus_ingest_neardup(
             ).parquet(postings_dir)
             survivors, _ = incremental_minhash_dedup(
                 gated, store, corpus.select(id_col, text_col),
-                id_col, text_col, jaccard_threshold=jaccard_threshold,
+                id_col, text_col, num_hashes=num_hashes, bands=bands,
+                jaccard_threshold=jaccard_threshold, shingle_n=shingle_n,
             )
             # replay idempotence: ids already in the corpus never
             # re-append even if the similarity screen would admit
@@ -201,7 +240,9 @@ def start_corpus_ingest_neardup(
             survivors = gated
         survivors = survivors.localCheckpoint()
         pairs = minhash_dedup_pairs(
-            survivors, id_col, text_col, jaccard_threshold=jaccard_threshold
+            survivors, id_col, text_col, num_hashes=num_hashes,
+            bands=bands, jaccard_threshold=jaccard_threshold,
+            shingle_n=shingle_n,
         )
         doomed = greedy_admission_drops(pairs).withColumnRenamed(
             "id", id_col
@@ -210,9 +251,17 @@ def start_corpus_ingest_neardup(
         # the postings derivation), and the corpus append must not be
         # re-evaluated lazily AFTER the store has grown
         admitted = survivors.join(doomed, id_col, "left_anti").localCheckpoint()
-        band_postings(admitted, id_col, text_col).write.mode("append").parquet(
-            postings_dir
-        )
+        if not store_exists:
+            # sidecar BEFORE any postings: a crash right after leaves
+            # a store that is empty but already carries its contract
+            write_band_meta(
+                spark, postings_dir, num_hashes, bands, shingle_n,
+                jaccard_threshold,
+            )
+        band_postings(
+            admitted, id_col, text_col, num_hashes=num_hashes,
+            bands=bands, shingle_n=shingle_n,
+        ).write.mode("append").parquet(postings_dir)
         admitted.write.mode("append").parquet(corpus_dir)
 
     return (

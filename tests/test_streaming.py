@@ -2493,3 +2493,45 @@ def test_exact_admission_chain_keeps_non_matching_end(spark, tmp_path) -> None:
         for r in spark.read.parquet(str(tmp_path / "ch_corpus")).collect()
     )
     assert ids == [1, 3]
+
+def test_neardup_ingest_rejects_lsh_parameter_drift(spark, tmp_path) -> None:
+    """The band store's _meta sidecar (r13): resuming the ingest with
+    different LSH parameters must fail loud - mismatched band hashes
+    never collide, so a drift would not error, it would silently
+    admit duplicates of the whole corpus."""
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single day without fail in all weather")
+    src = tmp_path / "pd_src"
+    src.mkdir()
+
+    def run(**kw) -> object:
+        raw = spark.readStream.format("text").load(str(src))
+        docs = raw.select(
+            F.from_json("value", "doc_id LONG, text STRING").alias("j")
+        ).select("j.*")
+        q = start_corpus_ingest_neardup(
+            docs,
+            corpus_dir=str(tmp_path / "pd_corpus"),
+            postings_dir=str(tmp_path / "pd_postings"),
+            checkpoint_dir=str(tmp_path / "pd_ckpt"),
+            **kw,
+        )
+        try:
+            q.awaitTermination(180)
+        except Exception:  # noqa: BLE001 - surfaced via exception()
+            pass
+        return q.exception()
+
+    (src / "b1.json").write_text(json.dumps({"doc_id": 1, "text": base}))
+    assert run() is None
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 2, "text": base + " extra tail words"})
+    )
+    exc = run(bands=16, num_hashes=32)
+    assert exc is not None and "LSH parameters" in str(exc)
+    # resuming with the ORIGINAL parameters still works
+    assert run() is None

@@ -693,6 +693,94 @@ DIRECTED: list[tuple[str, str, str]] = [
         "The anchor AFTER the real terminator extracts. Expected: "
         "cb2 only.",
     ),
+    # --- round-13 corners: foreign-content (<svg>/<math>) subtrees,
+    # template fragments, formatting-element adoption (VERDICT r12
+    # item 6: the subtrees where the stdlib-fallback risk is highest)
+    (
+        "svg-foreign-content-anchor",
+        '<html><body><svg><a href="sv1">x</a></svg>'
+        '<a href="sv2">y</a></body></html>',
+        "HTML5 parses <svg> subtrees as FOREIGN CONTENT (spec "
+        "13.2.6.5 'the rules for parsing tokens in foreign "
+        "content'): the inner <a> becomes an SVG-namespace anchor. "
+        "html.parser has no foreign-content mode at all - its only "
+        "special-content elements are CDATA_CONTENT_ELEMENTS = "
+        "('script', 'style') (CPython Lib/html/parser.py), so <svg> "
+        "is an ordinary unknown element and the inner anchor "
+        "tokenizes normally. href EXTRACTION is invariant either "
+        "way (both parsers surface an 'a' element with the href "
+        "attribute; only its namespace differs) - the invariance "
+        "this corner pins. Expected: sv1, sv2.",
+    ),
+    (
+        "svg-cdata-section-in-foreign-content",
+        '<html><body><svg><![CDATA[<a href="fc1">x</a>]]></svg>'
+        '<a href="fc2">y</a></body></html>',
+        "CONVERGENT-BY-DIFFERENT-RULE pin: in HTML5 foreign content "
+        "a '<![CDATA[' sequence IS a real CDATA section (spec "
+        "13.2.5.42 'markup declaration open state': if the adjusted "
+        "current node is non-HTML, consume as CDATA) - its contents "
+        "are TEXT, no anchor. html.parser reaches the same "
+        "extraction through markupbase's marked-section handling "
+        "(contents to unknown_decl, never tokenized as tags - the "
+        "cdata-section-is-bogus-comment rule). Same anchor set, "
+        "different mechanism; the corner keeps the convergence "
+        "explicit. Expected: fc2 only.",
+    ),
+    (
+        "math-annotation-xml-html-integration",
+        '<html><body><math><annotation-xml encoding="text/html">'
+        '<a href="mx1">x</a></annotation-xml></math>'
+        '<a href="mx2">y</a></body></html>',
+        "<annotation-xml encoding='text/html'> is an HTML "
+        "INTEGRATION POINT inside MathML foreign content (spec "
+        "13.2.6.5): HTML5 parses its children as ordinary HTML, so "
+        "the inner anchor is a real HTML anchor even for a "
+        "tree-building parser. html.parser tokenizes tags "
+        "everywhere regardless. Extraction is therefore invariant "
+        "at integration points - the boundary case where foreign "
+        "content hands back to HTML. Expected: mx1, mx2.",
+    ),
+    (
+        "adoption-agency-misnested-formatting",
+        '<html><body><b><i><a href="aa1">x</b>y</i></a>'
+        '<a href="aa2">z</a></body></html>',
+        "Misnested formatting elements (</b> closing across <i> and "
+        "an open <a>) trigger the ADOPTION AGENCY algorithm (spec "
+        "13.2.6.7): a tree builder clones and re-parents the "
+        "formatting elements. The anchor SET is invariant - "
+        "adoption re-parents existing elements, it never creates or "
+        "drops an <a> with an href, and html.parser (no tree "
+        "construction; handle_starttag fires per start tag, "
+        "unmatched end tags unchecked per the Python docs) sees "
+        "both start tags directly. Expected: aa1, aa2.",
+    ),
+    (
+        "nested-anchor-implied-close",
+        '<html><body><a href="na1">x<a href="na2">y</a></a>'
+        "</body></html>",
+        "An <a> start tag while an <a> is open is a parse error "
+        "that runs the adoption agency on the OPEN anchor (spec "
+        "13.2.6.4.7 'in body', 'a' start tag), closing it "
+        "implicitly - the tree never nests anchors, but BOTH "
+        "elements exist with their hrefs. html.parser simply fires "
+        "handle_starttag twice. Both extract on either parser. "
+        "Expected: na1, na2.",
+    ),
+    (
+        "template-content-extracted-by-tokenizer",
+        '<html><body><template><a href="tp1">x</a></template>'
+        '<a href="tp2">y</a></body></html>',
+        "DIVERGENCE PIN: HTML5 parses <template> children into a "
+        "separate DocumentFragment ('template contents', spec "
+        "13.2.6.4.12 'in template') that is NOT part of the "
+        "document tree - an html5lib-backed find_all misses tp1. "
+        "html.parser has no template mode (only script/style are "
+        "special), so the anchor tokenizes and the stdlib fallback "
+        "extracts it; bs4 on the html.parser builder inherits this. "
+        "Pinned so the fallback's known browser divergence is "
+        "explicit, not latent. Expected: tp1, tp2.",
+    ),
 ]
 
 
