@@ -254,16 +254,33 @@ def band_postings(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    bucket_by: int | None = None,
 ) -> DataFrame:
     """(band_idx, band_hash, id) LSH postings for a document set - the
     persistable SIGNATURE STORE for incremental dedup. Written once
     per corpus and appended per ingest batch, it replaces recomputing
     every signature on every batch (the near-dup generalization of the
-    manifest anti-join's role for exact dedup)."""
+    manifest anti-join's role for exact dedup).
+
+    ``bucket_by=B`` appends ``_bk = pmod(band_hash, B)`` - the
+    PARTITION key for a persisted store (``partitionBy("_bk")`` on
+    write). Candidates only meet on EQUAL band hashes, so an
+    incremental screen only ever needs the store buckets its own
+    batch's bands hash into
+    (``incremental_minhash_dedup(store_buckets=B)``), turning the
+    per-batch store scan into a partition-pruned read - the same
+    discipline as the exact store's ``jaccard_prefix_postings``."""
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    return lsh_bands(sigs, id_col, bands, num_hashes)
+    out = lsh_bands(sigs, id_col, bands, num_hashes)
+    if bucket_by is not None:
+        if bucket_by < 1:
+            raise ValueError(f"bucket_by must be >= 1, got {bucket_by}")
+        out = out.withColumn(
+            "_bk", F.pmod(F.col("band_hash"), F.lit(bucket_by))
+        )
+    return out
 
 
 def write_band_meta(
@@ -273,6 +290,7 @@ def write_band_meta(
     bands: int,
     shingle_n: int,
     jaccard_threshold: float,
+    buckets: int | None = None,
 ) -> None:
     """Persist a band-posting store's build parameters as a one-row
     parquet sidecar at ``<postings_dir>/_meta`` (underscore-hidden
@@ -287,8 +305,9 @@ def write_band_meta(
     q_den = 1_000_000
     p_num = round(jaccard_threshold * q_den)
     spark.createDataFrame(
-        [(num_hashes, bands, shingle_n, p_num, q_den)],
-        "_num_hashes int, _bands int, _shingle_n int, _p int, _q int",
+        [(num_hashes, bands, shingle_n, p_num, q_den, buckets)],
+        "_num_hashes int, _bands int, _shingle_n int, _p int, _q int,"
+        " _buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(
         postings_dir.rstrip("/") + "/_meta"
     )
@@ -308,12 +327,18 @@ def read_band_meta(spark, postings_dir: str) -> dict | None:
         raise ValueError(
             f"band-store _meta at {postings_dir} is corrupt: {row}"
         )
-    return {
+    out = {
         "num_hashes": row["_num_hashes"],
         "bands": row["_bands"],
         "shingle_n": row["_shingle_n"],
         "p_num": row["_p"],
     }
+    # sidecars written before r13's bucketing lack the column: an
+    # unbucketed legacy store, not corruption
+    out["buckets"] = (
+        row["_buckets"] if "_buckets" in row.__fields__ else None
+    )
+    return out
 
 
 def incremental_minhash_dedup(
@@ -326,6 +351,7 @@ def incremental_minhash_dedup(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
+    store_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Per-batch near-dup admission: which of ``new_docs`` are NOT
     near-duplicates of the existing corpus?
@@ -341,12 +367,36 @@ def incremental_minhash_dedup(
     Scale shape: per batch this costs O(batch) signature work plus a
     join keyed on (band_idx, band_hash) whose corpus side is the
     postings table - hash-partitioned, prunable, and far smaller than
-    the corpus text. Intra-batch duplicates are handled by the batch
-    pipeline (minhash_dedup_pairs) before admission."""
+    the corpus text. ``store_buckets=B`` declares ``postings``
+    ``_bk``-bucketed (band_postings(bucket_by=B), written
+    partitionBy('_bk')): the batch's bands hash into <= B buckets
+    (bounded driver collect), and the store read is filtered to
+    exactly those - a PARTITION filter, so the per-batch store cost
+    tracks the batch's bucket coverage instead of the full store.
+    Equal band hashes share a bucket, so pruning drops no candidate.
+    Intra-batch duplicates are handled by the batch pipeline
+    (minhash_dedup_pairs) before admission."""
     new_post = band_postings(
         new_docs, id_col, text_col, num_hashes=num_hashes,
         bands=bands, shingle_n=shingle_n,
     )
+    if store_buckets is not None:
+        if "_bk" not in postings.columns:
+            raise ValueError(
+                "store_buckets given but the posting store has no _bk "
+                "column - build it with band_postings(bucket_by=B) "
+                "and write partitionBy('_bk')"
+            )
+        new_post = new_post.localCheckpoint()
+        buckets = [
+            r["_b"]
+            for r in new_post.select(
+                F.pmod(F.col("band_hash"), F.lit(store_buckets)).alias(
+                    "_b"
+                )
+            ).distinct().collect()
+        ]
+        postings = postings.filter(F.col("_bk").isin(buckets)).drop("_bk")
     cands = (
         new_post.withColumnRenamed(id_col, "_new_id")
         .join(

@@ -924,9 +924,14 @@ def compact_postings(spark, postings_dir: str) -> tuple[int, int]:
     discipline - never delete-then-write: the previous store survives
     a crash at any point, and a reader never sees a half-written
     store). Preserves the ``_bk`` partitioning layout and carries the
-    ``_meta`` sidecar into the new snapshot. Single maintenance
-    writer per store assumed (wrap in io.maintenance_lock to enforce).
-    Returns (rows_before, rows_after)."""
+    ``_meta`` sidecar into the new snapshot VERBATIM (schema-agnostic
+    one-row copy, so the same maintenance op serves BOTH posting-store
+    flavors - the exact hash-order store and the near-dup band store,
+    whose sidecars carry different parameters; posting rows of either
+    flavor are identity-only, so distinct is the right compaction for
+    both). Single maintenance writer per store assumed (wrap in
+    io.maintenance_lock to enforce). Returns
+    (rows_before, rows_after)."""
     root = postings_dir.rstrip("/")
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(root).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -934,18 +939,19 @@ def compact_postings(spark, postings_dir: str) -> tuple[int, int]:
         raise ValueError(f"compact_postings: no store at {postings_dir}")
     store = spark.read.parquet(root)
     before = store.count()
-    meta = read_postings_meta(spark, root)
+    has_meta = fs.exists(jvm_path(root + "/_meta"))
+    meta_df = spark.read.parquet(root + "/_meta") if has_meta else None
     stage = root + "__stage"
     fs.delete(jvm_path(stage), True)
     writer = store.distinct().write.mode("overwrite")
     if "_bk" in store.columns:
         writer = writer.partitionBy("_bk")
     writer.parquet(stage)
-    if meta is not None:
-        spark.createDataFrame(
-            [(meta["p_num"], 1_000_000, meta["buckets"])],
-            "_p int, _q int, _buckets int",
-        ).coalesce(1).write.mode("overwrite").parquet(stage + "/_meta")
+    if meta_df is not None:
+        # materialized BEFORE the swap below unlinks its source files
+        meta_df.coalesce(1).write.mode("overwrite").parquet(
+            stage + "/_meta"
+        )
     old = jvm_path(root + "__old")
     fs.delete(old, True)
     if not fs.rename(jvm_path(root), old):

@@ -12,10 +12,13 @@ tested. Codecs come in two tiers:
   chroma upsample + YCbCr->RGB pixel mean), PROGRESSIVE-DCT
   Huffman JPEG (T.81 annex G multi-scan coefficient accumulator:
   spectral selection, successive approximation, EOB runs) in full,
-  and Adobe 4-component CMYK/YCCK JPEG (APP14 transform 0/2,
-  inverted-ink convention; mean_value = mean ink coverage);
-  JPEG tiers beyond Huffman-8-bit (12-bit, arithmetic, Adobe
-  transform=0 RGB, undeclared 4-component) get the HEADER-ONLY SOF
+  Adobe 4-component CMYK/YCCK JPEG (APP14 transform 0/2,
+  inverted-ink convention; mean_value = mean ink coverage),
+  Adobe-declared literal-RGB (APP14 transform=0, 3-component), and
+  12-BIT grayscale (SOF1 extended sequential / progressive: level
+  shift 2048, DC categories to 15, mean in the native 0..4095
+  range); the remaining JPEG tiers (arithmetic, 12-bit color,
+  undeclared component spaces) get the HEADER-ONLY SOF
   walk (dimensions, channels; pixel fields stay NULL -
   the honest pixels-not-decoded signal).
   MP4/ISO-BMFF gets the same header tier (box walk: mvhd duration,
@@ -23,7 +26,7 @@ tested. Codecs come in two tiers:
   differentially tested against independent encoders written from
   the format specs.
 - ``decode_assets``: the deterministic stub for everything a codec
-  LIBRARY would be needed for (12-bit JPEG pixels, MP4 frames,
+  LIBRARY would be needed for (arithmetic-JPEG pixels, MP4 frames,
   ...; none are installed in this environment); its fake fields are
   SQL-recomputable so the full binary pipeline stays
   oracle-checkable.
@@ -325,7 +328,8 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
     signal.
 
     Returns None when the frame is eligible-looking JPEG but outside
-    this tier (lossless/arithmetic, 12-bit precision, undeclared
+    this tier (lossless/arithmetic, 12-bit color - only 12-bit
+    GRAYSCALE decodes, in its native 0..4095 range - and undeclared
     component color spaces) so the
     caller falls back to the honest header-only decode; raises
     ValueError on malformed structure (quarantine path).
@@ -425,8 +429,16 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (marker, precision, height, width, comps)
-            if precision != 8 or ncomp not in (1, 3, 4):
-                return None  # 12-bit / exotic-component tier: header-only
+            if precision not in (8, 12) or ncomp not in (1, 3, 4):
+                return None  # exotic precision/components: header-only
+            if precision == 12 and (marker == 0xC0 or ncomp != 1):
+                # 12-bit lives in the EXTENDED/progressive processes
+                # (T.81 table B.2: baseline C0 is 8-bit only), and
+                # only GRAYSCALE is in tier: no public convention
+                # declares a 12-bit color space the way APP14/JFIF do
+                # for 8-bit, so multi-component 12-bit stays honestly
+                # header-only
+                return None
             if height == 0 or width == 0:
                 raise ValueError("JPEG zero dimension")
         elif marker == 0xDA:  # SOS
@@ -442,17 +454,20 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
 
     progressive = frame[0] == 0xC2
     if len(comps) == 3:
-        # color-space honesty: apply the YCbCr transform only when
-        # the file SAYS so - Adobe APP14 transform=1, or no APP14 and
-        # the JFIF-conventional component ids 1,2,3. An Adobe
-        # transform=0 file stores literal RGB; guessing would emit a
-        # confidently wrong mean_value, so those fall back to the
-        # header tier (mean NULL) instead.
+        # color-space honesty: decode only what the file DECLARES -
+        # YCbCr via Adobe APP14 transform=1 or (no APP14 + the
+        # JFIF-conventional component ids 1,2,3); literal RGB via
+        # APP14 transform=0 (T-REC-T.872: transform 0 = components
+        # stored untransformed, which for a 3-component frame is RGB
+        # - the declaration is explicit, so decoding it is not a
+        # guess). An UNDECLARED non-conventional frame falls back to
+        # the header tier (mean NULL): guessing would emit a
+        # confidently wrong mean_value.
         ycbcr = (adobe_transform == 1) or (
             adobe_transform is None
             and [c["id"] for c in comps] == [1, 2, 3]
         )
-        if not ycbcr:
+        if not ycbcr and adobe_transform != 0:
             return None
     if len(comps) == 4:
         # 4-component frames: only the Adobe-declared ink spaces are
@@ -493,7 +508,7 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
         )
         return _jpeg_mean(
             comps, planes, H, W, hmax, vmax, "image/jpeg;progressive",
-            adobe_transform,
+            adobe_transform, maxval=(1 << frame[1]) - 1,
         )
 
     ns = sos_seg[0]
@@ -514,6 +529,9 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
 
     mcus_x = -(-W // (8 * hmax))
     mcus_y = -(-H // (8 * vmax))
+    precision = frame[1]
+    half = float(1 << (precision - 1))  # level shift: 128 or 2048
+    max_t = 11 if precision == 8 else 15  # T.81 F.1.2.1.1 DC categories
     idct = _idct_matrix()
     planes = {
         c["id"]: np.zeros(
@@ -539,7 +557,7 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
                 for bx in range(c["h"]):
                     coeffs = np.zeros(64, dtype=np.float64)
                     t = bits.read_symbol(c["dc"])
-                    if t > 11:
+                    if t > max_t:
                         raise ValueError("JPEG DC category out of range")
                     diff = _extend(bits.read_bits(t), t)
                     preds[c["id"]] += diff
@@ -562,13 +580,14 @@ def _decode_jpeg_pixels(b: bytes) -> dict | None:
                     for k in range(64):
                         r_, c_ = _ZIGZAG[k]
                         block[r_, c_] = coeffs[k]
-                    px = idct.T @ block @ idct + 128.0
+                    px = idct.T @ block @ idct + half
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
 
     return _jpeg_mean(
-        comps, planes, H, W, hmax, vmax, "image/jpeg", adobe_transform
+        comps, planes, H, W, hmax, vmax, "image/jpeg", adobe_transform,
+        maxval=(1 << precision) - 1,
     )
 
 
@@ -659,7 +678,7 @@ def _decode_jpeg_progressive(
             def dc_unit(c, block) -> None:
                 if ah == 0:
                     t = bits.read_symbol(luts[c["id"]])
-                    if t > 11:
+                    if t > (11 if frame[1] == 8 else 15):
                         raise ValueError("JPEG DC category out of range")
                     preds[c["id"]] += _extend(bits.read_bits(t), t)
                     block[0] = preds[c["id"]] << al
@@ -833,7 +852,7 @@ def _decode_jpeg_progressive(
                     r_, c_ = _ZIGZAG[k]
                     block[r_, c_] = cvec[k]
                 p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    idct.T @ block @ idct + 128.0
+                    idct.T @ block @ idct + float(1 << (frame[1] - 1))
                 )
         planes[c["id"]] = p
     return planes
@@ -848,6 +867,7 @@ def _jpeg_mean(
     vmax: int,
     modality: str,
     adobe_transform: int | None = None,
+    maxval: int = 255,
 ) -> dict:
     """Shared reconstruction tail: nearest-neighbor upsample each
     component plane to full resolution, apply the declared color
@@ -871,19 +891,24 @@ def _jpeg_mean(
         return p[:H, :W]
 
     if len(comps) == 1:
-        out = np.clip(np.round(full_res(comps[0])), 0, 255)
+        # maxval carries the sample precision (255 or 4095): 12-bit
+        # grayscale reports its mean in the NATIVE range
+        out = np.clip(np.round(full_res(comps[0])), 0, maxval)
         mean = float(out.mean())
     elif len(comps) == 3:
-        y, cb, cr = (full_res(c) for c in comps)
-        cb = cb - 128.0
-        cr = cr - 128.0
-        rgb = np.stack(
-            [
-                y + 1.402 * cr,
-                y - 0.344136 * cb - 0.714136 * cr,
-                y + 1.772 * cb,
-            ]
-        )
+        if adobe_transform == 0:  # declared literal RGB: identity
+            rgb = np.stack([full_res(c) for c in comps])
+        else:
+            y, cb, cr = (full_res(c) for c in comps)
+            cb = cb - 128.0
+            cr = cr - 128.0
+            rgb = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ]
+            )
         mean = float(np.clip(np.round(rgb), 0, 255).mean())
     else:
         p0, p1, p2, p3 = (full_res(c) for c in comps)
@@ -1139,10 +1164,12 @@ def decode_media(assets: DataFrame) -> DataFrame:
     accumulator in ``_decode_jpeg_progressive``). Adobe 4-component
     CMYK/YCCK JPEG (APP14 transform 0/2) decodes real pixels too
     under the inverted-ink convention: ``mean_value`` is mean INK
-    COVERAGE over C/M/Y/K (255 = solid), n_channels=4. JPEG tiers
-    outside Huffman-8-bit (lossless, arithmetic, 12-bit,
-    Adobe transform=0 RGB, undeclared 4-component) fall back to the
-    HEADER-ONLY SOF
+    COVERAGE over C/M/Y/K (255 = solid), n_channels=4. Adobe
+    transform=0 THREE-component frames decode as the literal RGB
+    they declare, and 12-BIT GRAYSCALE (SOF1/progressive) decodes
+    with mean_value in its native 0..4095 range. The remaining JPEG
+    tiers (lossless, arithmetic, 12-bit color, undeclared component
+    spaces) fall back to the HEADER-ONLY SOF
     walk: width/height/channels real, ``mean_value`` NULL - a NULL
     mean_value on an image row IS pixels_decoded=false. Anything
     else passes through with byte length + checksum and NULL media
@@ -1154,7 +1181,7 @@ def decode_media(assets: DataFrame) -> DataFrame:
     spec-written encoders (tests/test_operators.py writes PNGs, WAVs,
     baseline JPEGs, and ISO-BMFF box trees from first principles).
     Only the tiers a codec LIBRARY genuinely owns remain out: JPEG
-    12-bit/arithmetic/Adobe-RGB pixels and MP4 frame data (both
+    arithmetic-coded / 12-bit-color pixels and MP4 frame data (both
     yield real metadata with NULL mean_value). Arrow-batched
     mapInPandas; the per-asset
     Python codec is the honest cost of decoding in this environment -

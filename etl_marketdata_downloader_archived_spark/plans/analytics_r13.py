@@ -465,3 +465,204 @@ def asof_native_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_us"
         ),
     )
+
+
+@q(
+    "listagg_within_group",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS keys_csv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey < 800
+    GROUP BY o_orderpriority
+    """,
+)
+def listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (ORDER BY ...) certification (SQL:2016
+    T625, the Spark 4 ordered string aggregation): element order
+    inside the concatenated string is DEFINED, not
+    accumulation-order-lucky - the oracle replays it as DuckDB's
+    string_agg with its ORDER BY argument. Keyed below 800 so the
+    strings stay row-sized; the order key is unique, so both engines
+    must produce byte-identical CSVs."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_lwg_orders_r13"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                   WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+               count(*) AS n
+        FROM _lwg_orders_r13 WHERE o_orderkey < 800
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@q(
+    "width_bucket_cert",
+    oracle="""
+    WITH b AS (
+        SELECT CASE WHEN cents < 0 THEN 0
+                    WHEN cents >= 40000 THEN 17
+                    ELSE CAST(floor(cents / 2500.0) AS BIGINT) + 1
+               END AS bucket
+        FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def width_bucket_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket certification (SQL:2023 equi-width binning):
+    Spark's width_bucket(x, lo, hi, n) against its arithmetic
+    definition replayed in DuckDB (floor((x-lo)/width)+1 with the
+    under/overflow buckets 0 and n+1). Input is bigint CENTS over a
+    [0, 40000) range split 16 ways, so every bucket boundary (2500
+    cents) and every division is exact in doubles - no ulp can flip a
+    boundary row. The equi-WIDTH histogram primitive beside the
+    battery's equi-DEPTH two-phase histogram."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return (
+        e.select(
+            F.width_bucket(
+                F.col("cents"), F.lit(0), F.lit(40000), F.lit(16)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "regexp_extract_all_lateral",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '[a-z]{6,}') AS ws
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(ws, 1) AS INT) - 1 AS pos,
+           unnest(ws) AS word
+    FROM m WHERE len(ws) > 0
+    """,
+)
+def regexp_extract_all_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all + positional LATERAL explode certification:
+    every match of a quantified class, in match order, with its
+    0-based position - the tokenizer-primitives surface (the text
+    battery split()s; this is the REGEX extraction twin). The
+    pattern stays in the POSIX-class subset both engines' regex
+    dialects agree on; positions come from posexplode on Spark and
+    generate_subscripts on DuckDB."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(r"regexp_extract_all(text, '[a-z]{6,}', 0)")
+        ).alias("pos", "word"),
+    )
+
+
+@q(
+    "interval_arith",
+    oracle="""
+    SELECT d,
+           CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_month,
+           CAST(d + INTERVAL 45 DAY AS DATE) AS plus_45d,
+           last_day(d) AS month_end,
+           CAST(datediff('day', DATE '1995-01-01', d) AS INT)
+               AS days_since_95
+    FROM (SELECT DISTINCT o_orderdate AS d FROM orders)
+    """,
+)
+def interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar INTERVAL arithmetic certification over every distinct
+    order date: month addition (with END-OF-MONTH CLAMPING - Jan 31
+    + 1 month = Feb 29 on both engines, the semantics naive
+    day-adding gets wrong), fixed day offsets, last_day, and exact
+    day differencing against an epoch anchor. Dates only (no
+    timestamps), so timezones cannot touch the result."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("d")
+    ).distinct()
+    return d.select(
+        "d",
+        F.add_months("d", 1).alias("plus_month"),
+        F.date_add("d", 45).alias("plus_45d"),
+        F.last_day("d").alias("month_end"),
+        F.datediff("d", F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@q(
+    "map_lambda_funcs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z]+'), x -> x <> '')) AS word
+        FROM documents WHERE doc_id < 100
+    ),
+    c AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM w GROUP BY doc_id, word
+    )
+    SELECT doc_id, word, cnt * 2 AS doubled
+    FROM c WHERE cnt >= 2
+    """,
+)
+def map_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order lambda certification (transform_values /
+    map_filter / map_from_entries - the MAP half of r12's array
+    lambda family): per-document word-count MAPS are built in-row
+    (aggregate fold over the token array - no explode/shuffle builds
+    the map), filtered to repeated words, value-transformed, then
+    exploded ONLY for the cross-engine comparison. The oracle never
+    sees a map: it replays the same numbers relationally, certifying
+    the map pipeline end-to-end by its observable rows."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    counts = d.select(
+        "doc_id",
+        F.aggregate(
+            "ws",
+            F.create_map().cast("map<string,bigint>"),
+            lambda acc, w: F.map_concat(
+                F.map_filter(acc, lambda k, _v: k != w),
+                F.create_map(
+                    w,
+                    F.coalesce(
+                        F.element_at(acc, w), F.lit(0).cast("bigint")
+                    )
+                    + 1,
+                ),
+            ),
+        ).alias("wc"),
+    )
+    out = counts.select(
+        "doc_id",
+        F.transform_values(
+            F.map_filter("wc", lambda _k, v: v >= 2),
+            lambda _k, v: v * 2,
+        ).alias("m"),
+    )
+    return out.select(
+        "doc_id", F.explode("m").alias("word", "doubled")
+    )

@@ -115,6 +115,7 @@ def start_corpus_ingest_neardup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    store_bucket_count: int = 64,
 ) -> StreamingQuery:
     """Streaming ingest with NEAR-dup admission against the persistent
     corpus: per micro-batch, gate the new docs, screen them against
@@ -187,6 +188,10 @@ def start_corpus_ingest_neardup(
             return
         idt = gated.schema[id_col].dataType.simpleString()
         store_exists = _dir_exists(spark, postings_dir)
+        # like the exact variant: the store's contract (LSH params,
+        # bucket layout) comes from ITS OWN sidecar, never from this
+        # call's parameters, which a restart may have changed
+        buckets: int | None = store_bucket_count
         if store_exists:
             meta = read_band_meta(spark, postings_dir)
             want = {
@@ -195,19 +200,25 @@ def start_corpus_ingest_neardup(
                 "shingle_n": shingle_n,
                 "p_num": round(jaccard_threshold * 1_000_000),
             }
-            if meta is not None and meta != want:
-                raise ValueError(
-                    "start_corpus_ingest_neardup: posting store at "
-                    f"{postings_dir} was built with {meta}, ingest "
-                    f"requested {want} - mismatched LSH parameters "
-                    "never collide in bands, which would silently "
-                    "admit duplicates; rebuild the store or resume "
-                    "with its parameters"
-                )
-            if meta is None:
+            if meta is not None:
+                have = {k: meta[k] for k in want}
+                if have != want:
+                    raise ValueError(
+                        "start_corpus_ingest_neardup: posting store at "
+                        f"{postings_dir} was built with {have}, ingest "
+                        f"requested {want} - mismatched LSH parameters "
+                        "never collide in bands, which would silently "
+                        "admit duplicates; rebuild the store or resume "
+                        "with its parameters"
+                    )
+                buckets = meta["buckets"]
+            else:
+                # legacy store: unbucketed layout on disk; record the
+                # contract forward and keep appends layout-consistent
+                buckets = None
                 write_band_meta(
                     spark, postings_dir, num_hashes, bands, shingle_n,
-                    jaccard_threshold,
+                    jaccard_threshold, buckets=None,
                 )
         if _dir_exists(spark, corpus_dir):
             if not store_exists:
@@ -223,13 +234,15 @@ def start_corpus_ingest_neardup(
             # first append) must read as an EMPTY table, not an
             # inference error misread as absence
             corpus = spark.read.schema(gated.schema).parquet(corpus_dir)
-            store = spark.read.schema(
-                f"{id_col} {idt}, band_idx int, band_hash bigint"
-            ).parquet(postings_dir)
+            schema = f"{id_col} {idt}, band_idx int, band_hash bigint"
+            if buckets is not None:
+                schema += ", _bk int"
+            store = spark.read.schema(schema).parquet(postings_dir)
             survivors, _ = incremental_minhash_dedup(
                 gated, store, corpus.select(id_col, text_col),
                 id_col, text_col, num_hashes=num_hashes, bands=bands,
                 jaccard_threshold=jaccard_threshold, shingle_n=shingle_n,
+                store_buckets=buckets,
             )
             # replay idempotence: ids already in the corpus never
             # re-append even if the similarity screen would admit
@@ -256,12 +269,16 @@ def start_corpus_ingest_neardup(
             # a store that is empty but already carries its contract
             write_band_meta(
                 spark, postings_dir, num_hashes, bands, shingle_n,
-                jaccard_threshold,
+                jaccard_threshold, buckets=store_bucket_count,
             )
-        band_postings(
+        new_postings = band_postings(
             admitted, id_col, text_col, num_hashes=num_hashes,
-            bands=bands, shingle_n=shingle_n,
-        ).write.mode("append").parquet(postings_dir)
+            bands=bands, shingle_n=shingle_n, bucket_by=buckets,
+        )
+        writer = new_postings.write.mode("append")
+        if buckets is not None:
+            writer = writer.partitionBy("_bk")
+        writer.parquet(postings_dir)
         admitted.write.mode("append").parquet(corpus_dir)
 
     return (

@@ -235,3 +235,116 @@ def test_asof_native_sql_vs_python(spark, sf_dir) -> None:
     }
     assert got == want
     assert any(v[1] is None for v in want.values()) or len(want) > 0
+
+
+def test_listagg_within_group_vs_python(spark, sf_dir) -> None:
+    rows = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 800
+    ).select("o_orderpriority", "o_orderkey").collect()
+    want: dict = defaultdict(list)
+    for r in rows:
+        want[r.o_orderpriority].append(r.o_orderkey)
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r13 import (
+        listagg_within_group,
+    )
+
+    got = {
+        r.o_orderpriority: (r.keys_csv, r.n)
+        for r in listagg_within_group(spark, sf_dir).collect()
+    }
+    assert got == {
+        k: (",".join(str(x) for x in sorted(v)), len(v))
+        for k, v in want.items()
+    }
+
+
+def test_width_bucket_cert_vs_python(spark, sf_dir) -> None:
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r13 import (
+        width_bucket_cert,
+    )
+
+    vals = [
+        _half_up(r.value * 100)
+        for r in load_table(spark, sf_dir, "events").select("value").collect()
+    ]
+    want: dict = defaultdict(int)
+    for c in vals:
+        b = 0 if c < 0 else (17 if c >= 40000 else c // 2500 + 1)
+        want[b] += 1
+    got = {r.bucket: r.n for r in width_bucket_cert(spark, sf_dir).collect()}
+    assert got == dict(want)
+
+
+def test_regexp_extract_all_lateral_vs_python(spark, sf_dir) -> None:
+    rows = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        for i, w in enumerate(re.findall(r"[a-z]{6,}", r.text)):
+            want[(r.doc_id, i)] = w
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r13 import (
+        regexp_extract_all_lateral,
+    )
+
+    got = {
+        (r.doc_id, r.pos): r.word
+        for r in regexp_extract_all_lateral(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_interval_arith_vs_python(spark, sf_dir) -> None:
+    """Month addition with end-of-month clamping replayed via the
+    stdlib calendar (the semantics, not another engine)."""
+    import calendar
+    import datetime as dt
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r13 import (
+        interval_arith,
+    )
+
+    def plus_month(d: dt.date) -> dt.date:
+        y, m = (d.year + 1, 1) if d.month == 12 else (d.year, d.month + 1)
+        return dt.date(y, m, min(d.day, calendar.monthrange(y, m)[1]))
+
+    anchor = dt.date(1995, 1, 1)
+    # o_orderdate surfaces as a midnight timestamp through the nanos
+    # parquet reader; the date functions' outputs are genuine dates
+    got = {
+        (r.d.date() if isinstance(r.d, dt.datetime) else r.d): r
+        for r in interval_arith(spark, sf_dir).collect()
+    }
+    assert len(got) > 300
+    clamped = 0
+    for d, r in got.items():
+        assert r.plus_month == plus_month(d), d
+        assert r.plus_45d == d + dt.timedelta(days=45), d
+        assert r.month_end == dt.date(
+            d.year, d.month, calendar.monthrange(d.year, d.month)[1]
+        ), d
+        assert r.days_since_95 == (d - anchor).days, d
+        clamped += r.plus_month.day != d.day
+    assert clamped > 0  # the corpus genuinely exercises the clamp
+
+
+def test_map_lambda_funcs_vs_python(spark, sf_dir) -> None:
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r13 import (
+        map_lambda_funcs,
+    )
+
+    rows = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        for w, c in Counter(_words(r.text)).items():
+            if c >= 2:
+                want[(r.doc_id, w)] = 2 * c
+    got = {
+        (r.doc_id, r.word): r.doubled
+        for r in map_lambda_funcs(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0

@@ -431,3 +431,34 @@ def test_postings_meta_guard_and_mismatch(spark, tmp_path) -> None:
         jaccard_screen_vs_postings(
             corpus, store, corpus, "id", "toks", 0.7, store_p_num=500000
         )
+
+def test_compact_postings_serves_band_store_too(spark, tmp_path) -> None:
+    """compact_postings is flavor-agnostic (r13): the near-dup BAND
+    store (different columns, different _meta schema) compacts the
+    same way - replay duplicates collapse, the sidecar survives
+    verbatim."""
+    from etl_marketdata_downloader_archived_spark.operators.dedup import (
+        band_postings,
+        read_band_meta,
+        write_band_meta,
+    )
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        compact_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "entirely different words about spark engines and tables")],
+        "doc_id long, text string",
+    )
+    pdir = str(tmp_path / "band_postings")
+    write_band_meta(spark, pdir, 32, 8, 3, 0.5)
+    p = band_postings(docs, "doc_id", "text")
+    p.write.mode("append").parquet(pdir)
+    p.write.mode("append").parquet(pdir)  # the replay
+    before = spark.read.parquet(pdir).count()
+    nb, na = compact_postings(spark, pdir)
+    assert (nb, na) == (before, before // 2)
+    assert read_band_meta(spark, pdir) == {
+        "num_hashes": 32, "bands": 8, "shingle_n": 3, "p_num": 500000,
+    }

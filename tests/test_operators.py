@@ -2414,7 +2414,7 @@ _JPEG_TEST_ZZ = [
 
 
 def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None,
-                  adobe_transform=None):
+                  adobe_transform=None, precision=8):
     """Shared forward path of the spec-written test encoders (baseline
     AND progressive emit the SAME quantized coefficients; only the
     entropy layering differs): color transform, subsampling, MCU pad,
@@ -2492,6 +2492,13 @@ def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None,
         ]
     elif gray:
         comps = [{"plane": px, "h": 1, "v": 1, "q": q_luma, "tq": 0}]
+    elif adobe_transform == 0:
+        # Adobe-declared literal RGB: no color transform, 4:4:4
+        comps = [
+            {"plane": px[..., 0], "h": 1, "v": 1, "q": q_luma, "tq": 0},
+            {"plane": px[..., 1], "h": 1, "v": 1, "q": q_chroma, "tq": 1},
+            {"plane": px[..., 2], "h": 1, "v": 1, "q": q_chroma, "tq": 1},
+        ]
     else:
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -2526,12 +2533,13 @@ def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None,
         )
 
     # ---- forward path: quantized coefficients per block, MCU order
+    half = float(1 << (precision - 1))  # level shift: 128 or 2048
     for c in comps:
         c["blocks"] = {}
         p = c["plane"]
         for by in range(p.shape[0] // 8):
             for bx in range(p.shape[1] // 8):
-                f = fdct(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0)
+                f = fdct(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - half)
                 qz = np.array(
                     [round(f[zz[k]] / c["q"][k]) for k in range(64)],
                     dtype=np.int64,
@@ -2548,11 +2556,13 @@ def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None,
             deq = np.zeros((8, 8))
             for k in range(64):
                 deq[zz[k]] = qz[k] * c["q"][k]
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct(deq) + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct(deq) + half
         out = np.repeat(out, vmax // c["v"], axis=0)
         out = np.repeat(out, hmax // c["h"], axis=1)
         recon.append(out[:h, :w])
-    if cmyk:
+    if not cmyk and not gray and adobe_transform == 0:
+        predicted = np.clip(np.round(np.stack(recon)), 0, 255)
+    elif cmyk:
         if adobe_transform == 2:
             yy, cbu, cru, kk = recon
             cbu = cbu - 128.0
@@ -2569,7 +2579,7 @@ def _jpeg_forward(px, sampling="1x1", q_luma=None, q_chroma=None,
             stored = np.stack(recon)
         predicted = 255.0 - np.clip(np.round(stored), 0, 255)  # ink space
     elif gray:
-        predicted = np.clip(np.round(recon[0]), 0, 255)
+        predicted = np.clip(np.round(recon[0]), 0, (1 << precision) - 1)
     else:
         yy, cbu, cru = recon
         cbu = cbu - 128.0
@@ -2638,7 +2648,8 @@ def _jpeg_seg(marker, payload):
 
 
 def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
-                          restart_interval=0, adobe_transform=None):
+                          restart_interval=0, adobe_transform=None,
+                          precision=8):
     """Independent spec-written BASELINE JPEG encoder (ITU-T T.81
     annexes B/F), the differential counterpart of
     operators.multimodal._decode_jpeg_pixels - shares no code with the
@@ -2657,7 +2668,8 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
     for CMYK)."""
     import struct
 
-    fw = _jpeg_forward(px, sampling, q_luma, q_chroma, adobe_transform)
+    fw = _jpeg_forward(px, sampling, q_luma, q_chroma, adobe_transform,
+                       precision)
     comps, gray = fw["comps"], fw["gray"]
     h, w = fw["h"], fw["w"]
     mcus_x, mcus_y = fw["mcus_x"], fw["mcus_y"]
@@ -2750,7 +2762,7 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
     seg = _jpeg_seg
 
     out = b"\xff\xd8"
-    if fw["cmyk"]:
+    if adobe_transform is not None:
         # Adobe APP14: "Adobe" + version + flags0 + flags1 + transform
         out += seg(
             0xEE,
@@ -2761,10 +2773,12 @@ def _encode_jpeg_baseline(px, sampling="1x1", q_luma=None, q_chroma=None,
     out += seg(0xDB, bytes([0]) + bytes(q_luma))
     if not gray:
         out += seg(0xDB, bytes([1]) + bytes(q_chroma))
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", precision, h, w, len(comps))
     for i, c in enumerate(comps):
         sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
-    out += seg(0xC0, sof)
+    # 12-bit lives in the EXTENDED sequential process (T.81 table
+    # B.2: C0 baseline is 8-bit only) - emit SOF1 for it
+    out += seg(0xC0 if precision == 8 else 0xC1, sof)
     for (kind, grp), (counts, uniq, _codes) in sorted(tables.items()):
         cls = 0 if kind == "dc" else 1
         out += seg(0xC4, bytes([(cls << 4) | grp]) + bytes(counts) + bytes(uniq))
@@ -3188,6 +3202,51 @@ def test_decode_media_jpeg_cmyk_pixels(spark) -> None:
     assert r.mean_value is None
 
 
+def test_decode_media_jpeg_adobe_rgb_pixels(spark) -> None:
+    """Adobe APP14 transform=0 with THREE components is DECLARED
+    literal RGB (T-REC-T.872: transform 0 = no transform) - decoding
+    it is reading a declaration, not guessing, so the r13 tier
+    decodes real pixels where the old gate honestly refused. An
+    APP14 transform=1 frame must keep decoding as YCbCr (declared),
+    and a 3-component frame with NONCONVENTIONAL ids and NO APP14
+    stays header-only (genuinely undeclared)."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(33)
+    rgb = rng.integers(0, 256, size=(14, 18, 3)).astype(np.uint8)
+    adobe_rgb, pred_rgb = _encode_jpeg_baseline(rgb, adobe_transform=0)
+    adobe_ycc, pred_ycc = _encode_jpeg_baseline(rgb, adobe_transform=1)
+    # undeclared: JFIF bytes but component ids rewritten 1,2,3 -> 4,5,6
+    plain, _ = _encode_jpeg_baseline(rgb)
+    sof = plain.index(b"\xff\xc0")
+    body = bytearray(plain)
+    for k in range(3):
+        off = sof + 4 + 6 + 3 * k  # marker(2)+len(2)+P/H/W/Nf(6)
+        assert body[off] == k + 1
+        body[off] = k + 4
+    assets = spark.createDataFrame(
+        [
+            ("rgb0", "image", bytearray(adobe_rgb)),
+            ("ycc1", "image", bytearray(adobe_ycc)),
+            ("undeclared", "image", body),
+        ],
+        "asset_id string, modality string, content binary",
+    )
+    got = {r.asset_id: r for r in decode_media(assets).collect()}
+    r = got["rgb0"]
+    assert (r.width, r.height, r.n_channels) == (18, 14, 3)
+    assert abs(r.mean_value - float(pred_rgb.mean())) < 1e-9
+    r = got["ycc1"]
+    assert abs(r.mean_value - float(pred_ycc.mean())) < 1e-9
+    r = got["undeclared"]
+    assert (r.width, r.height, r.n_channels) == (18, 14, 3)
+    assert r.mean_value is None  # honest: the file declares nothing
+
+
 def test_decode_media_jpeg_progressive_pixels(spark) -> None:
     """REAL progressive-JPEG pixel decode (VERDICT r11 item 4):
     payloads written by the independent spec-written PROGRESSIVE
@@ -3447,14 +3506,74 @@ def test_pq_ivfpq_recall_on_clustered_mixture(spark) -> None:
     assert r_ivf >= 0.85, r_ivf
 
 
-def test_decode_media_jpeg_adobe_rgb_falls_back(spark) -> None:
-    """Color-space honesty (code-review finding): an Adobe APP14
-    transform=0 baseline JPEG stores literal RGB components - applying
-    the JFIF YCbCr transform would emit a confidently WRONG
-    mean_value, so such files (and 3-component files with
-    non-JFIF-conventional ids and no APP14) fall back to the header
-    tier: real dimensions, NULL mean. transform=1 stays in the pixel
-    tier."""
+def test_decode_media_jpeg_12bit_grayscale_pixels(spark) -> None:
+    """12-bit GRAYSCALE JPEG pixels (r13, extending the honest gate):
+    extended-sequential (SOF1) 12-bit frames decode real pixels with
+    mean_value in the NATIVE 0..4095 range - level shift 2048, DC
+    categories to 15 (T.81 F.1.2.1.1), 16-entry-larger sample swing
+    through the same entropy machinery. Constant blocks at even
+    offsets from 2048 round-trip exactly; textured 12-bit matches the
+    encoder's predicted reconstruction to 1e-9. HONESTY EDGES: 12-bit
+    under a C0 baseline marker is out of spec and stays header-only,
+    and 12-bit COLOR stays header-only (no public convention declares
+    a 12-bit color space the way JFIF/APP14 do for 8-bit)."""
+    import numpy as np
+
+    from etl_marketdata_downloader_archived_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(41)
+    vals = (rng.integers(-900, 900, size=(2, 3)) * 2 + 2048).astype(
+        np.int64
+    )
+    dc_only = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+    textured = rng.integers(0, 4096, size=(13, 17)).astype(np.int64)
+
+    payloads = {
+        "g12_dc": _encode_jpeg_baseline(dc_only, precision=12),
+        "g12_tex": _encode_jpeg_baseline(textured, precision=12),
+    }
+    rows = [(k, "image", bytearray(b)) for k, (b, _p) in payloads.items()]
+    # honesty edge 1: same stream relabeled SOF0 (12-bit baseline is
+    # out of spec) -> header-only
+    tex = payloads["g12_tex"][0]
+    sof = tex.index(b"\xff\xc1")
+    rows.append(
+        ("bad_c0", "image", bytearray(tex[:sof + 1] + b"\xc0" + tex[sof + 2:]))
+    )
+    # honesty edge 2: 12-bit color
+    rgb12 = rng.integers(0, 4096, size=(8, 8, 3)).astype(np.int64)
+    rows.append(
+        ("rgb12", "image",
+         bytearray(_encode_jpeg_baseline(rgb12, precision=12)[0])),
+    )
+    assets = spark.createDataFrame(
+        rows, "asset_id string, modality string, content binary"
+    )
+    got = {r.asset_id: r for r in decode_media(assets).collect()}
+
+    assert got["g12_dc"].mean_value == float(dc_only.mean())  # exact
+    r = got["g12_tex"]
+    assert (r.width, r.height, r.n_channels) == (17, 13, 1)
+    predicted = float(payloads["g12_tex"][1].mean())
+    assert abs(r.mean_value - predicted) < 1e-9
+    assert r.mean_value > 255  # genuinely native-range 12-bit
+    for k in ("bad_c0", "rgb12"):
+        r = got[k]
+        assert r.modality_detected == "image/jpeg", k
+        assert r.mean_value is None, k
+
+
+def test_decode_media_jpeg_adobe_transform_declarations(spark) -> None:
+    """Color-space DECLARATIONS drive the 3-component decode (r13
+    revision of the r11 honesty gate): APP14 transform=1 decodes as
+    YCbCr; APP14 transform=0 stamped onto a YCbCr-encoded stream
+    decodes the components LITERALLY (as the declaration says - so
+    its mean differs from the YCbCr reading: the declaration, not a
+    guess, decides). Payloads here reuse one encoded stream with the
+    APP14 marker spliced in, so the component bytes are identical
+    across rows and only the declared transform varies."""
     import numpy as np
 
     from etl_marketdata_downloader_archived_spark.operators.multimodal import (
@@ -3485,7 +3604,11 @@ def test_decode_media_jpeg_adobe_rgb_falls_back(spark) -> None:
     r = got["adobe_rgb"]
     assert r.modality_detected == "image/jpeg"
     assert (r.width, r.height, r.n_channels) == (16, 16, 3)
-    assert r.mean_value is None  # honest: no transform guess
+    # literal read of (Y, Cb, Cr) planes as (R, G, B): pixels decode,
+    # and the value provably followed the declaration (differs from
+    # the YCbCr transform of the same bytes)
+    assert r.mean_value is not None
+    assert abs(r.mean_value - float(pred.mean())) > 1e-6
     assert got["adobe_ycc"].mean_value is not None
     assert abs(got["adobe_ycc"].mean_value - float(pred.mean())) < 1e-9
 
@@ -3910,3 +4033,39 @@ def test_skipping_index_ambiguous_names_degrade_read_only(spark, tmp_path) -> No
 
     with _pytest.raises(AmbiguousFileIdentityError, match="ambiguous"):
         refresh_skipping_index(spark, str(table), idx)
+
+def test_incremental_minhash_bucketed_store_identity(spark, tmp_path) -> None:
+    """Bucketed band store (r13, the near-dup twin of the exact
+    store's _bk pruning): the pruned incremental screen equals the
+    unpruned screen admission for admission, and the store read
+    carries the bucket list as a PARTITION filter."""
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single day without fail in all weather")
+    novel = ("entirely new english words the gate accepts with plenty of "
+             "variety about the spark operators that clean the corpus")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, novel)], "doc_id long, text string"
+    )
+    pdir = str(tmp_path / "bk_band")
+    D.band_postings(corpus, "doc_id", "text", bucket_by=16).write.mode(
+        "append"
+    ).partitionBy("_bk").parquet(pdir)
+    store = spark.read.parquet(pdir)
+    batch = spark.createDataFrame(
+        [(10, base + " indeed"), (11, "totally fresh unrelated english "
+          "words about engines that were never seen before today")],
+        "doc_id long, text string",
+    )
+    pruned, _ = D.incremental_minhash_dedup(
+        batch, store, corpus, "doc_id", "text", store_buckets=16
+    )
+    full, _ = D.incremental_minhash_dedup(
+        batch, store.drop("_bk"), corpus, "doc_id", "text"
+    )
+    assert sorted(r.doc_id for r in pruned.collect()) == sorted(
+        r.doc_id for r in full.collect()
+    ) == [11]
+
+    probe = store.filter(F.col("_bk").isin([0, 5])).drop("_bk")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [_bk" in plan
