@@ -666,3 +666,176 @@ def map_lambda_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.explode("m").alias("word", "doubled")
     )
+
+
+@q(
+    "median_cert",
+    oracle="""
+    SELECT l_returnflag,
+           median(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS med_cents,
+           median(CAST(l_quantity AS BIGINT)) AS med_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() aggregate certification (the SQL:2023 shorthand for
+    percentile_cont(0.5)): over BIGINT cents the even-count
+    interpolation is (a+b)/2 of two exact integers - exact double
+    arithmetic in any evaluation order, so both engines agree
+    bit-for-bit (the same exact-binary-fraction argument as the r12
+    ordered-set certification, applied to the 0.5 shorthand)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.median("cents").alias("med_cents"),
+        F.median("qty").alias("med_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-aggregate distinct counting certified EXACT (the Spark
+    3.5 bitmap surface: bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count): the two-level pattern -
+    per-(group, bucket) bitmaps OR-folded map-side, bucket counts
+    summed - must equal COUNT(DISTINCT) exactly. Why it exists at
+    100 TB: a bitmap partial is a fixed 4 KB per (group, bucket)
+    regardless of row count and merges by OR, so the shuffle carries
+    bitmaps instead of every distinct value (the exact counterpart
+    of the HLL sketch, for key domains dense enough to bucket). The
+    oracle is the plain distinct count."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_bm_lineitem_r13"
+    )
+    return spark.sql(
+        """
+        WITH supp AS (
+            SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS nd_supp
+            FROM (
+                SELECT l_returnflag,
+                       bitmap_bucket_number(l_suppkey) AS b,
+                       bitmap_count(bitmap_construct_agg(
+                           bitmap_bit_position(l_suppkey))) AS c
+                FROM _bm_lineitem_r13
+                GROUP BY l_returnflag, b
+            ) GROUP BY l_returnflag
+        ),
+        part AS (
+            SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS nd_part
+            FROM (
+                SELECT l_returnflag,
+                       bitmap_bucket_number(l_partkey) AS b,
+                       bitmap_count(bitmap_construct_agg(
+                           bitmap_bit_position(l_partkey))) AS c
+                FROM _bm_lineitem_r13
+                GROUP BY l_returnflag, b
+            ) GROUP BY l_returnflag
+        )
+        SELECT supp.l_returnflag, nd_supp, nd_part
+        FROM supp JOIN part USING (l_returnflag)
+        """
+    )
+
+
+@q(
+    "grouping_id_cert",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           CAST(2 * grouping(o_orderstatus)
+                + grouping(o_orderpriority) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_id_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() / grouping_id() certification (SQL:1999 T431 - the
+    disambiguation functions that tell a ROLLUP's generated NULLs
+    apart from data NULLs): per rollup level the flags and the
+    composed bitmask must match DuckDB's grouping() bit for bit
+    (Spark's no-arg grouping_id() == the oracle's explicit
+    2*g(status)+g(priority) composition, pinning the documented
+    leftmost-is-MSB bit order)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_gid_orders_r13"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(grouping_id() AS INT) AS gid,
+               count(*) AS n
+        FROM _gid_orders_r13
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """
+    )
+
+
+@q(
+    "try_to_timestamp_cert",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN '2024-02-30 10:00:00'
+                    ELSE strftime(o_orderdate, '%Y-%m-%d')
+                         || ' 10:00:00' END AS ts_str
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, ts_str,
+           CAST(epoch_us(try_cast(ts_str AS TIMESTAMP)) AS BIGINT)
+               AS parsed_us
+    FROM s
+    """,
+)
+def try_to_timestamp_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_to_timestamp certification - the temporal member of the
+    r12 try_* family: a malformed calendar date (Feb 30, injected BY
+    RULE so the pattern is deterministic) parses to NULL instead of
+    failing the scan, and well-formed strings parse to the exact
+    microsecond instant DuckDB's try_cast produces. Dates render
+    through the same %Y-%m-%d on both engines; the comparison is
+    epoch micros, so timezones cannot touch it (session pinned
+    UTC)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    s = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.lit("2024-02-30 10:00:00")
+        )
+        .otherwise(
+            F.concat(
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                F.lit(" 10:00:00"),
+            )
+        )
+        .alias("ts_str"),
+    )
+    return s.select(
+        "o_orderkey",
+        "ts_str",
+        F.expr("unix_micros(try_to_timestamp(ts_str))").alias(
+            "parsed_us"
+        ),
+    )

@@ -348,3 +348,110 @@ def test_map_lambda_funcs_vs_python(spark, sf_dir) -> None:
         for r in map_lambda_funcs(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_median_cert_vs_python(spark, sf_dir) -> None:
+    import statistics
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r13 import (
+        median_cert,
+    )
+
+    groups: dict = defaultdict(lambda: ([], []))
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect():
+        groups[r.l_returnflag][0].append(_half_up(r.l_extendedprice * 100))
+        groups[r.l_returnflag][1].append(int(r.l_quantity))
+    got = {
+        r.l_returnflag: (r.med_cents, r.med_qty, r.n)
+        for r in median_cert(spark, sf_dir).collect()
+    }
+    want = {
+        k: (
+            float(statistics.median(c)),
+            float(statistics.median(q)),
+            len(c),
+        )
+        for k, (c, q) in groups.items()
+    }
+    assert got == want
+
+
+def test_bitmap_distinct_vs_python(spark, sf_dir) -> None:
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r13 import (
+        bitmap_distinct,
+    )
+
+    supp: dict = defaultdict(set)
+    part: dict = defaultdict(set)
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_suppkey", "l_partkey"
+    ).collect():
+        supp[r.l_returnflag].add(r.l_suppkey)
+        part[r.l_returnflag].add(r.l_partkey)
+    got = {
+        r.l_returnflag: (r.nd_supp, r.nd_part)
+        for r in bitmap_distinct(spark, sf_dir).collect()
+    }
+    assert got == {
+        k: (len(supp[k]), len(part[k])) for k in supp
+    }
+
+
+def test_grouping_id_cert_vs_python(spark, sf_dir) -> None:
+    """ROLLUP levels replayed: detail rows, per-status subtotals, the
+    grand total - each with the documented grouping flags."""
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r13 import (
+        grouping_id_cert,
+    )
+
+    detail: dict = defaultdict(int)
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect():
+        detail[(r.o_orderstatus, r.o_orderpriority)] += 1
+    rows = grouping_id_cert(spark, sf_dir).collect()
+    got_detail = {
+        (r.o_orderstatus, r.o_orderpriority): r.n
+        for r in rows
+        if r.gid == 0
+    }
+    assert got_detail == dict(detail)
+    for r in rows:
+        assert r.gid == 2 * r.g_status + r.g_prio
+        if r.gid == 1:  # priority rolled up
+            assert r.o_orderpriority is None
+            assert r.n == sum(
+                v for (s, _p), v in detail.items()
+                if s == r.o_orderstatus
+            )
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1 and grand[0].n == sum(detail.values())
+
+
+def test_try_to_timestamp_cert_vs_python(spark, sf_dir) -> None:
+    import datetime as dt
+
+    from etl_marketdata_downloader_archived_spark.plans.analytics_r13 import (
+        try_to_timestamp_cert,
+    )
+
+    rows = try_to_timestamp_cert(spark, sf_dir).collect()
+    assert len(rows) > 100
+    bad = good = 0
+    epoch = dt.datetime(1970, 1, 1)
+    for r in rows:
+        if r.o_orderkey % 5 == 0:
+            assert r.ts_str == "2024-02-30 10:00:00"
+            assert r.parsed_us is None  # NULL, never a raise
+            bad += 1
+        else:
+            want = dt.datetime.strptime(
+                r.ts_str, "%Y-%m-%d %H:%M:%S"
+            )
+            assert r.parsed_us == int(
+                (want - epoch).total_seconds() * 1_000_000
+            )
+            good += 1
+    assert bad > 0 and good > 0
