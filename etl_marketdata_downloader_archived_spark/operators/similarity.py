@@ -1056,3 +1056,89 @@ def ivfpq_search(
     return candidates.withColumn(
         "rank", F.row_number().over(w)
     ).filter(F.col("rank") <= k)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lambda_: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "cos_sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over per-query candidate sets: greedily pick the candidate
+    maximizing ``lambda * relevance - (1 - lambda) * max-similarity
+    to the already-selected`` - the standard diversity pass between
+    ANN retrieval and a RAG context window (near-duplicate passages
+    otherwise fill every slot; lambda=1 degenerates to relevance
+    order, lambda=0 to pure anti-redundancy).
+
+    Input is the RETRIEVAL OUTPUT (knn_join / ivf_search /
+    topk_cosine joined back to vectors): one row per (query,
+    candidate) with the candidate vector and its relevance. The
+    greedy pass is inherently sequential PER QUERY, so it runs as
+    applyInPandas over query groups - numpy inside, state bounded by
+    the CANDIDATE COUNT (tens to hundreds by construction: rerankers
+    see shortlists, never the corpus), queries parallelize freely.
+    Candidate-candidate similarity is computed on the fly per step
+    (k * n dot products per query), never a materialized n x n.
+
+    Ties break to the smaller id (candidates are processed in id
+    order and argmax takes the first maximum) - deterministic across
+    partitionings and replays. Returns (query_col, rank, id_col,
+    relevance, mmr_score), rank 1 first-selected."""
+    import numpy as np
+
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    qt = candidates.schema[query_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_col} {qt}, rank int, {id_col} {it}, "
+        "relevance double, mmr_score double"
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        n = len(ids)
+        take = min(k, n)
+        selected: list[int] = []
+        max_sim = np.zeros(n)
+        out_rows = []
+        remaining = np.ones(n, dtype=bool)
+        for rank in range(1, take + 1):
+            score = lambda_ * rel - (1.0 - lambda_) * max_sim
+            score_masked = np.where(remaining, score, -np.inf)
+            pick = int(np.argmax(score_masked))
+            remaining[pick] = False
+            selected.append(pick)
+            out_rows.append(
+                (
+                    pdf[query_col].iloc[0],
+                    rank,
+                    ids[pick],
+                    float(rel[pick]),
+                    float(score_masked[pick]),
+                )
+            )
+            if rank < take:
+                sims = unit @ unit[pick]
+                max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            out_rows,
+            columns=[query_col, "rank", id_col, "relevance", "mmr_score"],
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(
+        per_query, out_schema
+    )

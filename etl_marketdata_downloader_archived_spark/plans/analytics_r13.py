@@ -839,3 +839,78 @@ def try_to_timestamp_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parsed_us"
         ),
     )
+
+
+@q(
+    "greedy_admission_cert",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_partkey AS a, - l_suppkey AS b
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 97 = 0
+    ),
+    ud AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+    nodes AS (
+        SELECT u AS id, row_number() OVER (ORDER BY u) AS rn
+        FROM (SELECT DISTINCT u FROM ud)
+    ),
+    walk(rn, kept) AS (
+        SELECT 0, CAST([] AS BIGINT[])
+        UNION ALL
+        SELECT w.rn + 1,
+               CASE WHEN EXISTS (
+                        SELECT 1 FROM ud a
+                        WHERE a.u = n.id
+                          AND list_contains(w.kept, a.v))
+                    THEN w.kept
+                    ELSE list_append(w.kept, CAST(n.id AS BIGINT)) END
+        FROM walk w JOIN nodes n ON n.rn = w.rn + 1
+    )
+    SELECT CAST(n.id AS BIGINT) AS node,
+           CAST(CASE WHEN list_contains(k.kept, CAST(n.id AS BIGINT))
+                     THEN 1 ELSE 0 END AS INT) AS admitted
+    FROM nodes n,
+         (SELECT kept FROM walk ORDER BY rn DESC LIMIT 1) k
+    """,
+)
+def greedy_admission_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential greedy admission ORACLE-certified (the r13 ingest
+    semantics fix - operators.dedup.greedy_admission_drops, the
+    lexicographically-first maximal independent set): every node of a
+    sparse similarity graph flagged admitted/rejected, against a
+    DuckDB oracle that REPLAYS the sequential pass literally - a
+    linear recursive CTE carrying the kept-set as a list, one node
+    per recursion step in ascending id order. Same deterministic
+    part-supplier subgraph as graph_components (negated supplier
+    keys keep the id spaces disjoint at any SF; 1-in-97 sparsifier
+    keeps the oracle's list-carrying recursion cheap while the Spark
+    side runs the production per-component applyInPandas operator
+    unchanged). This is the oracle tier above the pytest brute-force
+    replay: an independent engine executes the same admission
+    semantics."""
+    from ..operators.dedup import greedy_admission_drops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(
+            (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 97 == 0)
+        )
+        .select(
+            F.col("l_partkey").alias("id_a"),
+            (-F.col("l_suppkey")).alias("id_b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("id_a").alias("node"))
+        .unionByName(e.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    drops = greedy_admission_drops(e).withColumnRenamed("id", "node")
+    return nodes.join(
+        drops.withColumn("_d", F.lit(1)), "node", "left"
+    ).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias(
+            "admitted"
+        ),
+    )

@@ -4069,3 +4069,154 @@ def test_incremental_minhash_bucketed_store_identity(spark, tmp_path) -> None:
     probe = store.filter(F.col("_bk").isin([0, 5])).drop("_bk")
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [_bk" in plan
+
+def test_quality_classifier_separates_and_scales(spark) -> None:
+    """Trainable quality filter (the CCNet/GPT-3-style model tier):
+    trained on synthetic seed corpora it must separate held-out clean
+    English from crawl junk (accuracy + score-ordering floors, never
+    coefficient pins - LBFGS float reduction order is not pinnable),
+    and the INFERENCE plan must be shuffle-free (one narrow pass: the
+    100 TB contract - featurization is stateless HashingTF, the model
+    rides the closure)."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.quality_model import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(5)
+    subjects = ["the pipeline", "a reader", "the engine", "our team",
+                "the report", "this essay", "the library"]
+    verbs = ["explains", "describes", "examines", "summarizes",
+             "clarifies", "presents"]
+    objects = ["the quarterly results in plain language",
+               "how the river changes through the seasons",
+               "a long history of careful measurements",
+               "the reasons behind the recent findings",
+               "what makes a garden thrive in winter"]
+
+    def good() -> str:
+        return " ".join(
+            f"{rng.choice(subjects)} {rng.choice(verbs)} "
+            f"{rng.choice(objects)}"
+            for _ in range(rng.randint(2, 4))
+        )
+
+    junk_toks = ["zxqv", "klmnop", "wxyzz", "qqq", "hhhh", "jkl",
+                 "vvvv", "xxo", "zzp", "mmmt"]
+
+    def bad() -> str:
+        return " ".join(
+            rng.choice(junk_toks) for _ in range(rng.randint(8, 30))
+        )
+
+    train_good = spark.createDataFrame(
+        [(i, good()) for i in range(60)], "doc_id long, text string"
+    )
+    train_bad = spark.createDataFrame(
+        [(i, bad()) for i in range(60)], "doc_id long, text string"
+    )
+    model = train_quality_classifier(train_good, train_bad)
+
+    holdout = spark.createDataFrame(
+        [(i, good(), 1) for i in range(100, 120)]
+        + [(i, bad(), 0) for i in range(200, 220)],
+        "doc_id long, text string, truth int",
+    )
+    scored = score_documents(model, holdout)
+    rows = scored.select("doc_id", "truth", "quality_prob").collect()
+    assert len(rows) == 40
+    acc = sum(
+        1 for r in rows if (r.quality_prob >= 0.5) == (r.truth == 1)
+    ) / len(rows)
+    assert acc >= 0.9
+    mean_good = sum(r.quality_prob for r in rows if r.truth == 1) / 20
+    mean_bad = sum(r.quality_prob for r in rows if r.truth == 0) / 20
+    assert mean_good > mean_bad + 0.5  # wide margin, not a coin flip
+
+    # inference is ONE narrow pass: no shuffle anywhere in the plan
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+def test_mmr_rerank_vs_python_and_diversity(spark) -> None:
+    """MMR re-ranking: (a) equals an independent plain-python greedy
+    replay on random vectors across lambdas (incl. first-max
+    tie-break), (b) the diversity property - with near-duplicate
+    top-relevance candidates, rank 2 picks the DIFFERENT cluster that
+    pure relevance order would not, (c) lambda=1 degenerates to
+    relevance order."""
+    import math
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    def replay(rows, k, lam):
+        rows = sorted(rows, key=lambda r: r[1])  # by id
+        def unit(v):
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            return [x / n for x in v]
+        units = [unit(r[2]) for r in rows]
+        max_sim = [0.0] * len(rows)
+        left = set(range(len(rows)))
+        out = []
+        for rank in range(1, min(k, len(rows)) + 1):
+            best, best_s = None, None
+            for i in sorted(left):
+                s = lam * rows[i][3] - (1 - lam) * max_sim[i]
+                if best_s is None or s > best_s:
+                    best, best_s = i, s
+            left.discard(best)
+            out.append((rows[best][0], rank, rows[best][1]))
+            for i in left:
+                s = sum(a * b for a, b in zip(units[i], units[best]))
+                max_sim[i] = max(max_sim[i], s)
+        return out
+
+    rng = random.Random(9)
+    rows = []
+    for q in (1, 2):
+        for cid in range(12):
+            vec = [rng.uniform(-1, 1) for _ in range(6)]
+            rows.append((q, cid, vec, round(rng.uniform(0, 1), 6)))
+    df = spark.createDataFrame(
+        rows,
+        "query_id int, vec_id int, embedding array<double>, cos_sim double",
+    )
+    for lam in (0.0, 0.5, 1.0):
+        got = sorted(
+            (r.query_id, r.rank, r.vec_id)
+            for r in mmr_rerank(df, k=5, lambda_=lam).collect()
+        )
+        want = sorted(
+            t for q in (1, 2) for t in replay(
+                [r for r in rows if r[0] == q], 5, lam
+            )
+        )
+        assert got == want, lam
+
+    # diversity property: three near-identical A vectors outrank one
+    # B vector on relevance, but MMR at lambda=0.5 slots B second
+    a = [1.0, 0.0, 0.01]
+    div_rows = [
+        (7, 1, a, 0.99),
+        (7, 2, [1.0, 0.0, 0.02], 0.98),
+        (7, 3, [1.0, 0.0, 0.03], 0.97),
+        (7, 4, [0.0, 1.0, 0.0], 0.60),  # the different cluster
+    ]
+    ddf = spark.createDataFrame(
+        div_rows,
+        "query_id int, vec_id int, embedding array<double>, cos_sim double",
+    )
+    picked = {
+        r.rank: r.vec_id
+        for r in mmr_rerank(ddf, k=2, lambda_=0.5).collect()
+    }
+    assert picked == {1: 1, 2: 4}
+    rel_order = {
+        r.rank: r.vec_id
+        for r in mmr_rerank(ddf, k=2, lambda_=1.0).collect()
+    }
+    assert rel_order == {1: 1, 2: 2}  # relevance alone keeps the dup

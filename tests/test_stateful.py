@@ -1347,3 +1347,148 @@ def test_streaming_running_balance_equals_batch(spark, tmp_path) -> None:
         q2.awaitTermination(120)
         if q2.exception() is not None:
             raise q2.exception()
+
+def test_streaming_topk_transform_with_state(spark, tmp_path) -> None:
+    """The Spark 4 transformWithStateInPandas surface (r13): a
+    per-key running top-3 leaderboard across THREE micro-batches must
+    equal the batch WindowGroupLimit top-3 over the union of all
+    batches; an id re-delivered in a later batch (at-least-once
+    replay shape) must not duplicate; state is k-bounded per key by
+    construction. RocksDB state store - the new API's backend.
+
+    ENV GATE: transformWithState's python<->JVM state protocol rides
+    google.protobuf (pyspark/sql/streaming/proto/StateMessage_pb2),
+    which is not installed in this sandbox - where it is missing the
+    live leg skips and the PROCESSOR KERNEL test below carries the
+    semantics (same posture as the bs4 and Kafka gates)."""
+    import json
+
+    import pytest as _pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        _pytest.skip(
+            "google.protobuf unavailable: transformWithStateInPandas "
+            "state protocol cannot initialize in this environment"
+        )
+
+    from pyspark.sql import functions as F
+
+    from etl_marketdata_downloader_archived_spark.streaming.topk_state import (
+        streaming_topk_per_key,
+    )
+
+    src = tmp_path / "tk_src"
+    src.mkdir()
+    batches = [
+        [("a", 1, 50), ("a", 2, 90), ("b", 3, 10)],
+        [("a", 4, 70), ("b", 5, 10), ("a", 2, 90)],  # id 2 re-delivered
+        [("a", 6, 95), ("b", 7, 40), ("a", 8, 60)],
+    ]
+    old = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    results: dict = {}
+
+    def sink(b, bid: int) -> None:
+        for r in b.collect():
+            results.setdefault(bid, {}).setdefault(r.key, []).append(
+                (r.rank, r.id, r.val)
+            )
+
+    try:
+        for i, rows in enumerate(batches):
+            (src / f"b{i}.json").write_text(
+                "\n".join(
+                    json.dumps({"k": k, "eid": e, "cents": c})
+                    for k, e, c in rows
+                )
+            )
+            raw = spark.readStream.format("text").load(str(src))
+            parsed = raw.select(
+                F.from_json(
+                    "value", "k STRING, eid LONG, cents LONG"
+                ).alias("j")
+            ).select("j.*")
+            q = (
+                streaming_topk_per_key(parsed, "k", "eid", "cents", k=3)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "tk_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert q.exception() is None, q.exception()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+
+    # final leaderboard == batch top-3 over the union (dedup id 2)
+    final_a = sorted(results[max(results)]["a"])
+    assert final_a == [(1, 6, 95), (2, 2, 90), (3, 4, 70)]
+    final_b = sorted(results[max(results)]["b"])
+    # tie on 10 breaks to the smaller id
+    assert final_b == [(1, 7, 40), (2, 3, 10), (3, 5, 10)]
+    # the batch-1 intermediate state was the batch-1 truth
+    assert sorted(results[0]["a"]) == [(1, 2, 90), (2, 1, 50)]
+
+
+def test_topk_processor_kernel_semantics() -> None:
+    """The transformWithState processor's MERGE KERNEL, driven
+    directly (no streaming runtime, no protobuf): cross-call state
+    carry, at-least-once id dedup, (value desc, id asc) tie-break,
+    k-truncation, and the k-bounded state rewrite."""
+    import pandas as pd
+
+    from etl_marketdata_downloader_archived_spark.streaming.topk_state import (
+        _TopKProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = t
+
+    proc = _TopKProcessor(k=3)
+    proc._state = FakeState()
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["id", "val"])
+        out = list(proc.handleInputRows(("a",), iter([pdf]), None))
+        assert len(out) == 1
+        return sorted(
+            zip(out[0]["rank"], out[0]["id"], out[0]["val"])
+        )
+
+    assert feed([(1, 50), (2, 90)]) == [(1, 2, 90), (2, 1, 50)]
+    # replayed id 2 dedupes; 4 enters; state stays k-bounded
+    assert feed([(4, 70), (2, 90)]) == [
+        (1, 2, 90), (2, 4, 70), (3, 1, 50)
+    ]
+    assert feed([(6, 95), (8, 60)]) == [
+        (1, 6, 95), (2, 2, 90), (3, 4, 70)
+    ]
+    ids, vals = proc._state.v
+    assert len(ids) == 3 == len(vals)  # never more than k in state
+    # tie on equal values breaks to the smaller id
+    proc2 = _TopKProcessor(k=2)
+    proc2._state = FakeState()
+    pdf = pd.DataFrame([(9, 10), (3, 10), (5, 10)], columns=["id", "val"])
+    out = list(proc2.handleInputRows(("b",), iter([pdf]), None))[0]
+    assert sorted(zip(out["rank"], out["id"])) == [(1, 3), (2, 5)]
