@@ -888,3 +888,125 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates()
     )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """EXACT substring-level dedup - the REMOVAL action behind
+    'Deduplicating Training Data Makes Language Models Better' (Lee
+    et al. 2022, the ExactSubstr tool), recast from its suffix-array
+    formulation into a distributed posting aggregation: a token
+    position is DUPLICATED TEXT iff it is covered by some
+    ``span_tokens``-gram that occurs at >= 2 (doc, position) sites in
+    the corpus; every covered token is removed (ALL copies - the
+    paper's remove-everywhere semantics; a keep-one-copy variant
+    needs a global occurrence order and is a policy layered on the
+    same coverage set), and each document is reassembled from its
+    surviving tokens in order. Documents shorter than ``span_tokens``
+    cannot carry a span and pass through verbatim.
+
+    Equivalence to the suffix-array formulation: a maximal repeated
+    substring of length >= L exists at position p iff the L-gram at p
+    is repeated, and the union of repeated-L-gram coverage IS the
+    union of all repeated substrings of length >= L - so L-gram
+    postings compute the identical removal set without ever building
+    a suffix array (which does not distribute; postings do).
+
+    Scale shape: positions explode linearly in corpus tokens; the
+    gram-occurrence count is one hash aggregate on the gram key
+    (partial map-side); coverage expands only DUPLICATED starts by a
+    factor of L (bounded by L x duplication rate, output-bound);
+    reassembly is one per-doc sort_array fold. Never all-pairs,
+    never a corpus-wide sort. Returns (id_col, text_col cleaned,
+    n_tokens, n_removed)."""
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    L = span_tokens
+    toks = _spread(df).select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
+        ).alias("_pos", "_tok"),
+    )
+    # L-gram string starting at each eligible position, via a window
+    # over the doc's own positions (positions are dense by
+    # construction: posexplode indexes)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(W.currentRow, L - 1)
+    )
+    grams = toks.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_gram", F.concat_ws(" ", F.collect_list("_tok").over(w))
+    )
+    gram_key = (
+        F.xxhash64("_gram") if hash_grams else F.col("_gram")
+    )
+    starts = grams.filter(F.col("_n") == L).select(
+        id_col, "_pos", gram_key.alias("_g")
+    )
+    # occurrence count per gram key: >= 2 sites -> duplicated.
+    # hash_grams=True (the scale default) shuffles an 8-byte hash in
+    # place of the gram string (collision odds ~occurrences^2/2^64 -
+    # the documented trade every hashed shingle stage makes, and a
+    # collision only ever REMOVES extra text); hash_grams=False keeps
+    # the strings so the result is bit-exact against a string-keyed
+    # replay (the oracle tier)
+    dup = (
+        starts.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_g")
+    )
+    covered = (
+        starts.join(dup, "_g", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    stats = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_pos").alias("p"), F.col("_tok").alias("t"))
+                )
+            ).alias("_o")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.transform("_o", lambda s: s["t"])
+            ).alias(text_col),
+        )
+    )
+    return (
+        stats.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            "n_tokens",
+        )
+        .withColumn(
+            "n_removed",
+            F.col("n_tokens")
+            - F.size(
+                F.filter(
+                    F.split(text_col, r"\s+"), lambda t: t != F.lit("")
+                )
+            ),
+        )
+    )

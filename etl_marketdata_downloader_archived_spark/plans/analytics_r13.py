@@ -914,3 +914,76 @@ def greedy_admission_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "admitted"
         ),
     )
+
+
+@q(
+    "strip_dup_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS tok,
+               generate_subscripts(list_filter(
+                   string_split_regex(text, '\\s+'), x -> x <> ''), 1)
+                   - 1 AS pos
+        FROM documents
+    ),
+    n AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+    grams AS (
+        SELECT t.doc_id, t.pos,
+               string_agg(t2.tok, ' ' ORDER BY t2.pos) AS g
+        FROM toks t
+        JOIN n USING (doc_id)
+        JOIN toks t2 ON t2.doc_id = t.doc_id
+                    AND t2.pos BETWEEN t.pos AND t.pos + 7
+        WHERE t.pos + 7 < n.n_tok
+        GROUP BY t.doc_id, t.pos
+    ),
+    dup AS (
+        SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT gr.doc_id, gr.pos + o AS pos
+        FROM grams gr
+        JOIN dup USING (g),
+             UNNEST(generate_series(0, 7)) AS s(o)
+    ),
+    removed AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rm
+        FROM covered GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n.n_tok) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(r.n_rm), 0) AS BIGINT) AS removed_tokens
+    FROM (SELECT doc_id, source FROM documents) d
+    JOIN n USING (doc_id)
+    LEFT JOIN removed r USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span removal panel (Lee et al. 2022 ExactSubstr
+    semantics, operators.dedup.strip_duplicated_spans): every token
+    covered by a repeated 8-token span is removed corpus-wide; the
+    panel reports per source how many tokens that dedup would strip.
+    Registered with ``hash_grams=False`` so the gram keys are the
+    literal strings and the DuckDB replay is bit-exact (the
+    operator's scale default hashes them - a documented 2^-64
+    collision trade the oracle tier does not take)."""
+    from ..operators.dedup import strip_duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    out = strip_duplicated_spans(
+        d, "doc_id", "text", span_tokens=8, hash_grams=False
+    )
+    src = d.select("doc_id", "source")
+    return (
+        out.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_removed").alias("removed_tokens"),
+        )
+    )

@@ -461,4 +461,5 @@ def test_compact_postings_serves_band_store_too(spark, tmp_path) -> None:
     assert (nb, na) == (before, before // 2)
     assert read_band_meta(spark, pdir) == {
         "num_hashes": 32, "bands": 8, "shingle_n": 3, "p_num": 500000,
+        "buckets": None,
     }

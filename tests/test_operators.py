@@ -4220,3 +4220,74 @@ def test_mmr_rerank_vs_python_and_diversity(spark) -> None:
         for r in mmr_rerank(ddf, k=2, lambda_=1.0).collect()
     }
     assert rel_order == {1: 1, 2: 2}  # relevance alone keeps the dup
+
+def test_strip_duplicated_spans_semantics_and_replay(spark) -> None:
+    """ExactSubstr-style span removal: (a) a known shared 10-token
+    span disappears from BOTH documents (remove-everywhere) while
+    unique text survives; (b) docs shorter than the span pass through
+    verbatim; (c) full equality against an independent python replay
+    on a randomized corpus with planted duplicates, both gram-key
+    modes (hashed == string at this scale)."""
+    import random
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"one unique prefix {shared} and a unique tail here"),
+        (2, f"{shared} entirely different following words now"),
+        (3, "short doc"),
+        (4, "totally unrelated text with no repeats at all present"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in D.strip_duplicated_spans(
+            df, "doc_id", "text", span_tokens=10
+        ).collect()
+    }
+    assert got[1][0] == "one unique prefix and a unique tail here"
+    assert got[2][0] == "entirely different following words now"
+    assert got[1][2] == 10 and got[2][2] == 10
+    assert got[3] == ("short doc", 2, 0)  # under the span length
+    assert got[4][2] == 0
+
+    def replay(rows, L):
+        toks = {i: t.split() for i, t in rows}
+        occ: dict = {}
+        for i, ts in toks.items():
+            for p in range(len(ts) - L + 1):
+                occ.setdefault(" ".join(ts[p : p + L]), []).append((i, p))
+        covered: dict = {i: set() for i in toks}
+        for g, sites in occ.items():
+            if len(sites) >= 2:
+                for i, p in sites:
+                    covered[i].update(range(p, p + L))
+        out = {}
+        for i, ts in toks.items():
+            keep = [t for p, t in enumerate(ts) if p not in covered[i]]
+            out[i] = (" ".join(keep), len(ts), len(ts) - len(keep))
+        return out
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    blocks = [
+        " ".join(rng.choice(vocab) for _ in range(12)) for _ in range(4)
+    ]
+    rnd_rows = []
+    for i in range(30):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(5, 25))]
+        if i % 3 == 0:  # plant a duplicated block
+            parts.insert(
+                rng.randint(0, len(parts)), blocks[i % len(blocks)]
+            )
+        rnd_rows.append((i, " ".join(" ".join(parts).split())))
+    rdf = spark.createDataFrame(rnd_rows, "doc_id long, text string")
+    want = replay(rnd_rows, 8)
+    for hashed in (True, False):
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.n_removed)
+            for r in D.strip_duplicated_spans(
+                rdf, "doc_id", "text", span_tokens=8, hash_grams=hashed
+            ).collect()
+        }
+        assert got == want, hashed
+    assert sum(v[2] for v in want.values()) > 0  # plants were found
