@@ -753,6 +753,13 @@ def greedy_admission_drops(
     ordering is ascending under pandas ``sort``; callers with string
     ids that need locale-exotic collation should pre-map to a sortable
     key (the ingests use numeric/binary-comparable ids)."""
+    # materialize ONCE: `pairs` is usually a full candidate pipeline
+    # (shingle -> join -> verify) and is consumed three times below -
+    # the CC probe/collect plus the edge union's two selects; without
+    # this the pipeline re-runs per consumer (the branch-count-vs-
+    # recompute regression the dedup-first tier already paid for -
+    # review finding)
+    pairs = pairs.localCheckpoint()
     comp = connected_components(pairs, id_a, id_b)
     id_type = pairs.schema[id_a].dataType.simpleString()
     edges = (
@@ -976,7 +983,16 @@ def strip_duplicated_spans(
         .distinct()
     )
     kept = toks.join(covered, [id_col, "_pos"], "left_anti")
-    stats = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    # token counts from the INPUT frame, not the exploded positions:
+    # an empty/whitespace-only document explodes to zero rows and
+    # would otherwise vanish from the cleaned corpus entirely
+    # (review finding) - it must pass through as ("", 0, 0)
+    stats = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
+        ).cast("bigint").alias("n_tokens"),
+    )
     rebuilt = (
         kept.groupBy(id_col)
         .agg(

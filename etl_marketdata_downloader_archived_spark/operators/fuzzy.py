@@ -921,22 +921,55 @@ def compact_postings(spark, postings_dir: str) -> tuple[int, int]:
     their identity (_id, _n, _hk, _p [, _bk]).
 
     Publishes via the stage-and-swap rename (the publish_small_table
-    discipline - never delete-then-write: the previous store survives
-    a crash at any point, and a reader never sees a half-written
-    store). Preserves the ``_bk`` partitioning layout and carries the
+    discipline - never delete-then-write: the previous snapshot is
+    never deleted before the new one is live). The swap's two renames
+    leave ONE crash window where the store is absent at its path with
+    the snapshot intact at ``__old``; this function runs
+    ``io.recover_small_table`` at entry (the same naming convention),
+    so the NEXT maintenance pass restores it - and the ingests' loud
+    missing-store guard means the gap is noisy, never silent
+    (review finding: the first cut's docstring overclaimed
+    crash-at-any-point safety and shipped no recovery path).
+
+    Preserves the ``_bk`` partitioning layout and carries the
     ``_meta`` sidecar into the new snapshot VERBATIM (schema-agnostic
     one-row copy, so the same maintenance op serves BOTH posting-store
     flavors - the exact hash-order store and the near-dup band store,
     whose sidecars carry different parameters; posting rows of either
     flavor are identity-only, so distinct is the right compaction for
-    both). Single maintenance writer per store assumed (wrap in
-    io.maintenance_lock to enforce). Returns
-    (rows_before, rows_after)."""
+    both). A store with zero DATA files (only the hidden sidecar -
+    the legitimate all-unshingleable-admissions state) is already
+    compact: returns (0, 0) without touching it (review finding: the
+    schemaless read crashed on inference). Single maintenance writer
+    per store assumed (wrap in io.maintenance_lock to enforce).
+    Returns (rows_before, rows_after)."""
+    from ..io import recover_small_table
+
     root = postings_dir.rstrip("/")
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    recover_small_table(spark, root)
     if not fs.exists(jvm_path(root)):
         raise ValueError(f"compact_postings: no store at {postings_dir}")
+
+    def _has_data_files() -> bool:
+        # a component is hidden to spark.read iff it starts with _ or
+        # . AND carries no '=' (partition directories like _bk=3 are
+        # exempt - Spark's own hidden-path rule)
+        qroot = fs.makeQualified(jvm_path(root)).toString().rstrip("/")
+        it = fs.listFiles(jvm_path(root), True)
+        while it.hasNext():
+            f = it.next().getPath().toString()
+            rel = f[len(qroot):].lstrip("/") if f.startswith(qroot) else f
+            if not any(
+                p.startswith(("_", ".")) and "=" not in p
+                for p in rel.split("/")
+            ):
+                return True
+        return False
+
+    if not _has_data_files():
+        return 0, 0
     store = spark.read.parquet(root)
     before = store.count()
     has_meta = fs.exists(jvm_path(root + "/_meta"))

@@ -106,13 +106,26 @@ def score_documents(
     model) to every document - the corpus mixer's threshold /
     importance-sampling input. One narrow pass: tokenize, hash,
     dot-product against the broadcast coefficients; no shuffle, no
-    state, linear in the corpus."""
-    scored = model.transform(
-        docs.withColumn("text", F.col(text_col))
-    )
+    state, linear in the corpus. The caller's columns pass through
+    untouched: when ``text_col`` is not literally "text", any
+    pre-existing "text" column is set aside for the model's fixed
+    input name and restored afterwards (review finding: the first
+    cut overwrote it with ``text_col``'s values in the output)."""
     from pyspark.ml.functions import vector_to_array
 
-    return scored.withColumn(
+    staged = docs
+    had_text = "text" in docs.columns and text_col != "text"
+    if had_text:
+        staged = staged.withColumnRenamed("text", "__qm_orig_text")
+    if text_col != "text":
+        staged = staged.withColumn("text", F.col(text_col))
+    scored = model.transform(staged)
+    out = scored.withColumn(
         "quality_prob",
         F.element_at(vector_to_array("probability"), 2),
     ).drop("_toks", "_feat", "rawPrediction", "probability", "prediction")
+    if text_col != "text":
+        out = out.drop("text")
+    if had_text:
+        out = out.withColumnRenamed("__qm_orig_text", "text")
+    return out

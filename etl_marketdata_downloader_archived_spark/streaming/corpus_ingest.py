@@ -213,6 +213,25 @@ def start_corpus_ingest_neardup(
                     )
                 buckets = meta["buckets"]
             else:
+                # no sidecar = legacy UNBUCKETED store; if the layout
+                # is actually partitioned the sidecar was LOST -
+                # appending unbucketed rows would shear the layout
+                # and, once the true sidecar is restored, those rows
+                # would be pruned out of every screen (review finding:
+                # the exact variant had this guard, this one didn't)
+                p = spark._jvm.org.apache.hadoop.fs.Path(postings_dir)
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                if any(
+                    st.getPath().getName().startswith("_bk=")
+                    for st in fs.listStatus(p)
+                ):
+                    raise ValueError(
+                        "start_corpus_ingest_neardup: posting store "
+                        f"at {postings_dir} is _bk-partitioned but "
+                        "its _meta sidecar is missing - restore the "
+                        "sidecar (write_band_meta with the original "
+                        "parameters and bucket count) before resuming"
+                    )
                 # legacy store: unbucketed layout on disk; record the
                 # contract forward and keep appends layout-consistent
                 buckets = None
@@ -238,7 +257,7 @@ def start_corpus_ingest_neardup(
             if buckets is not None:
                 schema += ", _bk int"
             store = spark.read.schema(schema).parquet(postings_dir)
-            survivors, _ = incremental_minhash_dedup(
+            survivors, surv_post = incremental_minhash_dedup(
                 gated, store, corpus.select(id_col, text_col),
                 id_col, text_col, num_hashes=num_hashes, bands=bands,
                 jaccard_threshold=jaccard_threshold, shingle_n=shingle_n,
@@ -246,20 +265,28 @@ def start_corpus_ingest_neardup(
             )
             # replay idempotence: ids already in the corpus never
             # re-append even if the similarity screen would admit
+            # (the postings side gets the same filter so it stays the
+            # survivors' posting set)
             survivors = survivors.join(
+                corpus.select(id_col), id_col, "left_anti"
+            )
+            surv_post = surv_post.join(
                 corpus.select(id_col), id_col, "left_anti"
             )
         else:
             survivors = gated
+            surv_post = None
         survivors = survivors.localCheckpoint()
         pairs = minhash_dedup_pairs(
             survivors, id_col, text_col, num_hashes=num_hashes,
             bands=bands, jaccard_threshold=jaccard_threshold,
             shingle_n=shingle_n,
         )
+        # doomed is consumed twice (the corpus anti-join AND the
+        # postings anti-join) and is rejected-id-sized: snapshot it
         doomed = greedy_admission_drops(pairs).withColumnRenamed(
             "id", id_col
-        )
+        ).localCheckpoint()
         # one deterministic snapshot: admitted feeds both appends (and
         # the postings derivation), and the corpus append must not be
         # re-evaluated lazily AFTER the store has grown
@@ -271,10 +298,22 @@ def start_corpus_ingest_neardup(
                 spark, postings_dir, num_hashes, bands, shingle_n,
                 jaccard_threshold, buckets=store_bucket_count,
             )
-        new_postings = band_postings(
-            admitted, id_col, text_col, num_hashes=num_hashes,
-            bands=bands, shingle_n=shingle_n, bucket_by=buckets,
-        )
+        # the admitted docs' postings REUSE the signature pass the
+        # corpus screen already ran (incremental_minhash_dedup's
+        # second return), filtered by the drop set - not a fresh
+        # band_postings(admitted) run (review finding: the batch was
+        # being re-signatured a third time per trigger); only the
+        # first batch, which ran no screen, signatures here
+        if surv_post is None:
+            surv_post = band_postings(
+                survivors, id_col, text_col, num_hashes=num_hashes,
+                bands=bands, shingle_n=shingle_n,
+            )
+        new_postings = surv_post.join(doomed, id_col, "left_anti")
+        if buckets is not None:
+            new_postings = new_postings.withColumn(
+                "_bk", F.pmod(F.col("band_hash"), F.lit(buckets))
+            )
         writer = new_postings.write.mode("append")
         if buckets is not None:
             writer = writer.partitionBy("_bk")
@@ -444,6 +483,34 @@ def start_corpus_ingest_exact(
                 f"p={meta['p_num']}/1e6, ingest requested p={p_req}/1e6 "
                 "- rebuild the store or ingest at its threshold"
             )
+        if store_exists and meta is None:
+            # legacy (pre-sidecar) store: validate its threshold by
+            # the one-time distinct-_p scan HERE - independent of the
+            # corpus probe (review finding: validating only inside the
+            # corpus branch let a crash-window replay, where the
+            # corpus append never landed, append postings at a NEW
+            # threshold into the old store before any check ran) -
+            # then record the sidecar so the scan never recurs
+            legacy = spark.read.schema(
+                f"_id {idt}, _n int, _hk bigint, _p int"
+            ).parquet(postings_dir)
+            wrong = sorted(
+                p["_p"]
+                for p in legacy.select("_p").distinct().collect()
+                if p["_p"] != p_req
+            )
+            if wrong:
+                raise ValueError(
+                    "start_corpus_ingest_exact: legacy posting store "
+                    f"at {postings_dir} holds postings built at "
+                    f"threshold p={wrong}/1e6, ingest requested "
+                    f"p={p_req}/1e6 - rebuild the store or ingest at "
+                    "its threshold"
+                )
+            write_postings_meta(
+                spark, postings_dir, jaccard_threshold, buckets=None
+            )
+            meta = {"p_num": p_req, "buckets": None}
         if _dir_exists(spark, corpus_dir):
             # a MISSING store next to an existing corpus is
             # corruption/migration and must fail loud, never screen
@@ -477,7 +544,10 @@ def start_corpus_ingest_exact(
                 id_col,
                 "_toks",
                 jaccard_threshold,
-                store_p_num=None if meta is None else meta["p_num"],
+                # meta is always present here: first-write stores get
+                # the sidecar before any postings, legacy stores had
+                # it validated and written forward above
+                store_p_num=meta["p_num"],
                 store_buckets=buckets,
             )
             survivors = toks.join(
@@ -492,14 +562,6 @@ def start_corpus_ingest_exact(
             survivors = survivors.join(
                 corpus.select(id_col), id_col, "left_anti"
             ).localCheckpoint()
-            if meta is None:
-                # legacy store: the distinct-_p scan above validated
-                # the threshold; record it so future batches read the
-                # sidecar instead (buckets stays None - the layout on
-                # disk is unbucketed and appends must match it)
-                write_postings_meta(
-                    spark, postings_dir, jaccard_threshold, buckets=None
-                )
         else:
             survivors = toks
         # sequential intra-batch admission among the survivors: pairs

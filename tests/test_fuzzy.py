@@ -463,3 +463,40 @@ def test_compact_postings_serves_band_store_too(spark, tmp_path) -> None:
         "num_hashes": 32, "bands": 8, "shingle_n": 3, "p_num": 500000,
         "buckets": None,
     }
+
+def test_compact_postings_empty_store_and_crash_recovery(spark, tmp_path) -> None:
+    """Review findings: (a) a store whose only content is the hidden
+    _meta sidecar (the legitimate all-unshingleable-admissions state)
+    compacts to (0, 0) instead of crashing on schema inference;
+    (b) a crash between the swap's two renames (live gone, __old
+    intact) self-heals at the next compact entry."""
+    import shutil
+
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        compact_postings,
+        jaccard_prefix_postings,
+        read_postings_meta,
+        write_postings_meta,
+    )
+
+    # (a) meta-only store
+    pdir = str(tmp_path / "empty_store")
+    write_postings_meta(spark, pdir, 0.7, buckets=8)
+    assert compact_postings(spark, pdir) == (0, 0)
+    assert read_postings_meta(spark, pdir) == {"p_num": 700000, "buckets": 8}
+
+    # (b) crash-window recovery: live renamed aside, __old intact
+    pdir2 = tmp_path / "cw_store"
+    corpus = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["d", "e", "f"])],
+        "id long, toks array<string>",
+    )
+    write_postings_meta(spark, str(pdir2), 0.5)
+    jaccard_prefix_postings(corpus, "id", "toks", 0.5).write.mode(
+        "append"
+    ).parquet(str(pdir2))
+    n = spark.read.parquet(str(pdir2)).count()
+    shutil.move(str(pdir2), str(pdir2) + "__old")  # the crash state
+    nb, na = compact_postings(spark, str(pdir2))
+    assert (nb, na) == (n, n)  # recovered, then compacted (no dups)
+    assert spark.read.parquet(str(pdir2)).count() == n

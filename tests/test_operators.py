@@ -4291,3 +4291,54 @@ def test_strip_duplicated_spans_semantics_and_replay(spark) -> None:
         }
         assert got == want, hashed
     assert sum(v[2] for v in want.values()) > 0  # plants were found
+
+def test_score_documents_preserves_caller_text_column(spark) -> None:
+    """Review finding: scoring with text_col != 'text' must neither
+    overwrite a pre-existing 'text' column nor leak the model's
+    staging column into the output."""
+    from etl_marketdata_downloader_archived_spark.operators.quality_model import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    good = spark.createDataFrame(
+        [(i, "the pipeline explains the results in plain language")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    bad = spark.createDataFrame(
+        [(i, "zxqv qqq hhhh zzp zzp zzp") for i in range(12)],
+        "doc_id long, text string",
+    )
+    model = train_quality_classifier(good, bad)
+    docs = spark.createDataFrame(
+        [(1, "raw html here", "the engine describes the findings "
+          "clearly and simply")],
+        "doc_id long, text string, body string",
+    )
+    out = score_documents(model, docs, text_col="body")
+    assert sorted(out.columns) == ["body", "doc_id", "quality_prob", "text"]
+    row = out.collect()[0]
+    assert row.text == "raw html here"  # untouched
+    assert row.quality_prob is not None
+
+
+def test_strip_duplicated_spans_keeps_empty_docs(spark) -> None:
+    """Review finding: empty / whitespace-only documents explode to
+    zero token rows and vanished from the cleaned corpus; they must
+    pass through as ('', 0, 0) - the output is a full replacement
+    corpus, row for row."""
+    df = spark.createDataFrame(
+        [(1, "some ordinary words here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in D.strip_duplicated_spans(
+            df, "doc_id", "text", span_tokens=3
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == ("some ordinary words here", 4, 0)
+    assert got[2] == ("", 0, 0)
+    assert got[3] == ("", 0, 0)

@@ -2535,3 +2535,103 @@ def test_neardup_ingest_rejects_lsh_parameter_drift(spark, tmp_path) -> None:
     assert exc is not None and "LSH parameters" in str(exc)
     # resuming with the ORIGINAL parameters still works
     assert run() is None
+
+def test_neardup_ingest_sheared_sidecar_fails_loud(spark, tmp_path) -> None:
+    """Review finding (parity with the exact variant's guard): a
+    _bk-partitioned band store whose _meta sidecar was lost must fail
+    loud - treating it as legacy-unbucketed would append unbucketed
+    rows into the partitioned layout, and once the true sidecar is
+    restored those rows are pruned out of every screen."""
+    import shutil
+
+    from etl_marketdata_downloader_archived_spark.operators.dedup import (
+        band_postings,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single day without fail in all weather")
+    pdir = tmp_path / "sh_postings"
+    seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    band_postings(seed, "doc_id", "text", bucket_by=64).write.mode(
+        "append"
+    ).partitionBy("_bk").parquet(str(pdir))
+    shutil.rmtree(pdir / "_meta", ignore_errors=True)  # the shear
+
+    src = tmp_path / "sh_src"
+    src.mkdir()
+    (src / "b.json").write_text(json.dumps({"doc_id": 2, "text": base}))
+    raw = spark.readStream.format("text").load(str(src))
+    docs = raw.select(
+        F.from_json("value", "doc_id LONG, text STRING").alias("j")
+    ).select("j.*")
+    q = start_corpus_ingest_neardup(
+        docs,
+        corpus_dir=str(tmp_path / "sh_corpus"),
+        postings_dir=str(pdir),
+        checkpoint_dir=str(tmp_path / "sh_ckpt"),
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:  # noqa: BLE001 - surfaced via exception() below
+        pass
+    exc = q.exception()
+    assert exc is not None and "_meta sidecar is missing" in str(exc)
+
+
+def test_exact_ingest_legacy_threshold_drift_in_crash_window(
+    spark, tmp_path
+) -> None:
+    """Review finding: a LEGACY (pre-sidecar) store replayed in the
+    crash window - postings landed, corpus append never did - must
+    still fail loud on a threshold drift BEFORE appending postings at
+    the new threshold (the old code only validated inside the
+    corpus-exists branch, so the store got polluted first)."""
+    import os
+
+    from etl_marketdata_downloader_archived_spark.operators.dedup import (
+        word_shingles,
+    )
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        jaccard_prefix_postings,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_exact,
+    )
+
+    doc = ("the quick brown fox jumps over the lazy dog near the river "
+           "bank every single day without fail in all weather")
+    pdir = str(tmp_path / "lg_postings")
+    # legacy store (no sidecar) built at threshold 0.7; NO corpus dir
+    # (the crash window)
+    seed = spark.createDataFrame([(5, doc)], "doc_id long, text string")
+    jaccard_prefix_postings(
+        seed.select("doc_id", word_shingles("text", 3).alias("_toks")),
+        "doc_id", "_toks", 0.7,
+    ).write.mode("append").parquet(pdir)
+    n_before = len(os.listdir(pdir))
+
+    src = tmp_path / "lg_src"
+    src.mkdir()
+    (src / "b.json").write_text(json.dumps({"doc_id": 5, "text": doc}))
+    raw = spark.readStream.format("text").load(str(src))
+    docs = raw.select(
+        F.from_json("value", "doc_id LONG, text STRING").alias("j")
+    ).select("j.*")
+    q = start_corpus_ingest_exact(
+        docs,
+        corpus_dir=str(tmp_path / "lg_corpus"),
+        postings_dir=pdir,
+        checkpoint_dir=str(tmp_path / "lg_ckpt"),
+        jaccard_threshold=0.5,  # the drift
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:  # noqa: BLE001 - surfaced via exception() below
+        pass
+    exc = q.exception()
+    assert exc is not None and "threshold" in str(exc)
+    # the store was NOT polluted with 0.5-threshold postings
+    assert len(os.listdir(pdir)) == n_before
