@@ -989,9 +989,17 @@ def strip_duplicated_spans(
     # (review finding) - it must pass through as ("", 0, 0)
     stats = df.select(
         F.col(id_col),
-        F.size(
-            F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
-        ).cast("bigint").alias("n_tokens"),
+        # coalesce: a NULL text splits to NULL (size NULL) and must
+        # land as 0 like the empty string, not poison n_removed
+        # (second-review finding)
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.split(text_col, r"\s+"), lambda t: t != F.lit("")
+                )
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("n_tokens"),
     )
     rebuilt = (
         kept.groupBy(id_col)
@@ -1007,6 +1015,10 @@ def strip_duplicated_spans(
             F.concat_ws(
                 " ", F.transform("_o", lambda s: s["t"])
             ).alias(text_col),
+            # the kept count falls out of the aggregate; re-splitting
+            # the cleaned text was a third corpus-wide regex pass
+            # (second-review finding)
+            F.size("_o").cast("bigint").alias("_kept"),
         )
     )
     return (
@@ -1015,14 +1027,9 @@ def strip_duplicated_spans(
             id_col,
             F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
             "n_tokens",
-        )
-        .withColumn(
-            "n_removed",
-            F.col("n_tokens")
-            - F.size(
-                F.filter(
-                    F.split(text_col, r"\s+"), lambda t: t != F.lit("")
-                )
-            ),
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("_kept"), F.lit(0).cast("bigint"))
+            ).alias("n_removed"),
         )
     )

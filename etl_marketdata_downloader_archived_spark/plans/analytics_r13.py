@@ -954,10 +954,10 @@ def greedy_admission_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n.n_tok) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(n.n_tok), 0) AS BIGINT) AS total_tokens,
            CAST(coalesce(sum(r.n_rm), 0) AS BIGINT) AS removed_tokens
     FROM (SELECT doc_id, source FROM documents) d
-    JOIN n USING (doc_id)
+    LEFT JOIN n USING (doc_id)
     LEFT JOIN removed r USING (doc_id)
     GROUP BY d.source
     """,
@@ -970,7 +970,10 @@ def strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered with ``hash_grams=False`` so the gram keys are the
     literal strings and the DuckDB replay is bit-exact (the
     operator's scale default hashes them - a documented 2^-64
-    collision trade the oracle tier does not take)."""
+    collision trade the oracle tier does not take). Zero-token
+    documents count on BOTH sides (the operator passes them
+    through as ('', 0, 0); the oracle LEFT-joins its token CTE -
+    an inner join silently dropped them, second-review)."""
     from ..operators.dedup import strip_duplicated_spans
 
     d = load_table(spark, sf_dir, "documents")

@@ -47,6 +47,29 @@ def _dir_exists(spark, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _forbid_sheared_bucketed_store(
+    spark, postings_dir: str, fn_name: str, restore_hint: str
+) -> None:
+    """Shared guard for both ingests (second-review: it was duplicated
+    verbatim): a posting store with NO ``_meta`` sidecar is a legacy
+    UNBUCKETED store - unless its on-disk layout is actually
+    ``_bk=``-partitioned, in which case the sidecar was LOST and
+    appending unbucketed rows would shear the layout (and, once the
+    true sidecar is restored, be pruned out of every screen's
+    partition filter). Fail loud with the restore instruction."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(postings_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if any(
+        st.getPath().getName().startswith("_bk=")
+        for st in fs.listStatus(p)
+    ):
+        raise ValueError(
+            f"{fn_name}: posting store at {postings_dir} is "
+            "_bk-partitioned but its _meta sidecar is missing - "
+            f"restore the sidecar ({restore_hint}) before resuming"
+        )
+
+
 def benchmark_gram_index(benchmark: DataFrame, text_col: str = "text", n: int = 5) -> list[str]:
     """Collect the distinct n-grams of the eval corpus (driver-side,
     eval-suite sized)."""
@@ -213,25 +236,11 @@ def start_corpus_ingest_neardup(
                     )
                 buckets = meta["buckets"]
             else:
-                # no sidecar = legacy UNBUCKETED store; if the layout
-                # is actually partitioned the sidecar was LOST -
-                # appending unbucketed rows would shear the layout
-                # and, once the true sidecar is restored, those rows
-                # would be pruned out of every screen (review finding:
-                # the exact variant had this guard, this one didn't)
-                p = spark._jvm.org.apache.hadoop.fs.Path(postings_dir)
-                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-                if any(
-                    st.getPath().getName().startswith("_bk=")
-                    for st in fs.listStatus(p)
-                ):
-                    raise ValueError(
-                        "start_corpus_ingest_neardup: posting store "
-                        f"at {postings_dir} is _bk-partitioned but "
-                        "its _meta sidecar is missing - restore the "
-                        "sidecar (write_band_meta with the original "
-                        "parameters and bucket count) before resuming"
-                    )
+                _forbid_sheared_bucketed_store(
+                    spark, postings_dir, "start_corpus_ingest_neardup",
+                    "write_band_meta with the original parameters and "
+                    "bucket count",
+                )
                 # legacy store: unbucketed layout on disk; record the
                 # contract forward and keep appends layout-consistent
                 buckets = None
@@ -270,9 +279,13 @@ def start_corpus_ingest_neardup(
             survivors = survivors.join(
                 corpus.select(id_col), id_col, "left_anti"
             )
+            # batch-postings-sized snapshot: the append consumes this
+            # lazily AFTER the corpus/store reads, and an
+            # un-checkpointed lineage would re-run the whole screen a
+            # second time per trigger (second-review finding)
             surv_post = surv_post.join(
                 corpus.select(id_col), id_col, "left_anti"
-            )
+            ).localCheckpoint()
         else:
             survivors = gated
             surv_post = None
@@ -455,24 +468,11 @@ def start_corpus_ingest_exact(
         if store_exists:
             buckets = meta["buckets"] if meta is not None else None
             if meta is None:
-                # no sidecar = legacy UNBUCKETED store; if the layout
-                # is actually partitioned the sidecar was LOST, and
-                # appending unbucketed rows would shear the layout -
-                # corruption, fail loud
-                p = spark._jvm.org.apache.hadoop.fs.Path(postings_dir)
-                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-                if any(
-                    st.getPath().getName().startswith("_bk=")
-                    for st in fs.listStatus(p)
-                ):
-                    raise ValueError(
-                        "start_corpus_ingest_exact: posting store at "
-                        f"{postings_dir} is _bk-partitioned but its "
-                        "_meta sidecar is missing - restore the "
-                        "sidecar (write_postings_meta with the "
-                        "original threshold and bucket count) before "
-                        "resuming"
-                    )
+                _forbid_sheared_bucketed_store(
+                    spark, postings_dir, "start_corpus_ingest_exact",
+                    "write_postings_meta with the original threshold "
+                    "and bucket count",
+                )
         else:
             buckets = store_bucket_count
         p_req = round(jaccard_threshold * 1_000_000)
