@@ -709,6 +709,22 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # never return unconverged labels: callers treat components as
+        # EXACT (greedy_admission_drops partitions its sequential
+        # admission scan by them - split components would decide a pair
+        # in two groups blind to each other, silently admitting both
+        # endpoints). Min-label propagation converges in O(diameter)
+        # rounds, so 20 covers every near-dup clump; a graph that
+        # doesn't converge is a pathology the operator must surface,
+        # not paper over (review finding: the silent return).
+        raise RuntimeError(
+            "connected_components: min-label propagation did not "
+            f"converge within max_iters={max_iters} (graph diameter "
+            "exceeds the round budget); raise max_iters - downstream "
+            "contracts (greedy admission, representative election) "
+            "require exact components"
+        )
     return labels
 
 

@@ -909,7 +909,9 @@ def read_postings_threshold(spark, postings_dir: str) -> int | None:
     return None if meta is None else meta["p_num"]
 
 
-def compact_postings(spark, postings_dir: str) -> tuple[int, int]:
+def compact_postings(
+    spark, postings_dir: str, _pre_swap_hook=None
+) -> tuple[int, int]:
     """Rewrite a persisted posting store to DISTINCT rows, crash-safe.
 
     Why it exists: the ingests append postings before corpus rows
@@ -941,7 +943,28 @@ def compact_postings(spark, postings_dir: str) -> tuple[int, int]:
     the legitimate all-unshingleable-admissions state) is already
     compact: returns (0, 0) without touching it (review finding: the
     schemaless read crashed on inference). Single maintenance writer
-    per store assumed (wrap in io.maintenance_lock to enforce).
+    per store assumed (wrap in io.maintenance_lock to enforce) - that
+    lock covers maintenance-vs-maintenance only; the ingests' appends
+    take no lock, so compaction must tolerate a CONCURRENT APPEND.
+
+    Concurrent-append safety (review finding - the worst failure mode
+    was real): an append landing between this function's snapshot
+    listing and the live->__old rename used to travel into ``__old``
+    and die in the final delete - admitted docs whose corpus rows
+    survive but whose postings vanish, a permanent silent recall hole.
+    Now the data-file listing is snapshotted BEFORE the compaction
+    read, and after the swap any ``__old`` data file NOT in that
+    snapshot (i.e. appended concurrently) is MOVED into the new live
+    store before ``__old`` is deleted. A file that landed between the
+    snapshot and Spark's own read listing may be both compacted and
+    rescued - duplicate postings, which the screen's candidate
+    distinct absorbs and the next compaction removes; rescue therefore
+    errs on recall, never loses it. An append IN FLIGHT at swap time
+    fails its own commit loudly (its output path was renamed away) -
+    noisy, at-least-once replay re-appends it.
+
+    ``_pre_swap_hook`` (tests only): called after the stage write,
+    before the live->__old rename - the exact race window.
     Returns (rows_before, rows_after)."""
     from ..io import recover_small_table
 
@@ -952,23 +975,31 @@ def compact_postings(spark, postings_dir: str) -> tuple[int, int]:
     if not fs.exists(jvm_path(root)):
         raise ValueError(f"compact_postings: no store at {postings_dir}")
 
-    def _has_data_files() -> bool:
-        # a component is hidden to spark.read iff it starts with _ or
+    def _data_files(base: str) -> dict:
+        # rel-path -> full-path of every DATA file under base. A
+        # component is hidden to spark.read iff it starts with _ or
         # . AND carries no '=' (partition directories like _bk=3 are
         # exempt - Spark's own hidden-path rule)
-        qroot = fs.makeQualified(jvm_path(root)).toString().rstrip("/")
-        it = fs.listFiles(jvm_path(root), True)
+        out: dict = {}
+        if not fs.exists(jvm_path(base)):
+            return out
+        qbase = fs.makeQualified(jvm_path(base)).toString().rstrip("/")
+        it = fs.listFiles(jvm_path(base), True)
         while it.hasNext():
             f = it.next().getPath().toString()
-            rel = f[len(qroot):].lstrip("/") if f.startswith(qroot) else f
+            rel = f[len(qbase):].lstrip("/") if f.startswith(qbase) else f
             if not any(
                 p.startswith(("_", ".")) and "=" not in p
                 for p in rel.split("/")
             ):
-                return True
-        return False
+                out[rel] = f
+        return out
 
-    if not _has_data_files():
+    # snapshot the listing BEFORE the compaction read: every data file
+    # in this set is guaranteed covered by the distinct rewrite below;
+    # anything that appears later is a concurrent append to rescue
+    snapshot = set(_data_files(root))
+    if not snapshot:
         return 0, 0
     store = spark.read.parquet(root)
     before = store.count()
@@ -985,6 +1016,8 @@ def compact_postings(spark, postings_dir: str) -> tuple[int, int]:
         meta_df.coalesce(1).write.mode("overwrite").parquet(
             stage + "/_meta"
         )
+    if _pre_swap_hook is not None:
+        _pre_swap_hook()
     old = jvm_path(root + "__old")
     fs.delete(old, True)
     if not fs.rename(jvm_path(root), old):
@@ -993,6 +1026,20 @@ def compact_postings(spark, postings_dir: str) -> tuple[int, int]:
         # roll the live store back so readers never see absence
         fs.rename(old, jvm_path(root))
         raise IOError(f"compact_postings: stage -> live failed for {root!r}")
+    # rescue concurrent appends: any data file in __old that was NOT
+    # in the pre-read snapshot landed after it and is NOT covered by
+    # the distinct rewrite - move it into the live store (same rel
+    # path, so the _bk= layout is preserved) BEFORE deleting __old
+    for rel, full in _data_files(root + "__old").items():
+        if rel in snapshot:
+            continue
+        dest = jvm_path(root + "/" + rel)
+        fs.mkdirs(dest.getParent())
+        if not fs.rename(jvm_path(full), dest):
+            raise IOError(
+                f"compact_postings: rescue of concurrently appended "
+                f"{rel!r} failed for {root!r}; __old retained"
+            )
     fs.delete(old, True)
     after = spark.read.parquet(root).count()
     return before, after

@@ -500,3 +500,71 @@ def test_compact_postings_empty_store_and_crash_recovery(spark, tmp_path) -> Non
     nb, na = compact_postings(spark, str(pdir2))
     assert (nb, na) == (n, n)  # recovered, then compacted (no dups)
     assert spark.read.parquet(str(pdir2)).count() == n
+
+
+def test_compact_postings_rescues_concurrent_append(spark, tmp_path) -> None:
+    """ADVICE r13 (medium): an ingest append landing between
+    compaction's snapshot read and the live->__old swap used to travel
+    into __old and be deleted - postings for ADMITTED docs silently
+    vanishing (the permanent recall hole). Now post-swap, __old's
+    unrecognized data files are MOVED into the new live store before
+    __old is deleted: the concurrently appended postings survive and
+    the screen still finds their docs."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        compact_postings,
+        jaccard_prefix_postings,
+        jaccard_screen_vs_postings,
+        read_postings_meta,
+        write_postings_meta,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus_rows = [(i, rng.sample(vocab, rng.randint(4, 9))) for i in range(12)]
+    corpus = spark.createDataFrame(corpus_rows, "id long, toks array<string>")
+    late_rows = [(500, rng.sample(vocab, 6)), (501, list(corpus_rows[3][1]))]
+    late = spark.createDataFrame(late_rows, "id long, toks array<string>")
+
+    pdir = str(tmp_path / "race_postings")
+    write_postings_meta(spark, pdir, 0.5, buckets=4)
+    jaccard_prefix_postings(corpus, "id", "toks", 0.5, bucket_by=4).write.mode(
+        "append"
+    ).partitionBy("_bk").parquet(pdir)
+
+    def concurrent_append():  # fires inside the race window
+        jaccard_prefix_postings(late, "id", "toks", 0.5, bucket_by=4).write.mode(
+            "append"
+        ).partitionBy("_bk").parquet(pdir)
+
+    late_n = jaccard_prefix_postings(late, "id", "toks", 0.5, bucket_by=4).count()
+    base_n = spark.read.parquet(pdir).count()
+    nb, na = compact_postings(spark, pdir, _pre_swap_hook=concurrent_append)
+    # before = pre-append rows; after INCLUDES the rescued append
+    assert nb == base_n
+    assert na == base_n + late_n
+    assert read_postings_meta(spark, pdir) == {"p_num": 500000, "buckets": 4}
+    # the rescued postings are LIVE: a batch identical to late-doc 501
+    # must screen against it through the store
+    store = spark.read.parquet(pdir)
+    full_corpus = corpus.unionByName(late)
+    batch = spark.createDataFrame(
+        [(900, list(corpus_rows[3][1]))], "id long, toks array<string>"
+    )
+    hits = {
+        (r.left_id, r.right_id)
+        for r in jaccard_screen_vs_postings(
+            batch, store, full_corpus, "id", "toks", 0.5,
+            store_p_num=500000, store_buckets=4,
+        ).collect()
+    }
+    assert (501, 900) in hits
+    # __old is gone and a second compaction collapses nothing extra
+    # beyond true duplicates (3 and 501 share a token set -> their
+    # postings are distinct rows, so count is stable)
+    import os
+
+    assert not os.path.exists(pdir + "__old")
+    nb2, na2 = compact_postings(spark, pdir)
+    assert (nb2, na2) == (na, na)
