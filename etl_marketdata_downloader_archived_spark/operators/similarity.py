@@ -51,14 +51,19 @@ def topk_cosine(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Brute-force top-k by cosine vs a literal query vector.
     Deterministic tie-break on id. Executes as scan -> narrow map ->
-    TakeOrderedAndProject (per-partition heaps; nothing wide)."""
+    TakeOrderedAndProject (per-partition heaps; nothing wide).
+    ``keep_vec`` carries the candidate vector through - the re-ranking
+    composition (mmr_rerank) needs candidate-candidate similarity, and
+    re-fetching k vectors by id would cost a second corpus scan."""
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
-        F.col(id_col), cosine(F.col(vec_col), qlit).alias("cos_sim")
-    )
+    cols = [F.col(id_col), cosine(F.col(vec_col), qlit).alias("cos_sim")]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    scored = df.select(*cols)
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
@@ -350,10 +355,12 @@ def ivf_search_indexed(
     nprobe: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """ANN search against a built IVF index: rank stored centroids vs
     the query, then scan ONLY the nprobe best clusters (partition
-    pruning does the data skipping)."""
+    pruning does the data skipping). ``keep_vec`` carries candidate
+    vectors through for a downstream re-ranker (mmr_rerank)."""
     cents = spark.read.parquet(path.rstrip("/") + "__centroids")
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     probe = [
@@ -365,7 +372,7 @@ def ivf_search_indexed(
         .collect()
     ]
     data = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
-    return topk_cosine(data, query_vec, k, vec_col, id_col)
+    return topk_cosine(data, query_vec, k, vec_col, id_col, keep_vec=keep_vec)
 
 
 def ivf_search(

@@ -7,9 +7,17 @@ stages on the smallest surviving row set):
 1. quality/language gates + benchmark decontamination + exact-dedup
    (operators.text.clean_corpus - narrow maps, broadcast decontam,
    one fingerprint shuffle)
+1b. optional TRAINED quality gate beside the heuristic gates
+   (operators.quality_model.score_documents - one shuffle-free
+   narrow pass with the fitted model broadcast in the closure)
 2. near-duplicate removal: MinHash+LSH candidates -> exact Jaccard
    verify -> connected components -> min-id representative
    (operators.dedup - bucketed, never all-pairs)
+2b. optional exact substring-span removal AFTER document-level dedup
+   (operators.dedup.strip_duplicated_spans - the Lee et al. 2022
+   ExactSubstr ordering: doc-level first so repeated documents don't
+   inflate span counts, then cross-document repeated spans are cut
+   from the survivors; postings-linear, never all-pairs)
 3. source re-mixing toward a target composition
    (operators.text.mix_rates + weighted_stratum_sample - one
    stratum-cardinality collect, then a broadcast join)
@@ -45,14 +53,29 @@ def prepare_training_corpus(
     languages: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    quality_model=None,
+    min_model_quality: float = 0.5,
+    span_tokens: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns the materializable artifacts:
 
     - ``corpus``: surviving documents with quality signals and a
-      ``split`` column
+      ``split`` column (plus ``quality_prob`` when a trained model
+      gates, and ``span_tokens_removed`` when the substring tier runs)
     - ``packs``: fixed-token-budget training examples for the train
       split (join back to ``corpus`` texts via
       operators.packing.write_packed_shards to emit shards)
+
+    Optional tiers (both off by default - the r13 operators wired into
+    the composition they were built for):
+
+    - ``quality_model``: a fitted operators.quality_model pipeline;
+      documents scoring below ``min_model_quality`` are gated right
+      after the heuristic gates (same narrowing point, model pass is
+      shuffle-free so the added cost is one narrow map)
+    - ``span_tokens``: run exact substring-span removal at this gram
+      length AFTER near-dup removal (Lee et al. 2022 order); documents
+      whose text is removed ENTIRELY (pure boilerplate) are dropped
 
     Laziness note: stages 1-2 and 4-5 stay lazy; stage 3 (re-mixing)
     needs the per-source counts, which is ONE collect of
@@ -70,10 +93,37 @@ def prepare_training_corpus(
         benchmark=benchmark,
     )
 
+    if quality_model is not None:
+        from ..operators.quality_model import score_documents
+
+        cleaned = score_documents(quality_model, cleaned, text_col).filter(
+            F.col("quality_prob") >= min_model_quality
+        )
+
     pairs = D.minhash_dedup_pairs(
         cleaned, id_col, text_col, jaccard_threshold=jaccard_threshold
     )
     deduped = D.dedup_keep_representatives(cleaned, pairs, id_col)
+
+    if span_tokens is not None:
+        stripped = D.strip_duplicated_spans(
+            deduped, id_col, text_col, span_tokens=span_tokens
+        )
+        # rejoin by id: strip returns only (id, text, counters); the
+        # corpus' other columns ride the survivor side. Equi-join on
+        # the id both sides were shuffled by - no new skew surface.
+        deduped = (
+            deduped.drop(text_col)
+            .join(
+                stripped.select(
+                    id_col,
+                    text_col,
+                    F.col("n_removed").alias("span_tokens_removed"),
+                ),
+                id_col,
+            )
+            .filter(F.trim(F.col(text_col)) != "")
+        )
 
     if target_mix is not None:
         counts = {
@@ -125,3 +175,58 @@ def build_retrieval_index(
     )
     emb = hash_embed(chunks, "chunk_id", "chunk", dim=embed_dim)
     ivf_build_index(emb, index_path, k=ivf_k, id_col="chunk_id", seed=seed)
+
+
+def probe_retrieval_index(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 3,
+    lambda_: float = 0.5,
+) -> DataFrame:
+    """The query side of ``build_retrieval_index``, composed the way a
+    RAG consumer actually retrieves: IVF shortlist (partition-pruned
+    scan of nprobe/k of the index files, vectors carried through) ->
+    MMR diversity re-rank down to ``k`` (operators.similarity
+    .mmr_rerank). Near-duplicate chunks - overlapping windows of the
+    same passage are near-dups BY CONSTRUCTION - otherwise fill every
+    context slot; the MMR pass trades raw relevance for marginal
+    novelty at ``lambda_``.
+
+    Scale shape: the expensive part stays the pruned index scan; the
+    re-rank sees only the ``shortlist`` rows (one applyInPandas group
+    of tens-to-hundreds of candidates). Returns
+    (rank, chunk_id, doc_id, chunk_idx, relevance, mmr_score) - the
+    packed chunk id unpacked back to its source span."""
+    from ..operators.similarity import ivf_search_indexed, mmr_rerank
+
+    hits = ivf_search_indexed(
+        spark,
+        index_path,
+        query_vec,
+        k=shortlist,
+        nprobe=nprobe,
+        id_col="chunk_id",
+        keep_vec=True,
+    ).withColumn("_q", F.lit(0))
+    ranked = mmr_rerank(
+        hits,
+        k=k,
+        lambda_=lambda_,
+        query_col="_q",
+        id_col="chunk_id",
+        vec_col="embedding",
+        rel_col="cos_sim",
+    )
+    return ranked.select(
+        "rank",
+        "chunk_id",
+        # exact integer unpack (no float division): ids are
+        # non-negative by construction so arithmetic shift is safe
+        F.shiftright("chunk_id", 20).alias("doc_id"),
+        F.col("chunk_id").bitwiseAND(F.lit((1 << 20) - 1)).cast("int").alias("chunk_idx"),
+        "relevance",
+        "mmr_score",
+    ).orderBy("rank")
