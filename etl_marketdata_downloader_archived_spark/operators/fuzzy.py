@@ -909,6 +909,97 @@ def read_postings_threshold(spark, postings_dir: str) -> int | None:
     return None if meta is None else meta["p_num"]
 
 
+def _posting_fs(spark, path: str):
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm_path, fs
+
+
+def _list_data_files(fs, jvm_path, base: str) -> dict:
+    """rel-path -> full-path of every DATA file under ``base``. A
+    component is hidden to spark.read iff it starts with _ or . AND
+    carries no '=' (partition directories like _bk=3 are exempt -
+    Spark's own hidden-path rule)."""
+    out: dict = {}
+    if not fs.exists(jvm_path(base)):
+        return out
+    qbase = fs.makeQualified(jvm_path(base)).toString().rstrip("/")
+    it = fs.listFiles(jvm_path(base), True)
+    while it.hasNext():
+        f = it.next().getPath().toString()
+        rel = f[len(qbase):].lstrip("/") if f.startswith(qbase) else f
+        if not any(
+            p.startswith(("_", ".")) and "=" not in p
+            for p in rel.split("/")
+        ):
+            out[rel] = f
+    return out
+
+
+def _move_data_files(fs, jvm_path, files: dict, dest_root: str) -> int:
+    """Move data files (rel -> full) under ``dest_root`` at the same
+    relative paths (preserving any _bk= layout). Part-file names are
+    writer-UUID-unique, so collisions don't occur in practice; a
+    failed rename is loud."""
+    moved = 0
+    for rel, full in files.items():
+        dest = jvm_path(dest_root.rstrip("/") + "/" + rel)
+        fs.mkdirs(dest.getParent())
+        if not fs.rename(jvm_path(full), dest):
+            raise IOError(
+                f"posting-store file move of {rel!r} into "
+                f"{dest_root!r} failed; source retained"
+            )
+        moved += 1
+    return moved
+
+
+def recover_posting_store(spark, postings_dir: str) -> bool:
+    """Entry-time crash recovery for a posting store's compaction
+    leftovers - the mutator self-recovery rule, specialized from
+    ``io.recover_small_table`` because a posting store's ``__old`` may
+    hold CONCURRENTLY APPENDED postings that were never rescued (a
+    crash between compact_postings' swap and its rescue pass):
+
+    - live missing, ``__old`` intact: restore the snapshot (rename).
+    - live present AND ``__old`` present: the swap completed but
+      cleanup didn't - move every ``__old`` data file into the live
+      store before deleting it. Recall can only gain (worst case the
+      whole pre-compaction store re-appends as duplicate postings,
+      which screens absorb and the in-progress compaction immediately
+      collapses); deleting blind could lose a concurrent append
+      forever, the module's worst failure mode.
+
+    Returns True if any recovery action ran. Both streaming ingests
+    and compact_postings call this at entry, so the crash window heals
+    on the NEXT batch/maintenance pass without operator action."""
+    root = postings_dir.rstrip("/")
+    jvm_path, fs = _posting_fs(spark, root)
+    old = jvm_path(root + "__old")
+    if not fs.exists(old):
+        return False
+    if not fs.exists(jvm_path(root)):
+        if not fs.rename(old, jvm_path(root)):
+            raise IOError(f"posting-store crash recovery failed for {root!r}")
+        return True
+    _move_data_files(
+        fs, jvm_path, _list_data_files(fs, jvm_path, root + "__old"), root
+    )
+    fs.delete(old, True)
+    return True
+
+
+def posting_store_file_count(spark, postings_dir: str) -> int:
+    """Number of DATA files in the store - the metadata-bounded
+    compaction trigger signal (one recursive listing, no data read).
+    File count grows on every append and every at-least-once replay;
+    row-level duplication is invisible to it, but both problems have
+    the same cure (compact_postings) and the same growth source."""
+    root = postings_dir.rstrip("/")
+    jvm_path, fs = _posting_fs(spark, root)
+    return len(_list_data_files(fs, jvm_path, root))
+
+
 def compact_postings(
     spark, postings_dir: str, _pre_swap_hook=None
 ) -> tuple[int, int]:
@@ -966,39 +1057,16 @@ def compact_postings(
     ``_pre_swap_hook`` (tests only): called after the stage write,
     before the live->__old rename - the exact race window.
     Returns (rows_before, rows_after)."""
-    from ..io import recover_small_table
-
     root = postings_dir.rstrip("/")
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jvm_path(root).getFileSystem(spark._jsc.hadoopConfiguration())
-    recover_small_table(spark, root)
+    jvm_path, fs = _posting_fs(spark, root)
+    recover_posting_store(spark, root)
     if not fs.exists(jvm_path(root)):
         raise ValueError(f"compact_postings: no store at {postings_dir}")
-
-    def _data_files(base: str) -> dict:
-        # rel-path -> full-path of every DATA file under base. A
-        # component is hidden to spark.read iff it starts with _ or
-        # . AND carries no '=' (partition directories like _bk=3 are
-        # exempt - Spark's own hidden-path rule)
-        out: dict = {}
-        if not fs.exists(jvm_path(base)):
-            return out
-        qbase = fs.makeQualified(jvm_path(base)).toString().rstrip("/")
-        it = fs.listFiles(jvm_path(base), True)
-        while it.hasNext():
-            f = it.next().getPath().toString()
-            rel = f[len(qbase):].lstrip("/") if f.startswith(qbase) else f
-            if not any(
-                p.startswith(("_", ".")) and "=" not in p
-                for p in rel.split("/")
-            ):
-                out[rel] = f
-        return out
 
     # snapshot the listing BEFORE the compaction read: every data file
     # in this set is guaranteed covered by the distinct rewrite below;
     # anything that appears later is a concurrent append to rescue
-    snapshot = set(_data_files(root))
+    snapshot = set(_list_data_files(fs, jvm_path, root))
     if not snapshot:
         return 0, 0
     store = spark.read.parquet(root)
@@ -1030,16 +1098,14 @@ def compact_postings(
     # in the pre-read snapshot landed after it and is NOT covered by
     # the distinct rewrite - move it into the live store (same rel
     # path, so the _bk= layout is preserved) BEFORE deleting __old
-    for rel, full in _data_files(root + "__old").items():
-        if rel in snapshot:
-            continue
-        dest = jvm_path(root + "/" + rel)
-        fs.mkdirs(dest.getParent())
-        if not fs.rename(jvm_path(full), dest):
-            raise IOError(
-                f"compact_postings: rescue of concurrently appended "
-                f"{rel!r} failed for {root!r}; __old retained"
-            )
+    late = {
+        rel: full
+        for rel, full in _list_data_files(
+            fs, jvm_path, root + "__old"
+        ).items()
+        if rel not in snapshot
+    }
+    _move_data_files(fs, jvm_path, late, root)
     fs.delete(old, True)
     after = spark.read.parquet(root).count()
     return before, after

@@ -139,6 +139,7 @@ def start_corpus_ingest_neardup(
     bands: int = 8,
     shingle_n: int = 3,
     store_bucket_count: int = 64,
+    compact_trigger_files: int | None = 256,
 ) -> StreamingQuery:
     """Streaming ingest with NEAR-dup admission against the persistent
     corpus: per micro-batch, gate the new docs, screen them against
@@ -182,7 +183,17 @@ def start_corpus_ingest_neardup(
     silently admit duplicates of the whole corpus, the worst failure
     mode this module has. Legacy stores without the sidecar get it
     written forward under the CURRENT parameters (the caller is
-    asserting continuity, exactly what resuming the ingest means)."""
+    asserting continuity, exactly what resuming the ingest means).
+
+    Maintenance is wired IN (VERDICT r13): when the store's data-file
+    count reaches ``compact_trigger_files`` after a batch's appends,
+    the batch runs ``operators.fuzzy.compact_postings`` in-line -
+    replay growth reclaims itself without an operator remembering to
+    (the compact_files/skipping-index auto-refresh discipline). The
+    trigger probe is ONE recursive listing (metadata-bounded, no data
+    read); compaction leftovers from a crash mid-swap heal at the next
+    batch via ``recover_posting_store``. ``None`` disables (external
+    maintenance owns the store)."""
     from ..operators.dedup import (
         band_postings,
         greedy_admission_drops,
@@ -191,11 +202,20 @@ def start_corpus_ingest_neardup(
         read_band_meta,
         write_band_meta,
     )
+    from ..operators.fuzzy import (
+        compact_postings,
+        posting_store_file_count,
+        recover_posting_store,
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # heal a crashed compaction BEFORE probing the store: mid-swap
+        # leftovers otherwise read as a missing/half store and fail
+        # the batch until an operator intervenes
+        recover_posting_store(spark, postings_dir)
         scored = (
             batch.withColumn("lang_guess", lang_id(text_col))
             .withColumn("quality", F.round(quality_score(text_col), 6))
@@ -332,6 +352,15 @@ def start_corpus_ingest_neardup(
             writer = writer.partitionBy("_bk")
         writer.parquet(postings_dir)
         admitted.write.mode("append").parquet(corpus_dir)
+        # in-line maintenance AFTER both appends: the batch is fully
+        # durable, this writer is the store's only appender, and the
+        # trigger probe is one metadata listing
+        if (
+            compact_trigger_files is not None
+            and posting_store_file_count(spark, postings_dir)
+            >= compact_trigger_files
+        ):
+            compact_postings(spark, postings_dir)
 
     return (
         docs.writeStream.foreachBatch(process)
@@ -373,6 +402,7 @@ def start_corpus_ingest_exact(
     languages: tuple[str, ...] = ("en",),
     max_stopword_ratio: float = 0.9,
     store_bucket_count: int = 64,
+    compact_trigger_files: int | None = 256,
 ) -> StreamingQuery:
     """Streaming ingest with EXACT Jaccard admission - the
     deterministic twin of ``start_corpus_ingest_neardup`` (LSH bands
@@ -424,6 +454,13 @@ def start_corpus_ingest_exact(
     read error fails the micro-batch loudly instead of silently
     skipping the screen and the idempotence anti-join (ADVICE r12).
 
+    Maintenance is wired IN (VERDICT r13): when the store's data-file
+    count reaches ``compact_trigger_files`` after a batch's appends,
+    the batch runs ``operators.fuzzy.compact_postings`` in-line; the
+    trigger probe is one recursive metadata listing, and compaction
+    crash leftovers heal at the next batch via
+    ``recover_posting_store``. ``None`` disables.
+
     Similarity domain is word ``shingle_n``-gram sets
     (operators.dedup.word_shingles, pure Catalyst); docs too short to
     shingle cannot match anything and are admitted. Admission is
@@ -431,10 +468,13 @@ def start_corpus_ingest_exact(
     the same contract every sequential admission policy has."""
     from ..operators.dedup import greedy_admission_drops, word_shingles
     from ..operators.fuzzy import (
+        compact_postings,
         jaccard_prefix_join,
         jaccard_prefix_postings,
         jaccard_screen_vs_postings,
+        posting_store_file_count,
         read_postings_meta,
+        recover_posting_store,
         write_postings_meta,
     )
 
@@ -442,6 +482,9 @@ def start_corpus_ingest_exact(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # heal a crashed compaction BEFORE probing the store (mid-swap
+        # leftovers otherwise read as missing/half a store)
+        recover_posting_store(spark, postings_dir)
         gated = batch.withColumn("lang_guess", lang_id(text_col)).filter(
             F.col("lang_guess").isin(*languages)
             & (F.round(quality_score(text_col), 6) >= min_quality)
@@ -593,6 +636,14 @@ def start_corpus_ingest_exact(
             writer = writer.partitionBy("_bk")
         writer.parquet(postings_dir)
         admitted.drop("_toks").write.mode("append").parquet(corpus_dir)
+        # in-line maintenance AFTER both appends (see the near-dup
+        # variant): metadata-bounded trigger, single-appender store
+        if (
+            compact_trigger_files is not None
+            and posting_store_file_count(spark, postings_dir)
+            >= compact_trigger_files
+        ):
+            compact_postings(spark, postings_dir)
 
     return (
         docs.writeStream.foreachBatch(process)

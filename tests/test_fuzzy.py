@@ -568,3 +568,49 @@ def test_compact_postings_rescues_concurrent_append(spark, tmp_path) -> None:
     assert not os.path.exists(pdir + "__old")
     nb2, na2 = compact_postings(spark, pdir)
     assert (nb2, na2) == (na, na)
+
+
+def test_recover_posting_store_rescues_old_files(spark, tmp_path) -> None:
+    """The live+__old recovery case (a compaction crash AFTER the swap
+    but BEFORE cleanup): __old's data files move INTO the live store -
+    worst case duplicate postings (harmless, next compaction collapses
+    them), never silent loss."""
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        compact_postings,
+        jaccard_prefix_postings,
+        posting_store_file_count,
+        recover_posting_store,
+        write_postings_meta,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["d", "e", "f"])],
+        "id long, toks array<string>",
+    )
+    pdir = str(tmp_path / "ro_store")
+    write_postings_meta(spark, pdir, 0.5)
+    jaccard_prefix_postings(corpus, "id", "toks", 0.5).write.mode(
+        "append"
+    ).parquet(pdir)
+    n = spark.read.parquet(pdir).count()
+
+    # crash state: __old holds postings the live store doesn't
+    extra = spark.createDataFrame(
+        [(9, ["x", "y", "z"])], "id long, toks array<string>"
+    )
+    jaccard_prefix_postings(extra, "id", "toks", 0.5).write.mode(
+        "append"
+    ).parquet(pdir + "__old")
+
+    assert recover_posting_store(spark, pdir) is True
+    got = spark.read.parquet(pdir)
+    assert got.count() > n and 9 in {r._id for r in got.collect()}
+    import os
+
+    assert not os.path.exists(pdir + "__old")
+    # idempotent when clean; file-count probe sees the merged store
+    assert recover_posting_store(spark, pdir) is False
+    assert posting_store_file_count(spark, pdir) >= 2
+    # a follow-up compaction normalizes whatever the rescue merged
+    nb, na = compact_postings(spark, pdir)
+    assert na == spark.read.parquet(pdir).distinct().count()

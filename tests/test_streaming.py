@@ -2635,3 +2635,134 @@ def test_exact_ingest_legacy_threshold_drift_in_crash_window(
     assert exc is not None and "threshold" in str(exc)
     # the store was NOT polluted with 0.5-threshold postings
     assert len(os.listdir(pdir)) == n_before
+
+
+def test_exact_ingest_auto_compacts_past_trigger(spark, tmp_path) -> None:
+    """VERDICT r13 item 2: posting-store maintenance wired into the
+    ingest loop. Replay-duplicated postings (the crash-between-appends
+    shape) are reclaimed by the NEXT batch automatically once the
+    store's data-file count crosses ``compact_trigger_files`` - no
+    operator action - and the screen's admission decisions are
+    unchanged across the compaction."""
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_exact,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single day without fail in all weather")
+    novel = ("entirely new english words the gate accepts with plenty of "
+             "variety about the spark operators that clean the corpus")
+    src = tmp_path / "ac_src"
+    src.mkdir()
+    pdir = str(tmp_path / "ac_postings")
+
+    def run(trigger) -> None:
+        raw = spark.readStream.format("text").load(str(src))
+        docs = raw.select(
+            F.from_json("value", "doc_id LONG, text STRING").alias("j")
+        ).select("j.*")
+        q = start_corpus_ingest_exact(
+            docs,
+            corpus_dir=str(tmp_path / "ac_corpus"),
+            postings_dir=pdir,
+            checkpoint_dir=str(tmp_path / "ac_ckpt"),
+            jaccard_threshold=0.7,
+            compact_trigger_files=trigger,
+        )
+        q.awaitTermination(180)
+
+    (src / "b1.json").write_text(json.dumps({"doc_id": 1, "text": base}))
+    run(trigger=None)  # maintenance off: seed the store untouched
+    store = lambda: spark.read.parquet(pdir)  # noqa: E731
+    p1 = store().count()
+    # simulate the at-least-once replay that crashed between the two
+    # appends: the admitted doc's postings land a SECOND time
+    dup = store().collect()
+    spark.createDataFrame(dup, store().schema).write.mode(
+        "append"
+    ).partitionBy("_bk").parquet(pdir)
+    assert store().count() == 2 * p1  # replay growth is real
+
+    # next batch, trigger=1 file: appends, then compacts IN-LINE
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 10, "text": base + " indeed"})   # reject vs 1
+        + "\n"
+        + json.dumps({"doc_id": 11, "text": novel})            # admit
+    )
+    run(trigger=1)
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "ac_corpus")).collect()
+    )
+    assert ids == [1, 11]  # screen decisions unchanged by maintenance
+    # the replay duplicates are GONE: store rows are distinct and
+    # carry exactly the admitted docs
+    rows = store().collect()
+    assert len(rows) == len({tuple(r) for r in rows})
+    assert {r._id for r in rows} == {1, 11}
+    import os
+
+    assert not os.path.exists(pdir + "__old")
+    assert not os.path.exists(pdir + "__stage")
+
+    # and the compacted store still REJECTS: batch 3 near-dup of 11
+    (src / "b3.json").write_text(
+        json.dumps({"doc_id": 20, "text": novel + " again"})
+    )
+    run(trigger=1)
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "ac_corpus")).collect()
+    )
+    assert ids == [1, 11]
+
+
+def test_neardup_ingest_heals_crashed_compaction(spark, tmp_path) -> None:
+    """recover_posting_store wired into the ingest entry: a compaction
+    that crashed between its two renames (live missing, __old intact)
+    heals at the NEXT batch without operator action - the batch runs
+    and screens against the restored store instead of failing with
+    the missing-store guard."""
+    import shutil
+
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single day without fail in all weather")
+    src = tmp_path / "hc_src"
+    src.mkdir()
+    pdir = str(tmp_path / "hc_postings")
+
+    def run() -> None:
+        raw = spark.readStream.format("text").load(str(src))
+        docs = raw.select(
+            F.from_json("value", "doc_id LONG, text STRING").alias("j")
+        ).select("j.*")
+        q = start_corpus_ingest_neardup(
+            docs,
+            corpus_dir=str(tmp_path / "hc_corpus"),
+            postings_dir=pdir,
+            checkpoint_dir=str(tmp_path / "hc_ckpt"),
+            jaccard_threshold=0.5,
+        )
+        q.awaitTermination(180)
+
+    (src / "b1.json").write_text(json.dumps({"doc_id": 1, "text": base}))
+    run()
+    # crash state: live renamed aside mid-swap
+    shutil.move(pdir, pdir + "__old")
+
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 10, "text": base + " indeed"})  # near-dup
+    )
+    run()  # heals, then screens
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "hc_corpus")).collect()
+    )
+    assert ids == [1]  # the near-dup was rejected against the healed store
+    import os
+
+    assert os.path.exists(pdir) and not os.path.exists(pdir + "__old")

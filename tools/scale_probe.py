@@ -146,6 +146,49 @@ def build_replica(spark, k: int) -> str:
     return out_dir
 
 
+def pipeline_ext_fn(spark):
+    """The EXTENDED composed training pipeline (r14: model quality gate
+    + substring-span tier wired in) as a probe-able callable. Not a
+    registered battery query - it composes stages that are each
+    benchmarked on their own; the probe's job is the COMPOSITION's
+    growth ratio. The quality model trains ONCE on fixed synthetic
+    seeds so both scales measure the same inference pass, not
+    training-set growth."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.io import load_table
+    from etl_marketdata_downloader_archived_spark.operators.quality_model import (
+        train_quality_classifier,
+    )
+    from etl_marketdata_downloader_archived_spark.plans.corpus_pipeline import (
+        prepare_training_corpus,
+    )
+
+    rng = random.Random(14)
+    vocab = [f"seed{i:03d}" for i in range(300)]
+    spam = "click buy free offer winner prize casino jackpot deal".split()
+    good = spark.createDataFrame(
+        [(" ".join(rng.sample(vocab, 30)),) for _ in range(64)], ["text"]
+    )
+    bad = spark.createDataFrame(
+        [(" ".join(rng.choices(spam, k=30)),) for _ in range(64)], ["text"]
+    )
+    model = train_quality_classifier(good, bad)
+
+    def fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        out = prepare_training_corpus(
+            docs,
+            quality_model=model,
+            min_model_quality=0.1,
+            span_tokens=10,
+            max_tokens=1024,
+        )
+        return out["packs"]
+
+    return fn
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     names = sys.argv[2:] or DEFAULT_QUERIES
@@ -155,6 +198,7 @@ def main() -> None:
 
     spark = get_spark("scale_probe")
     qs = registry.all_queries()
+    qs["training_pipeline_ext"] = pipeline_ext_fn(spark)
     rep_dir = build_replica(spark, k)
 
     def run(fn, sf_dir: str) -> float:
