@@ -1,0 +1,170 @@
+"""Round-14 analytics extensions - registered past the certified
+window (parity-verified locally by tools/parity.py, the driver's
+identical check, no certificate).
+
+Same cross-engine exactness discipline as the earlier analytics
+batteries: every final column is either an exact integer/decimal
+reduction or an explicitly tolerance-defined boolean whose CONTRACT is
+the cross-checkable thing (the agg_approx_distinct pattern - sketch
+internals have no DuckDB twin, so the accuracy bound is what both
+engines can agree on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import q
+
+
+@q(
+    "hll_datasketches_cert",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+           TRUE AS direct_ok, TRUE AS union_ok, TRUE AS union_idempotent
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def hll_datasketches_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN Apache DataSketches HLL surface (Spark 3.5+:
+    hll_sketch_agg / hll_sketch_estimate / hll_union_agg) - the
+    production mergeable-distinct path at 100 TB (the hand-rolled
+    sketch table in operators.sketches demonstrates mergeability; the
+    built-ins are what a lake rollup should actually store, binary
+    sketch columns compacted per partition and unioned at read).
+
+    Three contract legs per group, each cross-checkable without a
+    DuckDB sketch twin (the agg_approx_distinct lesson):
+
+    - direct_ok: |estimate(sketch(all rows)) - exact| within the
+      published HLL error (rsd ~= 1.04/sqrt(2^lgK), lgK=12 default;
+      bound at 5*rsd like the HLL++ row, floor 5 for tiny groups).
+    - union_ok: sub-sketches built per (returnflag, linestatus) and
+      merged with hll_union_agg estimate the SAME set within the same
+      bound - the mergeability property that makes sketch columns
+      shardable. The union's estimate legitimately differs from a
+      direct rebuild's: DataSketches HLL carries an HIP (historical
+      inverse probability) estimator that a union cannot preserve, so
+      merged sketches re-estimate from registers - even a SELF-union
+      shifts the estimate ~0.5% (measured); only the BOUND is promised.
+    - union_idempotent: within the union path, re-adding the same
+      sketch changes nothing - estimate(union(sk, sk)) equals
+      estimate(union(sk, sk, sk)) EXACTLY (registers are max-merged) -
+      the property that makes at-least-once sketch re-appends safe.
+      (Compared 2-copy vs 3-copy, not 1-vs-2: a single-sketch union
+      can pass the input through with its HIP estimator intact, which
+      the first real merge then drops - measured.)
+
+    The exact countDistinct runs as its own aggregation joined on the
+    group key (the measured Expand-fanout lesson from agg_distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rsd = 1.04 / (2 ** 12) ** 0.5
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("_sk")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_exact")
+    )
+    union = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.hll_sketch_agg("l_orderkey").alias("_subsk"))
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_subsk")).alias("_est_u"))
+    )
+    uni2 = (
+        direct.unionByName(direct)
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_u2"))
+    )
+    uni3 = (
+        direct.unionByName(direct)
+        .unionByName(direct)
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_u3"))
+    )
+    tol = F.greatest(F.lit(5 * rsd) * F.col("n_exact"), F.lit(5.0))
+    return (
+        direct.select(
+            "l_returnflag", F.hll_sketch_estimate("_sk").alias("_est_d")
+        )
+        .join(exact, "l_returnflag")
+        .join(union, "l_returnflag")
+        .join(uni2, "l_returnflag")
+        .join(uni3, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (F.abs(F.col("_est_d") - F.col("n_exact")) <= tol).alias("direct_ok"),
+            (F.abs(F.col("_est_u") - F.col("n_exact")) <= tol).alias("union_ok"),
+            (F.col("_est_u3") == F.col("_est_u2")).alias("union_idempotent"),
+        )
+    )
+
+
+@q(
+    "from_xml_cert",
+    oracle="""
+    SELECT o_orderstatus AS st,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS total,
+           CAST(SUM(2 + CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS tag_count,
+           CAST(SUM(o_orderkey) AS BIGINT) AS id_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def from_xml_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml (Spark 4) - the one semi-structured decode surface the
+    battery didn't yet certify (JSON, VARIANT, CSV all are). Real
+    LINKS-family crawls carry XML sitemaps/RSS - the reference's
+    listing pages are exactly this shape (reference:
+    data-downloader/data_downloader.py:83-91, the FTP listing walk).
+
+    DuckDB has no XML reader, so the oracle replays the VARIANT
+    pattern: the XML is deterministically GENERATED from columns that
+    also exist relationally, parsed back typed, and the aggregate of
+    the PARSED fields must equal the aggregate of the source columns -
+    any attribute/element/array/decimal decode error breaks some
+    group's sum. Covers: attributes (_-prefixed), typed elements
+    (DECIMAL survives the string round-trip exactly - prices are
+    2-dec values, embedded via an explicit decimal cast), repeated
+    elements -> array (cardinality data-dependent: a third <t> only on
+    status F), and bigint attribute round-trip. Malformed-input
+    PERMISSIVE-null behavior is pinned in pytest (not here: the oracle
+    needs every row parseable)."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = o.select(
+        F.concat(
+            F.lit('<o id="'),
+            F.col("o_orderkey"),
+            F.lit('" st="'),
+            F.col("o_orderstatus"),
+            F.lit('"><p>'),
+            F.col("o_totalprice").cast("decimal(12,2)"),
+            F.lit("</p><c>"),
+            F.col("o_orderpriority"),
+            F.lit("</c><t>a</t><t>b</t>"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("<t>f</t>")).otherwise(
+                F.lit("")
+            ),
+            F.lit("</o>"),
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x",
+            "_id BIGINT, _st STRING, p DECIMAL(12,2), c STRING, t ARRAY<STRING>",
+        ).alias("j")
+    ).select("j.*")
+    return parsed.groupBy(F.col("_st").alias("st")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").cast("decimal(18,2)").alias("total"),
+        F.sum(F.size("t")).alias("tag_count"),
+        F.sum("_id").alias("id_sum"),
+    )
