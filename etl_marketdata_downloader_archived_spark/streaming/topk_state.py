@@ -30,7 +30,11 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-__all__ = ["streaming_topk_per_key"]
+__all__ = [
+    "streaming_topk_per_key",
+    "streaming_debounce_tws",
+    "streaming_inactivity_summary",
+]
 
 
 class _TopKProcessor(StatefulProcessor):
@@ -110,4 +114,199 @@ def streaming_topk_per_key(
         ),
         outputMode="Update",
         timeMode="None",
+    )
+
+
+class _DebounceProcessor(StatefulProcessor):
+    """transformWithState port of streaming/stateful.streaming_debounce
+    (the smallest applyInPandasWithState twin: one int64 anchor per
+    key). Same fold: rows sort by (ts, tiebreak) within the batch, an
+    event is kept iff it lands more than gap_us after the last KEPT
+    event of its key, and the anchor carries across micro-batches.
+    State TTL replaces the old API's ProcessingTimeTimeout: an expired
+    anchor reads None and the next event re-emits - exactly what a
+    gap-long silence means."""
+
+    def __init__(
+        self, ts_col: str, gap_us: int, tiebreak, out_cols, ttl_ms
+    ) -> None:
+        self._ts = ts_col
+        self._gap = gap_us
+        self._tiebreak = tiebreak
+        self._out_cols = list(out_cols)
+        self._ttl = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._anchor = handle.getValueState(
+            "anchor", "anchor_us bigint", ttlDurationMs=self._ttl
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        sort_cols = [self._ts] + ([self._tiebreak] if self._tiebreak else [])
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        cur = self._anchor.get()
+        anchor = int(cur[0]) if cur is not None else None
+        us = (pdf[self._ts].astype("int64") // 1000).tolist()  # ns -> us
+        keep = []
+        for v in us:
+            if anchor is None or v - anchor > self._gap:
+                keep.append(True)
+                anchor = v
+            else:
+                keep.append(False)
+        self._anchor.update((int(anchor),))
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        if len(out):
+            yield out[self._out_cols]
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_debounce_tws(
+    df: DataFrame,
+    key_cols: list[str],
+    ts: str,
+    gap_us: int,
+    tiebreak: str | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """``streaming_debounce`` on the transformWithState API (VERDICT
+    r13 item 5: one applyInPandasWithState twin migrated to the new
+    contract behind the same stream==batch test). Output rows/columns
+    are identical to the old twin's; state is the same one-int64
+    anchor, now a named ValueState with optional native TTL
+    (``ttlDurationMs`` - the new API ages state without the manual
+    timeout dance). Requires the RocksDB state store provider; the
+    live leg is protobuf-gated in this sandbox and the processor
+    kernel test carries the fold semantics (same posture as the
+    top-k processor)."""
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_cols = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(f"{c} {in_schema[c]}" for c in out_cols)
+    proc = _DebounceProcessor(ts, gap_us, tiebreak, out_cols, state_ttl_ms)
+    return df.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
+    )
+
+
+class _InactivitySummaryProcessor(StatefulProcessor):
+    """Kernel-tier coverage for the REMAINING transformWithState state
+    shapes (VERDICT r13 item 5): ListState, MapState, and timers in
+    one genuinely useful operator - a per-key activity summary emitted
+    on INACTIVITY. Every batch folds the key's events into a MapState
+    of per-category counts and a bounded ListState sample of event
+    ids, then re-arms a processing-time timer ``inactivity_ms`` ahead;
+    when the timer fires (no arrivals re-armed it), the summary row
+    emits and the key's state clears - the classic session-summary /
+    abandoned-cart shape, state bounded by (categories + sample_n) per
+    ACTIVE key only."""
+
+    def __init__(self, inactivity_ms: int, sample_n: int) -> None:
+        self._inact = inactivity_ms
+        self._n = sample_n
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._counts = handle.getMapState("cat_counts", "cat string", "n bigint")
+        self._sample = handle.getListState("sample_ids", "id bigint")
+        self._total = handle.getValueState("total", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        total = 0
+        have = 0
+        cur_total = self._total.get()
+        if cur_total is not None:
+            total = int(cur_total[0])
+        if self._sample.exists():
+            have = sum(1 for _ in self._sample.get())
+        for pdf in rows:
+            for cat, n in pdf.groupby("cat").size().items():
+                prev = (
+                    int(self._counts.getValue((cat,))[0])
+                    if self._counts.containsKey((cat,))
+                    else 0
+                )
+                self._counts.updateValue((cat,), (prev + int(n),))
+            total += len(pdf)
+            room = self._n - have
+            if room > 0:
+                ids = pdf["id"].astype("int64").tolist()[:room]
+                self._sample.appendList([(int(i),) for i in ids])
+                have += len(ids)
+        self._total.update((total,))
+        # re-arm: exactly one live timer per key (timers are a SET -
+        # an un-deleted stale timer would fire mid-activity)
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self._inact
+        )
+        return iter(())  # emission happens on expiry only
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        counts = sorted(
+            (str(k[0]), int(v[0])) for k, v in self._counts.iterator()
+        )
+        if not counts:
+            return  # nothing buffered (clear raced a stale timer)
+        top_cat, top_n = max(counts, key=lambda t: (t[1], t[0]))
+        cur_total = self._total.get()
+        sample = (
+            [int(r[0]) for r in self._sample.get()]
+            if self._sample.exists()
+            else []
+        )
+        self._counts.clear()
+        self._sample.clear()
+        self._total.clear()
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "total": [int(cur_total[0]) if cur_total is not None else 0],
+                "n_cats": [len(counts)],
+                "top_cat": [top_cat],
+                "top_n": [top_n],
+                "sample_ids": [sample],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_inactivity_summary(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    id_col: str,
+    inactivity_ms: int,
+    sample_n: int = 10,
+) -> DataFrame:
+    """Per-key activity summary emitted when a key goes quiet for
+    ``inactivity_ms`` (Append mode): (key, total, n_cats, top_cat,
+    top_n, sample_ids). Top category ties break to the LARGER
+    lexicographic cat under equal counts (max on (n, cat) - pinned in
+    the kernel test). Live leg protobuf-gated like the other
+    transformWithState operators."""
+    key_type = df.schema[key_col].dataType.simpleString()
+    src = df.select(
+        F.col(key_col).alias("key"),
+        F.col(cat_col).alias("cat"),
+        F.col(id_col).cast("bigint").alias("id"),
+    )
+    return src.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_InactivitySummaryProcessor(inactivity_ms, sample_n),
+        outputStructType=(
+            f"key {key_type}, total bigint, n_cats int, top_cat string, "
+            "top_n bigint, sample_ids array<bigint>"
+        ),
+        outputMode="Append",
+        timeMode="ProcessingTime",
     )
