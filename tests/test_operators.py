@@ -4491,3 +4491,145 @@ def test_probe_retrieval_index_mmr_diversifies(spark, tmp_path) -> None:
     # unpack round-trip: chunk_id = doc_id * 2^20 + chunk_idx
     for r in mmr:
         assert r.chunk_id == r.doc_id * (1 << 20) + r.chunk_idx
+
+
+def test_mp4_track_report_deepened_header_tier(spark) -> None:
+    """VERDICT r13 item 6: per-track MP4 metadata from the box walk -
+    stsd codec fourcc + codec-private child presence (avcC/esds),
+    stsz frame count with the stts-sum fallback, AudioSampleEntry
+    sample rate, per-track mdhd duration with the mvhd fallback when
+    a track carries no mdhd, multi-track files, non-BMFF emits no
+    rows, malformed trees quarantine."""
+    import struct
+
+    from etl_marketdata_downloader_archived_spark.operators.multimodal import (
+        mp4_track_report,
+    )
+
+    def mvhd(timescale: int, duration: int) -> bytes:
+        return _mp4_box(
+            b"mvhd",
+            bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, timescale, duration),
+        )
+
+    def tkhd(w: int, h: int) -> bytes:
+        head = bytes([0, 0, 0, 0])
+        head += struct.pack(">III", 0, 0, 1) + bytes(4) + struct.pack(">I", 0)
+        head += bytes(8) + struct.pack(">hhhh", 0, 0, 0, 0) + bytes(36)
+        head += struct.pack(">II", w << 16, h << 16)
+        return _mp4_box(b"tkhd", head)
+
+    def mdhd(timescale: int, duration: int) -> bytes:
+        return _mp4_box(
+            b"mdhd",
+            bytes([0, 0, 0, 0])
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + bytes(4),
+        )
+
+    def hdlr(handler: bytes) -> bytes:
+        return _mp4_box(b"hdlr", bytes(8) + handler + bytes(13))
+
+    def visual_entry(codec: bytes, w: int, h: int, private: bytes) -> bytes:
+        body = bytes(6) + struct.pack(">H", 1)          # reserved + dri
+        body += bytes(16)                                # predefined/reserved
+        body += struct.pack(">HH", w, h)                 # width/height
+        body += struct.pack(">II", 0x480000, 0x480000)   # 72 dpi
+        body += bytes(4) + struct.pack(">H", 1)          # reserved + frames
+        body += bytes(32)                                # compressorname
+        body += struct.pack(">Hh", 24, -1)               # depth + predefined
+        assert len(body) == 78
+        return _mp4_box(codec, body + _mp4_box(private, b"\x01\x64\x00\x1f"))
+
+    def audio_entry(codec: bytes, rate: int, private: bytes) -> bytes:
+        body = bytes(6) + struct.pack(">H", 1)           # reserved + dri
+        body += bytes(8)                                 # version/rev/vendor
+        body += struct.pack(">HHHH", 2, 16, 0, 0)        # ch/bits/pre/res
+        body += struct.pack(">I", rate << 16)            # 16.16 rate
+        assert len(body) == 28
+        return _mp4_box(codec, body + _mp4_box(private, b"\x03\x80\x80"))
+
+    def stsd(entry: bytes) -> bytes:
+        return _mp4_box(b"stsd", bytes([0, 0, 0, 0]) + struct.pack(">I", 1) + entry)
+
+    def stsz(n: int) -> bytes:
+        return _mp4_box(
+            b"stsz", bytes([0, 0, 0, 0]) + struct.pack(">II", 0, n)
+        )
+
+    def stts(entries: list) -> bytes:
+        body = bytes([0, 0, 0, 0]) + struct.pack(">I", len(entries))
+        for cnt, delta in entries:
+            body += struct.pack(">II", cnt, delta)
+        return _mp4_box(b"stts", body)
+
+    def trak(*mdia_children: bytes, dims=(0, 0)) -> bytes:
+        stbl = _mp4_box(b"stbl", b"".join(c for c in mdia_children if c))
+        minf = _mp4_box(b"minf", stbl)
+        return _mp4_box(
+            b"trak",
+            tkhd(*dims)
+            + _mp4_box(b"mdia", b"".join(
+                [c for c in mdia_children if c and c[4:8] in (b"mdhd", b"hdlr")]
+            ) + minf),
+        )
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    video_trak = trak(
+        mdhd(30000, 30000 * 4),            # 4 s at the TRACK timescale
+        hdlr(b"vide"),
+        stsd(visual_entry(b"avc1", 1280, 720, b"avcC")),
+        stsz(120),
+        dims=(1280, 720),
+    )
+    audio_trak = trak(
+        mdhd(48000, 48000 * 4),
+        hdlr(b"soun"),
+        stsd(audio_entry(b"mp4a", 48000, b"esds")),
+        stts([(100, 1024), (88, 1024)]),   # no stsz: stts-sum fallback
+    )
+    # third track: NO mdhd -> duration falls back to the movie header
+    bare_trak = trak(
+        hdlr(b"vide"),
+        stsd(visual_entry(b"hvc1", 640, 360, b"hvcC")),
+        stsz(50),
+        dims=(640, 360),
+    )
+    multi = ftyp + _mp4_box(
+        b"moov", mvhd(1000, 9000) + video_trak + audio_trak + bare_trak
+    )
+    bad = ftyp + struct.pack(">I", 3) + b"moov"
+
+    assets = spark.createDataFrame(
+        [
+            ("multi", bytearray(multi)),
+            ("bad", bytearray(bad)),
+            ("notmp4", bytearray(b"plain bytes, not bmff")),
+            ("nullrow", None),
+        ],
+        "asset_id string, content binary",
+    )
+    got = {
+        (r.asset_id, r.track_idx): r
+        for r in mp4_track_report(assets).collect()
+    }
+    assert set(got) == {("multi", 0), ("multi", 1), ("multi", 2), ("bad", -1)}
+
+    v = got[("multi", 0)]
+    assert (v.handler, v.codec, v.codec_private) == ("vide", "avc1", "avcC")
+    assert v.n_samples == 120 and v.duration_s == 4.0
+    assert (v.width, v.height) == (1280, 720)
+    assert v.sample_rate is None
+
+    a = got[("multi", 1)]
+    assert (a.handler, a.codec, a.codec_private) == ("soun", "mp4a", "esds")
+    assert a.n_samples == 188          # stts sum: 100 + 88
+    assert a.sample_rate == 48000 and a.duration_s == 4.0
+    assert a.width is None and a.height is None
+
+    bare = got[("multi", 2)]
+    assert (bare.codec, bare.codec_private) == ("hvc1", "hvcC")
+    assert bare.duration_s == 9.0      # mvhd fallback: 9000/1000
+    assert bare.n_samples == 50
+
+    assert got[("bad", -1)].codec == "corrupt/mp4"

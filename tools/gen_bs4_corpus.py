@@ -781,6 +781,112 @@ DIRECTED: list[tuple[str, str, str]] = [
         "Pinned so the fallback's known browser divergence is "
         "explicit, not latent. Expected: tp1, tp2.",
     ),
+    # --- round-14 corners: the select/optgroup implied-close family,
+    # template CONTENTS parsing, in-row foster parenting (VERDICT r13
+    # item 7: the subtrees where the stdlib-fallback risk is highest)
+    (
+        "select-ignores-anchor-token",
+        '<html><body><select><a href="se1">x</a></select>'
+        '<a href="se2">y</a></body></html>',
+        "DIVERGENCE PIN: the HTML5 'in select' insertion mode (spec "
+        "13.2.6.4.16) handles only option/optgroup/hr/select/input/"
+        "keygen/textarea/script/template tokens; an <a> start tag "
+        "falls to 'Anything else: Parse error. Ignore the token' - a "
+        "spec tree builder DROPS se1 from the tree entirely (unlike "
+        "foster parenting, which relocates). html.parser has no "
+        "insertion modes (CPython docs: tokenizer + handler "
+        "callbacks), so handle_starttag fires for se1 and the stdlib "
+        "fallback extracts it; bs4 on the html.parser builder "
+        "inherits this. Expected: se1, se2.",
+    ),
+    (
+        "option-text-anchor-in-select",
+        '<html><body><select><option>one <a href="op1">x</a>'
+        '</option></select><a href="op2">y</a></body></html>',
+        "The option element's content model is TEXT (spec 4.10.10: "
+        "'Content model: Text'), and inside 'in select' mode the <a> "
+        "token hits the same anything-else-ignore arm as "
+        "select-ignores-anchor-token - two independent spec rules "
+        "agreeing the anchor never enters the tree. html.parser "
+        "tokenizes it regardless (no content-model enforcement "
+        "anywhere in the CPython source). DIVERGENCE pin at the "
+        "option-text surface specifically: listing pages wrap file "
+        "links in dropdowns often enough for this to matter. "
+        "Expected: op1, op2.",
+    ),
+    (
+        "optgroup-implied-close-family",
+        '<html><body><select><optgroup label="g1"><option>a'
+        '<optgroup label="g2"><option>b</select>'
+        '<a href="og1">t</a></body></html>',
+        "The implied-close family: an <optgroup> start tag while an "
+        "<option> (and an earlier optgroup) is open acts as their "
+        "end tags (spec 13.2.6.4.16 'in select', optgroup start-tag "
+        "clause: 'If the current node is an option element, pop... "
+        "if the current node is an optgroup element, pop'), and "
+        "</select> closes the whole stack. No anchor exists INSIDE "
+        "the select, so the extraction must be exactly the anchor "
+        "AFTER it on both parsers - pinning that the unclosed "
+        "option/optgroup chain never swallows following content in "
+        "html.parser (unmatched/implied end tags are simply events "
+        "that do not fire, per the Python docs). Expected: og1.",
+    ),
+    (
+        "select-in-table-anchor",
+        '<html><body><table><tr><td><select><a href="st1">x</a>'
+        '</select></td></tr></table><a href="st2">y</a>'
+        "</body></html>",
+        "DIVERGENCE PIN at the 'in select in table' insertion mode "
+        "(spec 13.2.6.4.17): a select nested in a table cell still "
+        "ignores the anchor token via the in-select anything-else "
+        "arm - the extra mode only changes how TABLE tokens break "
+        "out of the select, not the ignore rule. html.parser "
+        "extracts st1 where a spec builder drops it; the anchor "
+        "after the table extracts on both. Expected: st1, st2.",
+    ),
+    (
+        "table-row-foster-parented-anchor",
+        '<html><body><table><tr><a href="rw1">x</a><td>'
+        '<a href="rw2">y</a></td></tr></table></body></html>',
+        "The IN-ROW variant of table-no-foster-parenting: an anchor "
+        "directly inside <tr> (outside any cell) is foster-parented "
+        "by the 'in row' -> 'in table text' chain (spec 13.2.6.4.14 "
+        "via 13.2.6.4.9: anything-else tokens in table contexts "
+        "reprocess with foster parenting enabled). Foster parenting "
+        "RELOCATES the element before the table - it never drops "
+        "it - so the anchor SET is invariant between a spec tree "
+        "builder and html.parser's flat tokenization; only document "
+        "position differs. Expected: rw1, rw2.",
+    ),
+    (
+        "template-table-contents",
+        '<html><body><template><tr><td><a href="tt1">x</a></td>'
+        '</tr></template><a href="tt2">y</a></body></html>',
+        "Template CONTENTS parsing, table-fragment case: inside "
+        "<template> the contents parse under template-modes (spec "
+        "13.2.6.4.12 'in template' pushes 'in table' for <tr>-family "
+        "tokens) into the separate template DocumentFragment - a "
+        "spec builder BOTH strips the row context and keeps tt1 out "
+        "of the document tree (the template-content-extracted-by-"
+        "tokenizer divergence, at the table surface). html.parser "
+        "has no template handling (only script/style are "
+        "CDATA_CONTENT_ELEMENTS), so the stdlib fallback extracts "
+        "tt1 in document order. Expected: tt1, tt2.",
+    ),
+    (
+        "nested-template-contents",
+        '<html><body><template><template><a href="nt1">x</a>'
+        '</template></template><a href="nt2">y</a></body></html>',
+        "Nested template fragments: each <template> opens its OWN "
+        "contents fragment (spec 13.2.6.4.12; the 'template "
+        "contents' are a DocumentFragment per element, 4.12.3), so "
+        "nt1 sits two fragments deep - doubly outside the document "
+        "tree for a spec builder. html.parser fires handle_starttag "
+        "for every start tag regardless of nesting, so the stdlib "
+        "fallback extracts nt1 then nt2. Pins that the divergence "
+        "does not compound into a parse failure at depth. "
+        "Expected: nt1, nt2.",
+    ),
 ]
 
 
