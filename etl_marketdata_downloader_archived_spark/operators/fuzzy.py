@@ -1018,8 +1018,12 @@ def compact_postings(
     never deleted before the new one is live). The swap's two renames
     leave ONE crash window where the store is absent at its path with
     the snapshot intact at ``__old``; this function runs
-    ``io.recover_small_table`` at entry (the same naming convention),
-    so the NEXT maintenance pass restores it - and the ingests' loud
+    ``recover_posting_store`` at entry, so the NEXT maintenance pass
+    restores it - and note that helper's live+__old rule differs from
+    ``io.recover_small_table``'s: a leftover ``__old`` beside a live
+    store is MERGED in (possible duplicate postings, reclaimed right
+    here), never deleted blind, because it may hold a concurrent
+    append the crashed pass never rescued. The ingests' loud
     missing-store guard means the gap is noisy, never silent
     (review finding: the first cut's docstring overclaimed
     crash-at-any-point safety and shipped no recovery path).
@@ -1075,9 +1079,21 @@ def compact_postings(
     meta_df = spark.read.parquet(root + "/_meta") if has_meta else None
     stage = root + "__stage"
     fs.delete(jvm_path(stage), True)
-    writer = store.distinct().write.mode("overwrite")
+    # BOUND the compacted snapshot's file count: one file per bucket
+    # (repartition on the partition column) or defaultParallelism for
+    # the unbucketed flavor. Without this, a wide shuffle writes up to
+    # tasks*buckets files and the compacted store can itself sit above
+    # a file-count compaction trigger - every subsequent ingest batch
+    # would re-run a full-store rewrite forever (review finding).
+    compacted = store.distinct()
     if "_bk" in store.columns:
-        writer = writer.partitionBy("_bk")
+        compacted = compacted.repartition("_bk")
+        writer = compacted.write.mode("overwrite").partitionBy("_bk")
+    else:
+        compacted = compacted.coalesce(
+            spark.sparkContext.defaultParallelism
+        )
+        writer = compacted.write.mode("overwrite")
     writer.parquet(stage)
     if meta_df is not None:
         # materialized BEFORE the swap below unlinks its source files

@@ -1200,6 +1200,9 @@ def _mp4_tracks(b: bytes) -> list[dict] | None:
     for typ, lo, hi in walk(0, len(b)):
         if typ != b"moov":
             continue
+        # two passes over moov's children: 14496-12 does not mandate
+        # sibling ORDER (review finding - a trak before mvhd would
+        # silently lose the movie-duration fallback on a one-pass walk)
         for t2, lo2, hi2 in walk(lo, hi):
             if t2 == b"mvhd":
                 ver = b[lo2]
@@ -1211,7 +1214,8 @@ def _mp4_tracks(b: bytes) -> list[dict] | None:
                 dur = int.from_bytes(b[p + 4 : p + 4 + dur_w], "big")
                 if ts:
                     movie_duration = dur / ts
-            elif t2 == b"trak":
+        for t2, lo2, hi2 in walk(lo, hi):
+            if t2 == b"trak":
                 tr = {
                     "handler": None, "codec": None, "codec_private": None,
                     "n_samples": None, "sample_rate": None,
@@ -1239,7 +1243,11 @@ def _mp4_tracks(b: bytes) -> list[dict] | None:
 def _mp4_mdia(b: bytes, walk, lo: int, hi: int, tr: dict, fourcc) -> None:
     """mdia subtree of the track walk: mdhd (track-local timescale ->
     duration_s), hdlr (handler fourcc at body offset 8), and the
-    minf/stbl sample tables (stsd/stsz/stts)."""
+    minf/stbl sample tables (stsd/stsz/stts). Two passes because the
+    sample-entry layout DEPENDS on the handler (audio vs visual fixed
+    fields) and 14496-12 does not mandate hdlr-before-minf sibling
+    order (review finding - a one-pass walk decoded an mp4a entry
+    with the visual offsets when hdlr followed minf)."""
     for t4, lo4, hi4 in walk(lo, hi):
         if t4 == b"mdhd":
             ver = b[lo4]
@@ -1255,7 +1263,8 @@ def _mp4_mdia(b: bytes, walk, lo: int, hi: int, tr: dict, fourcc) -> None:
             if hi4 - lo4 < 12:
                 raise ValueError("short hdlr box")
             tr["handler"] = fourcc(b[lo4 + 8 : lo4 + 12])
-        elif t4 == b"minf":
+    for t4, lo4, hi4 in walk(lo, hi):
+        if t4 == b"minf":
             for t5, lo5, hi5 in walk(lo4, hi4):
                 if t5 != b"stbl":
                     continue
@@ -1266,9 +1275,16 @@ def _mp4_mdia(b: bytes, walk, lo: int, hi: int, tr: dict, fourcc) -> None:
                         n_entries = int.from_bytes(b[lo6 + 4 : lo6 + 8], "big")
                         if n_entries < 1:
                             continue
-                        # first sample entry is itself a box
-                        entries = walk(lo6 + 8, hi6)
-                        etyp, elo, ehi = next(entries)
+                        # first sample entry is itself a box; an stsd
+                        # whose count claims entries over an empty
+                        # region must raise the CONTRACT error, not
+                        # leak StopIteration (review finding)
+                        try:
+                            etyp, elo, ehi = next(walk(lo6 + 8, hi6))
+                        except StopIteration:
+                            raise ValueError(
+                                "stsd claims entries but has none"
+                            ) from None
                         tr["codec"] = fourcc(etyp)
                         # fixed SampleEntry fields before the child
                         # boxes: 78 bytes (visual) / 28 (audio v0);

@@ -39,6 +39,11 @@ from ..operators import dedup as D
 from ..operators import text as X
 from ..operators.packing import pack_sequences
 
+# chunk_id = doc_id * 2^_CHUNK_BITS + chunk_idx: ONE constant shared by
+# the index build and the probe's unpack so the round-trip cannot drift
+# (review finding: the width lived in two literals)
+_CHUNK_BITS = 20
+
 
 def prepare_training_corpus(
     docs: DataFrame,
@@ -170,7 +175,7 @@ def build_retrieval_index(
     chunks = chunk_text(
         docs, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     ).select(
-        (F.col(id_col) * (1 << 20) + F.col("chunk_idx")).alias("chunk_id"),
+        (F.col(id_col) * (1 << _CHUNK_BITS) + F.col("chunk_idx")).alias("chunk_id"),
         "chunk",
     )
     emb = hash_embed(chunks, "chunk_id", "chunk", dim=embed_dim)
@@ -225,8 +230,11 @@ def probe_retrieval_index(
         "chunk_id",
         # exact integer unpack (no float division): ids are
         # non-negative by construction so arithmetic shift is safe
-        F.shiftright("chunk_id", 20).alias("doc_id"),
-        F.col("chunk_id").bitwiseAND(F.lit((1 << 20) - 1)).cast("int").alias("chunk_idx"),
+        F.shiftright("chunk_id", _CHUNK_BITS).alias("doc_id"),
+        F.col("chunk_id")
+        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+        .cast("int")
+        .alias("chunk_idx"),
         "relevance",
         "mmr_score",
     ).orderBy("rank")

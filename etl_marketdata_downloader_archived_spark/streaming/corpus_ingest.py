@@ -214,8 +214,15 @@ def start_corpus_ingest_neardup(
         spark = batch.sparkSession
         # heal a crashed compaction BEFORE probing the store: mid-swap
         # leftovers otherwise read as a missing/half store and fail
-        # the batch until an operator intervenes
-        recover_posting_store(spark, postings_dir)
+        # the batch until an operator intervenes.
+        # ONLY in auto-maintenance mode: with the trigger disabled an
+        # EXTERNAL operator owns the store's maintenance, and
+        # self-healing here would race a live compaction's swap window
+        # (review finding - restoring __old mid-swap breaks the
+        # external pass's rollback and can re-duplicate the postings
+        # it just removed)
+        if compact_trigger_files is not None:
+            recover_posting_store(spark, postings_dir)
         scored = (
             batch.withColumn("lang_guess", lang_id(text_col))
             .withColumn("quality", F.round(quality_score(text_col), 6))
@@ -483,8 +490,15 @@ def start_corpus_ingest_exact(
             return
         spark = batch.sparkSession
         # heal a crashed compaction BEFORE probing the store (mid-swap
-        # leftovers otherwise read as missing/half a store)
-        recover_posting_store(spark, postings_dir)
+        # leftovers otherwise read as missing/half a store).
+        # ONLY in auto-maintenance mode: with the trigger disabled an
+        # EXTERNAL operator owns the store's maintenance, and
+        # self-healing here would race a live compaction's swap window
+        # (review finding - restoring __old mid-swap breaks the
+        # external pass's rollback and can re-duplicate the postings
+        # it just removed)
+        if compact_trigger_files is not None:
+            recover_posting_store(spark, postings_dir)
         gated = batch.withColumn("lang_guess", lang_id(text_col)).filter(
             F.col("lang_guess").isin(*languages)
             & (F.round(quality_score(text_col), 6) >= min_quality)

@@ -227,7 +227,13 @@ class _InactivitySummaryProcessor(StatefulProcessor):
         if self._sample.exists():
             have = sum(1 for _ in self._sample.get())
         for pdf in rows:
-            for cat, n in pdf.groupby("cat").size().items():
+            # NULL category buckets as "" (groupby's dropna default
+            # would silently shrink n_cats below total - review
+            # finding) and NULL ids stay out of the sample (astype
+            # on NaN raises and would fail the micro-batch)
+            for cat, n in pdf.groupby(
+                pdf["cat"].fillna("")
+            ).size().items():
                 prev = (
                     int(self._counts.getValue((cat,))[0])
                     if self._counts.containsKey((cat,))
@@ -237,7 +243,7 @@ class _InactivitySummaryProcessor(StatefulProcessor):
             total += len(pdf)
             room = self._n - have
             if room > 0:
-                ids = pdf["id"].astype("int64").tolist()[:room]
+                ids = pdf["id"].dropna().astype("int64").tolist()[:room]
                 self._sample.appendList([(int(i),) for i in ids])
                 have += len(ids)
         self._total.update((total,))

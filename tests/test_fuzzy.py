@@ -403,6 +403,15 @@ def test_compact_postings_collapses_replay_duplicates(spark, tmp_path) -> None:
     assert read_postings_meta(spark, pdir) == {"p_num": 500000, "buckets": 4}
     assert "_bk" in store().columns  # layout preserved
     assert screen() == before_screen
+    # the compacted snapshot is file-count-BOUNDED: one data file per
+    # bucket (review finding: an unbounded shuffle write could leave
+    # the compacted store itself above a file-count trigger, turning
+    # the auto-compaction loop into a per-batch full rewrite)
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        posting_store_file_count,
+    )
+
+    assert posting_store_file_count(spark, pdir) <= 4
 
 
 def test_postings_meta_guard_and_mismatch(spark, tmp_path) -> None:

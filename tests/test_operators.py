@@ -4633,3 +4633,70 @@ def test_mp4_track_report_deepened_header_tier(spark) -> None:
     assert bare.n_samples == 50
 
     assert got[("bad", -1)].codec == "corrupt/mp4"
+
+
+def test_mp4_track_report_order_and_truncation_corners(spark) -> None:
+    """Review findings on the r14 track walk: (a) ISO 14496-12 does
+    not mandate sibling order - hdlr AFTER minf must still decode the
+    audio entry with audio offsets, and a trak BEFORE mvhd must still
+    get the movie-duration fallback; (b) an stsd claiming entries over
+    an empty region quarantines (ValueError contract, not a leaked
+    StopIteration)."""
+    import struct
+
+    from etl_marketdata_downloader_archived_spark.operators.multimodal import (
+        mp4_track_report,
+    )
+
+    def mvhd(timescale: int, duration: int) -> bytes:
+        return _mp4_box(
+            b"mvhd",
+            bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, timescale, duration),
+        )
+
+    def tkhd() -> bytes:
+        head = bytes([0, 0, 0, 0])
+        head += struct.pack(">III", 0, 0, 1) + bytes(4) + struct.pack(">I", 0)
+        head += bytes(8) + struct.pack(">hhhh", 0, 0, 0, 0) + bytes(36)
+        head += struct.pack(">II", 0, 0)
+        return _mp4_box(b"tkhd", head)
+
+    def hdlr(handler: bytes) -> bytes:
+        return _mp4_box(b"hdlr", bytes(8) + handler + bytes(13))
+
+    def audio_entry(rate: int) -> bytes:
+        body = bytes(6) + struct.pack(">H", 1) + bytes(8)
+        body += struct.pack(">HHHH", 2, 16, 0, 0) + struct.pack(">I", rate << 16)
+        return _mp4_box(b"mp4a", body + _mp4_box(b"esds", b"\x03\x80"))
+
+    def stsd(entry: bytes) -> bytes:
+        return _mp4_box(b"stsd", bytes([0, 0, 0, 0]) + struct.pack(">I", 1) + entry)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    # hdlr AFTER minf inside mdia; trak BEFORE mvhd inside moov
+    minf = _mp4_box(b"minf", _mp4_box(b"stbl", stsd(audio_entry(44100))))
+    trak = _mp4_box(b"trak", tkhd() + _mp4_box(b"mdia", minf + hdlr(b"soun")))
+    scrambled = ftyp + _mp4_box(b"moov", trak + mvhd(1000, 2500))
+    # stsd entry_count=1 but zero entry bytes
+    empty_stsd = _mp4_box(b"stsd", bytes([0, 0, 0, 0]) + struct.pack(">I", 1))
+    bad_minf = _mp4_box(b"minf", _mp4_box(b"stbl", empty_stsd))
+    bad = ftyp + _mp4_box(
+        b"moov",
+        mvhd(1000, 1000)
+        + _mp4_box(b"trak", tkhd() + _mp4_box(b"mdia", hdlr(b"vide") + bad_minf)),
+    )
+
+    got = {
+        (r.asset_id, r.track_idx): r
+        for r in mp4_track_report(
+            spark.createDataFrame(
+                [("scrambled", bytearray(scrambled)), ("badstsd", bytearray(bad))],
+                "asset_id string, content binary",
+            )
+        ).collect()
+    }
+    s = got[("scrambled", 0)]
+    assert (s.handler, s.codec, s.codec_private) == ("soun", "mp4a", "esds")
+    assert s.sample_rate == 44100      # audio offsets despite hdlr-last
+    assert s.duration_s == 2.5         # mvhd fallback despite trak-first
+    assert got[("badstsd", -1)].codec == "corrupt/mp4"

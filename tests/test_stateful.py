@@ -1816,6 +1816,20 @@ def test_inactivity_summary_processor_kernel() -> None:
     r = outs[0].iloc[0]
     assert r.total == 2 and r.top_cat == "b" and r.top_n == 1
     assert list(r.sample_ids) == [9, 10]
+    # NULL corners (review findings): a null id must not crash the
+    # batch (stays out of the sample), a null cat buckets as "" so
+    # total stays consistent with the counts
+    assert feed(
+        [("k1", None, 20), ("k1", "view", None), ("k1", "view", 21)],
+        40_000,
+    ) == []
+    outs = list(
+        proc.handleExpiredTimer(("k1",), _FakeTWSTimerValues(51_000), None)
+    )
+    r = outs[0].iloc[0]
+    assert r.total == 3 and r.n_cats == 2
+    assert r.top_cat == "view" and r.top_n == 2
+    assert list(r.sample_ids) == [20, 21]  # the null id skipped
 
 
 def test_inactivity_summary_live_gated(spark, tmp_path) -> None:

@@ -198,7 +198,10 @@ def main() -> None:
 
     spark = get_spark("scale_probe")
     qs = registry.all_queries()
-    qs["training_pipeline_ext"] = pipeline_ext_fn(spark)
+    if "training_pipeline_ext" in names:
+        # lazy: fitting the seed classifier costs real driver work -
+        # don't pay it on probes that never run the pipeline
+        qs["training_pipeline_ext"] = pipeline_ext_fn(spark)
     rep_dir = build_replica(spark, k)
 
     def run(fn, sf_dir: str) -> float:
