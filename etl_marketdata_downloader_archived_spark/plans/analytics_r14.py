@@ -168,3 +168,85 @@ def from_xml_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("t")).alias("tag_count"),
         F.sum("_id").alias("id_sum"),
     )
+
+
+_HEX8 = """(  (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+                + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+                + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)
+               )"""
+
+_WORDS14 = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+@q(
+    "dsir_bucket_stats",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, {_WORDS14} AS ws FROM documents
+    ),
+    uni AS (SELECT source, unnest(ws) AS g FROM w),
+    bi AS (
+        SELECT source,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1]
+               )) AS g
+        FROM w WHERE len(ws) >= 2
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    b AS (
+        SELECT source, {_HEX8} % 32 AS bucket
+        FROM (SELECT source, md5(concat('42', ':', g)) AS hx FROM grams)
+    )
+    SELECT bucket,
+           CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c_target,
+           CAST(count(*) FILTER (WHERE source <> 'src0') AS BIGINT) AS c_raw
+    FROM b GROUP BY bucket
+    """,
+)
+def dsir_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED layer of DSIR importance sampling
+    (operators.dsir; Xie et al. 2023): hashed bag-of-(uni+bi)gram
+    bucket counts for a target corpus (source src0 - the 'specify by
+    example' corpus) vs the raw pool, under the auditable md5
+    coordinate (first 8 hex chars of md5(seed:gram) mod m - the
+    hash_split discipline) which the oracle replays digit by digit,
+    n-gram generation and all. Integer-exact end to end.
+
+    The weighting on top (add-one smoothed log-ratio fold, float ln)
+    is deliberately NOT in the oracle row - a second
+    probabilistic-by-construction replay is not worth it when the
+    tfidf_topk exception already documents the ln caveat; the weight
+    and selection tiers are covered by an independent plain-python
+    replay in pytest (same split of labor as the IVF family: exact
+    oracle for the distributed reduction, differential for the float
+    policy layer)."""
+    from ..operators.dsir import hashed_ngram_buckets
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = lambda df: hashed_ngram_buckets(  # noqa: E731
+        df, "doc_id", "text", m=32, seed=42, algo="md5"
+    )
+    tgt = (
+        feats(d.filter(F.col("source") == "src0"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c_target"))
+    )
+    raw = (
+        feats(d.filter(F.col("source") != "src0"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c_raw"))
+    )
+    return (
+        tgt.join(raw, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("c_target", F.lit(0)).alias("c_target"),
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+        )
+    )

@@ -4700,3 +4700,107 @@ def test_mp4_track_report_order_and_truncation_corners(spark) -> None:
     assert s.sample_rate == 44100      # audio offsets despite hdlr-last
     assert s.duration_s == 2.5         # mvhd fallback despite trak-first
     assert got[("badstsd", -1)].codec == "corrupt/mp4"
+
+
+def test_dsir_weights_match_python_replay_and_select(spark) -> None:
+    """operators.dsir (r14): the add-one-smoothed hashed-ngram log
+    weights equal an independent plain-python replay (same md5 bucket
+    coordinate, math.log) to 1e-9, empty-gram docs weight 0.0 over 0
+    grams, and dsir_select ranks target-like raw docs above off-vocab
+    ones with the (weight desc, id asc) tie-break."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    target_rows = [
+        (100, "physics energy momentum quantum field theory"),
+        (101, "quantum field equations and energy levels"),
+        (102, "momentum transfer in particle physics"),
+    ]
+    raw_rows = [
+        (1, "quantum energy field experiments"),        # target-like
+        (2, "buy cheap shoes online free shipping"),    # off-vocab
+        (3, "physics momentum and field theory notes"),  # target-like
+        (4, "!!! 123 ???"),                              # no grams
+        (5, "quantum energy field experiments"),         # tie with 1
+    ]
+    target = spark.createDataFrame(target_rows, ["doc_id", "text"])
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    m, seed = 64, 42
+
+    def words(t: str) -> list:
+        import re
+
+        return [w for w in re.split("[^a-z]+", t.lower()) if w]
+
+    def grams(t: str) -> list:
+        ws = words(t)
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g: str) -> int:
+        hx = hashlib.md5(f"{seed}:{g}".encode()).hexdigest()
+        return int(hx[:8], 16) % m
+
+    c_t: Counter = Counter()
+    for _, t in target_rows:
+        c_t.update(bucket(g) for g in grams(t))
+    c_r: Counter = Counter()
+    for _, t in raw_rows:
+        c_r.update(bucket(g) for g in grams(t))
+    t_t = sum(c_t.values()) + m
+    t_r = sum(c_r.values()) + m
+
+    def py_weight(t: str) -> float:
+        return sum(
+            math.log(c_t[bucket(g)] + 1)
+            - math.log(c_r[bucket(g)] + 1)
+            + math.log(t_r)
+            - math.log(t_t)
+            for g in grams(t)
+        )
+
+    got = {
+        r.doc_id: r
+        for r in dsir_log_weights(
+            raw, target, "doc_id", "text", m=m, seed=seed, algo="md5"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    for did, text in raw_rows:
+        if did == 4:
+            assert got[4].log_weight == 0.0 and got[4].n_grams == 0
+        else:
+            assert abs(got[did].log_weight - py_weight(text)) < 1e-9
+            assert got[did].n_grams == len(grams(text))
+    # the property DSIR exists for: target-like >> off-vocab
+    assert min(got[1].log_weight, got[3].log_weight) > got[2].log_weight
+
+    # selection order is fully determined by the python replay
+    # (weight desc, id asc; the no-gram doc carries its neutral 0.0 -
+    # it can legitimately outrank weakly-negative docs, rejecting it
+    # is the heuristic gates' job)
+    expected_order = [
+        did
+        for did, _ in sorted(
+            ((d, (py_weight(t) if d != 4 else 0.0)) for d, t in raw_rows),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+    ]
+    sel = dsir_select(
+        raw, target, 4, "doc_id", "text", m=m, seed=seed, algo="md5"
+    ).collect()
+    ids = [r.doc_id for r in sel]
+    assert set(ids) == set(expected_order[:4])
+    assert 2 not in ids  # the off-vocab doc is always the one cut
+    # identical texts 1 and 5 carry the same TRUE weight; their float
+    # sums may differ by an ulp (reduction order), so the pinned
+    # contract is weight equality to 1e-9, not their mutual order -
+    # every CLEARLY separated pair must rank by weight though
+    w = {r.doc_id: r.log_weight for r in sel}
+    assert abs(w[1] - w[5]) < 1e-9
+    assert ids[0] == 4 and ids[1] == 3  # clear-gap order respected
