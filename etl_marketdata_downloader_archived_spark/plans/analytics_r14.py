@@ -250,3 +250,98 @@ def dsir_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
         )
     )
+
+
+@q(
+    "ordered_set_agg_cert",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY cnt DESC, o_orderpriority
+               ) AS rn
+        FROM c
+    )
+    SELECT o.o_orderstatus AS st,
+           any_value(m.mode_priority) AS mode_priority,
+           quantile_disc(o.o_totalprice, 0.25) AS p25,
+           quantile_disc(o.o_totalprice, 0.50) AS p50,
+           quantile_disc(o.o_totalprice, 0.91) AS p91
+    FROM orders o
+    JOIN m ON m.o_orderstatus = o.o_orderstatus AND m.rn = 1
+    GROUP BY o.o_orderstatus
+    """,
+)
+def ordered_set_agg_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered-set / inverse-distribution aggregate surface
+    (SQL:2008 T621-adjacent): ``mode(expr, deterministic=true)``
+    (Spark 3.4+ - ties break to the SMALLEST value, which the oracle
+    replays as an explicit (count desc, value asc) rank because
+    DuckDB's own mode() picks an arbitrary tie winner - measured) and
+    ``percentile_disc(p) WITHIN GROUP (ORDER BY x)`` (Spark 3.4+),
+    which SELECTS an actual member value (smallest whose cumulative
+    fraction >= p) - no interpolation arithmetic, so the replay
+    against DuckDB's quantile_disc is exact on doubles, unlike
+    percentile_cont (median_cert covers that with integral values).
+    p91 deliberately lands off a row boundary to pin the ceiling
+    rule."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_r14_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS st,
+               mode(o_orderpriority, true) AS mode_priority,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p50,
+               percentile_disc(0.91) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p91
+        FROM _r14_orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@q(
+    "regexp_bool_agg_cert",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[aeiou]{2}'))) AS BIGINT)
+               AS double_vowels,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(text, '[a-z]{7,}'))
+               AS BIGINT) AS n_long_word,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[a-z]{7,}')
+                         THEN strpos(text, regexp_extract(text, '[a-z]{7,}'))
+                         ELSE 0 END) AS BIGINT) AS instr_sum,
+           bool_and(lower(text) = text) AS all_lower,
+           bool_or(len(text) > 500) AS any_long
+    FROM documents GROUP BY source
+    """,
+)
+def regexp_bool_agg_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 3.5 regexp_* scalar family + the boolean aggregates,
+    certified per source over real text: regexp_count (DuckDB replays
+    as len(regexp_extract_all)), regexp_substr-based match counting
+    (NULL on no match <-> regexp_matches filter), regexp_instr
+    (1-based first-match position; DuckDB has no instr, so the oracle
+    replays it as strpos(text, first_match) - sound because the
+    leftmost regex match cannot be preceded by an equal substring
+    that would itself have matched), and every/any (bool_and /
+    bool_or). All integer/boolean reductions - exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.expr("regexp_count(text, '[aeiou]{2}')")).alias(
+            "double_vowels"
+        ),
+        F.count_if(
+            F.expr("regexp_substr(text, '[a-z]{7,}')").isNotNull()
+        ).alias("n_long_word"),
+        F.sum(F.expr("regexp_instr(text, '[a-z]{7,}')")).alias("instr_sum"),
+        F.every(F.lower(F.col("text")) == F.col("text")).alias("all_lower"),
+        F.bool_or(F.length("text") > 500).alias("any_long"),
+    )

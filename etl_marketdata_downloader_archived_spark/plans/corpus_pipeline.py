@@ -61,6 +61,8 @@ def prepare_training_corpus(
     quality_model=None,
     min_model_quality: float = 0.5,
     span_tokens: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns the materializable artifacts:
 
@@ -81,6 +83,12 @@ def prepare_training_corpus(
     - ``span_tokens``: run exact substring-span removal at this gram
       length AFTER near-dup removal (Lee et al. 2022 order); documents
       whose text is removed ENTIRELY (pure boilerplate) are dropped
+    - ``dsir_target`` + ``dsir_keep``: DSIR importance selection
+      (operators.dsir, Xie et al. 2023) - keep the ``dsir_keep``
+      documents whose hashed-ngram distribution best matches the
+      target corpus, AFTER dedup/span removal and BEFORE mixing
+      (select toward the target first, then balance sources);
+      survivors carry ``log_weight``
 
     Laziness note: stages 1-2 and 4-5 stay lazy; stage 3 (re-mixing)
     needs the per-source counts, which is ONE collect of
@@ -128,6 +136,16 @@ def prepare_training_corpus(
                 id_col,
             )
             .filter(F.trim(F.col(text_col)) != "")
+        )
+
+    if dsir_target is not None and dsir_keep is not None:
+        from ..operators.dsir import dsir_log_weights
+
+        w = dsir_log_weights(deduped, dsir_target, id_col, text_col)
+        deduped = (
+            deduped.join(w.select(id_col, "log_weight"), id_col)
+            .orderBy(F.col("log_weight").desc(), F.col(id_col))
+            .limit(dsir_keep)
         )
 
     if target_mix is not None:

@@ -4804,3 +4804,48 @@ def test_dsir_weights_match_python_replay_and_select(spark) -> None:
     w = {r.doc_id: r.log_weight for r in sel}
     assert abs(w[1] - w[5]) < 1e-9
     assert ids[0] == 4 and ids[1] == 3  # clear-gap order respected
+
+
+def test_prepare_training_corpus_dsir_tier(spark) -> None:
+    """The DSIR selection tier composed into the pipeline: with a
+    target corpus given, the off-topic documents are the ones cut to
+    reach dsir_keep, survivors carry log_weight, and the split/pack
+    stages still run on the selected set."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.plans.corpus_pipeline import (
+        prepare_training_corpus,
+    )
+
+    rng = random.Random(5)
+    sci = ("physics quantum energy momentum field theory particle wave "
+           "matter experiment").split()
+    shop = ("price discount store basket checkout brand product offer "
+            "coupon retail").split()
+    stop = "the and is of to a in"
+
+    def text(vocab):
+        return stop + " " + " ".join(rng.choices(vocab, k=25))
+
+    rows = [(i, text(sci), "web") for i in range(1, 9)]
+    rows += [(i, text(shop), "web") for i in range(20, 24)]  # off-topic
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    target = spark.createDataFrame(
+        [(100 + i, text(sci)) for i in range(6)], ["doc_id", "text"]
+    )
+
+    out = prepare_training_corpus(
+        docs,
+        min_quality=0.0,
+        dsir_target=target,
+        dsir_keep=8,
+        max_tokens=64,
+    )
+    corpus = out["corpus"].cache()
+    ids = {r.doc_id for r in corpus.collect()}
+    assert len(ids) == 8
+    assert not ids & {20, 21, 22, 23}  # all off-topic docs cut
+    assert all(r.log_weight is not None for r in corpus.collect())
+    n_train = corpus.filter(F.col("split") == "train").count()
+    assert sum(p.n_docs for p in out["packs"].collect()) == n_train
+    corpus.unpersist()
