@@ -345,3 +345,86 @@ def regexp_bool_agg_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.lower(F.col("text")) == F.col("text")).alias("all_lower"),
         F.bool_or(F.length("text") > 500).alias("any_long"),
     )
+
+
+@q(
+    "session_window_batch_cert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), t AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS seq
+      FROM s
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL 30 MINUTE     AS session_end,
+           CAST(count(*) AS BIGINT)         AS n_events
+    FROM t GROUP BY user_id, seq
+    """,
+)
+def session_window_batch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN ``session_window`` function on a BATCH frame - the
+    battery certifies the streaming form (stream_session) and the
+    hand-rolled batch sessionizer (sessionize_stats); this row pins
+    the built-in's batch semantics against a gaps-and-islands replay,
+    INCLUDING its boundary rule: events exactly ``gap`` apart start a
+    NEW session (merge requires next_ts < prev_ts + gap), which is
+    the opposite boundary from operators.sessions.sessionize's
+    strictly-greater split - the subtle difference this row exists to
+    pin (the oracle's island rule is >= where sessionize_stats' is >).
+    Window start = first event, end = last event + gap, exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "approx_topk_builtin_cert",
+    oracle="""
+    SELECT o_orderstatus AS st, o_orderpriority AS item,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def approx_topk_builtin_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in DataSketches frequent-items surface (Spark 4
+    ``approx_top_k``): per order status, the sketch's top-5 items
+    EXPLODED to (st, item, cnt) rows. With maxItemsTracked (default
+    10000) >= the distinct item count (5 priorities), the sketch
+    tracks every item exactly, so the exploded output must equal the
+    exact GROUP BY counts row for row - the same
+    capacity-exceeds-cardinality exactness contract the hand-rolled
+    topk sketches row (operators.sketches) pins, now for the
+    production built-in. Set equality, no rank ordering in the output
+    - tie ORDER between equal counts is the one thing the sketch does
+    not promise."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_r14_orders_topk")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS st, e.item AS item,
+               e.count AS cnt
+        FROM (
+            SELECT o_orderstatus,
+                   approx_top_k(o_orderpriority, 5) AS tk
+            FROM _r14_orders_topk GROUP BY o_orderstatus
+        ) LATERAL VIEW explode(tk) AS e
+        """
+    )
