@@ -1149,3 +1149,69 @@ def mmr_rerank(
     return candidates.groupBy(query_col).applyInPandas(
         per_query, out_schema
     )
+
+
+def mine_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    exclude_pairs: DataFrame | None = None,
+    margin: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Contrastive-training hard negatives: for every query, the ``k``
+    most similar corpus items that are NOT the query itself and NOT
+    its known near-duplicates - the retrieve-then-exclude shape of
+    DPR/SimCSE-style pipelines. The exclusion is the whole point: an
+    unfiltered top-k hands the model its own duplicates as
+    "negatives" - false negatives that poison the contrastive loss -
+    so the near-dup graph the dedup family already computes
+    (minhash_dedup_pairs / jaccard verify output, any (id_a, id_b)
+    frame) plugs in directly, applied in BOTH orientations.
+
+    Retrieval over-fetches to ``k + 1 + margin`` (margin defaults to
+    ``k``): the +1 covers self, the margin covers excluded
+    near-duplicates. A query with MORE than ``margin`` near-dups
+    inside its over-fetched shortlist returns fewer than k negatives
+    (honest truncation - re-run with a larger margin; the alternative,
+    retrieving until k survive, is an unbounded loop).
+
+    Scale shape: one knn_join (queries broadcast as a matrix, corpus
+    streams, per-batch local top-k), an anti-join against the pair
+    set on (query, neighbor), then a per-query re-rank bounded by the
+    over-fetched rows - never the corpus. Output: (query_id, neg_id,
+    cos_sim, rank), rank 1 = hardest surviving negative, ties to the
+    smaller id (knn_join's determinism carries through)."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    fetch = k + 1 + (margin if margin is not None else k)
+    cand = knn_join(
+        queries, corpus, fetch, id_col, vec_col, query_id_col
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    if exclude_pairs is not None:
+        ex = exclude_pairs.select(
+            F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
+        ).unionByName(
+            exclude_pairs.select(
+                F.col("id_b").alias("query_id"),
+                F.col("id_a").alias("neighbor_id"),
+            )
+        ).dropDuplicates()
+        cand = cand.join(ex, ["query_id", "neighbor_id"], "left_anti")
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("neg_id"),
+            "cos_sim",
+            "rank",
+        )
+    )

@@ -4849,3 +4849,60 @@ def test_prepare_training_corpus_dsir_tier(spark) -> None:
     n_train = corpus.filter(F.col("split") == "train").count()
     assert sum(p.n_docs for p in out["packs"].collect()) == n_train
     corpus.unpersist()
+
+
+def test_mine_hard_negatives_excludes_self_and_dups(spark) -> None:
+    """Hard-negative mining (r14): per query, top-k similar corpus
+    items with SELF and the near-dup graph excluded (both pair
+    orientations), ranks contiguous and ordered by similarity, and
+    honest truncation when the margin is exhausted."""
+    import math
+
+    from etl_marketdata_downloader_archived_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # query 1 at e0; corpus: 2 = exact dup (paired), 3 = near-dup
+    # (paired), 4/5/6 progressively farther, 7 orthogonal
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [1.0, 0.0, 0.0],
+        3: unit([0.99, 0.14, 0.0]),
+        4: unit([0.9, 0.44, 0.0]),
+        5: unit([0.8, 0.6, 0.0]),
+        6: unit([0.6, 0.8, 0.0]),
+        7: [0.0, 0.0, 1.0],
+    }
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    queries = corpus.filter(F.col("vec_id") == 1)
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 1)], ["id_a", "id_b"]  # both orientations exercised
+    )
+    got = mine_hard_negatives(
+        queries, corpus, k=3, exclude_pairs=pairs
+    ).collect()
+    assert [(r.rank, r.neg_id) for r in sorted(got, key=lambda r: r.rank)] == [
+        (1, 4), (2, 5), (3, 6)
+    ]
+    assert all(r.query_id == 1 for r in got)
+    sims = [r.cos_sim for r in sorted(got, key=lambda r: r.rank)]
+    assert sims == sorted(sims, reverse=True)
+
+    # without the exclusion graph the dup IS the top negative (the
+    # poisoning this operator exists to prevent); self still excluded
+    raw = mine_hard_negatives(queries, corpus, k=3).collect()
+    assert [r.neg_id for r in sorted(raw, key=lambda r: r.rank)] == [2, 3, 4]
+
+    # margin exhaustion truncates honestly: k=5, margin=0 -> fetch 6
+    # of the 7-item corpus (orthogonal 7 never retrieved); self + two
+    # excluded dups leave only 3 survivors, NOT a silent refetch
+    short = mine_hard_negatives(
+        queries, corpus, k=5, margin=0, exclude_pairs=pairs
+    ).collect()
+    assert sorted(r.neg_id for r in short) == [4, 5, 6]
