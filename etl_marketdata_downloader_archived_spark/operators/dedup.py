@@ -1049,3 +1049,36 @@ def strip_duplicated_spans(
             ).alias("n_removed"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame, pairs: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Quality-aware representative election: like
+    ``dedup_keep_representatives``, but each near-dup component keeps
+    its highest-``score_col`` member ((score desc, id asc) - the id
+    breaks only BIT-EQUAL scores) instead of the minimum id - the
+    keep-the-best-copy policy real corpus prep wants when duplicates
+    differ in extraction quality (a clean copy and an
+    boilerplate-ridden copy of the same page are near-dups; min-id
+    keeps whichever crawled first, this keeps the better one).
+
+    One window over components (component-count rows, never the
+    corpus) after the same connected_components stage; everything
+    else - exactness requirements on the component labels included
+    (the unconverged-raise contract) - is shared with the min-id
+    variant."""
+    from pyspark.sql import Window as W
+
+    comp = connected_components(pairs)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
+        "id",
+    )
+    w = W.partitionBy("component").orderBy(F.col("_s").desc(), F.col("id"))
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -63,6 +63,8 @@ def prepare_training_corpus(
     span_tokens: int | None = None,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
+    rep_score_col: str | None = None,
+    mix_by: str = "docs",
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns the materializable artifacts:
 
@@ -89,6 +91,16 @@ def prepare_training_corpus(
       target corpus, AFTER dedup/span removal and BEFORE mixing
       (select toward the target first, then balance sources);
       survivors carry ``log_weight``
+    - ``rep_score_col``: near-dup representative policy - keep each
+      component's highest-scoring member (operators.dedup
+      .dedup_keep_best; e.g. the ``quality`` signal stage 1 attaches)
+      instead of the default minimum id
+    - ``mix_by="tokens"``: compute the re-mixing keep-rates over
+      per-source TOKEN totals instead of document counts - training
+      mixes are token budgets, and doc-count rates skew toward
+      sources with shorter documents. Sampling stays per-document
+      (Bernoulli by id hash), so realized token shares land on the
+      target with per-document-length jitter
 
     Laziness note: stages 1-2 and 4-5 stay lazy; stage 3 (re-mixing)
     needs the per-source counts, which is ONE collect of
@@ -116,7 +128,10 @@ def prepare_training_corpus(
     pairs = D.minhash_dedup_pairs(
         cleaned, id_col, text_col, jaccard_threshold=jaccard_threshold
     )
-    deduped = D.dedup_keep_representatives(cleaned, pairs, id_col)
+    if rep_score_col is not None:
+        deduped = D.dedup_keep_best(cleaned, pairs, id_col, rep_score_col)
+    else:
+        deduped = D.dedup_keep_representatives(cleaned, pairs, id_col)
 
     if span_tokens is not None:
         stripped = D.strip_duplicated_spans(
@@ -149,10 +164,18 @@ def prepare_training_corpus(
         )
 
     if target_mix is not None:
+        if mix_by == "tokens":
+            weight = F.size(
+                F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
+            )
+        elif mix_by == "docs":
+            weight = F.lit(1)
+        else:
+            raise ValueError(f"mix_by must be 'docs' or 'tokens', got {mix_by!r}")
         counts = {
             r["s"]: r["n"]
             for r in deduped.groupBy(F.col(source_col).alias("s"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(weight).alias("n"))
             .collect()
         }
         rates = X.mix_rates(counts, target_mix)

@@ -4906,3 +4906,112 @@ def test_mine_hard_negatives_excludes_self_and_dups(spark) -> None:
         queries, corpus, k=5, margin=0, exclude_pairs=pairs
     ).collect()
     assert sorted(r.neg_id for r in short) == [4, 5, 6]
+
+
+def test_dedup_keep_best_elects_by_score(spark) -> None:
+    """dedup_keep_best (r14): each component keeps its best-scoring
+    member (min-id only on bit-equal scores); isolated docs always
+    survive; differential vs the min-id variant on the same graph."""
+    rows = [
+        (1, "copy a", 0.2), (2, "copy b", 0.9), (3, "copy c", 0.5),
+        (7, "other x", 0.1), (8, "other y", 0.1),
+        (9, "isolated", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "quality"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    best = sorted(
+        r.doc_id
+        for r in D.dedup_keep_best(df, pairs, "doc_id", "quality").collect()
+    )
+    # component {1,2,3}: 2 wins on score; {7,8}: tie 0.1 -> min id 7
+    assert best == [2, 7, 9]
+    minid = sorted(
+        r.doc_id
+        for r in D.dedup_keep_representatives(df, pairs, "doc_id").collect()
+    )
+    assert minid == [1, 7, 9]  # the policy difference is real
+
+
+def test_prepare_training_corpus_rep_score_and_token_mix(spark) -> None:
+    """The r14 pipeline knobs: rep_score_col elects the best-quality
+    near-dup representative (differential vs min-id default on the
+    same corpus), and mix_by='tokens' computes keep-rates over token
+    totals - a short-doc-heavy source is kept at a HIGHER doc rate
+    than under doc-count mixing to reach the same token share."""
+    import random
+
+    from etl_marketdata_downloader_archived_spark.plans.corpus_pipeline import (
+        prepare_training_corpus,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    stop = "the and is of to a in "  # keeps lang_id on 'en'
+    # near-dup pair: 2 is a higher-quality (longer, varied) variant of 1
+    base = stop + " ".join(rng.sample(vocab, 30))
+    rows = [
+        (1, base, "long"),
+        (2, base + " extra tail words here", "long"),
+    ]
+    # 'long' source: 10 docs x 60 tokens; 'short' source: 30 docs x 10
+    for i in range(3, 13):
+        rows.append((i, stop + " ".join(rng.sample(vocab, 60)), "long"))
+    for i in range(50, 80):
+        rows.append((i, stop + " ".join(rng.sample(vocab, 10)), "short"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    # rep_score_col: the longer variant has higher quality_score and
+    # must win the component where min-id would keep doc 1
+    out_min = prepare_training_corpus(docs, min_quality=0.0)["corpus"]
+    out_best = prepare_training_corpus(
+        docs, min_quality=0.0, rep_score_col="quality"
+    )["corpus"]
+    ids_min = {r.doc_id for r in out_min.select("doc_id").collect()}
+    ids_best = {r.doc_id for r in out_best.select("doc_id").collect()}
+    in_min = ids_min & {1, 2}
+    in_best = ids_best & {1, 2}
+    assert len(in_min) == 1 and len(in_best) == 1
+    assert in_min == {1}  # min-id default
+    # best-quality policy either agrees or flips to 2 - it must pick
+    # the component's max-quality member, whichever that is
+    q = {
+        r.doc_id: r.quality
+        for r in out_best.unionByName(out_min, allowMissingColumns=True)
+        .select("doc_id", "quality").collect()
+        if r.doc_id in (1, 2)
+    }
+    # recompute both variants' qualities from the corpus signals
+    from etl_marketdata_downloader_archived_spark.operators.text import (
+        quality_score,
+    )
+
+    both_q = {
+        r.doc_id: r.q
+        for r in docs.filter(F.col("doc_id").isin(1, 2))
+        .select("doc_id", F.round(quality_score("text"), 6).alias("q"))
+        .collect()
+    }
+    want = max(both_q, key=lambda d: (both_q[d], -d))
+    assert in_best == {want}
+
+    # mix_by='tokens': target 50/50 token share. Token totals are
+    # long ~60x11, short ~10x30 -> short is the tight stratum; the
+    # token-based rate keeps ALL short docs and downsamples long,
+    # while doc-based 50/50 would downsample SHORT (30 docs vs 12).
+    mix = {"long": 0.5, "short": 0.5}
+    tok = prepare_training_corpus(
+        docs, min_quality=0.0, target_mix=mix, mix_by="tokens", seed=3
+    )["corpus"]
+    doc = prepare_training_corpus(
+        docs, min_quality=0.0, target_mix=mix, mix_by="docs", seed=3
+    )["corpus"]
+    tok_short = tok.filter(F.col("source") == "short").count()
+    doc_short = doc.filter(F.col("source") == "short").count()
+    assert tok_short == 30          # token-tight stratum: rate 1.0
+    assert doc_short < 30           # doc mixing downsamples it
+    import pytest as _p
+
+    with _p.raises(ValueError, match="mix_by"):
+        prepare_training_corpus(docs, target_mix=mix, mix_by="bytes")

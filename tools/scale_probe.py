@@ -175,14 +175,23 @@ def pipeline_ext_fn(spark):
     )
     model = train_quality_classifier(good, bad)
 
+    target = spark.createDataFrame(
+        [(10_000 + i, " ".join(rng.sample(vocab, 30))) for i in range(64)],
+        ["doc_id", "text"],
+    )
+
     def fn(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
+        n = docs.count()
         out = prepare_training_corpus(
             docs,
             quality_model=model,
             min_model_quality=0.1,
             span_tokens=10,
             max_tokens=1024,
+            dsir_target=target,
+            dsir_keep=max(1, (n * 9) // 10),  # keep 90%: selection
+            # pressure without starving the downstream stages
         )
         return out["packs"]
 
