@@ -665,3 +665,185 @@ def start_corpus_ingest_exact(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_corpus_ingest_dsir(
+    docs: DataFrame,
+    corpus_dir: str,
+    model_dir: str,
+    checkpoint_dir: str,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_log_weight: float = 0.0,
+    m: int = 8192,
+    seed: int = 42,
+    algo: str = "xxhash64",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en",),
+    max_stopword_ratio: float = 0.9,
+) -> StreamingQuery:
+    """Streaming ingest with DSIR target-matched admission
+    (operators.dsir on a live stream): per micro-batch, gate the new
+    docs (language/quality/stopword - the shared narrow stages), weight
+    each against the CURRENT importance model (fixed hashed-ngram
+    target counts vs the accumulated raw counts of everything streamed
+    so far), admit docs with ``log_weight >= min_log_weight``, append
+    them to the corpus, then fold the batch's bucket counts into the
+    persisted raw model. The model state is TWO m-row tables under
+    ``model_dir`` (`target` written once at stream start, `raw`
+    re-published per batch via the crash-safe publish_small_table
+    swap) - O(m) state forever, the DSIR scale contract.
+
+    Semantics and ordering (deliberate, and DIFFERENT from the posting
+    ingests' postings-first rule because the model is a scoring PRIOR,
+    not a recall structure):
+
+    - q_raw is the distribution of EVERYTHING STREAMED (admitted or
+      not - the raw pool is what arrives, per the paper); each batch
+      is weighted under the model as of batch START, so admission is
+      batch-granular (the order-dependence every sequential admission
+      policy has, at batch rather than doc grain - documented).
+    - corpus append FIRST, model publish LAST, with the applied
+      batch_id recorded IN the raw-model table: a crash between the
+      two replays the batch under the UNCHANGED model (same weights,
+      same admitted set, id anti-join suppresses the re-append), then
+      the model updates exactly once - the batch-id guard makes the
+      model fold idempotent where a blind re-fold would double-count
+      the batch and silently bias every future weight.
+    - an empty raw model (first batch) weights with add-one smoothing
+      over zero counts - fully defined, no special case."""
+    import math
+
+    from ..io import publish_small_table, recover_small_table
+    from ..operators.dsir import hashed_ngram_buckets
+
+    raw_dir = model_dir.rstrip("/") + "/raw"
+    target_dir = model_dir.rstrip("/") + "/target"
+    spark0 = target.sparkSession
+    recover_small_table(spark0, target_dir)
+    if not _dir_exists(spark0, target_dir):
+        tgt = (
+            hashed_ngram_buckets(target, id_col, text_col, m, seed, algo)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("c_t"))
+        )
+        publish_small_table(tgt, target_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        gated = (
+            batch.withColumn("lang_guess", lang_id(text_col))
+            .filter(
+                F.col("lang_guess").isin(*languages)
+                & (F.round(quality_score(text_col), 6) >= min_quality)
+                & (F.round(stopword_ratio(text_col), 6) <= max_stopword_ratio)
+            )
+            .drop("lang_guess")
+            .localCheckpoint()
+        )
+        if gated.isEmpty():
+            return
+        recover_small_table(spark, raw_dir)
+        tgt = spark.read.schema("bucket bigint, c_t bigint").parquet(target_dir)
+        raw_exists = _dir_exists(spark, raw_dir)
+        if raw_exists:
+            raw_model = spark.read.schema(
+                "bucket bigint, c_r bigint, _applied_batch bigint"
+            ).parquet(raw_dir)
+        else:
+            raw_model = spark.createDataFrame(
+                [], "bucket bigint, c_r bigint, _applied_batch bigint"
+            )
+        raw_model = raw_model.localCheckpoint()  # consumed 3x below
+        applied = [
+            r[0]
+            for r in raw_model.select(F.max("_applied_batch")).collect()
+        ]
+        if applied and applied[0] is not None and applied[0] >= batch_id:
+            # the model fold is the LAST step, so a present marker
+            # means the whole batch completed (corpus append included)
+            # - a crash landed between the publish swap and the
+            # checkpoint commit. Re-weighting now would run under the
+            # post-batch model and could admit a different set; the
+            # correct replay is a no-op.
+            return
+
+        # batch features: weighting consumes them, the model fold
+        # consumes them again
+        feats = hashed_ngram_buckets(
+            gated, id_col, text_col, m, seed, algo
+        ).localCheckpoint()
+
+        ratio = (
+            tgt.join(raw_model.select("bucket", "c_r"), "bucket", "full_outer")
+            .select(
+                "bucket",
+                F.coalesce("c_t", F.lit(0)).alias("c_t"),
+                F.coalesce("c_r", F.lit(0)).alias("c_r"),
+            )
+        )
+        totals = ratio.agg(
+            F.sum("c_t").alias("tt"), F.sum("c_r").alias("tr")
+        ).collect()[0]
+        t_t = (totals.tt or 0) + m
+        t_r = (totals.tr or 0) + m
+        scored = ratio.select(
+            "bucket",
+            (
+                F.log(F.col("c_t") + 1)
+                - F.log(F.col("c_r") + 1)
+                + F.lit(math.log(t_r) - math.log(t_t))
+            ).alias("_lr"),
+        )
+        # LEFT join with the zero-count constant: the ratio table
+        # covers target+raw buckets, but the batch's OWN novel buckets
+        # are in neither (the raw model folds AFTER weighting) - an
+        # inner join silently dropped their log((0+1)/(0+1)) +
+        # log(t_r/t_t) contribution, inflating off-target weights
+        # (caught by the python-replay differential)
+        zero_lr = math.log(t_r) - math.log(t_t)
+        weights = (
+            feats.join(F.broadcast(scored), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.col("cnt") * F.coalesce("_lr", F.lit(zero_lr))
+                ).alias("log_weight")
+            )
+        )
+        admitted = (
+            gated.join(weights, id_col)
+            .filter(F.col("log_weight") >= min_log_weight)
+        )
+        if _dir_exists(spark, corpus_dir):
+            corpus_ids = spark.read.schema(
+                admitted.schema
+            ).parquet(corpus_dir).select(id_col)
+            admitted = admitted.join(corpus_ids, id_col, "left_anti")
+        admitted.write.mode("append").parquet(corpus_dir)
+
+        batch_counts = feats.groupBy("bucket").agg(
+            F.sum("cnt").alias("_bc")
+        )
+        new_raw = (
+            raw_model.select("bucket", "c_r")
+            .join(batch_counts, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (
+                    F.coalesce("c_r", F.lit(0)) + F.coalesce("_bc", F.lit(0))
+                ).alias("c_r"),
+                F.lit(batch_id).cast("bigint").alias("_applied_batch"),
+            )
+        )
+        publish_small_table(new_raw, raw_dir)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

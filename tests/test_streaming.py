@@ -2766,3 +2766,125 @@ def test_neardup_ingest_heals_crashed_compaction(spark, tmp_path) -> None:
     import os
 
     assert os.path.exists(pdir) and not os.path.exists(pdir + "__old")
+
+
+def test_dsir_ingest_admits_toward_target_with_evolving_model(
+    spark, tmp_path
+) -> None:
+    """Streaming DSIR admission (r14): per-batch weights match a
+    plain-python replay of the evolving model EXACTLY (fixed target
+    counts, raw counts accumulating batch by batch under the md5
+    coordinate), on-target docs admit and off-vocab docs reject, the
+    raw model folds EVERY gated doc (admitted or not) with the
+    batch-id marker recorded, and a third batch is weighted under the
+    grown model."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_dsir,
+    )
+
+    stop = "the and is of to a in"
+    sci = "physics quantum energy momentum field theory particle wave"
+    shop = "price discount store basket checkout brand product offer"
+    t_texts = [f"{stop} {sci}", f"{stop} energy momentum theory wave physics"]
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(t_texts)], ["doc_id", "text"]
+    )
+    m, seed = 64, 42
+
+    src = tmp_path / "dsir_src"
+    src.mkdir()
+    mdir = str(tmp_path / "dsir_model")
+    cdir = str(tmp_path / "dsir_corpus")
+
+    def run() -> None:
+        raw = spark.readStream.format("text").load(str(src))
+        docs = raw.select(
+            F.from_json("value", "doc_id LONG, text STRING").alias("j")
+        ).select("j.*")
+        q = start_corpus_ingest_dsir(
+            docs,
+            corpus_dir=cdir,
+            model_dir=mdir,
+            checkpoint_dir=str(tmp_path / "dsir_ckpt"),
+            target=target,
+            min_log_weight=thresh,
+            m=m,
+            seed=seed,
+            algo="md5",
+            min_quality=0.0,
+        )
+        q.awaitTermination(180)
+
+    batches = [
+        [(1, f"{stop} quantum energy field theory wave"),
+         (2, f"{stop} {shop}")],
+        [(3, f"{stop} momentum particle physics energy quantum"),
+         (4, f"{stop} checkout brand offer discount store price")],
+        [(5, f"{stop} energy theory wave field momentum")],
+    ]
+
+    # ---- plain-python replay of the evolving model ----
+    def words(t):
+        import re
+
+        return [w for w in re.split("[^a-z]+", t.lower()) if w]
+
+    def grams(t):
+        ws = words(t)
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(f"{seed}:{g}".encode()).hexdigest()[:8], 16) % m
+
+    c_t: Counter = Counter()
+    for t in t_texts:
+        c_t.update(bucket(g) for g in grams(t))
+    t_t_total = sum(c_t.values())
+    c_r: Counter = Counter()
+    expected_weights = {}
+    for rows in batches:
+        t_r_total = sum(c_r.values())
+        for did, t in rows:
+            expected_weights[did] = sum(
+                math.log(c_t[bucket(g)] + 1)
+                - math.log(c_r[bucket(g)] + 1)
+                + math.log(t_r_total + m)
+                - math.log(t_t_total + m)
+                for g in grams(t)
+            )
+        for _, t in rows:  # model folds EVERY gated doc
+            c_r.update(bucket(g) for g in grams(t))
+    # threshold from the replay: split batch 1's on-target doc from
+    # its off-vocab sibling (raw weight MAGNITUDES depend on bucket
+    # collisions at small m - only the ordering is portable)
+    assert expected_weights[1] > expected_weights[2]
+    thresh = (expected_weights[1] + expected_weights[2]) / 2.0
+    expected_admitted = [d for d, w in expected_weights.items() if w >= thresh]
+
+    for i, rows in enumerate(batches, 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows)
+        )
+        run()
+
+    got = {
+        r.doc_id: r.log_weight
+        for r in spark.read.parquet(cdir).collect()
+    }
+    assert sorted(got) == sorted(expected_admitted)
+    assert 1 in got and 2 not in got  # threshold splits them by design
+    for did, w in got.items():
+        assert abs(w - expected_weights[did]) < 1e-9
+    # the raw model equals the replay's counts exactly, marker at the
+    # last non-empty batch
+    model = {
+        r.bucket: (r.c_r, r._applied_batch)
+        for r in spark.read.parquet(mdir + "/raw").collect()
+    }
+    for b, cnt in c_r.items():
+        assert model[b][0] == cnt
+    assert max(mk for _, mk in model.values()) == len(batches) - 1
