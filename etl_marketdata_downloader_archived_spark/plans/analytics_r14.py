@@ -428,3 +428,44 @@ def approx_topk_builtin_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) LATERAL VIEW explode(tk) AS e
         """
     )
+
+
+@q(
+    "approx_topk_merge_cert",
+    oracle="""
+    SELECT o_orderstatus AS st, o_orderpriority AS item,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def approx_topk_merge_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE half of the built-in frequent-items surface
+    (Spark 4 ``approx_top_k_accumulate`` / ``_combine`` /
+    ``_estimate``) - the lake-rollup path: one sketch state per
+    sub-stratum at ingest, any regrouping by sketch combine, never
+    rescanning the fact table (the operators.sketches top-k row's
+    contract, for the production built-ins; the companion
+    approx_topk_builtin_cert covers the one-shot aggregate). Sub-
+    sketches accumulate per (status, priority), combine per status,
+    and the estimate must equal the exact GROUP BY counts row for row
+    - capacity (10000) >= distinct items per sketch, so tracking is
+    exact and the combine is an exact count merge."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_r14_orders_topkm")
+    return spark.sql(
+        """
+        WITH acc AS (
+            SELECT o_orderstatus,
+                   approx_top_k_accumulate(o_orderpriority) AS st
+            FROM _r14_orders_topkm
+            GROUP BY o_orderstatus, o_orderpriority
+        ),
+        merged AS (
+            SELECT o_orderstatus,
+                   approx_top_k_estimate(approx_top_k_combine(st), 5) AS tk
+            FROM acc GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus AS st, e.item AS item, e.count AS cnt
+        FROM merged LATERAL VIEW explode(tk) AS e
+        """
+    )
