@@ -120,7 +120,15 @@ def dsir_log_weights(
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("c_t"))
     )
-    raw_feats = hashed_ngram_buckets(raw, id_col, text_col, m, seed, algo)
+    # materialize the raw features ONCE: they are consumed by the
+    # bucket aggregate AND the per-doc fold, across the totals collect
+    # and the caller's final action - without this the upstream DAG
+    # (in the composed pipeline: gates + model scoring + span removal)
+    # re-executes per consumer (review finding; the streaming twin
+    # localCheckpoints for the same reason)
+    raw_feats = hashed_ngram_buckets(
+        raw, id_col, text_col, m, seed, algo
+    ).localCheckpoint()
     rawb = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("c_r"))
     ratio = (
         tgt.join(rawb, "bucket", "full_outer")

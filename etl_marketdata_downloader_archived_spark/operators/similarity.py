@@ -1171,6 +1171,11 @@ def mine_hard_negatives(
     (minhash_dedup_pairs / jaccard verify output, any (id_a, id_b)
     frame) plugs in directly, applied in BOTH orientations.
 
+    Self-exclusion applies only when queries and corpus share an id
+    space (``query_id_col`` is None); with a separate query-id column
+    the spaces are disjoint, id equality means nothing, and known
+    positives belong in ``exclude_pairs``.
+
     Retrieval over-fetches to ``k + 1 + margin`` (margin defaults to
     ``k``): the +1 covers self, the margin covers excluded
     near-duplicates. A query with MORE than ``margin`` near-dups
@@ -1189,9 +1194,15 @@ def mine_hard_negatives(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     fetch = k + 1 + (margin if margin is not None else k)
-    cand = knn_join(
-        queries, corpus, fetch, id_col, vec_col, query_id_col
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = knn_join(queries, corpus, fetch, id_col, vec_col, query_id_col)
+    if query_id_col is None:
+        # self-exclusion by id is only meaningful when queries and
+        # corpus share one id space; with a separate query_id_col the
+        # spaces are disjoint and an id COLLISION would silently drop
+        # a legitimate (often rank-1) negative (review finding) -
+        # callers with external query ids exclude known positives via
+        # exclude_pairs instead
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     if exclude_pairs is not None:
         ex = exclude_pairs.select(
             F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")

@@ -103,11 +103,26 @@ def prepare_training_corpus(
       target with per-document-length jitter
 
     Laziness note: stages 1-2 and 4-5 stay lazy; stage 3 (re-mixing)
-    needs the per-source counts, which is ONE collect of
-    stratum-cardinality rows - the same driver-side shape as the
-    connected-components convergence probe.
+    needs the per-source counts - ONE collect of stratum-cardinality
+    rows, the same driver-side shape as the connected-components
+    convergence probe. The optional DSIR tier adds its own two-scalar
+    totals collect and a localCheckpoint of the raw feature table
+    (operators.dsir materializes it once rather than re-running the
+    upstream gates per consumer).
     """
     split_fractions = split_fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    # knob validation up front: every misconfiguration fails before
+    # any work, not only in the configuration that happens to reach
+    # its branch (review findings)
+    if mix_by not in ("docs", "tokens"):
+        raise ValueError(f"mix_by must be 'docs' or 'tokens', got {mix_by!r}")
+    if (dsir_target is None) != (dsir_keep is None):
+        raise ValueError(
+            "dsir_target and dsir_keep must be passed together "
+            f"(got target={'set' if dsir_target is not None else 'None'}, "
+            f"keep={dsir_keep!r}) - one without the other would "
+            "silently skip the selection tier"
+        )
 
     cleaned = X.clean_corpus(
         docs,
@@ -154,13 +169,10 @@ def prepare_training_corpus(
         )
 
     if dsir_target is not None and dsir_keep is not None:
-        from ..operators.dsir import dsir_log_weights
+        from ..operators.dsir import dsir_select
 
-        w = dsir_log_weights(deduped, dsir_target, id_col, text_col)
-        deduped = (
-            deduped.join(w.select(id_col, "log_weight"), id_col)
-            .orderBy(F.col("log_weight").desc(), F.col(id_col))
-            .limit(dsir_keep)
+        deduped = dsir_select(
+            deduped, dsir_target, dsir_keep, id_col, text_col
         )
 
     if target_mix is not None:
@@ -168,10 +180,8 @@ def prepare_training_corpus(
             weight = F.size(
                 F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
             )
-        elif mix_by == "docs":
-            weight = F.lit(1)
         else:
-            raise ValueError(f"mix_by must be 'docs' or 'tokens', got {mix_by!r}")
+            weight = F.lit(1)
         counts = {
             r["s"]: r["n"]
             for r in deduped.groupBy(F.col(source_col).alias("s"))

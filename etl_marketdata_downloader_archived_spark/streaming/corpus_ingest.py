@@ -814,8 +814,15 @@ def start_corpus_ingest_dsir(
                 ).alias("log_weight")
             )
         )
+        # LEFT join: a gated doc with no extractable grams has no
+        # feats rows; the batch operator's contract weights it 0.0
+        # (neutral - other gates own empty docs), and an inner join
+        # silently dropped it from admission (review finding)
         admitted = (
-            gated.join(weights, id_col)
+            gated.join(weights, id_col, "left")
+            .withColumn(
+                "log_weight", F.coalesce("log_weight", F.lit(0.0))
+            )
             .filter(F.col("log_weight") >= min_log_weight)
         )
         if _dir_exists(spark, corpus_dir):
