@@ -181,6 +181,7 @@ def dsir_select(
     m: int = 8192,
     seed: int = 42,
     algo: str = "xxhash64",
+    gumbel_seed: int | None = None,
 ) -> DataFrame:
     """The selection step: raw rows ranked by importance weight, top-k
     kept (weight desc, id asc tie-break). Returns the raw rows plus
@@ -191,14 +192,42 @@ def dsir_select(
     carries the same float caveat every ranking-on-floats op here
     documents (BASELINE.md, tfidf_topk).
 
-    This is the deterministic arg-top-k variant; the paper's Gumbel
-    resampling adds noise for diversity - layer it by adding a seeded
-    hash-derived Gumbel column before the ordering if needed."""
+    ``gumbel_seed`` switches to the paper's IMPORTANCE RESAMPLING:
+    rank on ``log_weight + Gumbel(0,1)`` noise - the Gumbel-top-k
+    trick samples k documents WITHOUT replacement with probability
+    proportional to their importance weights (exp(log_weight)),
+    trading the arg-top-k's determinism-of-content for diversity
+    while keeping determinism-of-PROCESS: the noise derives from a
+    seeded hash of the document id (-log(-log(u)), u uniform from 52
+    id-hash bits), so the same seed reproduces the same sample on any
+    partitioning/replay - no Math.random, the repo-wide rule. The
+    returned ``sample_score`` column carries the noised rank key."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = dsir_log_weights(raw, target, id_col, text_col, m, seed, algo)
+    out = raw.join(w.select(id_col, "log_weight"), id_col)
+    if gumbel_seed is None:
+        return out.orderBy(
+            F.col("log_weight").desc(), F.col(id_col)
+        ).limit(k)
+    if algo == "md5":
+        # auditable coordinate (the hash_split discipline): 13 hex
+        # chars = 52 bits, exactly representable in a double
+        h = F.md5(
+            F.concat_ws(
+                ":", F.lit(str(gumbel_seed)), F.col(id_col).cast("string")
+            )
+        )
+        bits = F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+    else:
+        bits = F.pmod(
+            F.xxhash64(F.lit(gumbel_seed), F.col(id_col)), F.lit(1 << 52)
+        ).cast("double")
+    u = (bits + 0.5) / float(1 << 52)  # in (0, 1): log(log) is finite
     return (
-        raw.join(w.select(id_col, "log_weight"), id_col)
-        .orderBy(F.col("log_weight").desc(), F.col(id_col))
+        out.withColumn(
+            "sample_score", F.col("log_weight") - F.log(-F.log(u))
+        )
+        .orderBy(F.col("sample_score").desc(), F.col(id_col))
         .limit(k)
     )
