@@ -577,6 +577,7 @@ def jaccard_prefix_join_rs(
     tokens_col: str,
     threshold: float,
     collapse_duplicates: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """EXACT two-corpus (R-S) set-similarity join: every pair
     (left_id, right_id) with Jaccard >= ``threshold`` between a row
@@ -614,16 +615,30 @@ def jaccard_prefix_join_rs(
     if p_num == 0:
         raise ValueError(f"threshold {threshold} quantizes to 0/1e6")
 
+    from pyspark import StorageLevel
+
     tok_l = _tokenize_sets(left, id_col, tokens_col, "jaccard_prefix_join_rs")
     tok_r = _tokenize_sets(right, id_col, tokens_col, "jaccard_prefix_join_rs")
     if not collapse_duplicates:
         return _prefix_filter_pairs_rs(tok_l, tok_r, p_num, q_den)
 
     def group(tok):
-        return tok.groupBy(F.array_sort("_t").alias("_key")).agg(
+        # persisted DISK_ONLY (the minhash_dedup_pairs discipline): each
+        # grouped side is consumed FOUR times downstream (union-order
+        # freq, its own prefix window, the verify array join, the
+        # representative re-expand) and each consumer would otherwise
+        # re-run the scan + tokenize + groupBy chain - the most
+        # expensive narrow stage of the join (r15 profile: 8 concurrent
+        # single-task tokenize stages, ~4x the necessary executor
+        # time). Disk, not memory: lazy return value, no release point;
+        # pass cache_registry to unpersist once pairs materialize.
+        g = tok.groupBy(F.array_sort("_t").alias("_key")).agg(
             F.min("_id").alias("_rid"),
             F.sort_array(F.collect_list("_id")).alias("_ids"),
-        )
+        ).persist(StorageLevel.DISK_ONLY)
+        if cache_registry is not None:
+            cache_registry.append(g)
+        return g
 
     gl, gr = group(tok_l), group(tok_r)
     rep_pairs = _prefix_filter_pairs_rs(
