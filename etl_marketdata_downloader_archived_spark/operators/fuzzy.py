@@ -745,12 +745,13 @@ def jaccard_prefix_postings(
 def jaccard_screen_vs_postings(
     batch: DataFrame,
     store_postings: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     tokens_col: str,
     threshold: float,
     store_p_num: int | None = None,
     store_buckets: int | None = None,
+    corpus_loader=None,
 ) -> DataFrame:
     """Screen an incoming batch against a PERSISTED posting store
     (built by ``jaccard_prefix_postings`` over previously admitted
@@ -791,7 +792,22 @@ def jaccard_screen_vs_postings(
     linear term). Candidates only meet on equal ``_hk``, and equal
     hashes share a bucket, so pruning drops no candidate: pruned ==
     full screen, recall stays 1.0. B must be the store's own bucket
-    count - the ingest persists it in the ``_meta`` sidecar."""
+    count - the ingest persists it in the ``_meta`` sidecar.
+
+    ``corpus_loader`` closes the path's LAST corpus-linear term
+    (VERDICT r14): without it, ``corpus`` is a full corpus frame and -
+    although the verify work is candidate-bounded via the id semi-join
+    - the SCAN under it still reads the whole corpus text column
+    (plain equi-joins have no index and no dynamic file pruning in OSS
+    Spark). With a loader, the screen materializes the candidate ids
+    once (they are batch-bounded) and calls
+    ``corpus_loader(cand_ids_df)`` - a callable returning ONLY the
+    corpus rows that can contain those ids (e.g. a
+    ``corpus_store.read_corpus`` partition-pruned read of the
+    candidates' ``_ck`` buckets). The id semi-join still runs on the
+    loader's result, so a loader may over-return rows (bucket
+    granularity) without affecting results; ``corpus`` is ignored
+    (pass None)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     q_den = 1_000_000
@@ -858,6 +874,14 @@ def jaccard_screen_vs_postings(
         )
         .distinct()
     )
+    if corpus_loader is not None:
+        # candidate ids are batch-bounded: snapshot them once so the
+        # loader's bucket-key collect and the verify join below share
+        # one computation of the candidate join
+        cand = cand.localCheckpoint()
+        corpus = corpus_loader(
+            cand.select(F.col("left_id").alias(id_col)).distinct()
+        )
     corpus_tok = _tokenize_sets(
         corpus, id_col, tokens_col, "jaccard_screen_vs_postings"
     )

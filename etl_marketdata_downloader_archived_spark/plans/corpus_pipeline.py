@@ -223,10 +223,37 @@ def build_retrieval_index(
     from ..operators.similarity import hash_embed, ivf_build_index
     from ..operators.text import chunk_text
 
+    # pack guard (ADVICE r14): a chunk_idx at or past 2^_CHUNK_BITS (a
+    # ~270M-token document) or a doc id outside [0, 2^(63-_CHUNK_BITS))
+    # would silently collide chunk ids and make the probe's shift/mask
+    # unpack return a WRONG (doc_id, chunk_idx) - fail loud instead.
+    in_range = (
+        (F.col("chunk_idx") < F.lit(1 << _CHUNK_BITS))
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(1 << (63 - _CHUNK_BITS)))
+    )
     chunks = chunk_text(
         docs, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     ).select(
-        (F.col(id_col) * (1 << _CHUNK_BITS) + F.col("chunk_idx")).alias("chunk_id"),
+        F.when(
+            in_range,
+            F.col(id_col) * (1 << _CHUNK_BITS) + F.col("chunk_idx"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "build_retrieval_index: (doc_id, chunk_idx) = ("
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(", "),
+                    F.col("chunk_idx").cast("string"),
+                    F.lit(
+                        f") does not fit the {63 - _CHUNK_BITS}+"
+                        f"{_CHUNK_BITS}-bit chunk-id pack"
+                    ),
+                )
+            )
+        ).alias("chunk_id"),
         "chunk",
     )
     emb = hash_embed(chunks, "chunk_id", "chunk", dim=embed_dim)

@@ -70,6 +70,30 @@ def _forbid_sheared_bucketed_store(
         )
 
 
+def _validate_compact_trigger(
+    compact_trigger_files: int | None, floor: int, fn_name: str
+) -> None:
+    """A trigger at or below the post-compaction file floor (one data
+    file per store bucket after ``compact_postings``; the session's
+    defaultParallelism for an unbucketed store) makes EVERY batch
+    re-run a full-store compaction forever - the exact pathology the
+    compaction bound exists to prevent, and silent until someone reads
+    the batch timings (ADVICE r14). Validated at ingest entry against
+    the call's bucket count AND per batch against the store's own
+    sidecar-resolved layout (a restart may resume a store built with
+    different buckets)."""
+    if compact_trigger_files is not None and compact_trigger_files <= floor:
+        raise ValueError(
+            f"{fn_name}: compact_trigger_files={compact_trigger_files} "
+            f"is at or below the post-compaction file floor ({floor} - "
+            "one data file per store bucket, or defaultParallelism "
+            "unbucketed), so every batch would re-run a full-store "
+            "compaction forever; raise the trigger, lower the bucket "
+            "count, or pass None to hand maintenance to an external "
+            "operator"
+        )
+
+
 def benchmark_gram_index(benchmark: DataFrame, text_col: str = "text", n: int = 5) -> list[str]:
     """Collect the distinct n-grams of the eval corpus (driver-side,
     eval-suite sized)."""
@@ -140,6 +164,7 @@ def start_corpus_ingest_neardup(
     shingle_n: int = 3,
     store_bucket_count: int = 64,
     compact_trigger_files: int | None = 256,
+    corpus_bucket_count: int | None = 64,
 ) -> StreamingQuery:
     """Streaming ingest with NEAR-dup admission against the persistent
     corpus: per micro-batch, gate the new docs, screen them against
@@ -150,6 +175,18 @@ def start_corpus_ingest_neardup(
     append the corpus rows last. foreachBatch because the batch both
     READS and APPENDS two tables - the sanctioned multi-sink shape,
     checkpoint-as-ack making replays idempotent at the source level.
+
+    The CORPUS is bucketed like the store (VERDICT r14): written
+    ``partitionBy("_ck")``, ``_ck = pmod(xxhash64(id),
+    corpus_bucket_count)``, bucket count in a ``corpus_store`` _meta
+    sidecar. The Jaccard VERIFY leg reads only the candidate ids'
+    buckets (``incremental_minhash_dedup``'s ``corpus_loader`` hook)
+    and the replay anti-joins read only the BATCH ids' buckets - so
+    the per-batch corpus cost tracks candidate/batch bucket coverage,
+    never corpus size (equal ids share a bucket: pruned == full). A
+    legacy unpartitioned corpus keeps full scans and unpartitioned
+    appends; migrate with ``corpus_store.bucket_corpus`` (ingest
+    stopped).
 
     Semantics: the admitted set is exactly what one-doc-at-a-time
     arrival (ascending id within a batch, batch order across batches)
@@ -193,7 +230,20 @@ def start_corpus_ingest_neardup(
     trigger probe is ONE recursive listing (metadata-bounded, no data
     read); compaction leftovers from a crash mid-swap heal at the next
     batch via ``recover_posting_store``. ``None`` disables (external
-    maintenance owns the store)."""
+    maintenance owns the store). The trigger must exceed the
+    post-compaction file floor - one data file per store bucket
+    (``store_bucket_count``), or defaultParallelism unbucketed - else
+    EVERY batch would rerun a full-store compaction; validated loudly
+    at entry and per batch against the sidecar-resolved layout
+    (ADVICE r14)."""
+    from ..corpus_store import (
+        append_corpus_rows,
+        forbid_sheared_corpus,
+        read_corpus,
+        read_corpus_meta,
+        write_corpus_meta,
+    )
+    from ..io import recover_small_table
     from ..operators.dedup import (
         band_postings,
         greedy_admission_drops,
@@ -206,6 +256,11 @@ def start_corpus_ingest_neardup(
         compact_postings,
         posting_store_file_count,
         recover_posting_store,
+    )
+
+    _validate_compact_trigger(
+        compact_trigger_files, store_bucket_count,
+        "start_corpus_ingest_neardup",
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -275,7 +330,29 @@ def start_corpus_ingest_neardup(
                     spark, postings_dir, num_hashes, bands, shingle_n,
                     jaccard_threshold, buckets=None,
                 )
-        if _dir_exists(spark, corpus_dir):
+        _validate_compact_trigger(
+            compact_trigger_files,
+            buckets
+            if buckets is not None
+            else spark.sparkContext.defaultParallelism,
+            "start_corpus_ingest_neardup",
+        )
+        # heal a crashed bucket_corpus migration before probing the
+        # corpus (mutator self-recovery, same as the store above)
+        recover_small_table(spark, corpus_dir)
+        corpus_exists = _dir_exists(spark, corpus_dir)
+        if corpus_exists:
+            # corpus layout from ITS OWN sidecar (a restart may have
+            # changed the parameter); no sidecar = legacy full-scan
+            # corpus, unless the on-disk layout is sheared
+            cbuckets = read_corpus_meta(spark, corpus_dir)
+            if cbuckets is None:
+                forbid_sheared_corpus(
+                    spark, corpus_dir, "start_corpus_ingest_neardup"
+                )
+        else:
+            cbuckets = corpus_bucket_count
+        if corpus_exists:
             if not store_exists:
                 raise ValueError(
                     "start_corpus_ingest_neardup: corpus exists at "
@@ -288,30 +365,43 @@ def start_corpus_ingest_neardup(
             # explicit schemas: an exists-but-empty directory (crashed
             # first append) must read as an EMPTY table, not an
             # inference error misread as absence
-            corpus = spark.read.schema(gated.schema).parquet(corpus_dir)
             schema = f"{id_col} {idt}, band_idx int, band_hash bigint"
             if buckets is not None:
                 schema += ", _bk int"
             store = spark.read.schema(schema).parquet(postings_dir)
+
+            def corpus_texts_for(ids_df: DataFrame) -> DataFrame:
+                # partition-pruned verify read: only the candidate
+                # ids' _ck buckets are scanned and re-shingled (full
+                # scan on a legacy corpus, cbuckets None)
+                return read_corpus(
+                    spark, corpus_dir, gated.schema, cbuckets,
+                    prune_ids=ids_df, id_col=id_col,
+                ).select(id_col, text_col)
+
             survivors, surv_post = incremental_minhash_dedup(
-                gated, store, corpus.select(id_col, text_col),
+                gated, store, None,
                 id_col, text_col, num_hashes=num_hashes, bands=bands,
                 jaccard_threshold=jaccard_threshold, shingle_n=shingle_n,
-                store_buckets=buckets,
+                store_buckets=buckets, corpus_loader=corpus_texts_for,
             )
             # replay idempotence: ids already in the corpus never
             # re-append even if the similarity screen would admit
             # (the postings side gets the same filter so it stays the
-            # survivors' posting set)
-            survivors = survivors.join(
-                corpus.select(id_col), id_col, "left_anti"
-            )
+            # survivors' posting set). Pruned to the BATCH ids'
+            # buckets - an equal id shares a bucket, so the pruned
+            # read sees every id the full read could veto with
+            corpus_ids = read_corpus(
+                spark, corpus_dir, gated.schema, cbuckets,
+                prune_ids=gated.select(id_col), id_col=id_col,
+            ).select(id_col)
+            survivors = survivors.join(corpus_ids, id_col, "left_anti")
             # batch-postings-sized snapshot: the append consumes this
             # lazily AFTER the corpus/store reads, and an
             # un-checkpointed lineage would re-run the whole screen a
             # second time per trigger (second-review finding)
             surv_post = surv_post.join(
-                corpus.select(id_col), id_col, "left_anti"
+                corpus_ids, id_col, "left_anti"
             ).localCheckpoint()
         else:
             survivors = gated
@@ -338,6 +428,11 @@ def start_corpus_ingest_neardup(
                 spark, postings_dir, num_hashes, bands, shingle_n,
                 jaccard_threshold, buckets=store_bucket_count,
             )
+        if not corpus_exists and cbuckets is not None:
+            # corpus sidecar AFTER the store's (the corpus-exists
+            # probe must never find a corpus whose store is missing)
+            # and BEFORE any corpus rows - same crash ordering
+            write_corpus_meta(spark, corpus_dir, cbuckets)
         # the admitted docs' postings REUSE the signature pass the
         # corpus screen already ran (incremental_minhash_dedup's
         # second return), filtered by the drop set - not a fresh
@@ -358,7 +453,7 @@ def start_corpus_ingest_neardup(
         if buckets is not None:
             writer = writer.partitionBy("_bk")
         writer.parquet(postings_dir)
-        admitted.write.mode("append").parquet(corpus_dir)
+        append_corpus_rows(admitted, corpus_dir, id_col, cbuckets)
         # in-line maintenance AFTER both appends: the batch is fully
         # durable, this writer is the store's only appender, and the
         # trigger probe is one metadata listing
@@ -410,6 +505,7 @@ def start_corpus_ingest_exact(
     max_stopword_ratio: float = 0.9,
     store_bucket_count: int = 64,
     compact_trigger_files: int | None = 256,
+    corpus_bucket_count: int | None = 64,
 ) -> StreamingQuery:
     """Streaming ingest with EXACT Jaccard admission - the
     deterministic twin of ``start_corpus_ingest_neardup`` (LSH bands
@@ -421,19 +517,32 @@ def start_corpus_ingest_exact(
     2. screen the gated batch against the PERSISTED POSTING STORE
        (``jaccard_screen_vs_postings``): admitted docs' hash-order
        prefix postings were appended at their own admission and are
-       NEVER recomputed - the corpus itself is read only for the
-       candidate rows the posting join surfaces. The store is
-       PARTITIONED by ``_bk = pmod(_hk, store_bucket_count)`` and the
-       screen prunes its read to the batch's own posting buckets (a
-       partition filter - the per-batch store cost tracks the batch's
-       bucket coverage, closing the path's last linear term); the
-       build threshold and bucket count live in the store's one-row
-       ``_meta`` sidecar, so the per-batch threshold guard is a tiny
-       sidecar read, not a second store scan (ADVICE r12). A legacy
-       store without the sidecar screens via the distinct-_p scan
-       once and writes the sidecar forward (unbucketed - rebuild to
-       bucket it).
-    3. id-level anti-join for crash-replay idempotence, then the
+       NEVER recomputed. The store is PARTITIONED by
+       ``_bk = pmod(_hk, store_bucket_count)`` and the screen prunes
+       its read to the batch's own posting buckets (a partition
+       filter - the per-batch store cost tracks the batch's bucket
+       coverage); the build threshold and bucket count live in the
+       store's one-row ``_meta`` sidecar, so the per-batch threshold
+       guard is a tiny sidecar read, not a second store scan (ADVICE
+       r12). A legacy store without the sidecar screens via the
+       distinct-_p scan once and writes the sidecar forward
+       (unbucketed - rebuild to bucket it). The CORPUS side of the
+       verify gets the same treatment (VERDICT r14 - the path's true
+       last linear term): the corpus is written
+       ``partitionBy("_ck")``, ``_ck = pmod(xxhash64(id),
+       corpus_bucket_count)`` with its own ``_meta`` sidecar
+       (``corpus_store``), and the screen's verify leg reads ONLY the
+       partitions the candidate ids hash into
+       (``corpus_store.read_corpus`` via the screen's
+       ``corpus_loader`` hook) - so the per-batch corpus read tracks
+       candidate bucket coverage, never corpus size. A legacy
+       unpartitioned corpus (no sidecar) keeps full-scan semantics
+       and unpartitioned appends; migrate it in place with
+       ``corpus_store.bucket_corpus`` (stop the ingest first).
+    3. id-level anti-join for crash-replay idempotence (pruned to the
+       BATCH ids' corpus buckets when bucketed - equal ids share a
+       bucket, so the pruned anti-join drops exactly what the full
+       one would), then the
        SEQUENTIAL intra-batch admission among the corpus-survivors:
        greedy min-id-first over the exact pair graph
        (operators.dedup.greedy_admission_drops), which equals
@@ -466,13 +575,25 @@ def start_corpus_ingest_exact(
     the batch runs ``operators.fuzzy.compact_postings`` in-line; the
     trigger probe is one recursive metadata listing, and compaction
     crash leftovers heal at the next batch via
-    ``recover_posting_store``. ``None`` disables.
+    ``recover_posting_store``. ``None`` disables. The trigger must
+    exceed the post-compaction file floor (one file per store bucket,
+    or defaultParallelism unbucketed) - validated loudly at entry and
+    per batch, else every batch would rerun a full compaction
+    (ADVICE r14).
 
     Similarity domain is word ``shingle_n``-gram sets
     (operators.dedup.word_shingles, pure Catalyst); docs too short to
     shingle cannot match anything and are admitted. Admission is
     ORDER-DEPENDENT across batches by design (first arrival wins) -
     the same contract every sequential admission policy has."""
+    from ..corpus_store import (
+        append_corpus_rows,
+        forbid_sheared_corpus,
+        read_corpus,
+        read_corpus_meta,
+        write_corpus_meta,
+    )
+    from ..io import recover_small_table
     from ..operators.dedup import greedy_admission_drops, word_shingles
     from ..operators.fuzzy import (
         compact_postings,
@@ -483,6 +604,11 @@ def start_corpus_ingest_exact(
         read_postings_meta,
         recover_posting_store,
         write_postings_meta,
+    )
+
+    _validate_compact_trigger(
+        compact_trigger_files, store_bucket_count,
+        "start_corpus_ingest_exact",
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -540,6 +666,13 @@ def start_corpus_ingest_exact(
                 f"p={meta['p_num']}/1e6, ingest requested p={p_req}/1e6 "
                 "- rebuild the store or ingest at its threshold"
             )
+        _validate_compact_trigger(
+            compact_trigger_files,
+            buckets
+            if buckets is not None
+            else spark.sparkContext.defaultParallelism,
+            "start_corpus_ingest_exact",
+        )
         if store_exists and meta is None:
             # legacy (pre-sidecar) store: validate its threshold by
             # the one-time distinct-_p scan HERE - independent of the
@@ -568,7 +701,24 @@ def start_corpus_ingest_exact(
                 spark, postings_dir, jaccard_threshold, buckets=None
             )
             meta = {"p_num": p_req, "buckets": None}
-        if _dir_exists(spark, corpus_dir):
+        # heal a crashed bucket_corpus migration (live dir missing,
+        # __old intact) before probing the corpus: the mutator
+        # self-recovery rule, same as the posting store above
+        recover_small_table(spark, corpus_dir)
+        corpus_exists = _dir_exists(spark, corpus_dir)
+        if corpus_exists:
+            # the corpus layout comes from ITS OWN sidecar, never this
+            # call's parameter (a restart may have changed it); no
+            # sidecar = legacy unpartitioned corpus -> full scans and
+            # unpartitioned appends, unless the layout is sheared
+            cbuckets = read_corpus_meta(spark, corpus_dir)
+            if cbuckets is None:
+                forbid_sheared_corpus(
+                    spark, corpus_dir, "start_corpus_ingest_exact"
+                )
+        else:
+            cbuckets = corpus_bucket_count
+        if corpus_exists:
             # a MISSING store next to an existing corpus is
             # corruption/migration and must fail loud, never screen
             # nothing silently
@@ -581,7 +731,6 @@ def start_corpus_ingest_exact(
                     "resuming (screening without it would silently "
                     "admit duplicates)"
                 )
-            corpus = spark.read.schema(gated.schema).parquet(corpus_dir)
             # explicit schema: a store holding only unshingleable
             # admissions has zero part files, which is a LEGITIMATE
             # state (nothing to screen against), not an inference
@@ -590,14 +739,23 @@ def start_corpus_ingest_exact(
             if buckets is not None:
                 schema += ", _bk int"
             store = spark.read.schema(schema).parquet(postings_dir)
-            corpus_toks = corpus.select(
-                id_col,
-                word_shingles(text_col, shingle_n).alias("_toks"),
-            )
+
+            def corpus_rows_for(ids_df: DataFrame) -> DataFrame:
+                # partition-pruned verify read: only the candidate
+                # ids' _ck buckets are scanned (full scan on a legacy
+                # corpus, cbuckets None)
+                return read_corpus(
+                    spark, corpus_dir, gated.schema, cbuckets,
+                    prune_ids=ids_df, id_col=id_col,
+                ).select(
+                    id_col,
+                    word_shingles(text_col, shingle_n).alias("_toks"),
+                )
+
             hits = jaccard_screen_vs_postings(
                 toks.select(id_col, "_toks"),
                 store,
-                corpus_toks,
+                None,
                 id_col,
                 "_toks",
                 jaccard_threshold,
@@ -606,6 +764,7 @@ def start_corpus_ingest_exact(
                 # it validated and written forward above
                 store_p_num=meta["p_num"],
                 store_buckets=buckets,
+                corpus_loader=corpus_rows_for,
             )
             survivors = toks.join(
                 hits.select(F.col("right_id").alias(id_col)).distinct(),
@@ -615,9 +774,16 @@ def start_corpus_ingest_exact(
             # replay idempotence: ids already in the corpus never
             # re-append even if the similarity screen would admit -
             # this anti-join runs whenever the CORPUS exists,
-            # independent of the store's state
+            # independent of the store's state. Pruned to the BATCH
+            # ids' buckets: an equal id shares a bucket, so the pruned
+            # read sees every id the full read could veto with
             survivors = survivors.join(
-                corpus.select(id_col), id_col, "left_anti"
+                read_corpus(
+                    spark, corpus_dir, gated.schema, cbuckets,
+                    prune_ids=toks.select(id_col), id_col=id_col,
+                ).select(id_col),
+                id_col,
+                "left_anti",
             ).localCheckpoint()
         else:
             survivors = toks
@@ -638,6 +804,11 @@ def start_corpus_ingest_exact(
                 spark, postings_dir, jaccard_threshold,
                 buckets=store_bucket_count,
             )
+        if not corpus_exists and cbuckets is not None:
+            # corpus sidecar AFTER the store's (so a corpus-exists
+            # probe never finds a corpus whose store is missing) and
+            # BEFORE any corpus rows - same crash ordering as above
+            write_corpus_meta(spark, corpus_dir, cbuckets)
         new_postings = jaccard_prefix_postings(
             admitted.select(id_col, "_toks"),
             id_col,
@@ -649,7 +820,9 @@ def start_corpus_ingest_exact(
         if buckets is not None:
             writer = writer.partitionBy("_bk")
         writer.parquet(postings_dir)
-        admitted.drop("_toks").write.mode("append").parquet(corpus_dir)
+        append_corpus_rows(
+            admitted.drop("_toks"), corpus_dir, id_col, cbuckets
+        )
         # in-line maintenance AFTER both appends (see the near-dup
         # variant): metadata-bounded trigger, single-appender store
         if (
@@ -682,6 +855,8 @@ def start_corpus_ingest_dsir(
     min_quality: float = 0.5,
     languages: tuple[str, ...] = ("en",),
     max_stopword_ratio: float = 0.9,
+    corpus_bucket_count: int | None = 64,
+    refresh_target: bool = False,
 ) -> StreamingQuery:
     """Streaming ingest with DSIR target-matched admission
     (operators.dsir on a live stream): per micro-batch, gate the new
@@ -699,30 +874,60 @@ def start_corpus_ingest_dsir(
     ingests' postings-first rule because the model is a scoring PRIOR,
     not a recall structure):
 
-    - q_raw is the distribution of EVERYTHING STREAMED (admitted or
-      not - the raw pool is what arrives, per the paper); each batch
-      is weighted under the model as of batch START, so admission is
-      batch-granular (the order-dependence every sequential admission
-      policy has, at batch rather than doc grain - documented).
-    - corpus append FIRST, model publish LAST, with the applied
-      batch_id recorded IN the raw-model table: a crash between the
-      two replays the batch under the UNCHANGED model (same weights,
-      same admitted set, id anti-join suppresses the re-append), then
-      the model updates exactly once - the batch-id guard makes the
-      model fold idempotent where a blind re-fold would double-count
-      the batch and silently bias every future weight.
+    - q_raw is the distribution of the GATE-SURVIVING stream
+      (admitted or not, but AFTER the language/quality/stopword
+      gates - gate-rejected docs never fold into the raw model).
+      This is deliberate, and differs from the paper's raw-pool-is-
+      everything formulation: selection happens among gate survivors,
+      so the importance baseline that makes ``min_log_weight``
+      meaningful is the survivor distribution - folding docs the
+      gates already removed would bias every weight toward content
+      that can never be admitted (ADVICE r14: tune min_log_weight
+      against the gated stream, not the wire stream).
+    - corpus MARKER, then corpus append, then model publish LAST,
+      with the applied batch_id recorded IN the raw-model table AND a
+      corpus-side ``_append_marker`` sidecar (one row, the batch id,
+      published crash-safe BEFORE the append). The marker makes the
+      replay anti-join REPLAY-ONLY (VERDICT r14 item 2): on the
+      common path the marker from the last completed batch is <
+      batch_id, so the batch runs with ZERO corpus reads - O(batch)
+      work plus the O(m) model fold. Only when the marker reads >=
+      batch_id (a crash landed somewhere after the marker publish)
+      does the id anti-join run, re-weighted under the UNCHANGED
+      model (same weights, same admitted set), and then pruned to the
+      admitted ids' ``_ck`` buckets when the corpus is bucketed
+      (``corpus_store``, corpus_bucket_count) so even the replay read
+      is bucket-bounded. A raw-model marker >= batch_id still means
+      the whole batch completed - full no-op, as before.
     - an empty raw model (first batch) weights with add-one smoothing
-      over zero counts - fully defined, no special case."""
+      over zero counts - fully defined, no special case.
+    - TARGET ROTATION contract: the target model is derived from the
+      ``target`` frame and published ONCE, at stream start, when no
+      target model exists - re-invoking with a DIFFERENT target frame
+      silently keeps the persisted counts (they are the stream's
+      authoritative contract, like the posting stores' sidecars).
+      Pass ``refresh_target=True`` to deliberately re-derive and swap
+      the target model (crash-safe publish_small_table swap);
+      admission from the next batch on follows the new target, the
+      raw model and corpus are untouched."""
     import math
 
+    from ..corpus_store import (
+        append_corpus_rows,
+        forbid_sheared_corpus,
+        read_corpus,
+        read_corpus_meta,
+        write_corpus_meta,
+    )
     from ..io import publish_small_table, recover_small_table
     from ..operators.dsir import hashed_ngram_buckets
 
     raw_dir = model_dir.rstrip("/") + "/raw"
     target_dir = model_dir.rstrip("/") + "/target"
+    marker_dir = corpus_dir.rstrip("/") + "/_append_marker"
     spark0 = target.sparkSession
     recover_small_table(spark0, target_dir)
-    if not _dir_exists(spark0, target_dir):
+    if refresh_target or not _dir_exists(spark0, target_dir):
         tgt = (
             hashed_ngram_buckets(target, id_col, text_col, m, seed, algo)
             .groupBy("bucket")
@@ -825,12 +1030,49 @@ def start_corpus_ingest_dsir(
             )
             .filter(F.col("log_weight") >= min_log_weight)
         )
-        if _dir_exists(spark, corpus_dir):
-            corpus_ids = spark.read.schema(
-                admitted.schema
-            ).parquet(corpus_dir).select(id_col)
+        # corpus layout + replay gate. The marker is a corpus-side
+        # one-row sidecar published crash-safe BEFORE the append: on
+        # the common path (marker < batch_id) this batch's rows
+        # CANNOT be in the corpus, so no anti-join runs and the batch
+        # touches the corpus only to append - the replay-idempotence
+        # read is replay-only (VERDICT r14 item 2)
+        recover_small_table(spark, corpus_dir)
+        recover_small_table(spark, marker_dir)
+        corpus_exists = _dir_exists(spark, corpus_dir)
+        if corpus_exists:
+            cbuckets = read_corpus_meta(spark, corpus_dir)
+            if cbuckets is None:
+                forbid_sheared_corpus(
+                    spark, corpus_dir, "start_corpus_ingest_dsir"
+                )
+        else:
+            cbuckets = corpus_bucket_count
+        marked = None
+        if _dir_exists(spark, marker_dir):
+            marked = spark.read.schema("_b bigint").parquet(
+                marker_dir
+            ).first()
+        if marked is not None and marked["_b"] >= batch_id:
+            # crash replay: the marker landed, so this batch's append
+            # MAY have too - suppress re-appends by id, pruned to the
+            # admitted ids' buckets (equal ids share a bucket)
+            admitted = admitted.localCheckpoint()
+            corpus_ids = read_corpus(
+                spark, corpus_dir, admitted.schema, cbuckets,
+                prune_ids=admitted.select(id_col), id_col=id_col,
+            ).select(id_col)
             admitted = admitted.join(corpus_ids, id_col, "left_anti")
-        admitted.write.mode("append").parquet(corpus_dir)
+        if not corpus_exists and cbuckets is not None:
+            # sidecar BEFORE marker and rows: a crash right after
+            # leaves an empty corpus that already carries its layout
+            write_corpus_meta(spark, corpus_dir, cbuckets)
+        publish_small_table(
+            spark.createDataFrame(
+                [(batch_id,)], "_b bigint"
+            ),
+            marker_dir,
+        )
+        append_corpus_rows(admitted, corpus_dir, id_col, cbuckets)
 
         batch_counts = feats.groupBy("bucket").agg(
             F.sum("cnt").alias("_bc")

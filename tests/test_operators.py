@@ -669,6 +669,38 @@ def test_build_retrieval_index_probe_finds_source_chunk(spark, sf_dir, tmp_path)
     assert top.cos_sim > 0.999
 
 
+def test_build_retrieval_index_rejects_unpackable_ids(spark, tmp_path) -> None:
+    """ADVICE r14: chunk_id = doc_id * 2^20 + chunk_idx packed WITHOUT
+    a range guard silently collides ids for out-of-range inputs, and
+    the probe's shift/mask unpack then returns a wrong (doc_id,
+    chunk_idx). A doc id outside [0, 2^43) must fail loud at index
+    build, not corrupt the index."""
+    import pytest
+
+    from etl_marketdata_downloader_archived_spark.plans.corpus_pipeline import (
+        build_retrieval_index,
+    )
+
+    text = " ".join(f"word{i}" for i in range(64))
+    bad = spark.createDataFrame(
+        [(-1, text), (5, text)], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="chunk-id pack"):
+        build_retrieval_index(
+            bad, str(tmp_path / "bad_idx"), chunk_tokens=16, overlap=4,
+            ivf_k=2,
+        )
+
+    too_big = spark.createDataFrame(
+        [((1 << 43), text)], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="chunk-id pack"):
+        build_retrieval_index(
+            too_big, str(tmp_path / "big_idx"), chunk_tokens=16,
+            overlap=4, ivf_k=2,
+        )
+
+
 def test_incremental_minhash_dedup_admission(spark) -> None:
     """Incremental near-dup admission: batch 2 is checked against the
     batch-1 signature store (no corpus-wide recompute); near-dups of

@@ -2768,6 +2768,32 @@ def test_neardup_ingest_heals_crashed_compaction(spark, tmp_path) -> None:
     assert os.path.exists(pdir) and not os.path.exists(pdir + "__old")
 
 
+def test_ingest_rejects_self_defeating_compaction_trigger(spark) -> None:
+    """ADVICE r14: a compact_trigger_files at or below the
+    post-compaction file floor (one data file per store bucket) makes
+    EVERY batch rerun a full-store compaction forever - silently. Both
+    posting-store ingests must refuse it loudly at entry, before any
+    stream starts."""
+    import pytest
+
+    from etl_marketdata_downloader_archived_spark.streaming.corpus_ingest import (
+        start_corpus_ingest_exact,
+        start_corpus_ingest_neardup,
+    )
+
+    docs = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="post-compaction file floor"):
+        start_corpus_ingest_exact(
+            docs, "/tmp/never/corpus", "/tmp/never/post", "/tmp/never/ck",
+            store_bucket_count=64, compact_trigger_files=64,
+        )
+    with pytest.raises(ValueError, match="post-compaction file floor"):
+        start_corpus_ingest_neardup(
+            docs, "/tmp/never/corpus", "/tmp/never/post", "/tmp/never/ck",
+            store_bucket_count=64, compact_trigger_files=10,
+        )
+
+
 def test_dsir_ingest_admits_toward_target_with_evolving_model(
     spark, tmp_path
 ) -> None:
