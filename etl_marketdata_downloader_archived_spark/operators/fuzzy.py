@@ -312,6 +312,7 @@ def jaccard_prefix_join(
     tokens_col: str,
     threshold: float,
     collapse_duplicates: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join with prefix filtering (the
     PPJoin/AllPairs family, Chaudhuri/Ganti/Kaushik's SSJoin line):
@@ -397,11 +398,21 @@ def jaccard_prefix_join(
     # back against the groups and re-evaluated the upstream
     # tokenization per branch, which cost more than the collapse
     # saved (measured: the shingle transform alone was ~9 s/pass at
-    # the 10x probe scale).
+    # the 10x probe scale). Persisted DISK_ONLY (the
+    # jaccard_prefix_join_rs / minhash_dedup_pairs discipline, r15):
+    # hanging every branch off one exchange still re-runs the
+    # scan+tokenize+groupBy chain once PER CONSUMER - within, the
+    # kernel's freq/rank/verify uses, and both cross expansions
+    # (~7 computations profiled). Disk, not memory: lazy return, no
+    # release point; cache_registry hands the handle to the caller.
+    from pyspark import StorageLevel
+
     groups = tok.groupBy(F.array_sort("_t").alias("_key")).agg(
         F.min("_id").alias("_rid"),
         F.sort_array(F.collect_list("_id")).alias("_ids"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    if cache_registry is not None:
+        cache_registry.append(groups)
 
     # within-group pairs: identical sets, jaccard exactly 1 (>= any
     # threshold in (0, 1]); two chained explodes stream the m^2

@@ -477,6 +477,39 @@ def mix_rates(
     }
 
 
+def temperature_mix_rates(
+    counts: dict[str, int], alpha: float, budget: int | None = None
+) -> dict[str, float]:
+    """Temperature-rebalanced per-stratum keep rates - the
+    multilingual / data-mixing staple (XLM-R's exponentiated sampling,
+    the T5/Llama data-recipe form): sampling probability
+    ``p_s = n_s^alpha / sum_t n_t^alpha`` flattens the observed
+    distribution toward uniform as alpha -> 0 and keeps it
+    proportional at alpha = 1 - low-resource strata get boosted
+    representation without an explicit target mix (the complement of
+    ``mix_rates``, which needs one).
+
+    Rates realize p over the LARGEST corpus feasible WITHOUT
+    upsampling: N = min(budget or feasible, min_s n_s / p_s), rate_s
+    = p_s * N / n_s (<= 1 by construction; the tightest stratum caps
+    N - the mix_rates waterline, derived from temperature instead of
+    a target dict). ``counts`` may be docs or tokens; ``budget`` is
+    denominated in the same unit. Driver-side arithmetic over a
+    stratum-cardinality dict (one groupBy collect)."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    pos = {s: n for s, n in counts.items() if n > 0}
+    if not pos:
+        raise ValueError("temperature_mix_rates: no non-empty strata")
+    z = sum(n**alpha for n in pos.values())
+    p = {s: (n**alpha) / z for s, n in pos.items()}
+    n_max = min(pos[s] / p[s] for s in pos)
+    n_total = n_max if budget is None else min(float(budget), n_max)
+    out = {s: p[s] * n_total / pos[s] for s in pos}
+    out.update({s: 0.0 for s in counts if s not in pos})
+    return out
+
+
 def clean_corpus(
     df,
     id_col: str = "doc_id",

@@ -65,6 +65,7 @@ def prepare_training_corpus(
     dsir_keep: int | None = None,
     rep_score_col: str | None = None,
     mix_by: str = "docs",
+    mix_temperature: float | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns the materializable artifacts:
 
@@ -101,6 +102,14 @@ def prepare_training_corpus(
       sources with shorter documents. Sampling stays per-document
       (Bernoulli by id hash), so realized token shares land on the
       target with per-document-length jitter
+    - ``mix_temperature``: temperature-rebalanced mixing (r15,
+      operators.text.temperature_mix_rates - the XLM-R/T5 recipe)
+      instead of an explicit ``target_mix``: rates derive from
+      p_s = n_s^alpha over the observed per-source counts (same
+      ``mix_by`` unit), alpha=0 flattening to uniform, alpha=1
+      keeping the observed mix. Mutually exclusive with
+      ``target_mix`` - the two tiers answer the same question from
+      opposite inputs
 
     Laziness note: stages 1-2 and 4-5 stay lazy; stage 3 (re-mixing)
     needs the per-source counts - ONE collect of stratum-cardinality
@@ -122,6 +131,12 @@ def prepare_training_corpus(
             f"(got target={'set' if dsir_target is not None else 'None'}, "
             f"keep={dsir_keep!r}) - one without the other would "
             "silently skip the selection tier"
+        )
+    if target_mix is not None and mix_temperature is not None:
+        raise ValueError(
+            "target_mix and mix_temperature are mutually exclusive - "
+            "an explicit target mix and a temperature-derived one "
+            "answer the same question from opposite inputs; pass one"
         )
 
     cleaned = X.clean_corpus(
@@ -175,7 +190,7 @@ def prepare_training_corpus(
             deduped, dsir_target, dsir_keep, id_col, text_col
         )
 
-    if target_mix is not None:
+    if target_mix is not None or mix_temperature is not None:
         if mix_by == "tokens":
             weight = F.size(
                 F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
@@ -188,7 +203,11 @@ def prepare_training_corpus(
             .agg(F.sum(weight).alias("n"))
             .collect()
         }
-        rates = X.mix_rates(counts, target_mix)
+        rates = (
+            X.mix_rates(counts, target_mix)
+            if target_mix is not None
+            else X.temperature_mix_rates(counts, mix_temperature)
+        )
         deduped = X.weighted_stratum_sample(
             deduped, id_col, source_col, rates, seed=seed
         )

@@ -47,6 +47,7 @@ _MODULE_ORDER = [
     "analytics_r12",
     "analytics_r13",
     "analytics_r14",
+    "analytics_r15",
 ]
 _SEQ: dict[str, tuple[int, int]] = {}
 _counter = 0
@@ -117,5 +118,6 @@ def _load_batteries() -> None:
     from . import analytics_r12  # noqa: F401  (round-12 extensions, past window)
     from . import analytics_r13  # noqa: F401  (round-13 extensions, past window)
     from . import analytics_r14  # noqa: F401  (round-14 extensions, past window)
+    from . import analytics_r15  # noqa: F401  (round-15 extensions, past window)
 
     _loaded = True

@@ -33,6 +33,7 @@ from pyspark.sql.streaming.stateful_processor import (
 __all__ = [
     "streaming_topk_per_key",
     "streaming_debounce_tws",
+    "streaming_sessionize_tws",
     "streaming_inactivity_summary",
 ]
 
@@ -189,6 +190,92 @@ def streaming_debounce_tws(
     out_schema = ", ".join(f"{c} {in_schema[c]}" for c in out_cols)
     proc = _DebounceProcessor(ts, gap_us, tiebreak, out_cols, state_ttl_ms)
     return df.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
+    )
+
+
+class _SessionizeProcessor(StatefulProcessor):
+    """transformWithState port of streaming/stateful
+    .streaming_sessionize (VERDICT r14 item 7: the third
+    applyInPandasWithState twin migrated to the new contract behind
+    the same stream==batch test). Same fold as the old twin: a key's
+    rows sort by (ts, tiebreak) within the batch, a session breaks
+    where the gap since the previous event exceeds ``gap_s``, and TWO
+    scalars carry across micro-batches (last event time + running
+    session seq) as one named ValueState row. Native TTL replaces the
+    old ProcessingTimeTimeout: an expired state reads None and the
+    next event restarts at session 1 - exactly what a quiet user's
+    eviction means."""
+
+    def __init__(self, ts_col, gap_s, tiebreak, out_cols, ttl_ms) -> None:
+        self._ts = ts_col
+        self._gap_ns = gap_s * 1e9
+        self._tiebreak = tiebreak
+        self._out_cols = list(out_cols)
+        self._ttl = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "sess", "last_ts_ns bigint, seq bigint",
+            ttlDurationMs=self._ttl,
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        sort_cols = [self._ts] + ([self._tiebreak] if self._tiebreak else [])
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        cur = self._state.get()
+        last_ns, seq = (
+            (int(cur[0]), int(cur[1])) if cur is not None else (None, 0)
+        )
+        t_ns = pdf[self._ts].astype("int64")
+        prev = t_ns.shift(1)
+        if last_ns is not None:
+            prev.iloc[0] = last_ns
+        is_new = prev.isna() | ((t_ns - prev) > self._gap_ns)
+        pdf["session_seq"] = seq + is_new.cumsum().astype("int64")
+        self._state.update(
+            (int(t_ns.iloc[-1]), int(pdf["session_seq"].iloc[-1]))
+        )
+        yield pdf[self._out_cols + ["session_seq"]]
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_sessionize_tws(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    gap: str = "30 minutes",
+    tiebreak: str | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """``streaming_sessionize`` on the transformWithState API - output
+    rows/columns identical to the old twin's ((user, ts[, tiebreak],
+    session_seq) in Append mode); state is the same two-scalar record,
+    now a named ValueState with optional native TTL. Requires the
+    RocksDB state store provider; the live leg is protobuf-gated in
+    this sandbox and the processor kernel test carries the fold
+    semantics against the batch ``operators.sessions.sessionize``
+    (the debounce-port posture)."""
+    gap_n, gap_unit = gap.split()
+    gap_s = float(gap_n) * {
+        "seconds": 1, "second": 1, "minutes": 60, "minute": 60,
+        "hours": 3600, "hour": 3600,
+    }[gap_unit]
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = [user, ts] + ([tiebreak] if tiebreak else [])
+    out_schema = ", ".join(
+        f"{c} {in_schema[c]}" for c in cols
+    ) + ", session_seq long"
+    proc = _SessionizeProcessor(ts, gap_s, tiebreak, cols, state_ttl_ms)
+    return df.select(*cols).groupBy(user).transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=out_schema,
         outputMode="Append",

@@ -669,6 +669,51 @@ def test_build_retrieval_index_probe_finds_source_chunk(spark, sf_dir, tmp_path)
     assert top.cos_sim > 0.999
 
 
+def test_temperature_mix_rates_invariants() -> None:
+    """temperature_mix_rates (r15): alpha=1 keeps the observed mix
+    (every stratum the SAME rate), alpha=0 equalizes per-stratum
+    KEPT COUNTS, the waterline stratum's rate is exactly 1 with no
+    upsampling anywhere, a budget scales every rate proportionally,
+    empty strata rate 0.0, out-of-range alpha raises."""
+    import pytest
+
+    from etl_marketdata_downloader_archived_spark.operators.text import (
+        temperature_mix_rates,
+    )
+
+    counts = {"big": 8000, "mid": 2000, "small": 500, "empty": 0}
+
+    r1 = temperature_mix_rates(counts, alpha=1.0)
+    vals = {round(v, 12) for s, v in r1.items() if s != "empty"}
+    assert vals == {1.0}  # proportional keep: waterline = full corpus
+    assert r1["empty"] == 0.0
+
+    r0 = temperature_mix_rates(counts, alpha=0.0)
+    kept = {s: counts[s] * r0[s] for s in ("big", "mid", "small")}
+    assert max(kept.values()) - min(kept.values()) < 1e-6  # equal counts
+    assert abs(r0["small"] - 1.0) < 1e-12  # tightest stratum caps
+
+    rh = temperature_mix_rates(counts, alpha=0.5)
+    assert abs(max(rh.values()) - 1.0) < 1e-12
+    assert all(0.0 <= v <= 1.0 + 1e-12 for v in rh.values())
+    # flattening direction: small stratum keeps a HIGHER rate than big
+    assert rh["small"] > rh["big"]
+
+    # budget halves the feasible corpus -> every rate halves
+    full = temperature_mix_rates({"a": 100, "b": 400}, alpha=0.5)
+    n_full = 100 * full["a"] + 400 * full["b"]
+    half = temperature_mix_rates(
+        {"a": 100, "b": 400}, alpha=0.5, budget=int(n_full // 2)
+    )
+    for s in ("a", "b"):
+        assert abs(half[s] - full[s] * (n_full // 2) / n_full) < 1e-9
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix_rates(counts, alpha=1.5)
+    with pytest.raises(ValueError, match="strata"):
+        temperature_mix_rates({"x": 0}, alpha=0.5)
+
+
 def test_build_retrieval_index_rejects_unpackable_ids(spark, tmp_path) -> None:
     """ADVICE r14: chunk_id = doc_id * 2^20 + chunk_idx packed WITHOUT
     a range guard silently collides ids for out-of-range inputs, and
@@ -5047,6 +5092,42 @@ def test_prepare_training_corpus_rep_score_and_token_mix(spark) -> None:
 
     with _p.raises(ValueError, match="mix_by"):
         prepare_training_corpus(docs, target_mix=mix, mix_by="bytes")
+
+    # mix_temperature (r15): the composed tier equals manually
+    # applying temperature_mix_rates + weighted_stratum_sample to the
+    # UN-mixed pipeline output - same rates, same hash sample
+    from etl_marketdata_downloader_archived_spark.operators.text import (
+        temperature_mix_rates,
+        weighted_stratum_sample,
+    )
+
+    temp = prepare_training_corpus(
+        docs, min_quality=0.0, mix_temperature=0.3, seed=3
+    )["corpus"]
+    unmixed = prepare_training_corpus(docs, min_quality=0.0, seed=3)[
+        "corpus"
+    ]
+    counts = {
+        r["source"]: r["n"]
+        for r in unmixed.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    rates = temperature_mix_rates(counts, 0.3)
+    manual = weighted_stratum_sample(
+        unmixed, "doc_id", "source", rates, seed=3
+    )
+    assert sorted(r.doc_id for r in temp.collect()) == sorted(
+        r.doc_id for r in manual.collect()
+    )
+    # flattening direction: 'long' is the minority source (fewer docs
+    # survive), so temperature rebalancing keeps it at a higher rate
+    assert counts["long"] < counts["short"]
+    assert rates["long"] > rates["short"]
+    with _p.raises(ValueError, match="mutually exclusive"):
+        prepare_training_corpus(
+            docs, target_mix=mix, mix_temperature=0.5
+        )
 
 
 def test_dsir_select_gumbel_resampling(spark) -> None:

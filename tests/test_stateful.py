@@ -1768,6 +1768,182 @@ def test_debounce_tws_live_equals_batch(spark, tmp_path) -> None:
     assert streamed == batch
 
 
+def test_sessionize_tws_kernel_equals_batch_fold(spark) -> None:
+    """The migrated sessionize processor (transformWithState, VERDICT
+    r14 item 7 - third twin) driven kernel-side over three batches:
+    per-event session labels equal the batch operator on the union
+    (the two-scalar state carries a session ACROSS batches, a
+    gap-crossing event increments the seq), boundary semantics exact
+    (gap == threshold stays in-session; > breaks), and TTL expiry
+    restarts a user at session 1."""
+    import pandas as pd
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        sessionize,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.topk_state import (
+        _SessionizeProcessor,
+    )
+
+    t = lambda s: f"2024-03-01 00:{s // 60:02d}:{s % 60:02d}"  # noqa: E731
+    # u1: events at 0s, 30s (same session), then batch 2 at 35s (still
+    # within the 30s gap of 30s? 35-30=5 <= 30 -> same session), then
+    # 70s (70-35=35 > 30 -> new session); u2: 0s then 45s (> 30 -> new)
+    b1 = [("u1", 1, t(0)), ("u1", 2, t(30)), ("u2", 3, t(0))]
+    b2 = [("u1", 4, t(35)), ("u2", 5, t(45))]
+    b3 = [("u1", 6, t(70)), ("u1", 7, t(75))]
+
+    procs: dict = {}
+    handles: dict = {}
+    labels: list = []
+    for batch in (b1, b2, b3):
+        by_key: dict = {}
+        for u, e, s in batch:
+            by_key.setdefault(u, []).append((u, e, s))
+        for u, rows in by_key.items():
+            if u not in procs:
+                p = _SessionizeProcessor(
+                    "ts", 30.0, "event_id",
+                    ["user_id", "ts", "event_id"], None,
+                )
+                h = _FakeTWSHandle()
+                p.init(h)
+                procs[u], handles[u] = p, h
+            pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            for out in procs[u].handleInputRows(
+                (u,), iter([pdf]), _FakeTWSTimerValues(0)
+            ):
+                labels.extend(
+                    zip(out["user_id"], out["event_id"], out["session_seq"])
+                )
+
+    both = spark.createDataFrame(
+        [(u, e, s) for u, e, s in b1 + b2 + b3],
+        "user_id string, event_id long, ts string",
+    ).select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    batch_labels = sorted(
+        (r.user_id, r.event_id, r.session_seq)
+        for r in sessionize(
+            both, "user_id", "ts", gap="30 seconds",
+            tiebreak_col="event_id",
+        ).collect()
+    )
+    assert sorted(labels) == batch_labels
+    got = {(u, e): s for u, e, s in labels}
+    # the cross-batch session: event 4 (35s) continues u1's session 1
+    # (5s after event 2); event 6 (70s) breaks it (35s > 30s gap)
+    assert got[("u1", 2)] == 1 and got[("u1", 4)] == 1
+    assert got[("u1", 6)] == 2 and got[("u1", 7)] == 2
+    assert got[("u2", 5)] == 2
+
+    # TTL expiry (named-state clear) restarts the user at session 1
+    p = procs["u1"]
+    p._state.clear()
+    pdf = pd.DataFrame(
+        [("u1", 9, t(80))], columns=["user_id", "event_id", "ts"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    outs = list(
+        p.handleInputRows(("u1",), iter([pdf]), _FakeTWSTimerValues(0))
+    )
+    assert list(outs[0]["session_seq"]) == [1]
+
+
+def test_sessionize_tws_live_equals_batch(spark, tmp_path) -> None:
+    """LIVE leg of the sessionize port - protobuf-gated like the other
+    transformWithState legs; the kernel twin above carries the fold
+    semantics in this sandbox."""
+    import pytest as _pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        _pytest.skip(
+            "google.protobuf unavailable: transformWithStateInPandas "
+            "state protocol cannot initialize in this environment"
+        )
+
+    from datetime import datetime
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        sessionize,
+    )
+    from etl_marketdata_downloader_archived_spark.streaming.topk_state import (
+        streaming_sessionize_tws,
+    )
+
+    t = lambda s: f"2024-03-01 00:{s // 60:02d}:{s % 60:02d}"  # noqa: E731
+    b1 = [("u1", 1, t(0)), ("u1", 2, t(30)), ("u2", 3, t(0))]
+    b2 = [("u1", 4, t(35)), ("u2", 5, t(45))]
+    b3 = [("u1", 6, t(70)), ("u1", 7, t(75))]
+    src = tmp_path / "stw"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2, b3), 1):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "event_id": e, "ts": s})
+                for u, e, s in rows
+            )
+        )
+        time.sleep(1.1)
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        ev = raw.select(
+            F.from_json(
+                "value", "user_id STRING, event_id LONG, ts TIMESTAMP"
+            ).alias("j")
+        ).select("j.*")
+        q = (
+            streaming_sessionize_tws(
+                ev, "user_id", "ts", gap="30 seconds",
+                tiebreak="event_id",
+            )
+            .writeStream.format("memory")
+            .queryName("stw_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = sorted(
+            (r.user_id, r.event_id, r.session_seq)
+            for r in spark.sql("select * from stw_out").collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+    both = spark.createDataFrame(
+        [
+            (u, e, datetime.strptime(s, "%Y-%m-%d %H:%M:%S"))
+            for u, e, s in b1 + b2 + b3
+        ],
+        "user_id string, event_id long, ts timestamp",
+    )
+    batch = sorted(
+        (r.user_id, r.event_id, r.session_seq)
+        for r in sessionize(
+            both, "user_id", "ts", gap="30 seconds",
+            tiebreak_col="event_id",
+        ).collect()
+    )
+    assert streamed == batch
+
+
 def test_inactivity_summary_processor_kernel() -> None:
     """ListState/MapState/timer kernel coverage (VERDICT r13 item 5):
     counts accumulate in MapState across calls, the id sample is

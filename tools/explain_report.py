@@ -261,6 +261,11 @@ BROADCAST_HINT_WHITELIST = {
     # decontamination index is the distinct n-grams of the held-out
     # eval source (operators/text.py:284 documents the posture)
     "corpus_clean": "distinct n-grams of the fixed-size eval benchmark",
+    # DSIR's per-bucket log-ratio table: grouped by the hashed-ngram
+    # bucket id, whose domain is the FIXED m (=32 here, ~10^4 in
+    # production) regardless of corpus size - the broadcast-the-model
+    # contract operators/dsir.py documents (m doubles forever)
+    "dsir_weights_cert": "m-row (m=32) DSIR log-ratio table (bucket id domain fixed by m, never corpus rows)",
 }
 
 

@@ -887,6 +887,113 @@ DIRECTED: list[tuple[str, str, str]] = [
         "does not compound into a parse failure at depth. "
         "Expected: nt1, nt2.",
     ),
+    # --- round-15 corners: the remaining table-text foster-parenting
+    # surfaces + the select implied-close/breakout family (VERDICT r14
+    # item 6: extend the directed corners where the stdlib-fallback
+    # risk concentrates, with spec citations) ---------------------
+    (
+        "caption-anchor-stays",
+        '<html><body><table><caption><a href="cp1">x</a></caption>'
+        '<tr><td>c</td></tr></table><a href="cp2">y</a></body></html>',
+        "CONVERGENCE pin at the caption surface: the 'in caption' "
+        "insertion mode (spec 13.2.6.4.11) processes anything-else "
+        "tokens 'using the rules for the in body insertion mode', so "
+        "a spec tree builder keeps the anchor INSIDE the caption - "
+        "neither foster-parented nor dropped - and html.parser's "
+        "flat tokenization extracts it identically. Pinned because "
+        "caption is the one in-table subtree where the anchor "
+        "genuinely belongs in place; a fallback that special-cased "
+        "'inside <table>' wholesale would get this wrong. "
+        "Expected: cp1, cp2.",
+    ),
+    (
+        "colgroup-anchor-fostered",
+        '<html><body><table><colgroup><col span="1">'
+        '<a href="cg1">x</a></colgroup><tr><td>c</td></tr></table>'
+        "</body></html>",
+        "The 'in column group' mode (spec 13.2.6.4.10) handles only "
+        "col/template tokens; anything else acts as an implied "
+        "</colgroup> and reprocesses in 'in table', where the anchor "
+        "token takes the foster-parenting anything-else arm (spec "
+        "13.2.6.4.9 -> 13.2.6.1): a spec builder RELOCATES cg1 "
+        "before the table but never drops it, so the anchor SET is "
+        "invariant to the builder choice - html.parser (no insertion "
+        "modes, per the CPython docs' tokenizer+callbacks contract) "
+        "extracts it in document order. Expected: cg1.",
+    ),
+    (
+        "tbody-anchor-fostered",
+        '<html><body><table><tbody><a href="tb1">x</a><tr><td>'
+        '<a href="tb2">y</a></td></tr></tbody></table></body></html>',
+        "The 'in table body' mode (spec 13.2.6.4.13) routes "
+        "anything-else tokens to 'in table', whose anything-else arm "
+        "enables foster parenting (13.2.6.4.9 'process the token "
+        "using the rules for the in body insertion mode, except ... "
+        "foster parenting'): tb1 relocates before the table for a "
+        "spec builder, tb2 sits in its cell normally. Relocation "
+        "never drops - anchor set invariant; html.parser extracts "
+        "both flat. Completes the table-no-foster-parenting (r12) / "
+        "in-row (r14) / in-table-body triad. Expected: tb1, tb2.",
+    ),
+    (
+        "table-text-entity-anchor-opaque",
+        '<html><body><table>&lt;a href="tx1"&gt;<tr><td>'
+        '<a href="tx2">y</a></td></tr></table></body></html>',
+        "Table TEXT that merely looks like an anchor: the entity-"
+        "encoded '<' never reaches tag tokenization on EITHER side - "
+        "character references are resolved to character tokens (spec "
+        "13.2.5 character reference state emits characters, never "
+        "markup), and html.parser with convert_charrefs=True (the "
+        "bs4 'html.parser' builder default, Python docs) replaces "
+        "them inside handle_data. A spec builder foster-parents the "
+        "decoded TEXT before the table ('in table text', spec "
+        "13.2.6.4.9) - moved, still text. So exactly one anchor "
+        "extracts; a fallback that re-scanned decoded data for tags "
+        "would wrongly find tx1. Expected: tx2.",
+    ),
+    (
+        "nested-select-implied-close",
+        '<html><body><select><option>a<select><a href="ns1">x</a>'
+        "</body></html>",
+        "A <select> start tag while a select is open acts as its END "
+        "tag (spec 13.2.6.4.16 select start-tag clause: 'Parse "
+        "error... act as if the token had been an end tag with the "
+        "tag name select'): a spec builder is OUT of the select when "
+        "ns1 arrives, so the anchor enters the body tree and is "
+        "kept - the one select-family recovery where the spec "
+        "builder and html.parser's flat tokenization CONVERGE on "
+        "extracting the anchor (contrast select-ignores-anchor-token, "
+        "where in-select drops it). Expected: ns1.",
+    ),
+    (
+        "input-in-select-breakout",
+        '<html><body><select><option>a<input type="text">'
+        '<a href="ib1">x</a></select><a href="ib2">y</a></body></html>',
+        "The input-breakout clause of 'in select' (spec 13.2.6.4.16 "
+        "input start tag: 'Parse error... act as if an end tag with "
+        "the tag name select had been seen, and reprocess the "
+        "token'): the input EJECTS a spec builder from the select, "
+        "so ib1 - which the in-select ignore arm would have dropped "
+        "one token earlier - lands in body and is kept; the stray "
+        "</select> is then an unmatched end tag (ignored on both "
+        "sides: spec 'in body' any-other-end-tag, html.parser docs "
+        "'unmatched end tags are not checked'). Convergence via two "
+        "different recovery paths. Expected: ib1, ib2.",
+    ),
+    (
+        "option-implied-close-in-body",
+        '<html><body><option>a<option>b<a href="ob1">x</a>'
+        "</body></html>",
+        "Option OUTSIDE any select: the 'in body' option start-tag "
+        "clause (spec 13.2.6.4.7: 'If the current node is an option "
+        "element, then ... act as if an end tag with the tag name "
+        "option had been seen') implies the first option's close; "
+        "the anchor then parses under plain in-body rules and is "
+        "kept by BOTH sides (in body there is no ignore arm for <a>). "
+        "Pins that the implied-close family outside select never "
+        "affects extraction - the risk concentrates only inside 'in "
+        "select' itself. Expected: ob1.",
+    ),
 ]
 
 
