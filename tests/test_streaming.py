@@ -2667,6 +2667,12 @@ def test_exact_ingest_auto_compacts_past_trigger(spark, tmp_path) -> None:
             postings_dir=pdir,
             checkpoint_dir=str(tmp_path / "ac_ckpt"),
             jaccard_threshold=0.7,
+            # 2 buckets so the post-compaction floor is 2 and a
+            # trigger of 3 is valid under the ADVICE-r14 self-defeating-
+            # trigger guard (the original trigger=1 now rejects loudly,
+            # by design - see test_ingest_rejects_self_defeating_
+            # compaction_trigger)
+            store_bucket_count=2,
             compact_trigger_files=trigger,
         )
         q.awaitTermination(180)
@@ -2683,13 +2689,15 @@ def test_exact_ingest_auto_compacts_past_trigger(spark, tmp_path) -> None:
     ).partitionBy("_bk").parquet(pdir)
     assert store().count() == 2 * p1  # replay growth is real
 
-    # next batch, trigger=1 file: appends, then compacts IN-LINE
+    # next batch, trigger=3 files (floor is 2 with 2 buckets): the
+    # replay-doubled store is past the trigger, so the batch appends,
+    # then compacts IN-LINE
     (src / "b2.json").write_text(
         json.dumps({"doc_id": 10, "text": base + " indeed"})   # reject vs 1
         + "\n"
         + json.dumps({"doc_id": 11, "text": novel})            # admit
     )
-    run(trigger=1)
+    run(trigger=3)
     ids = sorted(
         r.doc_id
         for r in spark.read.parquet(str(tmp_path / "ac_corpus")).collect()
@@ -2709,7 +2717,7 @@ def test_exact_ingest_auto_compacts_past_trigger(spark, tmp_path) -> None:
     (src / "b3.json").write_text(
         json.dumps({"doc_id": 20, "text": novel + " again"})
     )
-    run(trigger=1)
+    run(trigger=3)
     ids = sorted(
         r.doc_id
         for r in spark.read.parquet(str(tmp_path / "ac_corpus")).collect()
