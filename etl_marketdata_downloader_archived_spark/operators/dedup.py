@@ -966,40 +966,61 @@ def strip_duplicated_spans(
     postings compute the identical removal set without ever building
     a suffix array (which does not distribute; postings do).
 
-    Scale shape: positions explode linearly in corpus tokens; the
-    gram-occurrence count is one hash aggregate on the gram key
-    (partial map-side); coverage expands only DUPLICATED starts by a
-    factor of L (bounded by L x duplication rate, output-bound);
-    reassembly is one per-doc sort_array fold. Never all-pairs,
+    Scale shape (r15 in-row rewrite, guide sections 2.3/2.4 - the
+    removal set and output are unchanged; what moved is WHERE the
+    per-position work happens): gram starts are built IN-ROW from the
+    token array (slice/zip_with, the word_shingles formulation) and
+    posexploded, replacing the old posexplode-every-token -> window
+    (shuffle ALL corpus tokens by doc + sort + two window aggregates)
+    pipeline; the gram-occurrence count stays one partial-aggregated
+    hash aggregate on the gram key; coverage collapses back to ONE
+    row per affected doc (collect_list of duplicated starts, in-row
+    sequence/flatten/distinct - bounded by doc length, exactly the
+    old explode x L volume concentrated per doc instead of shuffled
+    as (doc, pos) rows); reassembly is an in-row positions-kept
+    projection (array_except over the position range, O(n + |cov|)
+    per doc), replacing the anti-join of every corpus token and the
+    collect_list re-sort. Net: 1 corpus-token shuffle (the gram
+    aggregate) + 1 duplication-bounded join, down from 4
+    corpus-token-sized exchanges - and a caller that only consumes
+    the counts (the strip_dup_spans panel) gets the cleaned-text
+    transform pruned out of the plan entirely, which the old
+    aggregate-carried ``_kept`` made impossible. Never all-pairs,
     never a corpus-wide sort. Returns (id_col, text_col cleaned,
     n_tokens, n_removed)."""
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
     L = span_tokens
-    toks = _spread(df).select(
+    # token array per doc; NULL text must behave like "" (0 tokens,
+    # nothing removed, "" out) - second-review finding carried over
+    base = _spread(df).select(
         F.col(id_col),
-        F.posexplode(
-            F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
-        ).alias("_pos", "_tok"),
+        F.coalesce(
+            F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit("")),
+            F.array().cast("array<string>"),
+        ).alias("_ws"),
     )
-    # L-gram string starting at each eligible position, via a window
-    # over the doc's own positions (positions are dense by
-    # construction: posexplode indexes)
-    from pyspark.sql import Window as W
-
-    w = (
-        W.partitionBy(id_col)
-        .orderBy("_pos")
-        .rowsBetween(W.currentRow, L - 1)
-    )
-    grams = toks.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
-        "_gram", F.concat_ws(" ", F.collect_list("_tok").over(w))
-    )
-    gram_key = (
-        F.xxhash64("_gram") if hash_grams else F.col("_gram")
-    )
-    starts = grams.filter(F.col("_n") == L).select(
-        id_col, "_pos", gram_key.alias("_g")
+    # L-gram starting at each 0-based position, built in-row with the
+    # slice/zip_with chain (the word_shingles formulation - a
+    # per-index transform lambda re-evaluates the array per element
+    # under projection collapse, measured 11x there); posexplode
+    # indexes ARE the start positions, and a doc shorter than L
+    # slices to an empty array and emits no starts
+    m = F.greatest(F.size("_ws") - (L - 1), F.lit(0))
+    gram_arr = F.slice("_ws", 1, m)
+    for j in range(1, L):
+        gram_arr = F.zip_with(
+            gram_arr,
+            F.slice("_ws", j + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    starts = base.select(
+        F.col(id_col),
+        F.posexplode(gram_arr).alias("_pos", "_gram"),
+    ).select(
+        id_col,
+        "_pos",
+        (F.xxhash64("_gram") if hash_grams else F.col("_gram")).alias("_g"),
     )
     # occurrence count per gram key: >= 2 sites -> duplicated.
     # hash_grams=True (the scale default) shuffles an 8-byte hash in
@@ -1014,65 +1035,49 @@ def strip_duplicated_spans(
         .filter(F.col("_c") >= 2)
         .select("_g")
     )
-    covered = (
+    # one row per doc that has ANY duplicated start (duplication-
+    # bounded); coverage = union of [p, p+L-1] windows, expanded and
+    # deduplicated in-row
+    cov = (
         starts.join(dup, "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("_pos").alias("_sps"))
         .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
-            ).alias("_pos"),
-        )
-        .distinct()
-    )
-    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
-    # token counts from the INPUT frame, not the exploded positions:
-    # an empty/whitespace-only document explodes to zero rows and
-    # would otherwise vanish from the cleaned corpus entirely
-    # (review finding) - it must pass through as ("", 0, 0)
-    stats = df.select(
-        F.col(id_col),
-        # coalesce: a NULL text splits to NULL (size NULL) and must
-        # land as 0 like the empty string, not poison n_removed
-        # (second-review finding)
-        F.coalesce(
-            F.size(
-                F.filter(
-                    F.split(text_col, r"\s+"), lambda t: t != F.lit("")
+            F.col(id_col),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "_sps",
+                        lambda p: F.sequence(p, p + F.lit(L - 1)),
+                    )
                 )
-            ).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        ).alias("n_tokens"),
-    )
-    rebuilt = (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("_pos").alias("p"), F.col("_tok").alias("t"))
-                )
-            ).alias("_o")
+            ).alias("_cov"),
         )
+    )
+    # every start position p satisfies p + L - 1 < n_tokens, so _cov
+    # holds only valid (and distinct) token positions: n_removed is
+    # its size, and the kept text is the in-order complement -
+    # array_except preserves first-array order, element_at on an
+    # array is O(1)
+    positions = F.when(
+        F.size("_ws") > 0, F.sequence(F.lit(0), F.size("_ws") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    covered = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    return (
+        base.join(cov, id_col, "left")
         .select(
             F.col(id_col),
             F.concat_ws(
-                " ", F.transform("_o", lambda s: s["t"])
+                " ",
+                F.transform(
+                    F.array_except(positions, covered),
+                    lambda p: F.element_at("_ws", p + 1),
+                ),
             ).alias(text_col),
-            # the kept count falls out of the aggregate; re-splitting
-            # the cleaned text was a third corpus-wide regex pass
-            # (second-review finding)
-            F.size("_o").cast("bigint").alias("_kept"),
-        )
-    )
-    return (
-        stats.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            "n_tokens",
-            (
-                F.col("n_tokens")
-                - F.coalesce(F.col("_kept"), F.lit(0).cast("bigint"))
-            ).alias("n_removed"),
+            F.size("_ws").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("_cov"), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
         )
     )
 

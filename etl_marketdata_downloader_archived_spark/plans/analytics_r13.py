@@ -67,17 +67,24 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction (the per-source "how much of this crawl is recycled"
     panel a corpus curator cuts on).
 
-    Scale shape: per-doc DISTINCT grams explode to a posting list
-    (linear in corpus tokens - the inverted-index discipline of
-    operators.ranking, never all-pairs); the document-frequency
-    aggregate and the posting-to-df join both shuffle on the gram
-    key, partial-aggregated map-side; per-doc and per-source rollups
-    are two further hash aggregates with tiny group state. A
-    hyper-common gram is a skew key in the JOIN only (its df row is
-    one record) - AQE skew splitting covers it, and the count-based
-    join carries no payload beyond the 2-bool flag. Exactness: every
-    count is bigint; dup_frac is the single IEEE division of two
-    bigints, identical in DuckDB."""
+    Scale shape (r15 join-elimination rewrite, guide section 2.4 -
+    identical per-source output, one corpus-sized shuffle instead of
+    three): the panel only needs PER-SOURCE sums, and a per-doc gram
+    is duplicated iff its gram's corpus occurrence count is >= 2, so
+    ``dup_grams = total_grams - |postings whose gram is unique|`` -
+    and a UNIQUE gram (exactly one posting corpus-wide) knows its one
+    posting's source from ``any_value(source)`` inside the same gram
+    aggregate. That removes the posting-to-df equi-join (which
+    re-shuffled every posting row on the gram key) and the per-doc
+    rollup shuffle outright; what remains is ONE partial-aggregated
+    groupBy on the gram key carrying an 8-byte count plus the source
+    label, and two source-cardinality-bounded aggregates. doc_id no
+    longer rides the posting rows at all. The old plan's skew note
+    is moot - the join is gone; a hyper-common gram is now one
+    map-side-combined count row. Exactness unchanged: every count is
+    bigint; dup_frac is the single IEEE division of two bigints,
+    identical in DuckDB (r15 rewrite parity-verified at both driver
+    scales)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -89,7 +96,6 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluate ws per element - same measured trap as the r11
     # trigram builder
     sh = d.select(
-        "doc_id",
         "source",
         F.array_distinct(
             F.expr(
@@ -102,24 +108,30 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t"),
     )
-    posts = sh.select("doc_id", "source", F.explode("t").alias("g"))
-    df = posts.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
-    per_doc = (
-        posts.join(df, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("source").alias("source"),
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count_if(F.col("d") >= 2).alias("n_dup"),
-        )
-    )
-    return per_doc.groupBy("source").agg(
+    tot = sh.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_grams").alias("total_grams"),
-        F.sum("n_dup").alias("dup_grams"),
-        (
-            F.sum("n_dup").cast("double") / F.sum("n_grams")
-        ).alias("dup_frac"),
+        F.sum(F.size("t").cast("bigint")).alias("total_grams"),
+    )
+    posts = sh.select("source", F.explode("t").alias("g"))
+    uniq = (
+        posts.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("d"),
+            # exact for the d == 1 groups we keep: the group's single
+            # posting IS the source; >= 2 groups are filtered out
+            F.any_value("source").alias("source"),
+        )
+        .filter(F.col("d") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("uniq_grams"))
+    )
+    dup = F.col("total_grams") - F.coalesce("uniq_grams", F.lit(0))
+    return tot.join(uniq, "source", "left").select(
+        "source",
+        "n_docs",
+        "total_grams",
+        dup.alias("dup_grams"),
+        (dup.cast("double") / F.col("total_grams")).alias("dup_frac"),
     )
 
 

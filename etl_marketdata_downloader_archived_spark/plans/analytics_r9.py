@@ -2118,27 +2118,35 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     throttle family, the one gap semantics in the battery that is
     inherently SEQUENTIAL per key.
 
-    Shape: operators.sessions.debounce runs the recursion as
-    Arrow-batched applyInPandas per (user, type) group (the EWMA
-    discipline - parallel across keys, vectorized within; never a
-    row-at-a-time UDF), then one type-sized count joins against the
-    raw counts. The oracle's recursion is rows x depth; Spark's work
-    is one shuffle on the key + a linear scan per group."""
-    from ..operators.sessions import debounce
+    Shape (r15, guide section 4.1): the census needs only per-key
+    KEPT counts, so it runs operators.sessions.debounce_count - the
+    same anchor fold as a pure-Catalyst higher-order ``aggregate``
+    over each key's sorted event times (two-scalar accumulator,
+    linear per group), differential-pinned row-for-row against the
+    grouped-Python ``debounce`` in tests/test_sessions.py. That
+    removes the FlatMapGroupsInPandas node and its per-group Arrow
+    round-trips from this plan entirely (the row-returning
+    ``debounce`` stays grouped-Python for callers that need the kept
+    rows); one shuffle on the key, then one type-sized count joins
+    against the raw counts. The oracle's recursion is rows x depth;
+    Spark's work is one shuffle + a linear in-row fold per group."""
+    from ..operators.sessions import debounce_count
 
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .select("user_id", "event_type", "event_id", "ts")
     )
-    kept = debounce(
+    per_key = debounce_count(
         e,
         ["user_id", "event_type"],
         "ts",
         86_400_000_000,
         tiebreak="event_id",
     )
-    k = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+    k = per_key.groupBy("event_type").agg(
+        F.sum("n_kept").alias("n_kept")
+    )
     r = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_raw"))
     return (
         r.join(k, "event_type", "left")

@@ -479,3 +479,65 @@ def test_debounce_anchor_semantics(spark) -> None:
     assert got == [
         ("u1", 0), ("u1", 6), ("u1", 12), ("u2", 100), ("u2", 102)
     ]
+
+
+def test_debounce_count_matches_grouped_python_fold(spark) -> None:
+    """r15 differential: the pure-Catalyst ``debounce_count`` fold
+    (higher-order aggregate, two-scalar accumulator) equals the
+    grouped-Python ``debounce`` row counts per key - on the known-
+    answer burst fixture AND on a seeded random panel with ties,
+    sub-second gaps, and single-event keys."""
+    import random
+    from datetime import datetime, timedelta
+
+    from etl_marketdata_downloader_archived_spark.operators.sessions import (
+        debounce,
+        debounce_count,
+    )
+
+    rng = random.Random(415)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(37):
+        n = rng.randint(1, 40)
+        t = t0
+        for _ in range(n):
+            # mixture of micro-bursts, near-gap, and long-quiet steps
+            t = t + timedelta(
+                microseconds=rng.choice([0, 1, 999_999, 1_000_000,
+                                         1_000_001, 7_500_000])
+            )
+            rows.append((f"u{u}", rng.choice(["a", "b"]), eid, t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, event_id long, ts timestamp"
+    )
+    keys = ["user_id", "event_type"]
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in debounce(df, keys, "ts", 1_000_000, tiebreak="event_id")
+        .groupBy(*keys)
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got = {
+        (r.user_id, r.event_type): r.n_kept
+        for r in debounce_count(
+            df, keys, "ts", 1_000_000, tiebreak="event_id"
+        ).collect()
+    }
+    assert got == want
+    # every key with events appears in both (count >= 1 always: the
+    # first event is kept unconditionally)
+    assert all(v >= 1 for v in got.values())
+    # TIMESTAMP_NTZ leg (the events table's type): same counts
+    ntz = df.withColumn("ts", df.ts.cast("timestamp_ntz"))
+    got_ntz = {
+        (r.user_id, r.event_type): r.n_kept
+        for r in debounce_count(
+            ntz, keys, "ts", 1_000_000, tiebreak="event_id"
+        ).collect()
+    }
+    assert got_ntz == want
