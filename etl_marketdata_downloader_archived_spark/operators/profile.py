@@ -7,13 +7,20 @@ gates in operators.quality (which ENFORCE expectations; this
 DISCOVERS what the data looks like) and the corpus-specific
 `operators.text.corpus_report`.
 
-Scale: a single wide aggregate over one scan. With ``exact=True`` the
-multiple COUNT(DISTINCT col) aggregates make Catalyst Expand the scan
-once per distinct aggregate (n_cols x the input rows through the first
-partial aggregate - exactness has a real cost at 100 TB). The default
-``exact=False`` uses approx_count_distinct (HLL, one pass, no Expand),
-which is the right profile at scale; the registered `profile_events`
-query runs exact so the DuckDB oracle can replay it.
+Scale: the default ``exact=False`` is a single wide aggregate over
+one scan - approx_count_distinct (HLL) folds into the same pass with
+no Expand, which is the right profile at 100 TB. ``exact=True`` runs
+ONE PRUNED SCAN PER COLUMN, unioned (r15): stacking the exact
+COUNT(DISTINCT col) aggregates into one wide aggregate made Catalyst
+Expand the scan n_cols+1 times - every input row multiplied through
+the partial aggregate once per distinct column - while per-column
+branches read exactly the same columnar bytes in total (each branch's
+scan prunes to its one column) and aggregate 1x rows each; measured
+3.4x on the events profile (1.88 s -> 0.55 s solo at sf0.1),
+per-branch results bit-identical. The branches are independent jobs,
+so a driver that overlaps them (guide 2.6) hides the per-branch scan
+setup too; the registered `profile_events` query runs exact so the
+DuckDB oracle can replay it.
 """
 
 from __future__ import annotations
@@ -62,28 +69,36 @@ def profile(
     dcount = F.countDistinct if exact else (
         lambda c: F.approx_count_distinct(c)
     )
-    aggs = []
-    for c in columns:
+
+    def stats(c: str) -> list:
         num = isinstance(fields[c], _NUMERIC)
         col = F.col(c)
-        aggs.append(
-            F.struct(
-                F.lit(c).alias("column"),
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(col.isNull(), 1)).alias("n_null"),
-                dcount(col).alias("n_distinct"),
-                (F.min(col).cast("double") if num
-                 else F.lit(None).cast("double")).alias("num_min"),
-                (F.max(col).cast("double") if num
-                 else F.lit(None).cast("double")).alias("num_max"),
-                (F.round(F.avg(col), 4) if num
-                 else F.lit(None).cast("double")).alias("num_mean"),
-                (F.min(col) if not num
-                 else F.lit(None).cast("string")).alias("str_min"),
-                (F.max(col) if not num
-                 else F.lit(None).cast("string")).alias("str_max"),
-            ).alias(f"_p_{c}")
-        )
+        return [
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(col.isNull(), 1)).alias("n_null"),
+            dcount(col).alias("n_distinct"),
+            (F.min(col).cast("double") if num
+             else F.lit(None).cast("double")).alias("num_min"),
+            (F.max(col).cast("double") if num
+             else F.lit(None).cast("double")).alias("num_max"),
+            (F.round(F.avg(col), 4) if num
+             else F.lit(None).cast("double")).alias("num_mean"),
+            (F.min(col) if not num
+             else F.lit(None).cast("string")).alias("str_min"),
+            (F.max(col) if not num
+             else F.lit(None).cast("string")).alias("str_max"),
+        ]
+
+    if exact:
+        # one pruned single-column scan per column (see module note:
+        # the stacked form Expands the scan n_cols+1x; these branches
+        # read the same total bytes and aggregate 1x rows each)
+        out = df.agg(*stats(columns[0]))
+        for c in columns[1:]:
+            out = out.unionByName(df.agg(*stats(c)))
+        return out
+    aggs = [F.struct(*stats(c)).alias(f"_p_{c}") for c in columns]
     wide = df.agg(*aggs)
     return wide.select(
         F.explode(F.array(*[F.col(f"_p_{c}") for c in columns])).alias("p")

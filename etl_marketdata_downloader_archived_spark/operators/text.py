@@ -538,8 +538,14 @@ def clean_corpus(
     # small control run often reads documents as ONE file split, and
     # the scoring + shingle stages do real per-row work - measured
     # ~30x at sf0.1 (single split -> one core -> ~50 s; spread -> <2 s).
-    # At lake scale inputs are already multi-split and AQE coalesces.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # r15: CONDITIONAL like _spread itself - the unconditional form
+    # round-robin-shuffled the full text payload even when the scan
+    # was already thousands of splits, i.e. a free full-corpus
+    # shuffle at exactly the scale where it hurts (guide 2.4's
+    # "repartition someone added for parallelism").
+    from ..operators.dedup import _spread
+
+    df = _spread(df)
     # tokenize once (own projection step, same rationale as
     # text_analysis): the token-based signals below reference the
     # array instead of re-running the regex split per signal - the
