@@ -17,10 +17,23 @@ from pyspark.sql import types as T
 
 from .schemas import DRIVER_TABLES
 
+# Inferred FILE schema per (session id, resolved path): parquet schema
+# inference lists the directory and reads footers on EVERY
+# spark.read.parquet call - measured 94 ms/call vs 11 ms with an
+# explicit schema at sf0.1, and a full battery run makes thousands of
+# load_table calls, so inference alone was minutes of pure metadata
+# overhead. This caches METADATA only (the file schema, keyed by the
+# session so a restarted JVM or a different nanosAsLong setting never
+# sees a stale entry) - every query still reads all its DATA from the
+# parquet files on every invocation.
+_SCHEMA_CACHE: dict[tuple[int, str], T.StructType] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Parquet carries its own schema;
-    vectorized scan + pushdown apply automatically.
+    vectorized scan + pushdown apply automatically (the explicit
+    schema handed to the reader is the CACHED INFERRED file schema,
+    not an override - see _SCHEMA_CACHE).
 
     Files written with TIMESTAMP(NANOS) surface as LongType under
     ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.get_spark);
@@ -40,7 +53,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # non-UTC host every derived timestamp would render shifted. Arrow
     # conversion honors spark.sql.session.timeZone.
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), os.path.realpath(path))
+    file_schema = _SCHEMA_CACHE.get(key)
+    if file_schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(file_schema).parquet(path)
     expected = DRIVER_TABLES.get(name)
     if expected is not None:
         for field in df.schema.fields:
