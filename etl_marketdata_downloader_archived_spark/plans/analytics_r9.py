@@ -1578,33 +1578,34 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization is the engine-wide [^a-z]+ split the inverted_index
     oracle certifies.
 
-    Shape: bigrams build IN-ROW (transform over the token array -
-    one generator, no join), explode -> per-doc distinct ->
-    (source, shingle) count, broadcast per-source doc totals. The
-    explode is shingle-corpus-sized, the same posture as the
-    dedup/inverted-index families; everything after the distinct is
-    vocabulary-sized."""
+    Shape (r15): bigrams build IN-ROW with the slice/zip_with chain
+    (the word_shingles measured formulation - the previous per-index
+    ``transform(sequence(...), i -> ws[i]...)`` re-evaluates the
+    token array per element under projection collapse, the documented
+    11x trap) and per-doc presence dedups IN-ROW with array_distinct,
+    which makes the exploded (doc, shingle) rows unique BY
+    CONSTRUCTION - so the old corpus-wide ``.distinct()`` shuffle is
+    gone outright and the explode feeds the (source, shingle) count
+    directly (one partial-aggregated exchange instead of two
+    corpus-shingle-sized ones; doc_id no longer rides the rows).
+    Broadcast per-source doc totals as before; everything after the
+    aggregate is vocabulary-sized."""
     d = load_table(spark, sf_dir, "documents")
     ws = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: w != ""
     )
-    grams = (
-        d.select("doc_id", "source", ws.alias("ws"))
-        # <2 tokens -> no bigrams. Explicit, because Spark's
-        # sequence(0, -1) is a DESCENDING sequence (not empty like
-        # DuckDB's generate_series) and would emit null shingles
-        .filter(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(ws) - 2),"
-                    " i -> concat(ws[i], ' ', ws[i+1]))"
-                )
-            ).alias("shingle"),
+    # slice length 0 (docs with < 2 tokens) -> empty array -> no rows;
+    # no explicit filter needed (and no descending-sequence trap)
+    m = F.greatest(F.size("ws") - 1, F.lit(0))
+    bigrams = F.array_distinct(
+        F.zip_with(
+            F.slice("ws", 1, m),
+            F.slice("ws", 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
-        .distinct()
+    )
+    grams = d.select("source", ws.alias("ws")).select(
+        "source", F.explode(bigrams).alias("shingle")
     )
     pg = grams.groupBy("source", "shingle").agg(
         F.count(F.lit(1)).alias("n_docs")
