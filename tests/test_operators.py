@@ -5199,3 +5199,62 @@ def test_dsir_select_gumbel_resampling(spark) -> None:
         if sorted(sel) != sorted(det):
             any_diff = True
     assert any_diff
+
+
+def test_strip_duplicated_spans_inrow_rewrite_corners(spark) -> None:
+    """r15 in-row rewrite (slice/zip_with gram build, per-doc coverage
+    fold, array_except reassembly) - the corners the new formulation
+    owns: NULL text behaves like empty ('', 0, 0); a document that is
+    ENTIRELY one duplicated span empties to '' with every token
+    removed; span_tokens=1 degenerates to repeated-token removal
+    (the gram IS the token); and coverage from OVERLAPPING duplicated
+    grams counts each position once (n_removed == |union|, never the
+    sum of window lengths)."""
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, "aa bb cc"),
+            (3, "aa bb cc"),  # 2 and 3 fully covered by the 3-gram
+            (4, "xx aa bb cc yy"),  # embeds the span; xx/yy survive
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in D.strip_duplicated_spans(
+            df, "doc_id", "text", span_tokens=3
+        ).collect()
+    }
+    assert got[1] == ("", 0, 0)
+    assert got[2] == ("", 3, 3)
+    assert got[3] == ("", 3, 3)
+    assert got[4] == ("xx yy", 5, 3)
+
+    # L=1: every token occurring at >= 2 sites corpus-wide is removed
+    df1 = spark.createDataFrame(
+        [(1, "p q r p"), (2, "q s")], "doc_id long, text string"
+    )
+    got1 = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in D.strip_duplicated_spans(
+            df1, "doc_id", "text", span_tokens=1
+        ).collect()
+    }
+    # p repeats within doc 1, q across docs; r/s are unique
+    assert got1[1] == ("r", 4, 3)
+    assert got1[2] == ("s", 2, 1)
+
+    # overlapping coverage counts positions once: 'a b a b a' with
+    # L=2 has grams (a b)x2 and (b a)x2 - all 5 positions covered,
+    # n_removed 5, not 8
+    df2 = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "zz qq")], "doc_id long, text string"
+    )
+    got2 = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in D.strip_duplicated_spans(
+            df2, "doc_id", "text", span_tokens=2
+        ).collect()
+    }
+    assert got2[1] == ("", 5, 5)
+    assert got2[2] == ("zz qq", 2, 0)
