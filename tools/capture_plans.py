@@ -1,9 +1,9 @@
-"""Capture .explain("formatted") for named queries into plans/r15/.
+"""Capture .explain("formatted") for named queries into $SPARK_GRAFT_PLANS_DIR (default plans/r16/).
 
 Usage: python tools/capture_plans.py <suffix> <query> [query...]
        python tools/capture_plans.py <suffix> --timed <query> [query...]
 
-Writes plans/r15/<query>_<suffix>.txt with the POST-EXECUTION formatted
+Writes <dir>/<query>_<suffix>.txt with the POST-EXECUTION formatted
 plan (the query runs through the noop sink first so AQE's final plan is
 what gets recorded, same discipline as tools/explain_report.py). With
 --timed, also prints a min-of-3 cold-cache wall per query (the bench.py
@@ -21,7 +21,7 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, "/root/repo")
 
-OUT_DIR = "/root/repo/plans/r15"
+OUT_DIR = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r16")
 
 
 def main() -> None:
