@@ -195,17 +195,36 @@ def _tokenize_sets(
     df: DataFrame, id_col: str, tokens_col: str, op_name: str
 ) -> DataFrame:
     """Shared input canonicalization for both Jaccard joins: distinct
-    the token array (set semantics), drop empty sets (they can never
-    pair), and fail loud past the 1e9 exact-arithmetic cap (p*n must
-    fit a bigint)."""
+    the token array (set semantics) and fail loud past the 1e9
+    exact-arithmetic cap (p*n must fit a bigint).
+
+    Empty/NULL token sets are NOT filtered here (r16): a filter on the
+    derived ``size(array_distinct(tokens))`` gets pushed below the
+    projection with the whole tokenize chain INLINED, so every row
+    paid the shingle+distinct work twice (measured ~0.7 s of the
+    1.27 s tokenize stage at sf0.1). Empty/NULL sets are inert in
+    every consumer instead: they explode to zero posting/prefix rows
+    (no candidates, no verify rows, no re-expansion), and the one
+    place they would surface - the collapse tier's identical-set
+    ``within`` pairs, where an empty group would wrongly pair at
+    jaccard 1 - carries an explicit aggregate-side guard
+    (``_nk > 0``, an agg OUTPUT column precisely so the optimizer
+    cannot push it back below the aggregate and re-inline the chain).
+    The empty-sets-never-pair contract is unchanged and stays
+    test-pinned."""
     tok = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.col(tokens_col)).alias("_t"),
-    ).filter(F.size("_t") > 0)
+    )
     return tok.withColumn(
         "_t",
         F.when(
-            F.size("_t") <= F.lit(1_000_000_000), F.col("_t")
+            # NULL sets pass through (size(NULL) is NULL, which must
+            # not fall into the raise_error branch now that NULL rows
+            # are retained-and-inert rather than filtered)
+            F.col("_t").isNull()
+            | (F.size("_t") <= F.lit(1_000_000_000)),
+            F.col("_t"),
         ).otherwise(
             F.raise_error(
                 F.concat(
@@ -248,32 +267,79 @@ def _prefix_filter_pairs(tok: DataFrame, p_num: int, q_den: int) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("_rn") <= F.col("_n") - min_overlap + 1
-    ).select("_id", "_n", "_hk")
-    # AllPairs LENGTH filter, applied INSIDE the candidate join before
-    # the distinct shuffle: Jaccard >= t forces t*|a| <= |b| <= |a|/t
-    # (intersection <= min size, union >= max size), so size-
-    # incompatible postings never become pair rows - the filter that
-    # keeps a frequent-ish prefix token's posting list from going
-    # quadratic across the whole size spectrum
+    ).select("_id", "_n", "_hk", "_rn")
+    # lazy localCheckpoint (r16): the self-join consumes `prefix` on
+    # BOTH sides, and the freq-join + per-doc rank window underneath
+    # it is the kernel's most expensive subtree - without the snapshot
+    # each side re-runs it (AQE reuses the exchange below the window
+    # but re-executes the window itself). Materialized once at first
+    # action, prefix rows are (_id,_n,_hk,_rn) - a few ints per
+    # surviving token, never payload-sized. eager=False so building
+    # the plan stays action-free (interleaved min-of-5 at sf0.1:
+    # 2.89 -> 2.61 s on the registered query).
+    prefix = prefix.localCheckpoint(eager=False)
+    # the PAIR's exact required overlap (PPJoin's alpha): q*I >= p*U
+    # with U = n_a + n_b - I gives I*(p+q) >= p*(n_a+n_b), so
+    # alpha = ceil(p*(n_a+n_b)/(p+q)) - exact integer arithmetic
+    req = F.expr(
+        f"(CAST({p_num} AS BIGINT) * (a._n + b._n) + {p_num + q_den - 1})"
+        f" div {p_num + q_den}"
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "_hk")
         .filter(
             (F.col("a._id") < F.col("b._id"))
-            # exact cross-multiplied length filter: J <= min/max, so
-            # qualifying needs q*min >= p*max
+            # AllPairs LENGTH filter, applied INSIDE the candidate
+            # join before the distinct shuffle: Jaccard >= t forces
+            # t*|a| <= |b| <= |a|/t (intersection <= min size, union
+            # >= max size), so size-incompatible postings never
+            # become pair rows - exact cross-multiplied form:
+            # q*min >= p*max
             & (
                 F.lit(q_den).cast("bigint")
                 * F.least(F.col("a._n"), F.col("b._n"))
                 >= F.lit(p_num).cast("bigint")
                 * F.greatest(F.col("a._n"), F.col("b._n"))
             )
+            # PAIRWISE-TIGHTENED prefix filter (r16, the PPJoin
+            # positional family, guide section 3): the static per-row
+            # prefix length n - ceil(p*n/q) + 1 assumes the WORST
+            # partner (one at the length-filter floor); for the
+            # concrete pair the two-sided prefix lemma requires a
+            # shared token within the first n - alpha + 1 positions
+            # of BOTH sides, with alpha the pair's own required
+            # overlap above. Proof: if every shared token sat at rank
+            # > n_a - alpha + 1 in a, then a has at most
+            # n_a - (n_a - alpha + 2) + 1 = alpha - 1 shared tokens -
+            # contradiction; symmetrically for b. Qualifying pairs
+            # keep every generating occurrence (the bound holds at
+            # ALL their shared prefix tokens), so recall stays 1.0;
+            # non-qualifying candidates whose generating token sits
+            # past the pairwise bound are dropped BEFORE the distinct
+            # shuffle and the array verify (measured at sf0.1:
+            # 104331 -> 33250 candidate pairs, kernel 1.67 -> 0.91 s,
+            # pair set identical). The classic positional filter
+            # (min(r_a,r_b) + min(n_a-r_a, n_b-r_b) >= alpha) is
+            # IMPLIED by these two rank bounds plus r >= 1, so it is
+            # deliberately not added on top.
+            & (F.col("a._rn") <= F.col("a._n") - req + 1)
+            & (F.col("b._rn") <= F.col("b._n") - req + 1)
         )
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
-        .distinct()
     )
+    # candidate dedup happens AFTER the verify (dropDuplicates at the
+    # bottom), not here (r16): a pre-verify distinct is a full
+    # exchange+aggregate over every candidate occurrence, while the
+    # post-verify dedup exchanges only the TRUE pairs (output-bound).
+    # Per-occurrence verify work is identical per pair (deterministic
+    # exact arithmetic), and occurrence multiplicity is bounded by the
+    # pair's shared-prefix-token count, which the pairwise bounds
+    # above cap at the pair's own prefix length - so the redundant
+    # verify volume is (multiplicity-1) in-row intersects, cheaper
+    # than the saved 33K-row shuffle at every tested scale.
     pairs = (
         cand.join(
             tok.select(
@@ -303,7 +369,9 @@ def _prefix_filter_pairs(tok: DataFrame, p_num: int, q_den: int) -> DataFrame:
             >= F.lit(p_num).cast("bigint") * F.col("union_n")
         )
     )
-    return pairs.select("id_a", "id_b", "inter", "union_n", "jaccard")
+    return pairs.select(
+        "id_a", "id_b", "inter", "union_n", "jaccard"
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def jaccard_prefix_join(
@@ -410,6 +478,13 @@ def jaccard_prefix_join(
     groups = tok.groupBy(F.array_sort("_t").alias("_key")).agg(
         F.min("_id").alias("_rid"),
         F.sort_array(F.collect_list("_id")).alias("_ids"),
+        # _nk: the group's set size as an AGGREGATE OUTPUT column - the
+        # empty/NULL-set guard for the within tier below. It must be an
+        # agg output (not size(_key)) so the optimizer cannot push the
+        # guard below this aggregate and re-inline the caller's whole
+        # tokenize chain into a pre-agg filter (the duplication
+        # _tokenize_sets r16 removed).
+        F.max(F.size("_t")).alias("_nk"),
     ).persist(StorageLevel.DISK_ONLY)
     if cache_registry is not None:
         cache_registry.append(groups)
@@ -418,9 +493,11 @@ def jaccard_prefix_join(
     # threshold in (0, 1]); two chained explodes stream the m^2
     # candidate rows (never an in-row pair ARRAY, whose C(m,2) bytes
     # would concentrate a hot group's whole output in one row);
-    # output-bound by contract
+    # output-bound by contract. _nk > 0 drops the empty/NULL-set
+    # group (empty sets never pair - contract); NULL _nk fails the
+    # predicate too.
     within = (
-        groups.filter(F.size("_ids") >= 2)
+        groups.filter((F.size("_ids") >= 2) & (F.col("_nk") > 0))
         .select(
             F.size("_key").cast("bigint").alias("inter"),
             F.explode("_ids").alias("id_a"),
@@ -499,6 +576,13 @@ def _prefix_filter_pairs_rs(
         .unionAll(fr.select("_hk"))
         .groupBy("_hk")
         .agg(F.count(F.lit(1)).alias("_f"))
+        # lazy localCheckpoint (r16): the union-order frequency table
+        # feeds BOTH sides' prefix windows; without the snapshot each
+        # side re-runs the two-corpus explode + aggregate (the reused
+        # exchange below it still re-executes the final aggregate per
+        # consumer). Rows are (hash, count) - 16 bytes per distinct
+        # token, never corpus-sized.
+        .localCheckpoint(eager=False)
     )
     min_overlap = F.expr(
         f"(CAST({p_num} AS BIGINT) * _n + {q_den - 1}) div {q_den}"
@@ -513,25 +597,42 @@ def _prefix_filter_pairs_rs(
         )
         return ranked.filter(
             F.col("_rn") <= F.col("_n") - min_overlap + 1
-        ).select("_id", "_n", "_hk")
+        ).select("_id", "_n", "_hk", "_rn")
 
+    # the pair's exact required overlap (see _prefix_filter_pairs for
+    # the derivation and the two-sided pairwise prefix-bound proof -
+    # identical here, the lemma never uses which side is which)
+    req = F.expr(
+        f"(CAST({p_num} AS BIGINT) * (a._n + b._n) + {p_num + q_den - 1})"
+        f" div {p_num + q_den}"
+    )
     cand = (
         prefix(fl)
         .alias("a")
         .join(prefix(fr).alias("b"), "_hk")
         .filter(
-            F.lit(q_den).cast("bigint")
-            * F.least(F.col("a._n"), F.col("b._n"))
-            >= F.lit(p_num).cast("bigint")
-            * F.greatest(F.col("a._n"), F.col("b._n"))
+            (
+                F.lit(q_den).cast("bigint")
+                * F.least(F.col("a._n"), F.col("b._n"))
+                >= F.lit(p_num).cast("bigint")
+                * F.greatest(F.col("a._n"), F.col("b._n"))
+            )
+            # pairwise-tightened prefix bounds (r16) - candidates
+            # whose generating token sits past the PAIR's own prefix
+            # length drop before the distinct and the array verify
+            & (F.col("a._rn") <= F.col("a._n") - req + 1)
+            & (F.col("b._rn") <= F.col("b._n") - req + 1)
         )
         .select(
             F.col("a._id").alias("left_id"),
             F.col("b._id").alias("right_id"),
         )
-        .distinct()
     )
-    return _verify_rs_pairs(cand, tok_l, tok_r, p_num, q_den)
+    # post-verify dedup (see _prefix_filter_pairs): the exchange runs
+    # on the output-bound TRUE pairs, not every candidate occurrence
+    return _verify_rs_pairs(cand, tok_l, tok_r, p_num, q_den).dropDuplicates(
+        ["left_id", "right_id"]
+    )
 
 
 def _verify_rs_pairs(

@@ -623,3 +623,52 @@ def test_recover_posting_store_rescues_old_files(spark, tmp_path) -> None:
     # a follow-up compaction normalizes whatever the rescue merged
     nb, na = compact_postings(spark, pdir)
     assert na == spark.read.parquet(pdir).distinct().count()
+
+
+def test_jaccard_join_null_and_empty_sets_inert(spark) -> None:
+    """r16 internals change: _tokenize_sets no longer row-filters
+    empty sets (the filter's pushdown re-evaluated the caller's whole
+    tokenize chain per row); empty AND NULL token arrays must instead
+    be inert in every tier - never pairing with anything, including
+    each other, in both the collapse and raw tiers and the R-S join.
+    The pairwise-tightened prefix bounds must keep exact-boundary
+    pairs (recall 1.0)."""
+    from etl_marketdata_downloader_archived_spark.operators.fuzzy import (
+        jaccard_prefix_join,
+        jaccard_prefix_join_rs,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "e"]),   # J(1,2) = 3/5 = 0.6 - EXACT boundary at t=0.6
+        (3, []),                     # empty
+        (4, []),                     # empty: must not pair with 3
+        (5, None),                   # NULL: must not pair with anything
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    for collapse in (True, False):
+        got = {
+            (r.id_a, r.id_b): (r.inter, r.union_n)
+            for r in jaccard_prefix_join(
+                df, "id", "toks", 0.6, collapse_duplicates=collapse
+            ).collect()
+        }
+        # the boundary pair survives the pairwise prefix bound
+        # (alpha = ceil(0.6/1.6 * 8) = 3 = the true overlap), and no
+        # empty/NULL id appears anywhere
+        assert got == {(1, 2): (3, 5)}, collapse
+    left = spark.createDataFrame(rows, "id long, toks array<string>")
+    right = spark.createDataFrame(
+        [(10, ["a", "b", "c", "d"]), (11, []), (12, None)],
+        "id long, toks array<string>",
+    )
+    for collapse in (True, False):
+        got = {
+            (r.left_id, r.right_id): (r.inter, r.union_n)
+            for r in jaccard_prefix_join_rs(
+                left, right, "id", "toks", 0.6,
+                collapse_duplicates=collapse,
+            ).collect()
+        }
+        assert got == {(1, 10): (4, 4), (2, 10): (3, 5)}, collapse
