@@ -139,8 +139,44 @@ def dedup_near_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy (a pruned columnar scan re-decompresses cheaper than
     row-serialized block storage materializes), and the minhash
     intermediates release their DISK_ONLY persist as soon as the
-    bounded component collect has consumed them."""
+    bounded component collect has consumed them.
+
+    The two branches are INDEPENDENT jobs and run OVERLAPPED (r16,
+    guide section 2.6): the simhash branch materializes via an eager
+    localCheckpoint on an InheritableThread while the main thread
+    drives the minhash pipeline through connected_components' bounded
+    collect - the scheduler back-fills the collect's stage tails with
+    simhash tasks instead of running ~1.5 s of simhash serially after
+    ~3 s of minhash. Job descriptions are thread-local, so each branch
+    stays labelled in the UI; a branch failure is re-raised after
+    join() (never swallowed)."""
+    from pyspark import InheritableThread
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # simhash branch: plan built on the main thread, materialized on a
+    # side thread concurrently with the minhash branch's collect below
+    sim = D.simhash64(d, "doc_id", "text")
+    sim_pairs_plan = D.simhash_near_pairs(sim, "doc_id", max_hamming=3).select(
+        F.lit("simhash").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("metric"),
+    )
+    sim_box: dict = {}
+
+    def _materialize_simhash() -> None:
+        try:
+            spark.sparkContext.setJobDescription(
+                "dedup_near_panel: simhash branch (overlapped)"
+            )
+            sim_box["df"] = sim_pairs_plan.localCheckpoint()
+        except BaseException as e:  # noqa: BLE001 - re-raised on join
+            sim_box["err"] = e
+
+    th = InheritableThread(target=_materialize_simhash)
+    th.start()
+
     caches: list = []
     pairs = D.minhash_dedup_pairs(
         d, "doc_id", "text", num_hashes=32, bands=16, jaccard_threshold=0.2,
@@ -158,14 +194,10 @@ def dedup_near_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("id_b"),
         F.lit(None).cast("double").alias("metric"),
     )
-    sim = D.simhash64(d, "doc_id", "text")
-    sim_pairs = D.simhash_near_pairs(sim, "doc_id", max_hamming=3).select(
-        F.lit("simhash").alias("kind"),
-        "id_a",
-        "id_b",
-        F.col("hamming").cast("double").alias("metric"),
-    )
-    return clusters.unionByName(sim_pairs)
+    th.join()
+    if "err" in sim_box:
+        raise sim_box["err"]
+    return clusters.unionByName(sim_box["df"])
 
 
 @q("sim_ann_panel")  # seeded hyperplanes / float-mean centroids -> rows-only
